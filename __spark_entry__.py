@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the oracle-paired catalog from
+``transaq_clickhouse_exporter_spark.queries.parity`` — the dashboard
+panel queries of the reference (re-expressed over deterministically
+derived transaq-shaped views of the driver tables), the engine operators,
+and the data-pipeline operators.  ``oracle_sql()`` returns the matching
+DuckDB SQL with the same derivation as a CTE prefix.
 """
 
 from __future__ import annotations
@@ -13,26 +14,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from transaq_clickhouse_exporter_spark.queries import parity
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §7.1): «Volume trades by interval»
+    (GDJ:1069) — scan → broadcast dim join → time bucket → agg → sort —
+    on /root/testdata/sf0.001."""
+    return parity.run(spark, "/root/testdata/sf0.001", "db01_volume_by_interval_buy")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def make(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return parity.run(spark, sf_dir, name)
+
+        q.__name__ = f"query_{name}"
+        return q
+
+    return {name: make(name) for name in parity.catalog()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query (same column aliases)."""
+    return parity.oracle_map()

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the catalog's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Per-query timing covers plan construction + full execution (collect),
+after a warm-up query has amortized session/JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from transaq_clickhouse_exporter_spark.queries import parity
+from transaq_clickhouse_exporter_spark.session import get_spark
+from transaq_clickhouse_exporter_spark.testdata import register_views
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app="tce-bench")
+
+    register_views(spark, sf_dir)
+    parity.register_derived_views(spark)
+    cat = parity.catalog()
+
+    # warm-up: JVM/codegen/parquet-footer caches
+    spark.table("lineitem").count()
+
+    per_query: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, spec in cat.items():
+        t0 = time.perf_counter()
+        spec.build(spark).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

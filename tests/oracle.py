@@ -1,0 +1,70 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness compare:
+row count + column names + order-insensitive value comparison.  Stricter
+than a hash: values are compared cell-by-cell after sorting rows by all
+columns, floats exactly by default (the catalog is engineered for exact
+cross-engine equality — see parity.py's determinism rules)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import duckdb
+from pyspark.sql import DataFrame
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, int):
+        return float(v) if False else v
+    return v
+
+
+def _sortable(row):
+    return tuple(str(_norm(v)) for v in row)
+
+
+def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str, rel_tol: float = 0.0):
+    """Raise AssertionError with a diff summary on mismatch."""
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"columns differ: spark={s_cols} duck={d_cols}"
+    assert len(s_rows) == len(d_rows), f"row counts differ: spark={len(s_rows)} duck={len(d_rows)}"
+
+    # reorder duck columns to spark order
+    idx = [d_cols.index(c) for c in s_cols]
+    d_rows = [tuple(r[i] for i in idx) for r in d_rows]
+    s_sorted = sorted(s_rows, key=_sortable)
+    d_sorted = sorted(d_rows, key=_sortable)
+    for rn, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
+        for cn, (sv, dv) in enumerate(zip(sr, dr)):
+            sv, dv = _norm(sv), _norm(dv)
+            if isinstance(sv, float) and isinstance(dv, (float, int)):
+                ok = (
+                    sv == dv
+                    or (rel_tol and math.isclose(sv, float(dv), rel_tol=rel_tol, abs_tol=rel_tol))
+                )
+            else:
+                ok = sv == dv
+            assert ok, (
+                f"value mismatch row {rn} col {s_cols[cn]}: spark={sv!r} duck={dv!r}\n"
+                f"spark row: {sr}\nduck row:  {dr}"
+            )

@@ -1,0 +1,57 @@
+"""Last-write-wins dedup — ReplacingMergeTree ``FINAL`` parity.
+
+Every reference table is ``ENGINE = ReplacingMergeTree() ORDER BY key``
+(``/root/reference/db.go:31,47,61,93,106``): rows with equal key columns
+are eventually collapsed keeping the **last inserted** version.  The
+reference's dashboard queries tolerate pre-merge duplicates; we make the
+deterministic (``FINAL``-exact) semantics the default read path
+(SURVEY §1.5).
+
+Scale notes (100 TB): the window shuffles once on the key columns —
+identical cost to the ``groupBy`` any downstream agg on the same key
+would pay, and AQE coalesces the output.  When the table is stored
+bucketed/partitioned by a prefix of the key, Catalyst plans the window
+without a fresh exchange.  Skewed keys are handled by AQE skew-join
+settings; for pathological hot keys pre-aggregate with
+``max_by``-style combine instead (map-side partial).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Name of the monotonically-increasing ingest-order column the sinks
+#: stamp on every row (FIXTURES.md requires it for dedup tests).
+INGEST_SEQ = "_ingest_seq"
+
+
+def dedup_last_write_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = INGEST_SEQ,
+    keep_order_col: bool = False,
+) -> DataFrame:
+    """Keep the last-inserted row per key (``FINAL`` semantics).
+
+    ``order_col`` breaks ties between versions; if the DataFrame does not
+    carry one, rows are arbitrary-but-deterministic only if duplicates
+    are exact (then any winner is equivalent) — callers with true
+    versioned updates must stamp :data:`INGEST_SEQ` at ingest.
+    """
+    if order_col not in df.columns:
+        # Exact-duplicate collapse: dropDuplicates does a partial
+        # (map-side) dedup before the shuffle — cheaper than a window.
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return out if keep_order_col else out.drop(order_col)
+
+
+def dedup_streaming(df: DataFrame, keys: Sequence[str], watermark_col: str, delay: str) -> DataFrame:
+    """Streaming-side dedup within a watermark (at-least-once upstream →
+    effectively-once downstream).  State is bounded by the watermark
+    delay; pair with last-write-wins on read for end-to-end parity."""
+    return df.withWatermark(watermark_col, delay).dropDuplicates(list(keys))

@@ -1,0 +1,69 @@
+"""SparkSession construction and session-level configuration.
+
+The reference pins every timestamp to ``Europe/Moscow``
+(``/root/reference/db.go:23``); production sessions use
+:func:`get_spark` with ``tz='Europe/Moscow'``.  Oracle-compared test
+sessions pin UTC so Spark and DuckDB agree on naive-timestamp
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+MOSCOW_TZ = "Europe/Moscow"
+
+#: Defaults chosen for correctness *and* scale-out behavior:
+#: AQE on (runtime join re-planning, skew-join splitting, partition
+#: coalescing) and Arrow on (vectorized Pandas-UDF transfer).
+_BASE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark
+    # refuses by default; read as raw nanos since epoch (LongType).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+}
+
+
+def get_spark(
+    app: str = "transaq-spark",
+    cpus: int | None = None,
+    tz: str = "UTC",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores.  Shuffle
+    partitions default to the core count — on a real cluster you would
+    size this to ~2-3x total executor cores instead; AQE coalesces
+    downward either way.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    b = SparkSession.builder.master(f"local[{cpus}]").appName(app)
+    for k, v in _BASE_CONFS.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+    b = b.config("spark.sql.session.timeZone", tz)
+    b = b.config("spark.ui.enabled", "false")
+    b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession, tz: str = "UTC") -> SparkSession:
+    """Pin runtime confs on a session we did not build (e.g. the
+    driver's).  All of these are runtime-settable SQLConfs."""
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

@@ -1,0 +1,55 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: ``region nation customer supplier part orders lineitem events
+documents embeddings`` — one parquet each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+``events.parquet`` carries parquet ``TIMESTAMP(NANOS)`` which Spark
+rejects by default; with ``spark.sql.legacy.parquet.nanosAsLong=true``
+the column arrives as LongType nanoseconds.  :func:`register_views`
+exposes it as ``events`` with an extra exact epoch-seconds column
+``ts_s`` (``ts DIV 1e9`` — integer division, no double rounding), which
+is what DuckDB's ``epoch_us(ts) // 1000000`` yields on its side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure_session
+
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is LongType nanos (nanosAsLong); add an exact epoch-seconds
+        # column.  `DIV` is integer division — bit-exact, unlike a
+        # double-precision `/` at 1e18 magnitudes.
+        df = df.withColumn("ts_s", F.expr("ts DIV 1000000000"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Pin session confs and register every driver table as a temp view
+    under its own name."""
+    configure_session(spark, tz="UTC")
+    for name in DRIVER_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
