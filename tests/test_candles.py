@@ -1,0 +1,104 @@
+"""Golden tests for the stateful OHLCV candle builder (O-10) covering
+every quirk of /root/reference/process.go:126-169."""
+
+from __future__ import annotations
+
+from transaq_clickhouse_exporter_spark.ingest import candles
+
+# (time, open, last, quantity) — single security, arrival order
+TICKS = [
+    ("10:00:30", 0.0, 100.0, 5),   # first tick: init open/high/low from Last
+    ("10:00:45", 250.0, 101.0, 3), # open != 0 → no backfill; high 101
+    ("10:01:00", 0.0, 102.0, 7),   # boundary → EMIT; tick's qty/last dropped
+    ("10:01:10", 0.0, 99.0, 2),    # post-reset zero struct: low 0→99, high 99
+    ("10:01:20", 98.5, 0.0, 4),    # open backfill 98.5; Last=0 drives low→0
+    ("10:01:40", 0.0, 97.0, 1),    # low==0 → low:=97 (bounces back)
+    ("10:02:00", 0.0, 0.0, 9),     # boundary but Last=0 → NO emit; low→0 again
+    ("10:03:00", 0.0, 105.0, 2),   # boundary → EMIT
+]
+
+EXPECTED = [
+    {"sec_code": "SBER", "period": 1, "date": "2024-12-20 10:01:00",
+     "open": 100.0, "close": 102.0, "high": 101.0, "low": 100.0, "volume": 8},
+    {"sec_code": "SBER", "period": 1, "date": "2024-12-20 10:03:00",
+     "open": 98.5, "close": 105.0, "high": 99.0, "low": 0.0, "volume": 16},
+]
+
+
+def _rows(sec_code="SBER"):
+    return [
+        {"sec_code": sec_code, "time": t, "open": o, "last": l, "quantity": q}
+        for t, o, l, q in TICKS
+    ]
+
+
+def test_fold_ticks_golden():
+    out, acc = candles.fold_ticks(_rows(), "2024-12-20")
+    assert out == EXPECTED
+    assert acc is not None and acc.volume == 0  # reset, still present
+
+
+def test_fold_no_boundary_tick_no_emit():
+    rows = [r for r in _rows() if not r["time"].endswith(":00")]
+    out, acc = candles.fold_ticks(rows, "2024-12-20")
+    assert out == []
+    assert acc is not None
+
+
+def test_fold_boundary_without_state_initializes():
+    # a ':00' tick with no accumulator goes down the init path (exists=False)
+    out, acc = candles.fold_ticks(
+        [{"sec_code": "X", "time": "10:05:00", "open": 0.0, "last": 50.0, "quantity": 3}],
+        "2024-12-20",
+    )
+    assert out == []
+    assert (acc.open, acc.high, acc.low, acc.volume) == (50.0, 50.0, 50.0, 3)
+
+
+def test_batch_applyinpandas_matches_fold(spark):
+    rows = [
+        (1, r["sec_code"], r["time"], r["open"], r["last"], r["quantity"], i)
+        for i, r in enumerate(_rows())
+    ] + [
+        # second security interleaved: no boundary tick → no candles
+        (2, "GAZP", "11:00:10", 0.0, 7.0, 1, 100),
+        (2, "GAZP", "11:00:20", 0.0, 8.0, 2, 101),
+    ]
+    df = spark.createDataFrame(
+        rows, "sec_id int, sec_code string, time string, open double, last double, quantity long, seq long"
+    )
+    out = candles.quotation_candles_batch(df, "2024-12-20")
+    got = sorted([r.asDict() for r in out.collect()], key=lambda r: r["date"])
+    assert got == EXPECTED
+
+
+def test_streaming_state_matches_fold(spark, tmp_path):
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        read_replay_stream,
+        write_jsonl_fixture,
+    )
+
+    # split the tick sequence across two files → two micro-batches; the
+    # accumulator must survive the batch boundary in GroupState
+    all_rows = [
+        {"sec_id": 1, "sec_code": r["sec_code"], "time": r["time"], "open": r["open"],
+         "last": r["last"], "quantity": r["quantity"], "seq": i}
+        for i, r in enumerate(_rows())
+    ]
+    write_jsonl_fixture(str(tmp_path / "replay" / "a0.json"), all_rows[:4])
+    write_jsonl_fixture(str(tmp_path / "replay" / "a1.json"), all_rows[4:])
+    schema = ("sec_id int, sec_code string, time string, open double, last double, "
+              "quantity long, seq long")
+    stream = read_replay_stream(spark, str(tmp_path / "replay"), schema, max_files_per_trigger=1)
+    out = candles.quotation_candles_stream(stream, "2024-12-20")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("candles_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        [r.asDict() for r in spark.sql("SELECT * FROM candles_out").collect()],
+        key=lambda r: r["date"],
+    )
+    assert got == EXPECTED

@@ -1,0 +1,70 @@
+"""Bootstrap-path filters (O-1..O-4) against hand-computed expectations
+from the reference logic at main.go:126-176."""
+
+from __future__ import annotations
+
+import pytest
+
+from transaq_clickhouse_exporter_spark import schemas
+from transaq_clickhouse_exporter_spark.ingest import batch
+
+
+@pytest.fixture(scope="module")
+def raw_securities(spark):
+    cols = [f.name for f in schemas.RAW_SECURITY.fields]
+    rows = [
+        # secid seccode instrclass board market shortname decimals minstep lotsize point_cost sectype quotestype active
+        (1, "SBER", "E", "TQBR", 1, "Сбербанк", 2, 0.01, 10, 1.0, "SHARE", 1, "true"),
+        (2, "GAZP", "E", "TQBR", 1, "Газпром", 2, 0.01, 10, 1.0, "SHARE", 1, "true"),
+        (0, "BAD0", "E", "TQBR", 1, "ZeroId", 2, 0.01, 1, 1.0, "SHARE", 1, "true"),  # secid=0
+        (3, "DEAD", "E", "TQBR", 1, "Inactive", 2, 0.01, 1, 1.0, "SHARE", 1, "false"),  # inactive
+        (4, "WAYTOOLONGSECCODE9999", "E", "TQBR", 1, "Long", 2, 0.01, 1, 1.0, "SHARE", 1, "true"),  # >16
+        (5, "OFF1", "E", "SPBFUT", 7, "OffBoard", 2, 0.01, 1, 1.0, "FUT", 0, "true"),  # board not exported
+        (6, "RU000A0JX0J2", "B", "TQCB", 1, "Система МТС", 0, 0.01, 1, 1.0, "BOND", 0, "true"),  # bond, МТС suffix
+        (7, "SiH5", "F", "FUT", 4, "Si-3.25", 0, 1.0, 1, 1.0, "FUT", 0, "true"),
+        (8, "SBERP", "E", "TQBR", 1, "Сбербанк-п", 2, 0.01, 10, 1.0, "SHARE", 1, "true"),
+    ]
+    return spark.createDataFrame(rows, schema=schemas.RAW_SECURITY)
+
+
+def test_valid_securities_filter_and_projection(raw_securities):
+    out = batch.valid_securities(raw_securities)
+    # validity gate (main.go:141-143) keeps 1,2,5,6,7,8
+    assert sorted(r.secid for r in out.collect()) == [1, 2, 5, 6, 7, 8]
+    assert [f.name for f in out.schema.fields] == [f.name for f in schemas.SECURITIES.fields]
+    assert "active" not in out.columns  # input-only column
+
+
+def test_quotation_subscription_code_match(raw_securities):
+    # equality, contains, shortname-equality, ALL (main.go:166-175)
+    ids = lambda df: sorted(r.secid for r in df.collect())
+    assert ids(batch.quotation_subscription(raw_securities, export_sec_codes=["SBER"])) == [1, 8]  # SBER + contains(SBERP)
+    assert ids(batch.quotation_subscription(raw_securities, export_sec_codes=["Газпром"])) == [2]  # shortname equality
+    assert ids(batch.quotation_subscription(raw_securities, export_sec_codes=["ALL"])) == [1, 2, 6, 7, 8]  # valid ∩ boards
+    assert ids(batch.quotation_subscription(raw_securities, export_sec_codes=[])) == []  # empty ⇒ none (main.go:162)
+
+
+def test_alltrades_subscription_pre_validity(raw_securities):
+    # checked BEFORE validity: inactive DEAD on TQBR still matches
+    out = batch.alltrades_subscription(raw_securities, alltrades_codes=["DEAD", "SBER", "OFF1"])
+    assert sorted(r.secid for r in out.collect()) == [1, 3]  # OFF1's board not exported
+
+
+def test_sec_info_subscription_bond_suffix(raw_securities):
+    out = batch.sec_info_subscription(raw_securities, info_names=["МТС"])
+    assert [r.secid for r in out.collect()] == [6]
+    assert batch.sec_info_subscription(raw_securities, info_names=[]).count() == 0
+
+
+def test_backfill_paging_handshake():
+    # S8: stop when a page returns fewer rows than requested (main.go:204-213)
+    data = list(range(23))
+    calls = []
+
+    def fetch(offset, n):
+        calls.append(offset)
+        return data[offset : offset + n]
+
+    out = batch.backfill_candles(fetch, page_size=10)
+    assert out == data
+    assert calls == [0, 10, 20]

@@ -1,0 +1,64 @@
+"""Positions snapshot merge (O-11, process.go:74-102): empty sub-lists
+must not overwrite prior non-empty state."""
+
+from __future__ import annotations
+
+from transaq_clickhouse_exporter_spark.ingest.positions import (
+    merge_positions,
+    merge_positions_stream,
+)
+from transaq_clickhouse_exporter_spark.schemas import POSITIONS_SNAPSHOT_FIELDS, RAW_POSITIONS
+
+
+def _snapshots(spark):
+    def row(seq, client, **kw):
+        return tuple([seq, client] + [kw.get(f) for f in POSITIONS_SNAPSHOT_FIELDS])
+
+    rows = [
+        row(1, "A", united_limits="a1", forts_money="m1"),
+        row(2, "A", sec_positions="b2"),
+        row(3, "A", united_limits="a3", forts_position="p3"),
+        row(1, "B", spot_limit="s1"),
+    ]
+    return spark.createDataFrame(rows, schema=RAW_POSITIONS)
+
+
+EXPECTED_A = {
+    "united_limits": "a3",
+    "sec_positions": "b2",
+    "forts_money": "m1",
+    "money_position": None,
+    "forts_position": "p3",
+    "forts_collaterals": None,
+    "spot_limit": None,
+}
+
+
+def test_merge_positions_batch(spark):
+    out = {r["client"]: r.asDict() for r in merge_positions(_snapshots(spark)).collect()}
+    got_a = {k: v for k, v in out["A"].items() if k != "client"}
+    assert got_a == EXPECTED_A
+    assert out["B"]["spot_limit"] == "s1" and out["B"]["united_limits"] is None
+
+
+def test_merge_positions_stream(spark, tmp_path):
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        read_replay_stream,
+        write_jsonl_fixture,
+    )
+
+    fields = list(POSITIONS_SNAPSHOT_FIELDS)
+    rows = [r.asDict() for r in _snapshots(spark).collect()]
+    # batch 1: seqs 1-2, batch 2: seq 3 → state must carry across
+    write_jsonl_fixture(str(tmp_path / "pos" / "b0.json"), [r for r in rows if r["seq"] <= 2])
+    write_jsonl_fixture(str(tmp_path / "pos" / "b1.json"), [r for r in rows if r["seq"] == 3])
+    stream = read_replay_stream(spark, str(tmp_path / "pos"), RAW_POSITIONS, max_files_per_trigger=1)
+    out = merge_positions_stream(stream, fields)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("pos_out").option("checkpointLocation", str(tmp_path / "pos_ckpt")).start())
+    q.processAllAvailable()
+    q.stop()
+    hist = spark.sql("SELECT * FROM pos_out").collect()
+    # final state for A = last emitted row for A
+    final_a = [r.asDict() for r in hist if r["client"] == "A"][-1]
+    assert {k: v for k, v in final_a.items() if k != "client"} == EXPECTED_A

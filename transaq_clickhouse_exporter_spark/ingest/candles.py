@@ -1,0 +1,172 @@
+"""Stateful OHLCV candle builder — O-10, the reference's only bespoke
+stateful operator (``/root/reference/process.go:126-169``).
+
+Exact fold semantics (per ``SecId``, in arrival order):
+
+- boundary tick (``Time`` ends ``':00'`` AND ``Last > 0`` AND an
+  accumulator exists): emit ``(open=acc.open, close=Last, high=acc.high,
+  low=acc.low, volume=acc.volume, period=1, date=server_date+' '+Time)``
+  then reset the accumulator to the zero struct (which *stays present*).
+  The boundary tick's own Last/Quantity are NOT folded into either
+  candle (they only provide close).
+- otherwise, accumulator exists: ``open`` backfills from the first
+  non-zero ``Open`` field while ``acc.open == 0`` (process.go:147-149);
+  ``high = max(high, Last)``; ``low = Last if Last < low or low == 0``
+  (NB a ``Last == 0`` tick drives low to 0 — faithful to
+  process.go:153-155); ``volume += Quantity``.
+- first tick ever for the key: init ``{open: Last, low: Last,
+  high: Last, volume: Quantity}`` (process.go:160-166 — note init uses
+  ``Last``, not the ``Open`` field).
+
+Three implementations, one semantics:
+
+- :func:`fold_ticks` — pure-Python reference fold (golden oracle).
+- :func:`quotation_candles_batch` — ``groupBy(sec_id).applyInPandas``:
+  the fold is inherently sequential *per key*, so parallelism comes
+  from hash-partitioning on ``sec_id`` (thousands of securities →
+  thousands-way parallel; per-key tick counts are bounded by one
+  session day, so no partition blowup at 100 TB).
+- :func:`quotation_candles_stream` — ``applyInPandasWithState``
+  (GroupState carries the accumulator across micro-batches).
+
+:func:`candles_windowed` is the clean declarative variant (tumbling
+window, standard first/last/max/min OHLCV) — documented divergences:
+standard ``low`` ignores nothing, every tick folds, emit per window
+whether or not a boundary tick exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output schema shared by all three implementations (candle date kept
+#: as the reference's wall-clock string; parse with shape_candles).
+CANDLE_OUT_SCHEMA = (
+    "sec_code string, period int, date string, open double, close double, "
+    "high double, low double, volume long"
+)
+_STATE_SCHEMA = "open double, high double, low double, volume long, exists boolean"
+
+
+@dataclass
+class Acc:
+    open: float = 0.0
+    high: float = 0.0
+    low: float = 0.0
+    volume: int = 0
+
+
+def fold_ticks(rows, emit_date: str, acc: Acc | None = None):
+    """Pure-Python exact fold.  ``rows``: iterable of dicts with keys
+    ``sec_code, time, open, last, quantity`` (single security, arrival
+    order).  Returns (emitted candle dicts, final accumulator or None).
+    """
+    candles = []
+    for r in rows:
+        last = float(r["last"] or 0.0)
+        if r["time"].endswith(":00") and last > 0 and acc is not None:
+            candles.append(
+                {
+                    "sec_code": r["sec_code"],
+                    "period": 1,
+                    "date": f"{emit_date} {r['time']}",
+                    "open": acc.open,
+                    "close": last,
+                    "high": acc.high,
+                    "low": acc.low,
+                    "volume": acc.volume,
+                }
+            )
+            acc = Acc()  # zero struct, still present (process.go:144)
+        elif acc is not None:
+            if acc.open == 0 and (r["open"] or 0) != 0:
+                acc.open = float(r["open"])
+            if last > acc.high:
+                acc.high = last
+            if last < acc.low or acc.low == 0:
+                acc.low = last
+            acc.volume += int(r["quantity"] or 0)
+        else:
+            acc = Acc(open=last, high=last, low=last, volume=int(r["quantity"] or 0))
+    return candles, acc
+
+
+def _fold_pdf(pdf: pd.DataFrame, emit_date: str, acc: Acc | None):
+    pdf = pdf.sort_values("seq", kind="stable")
+    rows = pdf[["sec_code", "time", "open", "last", "quantity"]].to_dict("records")
+    return fold_ticks(rows, emit_date, acc)
+
+
+def quotation_candles_batch(df: DataFrame, emit_date: str) -> DataFrame:
+    """Batch/backfill variant: exact fold per security.  ``df`` needs
+    columns (sec_id, sec_code, time, open, last, quantity, seq) where
+    ``seq`` is the arrival order within each sec_id."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        candles, _ = _fold_pdf(pdf, emit_date, None)
+        return pd.DataFrame(
+            candles,
+            columns=["sec_code", "period", "date", "open", "close", "high", "low", "volume"],
+        )
+
+    return df.groupBy("sec_id").applyInPandas(fold, schema=CANDLE_OUT_SCHEMA)
+
+
+def quotation_candles_stream(df: DataFrame, emit_date: str) -> DataFrame:
+    """Streaming variant: same fold with the accumulator carried in
+    GroupState across micro-batches.  ``df`` is a streaming DataFrame
+    with the same columns as the batch variant."""
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            o, h, lo, v, present = state.get
+            acc = Acc(o, h, lo, v) if present else None
+        else:
+            acc = None
+        out = []
+        for pdf in pdfs:
+            candles, acc = _fold_pdf(pdf, emit_date, acc)
+            out.extend(candles)
+        if acc is not None:
+            state.update((acc.open, acc.high, acc.low, acc.volume, True))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["sec_code", "period", "date", "open", "close", "high", "low", "volume"],
+            )
+
+    return df.groupBy("sec_id").applyInPandasWithState(
+        fold,
+        outputStructType=CANDLE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def candles_windowed(df: DataFrame, minutes: int = 1) -> DataFrame:
+    """Declarative tumbling-window OHLCV over ticks with an event-time
+    ``ts`` (timestamp) and arrival order ``seq`` — the clean variant the
+    dashboard actually needs, fully parallel and whole-stage-codegen'd.
+    Standard semantics (all ticks fold; low/high over all Last values).
+    """
+    step = minutes * 60
+    bucket = ((F.unix_timestamp("ts") / step).cast("long") * step).alias("bucket_s")
+    w = Window.partitionBy("sec_code", "bucket_s")
+    by_seq = w.orderBy("seq")
+    return (
+        df.select("sec_code", bucket, "last", "quantity", "seq")
+        .withColumn("open", F.first("last").over(by_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("close", F.last("last").over(by_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("high", F.max("last").over(w))
+        .withColumn("low", F.min("last").over(w))
+        .withColumn("volume", F.sum("quantity").over(w))
+        .select("sec_code", "bucket_s", "open", "close", "high", "low", "volume")
+        .distinct()
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_last_write_wins
@@ -96,6 +96,35 @@ FROM trades_core WHERE trade_no % 50 = 0
 """
 
 
+#: Raw securities directory (ingest-filter inputs): the derived dim plus
+#: an ``active`` flag and injected invalid rows exercising every branch
+#: of the validity filter (main.go:141-143).
+RAW_SECURITIES_SQL = """
+SELECT s.secid, s.seccode, s.instrclass, s.board, s.market, s.shortname, s.decimals,
+       s.minstep, s.lotsize, s.point_cost, s.sectype, s.quotestype,
+       CASE WHEN s.secid % 7 = 0 THEN 'false' ELSE 'true' END AS active
+FROM securities s
+UNION ALL
+SELECT 0, 'ZEROID', 'E', 'TQBR', 1, 'Zero', 0, CAST(0.5 AS DOUBLE), 1,
+       CAST(1.0 AS DOUBLE), 'SHARE', 1, 'true'
+UNION ALL
+SELECT 999, 'WAYTOOLONGSECCODE9999', 'E', 'TQBR', 1, 'Long', 0, CAST(0.5 AS DOUBLE), 1,
+       CAST(1.0 AS DOUBLE), 'SHARE', 1, 'true'
+"""
+
+#: Positions snapshots derived from events (O-11 inputs): three of the
+#: seven sub-lists, present on modular schedules (CASE without ELSE ⇒
+#: NULL ≙ empty list).
+POSSNAP_SQL = """
+SELECT CAST(event_id AS BIGINT) AS seq,
+       CAST(user_id % 5 AS STRING) AS client,
+       CASE WHEN event_id % 3 = 0 THEN concat('ul', CAST(event_id AS STRING)) END AS united_limits,
+       CASE WHEN event_id % 4 = 0 THEN concat('sp', CAST(event_id AS STRING)) END AS sec_positions,
+       CASE WHEN event_id % 5 = 0 THEN concat('fm', CAST(event_id AS STRING)) END AS forts_money
+FROM events
+"""
+
+
 def _trades_wrap(ts_expr: str) -> str:
     return f"SELECT c.*, {ts_expr} AS time FROM trades_core c"
 
@@ -105,22 +134,72 @@ _SPARK_TS = "CAST(timestamp_seconds(time_s) AS TIMESTAMP_NTZ)"
 #: DuckDB rendering: naive timestamp from exact microseconds.
 _DUCK_TS = "make_timestamp(time_s * 1000000)"
 
+#: Raw trade events with the reference's 'dd.MM.yyyy HH:mm:ss' time
+#: strings (db.go:13) — per-dialect formatting, identical output text.
+_RAW_TRADES_SPARK = (
+    "SELECT trade_no, date_format(CAST(timestamp_seconds(time_s) AS TIMESTAMP_NTZ), "
+    "'dd.MM.yyyy HH:mm:ss') AS time_str FROM trades_core WHERE trade_no % 7 = 0"
+)
+_RAW_TRADES_DUCK = (
+    "SELECT trade_no, strftime(make_timestamp(time_s * 1000000), "
+    "'%d.%m.%Y %H:%M:%S') AS time_str FROM trades_core WHERE trade_no % 7 = 0"
+)
+
+#: Quotation-tick stream derived from events (candle-builder inputs).
+_TICKS_SPARK = """
+SELECT CAST(user_id % 20 + 1 AS INT) AS sec_id,
+       concat('TICK', lpad(CAST(user_id % 20 + 1 AS STRING), 3, '0')) AS sec_code,
+       ts_s, CAST(timestamp_seconds(ts_s) AS TIMESTAMP_NTZ) AS ts,
+       value AS last, CAST(event_id % 7 + 1 AS BIGINT) AS quantity,
+       CAST(event_id AS BIGINT) AS seq
+FROM events
+"""
+_TICKS_DUCK = """
+SELECT CAST(user_id % 20 + 1 AS INT) AS sec_id,
+       concat('TICK', lpad(CAST(user_id % 20 + 1 AS STRING), 3, '0')) AS sec_code,
+       epoch_us(ts) // 1000000 AS ts_s,
+       make_timestamp((epoch_us(ts) // 1000000) * 1000000) AS ts,
+       value AS last, CAST(event_id % 7 + 1 AS BIGINT) AS quantity,
+       CAST(event_id AS BIGINT) AS seq
+FROM events
+"""
+
+#: events with an exact epoch-seconds column (generic event queries).
+_EV_SPARK = "SELECT event_id, user_id, event_type, value, props, ts_s FROM events"
+_EV_DUCK = (
+    "SELECT event_id, user_id, event_type, value, props, "
+    "epoch_us(ts) // 1000000 AS ts_s FROM events"
+)
+
 #: CTE prefix prepended to every oracle SQL body.
 ORACLE_CTE = (
     "WITH trades_core AS (" + TRADES_CORE_SQL + "), "
     "trades AS (" + _trades_wrap(_DUCK_TS) + "), "
     "securities AS (" + SECURITIES_SQL + "), "
     "etf_codes AS (" + ETF_CODES_SQL + "), "
-    "trades_dup AS (" + TRADES_DUP_SQL + ") "
+    "trades_dup AS (" + TRADES_DUP_SQL + "), "
+    "raw_securities AS (" + RAW_SECURITIES_SQL + "), "
+    "raw_trades AS (" + _RAW_TRADES_DUCK + "), "
+    "ticks AS (" + _TICKS_DUCK + "), "
+    "possnap AS (" + POSSNAP_SQL + "), "
+    "ev AS (" + _EV_DUCK + ") "
 )
 
 
 def register_derived_views(spark: SparkSession) -> None:
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW trades_core AS {TRADES_CORE_SQL}")
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW trades AS {_trades_wrap(_SPARK_TS)}")
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW securities AS {SECURITIES_SQL}")
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW etf_codes AS {ETF_CODES_SQL}")
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW trades_dup AS {TRADES_DUP_SQL}")
+    for name, sql in (
+        ("trades_core", TRADES_CORE_SQL),
+        ("trades", _trades_wrap(_SPARK_TS)),
+        ("securities", SECURITIES_SQL),
+        ("etf_codes", ETF_CODES_SQL),
+        ("trades_dup", TRADES_DUP_SQL),
+        ("raw_securities", RAW_SECURITIES_SQL),
+        ("raw_trades", _RAW_TRADES_SPARK),
+        ("ticks", _TICKS_SPARK),
+        ("possnap", POSSNAP_SQL),
+        ("ev", _EV_SPARK),
+    ):
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
 
 
 # --------------------------------------------------------------------------
@@ -476,8 +555,285 @@ def _dashboard_specs() -> list[QuerySpec]:
     return sp
 
 
+def _ingest_specs() -> list[QuerySpec]:
+    """Ingest-side transforms (SURVEY §2.2) as oracle-paired queries."""
+    from ..ingest import batch as ib
+    from ..ingest.candles import candles_windowed
+    from ..ingest.positions import merge_positions
+    from ..ingest.streaming import shape_trades  # noqa: F401 (doc anchor)
+    from ..functions.timeparse import parse_ref_datetime
+
+    sp: list[QuerySpec] = []
+
+    def _valid_proj(s: SparkSession) -> DataFrame:
+        out = ib.valid_securities(s.table("raw_securities"))
+        return out.select(
+            "secid", "seccode", "board", "market", "lotsize", "sectype", "quotestype",
+            F.col("minstep").cast("double").alias("minstep_d"),
+            F.col("point_cost").cast("double").alias("point_cost_d"),
+        )
+
+    sp.append(
+        QuerySpec(
+            "in01_securities_filter_project",
+            _valid_proj,
+            """
+            SELECT secid, seccode, board, market, lotsize, sectype, quotestype,
+                   CAST(CAST(minstep AS REAL) AS DOUBLE) AS minstep_d,
+                   CAST(CAST(point_cost AS REAL) AS DOUBLE) AS point_cost_d
+            FROM raw_securities
+            WHERE secid <> 0 AND active = 'true' AND length(seccode) <= 16
+            """,
+            tags=("ingest", "filter", "cast"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "in02_parse_ref_timestamps",
+            lambda s: s.table("raw_trades").select(
+                "trade_no",
+                F.unix_timestamp(parse_ref_datetime("time_str")).alias("time_s"),
+            ),
+            """
+            SELECT trade_no,
+                   epoch_us(strptime(time_str, '%d.%m.%Y %H:%M:%S')) // 1000000 AS time_s
+            FROM raw_trades
+            """,
+            tags=("ingest", "timeparse"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "in03_candles_windowed",
+            lambda s: candles_windowed(s.table("ticks"), minutes=1),
+            """
+            SELECT DISTINCT sec_code, (ts_s // 60) * 60 AS bucket_s,
+                   first_value(last) OVER w AS open,
+                   last_value(last) OVER w AS close,
+                   max(last) OVER w2 AS high,
+                   min(last) OVER w2 AS low,
+                   CAST(sum(quantity) OVER w2 AS BIGINT) AS volume
+            FROM ticks
+            WINDOW w AS (PARTITION BY sec_code, (ts_s // 60) * 60 ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                   w2 AS (PARTITION BY sec_code, (ts_s // 60) * 60)
+            """,
+            tags=("ingest", "ohlcv", "window"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "in04_positions_merge",
+            lambda s: merge_positions(
+                s.table("possnap"), fields=("united_limits", "sec_positions", "forts_money")
+            ),
+            """
+            SELECT client,
+                   max_by(united_limits, seq) FILTER (WHERE united_limits IS NOT NULL)
+                     AS united_limits,
+                   max_by(sec_positions, seq) FILTER (WHERE sec_positions IS NOT NULL)
+                     AS sec_positions,
+                   max_by(forts_money, seq) FILTER (WHERE forts_money IS NOT NULL)
+                     AS forts_money
+            FROM possnap GROUP BY client
+            """,
+            tags=("ingest", "stateful-merge"),
+        )
+    )
+    return sp
+
+
+def _events_specs() -> list[QuerySpec]:
+    """Generic event-stream analytics over the driver's events table."""
+    from ..functions.topk import top_k_per_group
+
+    sp: list[QuerySpec] = []
+    sp.append(
+        QuerySpec(
+            "ev01_tumbling_agg",
+            lambda s: s.table("ev")
+            .groupBy(
+                ((F.col("ts_s") / 300).cast("long") * 300).alias("bucket_s"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            ),
+            """
+            SELECT (ts_s // 300) * 300 AS bucket_s, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+            FROM ev GROUP BY 1, 2
+            """,
+            tags=("events", "tumbling", "decimal-sum"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "ev02_json_extract",
+            lambda s: s.table("ev")
+            .select(F.get_json_object("props", "$.k").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n")),
+            """
+            SELECT json_extract_string(props, '$.k') AS k, CAST(count(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1
+            """,
+            tags=("events", "json"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "ev03_sessionize",
+            lambda s: s.table("ev")
+            .withColumn(
+                "prev_ts",
+                F.lag("ts_s").over(Window.partitionBy("user_id").orderBy("ts_s", "event_id")),
+            )
+            .withColumn(
+                "new_s",
+                F.when(
+                    F.col("prev_ts").isNull() | (F.col("ts_s") - F.col("prev_ts") > 1800), 1
+                ).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("new_s").cast("long").alias("n_sessions")),
+            """
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                               IS NULL
+                            OR ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                                      ORDER BY ts_s, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ev) g GROUP BY user_id
+            """,
+            tags=("events", "sessionize", "window-fn"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "ev04_topk_per_group",
+            lambda s: top_k_per_group(s.table("ev"), ["user_id"], "event_type", 2),
+            """
+            SELECT user_id, event_type, weight FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS weight,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM ev GROUP BY user_id, event_type) r
+            WHERE rn <= 2
+            """,
+            tags=("events", "topk"),
+        )
+    )
+    return sp
+
+
+def _tpch_specs() -> list[QuerySpec]:
+    """Generic relational coverage over the TPC-H-ish base tables.
+    Double-valued aggregates go through DECIMAL(38,6) on both engines —
+    exact, order-independent sums (see module docstring)."""
+    sp: list[QuerySpec] = []
+    sp.append(
+        QuerySpec(
+            "tp01_pricing_summary",
+            lambda s: s.table("lineitem")
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_base_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            ),
+            """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                     AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """,
+            tags=("tpch", "agg"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "tp02_top_revenue_orders",
+            lambda s: s.table("customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .join(s.table("orders"), F.col("c_custkey") == F.col("o_custkey"))
+            .join(s.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10),
+            """
+            SELECT l_orderkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+            """,
+            tags=("tpch", "join", "topk"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "tp03_semi_anti_counts",
+            lambda s: s.table("customer")
+            .join(s.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_with"))
+            .crossJoin(
+                s.table("customer")
+                .join(s.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_without"))
+            ),
+            """
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer
+                    WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
+                   (SELECT CAST(count(*) AS BIGINT) FROM customer
+                    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without
+            """,
+            tags=("tpch", "semi-join", "anti-join"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "tp04_supplier_stats_by_nation",
+            lambda s: s.table("supplier")
+            .join(
+                F.broadcast(s.table("nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.countDistinct("s_suppkey").alias("n_supp"),
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("sum_bal"),
+            ),
+            """
+            SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp,
+                   sum(CAST(s_acctbal AS DECIMAL(38,6))) AS sum_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            """,
+            tags=("tpch", "broadcast-join", "count-distinct"),
+        )
+    )
+    return sp
+
+
 def catalog() -> dict[str, QuerySpec]:
-    specs = _dashboard_specs()
+    specs = _dashboard_specs() + _ingest_specs() + _events_specs() + _tpch_specs()
     out = {s.name: s for s in specs}
     assert len(out) == len(specs), "duplicate query names"
     return out
