@@ -1,0 +1,150 @@
+"""Datapipe operators: dedup families, similarity search, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.datapipe import dedup as dd
+from transaq_clickhouse_exporter_spark.datapipe import multimodal as mm
+from transaq_clickhouse_exporter_spark.datapipe import similarity as sim
+from transaq_clickhouse_exporter_spark.datapipe import text as dtx
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food and water"
+)
+NEAR = BASE.replace("green", "dark")  # one word differs
+FAR = "completely different content about spark query engines and columnar execution at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE.upper() + "!!!")]  # 4 ≙ 1 after normalize
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_exact_dedup_normalized(spark, docs):
+    out = dd.exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # doc 4 collapses into doc 1
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_lsh_near_dups(spark, docs):
+    out = dd.minhash_near_dups(docs.filter("doc_id <= 3"), threshold=0.5)
+    found = _pairs(out)
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}[(1, 2)]
+    # exact Jaccard golden: 25 words → 23 distinct 3-shingles each;
+    # 'green'→'dark' breaks 3 shingles → inter=20, union=26
+    assert abs(j - 20 / 26) < 1e-9
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark, docs):
+    pairs = spark.createDataFrame([(1, 1), (1, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.ngram_jaccard(docs, pairs).collect()}
+    assert got[(1, 1)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = dd.simhash_signatures(docs.filter("doc_id <= 3"))
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    ham_near = bin(by_id[1] ^ by_id[2]).count("1")
+    ham_far = bin(by_id[1] ^ by_id[3]).count("1")
+    assert ham_near < ham_far
+    out = dd.simhash_near_dups(sigs, max_hamming=ham_near)
+    assert (1, 2) in _pairs(out)
+
+
+def test_embedding_near_dups_and_blocking(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0], 0),   # ~same direction as 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),      # same as 1 but other block
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = dd.embedding_near_dup_pairs(emb, threshold=0.95, block_col="label")
+    assert _pairs(out) == {(1, 2)}  # (1,4) blocked away, (1,3) orthogonal
+
+
+def test_brute_force_vs_lsh_and_ivf(spark, sf_smoke):
+    from transaq_clickhouse_exporter_spark.testdata import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sim.brute_force_topk(emb, queries, k=10)
+    bf_rows = bf.collect()
+    assert {r["query_id"] for r in bf_rows} == {0, 100, 200, 300, 400}
+    by_q = {}
+    for r in bf_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 10
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["nn_id"] == q and top["cos_sim"] == 1.0  # self is nearest
+
+    lsh = sim.lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+    bf_sets = {q: {r["nn_id"] for r in rs} for q, rs in by_q.items()}
+    hits = total = 0
+    for r in lsh.collect():
+        if r["query_id"] in bf_sets:
+            total += 1
+            hits += r["nn_id"] in bf_sets[r["query_id"]]
+    assert total > 0 and hits / total > 0.2  # bucketed candidates re-rank exactly
+
+    ivf = sim.ivf_topk(emb, queries, n_cells=8, nprobe=3, k=5)
+    per_q = {q: 0 for q in bf_sets}
+    for r in ivf.collect():
+        per_q[r["query_id"]] += 1
+    assert all(n == 5 for n in per_q.values())
+
+
+def test_text_profile(spark, docs):
+    out = {r["doc_id"]: r for r in dtx.profile_documents(docs).collect()}
+    assert out[1]["n_tokens_ws"] == 25
+    assert out[1]["lang_guess"] == "en"
+    assert out[1]["fp"] == out[4]["fp"]  # normalization collapses case/punct
+    assert 0.0 <= out[3]["quality"] <= 1.0
+    empty = dtx.profile_documents(
+        spark.createDataFrame([(9, "")], "doc_id long, text string")
+    ).first()
+    assert empty["n_tokens_ws"] == 0 and empty["lang_guess"] == "und"
+
+
+def test_multimodal_features_and_frames(spark, docs):
+    media = mm.attach_meta(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id", "payload", "text/plain",
+    )
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert len(feats[1]) == mm.FEATURE_DIM
+    assert feats[1] != feats[3]
+    again = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert feats == again  # deterministic
+
+    with_dur = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime"), F.col("meta.width"), F.col("meta.height"),
+            F.lit(3500).cast("long").alias("duration_ms"), F.col("meta.codec"),
+        ),
+    )
+    frames = mm.frame_sample(with_dur, every_ms=1000).collect()
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) == 4 for v in per_media.values())  # 0,1000,2000,3000
+
+    with pytest.raises(Exception):  # strict decoder stub raises in executor
+        mm.resize_stub(media, 64, 64, decoder="strict").collect()

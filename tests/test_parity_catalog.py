@@ -43,7 +43,13 @@ def test_all_queries_have_oracles_or_reason():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     missing = set(qs) - set(oracles)
-    # non-SQL-expressible ops are allowed to be oracle-less; keep the
-    # list explicit so additions are deliberate
-    allowed_missing = {n for n in missing if n.startswith(("st_", "mm_", "ann_lsh", "dd_minhash", "dd_simhash"))}
-    assert missing == allowed_missing, f"queries without oracle: {missing - allowed_missing}"
+    # non-SQL-expressible ops (seeded sketch hashing, binary feature
+    # extraction) are oracle-less by design; keep the list explicit so
+    # additions are deliberate
+    allowed_missing = {
+        "dp05_minhash_lsh_near_dups",
+        "dp06_simhash_near_dups",
+        "ann02_lsh_topk",
+        "mm01_feature_extract",
+    }
+    assert missing == allowed_missing, f"queries without oracle: {missing ^ allowed_missing}"

@@ -1,0 +1,333 @@
+"""Document deduplication families.
+
+- :func:`exact_dedup` — hash-groupBy (one shuffle on the content hash;
+  map-side partial aggregation makes this the cheapest possible dedup
+  at any scale).
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash +
+  banded LSH: shingle → 64 minhashes (vectorized numpy over Arrow
+  batches) → band buckets → candidate pairs via bucket self-join.  The
+  band join is the only shuffle; the quadratic step is confined to
+  per-bucket groups.
+- :func:`simhash_signatures` — 64-bit SimHash (token-hash bit voting),
+  near-dups = signatures within Hamming distance ``d`` via band join on
+  16-bit chunks.
+- :func:`ngram_jaccard` — exact word-shingle Jaccard on candidate
+  pairs (the verifier for the sketch-based families).
+- :func:`embedding_near_dup_pairs` — cosine near-dups over an embedding
+  column with blocked candidate generation.
+
+Hashing is a deterministic 64-bit polynomial (splitmix-style) so
+signatures are stable across runs, partitions, and Python versions —
+a requirement for incremental dedup at 100 TB (re-shingling yesterday's
+corpus must reproduce yesterday's signatures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import normalize_text
+
+MERSENNE = (1 << 61) - 1
+_SEED_A = 0x9E3779B97F4A7C15
+_SEED_B = 0xBF58476D1CE4E5B9
+
+
+def _perm_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)  # fixed: signatures must be stable
+    a = rng.integers(1, MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _hash64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes of shingle strings (FNV-1a)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    words = text.lower().split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = True
+) -> DataFrame:
+    """Exact (optionally normalized) content dedup: one row per content
+    hash, keeping the smallest id — plus the group size for auditing."""
+    key = F.md5(normalize_text(text_col)) if normalized else F.md5(F.col(text_col))
+    return (
+        df.select(key.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures via a vectorized Pandas UDF (Arrow batches;
+    numpy broadcasting does n_hashes × n_shingles in one shot)."""
+    a, b = _perm_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = word_shingles(t or "", shingle_k)
+            if not sh:
+                out.append([0] * n_hashes)
+                continue
+            h = _hash64(sh).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+            # (a*h + b) mod p, rowwise min — classic universal-hash minwise
+            m = (a[:, None] * (h[None, :] % MERSENNE) + b[:, None]) % MERSENNE
+            out.append(m.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash): documents
+    sharing any band become a candidate pair.  Scale shape: explode is
+    linear; the join shuffles on the band key; bucket skew (a viral
+    near-dup cluster) is handled by AQE skew-join splitting."""
+    n = signatures.select(F.size("minhash")).first()[0]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures → banded
+    candidates → exact-Jaccard verification (no sketch false
+    positives survive)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    return ngram_jaccard(df, cands, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verifier)
+# --------------------------------------------------------------------------
+
+
+def shingle_array(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as a distinct array — built-in HOFs only."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), " +")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for given (id_a, id_b) pairs — two
+    broadcast-or-shuffle hash joins against the shingled docs, then pure
+    array arithmetic."""
+    docs = df.select(F.col(id_col), shingle_array(text_col, k).alias("sh"))
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash: token FNV hashes vote per bit; sign of the vote
+    sets the bit.  Vectorized per Arrow batch."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        bits = np.arange(64, dtype=np.uint64)
+        for t in texts:
+            tokens = (t or "").lower().split()
+            if not tokens:
+                out.append(0)
+                continue
+            h = _hash64(tokens)
+            votes = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            score = (2 * votes - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in range(64):
+                if score[i] > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    signatures: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dups by Hamming distance ≤ d using the pigeonhole band
+    trick: split 64 bits into d+1 chunks; any pair within distance d
+    agrees exactly on ≥1 chunk → equi-join per chunk, then exact
+    Hamming verification via bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dups
+# --------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns via JVM HOFs (no
+    Python in the loop)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-dup pairs.  ``block_col`` (e.g. a cluster/label
+    column or LSH bucket) bounds the quadratic join; without it this is
+    a full O(n²) self-join — correct, but only for modest n or as the
+    verification oracle for the LSH path."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    docs = emb.select(F.col(id_col), v.alias("v"), *( [F.col(block_col)] if block_col else []))
+    l, r = docs.alias("l"), docs.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    sim = F.round(cosine_sim(F.col("l.v"), F.col("r.v")), 6)
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

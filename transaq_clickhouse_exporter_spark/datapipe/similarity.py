@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — exact cosine top-k: queries × corpus cross
+  product (broadcast the queries), JVM-side arithmetic, per-query
+  window top-k.  The baseline and verification oracle.
+- :func:`lsh_topk` — random-hyperplane LSH: bucket the corpus once (a
+  narrow signed-bit signature), probe only matching buckets, exact
+  re-rank inside.  The 100 TB path: candidate generation is a hash
+  equi-join instead of a cross product.
+- :func:`ivf_topk` — IVF-style: k-means-ish centroid assignment via a
+  deterministic sample of corpus vectors, probe the ``nprobe`` nearest
+  cells, exact re-rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import cosine_sim
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.  The query side is broadcast (ANN
+    workloads have |queries| ≪ |corpus|), so the corpus never shuffles
+    for the join — only the final per-query top-k aggregates."""
+    c = corpus.select(F.col(id_col).alias("nn_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qv"))
+    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    scored = q.crossJoin(c).select(query_id_col, "nn_id", sim.alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "nn_id", "cos_sim", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.default_rng(42)  # fixed: buckets must be stable
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12):
+    """Signed-projection LSH bucket id (0..2^n_planes-1) as a vectorized
+    Pandas UDF (one matmul per Arrow batch)."""
+    planes = _planes(dim, n_planes)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs @ powers).astype(np.int64))
+
+    return bucket(vec_col)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact re-rank within the query's bucket.
+    Recall < 1 by construction (single-probe); raise recall with fewer
+    planes (bigger buckets) or multi-probe.  At 100 TB the corpus-side
+    bucket column is computed once and persisted/partitioned."""
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        _as_double(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    scored = q.join(c, "bucket").select(query_id_col, "nn_id", sim.alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "nn_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: centroids = a deterministic corpus sample (ids
+    sorted, first ``n_cells``) — standing in for a k-means fit, which at
+    scale would run once offline.  Corpus rows are assigned to their
+    nearest centroid; queries probe the ``nprobe`` nearest cells."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.monotonically_increasing_id().alias("cell"), _as_double(vec_col).alias("cent"))
+    )
+    c = corpus.select(F.col(id_col).alias("nn_id"), _as_double(vec_col).alias("cv"))
+    # assign: argmax centroid similarity (broadcast cents both sides)
+    w_assign = Window.partitionBy("nn_id").orderBy(
+        F.desc(F.round(cosine_sim(F.col("cv"), F.col("cent")), 6)), F.col("cell")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("nn_id", "cv", "cell")
+    )
+    q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qv"))
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(cosine_sim(F.col("qv"), F.col("cent")), 6)), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, "qv", "cell")
+    )
+    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    scored = probes.join(assigned, "cell").select(query_id_col, "nn_id", sim.alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "nn_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators: token counting, language ID, quality
+scoring, document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+codegen) — no Python in the row loop.  Regexes stick to ASCII classes so
+Java (Spark) and RE2 (DuckDB oracle) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword
+#: language heuristic.  Ordered — ties resolve to the earlier language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "fr": ("le", "et", "les", "des", "est"),
+    "es": ("el", "los", "que", "de", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-romanized markers
+}
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace tokenization count (0 for empty/blank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " +"))).cast("long")
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0))).cast("long")
+
+
+def _marker_hits(c: Column, words: tuple[str, ...]) -> Column:
+    """How many of the marker words occur (bounded word match)."""
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        out = out + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return out
+
+
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    c = F.col(col) if isinstance(col, str) else col
+    return [(lang, _marker_hits(c, words)) for lang, words in LANG_MARKERS.items()]
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language heuristic: argmax of marker hits with
+    deterministic priority order; 'und' (undetermined) when nothing
+    matches."""
+    scores = lang_scores(col)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    out = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: length band, punctuation
+    ratio, stopword presence, mean word length band.  Deliberately
+    simple + deterministic (fixed evaluation order, few FP terms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    words = ws_token_count(c)
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9 ]", ""))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    stop_hits = _marker_hits(c, LANG_MARKERS["en"])
+    mean_wlen = F.when(words > 0, n / words).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.25)
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    stop_ok = F.when(stop_hits >= 2, 1.0).otherwise(0.5)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.5)
+    return F.round(len_ok * 0.4 + punct_ok * 0.2 + stop_ok * 0.2 + wlen_ok * 0.2, 6)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip all
+    non-alphanumerics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: token counts, language guess, quality,
+    fingerprint.  Narrow projection → single scan, fully codegen'd."""
+    return df.select(
+        F.col(id_col),
+        ws_token_count(text_col).alias("n_tokens_ws"),
+        regex_token_count(text_col).alias("n_tokens_re"),
+        lang_id(text_col).alias("lang_guess"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+    )

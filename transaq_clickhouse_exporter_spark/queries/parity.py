@@ -832,8 +832,204 @@ def _tpch_specs() -> list[QuerySpec]:
     return sp
 
 
+def _datapipe_specs() -> list[QuerySpec]:
+    """Training-data pipeline operators over documents/embeddings."""
+    from ..datapipe import dedup as dd
+    from ..datapipe import similarity as sim
+    from ..datapipe import text as dtx
+    from ..datapipe.multimodal import attach_meta, extract_features
+
+    sp: list[QuerySpec] = []
+    sp.append(
+        QuerySpec(
+            "dp01_exact_dedup",
+            lambda s: dd.exact_dedup(s.table("documents")),
+            """
+            SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS content_hash,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1
+            """,
+            tags=("datapipe", "dedup-exact"),
+        )
+    )
+
+    # text profile oracle — mirror text.py expression-for-expression
+    markers_sql = []
+    for lang, words in dtx.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN contains(padded, ' {w} ') THEN 1 ELSE 0 END)" for w in words
+        )
+        markers_sql.append(f"({hits}) AS s_{lang}")
+    langs = list(dtx.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    lang_case = "'und'"
+    for lang in reversed(langs):
+        lang_case = f"CASE WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {lang_case} END"
+    profile_oracle = f"""
+        SELECT doc_id, n_tokens_ws, n_tokens_re, {lang_case} AS lang_guess,
+               round(CAST(
+                 (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.25 END) * 0.4
+                 + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) <= 0.1
+                         THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN s_en >= 2 THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN (CASE WHEN n_tokens_ws > 0 THEN n / n_tokens_ws ELSE 0.0 END) >= 3
+                          AND (CASE WHEN n_tokens_ws > 0 THEN n / n_tokens_ws ELSE 0.0 END) <= 12
+                         THEN 1.0 ELSE 0.5 END) * 0.2 AS DOUBLE), 6) AS quality,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM (
+          SELECT doc_id, text,
+                 concat(' ', lower(text), ' ') AS padded,
+                 length(text) AS n,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), ' +')) END AS BIGINT)
+                   AS n_tokens_ws,
+                 CAST(len(regexp_extract_all(text, '{dtx.TOKEN_RE}')) AS BIGINT) AS n_tokens_re,
+                 length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct,
+                 {', '.join(markers_sql)}
+          FROM documents) p
+    """
+    sp.append(
+        QuerySpec(
+            "dp02_text_profile",
+            lambda s: dtx.profile_documents(s.table("documents")),
+            profile_oracle,
+            tags=("datapipe", "text"),
+        )
+    )
+
+    # exact n-gram Jaccard on deterministic consecutive-doc pairs
+    def _jacc(s: SparkSession) -> DataFrame:
+        docs = s.table("documents")
+        pairs = docs.filter((F.col("doc_id") % 10 == 0)).select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        return dd.ngram_jaccard(docs, pairs, k=3)
+
+    sp.append(
+        QuerySpec(
+            "dp03_ngram_jaccard",
+            _jacc,
+            """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                        THEN len(list_intersect(a.sh, b.sh))
+                             / len(list_distinct(list_concat(a.sh, b.sh)))
+                        ELSE 0.0 END AS jaccard
+            FROM (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents) t) a
+            JOIN (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents) t) b
+              ON b.doc_id = a.doc_id + 1 AND a.doc_id % 10 = 0
+            """,
+            tags=("datapipe", "jaccard"),
+        )
+    )
+
+    # embedding cosine near-dups, blocked by label (the embeddings are
+    # not tight clusters — 0.3 marks the top ~1% most-similar pairs)
+    def _near(s: SparkSession) -> DataFrame:
+        return dd.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.3, block_col="label")
+
+    sp.append(
+        QuerySpec(
+            "dp04_embedding_near_dups",
+            _near,
+            """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+            """,
+            tags=("datapipe", "dedup-embedding"),
+        )
+    )
+
+    # exact ANN baseline: brute-force cosine top-10
+    def _bf(s: SparkSession) -> DataFrame:
+        emb = s.table("embeddings")
+        queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.brute_force_topk(emb, queries, k=10)
+
+    sp.append(
+        QuerySpec(
+            "ann01_brute_force_topk",
+            _bf,
+            """
+            SELECT query_id, nn_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                             CAST(c.embedding AS DOUBLE[])), 6)
+                                DESC, c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id % 500 = 0) r
+            WHERE rank <= 10
+            """,
+            tags=("datapipe", "ann"),
+        )
+    )
+
+    # sketch/LSH families: not SQL-expressible (seeded numpy hashing) —
+    # rows-only driver check; exactness is pytest-verified against pure
+    # Python golden implementations (tests/test_datapipe.py)
+    def _minhash(s: SparkSession) -> DataFrame:
+        return dd.minhash_near_dups(s.table("documents"), threshold=0.5)
+
+    sp.append(QuerySpec("dp05_minhash_lsh_near_dups", _minhash, None, tags=("datapipe", "minhash")))
+
+    def _simhash(s: SparkSession) -> DataFrame:
+        sigs = dd.simhash_signatures(s.table("documents"))
+        return dd.simhash_near_dups(sigs, max_hamming=10)
+
+    sp.append(QuerySpec("dp06_simhash_near_dups", _simhash, None, tags=("datapipe", "simhash")))
+
+    def _lsh(s: SparkSession) -> DataFrame:
+        emb = s.table("embeddings")
+        queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.lsh_topk(emb, queries, dim=64, k=10, n_planes=6)
+
+    sp.append(QuerySpec("ann02_lsh_topk", _lsh, None, tags=("datapipe", "ann-lsh")))
+
+    def _mm(s: SparkSession) -> DataFrame:
+        media = attach_meta(
+            s.table("documents").select(
+                "doc_id", F.encode("text", "utf-8").alias("payload")
+            ),
+            "doc_id", "payload", "text/plain",
+        )
+        feats = extract_features(media, decoder="fake")
+        return feats.select("media_id", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+    sp.append(QuerySpec("mm01_feature_extract", _mm, None, tags=("datapipe", "multimodal")))
+    return sp
+
+
 def catalog() -> dict[str, QuerySpec]:
-    specs = _dashboard_specs() + _ingest_specs() + _events_specs() + _tpch_specs()
+    specs = (
+        _dashboard_specs() + _ingest_specs() + _events_specs() + _tpch_specs() + _datapipe_specs()
+    )
     out = {s.name: s for s in specs}
     assert len(out) == len(specs), "duplicate query names"
     return out
