@@ -85,8 +85,8 @@ def test_streaming_state_matches_fold(spark, tmp_path):
          "last": r["last"], "quantity": r["quantity"], "seq": i}
         for i, r in enumerate(_rows())
     ]
-    write_jsonl_fixture(str(tmp_path / "replay" / "a0.json"), all_rows[:4])
-    write_jsonl_fixture(str(tmp_path / "replay" / "a1.json"), all_rows[4:])
+    write_jsonl_fixture(str(tmp_path / "replay" / "a0.json"), all_rows[:4], mtime=1_000)
+    write_jsonl_fixture(str(tmp_path / "replay" / "a1.json"), all_rows[4:], mtime=2_000)
     schema = ("sec_id int, sec_code string, time string, open double, last double, "
               "quantity long, seq long")
     stream = read_replay_stream(spark, str(tmp_path / "replay"), schema, max_files_per_trigger=1)

@@ -50,8 +50,12 @@ def test_merge_positions_stream(spark, tmp_path):
     fields = list(POSITIONS_SNAPSHOT_FIELDS)
     rows = [r.asDict() for r in _snapshots(spark).collect()]
     # batch 1: seqs 1-2, batch 2: seq 3 → state must carry across
-    write_jsonl_fixture(str(tmp_path / "pos" / "b0.json"), [r for r in rows if r["seq"] <= 2])
-    write_jsonl_fixture(str(tmp_path / "pos" / "b1.json"), [r for r in rows if r["seq"] == 3])
+    write_jsonl_fixture(
+        str(tmp_path / "pos" / "b0.json"), [r for r in rows if r["seq"] <= 2], mtime=1_000
+    )
+    write_jsonl_fixture(
+        str(tmp_path / "pos" / "b1.json"), [r for r in rows if r["seq"] == 3], mtime=2_000
+    )
     stream = read_replay_stream(spark, str(tmp_path / "pos"), RAW_POSITIONS, max_files_per_trigger=1)
     out = merge_positions_stream(stream, fields)
     q = (out.writeStream.outputMode("update").format("memory")
@@ -59,6 +63,9 @@ def test_merge_positions_stream(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     hist = spark.sql("SELECT * FROM pos_out").collect()
-    # final state for A = last emitted row for A
-    final_a = [r.asDict() for r in hist if r["client"] == "A"][-1]
-    assert {k: v for k, v in final_a.items() if k != "client"} == EXPECTED_A
+    # final state for A = emitted snapshot with the highest version
+    final_a = max(
+        (r.asDict() for r in hist if r["client"] == "A"), key=lambda r: r["last_seq"]
+    )
+    assert final_a["last_seq"] == 3
+    assert {k: v for k, v in final_a.items() if k not in ("client", "last_seq")} == EXPECTED_A

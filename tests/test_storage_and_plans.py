@@ -1,0 +1,113 @@
+"""Scale-path physical properties, asserted on the actual plans:
+partition pruning, parquet filter pushdown, broadcast joins, top-k
+without total sort, and the approx-top-k sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark import storage
+from transaq_clickhouse_exporter_spark.functions.topk import approx_top_k, top_k_per_group
+from transaq_clickhouse_exporter_spark.queries import dashboard as dash
+
+
+def _trades_df(spark, n=2000):
+    return spark.range(n).select(
+        F.timestamp_seconds(1734688800 + (F.col("id") % 3) * 86400 + (F.col("id") % 520) * 60)
+        .alias("time"),
+        (F.col("id") % 40 + 1).cast("int").alias("secid"),
+        F.concat(F.lit("SEC"), F.lpad((F.col("id") % 40 + 1).cast("string"), 3, "0"))
+        .alias("sec_code"),
+        F.col("id").alias("trade_no"),
+        F.lit("TQBR").alias("board"),
+        (F.col("id") % 900 + 100).cast("float").alias("price"),
+        (F.col("id") % 50 + 1).alias("quantity"),
+        F.when(F.col("id") % 2 == 0, "B").otherwise("S").alias("buy_sell"),
+        F.lit(0).alias("open_interest"),
+        F.lit("N").alias("period"),
+        F.col("id").alias("_ingest_seq"),
+    )
+
+
+def test_partitioned_write_and_pruned_read(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    storage.write_table(_trades_df(spark), path, "transaq_trades", files_per_day=2)
+    # three day-partitions on disk
+    days = sorted(p.name for p in (tmp_path / "trades").glob("p_date=*"))
+    assert days == ["p_date=2024-12-20", "p_date=2024-12-21", "p_date=2024-12-22"]
+
+    df = storage.read_table_range(
+        spark, path, "transaq_trades", frm="2024-12-21 00:00:00", to="2024-12-21 23:59:59"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reached the scan…
+    assert "PartitionFilters: [" in plan and "p_date" in plan.split("PartitionFilters")[1][:200]
+    # …and the time predicate pushed into parquet row-group stats
+    assert "PushedFilters: [" in plan and "time" in plan.split("PushedFilters")[1][:200]
+    got_days = {str(r[0]) for r in df.select(F.to_date("time")).distinct().collect()}
+    assert got_days == {"2024-12-21"}
+
+
+def test_dedup_on_read_after_pruning(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    base = _trades_df(spark, 500)
+    dup = base.filter(F.col("trade_no") % 10 == 0).withColumn(
+        "_ingest_seq", F.col("_ingest_seq") + 10_000
+    ).withColumn("price", F.col("price") + F.lit(1.0))
+    storage.write_table(base.unionByName(dup), path, "transaq_trades")
+    final = storage.read_table_range(spark, path, "transaq_trades")
+    assert final.count() == 500
+    raw = storage.read_table_range(spark, path, "transaq_trades", final=False)
+    assert raw.count() == 550
+
+
+def test_dim_join_is_broadcast(spark):
+    trades = _trades_df(spark)
+    securities = spark.range(40).select(
+        (F.col("id") + 1).cast("int").alias("secid"),
+        F.concat(F.lit("SEC"), F.lpad((F.col("id") + 1).cast("string"), 3, "0")).alias("seccode"),
+        F.lit("TQBR").alias("board"),
+        F.lit(10).cast("int").alias("lotsize"),
+    )
+    joined = dash.join_lotsize(trades, securities, on_secid=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_without_total_sort(spark):
+    trades = _trades_df(spark)
+    securities = spark.range(40).select(
+        (F.col("id") + 1).cast("int").alias("secid"),
+        F.concat(F.lit("SEC"), F.lpad((F.col("id") + 1).cast("string"), 3, "0")).alias("seccode"),
+        F.lit("TQBR").alias("board"), F.lit(10).cast("int").alias("lotsize"),
+    )
+    etf = spark.createDataFrame([("NOPE",)], "sec_code string")
+    top = dash.netto_top10(trades, securities, etf, 5, "2024-12-20 00:00:00", "2024-12-23 00:00:00")
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # ORDER BY+LIMIT → no global sort
+
+
+def test_approx_top_k_matches_exact(spark):
+    df = _trades_df(spark, 5000).select("sec_code")
+    approx = {(r[0], r[1]) for r in approx_top_k(df, "sec_code", 5).collect()}
+    exact = {
+        (r["sec_code"], r["weight"])
+        for r in top_k_per_group(df.withColumn("g", F.lit(1)), ["g"], "sec_code", 5).collect()
+    }
+    assert approx == exact
+
+
+def test_subscription_lists(spark):
+    from transaq_clickhouse_exporter_spark import schemas
+    from transaq_clickhouse_exporter_spark.ingest.streaming import subscription_lists
+
+    rows = [
+        (1, "SBER", "E", "TQBR", 1, "Сбербанк", 2, 0.01, 10, 1.0, "SHARE", 1, "true"),
+        (6, "RU01", "B", "TQCB", 1, "Бонд МТС", 0, 0.01, 1, 1.0, "BOND", 0, "true"),
+    ]
+    raw = spark.createDataFrame(rows, schema=schemas.RAW_SECURITY)
+    subs = subscription_lists(
+        raw, export_sec_codes=["ALL"], alltrades_codes=["SBER"], info_names=["МТС"]
+    )
+    assert subs == {"quotations": [1, 6], "alltrades": [1], "sec_info": [6]}

@@ -46,13 +46,15 @@ def _perm_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _hash64(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes of shingle strings (FNV-1a)."""
+    """Deterministic 64-bit hashes of token strings.  md5 runs in C
+    (hashlib) — ~100× the throughput of a per-char Python loop — and is
+    stable across runs/partitions/Python builds (PYTHONHASHSEED-proof),
+    which incremental 100 TB dedup requires."""
+    import hashlib
+
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+        out[i] = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
     return out
 
 
@@ -165,7 +167,9 @@ def minhash_near_dups(
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact-Jaccard verification (no sketch false
     positives survive)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # cache: the LSH self-join references the signatures on both sides —
+    # without it the (Python-UDF) signature stage executes twice
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
     cands = lsh_candidate_pairs(sigs, bands, id_col)
     return ngram_jaccard(df, cands, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
@@ -196,8 +200,17 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) pairs — two
     broadcast-or-shuffle hash joins against the shingled docs, then pure
-    array arithmetic."""
-    docs = df.select(F.col(id_col), shingle_array(text_col, k).alias("sh"))
+    array arithmetic.  Only documents appearing in ``pairs`` are
+    shingled (semi-join prune): candidate sets from LSH are tiny next to
+    the corpus, so the expensive shingling never touches the rest."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.join(ids, id_col, "left_semi").select(
+        F.col(id_col), shingle_array(text_col, k).alias("sh")
+    ).cache()  # shingles feed both the id_a and id_b join sides
     a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -228,6 +241,7 @@ def simhash_signatures(
     def sh(texts: pd.Series) -> pd.Series:
         out = []
         bits = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << bits).astype(np.uint64)
         for t in texts:
             tokens = (t or "").lower().split()
             if not tokens:
@@ -236,11 +250,8 @@ def simhash_signatures(
             h = _hash64(tokens)
             votes = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
             score = (2 * votes - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in range(64):
-                if score[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
+            sig = int(((score > 0).astype(np.uint64) * powers).sum(dtype=np.uint64))
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # two's-complement long
         return pd.Series(out, dtype="int64")
 
     return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
@@ -255,6 +266,7 @@ def simhash_near_dups(
     Hamming verification via bit_count(xor)."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    signatures = signatures.cache()  # referenced by both sides of the self-join
     banded = signatures.select(
         F.col(id_col),
         F.col("simhash"),
@@ -295,13 +307,27 @@ def simhash_near_dups(
 # --------------------------------------------------------------------------
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two double-array columns via JVM HOFs (no Python
+    in the loop; one fused zip_with+aggregate pass)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double-array columns via JVM HOFs (no
-    Python in the loop)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    """Cosine similarity of two double-array columns."""
+    na = F.sqrt(dot_product(a, a))
+    nb = F.sqrt(dot_product(b, b))
+    return F.when((na > 0) & (nb > 0), dot_product(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def l2_normalize(vec_col) -> Column:
+    """Unit-normalize a vector column (double).  Pre-normalizing once per
+    row turns every pairwise cosine into a single dot product — the
+    n² stage does 1/3 the arithmetic.  Zero vectors stay zero (their
+    cosine with anything is then 0, matching :func:`cosine_sim`)."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
 
 
 def embedding_near_dup_pairs(
@@ -314,14 +340,20 @@ def embedding_near_dup_pairs(
     """Cosine near-dup pairs.  ``block_col`` (e.g. a cluster/label
     column or LSH bucket) bounds the quadratic join; without it this is
     a full O(n²) self-join — correct, but only for modest n or as the
-    verification oracle for the LSH path."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    docs = emb.select(F.col(id_col), v.alias("v"), *( [F.col(block_col)] if block_col else []))
+    verification oracle for the LSH path.  Vectors are L2-normalized on
+    the linear side so the quadratic side is one dot product per pair.
+
+    NB: ``dot/(|a||b|)`` vs ``dot(â,b̂)`` differ in the last float ulps;
+    results are rounded to 6 decimals, absorbing that."""
+    docs = emb.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("v"),
+        *([F.col(block_col)] if block_col else []),
+    )
     l, r = docs.alias("l"), docs.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if block_col:
         cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
-    sim = F.round(cosine_sim(F.col("l.v"), F.col("r.v")), 6)
+    sim = F.round(dot_product(F.col("l.v"), F.col("r.v")), 6)
     return (
         l.join(r, cond)
         .select(

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import cosine_sim
+from .dedup import cosine_sim, dot_product, l2_normalize
 
 
 def _as_double(col):
@@ -38,10 +38,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query.  The query side is broadcast (ANN
     workloads have |queries| ≪ |corpus|), so the corpus never shuffles
-    for the join — only the final per-query top-k aggregates."""
-    c = corpus.select(F.col(id_col).alias("nn_id"), _as_double(vec_col).alias("cv"))
-    q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qv"))
-    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    for the join — only the final per-query top-k aggregates.  Both
+    sides L2-normalize on the linear pass; the |q|×|corpus| stage is a
+    single dot product per pair."""
+    c = corpus.select(F.col(id_col).alias("nn_id"), l2_normalize(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col), l2_normalize(F.col(vec_col)).alias("qv"))
+    sim = F.round(dot_product(F.col("qv"), F.col("cv")), 6)
     scored = q.crossJoin(c).select(query_id_col, "nn_id", sim.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
     return (
@@ -87,15 +89,15 @@ def lsh_topk(
     bucket column is computed once and persisted/partitioned."""
     c = corpus.select(
         F.col(id_col).alias("nn_id"),
-        _as_double(vec_col).alias("cv"),
+        l2_normalize(F.col(vec_col)).alias("cv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
-        _as_double(vec_col).alias("qv"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
-    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(dot_product(F.col("qv"), F.col("cv")), 6)
     scored = q.join(c, "bucket").select(query_id_col, "nn_id", sim.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
     return (

@@ -6,5 +6,5 @@ from .timeparse import (  # noqa: F401
     parse_ref_date,
     parse_ref_datetime,
 )
-from .topk import top_k_per_group  # noqa: F401
+from .topk import approx_top_k, top_k_per_group  # noqa: F401
 from .signed import signed, signed_volume  # noqa: F401

@@ -22,6 +22,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def approx_top_k(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Approximate global heavy hitters — the ClickHouse ``topK``
+    sketch's 100 TB shape: per-partition partial top-M (M = 5k by
+    default, Space-Saving-style candidate bound) computed map-side, then
+    an exact re-count of only the surviving candidates.
+
+    One narrow shuffle of ≤ M×partitions candidate rows replaces a full
+    ``groupBy(value)`` shuffle of the raw data.  Exact when every true
+    heavy hitter reaches the per-partition top-M (the standard
+    Space-Saving guarantee under bounded skew); :func:`top_k_per_group`
+    is the exact verifier."""
+    m = candidates_per_partition or 5 * k
+    import pandas as pd
+
+    def partial(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        yield pd.DataFrame(top, columns=[value_col, "partial_count"])
+
+    field = df.schema[value_col].dataType.simpleString()
+    candidates = (
+        df.select(value_col)
+        .mapInPandas(partial, schema=f"{value_col} {field}, partial_count long")
+        .select(value_col)
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.desc("weight"), value_col)
+        .limit(k)
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

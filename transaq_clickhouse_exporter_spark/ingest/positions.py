@@ -47,21 +47,29 @@ def merge_positions_stream(
 ) -> DataFrame:
     """Streaming variant: GroupState carries the merged snapshot; each
     micro-batch emits the updated snapshot per client (update-mode
-    changelog of the reference's in-memory struct)."""
-    out_schema = "client string, " + ", ".join(f"{f} string" for f in fields)
-    state_schema = ", ".join(f"{f} string" for f in fields)
+    changelog of the reference's in-memory struct).  ``last_seq`` is the
+    snapshot's version — the highest input seq folded in so far."""
+    out_schema = (
+        "client string, last_seq long, " + ", ".join(f"{f} string" for f in fields)
+    )
+    state_schema = "last_seq long, " + ", ".join(f"{f} string" for f in fields)
 
     def merge(key, pdfs, state: GroupState):
-        cur = list(state.get) if state.exists else [None] * len(fields)
+        if state.exists:
+            got = list(state.get)
+            last_seq, cur = got[0], got[1:]
+        else:
+            last_seq, cur = -1, [None] * len(fields)
         for pdf in pdfs:
             pdf = pdf.sort_values("seq", kind="stable")
             for _, row in pdf.iterrows():
+                last_seq = max(last_seq, int(row["seq"]))
                 for i, f in enumerate(fields):
                     v = row[f]
                     if v is not None and not (isinstance(v, float) and pd.isna(v)):
                         cur[i] = v
-        state.update(tuple(cur))
-        yield pd.DataFrame([[key[0], *cur]], columns=["client", *fields])
+        state.update((last_seq, *cur))
+        yield pd.DataFrame([[key[0], last_seq, *cur]], columns=["client", "last_seq", *fields])
 
     return df.groupBy("client").applyInPandasWithState(
         merge,

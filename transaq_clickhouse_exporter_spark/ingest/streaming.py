@@ -99,3 +99,50 @@ def start_pipeline(
     else:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def run_with_restarts(start_query, max_restarts: int = 10, backoff_seconds: float = 3.0):
+    """Reconnect watchdog (S6/S7): the reference retries its ClickHouse
+    connection 10×3 s (main.go:46-59) and re-connects upstream on a
+    5-minute ticker (process.go:13,43-49).  On Spark the checkpoint
+    makes restarts safe (exactly-where-it-left-off), so the watchdog is
+    just: restart the query on failure with backoff.
+
+    ``start_query()`` must build and start a fresh StreamingQuery each
+    call.  Returns the final (successfully terminated) query."""
+    import time as _time
+
+    attempts = 0
+    while True:
+        q = start_query()
+        try:
+            q.awaitTermination()
+            return q
+        except Exception:
+            attempts += 1
+            if attempts > max_restarts:
+                raise
+            _time.sleep(backoff_seconds)
+
+
+def subscription_lists(
+    raw_securities,
+    boards=("TQBR", "TQCB", "FUT"),
+    export_sec_codes=(),
+    alltrades_codes=(),
+    info_names=(),
+) -> dict[str, list[int]]:
+    """O-13 (main.go:131-176): materialize the three driver-side
+    subscription id lists from the securities directory.  These are the
+    out-of-band control messages sent upstream (S2) — inherently small
+    (≤ number of listed securities), so ``collect`` is correct here."""
+    from .batch import alltrades_subscription, quotation_subscription, sec_info_subscription
+
+    def ids(df) -> list[int]:
+        return sorted(r[0] for r in df.distinct().collect())
+
+    return {
+        "quotations": ids(quotation_subscription(raw_securities, boards, export_sec_codes)),
+        "alltrades": ids(alltrades_subscription(raw_securities, boards, alltrades_codes)),
+        "sec_info": ids(sec_info_subscription(raw_securities, info_names)),
+    }

@@ -18,11 +18,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_jsonl_fixture(path: str, rows: list[dict]) -> None:
+def write_jsonl_fixture(path: str, rows: list[dict], mtime: float | None = None) -> None:
+    """Write one replay file.  ``mtime`` pins the file's modification
+    time — Spark's file source orders micro-batches by mtime, so
+    order-sensitive replays (stateful folds) must space their files'
+    mtimes explicitly or same-second writes race."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
 
 
 def read_replay_stream(

@@ -1,0 +1,81 @@
+"""Table storage layout for the 100 TB shape.
+
+The reference delegates physical layout to ClickHouse's
+ReplacingMergeTree ``ORDER BY`` keys (``/root/reference/db.go:31-107``):
+a sparse primary index over (secid/board/sec_code/…/time) gives it
+key-range pruning and locality.  The Spark-native equivalent:
+
+- **Partition by day** (``p_date``) — every dashboard query is a
+  time-range scan (GDJ ``$__fromTime``); Hive partitioning turns that
+  into partition pruning (whole days never open).
+- **Sort within files by the dedup key prefix** — parquet min/max row
+  -group stats then prune by secid/sec_code inside each day, and the
+  dedup-on-read window finds its groups co-located.
+- **Repartition on the key before write** so one security's day lands
+  in few files (no small-file explosion at 1000 executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import INGEST_SEQ, dedup_last_write_wins
+from .tables import TABLES
+
+#: Time column per table (the partition source).
+_TIME_COL = {
+    "transaq_trades": "time",
+    "transaq_quotes": "time",
+    "transaq_candles": "date",
+    "transaq_securities": None,
+    "transaq_securities_info": None,
+}
+
+
+def write_table(
+    df: DataFrame, path: str, name: str, files_per_day: int | None = None, mode: str = "append"
+) -> None:
+    """Write a table with the scale layout: day partitions, key-sorted
+    files.  ``files_per_day`` caps output files per partition (defaults
+    to the session's shuffle parallelism)."""
+    spec = TABLES[name]
+    tcol = _TIME_COL[name]
+    if tcol is None:  # small dimensions: single-dir, key-sorted
+        df.sortWithinPartitions(*spec.dedup_keys).write.mode(mode).parquet(path)
+        return
+    out = df.withColumn("p_date", F.to_date(F.col(tcol)))
+    keys = [k for k in spec.dedup_keys if k != tcol]
+    if files_per_day:
+        out = out.repartition(files_per_day, "p_date", *keys[:1])
+    (
+        out.sortWithinPartitions("p_date", *keys)
+        .write.mode(mode)
+        .partitionBy("p_date")
+        .parquet(path)
+    )
+
+
+def read_table_range(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    frm=None,
+    to=None,
+    final: bool = True,
+) -> DataFrame:
+    """Read with partition pruning: the ``p_date`` predicate derived
+    from the time range prunes day directories before any file opens;
+    the raw time predicate then prunes row groups via min/max stats.
+    Dedup-on-read (``final``) runs *after* pruning — the window only
+    sees surviving partitions."""
+    spec = TABLES[name]
+    df = spark.read.parquet(path)
+    tcol = _TIME_COL[name]
+    if tcol and frm is not None:
+        df = df.filter((F.col("p_date") >= F.to_date(F.lit(frm))) & (F.col(tcol) >= F.lit(frm)))
+    if tcol and to is not None:
+        df = df.filter((F.col("p_date") <= F.to_date(F.lit(to))) & (F.col(tcol) <= F.lit(to)))
+    if final:
+        df = dedup_last_write_wins(df, spec.dedup_keys, INGEST_SEQ)
+    return df.select(*[f.name for f in spec.schema.fields if f.name in df.columns])
