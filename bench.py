@@ -24,7 +24,7 @@ def main() -> None:
     spark = get_spark(app="tce-bench")
 
     register_views(spark, sf_dir)
-    parity.register_derived_views(spark)
+    parity.register_derived_views(spark, sf_dir)
     cat = parity.catalog()
 
     # warm-up: JVM/codegen/parquet-footer caches

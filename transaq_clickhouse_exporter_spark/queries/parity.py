@@ -186,7 +186,20 @@ ORACLE_CTE = (
 )
 
 
-def register_derived_views(spark: SparkSession) -> None:
+def register_derived_views(spark: SparkSession, sf_dir: str = "", cache: bool = True) -> None:
+    """Register the derived transaq views.  Idempotent per (session,
+    sf_dir); the shared fact views go through Spark's in-memory columnar
+    cache so the many dashboard queries sharing them scan parquet once
+    (the equivalent of the reference's ClickHouse page cache).  Temp
+    views bind their underlying plans at creation, so a scale-factor
+    switch mid-session must rebuild both views and caches."""
+    marker = "spark.tce.derived_registered"
+    try:
+        if spark.conf.get(marker) == (sf_dir or "1"):
+            return
+        spark.catalog.clearCache()  # sf switch: drop caches of old data
+    except Exception:
+        pass
     for name, sql in (
         ("trades_core", TRADES_CORE_SQL),
         ("trades", _trades_wrap(_SPARK_TS)),
@@ -200,6 +213,10 @@ def register_derived_views(spark: SparkSession) -> None:
         ("ev", _EV_SPARK),
     ):
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    if cache:
+        for name in ("trades", "securities", "etf_codes", "ev"):
+            spark.catalog.cacheTable(name)
+    spark.conf.set(marker, sf_dir or "1")
 
 
 # --------------------------------------------------------------------------
@@ -1038,7 +1055,7 @@ def catalog() -> dict[str, QuerySpec]:
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver entry: register base + derived views, run one catalog query."""
     register_views(spark, sf_dir)
-    register_derived_views(spark)
+    register_derived_views(spark, sf_dir)
     return catalog()[name].build(spark)
 
 

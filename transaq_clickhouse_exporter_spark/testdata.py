@@ -49,7 +49,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Pin session confs and register every driver table as a temp view
-    under its own name."""
+    under its own name.  Idempotent per (session, sf_dir): repeated
+    calls (the driver runs the catalog one query at a time) keep the
+    existing views — and therefore any caches built on them — intact."""
     configure_session(spark, tz="UTC")
+    marker = "spark.tce.registered_sf_dir"
+    try:
+        if spark.conf.get(marker) == sf_dir:
+            return
+    except Exception:
+        pass
     for name in DRIVER_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(marker, sf_dir)
