@@ -1,0 +1,75 @@
+"""Every SQL-text variant must be result-identical to its DataFrame
+twin (same Catalyst, two front-ends)."""
+
+from __future__ import annotations
+
+import pytest
+
+from transaq_clickhouse_exporter_spark.queries import dashboard as dash
+from transaq_clickhouse_exporter_spark.queries import parity
+from transaq_clickhouse_exporter_spark.queries import sql as dsql
+from transaq_clickhouse_exporter_spark.testdata import register_views
+
+FRM, TO, CODES, IV = parity.FRM, parity.TO, parity.SEC_CODES, parity.INTERVAL_MIN
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_smoke):
+    register_views(spark, sf_smoke)
+    parity.register_derived_views(spark, sf_smoke)
+    return spark
+
+
+def _same(df_a, df_b, allow_empty: bool = False):
+    a = sorted(map(tuple, df_a.collect()))
+    b = sorted(map(tuple, df_b.collect()))
+    assert a == b
+    assert allow_empty or len(a) > 0
+
+
+def test_volume_by_interval(views):
+    _same(
+        views.sql(dsql.volume_by_interval(CODES, IV, FRM, TO, "B")),
+        dash.volume_by_interval(views.table("trades"), views.table("securities"),
+                                CODES, IV, FRM, TO, "B"),
+    )
+
+
+def test_netto_top10(views):
+    _same(
+        views.sql(dsql.netto_top10(IV, FRM, TO)),
+        dash.netto_top10(views.table("trades"), views.table("securities"),
+                         views.table("etf_codes"), IV, FRM, TO),
+    )
+
+
+def test_netto_union_top10(views):
+    _same(
+        views.sql(dsql.netto_union_top10(FRM, TO, "sell")),
+        dash.netto_union_top10(views.table("trades"), views.table("securities"),
+                               views.table("etf_codes"), FRM, TO, "sell"),
+    )
+
+
+def test_icebergs(views):
+    # single-lot collisions are rare at sf0.001 — emptiness is data, not a bug
+    _same(
+        views.sql(dsql.icebergs(FRM, TO)),
+        dash.icebergs(views.table("trades"), FRM, TO),
+        allow_empty=True,
+    )
+
+
+def test_imoex_volume_by_interval(views):
+    _same(
+        views.sql(dsql.imoex_volume_by_interval(IV, FRM, TO, "S")),
+        dash.imoex_volume_by_interval(views.table("trades"), views.table("etf_codes"),
+                                      IV, FRM, TO, "S"),
+    )
+
+
+def test_distinct_codes(views):
+    _same(
+        views.sql(dsql.distinct_sec_codes(FRM, TO)),
+        dash.distinct_sec_codes(views.table("trades"), FRM, TO),
+    )

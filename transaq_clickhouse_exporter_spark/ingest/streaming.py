@@ -63,6 +63,21 @@ def shape_candles(raw: DataFrame) -> DataFrame:
     )
 
 
+def shape_builder_candles(raw: DataFrame) -> DataFrame:
+    """Candle-builder emissions (process.go:131-143): the stateful
+    builder stamps dates already in the *write* format
+    ``'yyyy-MM-dd HH:mm:ss'`` (db.go:15) — ``timeNow.Format`` + tick
+    time — unlike history pages, which arrive in the ingest format."""
+    from ..functions.timeparse import REF_OUT_FMT
+
+    return _cast_to(
+        raw.withColumn(
+            "date", F.try_to_timestamp(F.col("date").cast("string"), F.lit(REF_OUT_FMT))
+        ),
+        schemas.CANDLES,
+    )
+
+
 def stamp_ingest_seq(df: DataFrame, batch_id: int) -> DataFrame:
     """Stamp the last-write-wins version column.  Batch-granular: all
     rows of one micro-batch share a version — within-batch duplicates

@@ -1,0 +1,106 @@
+"""SQL-text variants of the dashboard queries (SURVEY §3.3: each panel
+expressed twice — DataFrame API primary, ``spark.sql`` secondary; both
+reach the same Catalyst plan).
+
+Each builder returns a Spark SQL string over session views named
+``trades`` / ``securities`` / ``etf_codes`` (shaped per
+:mod:`..schemas`), with the Grafana template variables as Python
+parameters.  ``tests/test_sql_variants.py`` asserts every text is
+result-identical to its DataFrame twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+
+def _in_list(codes: Sequence[str]) -> str:
+    return "(" + ", ".join(f"'{c}'" for c in codes) + ")"
+
+
+def _bucket(col: str, interval_min: int) -> str:
+    step = interval_min * 60
+    return f"timestamp_seconds(CAST(unix_timestamp({col}) / {step} AS BIGINT) * {step})"
+
+
+def volume_by_interval(codes: Sequence[str], interval: int, frm: str, to: str, buy_sell: str) -> str:
+    """GDJ:1069/1220 «Volume trades by interval»."""
+    sgn = 1 if buy_sell == "B" else -1
+    return f"""
+    SELECT minute, sum(price * quantity * lotsize) * {sgn} AS vol FROM (
+      SELECT {_bucket('t.time', interval)} AS minute, t.price, t.quantity, s.lotsize
+      FROM trades t JOIN securities s ON t.secid = s.secid AND t.board = s.board
+      WHERE t.sec_code IN {_in_list(codes)} AND t.board = 'TQBR' AND t.buy_sell = '{buy_sell}'
+    ) b
+    WHERE minute >= '{frm}' AND minute <= '{to}'
+    GROUP BY minute ORDER BY minute
+    """
+
+
+def netto_top10(interval: int, frm: str, to: str) -> str:
+    """GDJ:113 «Нетто покупки в IMOEX» — two-level signed aggregation."""
+    return f"""
+    SELECT sec_code, vol FROM (
+      SELECT sec_code, sum(vol) AS vol FROM (
+        SELECT {_bucket('t.time', interval)} AS minute, t.sec_code, t.buy_sell,
+               (CASE WHEN t.buy_sell = 'S' THEN -1 ELSE 1 END)
+                 * sum(t.price * t.quantity * s.lotsize) AS vol
+        FROM trades t JOIN securities s ON t.sec_code = s.seccode AND t.board = s.board
+        WHERE t.sec_code NOT IN (SELECT sec_code FROM etf_codes) AND t.board = 'TQBR'
+          AND {_bucket('t.time', interval)} BETWEEN '{frm}' AND '{to}'
+        GROUP BY 1, t.sec_code, t.buy_sell
+      ) i GROUP BY sec_code HAVING sum(vol) > 0
+    ) f ORDER BY vol DESC, sec_code LIMIT 10
+    """
+
+
+def netto_union_top10(frm: str, to: str, direction: str = "buy") -> str:
+    """GDJ:136/219 — union-all form."""
+    sgn = 1 if direction == "buy" else -1
+    branch = """
+      SELECT sec_code, sum(t.price * t.quantity * s.lotsize) * {m} AS vol
+      FROM trades t JOIN securities s ON t.secid = s.secid AND t.board = s.board
+      WHERE t.sec_code NOT IN (SELECT sec_code FROM etf_codes) AND t.board = 'TQBR'
+        AND t.time BETWEEN '{frm}' AND '{to}' AND t.buy_sell = '{bs}'
+      GROUP BY sec_code
+    """
+    return f"""
+    SELECT sec_code, sum(vol) * {sgn} AS vol FROM (
+      {branch.format(m=1, bs='B', frm=frm, to=to)}
+      UNION ALL
+      {branch.format(m=-1, bs='S', frm=frm, to=to)}
+    ) u GROUP BY sec_code ORDER BY vol DESC, sec_code LIMIT 10
+    """
+
+
+def icebergs(frm: str, to: str) -> str:
+    """GDJ:374 «Айсберги»."""
+    return f"""
+    SELECT time, sec_code AS sec, sum(quantity) AS vol
+    FROM trades
+    WHERE quantity = 1 AND buy_sell = 'B' AND time BETWEEN '{frm}' AND '{to}'
+    GROUP BY time, sec_code HAVING sum(quantity) > 1
+    ORDER BY time, sec
+    """
+
+
+def imoex_volume_by_interval(interval: int, frm: str, to: str, buy_sell: str) -> str:
+    """GDJ:2748/2899 — anti-join ETF, no dim join, LIMIT 10000 guard."""
+    sgn = 1 if buy_sell == "B" else -1
+    return f"""
+    SELECT minute, sum(price * quantity) * {sgn} AS vol FROM (
+      SELECT {_bucket('time', interval)} AS minute, price, quantity
+      FROM trades
+      WHERE buy_sell = '{buy_sell}' AND board = 'TQBR'
+        AND sec_code NOT IN (SELECT sec_code FROM etf_codes)
+    ) b WHERE minute >= '{frm}' AND minute <= '{to}'
+    GROUP BY minute ORDER BY minute LIMIT 10000
+    """
+
+
+def distinct_sec_codes(frm: str, to: str) -> str:
+    """GDJ:3766 template variable."""
+    return f"""
+    SELECT sec_code FROM trades WHERE time BETWEEN '{frm}' AND '{to}'
+    GROUP BY sec_code ORDER BY sec_code LIMIT 1000
+    """
