@@ -1,0 +1,64 @@
+"""Watermarked streaming OHLCV and the composed curation pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.datapipe.pipeline import curate_corpus
+from transaq_clickhouse_exporter_spark.ingest.candles import candles_windowed_stream
+from transaq_clickhouse_exporter_spark.sources.replay import (
+    read_replay_stream,
+    write_jsonl_fixture,
+)
+
+
+def test_candles_windowed_stream_watermark(spark, tmp_path):
+    base = 1734688800  # 2024-12-20 10:00:00 UTC
+    rows1 = [
+        {"sec_code": "SBER", "ts_s": base + 10, "last": 100.0, "quantity": 1, "seq": 1},
+        {"sec_code": "SBER", "ts_s": base + 40, "last": 103.0, "quantity": 2, "seq": 2},
+        {"sec_code": "SBER", "ts_s": base + 70, "last": 99.0, "quantity": 4, "seq": 3},
+    ]
+    # second batch far in the future → watermark passes earlier windows
+    rows2 = [{"sec_code": "SBER", "ts_s": base + 3600, "last": 50.0, "quantity": 1, "seq": 9}]
+    write_jsonl_fixture(str(tmp_path / "t" / "a.json"), rows1, mtime=1000)
+    write_jsonl_fixture(str(tmp_path / "t" / "b.json"), rows2, mtime=2000)
+
+    stream = read_replay_stream(
+        spark, str(tmp_path / "t"),
+        "sec_code string, ts_s long, last double, quantity long, seq long",
+        max_files_per_trigger=1,
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    out = candles_windowed_stream(stream, minutes=1, watermark="30 seconds")
+    q = (out.writeStream.outputMode("append").format("memory").queryName("wc")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {str(r["bucket_start"]): r.asDict() for r in spark.sql("SELECT * FROM wc").collect()}
+    first = got["2024-12-20 10:00:00"]
+    assert (first["open"], first["close"], first["high"], first["low"], first["volume"]) == (
+        100.0, 103.0, 103.0, 100.0, 3,
+    )
+    second = got["2024-12-20 10:01:00"]
+    assert (second["open"], second["close"], second["volume"]) == (99.0, 99.0, 4)
+
+
+def test_curate_corpus(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far away into the deep "
+        "green forest to find some food and water before the long cold night settles in"
+    )
+    rows = [
+        (1, good),
+        (2, good.upper() + "!"),                     # exact dup of 1 after normalize
+        (3, good.replace("green", "dark")),          # near dup of 1
+        (4, "short junk"),                           # too few tokens
+        (5, "a completely different but sufficiently long document about spark catalyst "
+            "optimizer rules and the shuffle exchange planning for distributed joins over "
+            "columnar parquet data at petabyte scale in production clusters"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, min_quality=0.5, min_tokens=5, near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 5]
+    assert {"quality", "n_tokens_ws", "fp"} <= set(out.columns)

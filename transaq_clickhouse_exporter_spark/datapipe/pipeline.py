@@ -1,0 +1,43 @@
+"""Composed corpus-curation pipeline: the end-to-end shape a training
+-data run takes at 100 TB — profile → quality gate → exact dedup →
+near-dup removal — with each stage an operator from this package.
+
+Stage order is the cost order: cheap codegen'd profiling prunes first,
+exact hash dedup collapses identical content with one shuffle, and only
+the survivors pay for MinHash signatures and the banded LSH join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, minhash_near_dups
+from .text import profile_documents
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Returns the curated corpus: original columns + profile columns,
+    minus low-quality docs, exact duplicates (smallest id survives), and
+    near-duplicates (the lower id of each verified pair survives)."""
+    profile = profile_documents(df, text_col, id_col)
+    docs = df.join(profile, id_col)
+    docs = docs.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens_ws") >= min_tokens)
+    )
+
+    keep_exact = exact_dedup(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    docs = docs.join(keep_exact, id_col, "left_semi")
+
+    near = minhash_near_dups(docs, text_col, id_col, threshold=near_dup_threshold)
+    drop_near = near.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(drop_near, id_col, "left_anti")

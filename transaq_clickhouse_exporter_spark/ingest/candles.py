@@ -150,6 +150,34 @@ def quotation_candles_stream(df: DataFrame, emit_date: str) -> DataFrame:
     )
 
 
+def candles_windowed_stream(
+    df: DataFrame, minutes: int = 1, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Structured-Streaming windowed OHLCV (the O-10 declarative
+    fallback, SURVEY §4.3): tumbling event-time windows with a
+    watermark bounding state and admitting late ticks up to the delay.
+    ``min_by/max_by(last, seq)`` give deterministic open/close without
+    per-key sequential folding — fully parallel streaming aggregation.
+    Append mode: a candle emits exactly once, when the watermark passes
+    its window end (the reference instead emits on a ``:00`` boundary
+    tick and silently never emits minutes lacking one)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes"), "sec_code")
+        .agg(
+            F.min_by("last", "seq").alias("open"),
+            F.max_by("last", "seq").alias("close"),
+            F.max("last").alias("high"),
+            F.min("last").alias("low"),
+            F.sum("quantity").alias("volume"),
+        )
+        .select(
+            "sec_code", F.col("window.start").alias("bucket_start"),
+            "open", "close", "high", "low", "volume",
+        )
+    )
+
+
 def candles_windowed(df: DataFrame, minutes: int = 1) -> DataFrame:
     """Declarative tumbling-window OHLCV over ticks with an event-time
     ``ts`` (timestamp) and arrival order ``seq`` — the clean variant the

@@ -164,6 +164,24 @@ SELECT CAST(user_id % 20 + 1 AS INT) AS sec_id,
 FROM events
 """
 
+#: Order-book quote updates derived from orders (db.go:96-108 shape).
+#: ``_ingest_seq`` (o_orderkey) is UNIQUE, so last-write-wins on the
+#: quotes key (sec_code, board, price, source) is deterministic even
+#: though many orders share a key.
+QUOTES_DUP_SQL = """
+SELECT CAST(1734688800 + (o_orderkey % 520) * 60 AS BIGINT) AS time_s,
+       CAST(o_custkey % 40 + 1 AS INT) AS secid,
+       CASE WHEN o_orderkey % 11 = 0 THEN 'TQTF' ELSE 'TQBR' END AS board,
+       concat('SEC', lpad(CAST(o_custkey % 40 + 1 AS STRING), 3, '0')) AS sec_code,
+       CAST(o_orderkey % 300 + 100 AS DOUBLE) AS price,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'market' ELSE '' END AS source,
+       CAST(o_orderkey % 5 AS INT) AS yield,
+       CAST(o_orderkey % 200 - 100 AS INT) AS buy,
+       CAST(o_orderkey % 180 - 90 AS INT) AS sell,
+       CAST(o_orderkey AS BIGINT) AS _ingest_seq
+FROM orders
+"""
+
 #: events with an exact epoch-seconds column (generic event queries).
 _EV_SPARK = "SELECT event_id, user_id, event_type, value, props, ts_s FROM events"
 _EV_DUCK = (
@@ -179,6 +197,7 @@ ORACLE_CTE = (
     "etf_codes AS (" + ETF_CODES_SQL + "), "
     "trades_dup AS (" + TRADES_DUP_SQL + "), "
     "raw_securities AS (" + RAW_SECURITIES_SQL + "), "
+    "quotes_dup AS (" + QUOTES_DUP_SQL + "), "
     "raw_trades AS (" + _RAW_TRADES_DUCK + "), "
     "ticks AS (" + _TICKS_DUCK + "), "
     "possnap AS (" + POSSNAP_SQL + "), "
@@ -207,6 +226,7 @@ def register_derived_views(spark: SparkSession, sf_dir: str = "", cache: bool = 
         ("etf_codes", ETF_CODES_SQL),
         ("trades_dup", TRADES_DUP_SQL),
         ("raw_securities", RAW_SECURITIES_SQL),
+        ("quotes_dup", QUOTES_DUP_SQL),
         ("raw_trades", _RAW_TRADES_SPARK),
         ("ticks", _TICKS_SPARK),
         ("possnap", POSSNAP_SQL),
@@ -1043,9 +1063,68 @@ def _datapipe_specs() -> list[QuerySpec]:
     return sp
 
 
+def _operator_specs() -> list[QuerySpec]:
+    """Engine-operator entries beyond the trades dedup."""
+    sp: list[QuerySpec] = []
+    # quotes-table FINAL semantics: LWW on (sec_code, board, price,
+    # source) — db.go:107 — with the surviving row's payload exposed
+    sp.append(
+        QuerySpec(
+            "op02_quotes_final",
+            lambda s: dedup_last_write_wins(
+                s.table("quotes_dup"), ("sec_code", "board", "price", "source"),
+                "_ingest_seq",
+            ).select("sec_code", "board", "price", "source", "buy", "sell", "time_s"),
+            """
+            SELECT sec_code, board, price, source, buy, sell, time_s FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY sec_code, board, price, source
+                  ORDER BY _ingest_seq DESC) AS rn
+              FROM quotes_dup) q WHERE rn = 1
+            """,
+            tags=("operator", "dedup", "quotes"),
+        )
+    )
+    # order-book depth: latest quote per key, aggregated to per-security
+    # net depth (the ops query a reference user would run on quotes)
+    sp.append(
+        QuerySpec(
+            "op03_book_depth",
+            lambda s: dedup_last_write_wins(
+                s.table("quotes_dup"), ("sec_code", "board", "price", "source"),
+                "_ingest_seq",
+            )
+            .groupBy("sec_code")
+            .agg(
+                F.sum(F.col("buy").cast("long")).alias("bid_depth"),
+                F.sum(F.col("sell").cast("long")).alias("ask_depth"),
+                F.count(F.lit(1)).alias("n_levels"),
+            ),
+            """
+            SELECT sec_code, CAST(sum(buy) AS BIGINT) AS bid_depth,
+                   CAST(sum(sell) AS BIGINT) AS ask_depth,
+                   CAST(count(*) AS BIGINT) AS n_levels
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY sec_code, board, price, source
+                  ORDER BY _ingest_seq DESC) AS rn
+              FROM quotes_dup) q WHERE rn = 1
+            GROUP BY sec_code
+            """,
+            tags=("operator", "quotes", "agg"),
+        )
+    )
+    return sp
+
+
 def catalog() -> dict[str, QuerySpec]:
     specs = (
-        _dashboard_specs() + _ingest_specs() + _events_specs() + _tpch_specs() + _datapipe_specs()
+        _dashboard_specs()
+        + _operator_specs()
+        + _ingest_specs()
+        + _events_specs()
+        + _tpch_specs()
+        + _datapipe_specs()
     )
     out = {s.name: s for s in specs}
     assert len(out) == len(specs), "duplicate query names"
