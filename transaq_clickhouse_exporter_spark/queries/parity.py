@@ -976,9 +976,12 @@ def _datapipe_specs() -> list[QuerySpec]:
     )
 
     # embedding cosine near-dups, blocked by label (the embeddings are
-    # not tight clusters — 0.3 marks the top ~1% most-similar pairs)
+    # not tight clusters — 0.3 marks the top ~1% most-similar pairs);
+    # block-matrix execution (one BLAS matmul per label)
     def _near(s: SparkSession) -> DataFrame:
-        return dd.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.3, block_col="label")
+        return dd.embedding_near_dup_pairs_blocked(
+            s.table("embeddings"), threshold=0.3, block_col="label"
+        )
 
     sp.append(
         QuerySpec(
@@ -1035,8 +1038,10 @@ def _datapipe_specs() -> list[QuerySpec]:
     sp.append(QuerySpec("dp05_minhash_lsh_near_dups", _minhash, None, tags=("datapipe", "minhash")))
 
     def _simhash(s: SparkSession) -> DataFrame:
+        # d=3: the conventional near-dup radius; these synthetic docs
+        # share vocabulary heavily, so looser radii explode the pair set
         sigs = dd.simhash_signatures(s.table("documents"))
-        return dd.simhash_near_dups(sigs, max_hamming=10)
+        return dd.simhash_near_dups(sigs, max_hamming=3)
 
     sp.append(QuerySpec("dp06_simhash_near_dups", _simhash, None, tags=("datapipe", "simhash")))
 
