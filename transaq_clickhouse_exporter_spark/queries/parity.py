@@ -1119,6 +1119,34 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "quotes", "agg"),
         )
     )
+    # as-of join: each trade picks up the latest quote at-or-before its
+    # time (DuckDB has native ASOF JOIN — the perfect oracle)
+    from ..operators.asof import asof_join
+
+    def _asof(s: SparkSession) -> DataFrame:
+        quote_series = (
+            s.table("quotes_dup")
+            .groupBy("sec_code", "time_s")
+            .agg(F.max(F.col("price")).alias("quote_price"))
+        )
+        left = s.table("trades").select("sec_code", "time_s", "trade_no", "price")
+        return asof_join(left, quote_series, by=["sec_code"], left_ts="time_s",
+                         right_ts="time_s")
+
+    sp.append(
+        QuerySpec(
+            "op04_asof_join",
+            _asof,
+            """
+            SELECT t.sec_code, t.time_s, t.trade_no, t.price, q.quote_price
+            FROM trades t ASOF LEFT JOIN (
+              SELECT sec_code, time_s, max(price) AS quote_price
+              FROM quotes_dup GROUP BY sec_code, time_s) q
+              ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+            """,
+            tags=("operator", "asof-join"),
+        )
+    )
     return sp
 
 
