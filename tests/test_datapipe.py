@@ -96,12 +96,22 @@ def test_brute_force_vs_lsh_and_ivf(spark, sf_smoke):
 
     lsh = sim.lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
     bf_sets = {q: {r["nn_id"] for r in rs} for q, rs in by_q.items()}
-    hits = total = 0
-    for r in lsh.collect():
-        if r["query_id"] in bf_sets:
-            total += 1
-            hits += r["nn_id"] in bf_sets[r["query_id"]]
+
+    def recall(df):
+        hits = total = 0
+        for r in df.collect():
+            if r["query_id"] in bf_sets:
+                total += 1
+                hits += r["nn_id"] in bf_sets[r["query_id"]]
+        return hits, total
+
+    hits, total = recall(lsh)
     assert total > 0 and hits / total > 0.2  # bucketed candidates re-rank exactly
+
+    # multi-probe visits single-bit-flip neighbor buckets → recall and/or
+    # candidate coverage must not shrink
+    mp_hits, mp_total = recall(sim.lsh_topk(emb, queries, dim=64, k=10, n_planes=8, n_probes=5))
+    assert mp_total >= total and mp_hits >= hits
 
     ivf = sim.ivf_topk(emb, queries, n_cells=8, nprobe=3, k=5)
     per_q = {q: 0 for q in bf_sets}

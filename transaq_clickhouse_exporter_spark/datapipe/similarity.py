@@ -79,14 +79,20 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact re-rank within the query's bucket.
-    Recall < 1 by construction (single-probe); raise recall with fewer
-    planes (bigger buckets) or multi-probe.  At 100 TB the corpus-side
-    bucket column is computed once and persisted/partitioned."""
+    """LSH-bucketed ANN: exact re-rank within probed buckets.
+
+    Multi-probe (``n_probes`` > 1) visits the query's own bucket plus
+    the ``n_probes − 1`` single-bit-flip neighbors — the standard
+    recall/candidate-count dial: each probe multiplies candidates by
+    ~1/2^n_planes of the corpus while recovering near-misses on one
+    hyperplane.  The corpus side stays bucketed exactly once; only the
+    (tiny) query side explodes.  At 100 TB the corpus bucket column is
+    computed once and persisted/partitioned."""
     c = corpus.select(
         F.col(id_col).alias("nn_id"),
         l2_normalize(F.col(vec_col)).alias("cv"),
@@ -95,10 +101,22 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col),
         l2_normalize(F.col(vec_col)).alias("qv"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket0"),
     )
+    probes = F.array(
+        F.col("bucket0"),
+        *[
+            F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+            for i in range(min(max(n_probes - 1, 0), n_planes))
+        ],
+    )
+    q = q.select(query_id_col, "qv", F.explode(probes).alias("bucket"))
     sim = F.round(dot_product(F.col("qv"), F.col("cv")), 6)
-    scored = q.join(c, "bucket").select(query_id_col, "nn_id", sim.alias("cos_sim"))
+    scored = (
+        q.join(c, "bucket")
+        .select(query_id_col, "nn_id", sim.alias("cos_sim"))
+        .dropDuplicates([query_id_col, "nn_id"])  # multi-probe overlap
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
