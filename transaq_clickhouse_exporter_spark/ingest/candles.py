@@ -178,6 +178,28 @@ def candles_windowed_stream(
     )
 
 
+def rollup_candles(df: DataFrame, minutes: int, bucket_col: str = "bucket_s") -> DataFrame:
+    """Continuous-aggregate-style OHLCV rollup: combine fine candles
+    into coarser ones (1-min → N-min/hourly/daily).  OHLCV composes
+    associatively — open from the earliest sub-candle (``min_by``),
+    close from the latest, extrema and volume merge directly — so
+    rollups are ordinary partial→final aggregation: one shuffle, no
+    window.  This is how a 100 TB candle store serves every dashboard
+    ``$interval`` from one 1-minute base table."""
+    step = minutes * 60
+    bucket = ((F.col(bucket_col) / step).cast("long") * step).alias(bucket_col)
+    return (
+        df.groupBy("sec_code", bucket)
+        .agg(
+            F.min_by("open", bucket_col).alias("open"),
+            F.max_by("close", bucket_col).alias("close"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("volume").alias("volume"),
+        )
+    )
+
+
 def candles_windowed(df: DataFrame, minutes: int = 1) -> DataFrame:
     """Declarative tumbling-window OHLCV over ticks with an event-time
     ``ts`` (timestamp) and arrival order ``seq`` — the clean variant the

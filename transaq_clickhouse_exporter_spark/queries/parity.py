@@ -658,6 +658,55 @@ def _ingest_specs() -> list[QuerySpec]:
             tags=("ingest", "ohlcv", "window"),
         )
     )
+    # exact stateful candle builder at sf scale (rows-only: the fold is
+    # order-dependent Python state, not SQL; exactness is pytest-golden)
+    def _builder(s: SparkSession) -> DataFrame:
+        from ..ingest.candles import quotation_candles_batch
+
+        ticks = s.table("ticks").select(
+            "sec_id", "sec_code",
+            F.date_format("ts", "HH:mm:ss").alias("time"),
+            F.lit(0.0).alias("open"), F.col("last"), "quantity", "seq",
+        )
+        return quotation_candles_batch(ticks, "2024-01-01")
+
+    sp.append(
+        QuerySpec("in05_candle_builder_exact", _builder, None, tags=("ingest", "stateful"))
+    )
+
+    # OHLCV rollup: 1-min windowed candles → 10-min (continuous-agg shape)
+    def _rollup(s: SparkSession) -> DataFrame:
+        from ..ingest.candles import candles_windowed, rollup_candles
+
+        return rollup_candles(candles_windowed(s.table("ticks"), minutes=1), minutes=10)
+
+    sp.append(
+        QuerySpec(
+            "in06_candles_rollup",
+            _rollup,
+            """
+            SELECT sec_code, (bucket_s // 600) * 600 AS bucket_s,
+                   arg_min(open, bucket_s) AS open,
+                   arg_max(close, bucket_s) AS close,
+                   max(high) AS high, min(low) AS low,
+                   CAST(sum(volume) AS BIGINT) AS volume
+            FROM (
+              SELECT DISTINCT sec_code, (ts_s // 60) * 60 AS bucket_s,
+                     first_value(last) OVER w AS open,
+                     last_value(last) OVER w AS close,
+                     max(last) OVER w2 AS high,
+                     min(last) OVER w2 AS low,
+                     CAST(sum(quantity) OVER w2 AS BIGINT) AS volume
+              FROM ticks
+              WINDOW w AS (PARTITION BY sec_code, (ts_s // 60) * 60 ORDER BY seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                     w2 AS (PARTITION BY sec_code, (ts_s // 60) * 60)
+            ) one_min
+            GROUP BY sec_code, (bucket_s // 600) * 600
+            """,
+            tags=("ingest", "ohlcv", "rollup"),
+        )
+    )
     sp.append(
         QuerySpec(
             "in04_positions_merge",
@@ -763,6 +812,25 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "topk"),
         )
     )
+    # pivot: per-user event-type counts as wide columns
+    types = ["click", "view", "purchase", "signup", "error"]
+    sp.append(
+        QuerySpec(
+            "ev05_pivot",
+            lambda s: s.table("ev")
+            .groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types),
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+                for t in types
+            )
+            + " FROM ev GROUP BY user_id",
+            tags=("events", "pivot"),
+        )
+    )
     return sp
 
 
@@ -864,6 +932,26 @@ def _tpch_specs() -> list[QuerySpec]:
             GROUP BY n_name
             """,
             tags=("tpch", "broadcast-join", "count-distinct"),
+        )
+    )
+    # ROLLUP grouping sets with grouping-level marker
+    sp.append(
+        QuerySpec(
+            "tp05_rollup_grouping",
+            lambda s: s.table("lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.count(F.lit(1)).alias("n"),
+                F.grouping_id().alias("gid"),
+            ),
+            """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            """,
+            tags=("tpch", "rollup", "grouping-sets"),
         )
     )
     return sp
