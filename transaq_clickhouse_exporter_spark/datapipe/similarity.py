@@ -142,7 +142,14 @@ def ivf_topk(
     cents = (
         corpus.orderBy(id_col)
         .limit(n_cells)
-        .select(F.monotonically_increasing_id().alias("cell"), _as_double(vec_col).alias("cent"))
+        .select(
+            # deterministic cell ids (monotonically_increasing_id would
+            # depend on physical partitioning)
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cell"),
+            _as_double(vec_col).alias("cent"),
+        )
     )
     c = corpus.select(F.col(id_col).alias("nn_id"), _as_double(vec_col).alias("cv"))
     # assign: argmax centroid similarity (broadcast cents both sides)
