@@ -1,0 +1,73 @@
+"""Market analytics beyond the dashboard's 20 panels — the queries a
+reference user writes next, built from the same primitives (interval
+bucketing, broadcast dim joins, window functions).
+
+All expressions keep the exact-arithmetic discipline of the parity
+catalog: integer-valued money sums, ratios computed double-identically
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.intervals import to_start_of_interval
+
+
+def vwap_by_interval(trades: DataFrame, interval_min: int) -> DataFrame:
+    """Volume-weighted average price per (security, interval):
+    ``sum(price*quantity)/sum(quantity)`` — one partial→final
+    aggregation, no window."""
+    return (
+        trades.withColumn("minute", to_start_of_interval(F.col("time"), interval_min))
+        .groupBy("sec_code", "minute")
+        .agg(
+            (
+                F.sum(F.col("price") * F.col("quantity")) / F.sum("quantity")
+            ).alias("vwap"),
+            F.sum("quantity").alias("volume"),
+        )
+    )
+
+
+def cumulative_volume(trades: DataFrame, interval_min: int) -> DataFrame:
+    """Running traded volume per security over the session — the
+    intraday volume curve.  One shuffle on sec_code; the running sum is
+    a frame-bounded window over the pre-aggregated minutes (tiny)."""
+    per_min = (
+        trades.withColumn("minute", to_start_of_interval(F.col("time"), interval_min))
+        .groupBy("sec_code", "minute")
+        .agg(F.sum("quantity").alias("vol"))
+    )
+    w = Window.partitionBy("sec_code").orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_min.select(
+        "sec_code", "minute", "vol", F.sum("vol").over(w).alias("cum_vol")
+    )
+
+
+def minute_returns(candles: DataFrame) -> DataFrame:
+    """Bucket-over-bucket price change per security from OHLCV rows
+    (``bucket_s``, ``close``): ``close - lag(close)`` — NULL on the
+    first bucket."""
+    w = Window.partitionBy("sec_code").orderBy("bucket_s")
+    return candles.select(
+        "sec_code",
+        "bucket_s",
+        "close",
+        (F.col("close") - F.lag("close").over(w)).alias("chg"),
+    )
+
+
+def price_percentiles(trades: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of price per security (median +
+    p90).  Exact ``percentile`` — not ``percentile_approx`` — so the
+    result is engine-independent; at 100 TB swap in the sketch and keep
+    this as its verification oracle on samples."""
+    return trades.groupBy("sec_code").agg(
+        F.round(F.expr("percentile(price, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(price, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1238,9 +1238,83 @@ def _operator_specs() -> list[QuerySpec]:
     return sp
 
 
+def _analytics_specs() -> list[QuerySpec]:
+    """Market-analytics extensions (queries/analytics.py)."""
+    from ..ingest.candles import candles_windowed
+    from . import analytics as an
+
+    sp: list[QuerySpec] = []
+    sp.append(
+        QuerySpec(
+            "an01_vwap",
+            lambda s: _epoch(an.vwap_by_interval(_t(s), 5), "minute", "minute_s")
+            .select("sec_code", "minute_s", F.round("vwap", 6).alias("vwap"),
+                    F.col("volume").cast("long").alias("volume")),
+            f"""
+            SELECT sec_code, (time_s // {STEP}) * {STEP} AS minute_s,
+                   round(sum(price * quantity) / sum(quantity), 6) AS vwap,
+                   CAST(sum(quantity) AS BIGINT) AS volume
+            FROM trades GROUP BY sec_code, (time_s // {STEP}) * {STEP}
+            """,
+            tags=("analytics", "vwap"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "an02_cumulative_volume",
+            lambda s: _epoch(an.cumulative_volume(_t(s), 5), "minute", "minute_s")
+            .select("sec_code", "minute_s", F.col("vol").cast("long").alias("vol"),
+                    F.col("cum_vol").cast("long").alias("cum_vol")),
+            f"""
+            SELECT sec_code, minute_s, CAST(vol AS BIGINT) AS vol,
+                   CAST(sum(vol) OVER (PARTITION BY sec_code ORDER BY minute_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vol
+            FROM (
+              SELECT sec_code, (time_s // {STEP}) * {STEP} AS minute_s,
+                     sum(quantity) AS vol
+              FROM trades GROUP BY sec_code, (time_s // {STEP}) * {STEP}) m
+            """,
+            tags=("analytics", "window-cumulative"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "an03_minute_returns",
+            lambda s: an.minute_returns(candles_windowed(s.table("ticks"), minutes=1)),
+            """
+            SELECT sec_code, bucket_s, close, close - lag(close) OVER
+                     (PARTITION BY sec_code ORDER BY bucket_s) AS chg
+            FROM (
+              SELECT DISTINCT sec_code, (ts_s // 60) * 60 AS bucket_s,
+                     last_value(last) OVER (PARTITION BY sec_code, (ts_s // 60) * 60
+                       ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS close
+              FROM ticks) c
+            """,
+            tags=("analytics", "lag"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "an04_price_percentiles",
+            lambda s: an.price_percentiles(_t(s)),
+            """
+            SELECT sec_code,
+                   round(quantile_cont(price, 0.5), 6) AS p50,
+                   round(quantile_cont(price, 0.9), 6) AS p90,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM trades GROUP BY sec_code
+            """,
+            tags=("analytics", "percentile"),
+        )
+    )
+    return sp
+
+
 def catalog() -> dict[str, QuerySpec]:
     specs = (
         _dashboard_specs()
+        + _analytics_specs()
         + _operator_specs()
         + _ingest_specs()
         + _events_specs()
