@@ -1,0 +1,47 @@
+"""Custom Python Data Source (S1): batch + streaming reads, offset
+advancement, and feeding the stateful candle builder from it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.sources import tx_source
+
+
+def test_batch_read_partitioned(spark):
+    tx_source.register(spark)
+    df = spark.read.format("transaq_ticks").option("n", 1000).option("numPartitions", 4).load()
+    assert df.count() == 1000
+    assert df.select(F.countDistinct("sec_code")).first()[0] == 8
+    assert df.rdd.getNumPartitions() == 4
+    # deterministic: same options → same data
+    again = spark.read.format("transaq_ticks").option("n", 1000).option("numPartitions", 4).load()
+    assert again.exceptAll(df).count() == 0
+
+
+def test_stream_read_offsets_and_candles(spark, tmp_path):
+    from transaq_clickhouse_exporter_spark.ingest.candles import quotation_candles_stream
+
+    tx_source.register(spark)
+    stream = (
+        spark.readStream.format("transaq_ticks")
+        .option("ticksPerBatch", 480)
+        .option("maxTicks", 960)
+        .load()
+    )
+    candles = quotation_candles_stream(stream, "2024-12-20")
+    q = (
+        candles.writeStream.outputMode("append").format("memory").queryName("tx_candles")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()  # offsets advance until maxTicks, then drain
+    q.stop()
+    rows = spark.sql("SELECT * FROM tx_candles").collect()
+    # 960 ticks = 2 minutes over 8 securities → the 10:01:00 boundary
+    # emits one candle per security EXCEPT TICK002, whose boundary tick
+    # is i=481 = 37·13 → last=0 → emit suppressed (process.go:131)
+    assert len(rows) == 7
+    assert {r["sec_code"] for r in rows} == {f"TICK{i:03d}" for i in (1, 3, 4, 5, 6, 7, 8)}
+    assert all(r["period"] == 1 for r in rows)
+    assert all(r["date"] == "2024-12-20 10:01:00" for r in rows)

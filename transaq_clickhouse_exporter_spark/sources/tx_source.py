@@ -1,0 +1,122 @@
+"""Custom Python Data Source for the market-event feed — the
+DataSource-V2-style answer to the reference's gRPC txmlconnector client
+(S1, ``/root/reference/main.go:66-68``).
+
+PySpark 4's Python Data Source API lets the gRPC bridge live *inside*
+Spark's source contract instead of beside it: offsets, partitions, and
+replay/recovery come from the engine.  The transport here is a
+deterministic synthetic tick generator (the container has no gRPC
+upstream); a real deployment swaps :func:`_gen_ticks` for the bridge
+client while keeping every offset/partition mechanic.
+
+- batch: ``spark.read.format("transaq_ticks").option("n", ...)``
+- stream: ``spark.readStream.format("transaq_ticks")`` — micro-batches
+  advance a monotonically increasing tick offset; exactly-once via
+  offset ranges in the checkpoint (commit is a no-op because the
+  generator is deterministic — the reference's feed, by contrast, is
+  fire-and-forget and unreplayable).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = (
+    "seq long, sec_id int, sec_code string, time string, "
+    "open double, last double, quantity long"
+)
+
+_SECS = 8
+
+
+def _gen_tick(i: int) -> tuple:
+    """Deterministic synthetic quotation tick #i (one trading morning,
+    one tick/second interleaved over the securities)."""
+    sec_id = i % _SECS + 1
+    t = 10 * 3600 + (i // _SECS)
+    hh, mm, ss = t // 3600, (t // 60) % 60, t % 60
+    last = 0.0 if i % 37 == 0 else round(100 + sec_id + ((i * 7) % 100) / 10.0, 2)
+    opn = round(100.0 + sec_id, 2) if i % 53 == 0 else 0.0
+    return (i, sec_id, f"TICK{sec_id:03d}", f"{hh:02d}:{mm:02d}:{ss:02d}", opn, last, (i % 9) + 1)
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+def _read_range(part: _Range):
+    for i in range(part.start, part.end):
+        yield _gen_tick(i)
+
+
+class TickBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("numPartitions", 4))
+
+    def partitions(self):
+        step = max(1, self.n // self.parts)
+        return [_Range(s, min(s + step, self.n)) for s in range(0, self.n, step)]
+
+    def read(self, partition):
+        return _read_range(partition)
+
+
+class TickStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.batch = int(options.get("ticksPerBatch", 100))
+        self.max = int(options.get("maxTicks", 10**9))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        self._latest = min(self._latest + self.batch, self.max)
+        return {"i": self._latest}
+
+    def partitions(self, start, end):
+        return [_Range(start["i"], end["i"])]
+
+    def read(self, partition):
+        return _read_range(partition)
+
+    def commit(self, end):
+        pass  # deterministic generator → nothing to ack
+
+    def stop(self):
+        pass
+
+
+class TickDataSource(DataSource):
+    """``spark.dataSource.register(TickDataSource)`` then use format
+    ``transaq_ticks``."""
+
+    @classmethod
+    def name(cls):
+        return "transaq_ticks"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return TickBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return TickStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TickDataSource)
+
+
+# keep json import referenced for offset serialization debugging hooks
+_ = json
