@@ -33,6 +33,7 @@ def dedup_last_write_wins(
     keys: Sequence[str],
     order_col: str = INGEST_SEQ,
     keep_order_col: bool = False,
+    strategy: str = "agg",
 ) -> DataFrame:
     """Keep the last-inserted row per key (``FINAL`` semantics).
 
@@ -40,14 +41,40 @@ def dedup_last_write_wins(
     carry one, rows are arbitrary-but-deterministic only if duplicates
     are exact (then any winner is equivalent) — callers with true
     versioned updates must stamp :data:`INGEST_SEQ` at ingest.
-    """
+
+    ``strategy='agg'`` (default) implements the winner as
+    ``max_by(struct(payload), order_col)`` — a hash aggregation with
+    map-side partial combine and NO per-partition sort; at scale the
+    shuffle carries one pre-combined row per (key, map-partition)
+    instead of every duplicate.  ``strategy='window'`` is the classic
+    ``row_number``-over-sort form (same result; kept for comparison and
+    for planners that feed an existing ordering).  Output column order
+    is keys-first under 'agg'."""
     if order_col not in df.columns:
         # Exact-duplicate collapse: dropDuplicates does a partial
         # (map-side) dedup before the shuffle — cheaper than a window.
         return df.dropDuplicates(list(keys))
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
-    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    return out if keep_order_col else out.drop(order_col)
+    if strategy == "window":
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+        out = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return out if keep_order_col else out.drop(order_col)
+    payload = [c for c in df.columns if c not in keys and c != order_col]
+    aggs = []
+    if payload:
+        aggs.append(F.max_by(F.struct(*payload), F.col(order_col)).alias("__win"))
+    if keep_order_col:
+        aggs.append(F.max(order_col).alias(order_col))
+    if not aggs:  # key-only table: dedup is just distinct
+        return df.select(*keys).distinct()
+    out = df.groupBy(*keys).agg(*aggs)
+    cols = list(keys) + (["__win.*"] if payload else [])
+    if keep_order_col:
+        cols.append(order_col)
+    return out.select(*cols)
 
 
 def dedup_streaming(df: DataFrame, keys: Sequence[str], watermark_col: str, delay: str) -> DataFrame:

@@ -61,6 +61,19 @@ def minute_returns(candles: DataFrame) -> DataFrame:
     )
 
 
+def price_percentiles_approx(trades: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """The 100 TB percentile path: ``percentile_approx`` (a mergeable
+    KLL-style sketch — one map-side pass, tiny shuffle) instead of the
+    exact sort-based ``percentile``.  Verified against
+    :func:`price_percentiles` within the sketch's rank-error bound in
+    tests; not oracle-paired (sketch internals are engine-specific)."""
+    return trades.groupBy("sec_code").agg(
+        F.percentile_approx("price", 0.5, accuracy).alias("p50"),
+        F.percentile_approx("price", 0.9, accuracy).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def price_percentiles(trades: DataFrame) -> DataFrame:
     """Exact interpolated percentiles of price per security (median +
     p90).  Exact ``percentile`` — not ``percentile_approx`` — so the

@@ -234,7 +234,8 @@ def register_derived_views(spark: SparkSession, sf_dir: str = "", cache: bool = 
     ):
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
     if cache:
-        for name in ("trades", "securities", "etf_codes", "ev"):
+        for name in ("trades", "securities", "etf_codes", "ev", "trades_dup",
+                     "quotes_dup", "ticks"):
             spark.catalog.cacheTable(name)
     spark.conf.set(marker, sf_dir or "1")
 
