@@ -49,7 +49,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "nn_id", "cos_sim", "rank")
+        .select(query_id_col, "nn_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -121,7 +121,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "nn_id", "cos_sim", "rank")
+        .select(query_id_col, "nn_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -178,5 +178,5 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "nn_id", "cos_sim", "rank")
+        .select(query_id_col, "nn_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
