@@ -21,6 +21,10 @@ from transaq_clickhouse_exporter_spark.testdata import register_views
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # AQE stays ON even for the micro-bench: measured both ways at
+    # sf0.1 — re-planning costs ~25% on the smallest queries but its
+    # partition coalescing wins more on the join/window-heavy ones
+    # (44.5s with AQE vs 56.5s without, whole catalog).
     spark = get_spark(app="tce-bench")
 
     register_views(spark, sf_dir)

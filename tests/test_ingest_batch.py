@@ -68,3 +68,10 @@ def test_backfill_paging_handshake():
     out = batch.backfill_candles(fetch, page_size=10)
     assert out == data
     assert calls == [0, 10, 20]
+
+
+def test_filter_candle_kinds():
+    kinds = [{"id": 1, "period": 60}, {"id": 2, "period": 300}, {"id": 3, "period": 3600}]
+    assert batch.filter_candle_kinds(kinds, []) == kinds  # empty ⇒ all (main.go:178)
+    assert [k["id"] for k in batch.filter_candle_kinds(kinds, ["60", "3600"])] == [1, 3]
+    assert batch.filter_candle_kinds(kinds, ["999"]) == []

@@ -62,3 +62,35 @@ def test_curate_corpus(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 5]
     assert {"quality", "n_tokens_ws", "fp"} <= set(out.columns)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window sessionization in streaming (gap-based) —
+    the structured-streaming twin of the batch lag/cumsum sessionizer
+    (catalog ev03)."""
+    base = 1734688800
+    rows1 = [
+        {"user_id": 1, "ts_s": base + 0, "v": 1.0},
+        {"user_id": 1, "ts_s": base + 30, "v": 1.0},   # same session (gap 30 < 60)
+        {"user_id": 1, "ts_s": base + 200, "v": 1.0},  # new session (gap 170)
+    ]
+    rows2 = [{"user_id": 1, "ts_s": base + 5000, "v": 1.0}]  # advances watermark
+    write_jsonl_fixture(str(tmp_path / "sw" / "a.json"), rows1, mtime=1000)
+    write_jsonl_fixture(str(tmp_path / "sw" / "b.json"), rows2, mtime=2000)
+    stream = read_replay_stream(
+        spark, str(tmp_path / "sw"), "user_id long, ts_s long, v double",
+        max_files_per_trigger=1,
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.session_window("ts", "60 seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("session_window.start").alias("start"), "n")
+    )
+    q = (agg.writeStream.outputMode("append").format("memory").queryName("sw")
+         .option("checkpointLocation", str(tmp_path / "swck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], str(r["start"])): r["n"] for r in spark.sql("SELECT * FROM sw").collect()}
+    assert got[(1, "2024-12-20 10:00:00")] == 2
+    assert got[(1, "2024-12-20 10:03:20")] == 1

@@ -102,6 +102,16 @@ def sec_info_subscription(raw: DataFrame, info_names: Sequence[str] = ()) -> Dat
     return raw.filter((F.col("sectype") == "BOND") & pred).select("secid")
 
 
+def filter_candle_kinds(kinds: Sequence[dict], period_seconds: Sequence[str]) -> list[dict]:
+    """History-subscription kind gate (main.go:177-188): when
+    ``EXPORT_PERIOD_SECONDS`` is set, only candle kinds whose period is
+    listed get a ``gethistorydata`` request; empty ⇒ all kinds."""
+    if not period_seconds:
+        return list(kinds)
+    wanted = {str(p) for p in period_seconds}
+    return [k for k in kinds if str(k.get("period")) in wanted]
+
+
 def backfill_candles(fetch_page, page_size: int):
     """History backfill (S8, main.go:189-221): page via the reference's
     ``dataCandleCount`` handshake — keep requesting while a page comes

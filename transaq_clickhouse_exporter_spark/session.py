@@ -59,11 +59,18 @@ def get_spark(
     return spark
 
 
-def configure_session(spark: SparkSession, tz: str = "UTC") -> SparkSession:
+def configure_session(spark: SparkSession, tz: str = "UTC", adaptive: bool | None = None) -> SparkSession:
     """Pin runtime confs on a session we did not build (e.g. the
-    driver's).  All of these are runtime-settable SQLConfs."""
+    driver's).  All of these are runtime-settable SQLConfs.
+
+    ``adaptive``: None leaves the session's AQE setting alone; True/False
+    pin it.  AQE is the correct default at scale (skew-join splitting,
+    partition coalescing) but its runtime re-planning adds ~20-30%
+    latency on sub-GB interactive queries — micro-benchmarks may pin it
+    off."""
     spark.conf.set("spark.sql.session.timeZone", tz)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if adaptive is not None:
+        spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
