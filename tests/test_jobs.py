@@ -44,9 +44,19 @@ def test_full_lifecycle(spark, tmp_path):
     ]
     write_jsonl_fixture(str(tmp_path / "events" / "quotes" / "q0.json"), quote_rows, mtime=1000)
 
+    secinfo_rows = [{f.name: None for f in schemas.RAW_SEC_INFO.fields}
+                    | {"secid": 6, "sec_code": "RU01", "market": 1,
+                       "mat_date": "15.06.2025", "coupon_period": 182}]
+    write_jsonl_fixture(str(tmp_path / "events" / "sec_info" / "s0.json"), secinfo_rows, mtime=1000)
+    candle_rows = [{"date": "20.12.2024 10:00:00", "sec_code": "SBER", "period": 60,
+                    "open": 1.0, "close": 2.0, "high": 3.0, "low": 0.5, "volume": 1000}]
+    write_jsonl_fixture(str(tmp_path / "events" / "candles" / "c0.json"), candle_rows, mtime=1000)
+
+    # all four event pipelines run concurrently (the reference's single
+    # select-loop becomes four independent streaming queries)
     queries = jobs.streaming_job(
         spark, str(tmp_path / "events"), str(tmp_path / "ck"), cfg,
-        pipelines=("trades", "quotes"),
+        pipelines=("trades", "quotes", "sec_info", "candles"),
     )
     for q in queries:
         q.awaitTermination(120)
@@ -82,10 +92,18 @@ def test_full_lifecycle(spark, tmp_path):
     quotes = storage.read_table_range(spark, cfg.table_path("transaq_quotes"), "transaq_quotes")
     assert quotes.count() == 1 and quotes.first()["sell"] == -50
 
+    si = storage.read_table_range(
+        spark, cfg.table_path("transaq_securities_info"), "transaq_securities_info"
+    )
+    r = si.first()
+    assert len(si.columns) == 28 and str(r["mat_date"]).startswith("2025-06-15")
+
     candles = storage.read_table_range(
         spark, cfg.table_path("transaq_candles"), "transaq_candles", final=False
     )
-    c = candles.first()
+    by_period = {r["period"]: r for r in candles.collect()}
+    assert by_period[60]["volume"] == 1000  # history page
+    c = by_period[1]  # builder emission
     assert str(c["date"]) == "2024-12-20 11:01:00"
     assert (c["open"], c["close"], c["volume"]) == (250.0, 251.0, 3)
 

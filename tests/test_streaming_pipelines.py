@@ -85,3 +85,28 @@ def test_candle_page_shaping(spark):
     out = ing.shape_candles(raw)
     r = out.first()
     assert str(r["date"]) == "2024-12-20 10:00:00" and r["volume"] == 1000
+
+
+def test_corrupt_jsonl_line_becomes_null_row(spark, tmp_path):
+    """A corrupt feed line must not kill the pipeline: permissive JSON
+    parsing yields an all-null row, the shaper passes NULLs through
+    (vs the reference, which would silently insert zero values)."""
+    import os
+
+    os.makedirs(tmp_path / "c", exist_ok=True)
+    with open(tmp_path / "c" / "x.json", "w") as f:
+        f.write('{"time": "20.12.2024 10:00:01", "secid": 1, "sec_code": "SBER", '
+                '"trade_no": 1, "board": "TQBR", "price": 1.0, "quantity": 1, '
+                '"buy_sell": "B", "open_interest": 0, "period": "N"}\n')
+        f.write("{this is not json at all\n")
+    stream = read_replay_stream(spark, str(tmp_path / "c"), schemas.RAW_TRADE)
+    out_dir = str(tmp_path / "out")
+    q = ing.start_pipeline(
+        stream, ing.shape_trades,
+        lambda df, bid: df.write.mode("append").parquet(out_dir),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(60)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 2  # corrupt line survives as a null row
+    assert out.filter(F.col("trade_no").isNull()).count() == 1

@@ -212,7 +212,14 @@ def register_derived_views(spark: SparkSession, sf_dir: str = "", cache: bool = 
     (the equivalent of the reference's ClickHouse page cache).  Temp
     views bind their underlying plans at creation, so a scale-factor
     switch mid-session must rebuild both views and caches."""
+    from ..testdata import REGISTRY_LOCK
+
     marker = "spark.tce.derived_registered"
+    with REGISTRY_LOCK:
+        _register_derived_locked(spark, sf_dir, cache, marker)
+
+
+def _register_derived_locked(spark: SparkSession, sf_dir: str, cache: bool, marker: str) -> None:
     try:
         if spark.conf.get(marker) == (sf_dir or "1"):
             return

@@ -15,11 +15,16 @@ is what DuckDB's ``epoch_us(ts) // 1000000`` yields on its side.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import configure_session
+
+#: Registration mutates session catalog state; serialize it in case a
+#: harness issues catalog queries from multiple threads.
+REGISTRY_LOCK = threading.Lock()
 
 DRIVER_TABLES = (
     "region",
@@ -54,11 +59,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     existing views — and therefore any caches built on them — intact."""
     configure_session(spark, tz="UTC")
     marker = "spark.tce.registered_sf_dir"
-    try:
-        if spark.conf.get(marker) == sf_dir:
-            return
-    except Exception:
-        pass
-    for name in DRIVER_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    spark.conf.set(marker, sf_dir)
+    with REGISTRY_LOCK:
+        try:
+            if spark.conf.get(marker) == sf_dir:
+                return
+        except Exception:
+            pass
+        for name in DRIVER_TABLES:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        spark.conf.set(marker, sf_dir)
