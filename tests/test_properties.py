@@ -57,3 +57,33 @@ def test_lww_winner_is_max_seq(rows):
         if key not in got or seq > got[key][1]:
             got[key] = (key * 1000 + seq, seq)
     assert got == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_tick, max_size=80), st.booleans())
+def test_vectorized_fold_equals_exact(ticks, with_acc):
+    """The numpy segment-vectorized fold must match the exact Python
+    fold tick-for-tick, with and without a carried accumulator."""
+    from transaq_clickhouse_exporter_spark.ingest.candles import (
+        Acc,
+        fold_ticks_vectorized,
+    )
+
+    acc = Acc(open=5.0, high=7.0, low=2.0, volume=11) if with_acc else None
+    exact, exact_acc = fold_ticks(list(ticks), "2024-12-20",
+                                  Acc(**vars(acc)) if acc else None)
+    if not ticks:
+        return
+    got, got_acc = fold_ticks_vectorized(
+        [t["time"] for t in ticks],
+        [t["open"] for t in ticks],
+        [t["last"] for t in ticks],
+        [t["quantity"] for t in ticks],
+        "X",
+        "2024-12-20",
+        acc,
+    )
+    assert got == exact
+    assert (got_acc is None) == (exact_acc is None)
+    if got_acc is not None:
+        assert vars(got_acc) == vars(exact_acc)
