@@ -73,3 +73,20 @@ def test_distinct_codes(views):
         views.sql(dsql.distinct_sec_codes(FRM, TO)),
         dash.distinct_sec_codes(views.table("trades"), FRM, TO),
     )
+
+
+def test_parameterized_sql_binding(views):
+    """SURVEY Q18: template-variable substitution via spark.sql bind
+    parameters (no string interpolation of user values)."""
+    df = views.sql(
+        """
+        SELECT sec_code, CAST(sum(quantity) AS BIGINT) AS lots
+        FROM trades
+        WHERE time BETWEEN :frm AND :to AND buy_sell = :side
+        GROUP BY sec_code ORDER BY lots DESC, sec_code LIMIT :k
+        """,
+        args={"frm": FRM, "to": TO, "side": "B", "k": 5},
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["lots"] >= rows[-1]["lots"]
