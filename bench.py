@@ -34,7 +34,8 @@ def main() -> None:
     # warm-up: JVM/codegen/parquet-footer caches + materialize the
     # in-memory columnar caches of the shared derived views (the
     # reference equivalent: ClickHouse's page cache before a benchmark)
-    for t in ("lineitem", "trades", "securities", "etf_codes", "ev"):
+    for t in ("lineitem", "trades", "securities", "etf_codes", "ev",
+              "trades_dup", "quotes_dup", "ticks"):
         spark.table(t).count()
 
     per_query: dict[str, float] = {}
