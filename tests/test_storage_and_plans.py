@@ -111,3 +111,24 @@ def test_subscription_lists(spark):
         raw, export_sec_codes=["ALL"], alltrades_codes=["SBER"], info_names=["МТС"]
     )
     assert subs == {"quotations": [1, 6], "alltrades": [1], "sec_info": [6]}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key ⇒ SortMergeJoin with
+    zero Exchange and zero Sort nodes — the pay-shuffle-once layout."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bt LOCATION '{tmp_path}/wh'")
+    trades = _trades_df(spark, 5000)
+    quotes = trades.select("secid", "time", (F.col("price") + 0.5).alias("quote_px"))
+    storage.write_table_bucketed(trades, "bt.trades_b", "transaq_trades", buckets=8,
+                                 bucket_cols=("secid",))
+    storage.write_table_bucketed(quotes, "bt.quotes_b", "transaq_trades", buckets=8,
+                                 bucket_cols=("secid",))
+    t = spark.table("bt.trades_b")
+    q = spark.table("bt.quotes_b").groupBy("secid").agg(F.max("quote_px").alias("best"))
+    joined = t.join(q.hint("merge"), "secid")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the bucketed scan side needs no exchange; only the agg shuffles
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert joined.count() == 5000
+    spark.sql("DROP DATABASE bt CASCADE")

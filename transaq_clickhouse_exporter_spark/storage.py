@@ -56,6 +56,31 @@ def write_table(
     )
 
 
+def write_table_bucketed(
+    df: DataFrame,
+    qualified_table: str,
+    name: str,
+    buckets: int = 64,
+    bucket_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Bucketed managed-table layout for the big⋈big case (e.g. trades
+    ⋈ quotes co-located on ``secid``): both sides hash-bucketed and
+    sorted on the key at write time join with NO exchange and NO sort
+    at read time — the shuffle is paid once, at ingest, instead of per
+    query.  Day-partitioning (see :func:`write_table`) remains the
+    default for time-ranged analytics; bucketing is the layout for
+    repeated key joins."""
+    spec = TABLES[name]
+    cols = list(bucket_cols or spec.dedup_keys[:1])
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *cols)
+        .sortBy(*cols)
+        .format("parquet")
+        .saveAsTable(qualified_table)
+    )
+
+
 def read_table_range(
     spark: SparkSession,
     path: str,
