@@ -90,3 +90,50 @@ def test_parameterized_sql_binding(views):
     rows = df.collect()
     assert len(rows) == 5
     assert rows[0]["lots"] >= rows[-1]["lots"]
+
+
+def test_volume_diff_variants(views):
+    _same(
+        views.sql(dsql.volume_diff_by_interval(IV, FRM, TO, codes=CODES)),
+        dash.volume_diff_by_interval(views.table("trades"), views.table("securities"),
+                                     IV, FRM, TO, sec_codes=CODES),
+    )
+    _same(
+        views.sql(dsql.volume_diff_by_interval(IV, FRM, TO, codes=CODES, day_shift=1)),
+        dash.volume_diff_by_interval(views.table("trades"), views.table("securities"),
+                                     IV, FRM, TO, sec_codes=CODES, day_shift=1),
+        allow_empty=True,  # shifted day may fall outside the range
+    )
+    _same(
+        views.sql(dsql.volume_diff_by_interval(IV, FRM, TO)),
+        dash.volume_diff_by_interval(views.table("trades"), views.table("securities"),
+                                     IV, FRM, TO, etf_codes=views.table("etf_codes")),
+    )
+
+
+def test_lots_and_counts(views):
+    _same(
+        views.sql(dsql.lots_by_time(CODES, FRM, TO, "S")),
+        dash.lots_by_time(views.table("trades"), CODES, FRM, TO, "S"),
+    )
+    _same(
+        views.sql(dsql.count_trades_by_time(CODES, FRM, TO, "B")),
+        dash.count_trades_by_time(views.table("trades"), CODES, FRM, TO, "B"),
+    )
+
+
+def test_etf_and_imoex_time_series(views):
+    _same(
+        views.sql(dsql.etf_volume_by_interval(IV, FRM, TO, "B")),
+        dash.imoex_volume_by_interval(views.table("trades"), views.table("etf_codes"),
+                                      IV, FRM, TO, "B", in_etf=True),
+    )
+    _same(
+        views.sql(dsql.imoex_volume_by_time(FRM, TO, "B")),
+        dash.imoex_volume_by_time(views.table("trades"), views.table("etf_codes"),
+                                  FRM, TO, "B"),
+    )
+    _same(
+        views.sql(dsql.etf_sec_codes(FRM, TO)),
+        dash.etf_sec_codes(views.table("trades"), views.table("securities"), FRM, TO),
+    )

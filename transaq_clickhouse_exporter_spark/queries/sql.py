@@ -104,3 +104,85 @@ def distinct_sec_codes(frm: str, to: str) -> str:
     SELECT sec_code FROM trades WHERE time BETWEEN '{frm}' AND '{to}'
     GROUP BY sec_code ORDER BY sec_code LIMIT 1000
     """
+
+
+def volume_diff_by_interval(
+    interval: int, frm: str, to: str, codes: Sequence[str] | None = None, day_shift: int = 0
+) -> str:
+    """GDJ:643/794 (code list) and GDJ:2322/2473 (NOT IN ETF): signed
+    per-minute diff, optionally with yesterday's trades day-shifted onto
+    today's axis."""
+    time_expr = f"t.time + INTERVAL {day_shift} DAY" if day_shift else "t.time"
+    pred = (
+        f"t.sec_code IN {_in_list(codes)}"
+        if codes is not None
+        else "t.sec_code NOT IN (SELECT sec_code FROM etf_codes)"
+    )
+    return f"""
+    SELECT minute, sum(vol) AS vol FROM (
+      SELECT {_bucket(f'({time_expr})', interval)} AS minute, t.buy_sell,
+             (CASE WHEN t.buy_sell = 'S' THEN -1 ELSE 1 END)
+               * sum(t.price * t.quantity * s.lotsize) AS vol
+      FROM trades t JOIN securities s ON t.sec_code = s.seccode AND t.board = s.board
+      WHERE {pred} AND t.board = 'TQBR'
+        AND {_bucket(f'({time_expr})', interval)} BETWEEN '{frm}' AND '{to}'
+      GROUP BY 1, t.buy_sell
+    ) i GROUP BY minute ORDER BY minute
+    """
+
+
+def lots_by_time(codes: Sequence[str], frm: str, to: str, buy_sell: str) -> str:
+    """GDJ:1477/1628: lots per raw timestamp (sells ×−1)."""
+    sgn = 1 if buy_sell == "B" else -1
+    return f"""
+    SELECT time, sum(quantity) * {sgn} AS lots FROM trades
+    WHERE sec_code IN {_in_list(codes)} AND buy_sell = '{buy_sell}'
+      AND time BETWEEN '{frm}' AND '{to}'
+    GROUP BY time ORDER BY time
+    """
+
+
+def count_trades_by_time(codes: Sequence[str], frm: str, to: str, buy_sell: str) -> str:
+    """GDJ:1885/2036: trade counts per raw timestamp (sells ×−1)."""
+    sgn = 1 if buy_sell == "B" else -1
+    return f"""
+    SELECT time, count(price) * {sgn} AS cnt FROM trades
+    WHERE sec_code IN {_in_list(codes)} AND buy_sell = '{buy_sell}'
+      AND time BETWEEN '{frm}' AND '{to}'
+    GROUP BY time ORDER BY time
+    """
+
+
+def etf_volume_by_interval(interval: int, frm: str, to: str, buy_sell: str) -> str:
+    """GDJ:3174/3325: ETF-only (semi-join), no board filter."""
+    sgn = 1 if buy_sell == "B" else -1
+    return f"""
+    SELECT minute, sum(price * quantity) * {sgn} AS vol FROM (
+      SELECT {_bucket('time', interval)} AS minute, price, quantity
+      FROM trades
+      WHERE buy_sell = '{buy_sell}' AND sec_code IN (SELECT sec_code FROM etf_codes)
+    ) b WHERE minute >= '{frm}' AND minute <= '{to}'
+    GROUP BY minute ORDER BY minute LIMIT 10000
+    """
+
+
+def imoex_volume_by_time(frm: str, to: str, buy_sell: str) -> str:
+    """GDJ:3584/3735: per-timestamp IMOEX volume (NOT IN ETF, no board
+    filter)."""
+    sgn = 1 if buy_sell == "B" else -1
+    return f"""
+    SELECT time, sum(price * quantity) * {sgn} AS vol FROM trades
+    WHERE buy_sell = '{buy_sell}' AND sec_code NOT IN (SELECT sec_code FROM etf_codes)
+      AND time BETWEEN '{frm}' AND '{to}'
+    GROUP BY time ORDER BY time
+    """
+
+
+def etf_sec_codes(frm: str, to: str) -> str:
+    """GDJ:3879 template variable: codes trading on board TQTF."""
+    return f"""
+    SELECT DISTINCT t.sec_code FROM trades t
+    JOIN securities s ON t.sec_code = s.seccode AND t.board = s.board
+    WHERE s.board = 'TQTF' AND t.time BETWEEN '{frm}' AND '{to}'
+    ORDER BY t.sec_code LIMIT 1000
+    """
