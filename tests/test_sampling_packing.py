@@ -1,0 +1,127 @@
+"""Deterministic sampling / sequence packing / vocabulary stats
+(datapipe.sampling, datapipe.packing, text.term_stats).
+
+Oracle parity for the catalog entries dp07-dp10 runs in
+test_parity_catalog.py; these tests pin the operator *invariants* the
+oracle compare can't express (nesting, quotas, offset arithmetic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.datapipe.packing import (
+    pack_sequences,
+    pack_summary,
+)
+from transaq_clickhouse_exporter_spark.datapipe.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+from transaq_clickhouse_exporter_spark.datapipe.text import term_stats, ws_token_count
+from transaq_clickhouse_exporter_spark.testdata import register_views
+
+BUDGET = 512
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_t2):
+    register_views(spark, sf_t2)
+    return spark.table("documents")
+
+
+def test_hash_sample_nested_and_stable(spark, docs):
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", "0ccc").select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", "1999").select("doc_id").collect()}
+    assert small <= big  # growing the threshold only adds documents
+    n = docs.count()
+    # ~5% / ~10% with generous tolerance (500 docs → wide binomial)
+    assert 0.01 * n < len(small) < 0.12 * n
+    assert 0.04 * n < len(big) < 0.20 * n
+    again = {r.doc_id for r in hash_sample(docs, "doc_id", "1999").select("doc_id").collect()}
+    assert big == again  # content-stable: same rows every run
+    # membership survives arbitrary re-partitioning of the input
+    reshard = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), "doc_id", "1999").select("doc_id").collect()
+    }
+    assert big == reshard
+
+
+def test_hash_sample_rejects_bad_threshold(docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", "xyz")
+
+
+def test_stratified_sample_quota_and_ranks(docs):
+    out = stratified_sample(docs.select("doc_id", "lang"), ["lang"], 7, "doc_id")
+    per = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.collect_set("sample_rank").alias("ranks")
+    )
+    for row in per.collect():
+        assert row.n <= 7
+        assert sorted(row.ranks) == list(range(1, row.n + 1))  # contiguous from 1
+    # full strata (≥7 docs) hit the quota exactly
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.lang: r.n for r in per.collect()}
+    for lang, n in sizes.items():
+        assert got[lang] == min(7, n)
+
+
+def test_stratified_prefilter_subsets_the_hash_sample(docs):
+    thinned = stratified_sample(
+        docs.select("doc_id", "lang"), ["lang"], 5, "doc_id", prefilter_hex4="8000"
+    )
+    allowed = {r.doc_id for r in hash_sample(docs, "doc_id", "8000").select("doc_id").collect()}
+    assert {r.doc_id for r in thinned.collect()} <= allowed
+
+
+def test_pack_sequences_offset_arithmetic(spark, docs):
+    toks = docs.select("doc_id", ws_token_count("text").alias("n_tok"))
+    packed = pack_sequences(toks, "doc_id", "n_tok", budget=BUDGET, n_buckets=16).cache()
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in toks.collect()}  # no loss
+    assert all(0 <= r.offset_in_seq < BUDGET for r in rows)
+    assert all(0 <= r.bucket < 16 for r in rows)
+    # replay each bucket's tape in order: cum_before must be the exact
+    # running sum, seq/offset its integer div/mod
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    import hashlib
+
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.cum_before == cum
+            assert r.seq_in_bucket == cum // BUDGET
+            assert r.offset_in_seq == cum % BUDGET
+            cum += r.n_tok
+    summary = pack_summary(packed, "n_tok")
+    tot = summary.agg(F.sum("sum_tokens").alias("t"), F.sum("n_docs").alias("d")).first()
+    assert tot.t == sum(r.n_tok for r in rows) and tot.d == len(rows)
+    # every first sequence of a bucket starts the tape at offset zero
+    firsts = summary.filter((F.col("seq_in_bucket") == 0)).collect()
+    assert all(r.first_offset == 0 for r in firsts)
+    packed.unpersist()
+
+
+def test_pack_sequences_bucket_count_validation(docs):
+    toks = docs.select("doc_id", ws_token_count("text").alias("n_tok"))
+    with pytest.raises(ValueError):
+        pack_sequences(toks, "doc_id", "n_tok", budget=BUDGET, n_buckets=5)
+    # n_buckets=4 groups 4 hex digits per bucket
+    packed = pack_sequences(toks, "doc_id", "n_tok", budget=BUDGET, n_buckets=4)
+    assert packed.select(F.max("bucket")).first()[0] <= 3
+
+
+def test_term_stats_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "THE cat!"), (3, "dog...dog dog")],
+        ["doc_id", "text"],
+    )
+    out = {r.token: (r.doc_freq, r.term_freq) for r in term_stats(df).collect()}
+    assert out == {"the": (2, 2), "cat": (2, 2), "dog": (1, 3), "sat": (1, 1)}
+    top1 = term_stats(df, top_n=1).collect()
+    assert len(top1) == 1 and top1[0].token in ("cat", "the")

@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data curation.
+
+At 100 TB, ``df.sample(fraction, seed)`` is the wrong tool for corpus
+curation: its output changes with partitioning/task retries is not the
+issue (Spark's sample IS seed-stable per partition split), but it is
+not *content*-stable — re-ingesting the same documents in a different
+file layout yields a different sample, so a backfill or a re-shard
+silently changes the training set.  The standard fix (used by every
+large corpus pipeline) is **hash-based sampling**: a document is in the
+sample iff ``md5(doc_id)`` falls under a threshold.  Properties:
+
+- pure narrow filter — no shuffle, no seed coordination, pushed to the
+  scan; at 100 TB it costs one hash per row;
+- reproducible across engines, re-runs, re-shards, and subsets (a
+  document's membership never depends on the rest of the data);
+- nested samples: threshold 5% ⊂ threshold 10% — growing the sample
+  keeps everything already selected (crucial for ablation ladders).
+
+``stratified_sample`` adds per-stratum quotas (e.g. "top N docs per
+language by hash order") — one shuffle on the strata columns.  For a
+hot stratum at scale, pre-thin with :func:`hash_sample` first so the
+per-stratum sort ranks a bounded candidate set instead of the full
+stratum (two-phase quota sampling).
+
+No reference parity here — the reference has no sampling surface; this
+is part of the training-pipeline extension mandated by BASELINE.json's
+north star.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def id_hash(id_col: Column | str) -> Column:
+    """Lowercase hex md5 of the id rendered as a string — the portable
+    content-stable sampling key (DuckDB: ``md5(CAST(id AS VARCHAR))``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string"))
+
+
+def hash_sample(df: DataFrame, id_col: str, threshold_hex4: str) -> DataFrame:
+    """Keep rows whose md5(id) 4-hex-digit prefix sorts below
+    ``threshold_hex4``; fraction ≈ int(threshold,16)/65536.  Equal-length
+    lowercase-hex comparison is numeric comparison, so the predicate is
+    a plain string filter both here and in any SQL oracle."""
+    t = threshold_hex4.lower()
+    if len(t) != 4 or any(ch not in "0123456789abcdef" for ch in t):
+        raise ValueError("threshold must be 4 lowercase hex digits")
+    return df.filter(F.substring(id_hash(id_col), 1, 4) < F.lit(t))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    prefilter_hex4: str | None = None,
+) -> DataFrame:
+    """Deterministic quota sample: the ``n_per_stratum`` rows of each
+    stratum that rank first by (md5(id), id).  ``prefilter_hex4``
+    optionally hash-thins each stratum before ranking (the two-phase
+    scale path; choose it so the expected survivors per stratum still
+    exceed the quota).  Output adds ``sample_rank`` (1-based)."""
+    src = hash_sample(df, id_col, prefilter_hex4) if prefilter_hex4 else df
+    w = Window.partitionBy(*strata).orderBy(id_hash(id_col), F.col(id_col))
+    return (
+        src.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -107,3 +107,44 @@ def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def term_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics: for the ``top_n`` terms by document
+    frequency, emit (token, doc_freq, term_freq).
+
+    Tokenization is the portable ASCII form (lowercase, split on
+    ``[^a-z]+``) so any SQL engine reproduces it bit-for-bit
+    (DuckDB: ``unnest(regexp_split_to_array(lower(text),'[^a-z]+'))``).
+
+    Scale shape: explode → two-level hash agg.  The first agg keys on
+    (token, doc) — map-side partial combine collapses within-document
+    repeats before the shuffle; the second agg keys on token and is a
+    classic word-count (partial sums, tiny output); the top-N is
+    TakeOrderedAndProject, not a global sort.  ``count(DISTINCT doc)``
+    in one agg would instead shuffle every (token, doc) pair into the
+    final stage — the two-step form IS the distinct, made explicit.
+    Order is total: (doc_freq DESC, term_freq DESC, token ASC).
+    """
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    per_doc = tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("term_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
+        .limit(top_n)
+    )

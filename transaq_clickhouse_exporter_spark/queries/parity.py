@@ -1161,6 +1161,102 @@ def _datapipe_specs() -> list[QuerySpec]:
         return feats.select("media_id", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
     sp.append(QuerySpec("mm01_feature_extract", _mm, None, tags=("datapipe", "multimodal")))
+
+    # ---- deterministic curation: sampling / packing / vocabulary ----
+    from . import analytics as _an  # noqa: F401 (module layout anchor)
+    from ..datapipe.packing import pack_sequences, pack_summary
+    from ..datapipe.sampling import hash_sample, stratified_sample
+
+    sp.append(
+        QuerySpec(
+            "dp07_hash_sample",
+            lambda s: hash_sample(
+                s.table("documents").select("doc_id", "lang", "source"),
+                "doc_id", "1999",
+            ),
+            """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+            """,
+            tags=("datapipe", "sampling"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "dp08_stratified_sample",
+            lambda s: stratified_sample(
+                s.table("documents").select("doc_id", "lang"),
+                ["lang"], 20, "doc_id",
+            ).select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")),
+            """
+            SELECT doc_id, lang, sample_rank FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+              FROM documents) r
+            WHERE sample_rank <= 20
+            """,
+            tags=("datapipe", "sampling"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "dp09_term_stats",
+            lambda s: dtx.term_stats(s.table("documents"), top_n=100),
+            """
+            SELECT token, doc_freq, term_freq FROM (
+              SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+                     CAST(sum(tf) AS BIGINT) AS term_freq
+              FROM (
+                SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                  SELECT doc_id,
+                         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                  FROM documents) t
+                WHERE token <> '' GROUP BY token, doc_id) d
+              GROUP BY token) f
+            ORDER BY doc_freq DESC, term_freq DESC, token ASC LIMIT 100
+            """,
+            tags=("datapipe", "vocabulary"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "dp10_sequence_pack",
+            lambda s: pack_summary(
+                pack_sequences(
+                    s.table("documents").select(
+                        "doc_id", dtx.ws_token_count("text").alias("n_tok")
+                    ),
+                    "doc_id", "n_tok", budget=2048, n_buckets=16,
+                ),
+                "n_tok",
+            ),
+            """
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(seq_in_bucket AS BIGINT) AS seq_in_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(min(offset_in_seq) AS BIGINT) AS first_offset
+            FROM (
+              SELECT bucket, CAST(cum_before // 2048 AS BIGINT) AS seq_in_bucket,
+                     CAST(cum_before % 2048 AS BIGINT) AS offset_in_seq, n_tok
+              FROM (
+                SELECT bucket, n_tok, COALESCE(sum(n_tok) OVER (
+                    PARTITION BY bucket ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM (
+                  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                         instr('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket,
+                         CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), ' +')) END AS n_tok
+                  FROM documents) b) c) p
+            GROUP BY bucket, seq_in_bucket
+            """,
+            tags=("datapipe", "packing"),
+        )
+    )
     return sp
 
 
