@@ -94,6 +94,15 @@ def test_brute_force_vs_lsh_and_ivf(spark, sf_smoke):
         top = min(rs, key=lambda r: r["rank"])
         assert top["nn_id"] == q and top["cos_sim"] == 1.0  # self is nearest
 
+    # BLAS/partial-top-k form: bit-identical to the join form (rounding
+    # to 6 decimals happens before ranking in both)
+    blas_rows = sim.brute_force_topk_blas(emb, queries, k=10).collect()
+    as_set = lambda rows: {(r.query_id, r.nn_id, r.cos_sim, r.rank) for r in rows}
+    assert as_set(blas_rows) == as_set(bf_rows)
+    # repartitioning the corpus must not change the exact result
+    blas_re = sim.brute_force_topk_blas(emb.repartition(7), queries, k=10).collect()
+    assert as_set(blas_re) == as_set(bf_rows)
+
     lsh = sim.lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
     bf_sets = {q: {r["nn_id"] for r in rs} for q, rs in by_q.items()}
 

@@ -53,6 +53,74 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query, dense-linear-algebra form.
+
+    Same results as :func:`brute_force_topk` (ties broken by id; scores
+    rounded to 6 decimals *before* ranking, which absorbs the BLAS
+    summation-order ulps — the dp04 precedent).  Different physics:
+
+    - the query matrix is collected once (|queries| ≪ |corpus| by ANN
+      assumption) and closed over, reaching executors via broadcast
+      pickling — the corpus never shuffles for a join;
+    - each ``mapInPandas`` batch scores batch × queries in ONE matmul
+      and keeps only its per-query top-k, so the shuffle that feeds the
+      final ranking carries ≤ k·batches·queries candidate rows instead
+      of |queries|·|corpus| scored pairs.  Top-k is decomposable:
+      partial top-k per batch then top-k of candidates ≡ global top-k.
+
+    At 100 TB this is the scan-shaped exact baseline: one linear pass,
+    map-side candidate pruning, a tiny final aggregation."""
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = qm / qn[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((m / norms[:, None]) @ qm.T, 6)  # (batch, q)
+            kk = min(k, len(ids))
+            out_q, out_id, out_s = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -sims[:, j]))[:kk]  # sim desc, id asc
+                out_q.append(np.full(kk, qids[j]))
+                out_id.append(ids[order])
+                out_s.append(sims[order, j])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "nn_id": np.concatenate(out_id),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    qt = dict(queries.dtypes)[query_id_col]
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} {qt}, nn_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "nn_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _planes(dim: int, n_planes: int) -> np.ndarray:
     rng = np.random.default_rng(42)  # fixed: buckets must be stable
     return rng.standard_normal((n_planes, dim))

@@ -1102,7 +1102,10 @@ def _datapipe_specs() -> list[QuerySpec]:
         queries = emb.filter(F.col("vec_id") % 500 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return sim.brute_force_topk(emb, queries, k=10)
+        # the BLAS/partial-top-k form — same exact results as
+        # brute_force_topk (asserted in tests/test_datapipe.py), scan-
+        # shaped at scale: per-batch matmul + map-side top-k pruning
+        return sim.brute_force_topk_blas(emb, queries, k=10)
 
     sp.append(
         QuerySpec(
