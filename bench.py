@@ -30,6 +30,18 @@ from transaq_clickhouse_exporter_spark.testdata import register_views
 
 CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "16"))
 
+#: Longest-processing-time-first submission order (classic LPT
+#: makespan heuristic): the multi-second queries must not start at the
+#: tail of the pool.  Names absent from the catalog are ignored; any
+#: catalog entry not listed here just runs after these.
+HEAVY_FIRST = [
+    "op01_dedup_last_write_wins", "dp05_minhash_lsh_near_dups",
+    "in05_candle_builder_exact", "op04_asof_join", "an03_minute_returns",
+    "dp03_ngram_jaccard", "dp02_text_profile", "ann02_lsh_topk",
+    "in06_candles_rollup", "in03_candles_windowed", "dp06_simhash_near_dups",
+    "dp01_exact_dedup", "db01_volume_by_interval_buy", "db03_netto_buy_top10",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,9 +76,11 @@ def main() -> None:
         spec.build(spark).toPandas()
         return name, round(time.perf_counter() - t0, 3)
 
+    ordered = [(n, cat[n]) for n in HEAVY_FIRST if n in cat]
+    ordered += [(n, s) for n, s in cat.items() if n not in HEAVY_FIRST]
     t_all = time.perf_counter()
     with ThreadPoolExecutor(CONCURRENCY) as ex:
-        per_query = dict(ex.map(run, cat.items()))
+        per_query = dict(ex.map(run, ordered))
     total = round(time.perf_counter() - t_all, 3)
 
     print(
