@@ -125,3 +125,36 @@ def test_term_stats_literal(spark):
     assert out == {"the": (2, 2), "cat": (2, 2), "dog": (1, 3), "sat": (1, 1)}
     top1 = term_stats(df, top_n=1).collect()
     assert len(top1) == 1 and top1[0].token in ("cat", "the")
+
+
+def test_rolling_fingerprint_polynomial(spark):
+    from transaq_clickhouse_exporter_spark.datapipe.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "ab"), (4, "A b!")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.fp for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    # hand-computed: 'a'=97; 'ab' = 97*131+98; 'A b!' normalizes to 'ab'
+    assert got == {1: 97, 2: 0, 3: 97 * 131 + 98, 4: 97 * 131 + 98}
+    # incremental extension property: fp(s + t) = fp(s)*B^|t| + fp(t) mod p
+    p, B = 1_000_000_007, 131
+    s_, t_ = "hello", "world"
+    fp = lambda txt: {r.fp for r in spark.createDataFrame([(txt,)], ["text"]).select(rolling_fingerprint("text").alias("fp")).collect()}.pop()
+    assert fp(s_ + t_) == (fp(s_) * pow(B, len(t_), p) + fp(t_)) % p
+
+
+def test_assign_split_stable_and_proportional(spark, docs):
+    from transaq_clickhouse_exporter_spark.datapipe.sampling import assign_split
+
+    out = assign_split(docs.select("doc_id"), "doc_id")
+    by = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert set(by) <= {"train", "val", "test"} and by["train"] > 0.9 * n
+    # contamination-proofness: membership is identical when computed on
+    # any subset of the corpus (dataset v2 never flips a v1 assignment)
+    subset = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    sub = {r.doc_id: r.split for r in assign_split(subset, "doc_id").collect()}
+    full = {r.doc_id: r.split for r in assign_split(docs.select("doc_id"), "doc_id").collect()}
+    assert all(full[d] == s for d, s in sub.items())
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", (("a", 0.5), ("b", 0.4)))

@@ -71,3 +71,39 @@ def stratified_sample(
         src.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Sequence[tuple[str, float]] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(id) hash range.
+
+    Fractions are quantized to 1/65536 steps (4 hex digits).  A
+    document's split NEVER changes as the corpus grows or re-shards —
+    the property that prevents train/test contamination across dataset
+    versions — and the assignment is a pure narrow projection (no
+    shuffle, no seed).  The CASE-over-hex-prefix form is portable to
+    any SQL engine verbatim.  Fractions must sum to 1 (±1 quantum);
+    the last split absorbs rounding."""
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(id_hash(id_col), 1, 4)
+    bounds: list[tuple[str, str]] = []
+    acc = 0
+    for name, frac in fractions[:-1]:
+        acc += round(frac * 65536)
+        bounds.append((name, format(min(acc, 65535), "04x")))
+    # WHEN chain in ascending-bound order: first matching bound wins
+    expr = None
+    for name, bound in bounds:
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(fractions[-1][0]) if expr is None else expr.otherwise(F.lit(fractions[-1][0]))
+    return df.withColumn("split", expr)

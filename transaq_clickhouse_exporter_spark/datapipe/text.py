@@ -148,3 +148,27 @@ def term_stats(
         .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def rolling_fingerprint(
+    col: Column | str, base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Rabin-Karp-style polynomial rolling hash of the normalized text
+    (lowercase, non-alphanumerics stripped): ``fp = Σ c_i · base^(n-i)
+    mod p`` folded left-to-right.  Unlike the md5 :func:`fingerprint`
+    this is *incrementally extendable* — the hash of ``doc + suffix``
+    derives from the hash of ``doc`` in O(|suffix|), the property
+    chunked/streaming fingerprinting needs.
+
+    Pure JVM expression (``aggregate`` over the char array — no UDF),
+    and portable: DuckDB reproduces it bit-for-bit via ``list_reduce``
+    over ``ascii()`` codes (see the dp11 oracle).  ``acc < p < 2^30``
+    keeps ``acc·base + c`` far below 2^63 — no overflow on any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(normalize_text(c), ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

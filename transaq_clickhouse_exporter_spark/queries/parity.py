@@ -1223,6 +1223,44 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "vocabulary"),
         )
     )
+    from ..datapipe.sampling import assign_split
+
+    sp.append(
+        QuerySpec(
+            "dp12_split_assign",
+            lambda s: assign_split(
+                s.table("documents").select("doc_id"), "doc_id",
+                (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+            ),
+            """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+            """,
+            tags=("datapipe", "splits"),
+        )
+    )
+    sp.append(
+        QuerySpec(
+            "dp11_rolling_fingerprint",
+            lambda s: s.table("documents").select(
+                "doc_id", dtx.rolling_fingerprint("text").alias("fp")
+            ),
+            """
+            SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+                     [ascii(c) FOR c IN regexp_split_to_array(
+                        regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '')
+                      IF c <> '']),
+                   (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+            FROM documents
+            """,
+            tags=("datapipe", "fingerprint"),
+        )
+    )
     sp.append(
         QuerySpec(
             "dp10_sequence_pack",
