@@ -117,13 +117,17 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id",
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash): documents
     sharing any band become a candidate pair.  Scale shape: explode is
     linear; the join shuffles on the band key; bucket skew (a viral
-    near-dup cluster) is handled by AQE skew-join splitting."""
-    n = signatures.select(F.size("minhash")).first()[0]
+    near-dup cluster) is handled by AQE skew-join splitting.
+
+    Pass ``n_hashes`` when known — probing it from the data costs an
+    extra job through the (Python-UDF) signature stage."""
+    n = n_hashes or signatures.select(F.size("minhash")).first()[0]
     rows_per_band = n // bands
     banded = signatures.select(
         F.col(id_col),
@@ -170,7 +174,7 @@ def minhash_near_dups(
     # cache: the LSH self-join references the signatures on both sides —
     # without it the (Python-UDF) signature stage executes twice
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, n_hashes=n_hashes)
     return ngram_jaccard(df, cands, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
