@@ -51,3 +51,30 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(*) FROM dd").first()[0] == 2
+
+
+def test_incremental_exact_dedup(spark):
+    from transaq_clickhouse_exporter_spark.datapipe.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "Seen doc."), (2, "other seen")], ["doc_id", "text"]
+    )
+    seen = exact_dedup(corpus).select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "seen doc"),      # dup of corpus doc 1 (normalized)
+            (11, "brand new"),
+            (12, "BRAND new!!"),   # in-batch dup of 11 → 11 wins (min id)
+            (13, "also new"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_exact_dedup(batch, seen)
+    assert {r.doc_id for r in out.collect()} == {11, 13}
+    # chaining: appending survivors' hashes blocks the next batch
+    seen2 = seen.unionAll(out.select("content_hash"))
+    batch2 = spark.createDataFrame([(20, "also NEW"), (21, "fresh")], ["doc_id", "text"])
+    assert {r.doc_id for r in incremental_exact_dedup(batch2, seen2).collect()} == {21}

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -80,6 +80,45 @@ def exact_dedup(
         df.select(key.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = True,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against the historical corpus without
+    ever re-reading the corpus documents: ``seen_hashes`` is the
+    persisted one-column ``content_hash`` table that each run appends
+    its survivors' hashes to.
+
+    Two stages, both shuffle-minimal: dedup *within* the batch
+    (hash-groupBy, map-side combine — batches are small), then one
+    ``left_anti`` join against the hash table.  At 100 TB the hash
+    table is itself stored bucketed/sorted by ``content_hash`` so the
+    anti-join is a bucket-local probe, and the batch side (tiny) is the
+    build side.  Content hashing is md5 — stable across runs, so the
+    incremental run chain reproduces exactly.
+
+    Returns the surviving new rows with their ``content_hash`` attached
+    (append these hashes to ``seen_hashes`` after the batch commits)."""
+    key = F.md5(normalize_text(text_col)) if normalized else F.md5(F.col(text_col))
+    in_batch = (
+        new_docs.withColumn("content_hash", key)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return in_batch.join(
+        seen_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
     )
 
 

@@ -1225,6 +1225,33 @@ def _datapipe_specs() -> list[QuerySpec]:
     )
     from ..datapipe.sampling import assign_split
 
+    def _incr(s: SparkSession) -> DataFrame:
+        # new batch = odd doc_ids; historical corpus = hashes of even ids
+        docs = s.table("documents")
+        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        seen = dd.exact_dedup(docs.filter(F.col("doc_id") % 2 == 0)).select("content_hash")
+        out = dd.incremental_exact_dedup(new_docs, seen)
+        return out.select("doc_id", "content_hash")
+
+    sp.append(
+        QuerySpec(
+            "dp13_incremental_dedup",
+            _incr,
+            """
+            SELECT doc_id, content_hash FROM (
+              SELECT doc_id, content_hash, row_number() OVER (
+                  PARTITION BY content_hash ORDER BY doc_id) AS rn
+              FROM (SELECT doc_id,
+                           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                             AS content_hash
+                    FROM documents WHERE doc_id % 2 = 1) h) w
+            WHERE rn = 1 AND content_hash NOT IN (
+              SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+              FROM documents WHERE doc_id % 2 = 0)
+            """,
+            tags=("datapipe", "dedup-incremental"),
+        )
+    )
     sp.append(
         QuerySpec(
             "dp12_split_assign",
