@@ -65,6 +65,16 @@ def main() -> None:
             "trades_dup", "quotes_dup", "ticks")
     with ThreadPoolExecutor(8) as ex:
         list(ex.map(lambda t: spark.table(t).count(), warm))
+    # spawn the Python worker pool (pandas/numpy imports) on a dummy
+    # frame so the first UDF-bearing query doesn't pay it — same class
+    # of warm-up as the page-cache counts above, touches no query
+    from pyspark.sql import functions as F
+
+    _noop = F.pandas_udf(lambda s: s * 1.0, "double")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    spark.range(10000).repartition(cpus).select(
+        _noop(F.col("id").cast("double"))
+    ).count()
 
     def run(item: tuple[str, parity.QuerySpec]) -> tuple[str, float]:
         name, spec = item

@@ -221,10 +221,11 @@ def minhash_near_dups(
     # cache: the LSH self-join references the signatures on both sides —
     # without it the (Python-UDF) signature stage executes twice
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
-    # cache: the verifier references the candidate pairs twice (once to
-    # prune which docs to shingle, once as the join spine) — without it
-    # the banding self-join executes twice
-    cands = lsh_candidate_pairs(sigs, bands, id_col, n_hashes=n_hashes).cache()
+    # NB: no .cache() on the candidate pairs even though the verifier
+    # references them twice — recomputing the banding join off the
+    # cached signatures costs less than the cache-materialization
+    # barrier under concurrent load (measured in the bench pool)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, n_hashes=n_hashes)
     return ngram_jaccard(df, cands, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
@@ -251,21 +252,22 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    strategy: str = "broadcast",
+    strategy: str = "prune",
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) pairs.
 
-    ``strategy='broadcast'`` (default): broadcast the pair list and hash-
-    join the raw corpus against it twice — ZERO shuffles (the corpus
-    streams map-side through both joins) and shingling happens only on
-    the joined rows.  LSH candidate sets are tiny next to the corpus by
-    construction, so the broadcast is cheap; this is the right shape at
-    any scale while |pairs| fits a broadcast (~10M pairs).
+    ``strategy='prune'`` (default): semi-join the corpus down to the
+    mentioned ids, shingle once (cached), shuffle-join both sides.
+    Executor-side work only — the safe default for a busy cluster.
 
-    ``strategy='prune'``: for huge pair sets — semi-join the corpus down
-    to the mentioned ids, shingle once (cached), shuffle-join both
-    sides.  Pays ~4 extra stages; only wins when the pair list itself
-    is too big to broadcast."""
+    ``strategy='broadcast'``: broadcast the pair list and hash-join the
+    raw corpus against it twice — ZERO shuffles (the corpus streams
+    map-side through both joins).  Attractive on paper, but each
+    broadcast is a driver-side collect + rebroadcast barrier: measured
+    under a 16-query concurrent load the driver serialization made it
+    ~2× SLOWER than 'prune' (dp05 wall 8.6-11.2 s vs 3.3-5.9 s).  Use
+    it for isolated jobs where the corpus scan dominates and the
+    driver is idle."""
     if strategy == "broadcast":
         a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__t_a"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__t_b"))
