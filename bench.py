@@ -93,6 +93,16 @@ def main() -> None:
         per_query = dict(ex.map(run, ordered))
     total = round(time.perf_counter() - t_all, 3)
 
+    # steady-state pass: same catalog again, now that codegen/plan
+    # caches are hot.  This is the reference's actual operating regime —
+    # Grafana re-fires the same panel queries on every refresh against
+    # ClickHouse's compiled-query cache.  Reported separately; the
+    # headline `value` stays the conservative cold-pass number.
+    t_ss = time.perf_counter()
+    with ThreadPoolExecutor(CONCURRENCY) as ex:
+        list(ex.map(run, ordered))
+    steady = round(time.perf_counter() - t_ss, 3)
+
     print(
         json.dumps(
             {
@@ -102,6 +112,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "concurrency": CONCURRENCY,
+                "steady_state_sec": steady,
             }
         )
     )
