@@ -10,11 +10,19 @@ DuckDB SQL with the same derivation as a CTE prefix.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transaq_clickhouse_exporter_spark.queries import parity
+# self-anchor: keep the package importable even when this module is
+# loaded by file path from a foreign working directory
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from transaq_clickhouse_exporter_spark.queries import parity  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
