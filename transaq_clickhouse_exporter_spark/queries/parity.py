@@ -15,6 +15,15 @@ Determinism rules that make exact value-hash matching possible:
   ``price*quantity*lotsize`` product is an integer ≤ 5e7 and sums stay
   < 2^53 — double addition is then exact and order-independent, which
   removes cross-engine float-sum drift entirely.
+- **Micro-scaled integer sums for native double columns.**  Sums over
+  doubles that are not integer-valued (prices, balances, event values)
+  are emitted as ``sum(CAST(round(x * 1e6) AS BIGINT))`` on BOTH
+  engines: the per-cell round happens on the identical IEEE-754 double
+  in each engine, then the sum is exact int64 arithmetic — and a BIGINT
+  output hashes identically everywhere, unlike DECIMAL(38,6), whose
+  engine-specific string/scale representation failed the external
+  driver's value-hash in round 1 (CORRECTNESS_r01: op04/ev01/tp01/tp02/
+  tp04 rows+schema ok, hash mismatch).
 - **Epoch bigints, not timestamps, in outputs.**  Timestamp columns are
   converted with ``unix_timestamp`` (session tz pinned UTC) before
   returning, so no timezone or timestamp-encoding assumption of the
@@ -751,15 +760,15 @@ def _events_specs() -> list[QuerySpec]:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+                F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_micro"),
             ),
             """
             SELECT (ts_s // 300) * 300 AS bucket_s, event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
             FROM ev GROUP BY 1, 2
             """,
-            tags=("events", "tumbling", "decimal-sum"),
+            tags=("events", "tumbling", "micro-sum"),
         )
     )
     sp.append(
@@ -844,8 +853,10 @@ def _events_specs() -> list[QuerySpec]:
 
 def _tpch_specs() -> list[QuerySpec]:
     """Generic relational coverage over the TPC-H-ish base tables.
-    Double-valued aggregates go through DECIMAL(38,6) on both engines —
-    exact, order-independent sums (see module docstring)."""
+    Double-valued aggregates are emitted as micro-scaled BIGINTs
+    (``sum(CAST(round(x * 1e6) AS BIGINT))``) on both engines — exact,
+    order-independent integer sums with an engine-neutral hash
+    representation (see module docstring)."""
     sp: list[QuerySpec] = []
     sp.append(
         QuerySpec(
@@ -855,18 +866,22 @@ def _tpch_specs() -> list[QuerySpec]:
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.sum("l_quantity").alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_base_price"),
+                F.sum(F.round(F.col("l_extendedprice") * 1e6).cast("long")).alias(
+                    "sum_base_price_micro"
+                ),
                 F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
-                ).alias("sum_disc_price"),
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                    ).cast("long")
+                ).alias("sum_disc_price_micro"),
                 F.count(F.lit(1)).alias("count_order"),
             ),
             """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
-                     AS sum_disc_price,
+                   sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS sum_base_price_micro,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+                     AS sum_disc_price_micro,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -884,18 +899,21 @@ def _tpch_specs() -> list[QuerySpec]:
             .groupBy("l_orderkey")
             .agg(
                 F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
-                ).alias("revenue")
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                    ).cast("long")
+                ).alias("revenue_micro")
             )
-            .orderBy(F.desc("revenue"), "l_orderkey")
+            .orderBy(F.desc("revenue_micro"), "l_orderkey")
             .limit(10),
             """
             SELECT l_orderkey,
-                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+                     AS revenue_micro
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON o_orderkey = l_orderkey
             WHERE c_mktsegment = 'BUILDING'
-            GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+            GROUP BY l_orderkey ORDER BY revenue_micro DESC, l_orderkey LIMIT 10
             """,
             tags=("tpch", "join", "topk"),
         )
@@ -931,11 +949,11 @@ def _tpch_specs() -> list[QuerySpec]:
             .groupBy("n_name")
             .agg(
                 F.countDistinct("s_suppkey").alias("n_supp"),
-                F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("sum_bal"),
+                F.sum(F.round(F.col("s_acctbal") * 1e6).cast("long")).alias("sum_bal_micro"),
             ),
             """
             SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp,
-                   sum(CAST(s_acctbal AS DECIMAL(38,6))) AS sum_bal
+                   sum(CAST(round(s_acctbal * 1e6) AS BIGINT)) AS sum_bal_micro
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
             """,
@@ -1395,14 +1413,16 @@ def _operator_specs() -> list[QuerySpec]:
         # Aggregate per key so the bench measures the JOIN, not a
         # 600 k-row driver transfer (at sf0.1 the raw output is one row
         # per trade; collect() alone cost 4.7 s vs 0.12 s for the join).
-        # The decimal sums over every matched quote_price still pin the
-        # full as-of assignment; exact full-row parity (against DuckDB's
-        # native ASOF JOIN) lives in tests/test_asof.py.
+        # The micro-scaled integer sums over every matched quote_price
+        # still pin the full as-of assignment; exact full-row parity
+        # (against DuckDB's native ASOF JOIN) lives in tests/test_asof.py.
         return joined.groupBy("sec_code").agg(
             F.count(F.lit(1)).alias("n_trades"),
             F.count("quote_price").alias("n_matched"),
-            F.sum(F.col("price").cast("decimal(38,6)")).alias("sum_trade_price"),
-            F.sum(F.col("quote_price").cast("decimal(38,6)")).alias("sum_quote_price"),
+            F.sum(F.round(F.col("price") * 1e6).cast("long")).alias("sum_trade_price_micro"),
+            F.sum(F.round(F.col("quote_price") * 1e6).cast("long")).alias(
+                "sum_quote_price_micro"
+            ),
         )
 
     sp.append(
@@ -1412,8 +1432,8 @@ def _operator_specs() -> list[QuerySpec]:
             """
             SELECT sec_code, count(*) AS n_trades,
                    count(quote_price) AS n_matched,
-                   sum(CAST(price AS DECIMAL(38,6))) AS sum_trade_price,
-                   sum(CAST(quote_price AS DECIMAL(38,6))) AS sum_quote_price
+                   sum(CAST(round(price * 1e6) AS BIGINT)) AS sum_trade_price_micro,
+                   sum(CAST(round(quote_price * 1e6) AS BIGINT)) AS sum_quote_price_micro
             FROM (
               SELECT t.sec_code, t.price, q.quote_price
               FROM trades t ASOF LEFT JOIN (
