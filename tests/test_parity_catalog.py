@@ -51,6 +51,5 @@ def test_all_queries_have_oracles_or_reason():
         "dp06_simhash_near_dups",
         "ann02_lsh_topk",
         "mm01_feature_extract",
-        "in05_candle_builder_exact",
     }
     assert missing == allowed_missing, f"queries without oracle: {missing ^ allowed_missing}"

@@ -675,20 +675,80 @@ def _ingest_specs() -> list[QuerySpec]:
             tags=("ingest", "ohlcv", "window"),
         )
     )
-    # exact stateful candle builder at sf scale (rows-only: the fold is
-    # order-dependent Python state, not SQL; exactness is pytest-golden)
+    # exact stateful candle builder at sf scale.  The fold is order-
+    # dependent Python state, but (process.go:126-169 semantics, and
+    # fold_ticks_vectorized's key observation) emit points depend only
+    # on (position, second-of-minute, Last>0) — never on accumulator
+    # values — so the fold decomposes into independent inter-emit
+    # segments that ARE SQL-expressible: the oracle below numbers each
+    # tick's preceding emits (running sum), aggregates per segment with
+    # the reference's low rule (min after the last Last==0 tick; 0 if
+    # the zero is final), and joins segments to their closing emit tick.
+    # The time string is derived from epoch seconds with integer
+    # arithmetic so the entry is session-timezone-neutral.
     def _builder(s: SparkSession) -> DataFrame:
         from ..ingest.candles import quotation_candles_batch
 
+        tstr = F.concat_ws(
+            ":",
+            F.lpad(((F.col("ts_s") % 86400) / 3600).cast("long").cast("string"), 2, "0"),
+            F.lpad(((F.col("ts_s") % 3600) / 60).cast("long").cast("string"), 2, "0"),
+            F.lpad((F.col("ts_s") % 60).cast("string"), 2, "0"),
+        )
         ticks = s.table("ticks").select(
-            "sec_id", "sec_code",
-            F.date_format("ts", "HH:mm:ss").alias("time"),
+            "sec_id", "sec_code", tstr.alias("time"),
             F.lit(0.0).alias("open"), F.col("last"), "quantity", "seq",
         )
         return quotation_candles_batch(ticks, "2024-01-01")
 
     sp.append(
-        QuerySpec("in05_candle_builder_exact", _builder, None, tags=("ingest", "stateful"))
+        QuerySpec(
+            "in05_candle_builder_exact",
+            _builder,
+            """
+            , tk AS (
+              SELECT sec_id, sec_code, seq, last, quantity,
+                     lpad(CAST((ts_s % 86400) // 3600 AS VARCHAR), 2, '0') || ':' ||
+                     lpad(CAST((ts_s % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+                     lpad(CAST(ts_s % 60 AS VARCHAR), 2, '0') AS tstr,
+                     (ts_s % 60 = 0) AS boundary,
+                     row_number() OVER (PARTITION BY sec_id ORDER BY seq) AS rn
+              FROM ticks
+            ), em AS (
+              SELECT *, (boundary AND last > 0 AND rn > 1) AS is_emit,
+                     sum(CASE WHEN boundary AND last > 0 AND rn > 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY sec_id ORDER BY rn) AS k
+              FROM tk
+            ), segticks AS (
+              SELECT sec_id, k AS seg_no, rn, last, quantity,
+                     max(CASE WHEN last = 0 THEN rn END)
+                       OVER (PARTITION BY sec_id, k) AS lzr
+              FROM em WHERE NOT is_emit
+            ), seg AS (
+              SELECT sec_id, seg_no,
+                     max(last) AS seg_high,
+                     CAST(sum(quantity) AS BIGINT) AS seg_vol,
+                     CASE WHEN max(lzr) IS NULL THEN min(last)
+                          ELSE COALESCE(min(CASE WHEN rn > lzr THEN last END), 0.0)
+                          END AS seg_low,
+                     max(CASE WHEN rn = 1 THEN last END) AS first_last
+              FROM segticks GROUP BY sec_id, seg_no
+            )
+            SELECT e.sec_code, CAST(1 AS INTEGER) AS period,
+                   '2024-01-01 ' || e.tstr AS "date",
+                   CASE WHEN e.k = 1 THEN COALESCE(s.first_last, 0.0)
+                        ELSE 0.0 END AS open,
+                   e.last AS close,
+                   greatest(0.0, COALESCE(s.seg_high, 0.0)) AS high,
+                   COALESCE(s.seg_low, 0.0) AS low,
+                   COALESCE(s.seg_vol, 0) AS volume
+            FROM em e LEFT JOIN seg s
+              ON s.sec_id = e.sec_id AND s.seg_no = e.k - 1
+            WHERE e.is_emit
+            """,
+            tags=("ingest", "stateful"),
+        )
     )
 
     # OHLCV rollup: 1-min windowed candles → 10-min (continuous-agg shape)
