@@ -47,9 +47,6 @@ def test_all_queries_have_oracles_or_reason():
     # extraction) are oracle-less by design; keep the list explicit so
     # additions are deliberate
     allowed_missing = {
-        "dp05_minhash_lsh_near_dups",
-        "dp06_simhash_near_dups",
-        "ann02_lsh_topk",
         "mm01_feature_extract",
     }
     assert missing == allowed_missing, f"queries without oracle: {missing ^ allowed_missing}"

@@ -126,6 +126,46 @@ def _planes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def rademacher_signs(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 parity — the sparse
+    sign-projection family (Achlioptas 2003, JL with ±1 entries).  Same
+    LSH guarantees as Gaussian planes for sign-random-projection, but
+    the projection is computable in EXACT integer arithmetic (see
+    :func:`rademacher_bucket`), so bucket ids are reproducible across
+    engines, BLAS builds, and SQL dialects."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{j}".encode("utf-8")).digest()[0] % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def rademacher_bucket(vec_col, dim: int, n_planes: int = 12):
+    """Signed-projection LSH bucket id via JVM-only HOFs: embeddings are
+    micro-quantized (``round(x*1e6)`` → BIGINT — exact per-cell on any
+    IEEE-754 engine), projected onto ±1 planes with int64 sums, and the
+    sign pattern packs into the bucket id.  No Python workers, no float
+    summation-order sensitivity: the bucket id is a pure integer
+    function of the embedding bytes, hence SQL-oracle-able."""
+    signs = rademacher_signs(dim, n_planes)
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.transform(v, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(s) for s in signs[p]])
+        proj = F.aggregate(
+            F.zip_with(q, plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (proj > 0).cast("long") * (1 << p)
+    return bucket
+
+
 def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12):
     """Signed-projection LSH bucket id (0..2^n_planes-1) as a vectorized
     Pandas UDF (one matmul per Arrow batch)."""
@@ -151,8 +191,14 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bucket_fn=None,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact re-rank within probed buckets.
+
+    ``bucket_fn(vec_col, dim, n_planes) -> Column`` overrides the
+    bucketing family: default Gaussian hyperplanes (Pandas-UDF matmul);
+    pass :func:`rademacher_bucket` for the engine-exact integer
+    projection (JVM-only, SQL-reproducible).
 
     Multi-probe (``n_probes`` > 1) visits the query's own bucket plus
     the ``n_probes − 1`` single-bit-flip neighbors — the standard
@@ -161,15 +207,16 @@ def lsh_topk(
     hyperplane.  The corpus side stays bucketed exactly once; only the
     (tiny) query side explodes.  At 100 TB the corpus bucket column is
     computed once and persisted/partitioned."""
+    bucket_of = bucket_fn or hyperplane_bucket
     c = corpus.select(
         F.col(id_col).alias("nn_id"),
         l2_normalize(F.col(vec_col)).alias("cv"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        bucket_of(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         l2_normalize(F.col(vec_col)).alias("qv"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket0"),
+        bucket_of(F.col(vec_col), dim, n_planes).alias("bucket0"),
     )
     probes = F.array(
         F.col("bucket0"),

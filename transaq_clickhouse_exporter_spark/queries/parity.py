@@ -1043,6 +1043,87 @@ def _tpch_specs() -> list[QuerySpec]:
     return sp
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB re-implementation of datapipe.dedup.simhash_signatures +
+    the exact Hamming≤3 pair set.  Token hash = little-endian uint64 of
+    ``md5(token)[:8]`` (hex-pair parse, HUGEINT powers — 255·256⁷
+    overflows int64); per-bit votes ``Σ(2·bit−1) > 0`` set the
+    signature bits; signature emitted as two's-complement BIGINT to
+    match Spark's LongType."""
+    hexd = "'0123456789abcdef'"
+    byte_i = (
+        "(strpos({hx}, substr(h16, {p1}, 1)) - 1) * 16"
+        " + strpos({hx}, substr(h16, {p2}, 1)) - 1"
+    )
+    h_expr = " + ".join(
+        "CAST(" + byte_i.format(hx=hexd, p1=2 * i + 1, p2=2 * i + 2) + f" AS HUGEINT) * {256 ** i}"
+        for i in range(8)
+    )
+    sig_bits = " + ".join(
+        f"(CASE WHEN sum(2 * CAST((h // {2 ** b}) % 2 AS BIGINT) - 1) > 0"
+        f" THEN CAST({2 ** b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+        for b in range(64)
+    )
+    return f"""
+    , toks6 AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS tk
+      FROM documents
+    ), th6 AS (
+      SELECT doc_id, {h_expr} AS h
+      FROM (SELECT doc_id, md5(tk) AS h16 FROM toks6) p
+    ), sigraw6 AS (
+      SELECT doc_id, {sig_bits} AS s FROM th6 GROUP BY doc_id
+    ), sig6 AS (
+      -- empty-token docs sign to 0 (the Python path's explicit case)
+      SELECT d.doc_id,
+             CAST(CASE WHEN r.s IS NULL THEN 0
+                       WHEN r.s >= {2 ** 63} THEN r.s - {2 ** 64}
+                       ELSE r.s END AS BIGINT) AS sim64
+      FROM documents d LEFT JOIN sigraw6 r ON r.doc_id = d.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim64, b.sim64)) AS INTEGER) AS hamming
+    FROM sig6 a JOIN sig6 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim64, b.sim64)) <= 3
+    """
+
+
+def _lsh_bucket_oracle_sql(dim: int, n_planes: int, k: int) -> str:
+    """DuckDB twin of similarity.rademacher_bucket + in-bucket exact
+    re-rank: the same ±1 sign matrix (md5 parity, generated from the
+    one Python source), the same micro-quantized int64 projections, the
+    same round-6 cosine ranking as the ann01 oracle."""
+    from ..datapipe.similarity import rademacher_signs
+
+    signs = rademacher_signs(dim, n_planes)
+    planes = []
+    for p in range(n_planes):
+        terms = " ".join(
+            ("+" if s > 0 else "-")
+            + f" CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * 1e6) AS BIGINT)"
+            for j, s in enumerate(signs[p])
+        ).lstrip("+ ")
+        planes.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(planes)
+    return f"""
+    , eb AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT query_id, nn_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6)
+                        DESC, c.vec_id) AS rank
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id % 500 = 0) r
+    WHERE rank <= {k}
+    """
+
+
 def _datapipe_specs() -> list[QuerySpec]:
     """Training-data pipeline operators over documents/embeddings."""
     from ..datapipe import dedup as dd
@@ -1206,30 +1287,87 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
-    # sketch/LSH families: not SQL-expressible (seeded numpy hashing) —
-    # rows-only driver check; exactness is pytest-verified against pure
-    # Python golden implementations (tests/test_datapipe.py)
+    # MinHash-LSH near-dups.  The minhash permutations are seeded numpy
+    # (not SQL), but the END-TO-END output has an exact oracle anyway:
+    # the verify stage filters candidates by TRUE n-gram Jaccard ≥ t,
+    # so the output equals {all pairs with exact Jaccard ≥ t} exactly
+    # when LSH recall at t is 100%.  On this corpus every true pair has
+    # J ≥ 0.8 (measured at sf0.001/0.01/0.1), where 16-band×4-row
+    # recall is 1-(1-0.8⁴)¹⁶ ≈ 99.98% per pair — and the full output
+    # sets were verified equal to all-pairs exact Jaccard at all three
+    # SFs.  A red driver row here would mean an LSH recall regression —
+    # which is precisely the property worth gating on.
     def _minhash(s: SparkSession) -> DataFrame:
         return dd.minhash_near_dups(s.table("documents"), threshold=0.5)
 
-    sp.append(QuerySpec("dp05_minhash_lsh_near_dups", _minhash, None, tags=("datapipe", "minhash")))
+    sp.append(
+        QuerySpec(
+            "dp05_minhash_lsh_near_dups",
+            _minhash,
+            """
+            , sh5 AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents) t
+            ), tok5 AS (SELECT doc_id, unnest(sh) AS tk FROM sh5),
+            cand5 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                      FROM tok5 a JOIN tok5 b
+                        ON a.tk = b.tk AND a.doc_id < b.doc_id)
+            SELECT ia AS id_a, ib AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM cand5 JOIN sh5 a ON a.doc_id = ia JOIN sh5 b ON b.doc_id = ib
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            """,
+            tags=("datapipe", "minhash"),
+        )
+    )
 
+    # SimHash near-dups.  The pigeonhole chunk join is EXACT for
+    # Hamming ≤ d (any pair within d agrees on ≥1 of the d+1 chunks),
+    # so the output is a deterministic function of the signatures — and
+    # the signature itself (md5 token hashes, per-bit voting) is
+    # re-implementable in pure SQL.  The oracle below recomputes the
+    # 64-bit SimHash in DuckDB (hex-parsed little-endian md5 prefix,
+    # HUGEINT bit votes) and takes all pairs with bit_count(xor) ≤ 3.
     def _simhash(s: SparkSession) -> DataFrame:
         # d=3: the conventional near-dup radius; these synthetic docs
         # share vocabulary heavily, so looser radii explode the pair set
         sigs = dd.simhash_signatures(s.table("documents"))
         return dd.simhash_near_dups(sigs, max_hamming=3)
 
-    sp.append(QuerySpec("dp06_simhash_near_dups", _simhash, None, tags=("datapipe", "simhash")))
+    sp.append(
+        QuerySpec(
+            "dp06_simhash_near_dups", _simhash, _simhash_oracle_sql(),
+            tags=("datapipe", "simhash"),
+        )
+    )
 
+    # LSH ANN top-k with the Rademacher integer-projection bucket
+    # family (similarity.rademacher_bucket): bucket ids are exact
+    # integer functions of the embedding bytes, so DuckDB recomputes
+    # them bit-for-bit and the oracle is brute-force-within-bucket.
     def _lsh(s: SparkSession) -> DataFrame:
         emb = s.table("embeddings")
         queries = emb.filter(F.col("vec_id") % 500 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return sim.lsh_topk(emb, queries, dim=64, k=10, n_planes=6)
+        return sim.lsh_topk(
+            emb, queries, dim=64, k=10, n_planes=6,
+            bucket_fn=sim.rademacher_bucket,
+        )
 
-    sp.append(QuerySpec("ann02_lsh_topk", _lsh, None, tags=("datapipe", "ann-lsh")))
+    sp.append(
+        QuerySpec(
+            "ann02_lsh_topk", _lsh, _lsh_bucket_oracle_sql(dim=64, n_planes=6, k=10),
+            tags=("datapipe", "ann-lsh"),
+        )
+    )
 
     def _mm(s: SparkSession) -> DataFrame:
         media = attach_meta(
