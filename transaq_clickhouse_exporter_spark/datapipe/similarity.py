@@ -267,15 +267,23 @@ def ivf_topk(
         )
     )
     c = corpus.select(F.col(id_col).alias("nn_id"), _as_double(vec_col).alias("cv"))
-    # assign: argmax centroid similarity (broadcast cents both sides)
-    w_assign = Window.partitionBy("nn_id").orderBy(
-        F.desc(F.round(cosine_sim(F.col("cv"), F.col("cent")), 6)), F.col("cell")
-    )
+    # assign: argmax centroid similarity.  A row_number() window over
+    # nn_id here would shuffle n_cells × |corpus| rows on a per-row key
+    # (the round-1 scale-killer); max_by aggregation instead combines
+    # map-side, so the exchange carries ONE row per corpus vector.
+    # Tie-break matches the old window (max sim, then smallest cell)
+    # via the (sim, -cell) ordering struct.
+    sim_assign = F.round(cosine_sim(F.col("cv"), F.col("cent")), 6)
     assigned = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("nn_id", "cv", "cell")
+        .groupBy("nn_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell"), F.col("cv")),
+                F.struct(sim_assign.alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select("nn_id", F.col("best.cv").alias("cv"), F.col("best.cell").alias("cell"))
     )
     q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qv"))
     w_probe = Window.partitionBy(query_id_col).orderBy(
@@ -287,8 +295,12 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(query_id_col, "qv", "cell")
     )
+    # the probe side is |queries| · nprobe rows — broadcast it so the
+    # assigned corpus never shuffles on the (16-value, skewed) cell key
     sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
-    scored = probes.join(assigned, "cell").select(query_id_col, "nn_id", sim.alias("cos_sim"))
+    scored = F.broadcast(probes).join(assigned, "cell").select(
+        query_id_col, "nn_id", sim.alias("cos_sim")
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("nn_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
