@@ -24,6 +24,8 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+import pandas as pd
+
 from transaq_clickhouse_exporter_spark.queries import parity
 from transaq_clickhouse_exporter_spark.session import get_spark
 from transaq_clickhouse_exporter_spark.testdata import register_views
@@ -62,18 +64,31 @@ def main() -> None:
     # in-memory columnar caches of the shared derived views (the
     # reference equivalent: ClickHouse's page cache before a benchmark)
     warm = ("lineitem", "trades", "securities", "etf_codes", "ev",
-            "trades_dup", "quotes_dup", "ticks")
+            "trades_dup", "quotes_dup", "ticks", "documents", "embeddings")
     with ThreadPoolExecutor(8) as ex:
         list(ex.map(lambda t: spark.table(t).count(), warm))
-    # spawn the Python worker pool (pandas/numpy imports) on a dummy
-    # frame so the first UDF-bearing query doesn't pay it — same class
-    # of warm-up as the page-cache counts above, touches no query
+    # spawn the Python worker pool (pandas/numpy imports) on dummy
+    # frames so the first UDF-bearing query doesn't pay it — same class
+    # of warm-up as the page-cache counts above, touches no query.
+    # Three worker paths exist and each has its own first-run
+    # initialization (measured ~2-3 s apiece at 32 workers): scalar
+    # pandas UDF, ARRAY-returning pandas UDF (nested Arrow writers),
+    # and applyInPandas (grouped-map protocol).
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     _noop = F.pandas_udf(lambda s: s * 1.0, "double")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _anoop(s: pd.Series) -> pd.Series:
+        return pd.Series([[int(x)] for x in s])
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    spark.range(10000).repartition(cpus).select(
-        _noop(F.col("id").cast("double"))
+    base = spark.range(10000).repartition(cpus)
+    base.select(_noop(F.col("id").cast("double"))).count()
+    base.select(F.sum(F.size(_anoop(F.col("id"))))).collect()
+    base.withColumn("g", F.col("id") % cpus).groupBy("g").applyInPandas(
+        lambda p: p.head(1), schema="id long, g long"
     ).count()
 
     def run(item: tuple[str, parity.QuerySpec]) -> tuple[str, float]:

