@@ -81,12 +81,33 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str, rel_t
                 f"spark row: {sr}\nduck row:  {dr}"
             )
 
-    # representation check: the driver hashes stringified cells, so two
-    # value-equal results can still hash-differ (round-1 decimal bug);
-    # only meaningful when values compared exactly above
+    # representation check: the driver hashes stringified cells fetched
+    # through pandas/Arrow, so two value-equal results can still
+    # hash-differ.  Round-1 failure mode: DECIMAL(38,6) trailing zeros.
+    # Round-2 failure mode: DuckDB types sum(BIGINT) as HUGEINT, which
+    # fetchall() hides (arrives as Python int) but .df() exposes
+    # (arrives as float64 -> '894824000.0' vs '894824000').  Both sides
+    # therefore go through the pandas representation here.
     if not rel_tol:
-        s_repr = hash_alike_rows(s_cols, s_rows)
-        d_repr = hash_alike_rows(s_cols, [tuple(r) for r in d_rows])
+        import pandas as pd
+
+        d_pdf = con.sql(sql).df()
+        d_pdf.columns = [c.lower() for c in d_pdf.columns]
+        s_pdf = pd.DataFrame(s_rows, columns=s_cols)
+        # HUGEINT tripwire: an integer-typed Spark column must not come
+        # back float-typed from DuckDB's pandas fetch.
+        for c in s_cols:
+            s_kind = s_pdf[c].dtype.kind
+            d_kind = d_pdf[c].dtype.kind
+            assert not (s_kind in "iu" and d_kind == "f"), (
+                f"column {c!r}: spark emits integer dtype but DuckDB's "
+                f"pandas fetch gives {d_pdf[c].dtype} (HUGEINT/overflow "
+                f"leak -- add an outer CAST(... AS BIGINT) in the oracle SQL)"
+            )
+        s_repr = hash_alike_rows(s_cols, [tuple(r) for r in s_pdf.itertuples(index=False)])
+        d_repr = hash_alike_rows(
+            s_cols, [tuple(r) for r in d_pdf[s_cols].itertuples(index=False)]
+        )
         for rn, (sr, dr) in enumerate(zip(s_repr, d_repr)):
             assert sr == dr, (
                 f"hash-alike representation mismatch at sorted row {rn}:\n"

@@ -825,7 +825,7 @@ def _events_specs() -> list[QuerySpec]:
             """
             SELECT (ts_s // 300) * 300 AS bucket_s, event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
             FROM ev GROUP BY 1, 2
             """,
             tags=("events", "tumbling", "micro-sum"),
@@ -939,9 +939,9 @@ def _tpch_specs() -> list[QuerySpec]:
             """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS sum_base_price_micro,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
-                     AS sum_disc_price_micro,
+                   CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_base_price_micro,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+                     AS BIGINT) AS sum_disc_price_micro,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -968,8 +968,8 @@ def _tpch_specs() -> list[QuerySpec]:
             .limit(10),
             """
             SELECT l_orderkey,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
-                     AS revenue_micro
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+                     AS BIGINT) AS revenue_micro
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON o_orderkey = l_orderkey
             WHERE c_mktsegment = 'BUILDING'
@@ -1013,7 +1013,7 @@ def _tpch_specs() -> list[QuerySpec]:
             ),
             """
             SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp,
-                   sum(CAST(round(s_acctbal * 1e6) AS BIGINT)) AS sum_bal_micro
+                   CAST(sum(CAST(round(s_acctbal * 1e6) AS BIGINT)) AS BIGINT) AS sum_bal_micro
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
             """,
@@ -1692,8 +1692,8 @@ def _operator_specs() -> list[QuerySpec]:
             """
             SELECT sec_code, count(*) AS n_trades,
                    count(quote_price) AS n_matched,
-                   sum(CAST(round(price * 1e6) AS BIGINT)) AS sum_trade_price_micro,
-                   sum(CAST(round(quote_price * 1e6) AS BIGINT)) AS sum_quote_price_micro
+                   CAST(sum(CAST(round(price * 1e6) AS BIGINT)) AS BIGINT) AS sum_trade_price_micro,
+                   CAST(sum(CAST(round(quote_price * 1e6) AS BIGINT)) AS BIGINT) AS sum_quote_price_micro
             FROM (
               SELECT t.sec_code, t.price, q.quote_price
               FROM trades t ASOF LEFT JOIN (
