@@ -4,12 +4,13 @@ Tables: ``region nation customer supplier part orders lineitem events
 documents embeddings`` — one parquet each under
 ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
-``events.parquet`` carries parquet ``TIMESTAMP(NANOS)`` which Spark
-rejects by default; with ``spark.sql.legacy.parquet.nanosAsLong=true``
-the column arrives as LongType nanoseconds.  :func:`register_views`
-exposes it as ``events`` with an extra exact epoch-seconds column
-``ts_s`` (``ts DIV 1e9`` — integer division, no double rounding), which
-is what DuckDB's ``epoch_us(ts) // 1000000`` yields on its side.
+``events.parquet``'s ``ts`` column has shipped in two generations of
+the driver testdata: parquet ``TIMESTAMP(NANOS)`` (arrives as LongType
+nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong=true``) and
+``timestamp[us]`` (arrives as TIMESTAMP_NTZ).  :func:`load_table`
+detects which one it got and exposes the same extra exact
+epoch-seconds column ``ts_s`` either way — integer division / floor,
+no double rounding — matching DuckDB's ``epoch_us(ts) // 1000000``.
 """
 
 from __future__ import annotations
@@ -45,10 +46,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is LongType nanos (nanosAsLong); add an exact epoch-seconds
-        # column.  `DIV` is integer division — bit-exact, unlike a
-        # double-precision `/` at 1e18 magnitudes.
-        df = df.withColumn("ts_s", F.expr("ts DIV 1000000000"))
+        # Exact epoch-seconds regardless of which generation of the
+        # testdata we got: LongType nanos (nanosAsLong) or a
+        # TIMESTAMP/_NTZ column.  `DIV` / `unix_micros` are integer —
+        # bit-exact, unlike a double-precision `/` at 1e18 magnitudes.
+        # The NTZ→TIMESTAMP cast resolves in the session time zone,
+        # which configure_session pins to UTC before any load.
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts_s", F.expr("ts DIV 1000000000"))
+        else:
+            df = df.withColumn(
+                "ts_s",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"),
+            )
     return df
 
 
