@@ -195,6 +195,76 @@ def band_buckets(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+#: 31-bit Mersenne prime for the JVM-side permutation math: with
+#: ``a, b, h < 2^31`` the product ``a*h + b`` stays under 2^62, so the
+#: arithmetic is exact in ANSI int64 (the 61-bit prime the pandas
+#: kernel uses would overflow ``a*h`` JVM-side).  A 31-bit minwise
+#: space is ample: per-shingle collision odds are ~n_shingles/2^31.
+P31 = (1 << 31) - 1
+
+
+def _perm_params31(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)  # fixed: signatures must be stable
+    a = rng.integers(1, P31, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, P31, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def band_buckets_jvm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash band buckets computed entirely JVM-side — no Python
+    workers, no Arrow transfer, no repartition shuffle on the corpus.
+
+    Shape: shingle (HOF codegen) → hash each shingle ONCE with
+    ``xxhash64`` → explode to (id, h) rows → ``groupBy(id)`` with one
+    ``min((a_i*h + b_i) mod p)`` aggregate per permutation.  The 64 min
+    aggregates are primitive buffers, so the whole pipeline stays in
+    WholeStageCodegen HashAggregate with a map-side partial combine —
+    the shuffle carries exactly ``n_hashes`` longs per document
+    regardless of document length.  (The tempting per-row form — 64
+    nested ``array_min(transform(...))`` — leaves codegen: higher-order
+    functions evaluate interpreted, and measured 25 s vs 1 s for this
+    form at sf0.01.)  Band buckets hash consecutive ``n/bands``-sized
+    signature slices, same banding semantics as :func:`band_buckets`.
+
+    ``xxhash64`` is stable across runs, partitions, JVM versions and
+    languages (seed 42 fixed by Spark), which incremental 100 TB dedup
+    requires — strictly stronger reproducibility than the Python
+    kernel's md5 (also stable, but only reachable through a Python
+    worker)."""
+    a, b = _perm_params31(n_hashes)
+    rows = n_hashes // bands
+    hs = F.transform(
+        shingle_array(text_col, shingle_k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(P31)),
+    )
+    exploded = df.select(F.col(id_col), F.explode(hs).alias("__h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(int(a[i]) * F.col("__h") + int(b[i]), F.lit(P31))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bucket_structs = [
+        F.struct(
+            F.lit(bd).alias("band"),
+            F.hash(*[F.col(f"__m{i}") for i in range(bd * rows, (bd + 1) * rows)]).alias(
+                "bucket"
+            ),
+        )
+        for bd in range(bands)
+    ]
+    return mins.select(
+        F.col(id_col), F.explode(F.array(*bucket_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def _pairs_from_banded(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     left = banded.alias("l")
     right = banded.alias("r")
@@ -230,31 +300,68 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_k: int = 3,
     parallelism: int | None = None,
+    engine: str = "pandas",
+    banded: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact-Jaccard verification (no sketch false
     positives survive).
 
-    ``parallelism``: repartition the corpus before the (CPU-bound)
-    signature stage.  Meant for small/local inputs that arrive as a
-    single file split (the md5-per-shingle work then serializes on one
-    core); on a real cluster the input's own splits already provide
-    parallelism — leave it None and no extra shuffle happens."""
-    sig_in = df.repartition(parallelism) if parallelism else df
-    sigs = minhash_signatures(sig_in, text_col, id_col, n_hashes, shingle_k)
-    # cache at the BANDED level, not the signature level: the LSH
-    # self-join references both sides, so something must materialize —
-    # and (id, band, bucket) is all-primitive, which the columnar cache
-    # writes ~4× faster than the array<long> signatures (measured; the
-    # nested encoding is per-element).  The signature UDF still runs
-    # exactly once.
-    banded = band_buckets(sigs, bands, id_col, n_hashes=n_hashes).cache()
+    ``engine='pandas'`` (default) uses the Arrow-batched UDF kernel
+    (:func:`minhash_signatures`).  ``engine='jvm'`` computes the band
+    buckets via :func:`band_buckets_jvm` — whole-stage-codegen minwise
+    hashing with zero Python workers in the path.  The engines use
+    different permutation spaces (61- vs 31-bit), so their CANDIDATE
+    sets differ — but the final output is identical whenever both
+    achieve full recall at ``threshold`` (verified exact vs all-pairs
+    Jaccard at sf0.01/0.1 for both), because the exact-Jaccard verify
+    removes every sketch false positive.  Measured trade-off at sf0.1:
+    the JVM path's 64-slot aggregate generates a huge Janino compile
+    that repeats per AQE stage and dominates a pool of small concurrent
+    queries (catalog cold 6.1 s → 11.8 s), while the pandas kernel
+    executes in ~0.5 s once workers are warm — so pandas is the default
+    for mixed interactive load; prefer 'jvm' for long-running batch
+    jobs on clusters where Python worker provisioning is the scarce
+    resource (compile is once-per-executor-lifetime there).
+
+    ``parallelism`` (pandas engine only): repartition the corpus before
+    the CPU-bound signature stage.  Meant for small/local inputs that
+    arrive as a single file split (the md5-per-shingle work then
+    serializes on one core); on a real cluster the input's own splits
+    already provide parallelism — leave it None and no extra shuffle
+    happens.  The JVM engine ignores it: its hash stage is cheap
+    enough per core that the post-groupBy shuffle provides all needed
+    spread.
+
+    ``banded`` / ``shingles``: pre-materialized (id, band, bucket) band
+    buckets and (id, sh) shingle arrays.  A deployment that dedups the
+    same corpus repeatedly (the reference's always-on dashboard regime,
+    or an incremental 100 TB ingest) should materialize both ONCE —
+    e.g. as cached views — and pass them in: a ``.cache()`` buried
+    inside this function is re-materialized on every rebuilt plan,
+    because the fresh pandas-UDF instance defeats Spark's
+    canonicalized-plan cache lookup (measured: this was the whole
+    steady-state anomaly in the round-2 bench)."""
+    if banded is None:
+        if engine == "jvm":
+            banded = band_buckets_jvm(df, text_col, id_col, n_hashes, bands, shingle_k).cache()
+        else:
+            sig_in = df.repartition(parallelism) if parallelism else df
+            sigs = minhash_signatures(sig_in, text_col, id_col, n_hashes, shingle_k)
+            # cache at the BANDED level, not the signature level: the LSH
+            # self-join references both sides, so something must
+            # materialize — and (id, band, bucket) is all-primitive,
+            # which the columnar cache writes ~4× faster than the
+            # array<long> signatures (measured; the nested encoding is
+            # per-element).  The signature UDF still runs exactly once.
+            banded = band_buckets(sigs, bands, id_col, n_hashes=n_hashes).cache()
     # NB: no .cache() on the candidate pairs even though the verifier
     # references them twice — recomputing the banding join off the
     # cached band buckets costs less than the cache-materialization
     # barrier under concurrent load (measured in the bench pool)
     cands = _pairs_from_banded(banded, id_col)
-    return ngram_jaccard(df, cands, text_col, id_col, shingle_k).filter(
+    return ngram_jaccard(df, cands, text_col, id_col, shingle_k, shingles=shingles).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -281,12 +388,18 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     k: int = 3,
     strategy: str = "prune",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) pairs.
 
     ``strategy='prune'`` (default): semi-join the corpus down to the
     mentioned ids, shingle once (cached), shuffle-join both sides.
     Executor-side work only — the safe default for a busy cluster.
+
+    ``shingles``: optional pre-materialized (``id_col``, ``sh``) frame
+    (e.g. a cached view built with :func:`shingle_array`).  When given,
+    the per-call shingle computation AND its per-call ``.cache()`` are
+    skipped entirely — the right shape for a corpus verified repeatedly.
 
     ``strategy='broadcast'``: broadcast the pair list and hash-join the
     raw corpus against it twice — ZERO shuffles (the corpus streams
@@ -296,7 +409,11 @@ def ngram_jaccard(
     ~2× SLOWER than 'prune' (dp05 wall 8.6-11.2 s vs 3.3-5.9 s).  Use
     it for isolated jobs where the corpus scan dominates and the
     driver is idle."""
-    if strategy == "broadcast":
+    if shingles is not None:
+        a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        j = pairs.join(a, "id_a").join(b, "id_b")
+    elif strategy == "broadcast":
         a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__t_a"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__t_b"))
         j1 = a.join(F.broadcast(pairs.select("id_a", "id_b")), "id_a")

@@ -53,7 +53,17 @@ def dedup_last_write_wins(
     remains the right shape when duplicates-per-key ≫ 1 (its partial
     step collapses dupes before the shuffle, the window form ships them
     all); our trades feed is near-unique per key, so window wins.
-    Output column order is keys-first under 'agg'."""
+    ``strategy='columns'`` runs one ``max_by(col, order_col)`` PER
+    payload column: every buffer is primitive, so the whole pipeline
+    stays HashAggregate with a map-side partial combine — no sorts at
+    all (measured at sf0.1: 1.0 s steady vs 1.8 s window).  It also
+    collapses duplicates before the shuffle like 'agg'.  Correct ONLY
+    when ``order_col`` is unique per key (true for :data:`INGEST_SEQ`):
+    with ties, different columns could be taken from different tied
+    rows, breaking row atomicity — which is why 'window' stays the
+    generic default.  Unused ``max_by`` columns are pruned by Catalyst
+    when the caller projects a subset.
+    Output column order is keys-first under 'agg'/'columns'."""
     if order_col not in df.columns:
         # Exact-duplicate collapse: dropDuplicates does a partial
         # (map-side) dedup before the shuffle — cheaper than a window.
@@ -67,6 +77,13 @@ def dedup_last_write_wins(
         )
         return out if keep_order_col else out.drop(order_col)
     payload = [c for c in df.columns if c not in keys and c != order_col]
+    if strategy == "columns":
+        aggs = [F.max_by(c, order_col).alias(c) for c in payload]
+        if keep_order_col:
+            aggs.append(F.max(order_col).alias(order_col))
+        if not aggs:
+            return df.select(*keys).distinct()
+        return df.groupBy(*keys).agg(*aggs)
     aggs = []
     if payload:
         aggs.append(F.max_by(F.struct(*payload), F.col(order_col)).alias("__win"))
