@@ -47,3 +47,22 @@ def test_cumulative_volume_monotone(spark, sf_smoke):
         F.col("prev").isNotNull() & (F.col("cum_vol") < F.col("prev"))
     )
     assert dec.count() == 0
+
+
+def test_rolling_channel_frame(spark):
+    from transaq_clickhouse_exporter_spark.queries import analytics as an
+
+    rows = [
+        # sec, time_s, price, quantity — 3 minutes of bars for one sec
+        ("A", 0, 10.0, 1), ("A", 30, 12.0, 1),       # minute 0: high 12 low 10
+        ("A", 60, 8.0, 2),                            # minute 60: high/low 8
+        ("A", 120, 15.0, 1),                          # minute 120
+    ]
+    t = spark.createDataFrame(rows, "sec_code string, time_s long, price double, quantity long")
+    out = {r.minute_s: r for r in an.rolling_channel(t, window_minutes=2).collect()}
+    assert out[0].roll_high == 12.0 and out[0].roll_low == 10.0
+    # trailing 2-bar frame: minute 60 sees minutes 0+60
+    assert out[60].roll_high == 12.0 and out[60].roll_low == 8.0
+    # minute 120 sees minutes 60+120 only
+    assert out[120].roll_high == 15.0 and out[120].roll_low == 8.0
+    assert out[120].roll_vol == 8.0 * 2 + 15.0

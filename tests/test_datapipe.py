@@ -167,3 +167,23 @@ def test_multimodal_features_and_frames(spark, docs):
 
     with pytest.raises(Exception):  # strict decoder stub raises in executor
         mm.resize_stub(media, 64, 64, decoder="strict").collect()
+
+
+def test_curation_filter_rules(spark):
+    ok = ("the cat and the dog walk to the park of wonders and it is nice "
+          "to see them play for hours in the field ") * 3  # long enough, stopwords
+    rows = [
+        (1, ok),
+        (2, "short"),                                   # too_short
+        (3, "x" * 150),                                 # one 150-char word -> word rules
+        (4, ok.replace(" ", "!!! ")),                   # punct_heavy
+        (5, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+             "eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.fail_reason) for r in dtx.curation_filter(df).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "too_few_words")
+    assert got[4][0] is False and got[4][1] in ("punct_heavy", "word_len_out_of_band")
+    assert got[5] == (False, "no_stopwords")  # latin text, no en stopwords

@@ -1,0 +1,62 @@
+"""Range (interval) join: binned decomposition ≡ naive theta join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.operators.range_join import interval_join
+
+
+def _points(spark):
+    rows = [
+        # (pid, key, t)
+        (1, "A", 100),
+        (2, "A", 119),   # bin boundary (w=60: bin 1)
+        (3, "A", 120),   # exactly at an interval end -> excluded (half-open)
+        (4, "A", 239),
+        (5, "B", 100),   # right key, same times as A
+        (6, "A", 500),   # matches nothing
+    ]
+    return spark.createDataFrame(rows, "pid long, k string, t long")
+
+
+def _intervals(spark):
+    rows = [
+        # (iid, key, s, e)  — widths not multiples of the bin
+        (10, "A", 90, 120),
+        (11, "A", 100, 250),   # overlapping windows: points match BOTH
+        (12, "B", 95, 101),
+        (13, "A", 400, 450),   # empty window
+    ]
+    return spark.createDataFrame(rows, "iid long, k string, s long, e long")
+
+
+def _run(spark, strategy):
+    out = interval_join(
+        _points(spark), _intervals(spark),
+        point_ts="t", start_col="s", end_col="e", by=["k"],
+        bin_width=60, strategy=strategy,
+    )
+    return sorted((r.pid, r.iid) for r in out.select("pid", "iid").collect())
+
+
+def test_bin_equals_theta(spark):
+    got = _run(spark, "bin")
+    assert got == _run(spark, "theta")
+    # half-open semantics: t=120 not in [90,120); overlap -> two matches
+    assert got == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (4, 11), (5, 12)]
+
+
+def test_no_key_join(spark):
+    pts = _points(spark).drop("k")
+    iv = _intervals(spark).drop("k").filter(F.col("iid") == 11)
+    out = interval_join(pts, iv, point_ts="t", start_col="s", end_col="e", bin_width=60)
+    assert sorted(r.pid for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_column_collision_raises(spark):
+    import pytest
+
+    pts = _points(spark).withColumnRenamed("pid", "iid")
+    with pytest.raises(ValueError):
+        interval_join(pts, _intervals(spark), "t", "s", "e", by=["k"])

@@ -172,3 +172,48 @@ def rolling_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+#: Ordered curation rules: (name, threshold description).  First
+#: failing rule names the rejection — the fixed order makes the output
+#: deterministic and SQL-reproducible.
+CURATION_RULES = (
+    "too_short", "too_long", "too_few_words",
+    "word_len_out_of_band", "punct_heavy", "no_stopwords",
+)
+
+
+def curation_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based pretraining curation gate (the Gopher/C4-style
+    recipe re-expressed as codegen'd column expressions — no UDFs):
+    length band, minimum word count, mean-word-length band,
+    punctuation ratio, stopword presence.  Emits (id, keep,
+    fail_reason) where ``fail_reason`` is the FIRST failing rule in
+    :data:`CURATION_RULES` order, NULL when the document passes.
+
+    Scale shape: narrow single-pass projection over the corpus —
+    no shuffle, no Python; the downstream ``filter(keep)`` prunes
+    before any expensive stage (dedup, tokenization) runs."""
+    c = F.col(text_col)
+    n = F.length(c)
+    words = ws_token_count(c)
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9 ]", ""))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    mean_wlen = F.when(words > 0, n / words).otherwise(F.lit(0.0))
+    stop_hits = _marker_hits(c, LANG_MARKERS["en"])
+    checks = [
+        ("too_short", n < 100),
+        ("too_long", n > 20000),
+        ("too_few_words", words < 20),
+        ("word_len_out_of_band", (mean_wlen < 3) | (mean_wlen > 12)),
+        ("punct_heavy", punct_ratio > 0.15),
+        ("no_stopwords", stop_hits < 2),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return df.select(
+        F.col(id_col), reason.isNull().alias("keep"), reason.alias("fail_reason")
+    )

@@ -84,3 +84,37 @@ def price_percentiles(trades: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(price, 0.9)"), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def rolling_channel(trades: DataFrame, window_minutes: int = 10) -> DataFrame:
+    """Donchian-style rolling channel per security: trailing
+    ``window_minutes``-bar high / low / volume over 1-minute bars.
+
+    Two-level shape: the minute-bar aggregation is a plain hash agg
+    (map-side partial combine collapses ticks before the shuffle); the
+    rolling frame is a ROWS window over the already-tiny bar series —
+    one shuffle on sec_code total, because the window reuses the agg's
+    hash partitioning (Catalyst sees the partitioning is compatible
+    and plans no second Exchange).  All the math is max/min/integer
+    sums on integer-valued doubles — exact, engine-independent."""
+    bars = (
+        trades.withColumn("minute_s", F.expr("time_s DIV 60 * 60"))
+        .groupBy("sec_code", "minute_s")
+        .agg(
+            F.max("price").alias("px_high"),
+            F.min("price").alias("px_low"),
+            F.sum(F.col("price") * F.col("quantity")).alias("vol"),
+        )
+    )
+    w = (
+        Window.partitionBy("sec_code")
+        .orderBy("minute_s")
+        .rowsBetween(-(window_minutes - 1), 0)
+    )
+    return bars.select(
+        "sec_code",
+        "minute_s",
+        F.max("px_high").over(w).alias("roll_high"),
+        F.min("px_low").over(w).alias("roll_low"),
+        F.sum("vol").over(w).alias("roll_vol"),
+    )
