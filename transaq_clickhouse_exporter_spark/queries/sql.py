@@ -14,8 +14,18 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 
+def _lit(value: str) -> str:
+    """Quote a string value as a SQL literal, doubling embedded single
+    quotes (the one escape ANSI SQL defines).  Every template-variable
+    interpolation below goes through this, so a hostile ``$sec_code`` /
+    ``$__from`` value cannot terminate the literal and splice SQL text
+    — the same guarantee Grafana's own variable escaping gives the
+    reference's rawSql panels."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def _in_list(codes: Sequence[str]) -> str:
-    return "(" + ", ".join(f"'{c}'" for c in codes) + ")"
+    return "(" + ", ".join(_lit(c) for c in codes) + ")"
 
 
 def _bucket(col: str, interval_min: int) -> str:
@@ -30,9 +40,9 @@ def volume_by_interval(codes: Sequence[str], interval: int, frm: str, to: str, b
     SELECT minute, sum(price * quantity * lotsize) * {sgn} AS vol FROM (
       SELECT {_bucket('t.time', interval)} AS minute, t.price, t.quantity, s.lotsize
       FROM trades t JOIN securities s ON t.secid = s.secid AND t.board = s.board
-      WHERE t.sec_code IN {_in_list(codes)} AND t.board = 'TQBR' AND t.buy_sell = '{buy_sell}'
+      WHERE t.sec_code IN {_in_list(codes)} AND t.board = 'TQBR' AND t.buy_sell = {_lit(buy_sell)}
     ) b
-    WHERE minute >= '{frm}' AND minute <= '{to}'
+    WHERE minute >= {_lit(frm)} AND minute <= {_lit(to)}
     GROUP BY minute ORDER BY minute
     """
 
@@ -47,7 +57,7 @@ def netto_top10(interval: int, frm: str, to: str) -> str:
                  * sum(t.price * t.quantity * s.lotsize) AS vol
         FROM trades t JOIN securities s ON t.sec_code = s.seccode AND t.board = s.board
         WHERE t.sec_code NOT IN (SELECT sec_code FROM etf_codes) AND t.board = 'TQBR'
-          AND {_bucket('t.time', interval)} BETWEEN '{frm}' AND '{to}'
+          AND {_bucket('t.time', interval)} BETWEEN {_lit(frm)} AND {_lit(to)}
         GROUP BY 1, t.sec_code, t.buy_sell
       ) i GROUP BY sec_code HAVING sum(vol) > 0
     ) f ORDER BY vol DESC, sec_code LIMIT 10
@@ -61,14 +71,14 @@ def netto_union_top10(frm: str, to: str, direction: str = "buy") -> str:
       SELECT sec_code, sum(t.price * t.quantity * s.lotsize) * {m} AS vol
       FROM trades t JOIN securities s ON t.secid = s.secid AND t.board = s.board
       WHERE t.sec_code NOT IN (SELECT sec_code FROM etf_codes) AND t.board = 'TQBR'
-        AND t.time BETWEEN '{frm}' AND '{to}' AND t.buy_sell = '{bs}'
+        AND t.time BETWEEN {frm} AND {to} AND t.buy_sell = '{bs}'
       GROUP BY sec_code
     """
     return f"""
     SELECT sec_code, sum(vol) * {sgn} AS vol FROM (
-      {branch.format(m=1, bs='B', frm=frm, to=to)}
+      {branch.format(m=1, bs='B', frm=_lit(frm), to=_lit(to))}
       UNION ALL
-      {branch.format(m=-1, bs='S', frm=frm, to=to)}
+      {branch.format(m=-1, bs='S', frm=_lit(frm), to=_lit(to))}
     ) u GROUP BY sec_code ORDER BY vol DESC, sec_code LIMIT 10
     """
 
@@ -78,7 +88,7 @@ def icebergs(frm: str, to: str) -> str:
     return f"""
     SELECT time, sec_code AS sec, sum(quantity) AS vol
     FROM trades
-    WHERE quantity = 1 AND buy_sell = 'B' AND time BETWEEN '{frm}' AND '{to}'
+    WHERE quantity = 1 AND buy_sell = 'B' AND time BETWEEN {_lit(frm)} AND {_lit(to)}
     GROUP BY time, sec_code HAVING sum(quantity) > 1
     ORDER BY time, sec
     """
@@ -91,9 +101,9 @@ def imoex_volume_by_interval(interval: int, frm: str, to: str, buy_sell: str) ->
     SELECT minute, sum(price * quantity) * {sgn} AS vol FROM (
       SELECT {_bucket('time', interval)} AS minute, price, quantity
       FROM trades
-      WHERE buy_sell = '{buy_sell}' AND board = 'TQBR'
+      WHERE buy_sell = {_lit(buy_sell)} AND board = 'TQBR'
         AND sec_code NOT IN (SELECT sec_code FROM etf_codes)
-    ) b WHERE minute >= '{frm}' AND minute <= '{to}'
+    ) b WHERE minute >= {_lit(frm)} AND minute <= {_lit(to)}
     GROUP BY minute ORDER BY minute LIMIT 10000
     """
 
@@ -101,7 +111,7 @@ def imoex_volume_by_interval(interval: int, frm: str, to: str, buy_sell: str) ->
 def distinct_sec_codes(frm: str, to: str) -> str:
     """GDJ:3766 template variable."""
     return f"""
-    SELECT sec_code FROM trades WHERE time BETWEEN '{frm}' AND '{to}'
+    SELECT sec_code FROM trades WHERE time BETWEEN {_lit(frm)} AND {_lit(to)}
     GROUP BY sec_code ORDER BY sec_code LIMIT 1000
     """
 
@@ -125,7 +135,7 @@ def volume_diff_by_interval(
                * sum(t.price * t.quantity * s.lotsize) AS vol
       FROM trades t JOIN securities s ON t.sec_code = s.seccode AND t.board = s.board
       WHERE {pred} AND t.board = 'TQBR'
-        AND {_bucket(f'({time_expr})', interval)} BETWEEN '{frm}' AND '{to}'
+        AND {_bucket(f'({time_expr})', interval)} BETWEEN {_lit(frm)} AND {_lit(to)}
       GROUP BY 1, t.buy_sell
     ) i GROUP BY minute ORDER BY minute
     """
@@ -136,8 +146,8 @@ def lots_by_time(codes: Sequence[str], frm: str, to: str, buy_sell: str) -> str:
     sgn = 1 if buy_sell == "B" else -1
     return f"""
     SELECT time, sum(quantity) * {sgn} AS lots FROM trades
-    WHERE sec_code IN {_in_list(codes)} AND buy_sell = '{buy_sell}'
-      AND time BETWEEN '{frm}' AND '{to}'
+    WHERE sec_code IN {_in_list(codes)} AND buy_sell = {_lit(buy_sell)}
+      AND time BETWEEN {_lit(frm)} AND {_lit(to)}
     GROUP BY time ORDER BY time
     """
 
@@ -147,8 +157,8 @@ def count_trades_by_time(codes: Sequence[str], frm: str, to: str, buy_sell: str)
     sgn = 1 if buy_sell == "B" else -1
     return f"""
     SELECT time, count(price) * {sgn} AS cnt FROM trades
-    WHERE sec_code IN {_in_list(codes)} AND buy_sell = '{buy_sell}'
-      AND time BETWEEN '{frm}' AND '{to}'
+    WHERE sec_code IN {_in_list(codes)} AND buy_sell = {_lit(buy_sell)}
+      AND time BETWEEN {_lit(frm)} AND {_lit(to)}
     GROUP BY time ORDER BY time
     """
 
@@ -160,8 +170,8 @@ def etf_volume_by_interval(interval: int, frm: str, to: str, buy_sell: str) -> s
     SELECT minute, sum(price * quantity) * {sgn} AS vol FROM (
       SELECT {_bucket('time', interval)} AS minute, price, quantity
       FROM trades
-      WHERE buy_sell = '{buy_sell}' AND sec_code IN (SELECT sec_code FROM etf_codes)
-    ) b WHERE minute >= '{frm}' AND minute <= '{to}'
+      WHERE buy_sell = {_lit(buy_sell)} AND sec_code IN (SELECT sec_code FROM etf_codes)
+    ) b WHERE minute >= {_lit(frm)} AND minute <= {_lit(to)}
     GROUP BY minute ORDER BY minute LIMIT 10000
     """
 
@@ -172,8 +182,8 @@ def imoex_volume_by_time(frm: str, to: str, buy_sell: str) -> str:
     sgn = 1 if buy_sell == "B" else -1
     return f"""
     SELECT time, sum(price * quantity) * {sgn} AS vol FROM trades
-    WHERE buy_sell = '{buy_sell}' AND sec_code NOT IN (SELECT sec_code FROM etf_codes)
-      AND time BETWEEN '{frm}' AND '{to}'
+    WHERE buy_sell = {_lit(buy_sell)} AND sec_code NOT IN (SELECT sec_code FROM etf_codes)
+      AND time BETWEEN {_lit(frm)} AND {_lit(to)}
     GROUP BY time ORDER BY time
     """
 
@@ -183,6 +193,6 @@ def etf_sec_codes(frm: str, to: str) -> str:
     return f"""
     SELECT DISTINCT t.sec_code FROM trades t
     JOIN securities s ON t.sec_code = s.seccode AND t.board = s.board
-    WHERE s.board = 'TQTF' AND t.time BETWEEN '{frm}' AND '{to}'
+    WHERE s.board = 'TQTF' AND t.time BETWEEN {_lit(frm)} AND {_lit(to)}
     ORDER BY t.sec_code LIMIT 1000
     """
