@@ -110,3 +110,42 @@ def test_corrupt_jsonl_line_becomes_null_row(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 2  # corrupt line survives as a null row
     assert out.filter(F.col("trade_no").isNull()).count() == 1
+
+
+def test_stream_stream_enrich_bounded_lag(spark, tmp_path):
+    from transaq_clickhouse_exporter_spark.ingest.streaming import (
+        stream_enrich_trades_with_quotes,
+    )
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        read_replay_stream,
+        write_jsonl_fixture,
+    )
+
+    base = 1734688800
+    trades = [
+        {"sec_code": "SBER", "ts_s": base + 100, "price": 101.0, "tid": 1},
+        {"sec_code": "SBER", "ts_s": base + 400, "price": 102.0, "tid": 2},
+        {"sec_code": "GAZP", "ts_s": base + 100, "price": 50.0, "tid": 3},
+    ]
+    quotes = [
+        {"sec_code": "SBER", "ts_s": base + 90, "bid": 100.5, "qid": 10},   # lag 10s -> t1
+        {"sec_code": "SBER", "ts_s": base + 50, "bid": 100.0, "qid": 11},   # lag 50s -> t1 only
+        {"sec_code": "SBER", "ts_s": base + 390, "bid": 101.9, "qid": 12},  # -> t2
+        {"sec_code": "GAZP", "ts_s": base + 150, "bid": 49.9, "qid": 13},   # AFTER t3 -> no match
+    ]
+    write_jsonl_fixture(str(tmp_path / "t" / "t.json"), trades, mtime=1000)
+    write_jsonl_fixture(str(tmp_path / "q" / "q.json"), quotes, mtime=1000)
+    ts = read_replay_stream(
+        spark, str(tmp_path / "t"), "sec_code string, ts_s long, price double, tid long"
+    ).withColumn("t_ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    qs = read_replay_stream(
+        spark, str(tmp_path / "q"), "sec_code string, ts_s long, bid double, qid long"
+    ).withColumn("q_ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    out = stream_enrich_trades_with_quotes(ts, qs, max_lag_seconds=60)
+    q = (out.writeStream.outputMode("append").format("memory").queryName("enr")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.tid, r.qid) for r in spark.sql("SELECT tid, qid FROM enr").collect()}
+    # t1 matches quotes 10+11 (within 60s before), t2 matches 12, t3 nothing
+    assert got == {(1, 10), (1, 11), (2, 12)}

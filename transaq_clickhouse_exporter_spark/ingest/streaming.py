@@ -161,3 +161,35 @@ def subscription_lists(
         "alltrades": ids(alltrades_subscription(raw_securities, boards, alltrades_codes)),
         "sec_info": ids(sec_info_subscription(raw_securities, info_names)),
     }
+
+
+def stream_enrich_trades_with_quotes(
+    trades: DataFrame,
+    quotes: DataFrame,
+    max_lag_seconds: int = 300,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Stream-stream enrichment: join each streaming trade to the
+    streaming quotes of the same security observed within
+    ``max_lag_seconds`` BEFORE (or at) the trade — the streaming
+    counterpart of the batch as-of/range join family
+    (``operators/asof.py``, ``operators/range_join.py``).
+
+    Spark's stream-stream inner join requires (a) watermarks on both
+    sides and (b) a time-range join condition; together they bound the
+    state store: each side keeps only rows younger than
+    ``watermark + max_lag``, evicted as the watermark advances — the
+    100 TB-friendly property (state is O(rate × window), not O(stream)).
+
+    Inputs need event-time columns ``t_ts`` / ``q_ts`` (TIMESTAMP) and
+    a ``sec_code`` on both sides; quote payload columns ride along."""
+    t = trades.withWatermark("t_ts", watermark)
+    q = quotes.withWatermark("q_ts", watermark).withColumnRenamed(
+        "sec_code", "q_sec_code"
+    )
+    cond = (
+        (F.col("sec_code") == F.col("q_sec_code"))
+        & (F.col("q_ts") <= F.col("t_ts"))
+        & (F.col("q_ts") >= F.col("t_ts") - F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS"))
+    )
+    return t.join(q, cond, "inner").drop("q_sec_code")
