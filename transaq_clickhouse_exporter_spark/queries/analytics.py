@@ -91,12 +91,14 @@ def rolling_channel(trades: DataFrame, window_minutes: int = 10) -> DataFrame:
     ``window_minutes``-bar high / low / volume over 1-minute bars.
 
     Two-level shape: the minute-bar aggregation is a plain hash agg
-    (map-side partial combine collapses ticks before the shuffle); the
-    rolling frame is a ROWS window over the already-tiny bar series —
-    one shuffle on sec_code total, because the window reuses the agg's
-    hash partitioning (Catalyst sees the partitioning is compatible
-    and plans no second Exchange).  All the math is max/min/integer
-    sums on integer-valued doubles — exact, engine-independent."""
+    whose map-side partial combine collapses ticks BEFORE its shuffle,
+    so the first Exchange carries bars, not ticks; the rolling frame
+    is a ROWS window over the already-tiny bar series behind a second,
+    bar-sized Exchange on sec_code.  (Repartitioning by sec_code up
+    front would merge the two Exchanges into one — but that one would
+    carry RAW ticks, strictly worse at scale; two small shuffles beat
+    one big one.)  All the math is max/min/integer sums on
+    integer-valued doubles — exact, engine-independent."""
     bars = (
         trades.withColumn("minute_s", F.expr("time_s DIV 60 * 60"))
         .groupBy("sec_code", "minute_s")
