@@ -960,6 +960,60 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "pivot"),
         )
     )
+
+    # conversion funnel: earliest view → first click within 1 h of it →
+    # first purchase within 1 h of that.  Stage-chained conditional
+    # aggregation (each stage is a groupBy+min behind an equi-join on
+    # user_id — partial-agg collapses events before every shuffle; no
+    # window over the raw stream, no sessionization state).
+    def _funnel(s: SparkSession) -> DataFrame:
+        ev = s.table("ev")
+        v = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts_s").alias("tv"))
+        )
+        c = (
+            ev.filter(F.col("event_type") == "click")
+            .join(v, "user_id")
+            .filter((F.col("ts_s") >= F.col("tv")) & (F.col("ts_s") <= F.col("tv") + 3600))
+            .groupBy("user_id").agg(F.min("ts_s").alias("tc"))
+        )
+        p = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter((F.col("ts_s") >= F.col("tc")) & (F.col("ts_s") <= F.col("tc") + 3600))
+            .groupBy("user_id").agg(F.min("ts_s").alias("tp"))
+        )
+        return (
+            v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .agg(
+                F.count("tv").alias("n_view"),
+                F.count("tc").alias("n_view_click"),
+                F.count("tp").alias("n_full_funnel"),
+            )
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev06_funnel",
+            _funnel,
+            """
+            , v6 AS (SELECT user_id, min(ts_s) AS tv FROM ev
+                     WHERE event_type = 'view' GROUP BY user_id),
+            c6 AS (SELECT e.user_id, min(e.ts_s) AS tc FROM ev e JOIN v6 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts_s >= v6.tv
+                     AND e.ts_s <= v6.tv + 3600 GROUP BY e.user_id),
+            p6 AS (SELECT e.user_id, min(e.ts_s) AS tp FROM ev e JOIN c6 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts_s >= c6.tc
+                     AND e.ts_s <= c6.tc + 3600 GROUP BY e.user_id)
+            SELECT CAST(count(tv) AS BIGINT) AS n_view,
+                   CAST(count(tc) AS BIGINT) AS n_view_click,
+                   CAST(count(tp) AS BIGINT) AS n_full_funnel
+            FROM v6 LEFT JOIN c6 USING (user_id) LEFT JOIN p6 USING (user_id)
+            """,
+            tags=("events", "funnel"),
+        )
+    )
     return sp
 
 
@@ -1278,6 +1332,75 @@ def _datapipe_specs() -> list[QuerySpec]:
                 FROM documents) p) r
             """,
             tags=("datapipe", "curation"),
+        )
+    )
+
+    # corpus composition report — the telemetry a curation run emits
+    # per (source, lang): doc counts, exact-dup involvement (normalized
+    # fingerprint seen >1 in the WHOLE corpus), char totals,
+    # micro-scaled quality mass.  Shape: fingerprint hash agg → join
+    # counts back → one grouped agg; everything map-side-combinable.
+    def _report(s: SparkSession) -> DataFrame:
+        # quality (dp02's formula) micro-scaled to exact integers:
+        # round() before the cast so float representation of the 6-dp
+        # decimal cannot flip the integer between engines
+        docs = s.table("documents").select(
+            "doc_id", "source", "lang", "n_chars",
+            dtx.fingerprint("text").alias("fp"),
+            F.round(dtx.quality_score("text") * 1e6).cast("bigint").alias("q_micro"),
+        )
+        counts = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+        j = docs.join(counts, "fp")
+        return (
+            j.groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+                .cast("bigint").alias("n_dup_docs"),
+                F.sum("n_chars").alias("tot_chars"),
+                F.sum("q_micro").alias("sum_quality_micro"),
+            )
+        )
+
+    q_scaffold = f"""
+        SELECT doc_id, source, lang, n_chars,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+               CAST(round(round(CAST(
+                 (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.25 END) * 0.4
+                 + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) <= 0.1
+                         THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN s_en >= 2 THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN (CASE WHEN n_tokens_ws > 0 THEN n / n_tokens_ws ELSE 0.0 END) >= 3
+                          AND (CASE WHEN n_tokens_ws > 0 THEN n / n_tokens_ws ELSE 0.0 END) <= 12
+                         THEN 1.0 ELSE 0.5 END) * 0.2 AS DOUBLE), 6) * 1e6) AS BIGINT)
+                 AS q_micro
+        FROM (
+          SELECT doc_id, source, lang, n_chars, text, length(text) AS n,
+                 concat(' ', lower(text), ' ') AS padded,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), ' +'))
+                      END AS BIGINT) AS n_tokens_ws,
+                 length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct,
+                 ({en_hits}) AS s_en
+          FROM documents) b
+    """
+    sp.append(
+        QuerySpec(
+            "dp15_corpus_report",
+            _report,
+            f"""
+            , d15 AS ({q_scaffold}),
+            c15 AS (SELECT fp, count(*) AS n_copies FROM d15 GROUP BY fp)
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+                   CAST(sum(q_micro) AS BIGINT) AS sum_quality_micro
+            FROM d15 JOIN c15 USING (fp)
+            GROUP BY source, lang
+            """,
+            tags=("datapipe", "corpus-report"),
         )
     )
 
@@ -1961,6 +2084,8 @@ _TAIL_NAMES = (
     # displaced.
     "an05_rolling_channel",
     "dp14_curation_filter",
+    "ev06_funnel",
+    "dp15_corpus_report",
 )
 
 
