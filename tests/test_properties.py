@@ -87,3 +87,20 @@ def test_vectorized_fold_equals_exact(ticks, with_acc):
     assert (got_acc is None) == (exact_acc is None)
     if got_acc is not None:
         assert vars(got_acc) == vars(exact_acc)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(0, 10**9),          # point t
+    st.integers(0, 10**9),          # interval start s
+    st.integers(1, 10**6),          # interval duration
+    st.integers(1, 10**4),          # bin width w
+)
+def test_range_join_bin_cover(t, s, dur, w):
+    """The binned range-join decomposition misses no pair: whenever
+    t ∈ [s, s+dur), the point's bin t//w lies inside the interval's
+    exploded bin range [s//w, (s+dur-1)//w] — floor-division
+    monotonicity, the property operators/range_join.py relies on."""
+    e = s + dur
+    if s <= t < e:
+        assert s // w <= t // w <= (e - 1) // w

@@ -60,3 +60,25 @@ def test_column_collision_raises(spark):
     pts = _points(spark).withColumnRenamed("pid", "iid")
     with pytest.raises(ValueError):
         interval_join(pts, _intervals(spark), "t", "s", "e", by=["k"])
+
+
+def test_bin_equals_theta_randomized(spark):
+    """Seeded randomized corpus: the binned decomposition and the
+    naive theta join agree pair-for-pair."""
+    import random
+
+    rng = random.Random(42)
+    pts = [(i, rng.choice("AB"), rng.randrange(0, 2000)) for i in range(120)]
+    ivs = [
+        (100 + i, rng.choice("AB"), s := rng.randrange(0, 1900), s + rng.randrange(1, 300))
+        for i in range(40)
+    ]
+    p = spark.createDataFrame(pts, "pid long, k string, t long")
+    iv = spark.createDataFrame(ivs, "iid long, k string, s long, e long")
+
+    def run(strategy):
+        out = interval_join(p, iv, "t", "s", "e", by=["k"], bin_width=64, strategy=strategy)
+        return sorted((r.pid, r.iid) for r in out.select("pid", "iid").collect())
+
+    got = run("bin")
+    assert got == run("theta") and len(got) > 0
