@@ -187,3 +187,11 @@ def test_curation_filter_rules(spark):
     assert got[3] == (False, "too_few_words")
     assert got[4][0] is False and got[4][1] in ("punct_heavy", "word_len_out_of_band")
     assert got[5] == (False, "no_stopwords")  # latin text, no en stopwords
+
+
+def test_connected_components_chain_and_island(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}

@@ -621,3 +621,69 @@ def embedding_near_dup_pairs_blocked(
     return emb.select(F.col(id_col), F.col(vec_col), F.col(block_col)).groupBy(
         block_col
     ).applyInPandas(score, schema="id_a long, id_b long, cos_sim double")
+
+
+# --------------------------------------------------------------------------
+# dedup clusters (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster near-dup PAIRS into components — the step between pair
+    detection and canonical-document selection: keeping one doc per
+    *pair* under-deletes (a~b, b~c leaves b and c), so real dedup keys
+    on the component.  Output: (``doc_id``, ``cluster_id``) for every
+    id mentioned in ``pairs``, where ``cluster_id`` is the component's
+    minimum id — deterministic, layout-independent.
+
+    Algorithm: min-label propagation.  Each round every node takes the
+    minimum label among itself and its neighbors (one equi-join + one
+    min-aggregate per round, both map-side combinable); converges in
+    ``diameter`` rounds.  Near-dup components are overwhelmingly small
+    and dense (diameter ≲ 4), so this beats the log-n star-contraction
+    variants that pay extra shuffles per round to handle long chains.
+    Each round ``localCheckpoint``s the labels: iterative plans
+    otherwise stack lineage and replan the whole history every round.
+
+    Scale shape per round: shuffle of |edges| (join on dst) +
+    |nodes ∪ edges| (the min agg).  The driver-side convergence probe
+    reads ONE number (an existence count), not data."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionAll(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

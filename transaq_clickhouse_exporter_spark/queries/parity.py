@@ -1548,6 +1548,54 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
+    # dedup clusters: connected components over the verified near-dup
+    # pairs (min-label propagation Spark-side; transitive closure via
+    # recursive CTE oracle-side — an iterative algorithm that is still
+    # exactly checkable).
+    def _clusters(s: SparkSession) -> DataFrame:
+        pairs = dd.minhash_near_dups(
+            s.table("documents"), threshold=0.5,
+            banded=s.table("doc_bands"), shingles=s.table("doc_shingles"),
+        ).select("id_a", "id_b")
+        return dd.connected_components(pairs)
+
+    sp.append(
+        QuerySpec(
+            "dp16_dup_clusters",
+            _clusters,
+            """
+            , sh16 AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents) t
+            ), tok16 AS (SELECT doc_id, unnest(sh) AS tk FROM sh16),
+            cand16 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM tok16 a JOIN tok16 b
+                         ON a.tk = b.tk AND a.doc_id < b.doc_id),
+            pairs16 AS (
+              SELECT ia, ib
+              FROM cand16 JOIN sh16 a ON a.doc_id = ia JOIN sh16 b ON b.doc_id = ib
+              WHERE len(list_intersect(a.sh, b.sh))
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+            e16 AS (SELECT ia AS a, ib AS b FROM pairs16
+                    UNION SELECT ib, ia FROM pairs16)
+            SELECT doc_id, cluster_id FROM (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT a, b FROM e16
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e16 e ON e.a = r.b
+              )
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a) t16
+            """,
+            tags=("datapipe", "dedup-clusters", "iterative"),
+        )
+    )
+
     # SimHash near-dups.  The pigeonhole chunk join is EXACT for
     # Hamming ≤ d (any pair within d agrees on ≥1 of the d+1 chunks),
     # so the output is a deterministic function of the signatures — and
@@ -2086,6 +2134,7 @@ _TAIL_NAMES = (
     "dp14_curation_filter",
     "ev06_funnel",
     "dp15_corpus_report",
+    "dp16_dup_clusters",
 )
 
 
