@@ -195,3 +195,35 @@ def test_connected_components_chain_and_island(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
+
+
+def test_train_ivf_centroids_improves_objective(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # three well-separated gaussian blobs in 8-d
+    centers = rng.normal(size=(3, 8)) * 10
+    # ids ordered so the first n_cells vectors ALL come from blob 0 —
+    # the deterministic first-k init starts degenerate and training has
+    # real work to do
+    rows = [
+        (i, (centers[i // 30] + rng.normal(scale=0.1, size=8)).tolist(), i // 30)
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    def objective(cents_df):
+        cents = {r.cell: np.asarray(r.cent) for r in cents_df.collect()}
+        pts = [(np.asarray(v), l) for _, v, l in rows]
+        tot = 0.0
+        for v, _ in pts:
+            vn = v / np.linalg.norm(v)
+            tot += max(
+                float(vn @ (c / np.linalg.norm(c))) for c in cents.values()
+            )
+        return tot / len(pts)
+
+    init = sim.train_ivf_centroids(emb, n_cells=3, iterations=0)
+    trained = sim.train_ivf_centroids(emb, n_cells=3, iterations=4)
+    assert trained.count() == 3
+    assert objective(trained) > objective(init) + 0.05  # blobs get found

@@ -333,3 +333,76 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "nn_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for the IVF cell centroids — the offline fit
+    :func:`ivf_topk`'s deterministic-sample centroids stand in for.
+
+    Per round: (1) assignment is the same zero-shuffle mapInPandas BLAS
+    argmax kernel the IVF query path uses (each Arrow batch scores
+    batch × k in one matmul — no per-pair rows, no window); (2) the
+    update is ``posexplode → groupBy(cell, pos).avg → re-assemble``,
+    i.e. one shuffle of |corpus| × dim scalar rows with map-side
+    partial sums — the standard scalable form (a per-cell
+    ``collect_list`` of vectors would buffer whole cells in one task).
+    Initialization: first ``n_cells`` vectors by id (deterministic).
+    Empty cells drop out (k can shrink), matching classic Lloyd's.
+
+    Returns (``cell``, ``cent`` array<double>), cell ids stable across
+    rounds.  Iteration count is fixed (no convergence probe): each
+    round costs the same, and IVF recall needs "good", not converged,
+    centroids."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            _as_double(vec_col).alias("cent"),
+        )
+    )
+    for _ in range(iterations):
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])  # k rows
+        cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+        cmat = np.stack([np.asarray(r["cent"], dtype=np.float64) for r in cent_rows])
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        cmat_n = cmat / cnorm[:, None]
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0] = 1.0
+                sims = np.round((m / norms[:, None]) @ cmat_n.T, 6)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells_np[np.argmax(sims, axis=1)],
+                        "v": [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                    }
+                )
+
+        assigned = corpus.select(vec_col).mapInPandas(
+            assign, schema="cell int, v array<double>"
+        )
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+        )
+    return cents.select("cell", "cent")
