@@ -1,0 +1,49 @@
+"""ClickHouse sink wiring (S3/S5): everything short of the actual JDBC
+write — options construction, DDL shape, and the documented
+clean-degrade path when no server/driver exists (this environment)."""
+
+from __future__ import annotations
+
+import pytest
+
+from transaq_clickhouse_exporter_spark.sources.clickhouse import (
+    ClickHouseSink,
+    bootstrap_tables,
+)
+from transaq_clickhouse_exporter_spark.tables import TABLES, bootstrap_ddl
+
+
+def test_sink_options_complete():
+    sink = ClickHouseSink(
+        url="jdbc:clickhouse://ch:8123/default",
+        table="transaq_trades",
+        user="u",
+        password="p",
+        extra={"socket_timeout": "30000"},
+    )
+    opts = sink.options()
+    assert opts["url"].startswith("jdbc:clickhouse://")
+    assert opts["dbtable"] == "transaq_trades"
+    assert opts["isolationLevel"] == "NONE"  # ClickHouse: no transactions
+    assert opts["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+    assert int(opts["batchsize"]) >= 1
+    assert opts["socket_timeout"] == "30000"  # extras pass through
+
+
+def test_bootstrap_ddl_shape():
+    """Five CREATE TABLEs (db.go:22-108 / main.go:61-65), each a
+    ReplacingMergeTree ordered by its table's dedup key."""
+    ddls = bootstrap_ddl()
+    assert len(ddls) == len(TABLES) == 5
+    for ddl, (name, spec) in zip(ddls, TABLES.items()):
+        assert f"IF NOT EXISTS {name}" in ddl
+        assert "ENGINE = ReplacingMergeTree()" in ddl
+        for key in spec.dedup_keys:
+            assert key in ddl  # ORDER BY carries the dedup key columns
+
+
+def test_bootstrap_tables_degrades_clearly(spark):
+    """No server / driver jar here: the bootstrap must fail with the
+    documented actionable error, not a bare py4j stack."""
+    with pytest.raises(RuntimeError, match="ClickHouse JDBC bootstrap unavailable"):
+        bootstrap_tables(spark, "jdbc:clickhouse://nohost:1/default")
