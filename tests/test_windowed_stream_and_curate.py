@@ -94,3 +94,21 @@ def test_streaming_session_window(spark, tmp_path):
     got = {(r["user_id"], str(r["start"])): r["n"] for r in spark.sql("SELECT * FROM sw").collect()}
     assert got[(1, "2024-12-20 10:00:00")] == 2
     assert got[(1, "2024-12-20 10:03:20")] == 1
+
+
+def test_curate_corpus_transitive_chain(spark):
+    hub = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    va = hub.replace("gamma", "XXXX")   # J(va, hub) = 15/21 ≈ 0.714
+    vb = hub.replace("sigma", "SSSS")   # J(vb, hub) ≈ 0.714; J(va, vb) = 0.5
+    # star component {1, 2, 9} with hub 9: pairs are (1,9) and (2,9)
+    # only — 1 and 2 are near-dups of each other ONLY through the hub.
+    # Pairwise drops just the larger id of each pair (the hub), keeping
+    # BOTH satellites; transitive keeps the component minimum alone.
+    rows = [(1, va), (9, hub), (2, vb)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, min_tokens=1, near_dup_threshold=0.6)
+    trans = {r.doc_id for r in curate_corpus(docs, transitive=True, **kw).collect()}
+    pairw = {r.doc_id for r in curate_corpus(docs, transitive=False, **kw).collect()}
+    assert trans == {1}
+    assert pairw == {1, 2}

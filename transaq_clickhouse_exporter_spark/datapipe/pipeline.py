@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, minhash_near_dups
+from .dedup import connected_components, exact_dedup, minhash_near_dups
 from .text import profile_documents
 
 
@@ -23,10 +23,18 @@ def curate_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     near_dup_threshold: float = 0.7,
+    transitive: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: original columns + profile columns,
     minus low-quality docs, exact duplicates (smallest id survives), and
-    near-duplicates (the lower id of each verified pair survives)."""
+    near-duplicates.
+
+    ``transitive=True`` (default) removes near-dups per CONNECTED
+    COMPONENT of the verified pair graph, keeping each cluster's
+    minimum id — the standard corpus-dedup semantics (a chain a~b~c
+    keeps only a).  ``transitive=False`` drops only the larger id of
+    each direct pair, which can keep several "local minima" per
+    cluster — docs that are near-dups only transitively."""
     profile = profile_documents(df, text_col, id_col)
     docs = df.join(profile, id_col)
     docs = docs.filter(
@@ -39,5 +47,11 @@ def curate_corpus(
     docs = docs.join(keep_exact, id_col, "left_semi")
 
     near = minhash_near_dups(docs, text_col, id_col, threshold=near_dup_threshold)
-    drop_near = near.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comps = connected_components(near.select("id_a", "id_b"))
+        drop_near = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        drop_near = near.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(drop_near, id_col, "left_anti")
