@@ -43,10 +43,9 @@ def test_all_queries_have_oracles_or_reason():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     missing = set(qs) - set(oracles)
-    # non-SQL-expressible ops (seeded sketch hashing, binary feature
-    # extraction) are oracle-less by design; keep the list explicit so
-    # additions are deliberate
-    allowed_missing = {
-        "mm01_feature_extract",
-    }
+    # every catalog entry is oracle-paired since round 5 (mm01's 'fake'
+    # decoder is a pure function of the payload bytes, so even the
+    # multimodal plumbing got a DuckDB twin); keep the set explicit so
+    # future oracle-less additions are deliberate
+    allowed_missing: set[str] = set()
     assert missing == allowed_missing, f"queries without oracle: {missing ^ allowed_missing}"

@@ -1703,7 +1703,25 @@ def _datapipe_specs() -> list[QuerySpec]:
         feats = extract_features(media, decoder="fake")
         return feats.select("media_id", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
-    sp.append(QuerySpec("mm01_feature_extract", _mm, None, tags=("datapipe", "multimodal")))
+    # The 'fake' decoder is a pure function of the payload bytes
+    # (sha256 → first-16-bytes features), so even the multimodal
+    # plumbing is oracle-able: DuckDB recomputes feature[0] from
+    # sha256's hex output (its sha256(VARCHAR) hashes the same utf-8
+    # bytes Spark's encode(text,'utf-8') feeds the Python kernel).
+    sp.append(
+        QuerySpec(
+            "mm01_feature_extract",
+            _mm,
+            """
+            SELECT doc_id AS media_id,
+                   round(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1))
+                         / 255.0, 6) AS f0
+            FROM (SELECT doc_id, sha256(text) AS h FROM documents) m
+            """,
+            tags=("datapipe", "multimodal"),
+        )
+    )
 
     # ---- deterministic curation: sampling / packing / vocabulary ----
     from . import analytics as _an  # noqa: F401 (module layout anchor)
