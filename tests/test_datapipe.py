@@ -227,3 +227,15 @@ def test_train_ivf_centroids_improves_objective(spark):
     trained = sim.train_ivf_centroids(emb, n_cells=3, iterations=4)
     assert trained.count() == 3
     assert objective(trained) > objective(init) + 0.05  # blobs get found
+
+
+def test_incremental_minhash_near_dups(spark, docs):
+    # history = docs 1,2 ; new batch = docs 3,4.  4 is an exact dup of
+    # 1 (after case-normalization the shingles differ only by '!!!'
+    # suffix token), 3 matches nothing.
+    hist = docs.filter("doc_id <= 2")
+    new = docs.filter("doc_id >= 3")
+    out = dd.incremental_minhash_near_dups(new, hist, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (4, 1) in got           # new doc 4 ~ historical doc 1
+    assert all(a >= 3 and b <= 2 for a, b in got)  # only cross pairs

@@ -687,3 +687,65 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def incremental_minhash_near_dups(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    new_banded: DataFrame | None = None,
+    history_banded: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup detection of a NEW ingest batch against an
+    already-sketched corpus — the MinHash analogue of
+    :func:`incremental_exact_dedup`: the historical corpus is never
+    re-shingled, only its persisted (id, band, bucket) sketch table is
+    probed.
+
+    Candidates come from ``new_bands ⋈ history_bands`` on
+    (band, bucket) — an equi-join whose left side is batch-sized, so at
+    100 TB the probe cost is O(|batch| × bands) lookups against a
+    bucketed sketch table, independent of corpus size.  Candidates are
+    then exact-Jaccard verified (both sides' shingles needed — pass a
+    persisted ``shingles`` table to avoid re-shingling history).
+
+    Output: (``id_a`` = new id, ``id_b`` = historical id, ``jaccard``)
+    for verified pairs ≥ ``threshold``.  Within-batch duplicates are a
+    separate (intra-batch) :func:`minhash_near_dups` call — keeping the
+    two concerns split lets the batch pipeline run both against the
+    same freshly-computed batch sketch."""
+    if new_banded is None:
+        new_banded = band_buckets(
+            minhash_signatures(new_docs, text_col, id_col, n_hashes, shingle_k),
+            bands, id_col, n_hashes=n_hashes,
+        )
+    if history_banded is None:
+        history_banded = band_buckets(
+            minhash_signatures(history_docs, text_col, id_col, n_hashes, shingle_k),
+            bands, id_col, n_hashes=n_hashes,
+        )
+    n = new_banded.alias("n")
+    h = history_banded.alias("h")
+    cands = (
+        n.join(
+            h,
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"), F.col(f"h.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    corpus = new_docs.select(id_col, text_col).unionAll(
+        history_docs.select(id_col, text_col)
+    )
+    return ngram_jaccard(corpus, cands, text_col, id_col, shingle_k, shingles=shingles).filter(
+        F.col("jaccard") >= threshold
+    )

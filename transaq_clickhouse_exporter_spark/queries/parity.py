@@ -1548,6 +1548,50 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
+    # incremental near-dup: the odd-id half of the corpus arrives as a
+    # NEW batch and probes the persisted sketch of the even-id half —
+    # history is never re-shingled (its bands/shingles come from the
+    # materialized views), the probe side is batch-sized.
+    def _inc_near(s: SparkSession) -> DataFrame:
+        docs = s.table("documents")
+        bands = s.table("doc_bands")
+        return dd.incremental_minhash_near_dups(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            threshold=0.5,
+            new_banded=bands.filter(F.col("doc_id") % 2 == 1),
+            history_banded=bands.filter(F.col("doc_id") % 2 == 0),
+            shingles=s.table("doc_shingles"),
+        )
+
+    sp.append(
+        QuerySpec(
+            "dp17_incremental_near_dup",
+            _inc_near,
+            """
+            , shc AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents) t
+            ), tokc AS (SELECT doc_id, unnest(sh) AS tk FROM shc),
+            candc AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                      FROM tokc a JOIN tokc b
+                        ON a.tk = b.tk AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+            SELECT ia AS id_a, ib AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM candc JOIN shc a ON a.doc_id = ia JOIN shc b ON b.doc_id = ib
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            """,
+            tags=("datapipe", "minhash", "incremental"),
+        )
+    )
+
     # dedup clusters: connected components over the verified near-dup
     # pairs (min-label propagation Spark-side; transitive closure via
     # recursive CTE oracle-side — an iterative algorithm that is still
@@ -2153,6 +2197,7 @@ _TAIL_NAMES = (
     "ev06_funnel",
     "dp15_corpus_report",
     "dp16_dup_clusters",
+    "dp17_incremental_near_dup",
 )
 
 
