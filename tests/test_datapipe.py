@@ -239,3 +239,18 @@ def test_incremental_minhash_near_dups(spark, docs):
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (4, 1) in got           # new doc 4 ~ historical doc 1
     assert all(a >= 3 and b <= 2 for a, b in got)  # only cross pairs
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail me at a.b-c%d@ex-ample.co.uk or call +79161234567"),
+        (2, "server 10.0.255.7 and 192.168.1.1 are internal"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dtx.pii_scrub(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ip == 0
+    assert "<EMAIL>" in got[1].redacted and "<PHONE>" in got[1].redacted
+    assert "@" not in got[1].redacted and "+7916" not in got[1].redacted
+    assert got[2].n_ip == 2 and "<IP>" in got[2].redacted
+    assert got[3].redacted == rows[2][1]  # untouched

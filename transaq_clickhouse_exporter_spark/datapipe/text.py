@@ -217,3 +217,35 @@ def curation_filter(
     return df.select(
         F.col(id_col), reason.isNull().alias("keep"), reason.alias("fail_reason")
     )
+
+
+#: Redaction patterns — deliberately inside the dialect subset where
+#: Java regex (Spark) and RE2 (DuckDB/Go) agree exactly: character
+#: classes, bounded repetition, no backrefs/lookaround/\b.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction (the C4-style scrub step): replace emails, IPv4s
+    and international phone numbers with typed tokens, counting each.
+    Pure codegen — ``regexp_extract_all`` + chained ``regexp_replace``;
+    patterns applied in :data:`PII_PATTERNS` order (emails first, so an
+    address's host part is never half-eaten by the IP rule).
+
+    Output: (id, ``redacted``, ``n_email``, ``n_ip``, ``n_phone``).
+    Scale shape: narrow projection, no shuffle, no Python."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)

@@ -1548,6 +1548,52 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
+    # PII scrub over a deterministically PII-injected corpus (the raw
+    # documents carry no identifiers, so inject synthetic ones by
+    # doc_id residue — SAME SQL derivation both engines — to make the
+    # redaction evidence non-trivial).
+    _PII_INJECT = """
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN concat(text, ' reach user', CAST(doc_id AS STRING),
+                                    '@example.com today')
+                 WHEN 1 THEN concat(text, ' from host 192.168.',
+                                    CAST(doc_id % 256 AS STRING), '.7')
+                 WHEN 2 THEN concat(text, ' call +7916',
+                                    lpad(CAST(doc_id % 1000000 AS STRING), 7, '0'))
+                 ELSE text
+               END AS text
+        FROM documents
+    """
+
+    def _pii(s: SparkSession) -> DataFrame:
+        injected = s.sql(_PII_INJECT)
+        out = dtx.pii_scrub(injected)
+        return out.select(
+            "doc_id", F.md5("redacted").alias("redacted_fp"),
+            "n_email", "n_ip", "n_phone",
+        )
+
+    _pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in dtx.PII_PATTERNS
+    )
+    _pii_red = "text"
+    for _, pat, token in dtx.PII_PATTERNS:
+        _pii_red = f"regexp_replace({_pii_red}, '{pat}', '{token}', 'g')"
+    sp.append(
+        QuerySpec(
+            "dp18_pii_scrub",
+            _pii,
+            f"""
+            , pii18 AS ({_PII_INJECT})
+            SELECT doc_id, md5({_pii_red}) AS redacted_fp, {_pii_counts}
+            FROM pii18
+            """,
+            tags=("datapipe", "pii"),
+        )
+    )
+
     # incremental near-dup: the odd-id half of the corpus arrives as a
     # NEW batch and probes the persisted sketch of the even-id half —
     # history is never re-shingled (its bands/shingles come from the
@@ -2198,6 +2244,7 @@ _TAIL_NAMES = (
     "dp15_corpus_report",
     "dp16_dup_clusters",
     "dp17_incremental_near_dup",
+    "dp18_pii_scrub",
 )
 
 
