@@ -254,3 +254,16 @@ def test_pii_scrub(spark):
     assert "@" not in got[1].redacted and "+7916" not in got[1].redacted
     assert got[2].n_ip == 2 and "<IP>" in got[2].redacted
     assert got[3].redacted == rows[2][1]  # untouched
+
+
+def test_repetition_profile(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),        # 4 bigrams, 1 distinct
+        (2, "all words here are unique tokens"),  # no repeats
+        (3, "x"),                                # below k -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dtx.repetition_profile(df).collect()}
+    assert (got[1].n_grams, got[1].n_distinct_grams, got[1].dup_frac) == (4, 1, 0.75)
+    assert got[2].dup_frac == 0.0 and got[2].n_grams == got[2].n_distinct_grams == 5
+    assert (got[3].n_grams, got[3].dup_frac) == (0, 0.0)

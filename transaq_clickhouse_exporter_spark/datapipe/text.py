@@ -249,3 +249,35 @@ def pii_scrub(
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
     return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher duplicate-n-gram
+    family): total vs distinct word ``k``-grams and the duplicate
+    fraction.  Machine-generated / template spam shows high
+    ``dup_frac`` long before inter-document dedup can see it, so this
+    gate runs document-local — pure array expressions, no shuffle."""
+    from .dedup import shingle_array  # local import: avoid module cycle
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array())
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    dup_frac = F.when(total > 0, F.round((total - distinct) / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        dup_frac.alias("dup_frac"),
+    )

@@ -1548,6 +1548,32 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
+    # within-document repetition (Gopher duplicate-n-gram fraction)
+    sp.append(
+        QuerySpec(
+            "dp19_repetition_profile",
+            lambda s: dtx.repetition_profile(s.table("documents"), k=2),
+            """
+            SELECT doc_id,
+                   CAST(len(g) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+                   CASE WHEN len(g) > 0
+                        THEN round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                                   / len(g), 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(range(1, len(w)),
+                                              i -> concat_ws(' ', w[i], w[i+1]))
+                          ELSE [] END AS g
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents) t) b
+            """,
+            tags=("datapipe", "repetition"),
+        )
+    )
+
     # PII scrub over a deterministically PII-injected corpus (the raw
     # documents carry no identifiers, so inject synthetic ones by
     # doc_id residue — SAME SQL derivation both engines — to make the
@@ -2245,6 +2271,7 @@ _TAIL_NAMES = (
     "dp16_dup_clusters",
     "dp17_incremental_near_dup",
     "dp18_pii_scrub",
+    "dp19_repetition_profile",
 )
 
 
