@@ -16,10 +16,11 @@
 - :func:`embedding_near_dup_pairs` — cosine near-dups over an embedding
   column with blocked candidate generation.
 
-Hashing is a deterministic 64-bit polynomial (splitmix-style) so
-signatures are stable across runs, partitions, and Python versions —
-a requirement for incremental dedup at 100 TB (re-shingling yesterday's
-corpus must reproduce yesterday's signatures).
+Hashing is deterministic and seed-pinned everywhere (md5 in the pandas
+kernels, xxhash64 in the JVM engine) so signatures are stable across
+runs, partitions, and Python versions — a requirement for incremental
+dedup at 100 TB (re-shingling yesterday's corpus must reproduce
+yesterday's signatures).
 """
 
 from __future__ import annotations
@@ -34,8 +35,6 @@ from pyspark.sql import types as T
 from .text import normalize_text
 
 MERSENNE = (1 << 61) - 1
-_SEED_A = 0x9E3779B97F4A7C15
-_SEED_B = 0xBF58476D1CE4E5B9
 
 
 def _perm_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
