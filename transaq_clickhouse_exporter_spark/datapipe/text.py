@@ -8,7 +8,7 @@ Java (Spark) and RE2 (DuckDB oracle) agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish token pattern: letter runs, digit runs, single punctuation.
@@ -257,27 +257,56 @@ def repetition_profile(
     """Within-document repetition metrics (the Gopher duplicate-n-gram
     family): total vs distinct word ``k``-grams and the duplicate
     fraction.  Machine-generated / template spam shows high
-    ``dup_frac`` long before inter-document dedup can see it, so this
-    gate runs document-local — pure array expressions, no shuffle."""
-    from .dedup import shingle_array  # local import: avoid module cycle
+    ``dup_frac`` long before inter-document dedup can see it.
 
+    Shape: ``posexplode`` the words (codegen Generate), build each
+    k-gram from ``lead()`` neighbors over the (doc, position) window,
+    then a TWO-LEVEL hash agg — first on (doc, gram) with a map-side
+    partial count (this IS the distinct, made explicit), then per doc.
+    Every stage is whole-stage-codegen and parallel.  Two rejected
+    forms, both measured at sf0.1: the per-row array HOF
+    (``size(array_distinct(transform(…)))``) evaluates interpreted and
+    serializes on however many partitions the input has (9.3 s pool
+    wall); explode-of-HOF-array halves that but still burns ~3.5
+    interpreted CPU-seconds (3.6 s standalone on the single-split
+    cache).  The window form is ~0.9 s cold / 0.3 s steady.  Docs with
+    fewer than ``k`` words re-enter via a left join with zero counts."""
     words = F.split(F.trim(F.lower(F.col(text_col))), " +")
-    n = F.size(words)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        ),
-    ).otherwise(F.array())
-    total = F.size(grams).cast("long")
-    distinct = F.size(F.array_distinct(grams)).cast("long")
-    dup_frac = F.when(total > 0, F.round((total - distinct) / total, 6)).otherwise(
-        F.lit(0.0)
+    toks = df.select(F.col(id_col), F.posexplode(words).alias("__pos", "__w"))
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__w")] + [F.lead("__w", j).over(win) for j in range(1, k)]
+    grams = (
+        toks.select(F.col(id_col), *[p.alias(f"__p{j}") for j, p in enumerate(parts)])
+        .filter(F.col(f"__p{k-1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[f"__p{j}" for j in range(k)]).alias("__g"),
+        )
     )
-    return df.select(
-        F.col(id_col),
-        total.alias("n_grams"),
-        distinct.alias("n_distinct_grams"),
-        dup_frac.alias("dup_frac"),
+    per_gram = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+    out = (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_distinct_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
     )
