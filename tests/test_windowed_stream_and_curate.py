@@ -112,3 +112,30 @@ def test_curate_corpus_transitive_chain(spark):
     pairw = {r.doc_id for r in curate_corpus(docs, transitive=False, **kw).collect()}
     assert trans == {1}
     assert pairw == {1, 2}
+
+
+def test_training_data_job_end_to_end(spark, sf_smoke):
+    from transaq_clickhouse_exporter_spark.datapipe.pipeline import training_data_job
+    from transaq_clickhouse_exporter_spark.testdata import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    # synthetic corpus: no English stopwords by construction — disable
+    # the natural-language prior, keep the structural rules
+    gk = dict(min_stopword_hits=0)
+    out = training_data_job(docs, token_budget=512, gate_kwargs=gk)
+    curated = out["curated"].collect()
+    n_in = docs.count()
+    assert 0 < len(curated) <= n_in
+    # every curated row carries split + packing coordinates
+    r = curated[0]
+    assert r.split in ("train", "val", "test")
+    assert r.offset_in_seq < 512 and r.seq_in_bucket >= 0
+    # gate accounting: kept + rejected + deduped == input
+    n_rejects = out["rejects"].count()
+    assert n_rejects + len(curated) <= n_in  # dedup removes the rest
+    # summary totals agree with the curated table
+    summary = {s.split: s for s in out["summary"].collect()}
+    assert sum(s.n_docs for s in summary.values()) == len(curated)
+    # determinism: rerun reproduces identical curated membership
+    again = {r.doc_id for r in training_data_job(docs, token_budget=512, gate_kwargs=gk)["curated"].collect()}
+    assert again == {r.doc_id for r in curated}

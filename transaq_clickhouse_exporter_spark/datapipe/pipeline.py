@@ -55,3 +55,48 @@ def curate_corpus(
     else:
         drop_near = near.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(drop_near, id_col, "left_anti")
+
+
+def training_data_job(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 2048,
+    near_dup_threshold: float = 0.7,
+    gate_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """The whole training-data run as one composition — what a 100 TB
+    pipeline executes end-to-end, each stage an operator from this
+    package, ordered by cost so cheap gates prune before expensive
+    stages run:
+
+    1. rule gate (:func:`..text.curation_filter` — narrow codegen scan)
+    2. exact + transitive near-dup removal (:func:`curate_corpus`)
+    3. contamination-proof split assignment (no shuffle)
+    4. token counting + sequence packing (bucketed window)
+
+    Returns the output tables a run materializes: ``curated`` (survivor
+    docs + profile + split + packing coordinates), ``summary``
+    (per-split doc/token totals), and ``rejects`` (doc_id +
+    fail_reason, for curation telemetry)."""
+    from .packing import pack_sequences
+    from .sampling import assign_split
+    from .text import curation_filter, ws_token_count
+
+    gate = curation_filter(df, text_col, id_col, **(gate_kwargs or {}))
+    rejects = gate.filter(~F.col("keep")).select(id_col, "fail_reason")
+    passed = df.join(gate.filter(F.col("keep")).select(id_col), id_col, "left_semi")
+
+    curated = curate_corpus(
+        passed, text_col, id_col, near_dup_threshold=near_dup_threshold
+    )
+    curated = assign_split(curated, id_col)
+    curated = curated.withColumn("n_tokens", ws_token_count(text_col))
+    curated = pack_sequences(curated, id_col, "n_tokens", budget=token_budget)
+
+    summary = curated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("bucket", "seq_in_bucket").alias("n_sequences"),
+    )
+    return {"curated": curated, "summary": summary, "rejects": rejects}

@@ -184,7 +184,15 @@ CURATION_RULES = (
 
 
 def curation_filter(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    min_words: int = 20,
+    wlen_band: tuple[float, float] = (3.0, 12.0),
+    max_punct_ratio: float = 0.15,
+    min_stopword_hits: int = 2,
 ) -> DataFrame:
     """Rule-based pretraining curation gate (the Gopher/C4-style
     recipe re-expressed as codegen'd column expressions — no UDFs):
@@ -192,6 +200,9 @@ def curation_filter(
     punctuation ratio, stopword presence.  Emits (id, keep,
     fail_reason) where ``fail_reason`` is the FIRST failing rule in
     :data:`CURATION_RULES` order, NULL when the document passes.
+    Thresholds are parameters (defaults = the usual web-corpus
+    settings); ``min_stopword_hits=0`` disables the natural-language
+    prior for synthetic or non-Latin corpora.
 
     Scale shape: narrow single-pass projection over the corpus —
     no shuffle, no Python; the downstream ``filter(keep)`` prunes
@@ -204,12 +215,12 @@ def curation_filter(
     mean_wlen = F.when(words > 0, n / words).otherwise(F.lit(0.0))
     stop_hits = _marker_hits(c, LANG_MARKERS["en"])
     checks = [
-        ("too_short", n < 100),
-        ("too_long", n > 20000),
-        ("too_few_words", words < 20),
-        ("word_len_out_of_band", (mean_wlen < 3) | (mean_wlen > 12)),
-        ("punct_heavy", punct_ratio > 0.15),
-        ("no_stopwords", stop_hits < 2),
+        ("too_short", n < min_chars),
+        ("too_long", n > max_chars),
+        ("too_few_words", words < min_words),
+        ("word_len_out_of_band", (mean_wlen < wlen_band[0]) | (mean_wlen > wlen_band[1])),
+        ("punct_heavy", punct_ratio > max_punct_ratio),
+        ("no_stopwords", stop_hits < min_stopword_hits),
     ]
     reason = F.lit(None).cast("string")
     for name, cond in reversed(checks):
