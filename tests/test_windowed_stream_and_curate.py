@@ -136,6 +136,24 @@ def test_training_data_job_end_to_end(spark, sf_smoke):
     # summary totals agree with the curated table
     summary = {s.split: s for s in out["summary"].collect()}
     assert sum(s.n_docs for s in summary.values()) == len(curated)
+    # split isolation: packing runs per split (partition_cols=("split",)),
+    # so recomputing each split's tape independently must reproduce the
+    # (seq_in_bucket, offset_in_seq) coordinates exactly — a sequence
+    # spanning train/val/test would break this at its first cut
+    import hashlib
+
+    def _h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    cum: dict[tuple, int] = {}
+    for r in sorted(curated, key=lambda r: (r.split, r.bucket, _h(r.doc_id), r.doc_id)):
+        c = cum.get((r.split, r.bucket), 0)
+        assert (r.seq_in_bucket, r.offset_in_seq) == (c // 512, c % 512)
+        cum[(r.split, r.bucket)] = c + r.n_tokens
+    # per-split n_sequences now sum to the true global sequence count
+    assert sum(s.n_sequences for s in summary.values()) == len(
+        {(r.split, r.bucket, r.seq_in_bucket) for r in curated}
+    )
     # determinism: rerun reproduces identical curated membership
     again = {r.doc_id for r in training_data_job(docs, token_budget=512, gate_kwargs=gk)["curated"].collect()}
     assert again == {r.doc_id for r in curated}

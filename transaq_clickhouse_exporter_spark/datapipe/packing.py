@@ -41,12 +41,20 @@ def pack_sequences(
     token_col: str,
     budget: int,
     n_buckets: int = 16,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every document a (bucket, seq_in_bucket, offset_in_seq).
 
     ``n_buckets`` must divide 16 (buckets are md5-hex-digit groups so
     the bucketing stays portable to any SQL engine).  Offsets are exact
-    integer arithmetic throughout (`DIV`/`%`), never double math."""
+    integer arithmetic throughout (`DIV`/`%`), never double math.
+
+    ``partition_cols`` prepends extra columns to the packing window
+    partition so documents only ever share a sequence with documents in
+    the same group — e.g. ``("split",)`` keeps train/val/test tapes
+    disjoint (a sequence spanning splits would leak val/test tokens
+    into training).  A sequence is then identified by
+    ``(*partition_cols, bucket, seq_in_bucket)``."""
     if 16 % n_buckets != 0:
         raise ValueError("n_buckets must divide 16")
     per = 16 // n_buckets
@@ -55,7 +63,7 @@ def pack_sequences(
     # strpos/instr agree with Spark's instr, both 1-based)
     digit = F.expr(f"instr('{HEX}', substring(md5(CAST({id_col} AS STRING)), 1, 1))") - 1
     bucket = (digit / per).cast("long") if per > 1 else digit.cast("long")
-    w = Window.partitionBy("bucket").orderBy("__h", id_col)
+    w = Window.partitionBy(*partition_cols, "bucket").orderBy("__h", id_col)
     cum = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),

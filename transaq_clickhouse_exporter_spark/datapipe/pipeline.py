@@ -92,7 +92,13 @@ def training_data_job(
     )
     curated = assign_split(curated, id_col)
     curated = curated.withColumn("n_tokens", ws_token_count(text_col))
-    curated = pack_sequences(curated, id_col, "n_tokens", budget=token_budget)
+    # Pack WITHIN each split (partition_cols): a sequence that straddled
+    # train/val/test would leak held-out tokens into the training tape
+    # and double-count in the per-split summary below.
+    curated = pack_sequences(
+        curated, id_col, "n_tokens", budget=token_budget,
+        partition_cols=("split",),
+    )
 
     summary = curated.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),

