@@ -47,6 +47,40 @@ def test_minhash_lsh_near_dups(spark, docs):
     assert abs(j - 20 / 26) < 1e-9
 
 
+def test_minhash_jvm_engine_matches_pandas(spark, docs, sf_smoke):
+    """The 31-bit JVM permutation path and the pandas kernel use
+    different sketch spaces but identical verify semantics, so their
+    FINAL outputs (pairs + exact jaccard) must agree whenever both
+    reach full recall — checked on the known fixture and the driver
+    documents table."""
+    from transaq_clickhouse_exporter_spark.testdata import load_table
+
+    def rows(df):
+        return {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in df.collect()}
+
+    small = docs.filter("doc_id <= 3")
+    got_pd = rows(dd.minhash_near_dups(small, threshold=0.5))
+    got_jvm = rows(dd.minhash_near_dups(small, threshold=0.5, engine="jvm"))
+    assert got_pd == got_jvm and any(p[:2] == (1, 2) for p in got_pd)
+
+    corpus = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    big_pd = rows(dd.minhash_near_dups(corpus, threshold=0.5))
+    big_jvm = rows(dd.minhash_near_dups(corpus, threshold=0.5, engine="jvm"))
+    assert big_pd == big_jvm
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than the iteration budget must fail loudly, not
+    return partially-propagated (under-deleting) labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        dd.connected_components(chain, max_iterations=2)
+    got = {r.cluster_id for r in dd.connected_components(chain).collect()}
+    assert got == {0}
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark, docs):
     pairs = spark.createDataFrame([(1, 1), (1, 3)], "id_a long, id_b long")
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.ngram_jaccard(docs, pairs).collect()}

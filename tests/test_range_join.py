@@ -62,6 +62,33 @@ def test_column_collision_raises(spark):
         interval_join(pts, _intervals(spark), "t", "s", "e", by=["k"])
 
 
+def test_theta_schema_matches_bin_with_keys(spark):
+    """Both strategies emit ONE merged copy of each `by` column, so a
+    downstream reference to the key is never ambiguous."""
+    bin_out = interval_join(_points(spark), _intervals(spark), "t", "s", "e",
+                            by=["k"], bin_width=60, strategy="bin")
+    theta_out = interval_join(_points(spark), _intervals(spark), "t", "s", "e",
+                              by=["k"], strategy="theta")
+    assert bin_out.columns == theta_out.columns
+    # the key survives a direct reference (would raise AnalysisException
+    # if both sides' copies were retained)
+    assert theta_out.filter(F.col("k") == "A").groupBy("k").count().collect()
+
+
+def test_malformed_intervals_guarded(spark):
+    """end <= start intervals are dropped before the bin explode —
+    a huge negative span must not blow up `sequence`."""
+    pts = _points(spark)
+    bad = spark.createDataFrame(
+        [(20, "A", 100, 100), (21, "A", 10**9, -(10**9))],
+        "iid long, k string, s long, e long",
+    )
+    iv = _intervals(spark).unionAll(bad)
+    out = interval_join(pts, iv, "t", "s", "e", by=["k"], bin_width=60)
+    got = sorted((r.pid, r.iid) for r in out.select("pid", "iid").collect())
+    assert got == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (4, 11), (5, 12)]
+
+
 def test_bin_equals_theta_randomized(spark):
     """Seeded randomized corpus: the binned decomposition and the
     naive theta join agree pair-for-pair."""

@@ -664,6 +664,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -684,7 +685,19 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partially-propagated labels would silently split one true
+        # component into several cluster_ids and make the caller
+        # UNDER-delete near-dups — fail loudly instead.  Diameter >
+        # max_iterations is pathological for near-dup graphs (dense,
+        # tiny components); a long chain topology needs a bigger budget.
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iterations} rounds — component diameter exceeds the "
+            f"iteration budget; raise max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 

@@ -63,12 +63,21 @@ def interval_join(
     overlap = set(points.columns) & set(intervals.columns) - set(by)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
-    cond = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
-    for k in by:
-        cond = cond & (points[k] == intervals[k])
+    range_cond = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     if strategy == "theta":
-        return points.join(intervals, cond)
+        # Join on the by-key NAMES (merged key columns) + post-filter, so
+        # the theta path emits the SAME schema as the bin path — a raw
+        # expression condition would keep both sides' copies of each
+        # `by` column and make downstream references ambiguous.  With no
+        # keys it stays the pure conditional (nested-loop) join.
+        if by:
+            return points.join(intervals, by).filter(range_cond)
+        return points.join(intervals, range_cond)
     w = bin_width or 60
+    # Empty/corrupt intervals (end <= start) can never contain a point,
+    # but a hugely negative span would make `sequence` descend with
+    # step -1 and explode |span|/w spurious bins — drop them up front.
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     # DIV: exact integer division (no double rounding at epoch scale)
     p = points.withColumn("__bin", F.expr(f"CAST({point_ts} AS BIGINT) DIV {w}"))
     i = intervals.withColumn(
