@@ -1,0 +1,89 @@
+"""Interval bucketing across Europe/Moscow DST transitions.
+
+The dashboard's ``toStartOfInterval`` parity (`functions/intervals.py`)
+floors EPOCHS, so bucket identity is timezone-free by construction; the
+DST-sensitive surface is (a) the timestamp⇄epoch round trip and (b) the
+wall-clock rendering of bucket labels in the session zone — exactly
+what a Grafana user sees.  SURVEY §7.4 flags the Moscow transitions as
+the risk case (`db.go:23` pins the column tz): fall-back repeats the
+02:xx local hour, spring-forward deletes it.  Moscow abolished DST in
+2014, so the 2010 transitions are the last real ones:
+
+- 2010-10-31: 03:00 MSD (UTC+4) → 02:00 MSK (UTC+3) at 22:59:59 UTC
+  + 1 s — the local 02:00–02:59 hour occurs TWICE;
+- 2010-03-28: 02:00 MSK → 03:00 MSD at 2010-03-27 23:00 UTC — the
+  local 02:00–02:59 hour never exists.
+
+Both engines run pinned to Europe/Moscow and must agree bucket-for-
+bucket on epochs AND on rendered local labels.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.functions.intervals import (
+    to_start_of_interval,
+    to_start_of_interval_epoch,
+)
+
+# first tick (UTC epoch), ticks every 10 min for 6 h crossing the switch
+FALL_BACK_START = 1288472400   # 2010-10-30 21:00:00 UTC = 2010-10-31 01:00 MSD
+SPRING_FWD_START = 1269716400  # 2010-03-27 19:00:00 UTC = 22:00 MSK
+
+
+@pytest.mark.parametrize("start", [FALL_BACK_START, SPRING_FWD_START])
+def test_interval_bucketing_across_moscow_dst(spark, start):
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
+        ticks = [(i, start + i * 600) for i in range(36)]
+        df = spark.createDataFrame(ticks, "tick_id long, time_s long")
+        out = (
+            df.withColumn("ts", F.timestamp_seconds("time_s"))
+            .withColumn("bucket", to_start_of_interval(F.col("ts"), 30))
+            .select(
+                "tick_id",
+                F.unix_timestamp("bucket").alias("bucket_s"),
+                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_local"),
+                to_start_of_interval_epoch(F.col("time_s"), 30).alias("bucket_epoch"),
+            )
+        )
+        got = {r.tick_id: r for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # timestamp path ≡ epoch fast path, including inside the fold/gap
+    assert all(r.bucket_s == r.bucket_epoch for r in got.values())
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='Europe/Moscow'")
+    values = ", ".join(f"({i}, {t})" for i, t in ticks)
+    oracle = {
+        tid: (int(bs), bl)
+        for tid, bs, bl in con.execute(
+            f"""
+            SELECT tick_id,
+                   CAST(epoch(to_timestamp((time_s // 1800) * 1800)) AS BIGINT) AS bucket_s,
+                   strftime(to_timestamp((time_s // 1800) * 1800),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_local
+            FROM (VALUES {values}) AS t(tick_id, time_s)
+            """
+        ).fetchall()
+    }
+    for tid, r in got.items():
+        assert (r.bucket_s, r.bucket_local) == oracle[tid], tid
+
+    locals_ = [r.bucket_local for r in got.values()]
+    if start == FALL_BACK_START:
+        # the ambiguous hour renders twice: two distinct instants share
+        # a local label, so distinct labels < distinct epochs
+        assert len(set(locals_)) < len({r.bucket_s for r in got.values()})
+        assert sum(lb == "2010-10-31 02:00:00" for lb in locals_) >= 2
+    else:
+        # the skipped hour never renders
+        assert not any(lb.startswith("2010-03-28 02:") for lb in locals_)
+        assert any(lb.startswith("2010-03-28 01:") for lb in locals_)
+        assert any(lb.startswith("2010-03-28 03:") for lb in locals_)
