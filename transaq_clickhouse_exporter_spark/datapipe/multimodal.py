@@ -101,20 +101,43 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> 
     """Video → sampled frames: 1→N expansion inside mapInPandas (the
     batch iterator contract allows output cardinality ≠ input).  Frame
     count derives from meta.duration_ms; each frame gets a
-    deterministic sub-feature."""
+    deterministic sub-feature.
+
+    The expansion builds COLUMN arrays (repeat/cumsum index math + one
+    fancy-indexed roll matrix), never a per-row Python loop — only the
+    decode call itself is per-payload, because that is the codec seam a
+    real libjpeg/ffmpeg call will occupy."""
     decode = DECODERS[decoder]
     out_schema = "media_id long, frame_idx int, ts_ms long, feature array<double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = r["meta"]["duration_ms"] or 0
-                base = decode(r["payload"])
-                for i, ts in enumerate(range(0, max(int(dur), 1), every_ms)):
-                    feat = np.roll(base, i).tolist()
-                    rows.append((r["media_id"], i, ts, feat))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "feature"])
+            if len(pdf) == 0:
+                continue
+            durs = np.array(
+                [int(m["duration_ms"] or 0) for m in pdf["meta"]], dtype=np.int64
+            )
+            n_frames = -(-np.maximum(durs, 1) // every_ms)  # ceil-div, ≥1
+            total = int(n_frames.sum())
+            # source-row index of each output frame, and each frame's
+            # ordinal within its row: arange minus the row's start offset
+            src = np.repeat(np.arange(len(pdf)), n_frames)
+            offsets = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(total, dtype=np.int64) - offsets
+            # decode once per payload (codec seam), then roll every
+            # frame's copy in one fancy-indexed gather:
+            # np.roll(b, i)[j] == b[(j - i) % D]
+            bases = np.stack([decode(p) for p in pdf["payload"]])[src]
+            cols = (np.arange(FEATURE_DIM)[None, :] - frame_idx[:, None]) % FEATURE_DIM
+            rolled = bases[np.arange(total)[:, None], cols]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[src],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "ts_ms": frame_idx * every_ms,
+                    "feature": rolled.tolist(),
+                }
+            )
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -127,16 +150,11 @@ def resize_stub(df: DataFrame, width: int, height: int, decoder: str = "strict")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            metas = []
-            for _, r in pdf.iterrows():
-                decode(r["payload"])  # strict → NotImplementedError
-                payloads.append(r["payload"])
-                m = dict(r["meta"])
-                m["width"], m["height"] = width, height
-                metas.append(m)
+            for p in pdf["payload"]:
+                decode(p)  # strict → NotImplementedError (codec seam)
+            metas = [dict(m) | {"width": width, "height": height} for m in pdf["meta"]]
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
+                {"media_id": pdf["media_id"], "payload": pdf["payload"], "meta": metas}
             )
 
     return df.mapInPandas(run, schema=out_schema)
