@@ -259,12 +259,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids = a deterministic corpus sample (ids
     sorted, first ``n_cells``) — standing in for a k-means fit, which at
     scale would run once offline.  Corpus rows are assigned to their
-    nearest centroid; queries probe the ``nprobe`` nearest cells."""
-    cents = (
+    nearest centroid; queries probe the ``nprobe`` nearest cells.
+
+    ``centroids``: optional (``cell`` int, ``cent`` array<double>)
+    frame — e.g. the output of :func:`train_ivf_centroids` — replacing
+    the sample centroids; ``n_cells`` is then ignored.  This is how the
+    offline k-means fit feeds the query path at scale (train once,
+    persist, probe forever)."""
+    cents = centroids.select("cell", "cent") if centroids is not None else (
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
