@@ -264,14 +264,40 @@ def band_buckets_jvm(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
-def _pairs_from_banded(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    left = banded.alias("l")
-    right = banded.alias("r")
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str = "doc_id", salt_buckets: int | None = None
+) -> DataFrame:
+    """Self-join band buckets into candidate pairs (id_a < id_b).
+
+    ``salt_buckets=g`` switches to the SALTED self-join for hot-bucket
+    skew (a viral near-dup cluster puts m docs in one (band, bucket),
+    making one reducer enumerate m²/2 pairs): the left side takes a
+    random salt in [0, g), the right side replicates across all g salts
+    (``operators/salting.py::explode_salt``), and the join adds the
+    salt to the key — each ordered pair still meets EXACTLY once (at
+    the left row's salt), so the output is identical, but the hot
+    bucket's pair enumeration spreads over g reducers.  Cost: the
+    banded table shuffles g× on the right side — the standard salting
+    trade; reserve it for corpora with known viral clusters (AQE
+    skew-join splitting already covers moderate skew)."""
+    if salt_buckets:
+        from ..operators.salting import explode_salt
+
+        left = banded.withColumn(
+            "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        ).alias("l")
+        right = explode_salt(banded, salt_buckets).alias("r")
+        extra = F.col("l.__salt") == F.col("r.__salt")
+    else:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        extra = F.lit(True)
     return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
+            & extra
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
@@ -281,13 +307,16 @@ def _pairs_from_banded(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, id_col: str = "doc_id",
-    n_hashes: int | None = None,
+    n_hashes: int | None = None, salt_buckets: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash): documents
     sharing any band become a candidate pair.  Scale shape: explode is
     linear; the join shuffles on the band key; bucket skew (a viral
-    near-dup cluster) is handled by AQE skew-join splitting."""
-    return _pairs_from_banded(band_buckets(signatures, bands, id_col, n_hashes), id_col)
+    near-dup cluster) is handled by AQE skew-join splitting, or
+    explicitly by ``salt_buckets`` (see :func:`_pairs_from_banded`)."""
+    return _pairs_from_banded(
+        band_buckets(signatures, bands, id_col, n_hashes), id_col, salt_buckets
+    )
 
 
 def minhash_near_dups(
@@ -302,10 +331,14 @@ def minhash_near_dups(
     engine: str = "pandas",
     banded: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact-Jaccard verification (no sketch false
     positives survive).
+
+    ``salt_buckets``: salt the banding self-join for viral-cluster
+    bucket skew (identical output — see :func:`_pairs_from_banded`).
 
     ``engine='pandas'`` (default) uses the Arrow-batched UDF kernel
     (:func:`minhash_signatures`).  ``engine='jvm'`` computes the band
@@ -359,7 +392,7 @@ def minhash_near_dups(
     # references them twice — recomputing the banding join off the
     # cached band buckets costs less than the cache-materialization
     # barrier under concurrent load (measured in the bench pool)
-    cands = _pairs_from_banded(banded, id_col)
+    cands = _pairs_from_banded(banded, id_col, salt_buckets)
     return ngram_jaccard(df, cands, text_col, id_col, shingle_k, shingles=shingles).filter(
         F.col("jaccard") >= threshold
     )
