@@ -81,6 +81,23 @@ def test_connected_components_nonconvergence_raises(spark):
     assert got == {0}
 
 
+def test_decontaminate_flags_eval_overlap(spark):
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "zzz alpha beta gamma yyy"),          # shares 1 eval shingle
+            (2, "alpha beta gamma delta plus more"),  # shares both
+            (3, "completely unrelated words here"),   # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in dd.decontaminate(train, ev).collect()}
+    assert got == {1: (1, True), 2: (2, True), 3: (0, False)}
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark, docs):
     pairs = spark.createDataFrame([(1, 1), (1, 3)], "id_a long, id_b long")
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.ngram_jaccard(docs, pairs).collect()}

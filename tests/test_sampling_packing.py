@@ -158,3 +158,21 @@ def test_assign_split_stable_and_proportional(spark, docs):
     assert all(full[d] == s for d, s in sub.items())
     with pytest.raises(ValueError):
         assign_split(docs, "doc_id", (("a", 0.5), ("b", 0.4)))
+
+
+def test_mixture_weights_temperature(spark):
+    from transaq_clickhouse_exporter_spark.datapipe.sampling import mixture_weights
+
+    rows = [(i, "big", 100) for i in range(9)] + [(9, "small", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # alpha=1: proportional (900 vs 100 -> 0.9/0.1)
+    w1 = {r.source: r.weight for r in mixture_weights(df, ("source",), "n_chars", 1.0).collect()}
+    assert w1 == {"big": 0.9, "small": 0.1}
+    # alpha=0: uniform regardless of size
+    w0 = {r.source: r.weight for r in mixture_weights(df, ("source",), "n_chars", 0.0).collect()}
+    assert w0 == {"big": 0.5, "small": 0.5}
+    # alpha=0.5: sqrt scaling upweights the small source (exact: 3/4, 1/4)
+    wh = {r.source: r.weight for r in mixture_weights(df, ("source",), "n_chars", 0.5).collect()}
+    assert wh == {"big": 0.75, "small": 0.25}
+    out = mixture_weights(df, ("source",), "n_chars", 0.5).collect()
+    assert {(r.source, r.n_docs, r.n_units) for r in out} == {("big", 9, 900), ("small", 1, 100)}

@@ -794,3 +794,51 @@ def incremental_minhash_near_dups(
     return ngram_jaccard(corpus, cands, text_col, id_col, shingle_k, shingles=shingles).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — the standard eval-overlap gate every
+    serious pretraining pipeline runs (n-gram collision against held-out
+    benchmarks, as published for GPT-3/PaLM/Llama data work): flag each
+    training document that shares at least one word ``shingle_k``-gram
+    with any eval/benchmark document.
+
+    Output: (``id_col``, ``n_shared`` distinct shared shingles,
+    ``contaminated`` boolean) for EVERY input doc — callers drop or
+    quarantine the flagged rows.
+
+    Scale shape: the benchmark side is tiny by definition, so its
+    distinct shingle set BROADCASTS; the corpus side is one narrow
+    projection + explode + broadcast hash join — the 100 TB corpus
+    never shuffles.  Only the (small) matched rows aggregate, and the
+    per-doc hit counts broadcast back onto the id spine.  Exactly the
+    asymmetric-cardinality shape as :func:`incremental_minhash_near_dups`
+    but with a membership probe instead of a sketch probe."""
+    ev = (
+        eval_docs.select(F.explode(shingle_array(text_col, shingle_k)).alias("tk"))
+        .distinct()
+    )
+    d_sh = docs.select(
+        F.col(id_col), F.explode(shingle_array(text_col, shingle_k)).alias("tk")
+    )
+    # shingle_array is already distinct per doc → count == distinct count
+    hits = (
+        d_sh.join(F.broadcast(ev), "tk")
+        .groupBy(id_col)
+        .agg(F.count("tk").alias("n_shared"))
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

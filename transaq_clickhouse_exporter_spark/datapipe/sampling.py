@@ -73,6 +73,37 @@ def stratified_sample(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    size_col: str = "n_chars",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group sampling weights for pretraining data mixing:
+    ``weight ∝ (group size)^alpha``, normalized to sum 1 — the standard
+    temperature-scaled mixture (alpha=1 proportional, alpha=0 uniform,
+    0<alpha<1 upweights small sources; the multilingual-corpus recipe
+    published with mBERT/XLM-R and every data-mixture ablation since).
+
+    Output: (*group_cols, ``n_docs``, ``n_units``, ``weight``), weight
+    rounded to 6 decimals.  One aggregation shuffle on the group key
+    (map-side combine); the normalizing total runs on the aggregated
+    frame — |groups| rows, so the unpartitioned window is a no-op at
+    any corpus scale."""
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("n_units"),
+    )
+    raw = F.pow(F.col("n_units").cast("double"), F.lit(float(alpha)))
+    w_all = Window.partitionBy()
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_units",
+        F.round(raw / F.sum(raw).over(w_all), 6).alias("weight"),
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,

@@ -1897,7 +1897,7 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "vocabulary"),
         )
     )
-    from ..datapipe.sampling import assign_split
+    from ..datapipe.sampling import assign_split, mixture_weights
 
     def _incr(s: SparkSession) -> DataFrame:
         # new batch = odd doc_ids; historical corpus = hashes of even ids
@@ -1997,6 +1997,58 @@ def _datapipe_specs() -> list[QuerySpec]:
             GROUP BY bucket, seq_in_bucket
             """,
             tags=("datapipe", "packing"),
+        )
+    )
+    # benchmark decontamination: docs with doc_id % 13 == 0 stand in for
+    # the held-out eval set; the rest is the training corpus to gate
+    sp.append(
+        QuerySpec(
+            "dp21_decontaminate",
+            lambda s: dd.decontaminate(
+                s.table("documents").filter("doc_id % 13 != 0"),
+                s.table("documents").filter("doc_id % 13 = 0"),
+            ),
+            """
+            , trd AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0),
+            evsh AS (
+              SELECT DISTINCT unnest(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END) AS tk
+              FROM (SELECT regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM documents WHERE doc_id % 13 = 0) t),
+            trsh AS (
+              SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, greatest(len(w) - 1, 2)),
+                                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END)) AS tk
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS w
+                    FROM trd) t),
+            hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                     FROM trsh JOIN evsh USING (tk) GROUP BY doc_id)
+            SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   COALESCE(h.n_shared, 0) > 0 AS contaminated
+            FROM trd d LEFT JOIN hits h USING (doc_id)
+            """,
+            tags=("datapipe", "decontamination"),
+        )
+    )
+    # temperature-scaled mixture weights (alpha=0.5 upweights small
+    # sources) — float-bearing (pow), so kept in the catalog tail until
+    # a driver round proves the pow ulp story like dp04/ann01 did
+    sp.append(
+        QuerySpec(
+            "dp20_mixture_weights",
+            lambda s: mixture_weights(s.table("documents"), ("source",), "n_chars", 0.5),
+            """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_units,
+                   round(pow(CAST(sum(n_chars) AS BIGINT), 0.5)
+                         / sum(pow(CAST(sum(n_chars) AS BIGINT), 0.5)) OVER (), 6)
+                     AS weight
+            FROM documents GROUP BY source
+            """,
+            tags=("datapipe", "mixture"),
         )
     )
     return sp
@@ -2274,6 +2326,13 @@ _TAIL_NAMES = (
                                       # op01 (same operator, 6-key trades table)
     "dp03_ngram_jaccard",             # jaccard-verify evidence stays via dp05
                                       # (100%-recall all-pairs oracle) and dp17
+    # round-6 additions / displacement: dp21 (decontamination — integer
+    # counts + boolean, no float risk) takes tp02's window slot (top-K
+    # evidence stays via db03/db04 + the TakeOrderedAndProject plan
+    # assertion); dp20 carries a pow() double and waits in the tail
+    # until a driver round proves its ulp story (the dp04 precedent).
+    "tp02_top_revenue_orders",
+    "dp20_mixture_weights",
 )
 
 
