@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Regenerate BENCH_STANDALONE.json: noise-free per-query timings at
+sf0.1 — each query runs ALONE in a warm session (no pool, no
+concurrency), reported as first execution + median of 3 rebuilds.
+These are the stable cross-round numbers; the pooled bench.py makespan
+carries host-level scheduling noise (NOTES.md "Measurement reality")."""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transaq_clickhouse_exporter_spark.queries import parity  # noqa: E402
+from transaq_clickhouse_exporter_spark.session import get_spark  # noqa: E402
+from transaq_clickhouse_exporter_spark.testdata import register_views  # noqa: E402
+
+#: The heaviest / newest catalog queries — the ones worth watching.
+PICKS = [
+    "op01_dedup_last_write_wins", "op04_asof_join", "an03_minute_returns",
+    "dp02_text_profile", "dp05_minhash_lsh_near_dups", "dp03_ngram_jaccard",
+    "in06_candles_rollup", "in03_candles_windowed", "in05_candle_builder_exact",
+    "ann02_lsh_topk", "op05_range_join", "an05_rolling_channel",
+    "dp06_simhash_near_dups", "dp16_dup_clusters", "dp17_incremental_near_dup",
+    "dp18_pii_scrub", "dp19_repetition_profile", "dp14_curation_filter",
+    "dp15_corpus_report", "ann03_ivf_topk", "dp01_exact_dedup",
+    "dp21_decontaminate", "dp20_mixture_weights",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app="tce-standalone")
+    register_views(spark, sf_dir)
+    parity.register_derived_views(spark, sf_dir)
+    cat = parity.catalog()
+    # warm: derived-view caches + python worker pool (one cheap query)
+    for t in ("trades", "documents", "embeddings", "doc_shingles", "doc_bands",
+              "ticks", "quotes_dup", "trades_dup", "lineitem", "ev"):
+        spark.table(t).count()
+    cat["dp02_text_profile"].build(spark).toPandas()
+
+    out = {}
+    for name in PICKS:
+        spec = cat[name]
+        t0 = time.perf_counter()
+        spec.build(spark).toPandas()
+        first = time.perf_counter() - t0
+        rebuilds = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.build(spark).toPandas()  # fresh plan: full re-execution
+            rebuilds.append(time.perf_counter() - t0)
+        out[name] = {
+            "first": round(first, 3),
+            "median_rebuild": round(statistics.median(rebuilds), 3),
+        }
+        print(name, out[name], flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_STANDALONE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -802,6 +802,8 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — the standard eval-overlap gate every
     serious pretraining pipeline runs (n-gram collision against held-out
@@ -819,14 +821,32 @@ def decontaminate(
     never shuffles.  Only the (small) matched rows aggregate, and the
     per-doc hit counts broadcast back onto the id spine.  Exactly the
     asymmetric-cardinality shape as :func:`incremental_minhash_near_dups`
-    but with a membership probe instead of a sketch probe."""
-    ev = (
-        eval_docs.select(F.explode(shingle_array(text_col, shingle_k)).alias("tk"))
-        .distinct()
-    )
-    d_sh = docs.select(
-        F.col(id_col), F.explode(shingle_array(text_col, shingle_k)).alias("tk")
-    )
+    but with a membership probe instead of a sketch probe.
+
+    ``shingles`` / ``eval_shingles``: optional pre-materialized
+    (``id_col``, ``sh``) frames (e.g. the cached ``doc_shingles`` view)
+    — shingling is the dominant cost (interpreted HOFs over every
+    token), so a deployment gating every ingest batch should shingle
+    once and pass the views (the dp05/dp17 pattern; measured 3.9 s →
+    1.0 s at sf0.1).  When given, ``shingles`` must be keyed by the
+    same ids as ``docs`` (it is semi-joined down to them)."""
+    if eval_shingles is not None:
+        ev_src = eval_shingles.join(
+            eval_docs.select(id_col), id_col, "left_semi"
+        ).select(F.explode("sh").alias("tk"))
+    else:
+        ev_src = eval_docs.select(
+            F.explode(shingle_array(text_col, shingle_k)).alias("tk")
+        )
+    ev = ev_src.distinct()
+    if shingles is not None:
+        d_sh = shingles.join(docs.select(id_col), id_col, "left_semi").select(
+            F.col(id_col), F.explode("sh").alias("tk")
+        )
+    else:
+        d_sh = docs.select(
+            F.col(id_col), F.explode(shingle_array(text_col, shingle_k)).alias("tk")
+        )
     # shingle_array is already distinct per doc → count == distinct count
     hits = (
         d_sh.join(F.broadcast(ev), "tk")

@@ -2007,6 +2007,8 @@ def _datapipe_specs() -> list[QuerySpec]:
             lambda s: dd.decontaminate(
                 s.table("documents").filter("doc_id % 13 != 0"),
                 s.table("documents").filter("doc_id % 13 = 0"),
+                shingles=s.table("doc_shingles"),
+                eval_shingles=s.table("doc_shingles"),
             ),
             """
             , trd AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0),
