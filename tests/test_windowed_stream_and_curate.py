@@ -157,3 +157,20 @@ def test_training_data_job_end_to_end(spark, sf_smoke):
     # determinism: rerun reproduces identical curated membership
     again = {r.doc_id for r in training_data_job(docs, token_budget=512, gate_kwargs=gk)["curated"].collect()}
     assert again == {r.doc_id for r in curated}
+
+    # decontamination stage: using some of the corpus itself as the
+    # "benchmark" must drop exactly those docs (self-overlap) plus any
+    # doc sharing a 3-shingle with them, flagged as eval_overlap
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    out_d = training_data_job(docs, token_budget=512, gate_kwargs=gk, eval_docs=ev)
+    contaminated = {
+        r.doc_id for r in out_d["rejects"].filter("fail_reason = 'eval_overlap'").collect()
+    }
+    ev_ids = {r.doc_id for r in ev.select("doc_id").collect()}
+    gated_out = {
+        r.doc_id for r in out_d["rejects"].filter("fail_reason != 'eval_overlap'").collect()
+    }
+    # every eval doc that passed the rule gate is flagged (J(x,x)=1)
+    assert (ev_ids - gated_out) <= contaminated
+    curated_d = {r.doc_id for r in out_d["curated"].collect()}
+    assert curated_d.isdisjoint(contaminated) and curated_d <= again

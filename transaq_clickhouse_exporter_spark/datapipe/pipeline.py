@@ -64,6 +64,7 @@ def training_data_job(
     token_budget: int = 2048,
     near_dup_threshold: float = 0.7,
     gate_kwargs: dict | None = None,
+    eval_docs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The whole training-data run as one composition — what a 100 TB
     pipeline executes end-to-end, each stage an operator from this
@@ -71,14 +72,18 @@ def training_data_job(
     stages run:
 
     1. rule gate (:func:`..text.curation_filter` — narrow codegen scan)
-    2. exact + transitive near-dup removal (:func:`curate_corpus`)
-    3. contamination-proof split assignment (no shuffle)
-    4. token counting + sequence packing (bucketed window)
+    2. benchmark decontamination (:func:`..dedup.decontaminate`,
+       broadcast probe — only when ``eval_docs`` is given)
+    3. exact + transitive near-dup removal (:func:`curate_corpus`)
+    4. contamination-proof split assignment (no shuffle)
+    5. token counting + sequence packing (bucketed window)
 
     Returns the output tables a run materializes: ``curated`` (survivor
     docs + profile + split + packing coordinates), ``summary``
     (per-split doc/token totals), and ``rejects`` (doc_id +
-    fail_reason, for curation telemetry)."""
+    fail_reason, for curation telemetry — decontaminated docs appear
+    as ``fail_reason='eval_overlap'``)."""
+    from .dedup import decontaminate
     from .packing import pack_sequences
     from .sampling import assign_split
     from .text import curation_filter, ws_token_count
@@ -86,6 +91,16 @@ def training_data_job(
     gate = curation_filter(df, text_col, id_col, **(gate_kwargs or {}))
     rejects = gate.filter(~F.col("keep")).select(id_col, "fail_reason")
     passed = df.join(gate.filter(F.col("keep")).select(id_col), id_col, "left_semi")
+
+    if eval_docs is not None:
+        flags = decontaminate(passed, eval_docs, text_col, id_col)
+        rejects = rejects.unionAll(
+            flags.filter(F.col("contaminated"))
+            .select(id_col, F.lit("eval_overlap").alias("fail_reason"))
+        )
+        passed = passed.join(
+            flags.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
+        )
 
     curated = curate_corpus(
         passed, text_col, id_col, near_dup_threshold=near_dup_threshold
