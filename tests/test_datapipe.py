@@ -96,6 +96,13 @@ def test_decontaminate_flags_eval_overlap(spark):
     got = {r.doc_id: (r.n_shared, r.contaminated)
            for r in dd.decontaminate(train, ev).collect()}
     assert got == {1: (1, True), 2: (2, True), 3: (0, False)}
+    # pre-materialized shingle path (the cached-view deployment shape)
+    # is output-identical to the recompute path
+    sh = train.unionAll(ev).select("doc_id", dd.shingle_array("text").alias("sh"))
+    via_views = {r.doc_id: (r.n_shared, r.contaminated)
+                 for r in dd.decontaminate(train, ev, shingles=sh,
+                                           eval_shingles=sh).collect()}
+    assert via_views == got
 
 
 def test_ngram_jaccard_identical_and_disjoint(spark, docs):
