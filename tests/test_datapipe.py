@@ -105,6 +105,18 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert via_views == got
 
 
+def test_decontaminate_monotone_in_eval_set(spark, docs):
+    """Growing the benchmark set can only grow the flagged set, and a
+    doc present in both corpus and eval always self-flags (J(x,x)=1)."""
+    def flagged(ev):
+        return {r.doc_id for r in dd.decontaminate(docs, ev).collect()
+                if r.contaminated}
+
+    f1 = flagged(docs.filter("doc_id = 1"))
+    f13 = flagged(docs.filter("doc_id in (1, 3)"))
+    assert 1 in f1 and f1 <= f13 and 3 in f13
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark, docs):
     pairs = spark.createDataFrame([(1, 1), (1, 3)], "id_a long, id_b long")
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.ngram_jaccard(docs, pairs).collect()}

@@ -176,3 +176,26 @@ def test_mixture_weights_temperature(spark):
     assert wh == {"big": 0.75, "small": 0.25}
     out = mixture_weights(df, ("source",), "n_chars", 0.5).collect()
     assert {(r.source, r.n_docs, r.n_units) for r in out} == {("big", 9, 900), ("small", 1, 100)}
+
+
+def test_mixture_weights_invariants(spark):
+    """Weights are a probability vector at every alpha, and raising
+    alpha moves mass toward big sources (the temperature dial)."""
+    from transaq_clickhouse_exporter_spark.datapipe.sampling import mixture_weights
+
+    sizes = {"a": 1, "b": 7, "c": 50, "d": 400, "e": 3000}
+    rows = [(f"{s}{i}", s, n) for s, n in sizes.items() for i in range(1)]
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (_, s, n) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    )
+    prev_max = 0.0
+    for alpha in (0.0, 0.3, 0.7, 1.0):
+        w = {r.source: r.weight for r in mixture_weights(df, ("source",), "n_chars", alpha).collect()}
+        assert abs(sum(w.values()) - 1.0) < 5e-6
+        assert all(v > 0 for v in w.values())
+        # ordering follows size at every positive alpha
+        if alpha > 0:
+            assert w["e"] > w["d"] > w["c"] > w["b"] > w["a"]
+        assert max(w.values()) >= prev_max  # skew grows with alpha
+        prev_max = max(w.values())
