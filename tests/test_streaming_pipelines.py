@@ -149,3 +149,30 @@ def test_stream_stream_enrich_bounded_lag(spark, tmp_path):
     got = {(r.tid, r.qid) for r in spark.sql("SELECT tid, qid FROM enr").collect()}
     # t1 matches quotes 10+11 (within 60s before), t2 matches 12, t3 nothing
     assert got == {(1, 10), (1, 11), (2, 12)}
+
+
+def test_run_with_restarts_transient_and_permanent():
+    """S6 watchdog (main.go:46-59 parity): transient failures restart
+    the query with backoff; exceeding the budget re-raises."""
+    import pytest
+
+    calls = {"n": 0}
+
+    class FakeQuery:
+        def __init__(self, fail):
+            self.fail = fail
+
+        def awaitTermination(self):
+            if self.fail:
+                raise RuntimeError("transient upstream drop")
+
+    def start():
+        calls["n"] += 1
+        return FakeQuery(fail=calls["n"] <= 2)
+
+    q = ing.run_with_restarts(start, max_restarts=5, backoff_seconds=0.01)
+    assert calls["n"] == 3 and isinstance(q, FakeQuery)
+
+    with pytest.raises(RuntimeError, match="transient"):
+        ing.run_with_restarts(lambda: FakeQuery(True), max_restarts=2,
+                              backoff_seconds=0.01)
