@@ -32,6 +32,43 @@ from transaq_clickhouse_exporter_spark.testdata import register_views
 
 CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "16"))
 
+
+def _canary_work(_arg=None):
+    import hashlib
+
+    h = hashlib.sha256()
+    for _ in range(200_000):
+        h.update(b"x" * 100)
+
+
+def _host_canary() -> dict:
+    """Fixed-work CPU canary, run untimed before the pool: measures the
+    host this bench actually ran on.  ``t1`` = seconds for a fixed
+    single-process hashlib loop; ``eff32`` = parallel efficiency of the
+    same loop across 32 processes (1.0 = 32 real cores).  NOTES.md's
+    noise study showed identical code spans 5-70 s cold depending on
+    hypervisor contention; these two numbers let any reader normalize a
+    recorded total instead of guessing.  The value is COMPARATIVE
+    across rounds, not absolute: on this host class t1 sits ~0.03-0.05
+    and eff32 was observed 0.12 during the same contention window that
+    produced a 72 s cold total, vs 0.4-0.5 in calmer windows."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _canary_work()
+    t1 = time.perf_counter() - t0
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(32) as p:
+            p.map(int, range(32))  # warm the pool: fork cost stays untimed
+            t0 = time.perf_counter()
+            p.map(_canary_work, range(32))
+            t32 = time.perf_counter() - t0
+        eff32 = t1 / t32 if t32 > 0 else 0.0
+    except Exception:
+        eff32 = -1.0
+    return {"t1": round(t1, 4), "eff32": round(eff32, 3)}
+
 #: Longest-processing-time-first submission order (classic LPT
 #: makespan heuristic): the multi-second queries must not start at the
 #: tail of the pool.  Names absent from the catalog are ignored; any
@@ -55,6 +92,7 @@ def main() -> None:
     # (44.5s with AQE vs 56.5s without, whole catalog, sequential).
     # FAIR scheduling so concurrent panel queries share executor slots
     # instead of convoying behind the largest job.
+    canary = _host_canary()
     spark = get_spark(app="tce-bench", extra={"spark.scheduler.mode": "FAIR"})
 
     register_views(spark, sf_dir)
@@ -195,6 +233,7 @@ def main() -> None:
                 "sf": sf,
                 "concurrency": CONCURRENCY,
                 "steady_state_sec": steady,
+                "host_canary": canary,
             }
         )
     )
