@@ -373,3 +373,29 @@ def test_repetition_profile(spark):
     assert (got[1].n_grams, got[1].n_distinct_grams, got[1].dup_frac) == (4, 1, 0.75)
     assert got[2].dup_frac == 0.0 and got[2].n_grams == got[2].n_distinct_grams == 5
     assert (got[3].n_grams, got[3].dup_frac) == (0, 0.0)
+
+
+def test_passage_dedup_removes_shared_windows(spark):
+    rows = [
+        (1, "a b c x y z"),          # "a b c" shared -> "x y z" kept
+        (2, "a b c q"),              # partial tail window "q" kept
+        (3, "unique words only here"),
+        (4, "a b c"),                # every passage removed -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dd.passage_dedup(df, window_words=3).collect()}
+    assert (got[1].clean_text, got[1].n_kept, got[1].n_removed) == ("x y z", 1, 1)
+    assert (got[2].clean_text, got[2].n_kept, got[2].n_removed) == ("q", 1, 1)
+    assert (got[3].clean_text, got[3].n_removed) == ("unique words only here", 0)
+    assert (got[4].clean_text, got[4].n_kept, got[4].n_removed) == ("", 0, 1)
+    # max_docs above the occurrence count keeps everything
+    kept_all = dd.passage_dedup(df, window_words=3, max_docs=3).collect()
+    assert all(r.n_removed == 0 for r in kept_all)
+
+
+def test_passage_dedup_partition_invariant(spark, docs):
+    a = sorted(map(tuple, dd.passage_dedup(docs, window_words=5).collect()))
+    b = sorted(
+        map(tuple, dd.passage_dedup(docs.repartition(7), window_words=5).collect())
+    )
+    assert a == b

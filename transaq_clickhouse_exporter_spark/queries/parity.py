@@ -2053,6 +2053,36 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "mixture"),
         )
     )
+    # C4-style duplicate-passage removal: exact 20-word windows shared
+    # across documents are boilerplate — strip them from every doc
+    sp.append(
+        QuerySpec(
+            "dp22_passage_dedup",
+            lambda s: dd.passage_dedup(s.table("documents"), window_words=20),
+            """
+            , w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            p0 AS (SELECT doc_id, ws,
+                          unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS g
+                   FROM w),
+            p AS (SELECT doc_id, g AS win,
+                         array_to_string(ws[(g*20+1):((g+1)*20)], ' ') AS passage
+                  FROM p0),
+            dup AS (SELECT passage FROM (SELECT DISTINCT passage, doc_id FROM p)
+                    GROUP BY passage HAVING count(*) > 1),
+            kept AS (SELECT doc_id, win, passage FROM p
+                     WHERE passage NOT IN (SELECT passage FROM dup)),
+            agg AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY win) AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(ceil(len(ws) / 20.0) AS INT) AS n_total FROM w)
+            SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+                   CAST(t.n_total - COALESCE(a.n_kept, 0) AS INT) AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+            """,
+            tags=("datapipe", "passage-dedup"),
+        )
+    )
     return sp
 
 
@@ -2335,6 +2365,9 @@ _TAIL_NAMES = (
     # until a driver round proves its ulp story (the dp04 precedent).
     "tp02_top_revenue_orders",
     "dp20_mixture_weights",
+    # round-6 session-2 additions start in the tail: the 50-row window
+    # was frozen for the rotation evidence; these earn rows next round.
+    "dp22_passage_dedup",
 )
 
 
