@@ -399,3 +399,70 @@ def test_passage_dedup_partition_invariant(spark, docs):
         map(tuple, dd.passage_dedup(docs.repartition(7), window_words=5).collect())
     )
     assert a == b
+
+
+def test_sq_topk_recall_and_exact_query_hit(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r[0], r[1]) for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    got = sim.sq_topk(emb, queries, k=5).collect()
+    # every query's own vector quantizes to itself -> rank 1, cos 1.0
+    first = {r.query_id: r for r in got if r.rank == 1}
+    assert all(r.nn_id == q and r.cos_q8 == 1.0 for q, r in first.items())
+    hits = {(r.query_id, r.nn_id) for r in got}
+    assert len(bf & hits) / len(bf) >= 0.7  # int8 keeps most of the ranking
+
+
+def test_sq_scales_reusable(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    scales = sim.sq_scales(emb)
+    a = sorted(map(tuple, sim.sq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, sim.sq_topk(emb, queries, k=5, scales=scales).collect()))
+    assert a == b and len(scales) == 64
+
+
+def test_pq_trained_codebooks_beat_sample(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r[0], r[1]) for r in sim.brute_force_topk(emb, queries, k=10).collect()}
+
+    def recall(codebooks):
+        got = {
+            (r[0], r[1])
+            for r in sim.pq_topk(emb, queries, codebooks=codebooks, k=10).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    # everything deterministic (fixed sample, init, iteration count) so
+    # these are exact reruns, not flaky statistical bounds
+    r_sample = recall(sim.pq_codebooks(emb))
+    r_trained = recall(sim.pq_codebooks(emb, train=True, sample_size=500))
+    r_big = recall(
+        sim.pq_codebooks(emb, n_cent=64, train=True, sample_size=500)
+    )
+    assert r_trained > r_sample  # Lloyd's improves over sample-as-codebook
+    assert r_big > r_trained  # more centroids/subspace -> better recall
+    assert r_big >= 0.5  # 64x compression keeps half the true top-10
+
+
+def test_pq_encode_shape_and_persisted_reuse(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = sim.pq_codebooks(emb)
+    enc = sim.pq_encode(emb, cb)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in rows)
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, sim.pq_topk(emb, queries, codebooks=cb, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sim.pq_topk(emb, queries, codebooks=cb, k=5, encoded=enc).collect(),
+        )
+    )
+    assert a == b

@@ -413,3 +413,265 @@ def train_ivf_centroids(
             )
         )
     return cents.select("cell", "cent")
+
+
+# --------------------------------------------------------------------------
+# scalar quantization (SQ8) — compressed exact-scan ANN
+# --------------------------------------------------------------------------
+
+
+def sq_scales(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension symmetric int8 scales: ``s_j = max|x_j| / 127`` over
+    the corpus (the FAISS ``SQ8``-style fit).  One narrow
+    posexplode + max aggregation; the result is ``dim`` doubles —
+    collected because they parameterize a codegen expression, the same
+    way a real deployment persists its quantizer alongside the index."""
+    stats = (
+        corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        .collect()
+    )
+    mx = {r["pos"]: r["mx"] for r in stats}
+    return [mx[i] / 127.0 for i in range(len(mx))]
+
+
+def _sq_code_col(vec_col, scales: list[float]):
+    """int8 quantization as a pure-codegen expression: the code array is
+    integer-VALUED doubles (|code| <= 127), so downstream dot products
+    and norms are exact int arithmetic in IEEE doubles on any engine —
+    the micro-scaled-bigint trick applied to vectors."""
+    sarr = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        _as_double(vec_col),
+        sarr,
+        lambda x, s: F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(F.lit(127).cast("long"), F.floor(x / s + F.lit(0.5))),
+            ).cast("double")
+        ),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scales: list[float] | None = None,
+) -> DataFrame:
+    """Compressed brute-force ANN: per-dimension symmetric int8
+    quantization (codes in [-127, 127]), cosine ranked in the quantized
+    domain.  The scan cost at 100 TB is what SQ is for: 8-bit codes are
+    a 4x narrower scan than float32 (25 TB instead of 100), and the
+    scan stays a single linear pass with JVM-codegen arithmetic — no
+    Python, no shuffle of the corpus (queries broadcast, final top-k
+    aggregates k rows per query).  Quantized dots/norms are exact
+    integer arithmetic, so the score is engine-reproducible bit-for-bit
+    (unlike float cosine, no summation-order ulps at all).
+
+    ``scales``: pass a persisted :func:`sq_scales` fit to skip the
+    stats pass (the deployment shape: fit once, scan forever)."""
+    if scales is None:
+        scales = sq_scales(corpus, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"), _sq_code_col(F.col(vec_col), scales).alias("cc")
+    ).withColumn("nc", dot_product(F.col("cc"), F.col("cc")))
+    q = queries.select(
+        F.col(query_id_col), _sq_code_col(F.col(vec_col), scales).alias("qc")
+    ).withColumn("nq", dot_product(F.col("qc"), F.col("qc")))
+    cos = F.when(
+        (F.col("nq") > 0) & (F.col("nc") > 0),
+        F.round(
+            dot_product(F.col("qc"), F.col("cc"))
+            / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nc"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = F.broadcast(q).crossJoin(c).select(
+        query_id_col, "nn_id", cos.alias("cos_q8")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_q8"), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "nn_id", "cos_q8", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# product quantization + asymmetric distance (Jegou et al. 2011)
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: bool = False,
+    sample_size: int = 1024,
+    iterations: int = 10,
+) -> np.ndarray:
+    """PQ codebooks, shape ``(n_sub, n_cent, dsub)``, over L2-normalized
+    vectors.
+
+    ``train=False``: the subvectors of the first ``n_cent`` corpus rows
+    by id — deterministic and SQL-recomputable, the ann03 sample-
+    centroid pattern (this is what the oracle-paired catalog entry
+    uses).  ``train=True``: per-subspace Lloyd's k-means on a
+    deterministic sample of ``sample_size`` rows (smallest ids),
+    trained driver-side in numpy — PQ training data is a bounded sample
+    by design (FAISS trains on ~100k vectors regardless of corpus
+    size), so collecting the sample is the deployment shape, not a
+    scale compromise.  Init = first ``n_cent`` sample subvectors; empty
+    clusters keep their previous centroid; fixed iteration count."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size if train else n_cent)
+        .collect()
+    )
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    dim = m.shape[1]
+    assert dim % n_sub == 0, "dim must divide evenly into n_sub subspaces"
+    dsub = dim // n_sub
+    subs = m.reshape(len(m), n_sub, dsub)
+    if not train:
+        return np.ascontiguousarray(subs[:n_cent].transpose(1, 0, 2))
+    books = np.ascontiguousarray(subs[:n_cent].transpose(1, 0, 2))  # init
+    for _ in range(iterations):
+        for s in range(n_sub):
+            x = subs[:, s, :]  # (n, dsub)
+            d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(np.round(d, 6), axis=1)
+            for j in range(n_cent):
+                sel = x[a == j]
+                if len(sel):
+                    books[s, j] = sel.mean(axis=0)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every (L2-normalized) vector as ``n_sub`` small codes:
+    per subspace, the index of the nearest codebook centroid (rounded
+    squared L2, first-minimum tie-break — matches the SQL
+    ``row_number ... ORDER BY dsq, j`` form).  mapInPandas: each Arrow
+    batch scores batch x n_cent per subspace in vectorized numpy —
+    ZERO shuffle, and the output row is id + n_sub bytes, the 32x
+    compression that makes 100 TB ANN feasible."""
+    n_sub, n_cent, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = (m / norms[:, None]).reshape(len(m), n_sub, dsub)
+            codes = np.empty((len(m), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                d = ((m[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(np.round(d, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    "nn_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema="nn_id bigint, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray | None = None,
+    k: int = 10,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ/ADC ANN search: rank the encoded corpus by asymmetric
+    distance — for each query, an ``n_sub x n_cent`` lookup table of
+    exact query-subvector-to-centroid squared distances is built once,
+    and every corpus vector's approximate distance is ``n_sub`` table
+    lookups summed (no decode, no float vector ever re-read).
+
+    Output: (query_id, nn_id, adc_dist, rank), ascending distance,
+    ties by id.  ``encoded``: pass a persisted :func:`pq_encode` table
+    to skip encoding (the deployment shape — the 100 TB corpus is
+    encoded once; a query scans 3 TB of codes, not 100 TB of floats).
+    The per-batch partial top-k keeps the final shuffle at
+    <= k x batches x queries rows, the brute_force_topk_blas shape."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, n_sub, n_cent, id_col, vec_col)
+    n_sub, n_cent, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks)
+    enc = encoded if encoded is not None else pq_encode(corpus, codebooks, id_col, vec_col)
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = (qm / qn[:, None]).reshape(len(qm), n_sub, dsub)
+    # (q, n_sub, n_cent) exact subvector->centroid squared distances
+    lut = np.stack(
+        [((qm[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(n_sub)],
+        axis=1,
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["nn_id"].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # dists[b, q] = sum_s lut[q, s, codes[b, s]]
+            per_sub = lut[:, np.arange(n_sub)[None, :], codes[:, :]]  # (q, b, n_sub)
+            dists = np.round(per_sub.sum(axis=2), 6)  # (q, b)
+            kk = min(k, len(ids))
+            out_q, out_id, out_d = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, dists[j]))[:kk]  # dist asc, id asc
+                out_q.append(np.full(kk, qids[j]))
+                out_id.append(ids[order])
+                out_d.append(dists[j][order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "nn_id": np.concatenate(out_id),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    qt = dict(queries.dtypes)[query_id_col]
+    cand = enc.mapInPandas(
+        score, schema=f"{query_id_col} {qt}, nn_id bigint, adc_dist double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col("nn_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "nn_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    )

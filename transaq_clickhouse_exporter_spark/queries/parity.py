@@ -1230,6 +1230,90 @@ def _lsh_bucket_oracle_sql(dim: int, n_planes: int, k: int) -> str:
     """
 
 
+def _sq_oracle_sql(dim: int, mod: int, k: int) -> str:
+    """DuckDB twin of similarity.sq_topk: recompute the per-dimension
+    symmetric int8 scales (max|x|/127), quantize with the identical
+    floor(x/s + 0.5) clip expression, rank by quantized-domain cosine.
+    Codes are integer-valued doubles, so dots/norms are exact integer
+    arithmetic on both engines — no summation-order ulps at all."""
+    return f"""
+    , mxq AS (
+      SELECT pos, max(abs(x)) / 127.0 AS s FROM (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings) t
+      GROUP BY pos),
+    sarr AS (SELECT list(s ORDER BY pos) AS s FROM mxq),
+    coded AS (
+      SELECT vec_id,
+             list_transform(range(1, {dim + 1}), i -> CASE WHEN s[i] = 0 THEN 0.0
+                 ELSE CAST(greatest(-127, least(127,
+                      floor(CAST(embedding[i] AS DOUBLE) / s[i] + 0.5))) AS DOUBLE) END) AS c
+      FROM embeddings, sarr),
+    normed AS (SELECT vec_id, c, list_inner_product(c, c) AS n2 FROM coded),
+    sq_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+             CASE WHEN q.n2 > 0 AND c.n2 > 0
+                  THEN round(list_inner_product(q.c, c.c) / (sqrt(q.n2) * sqrt(c.n2)), 6)
+                  ELSE 0.0 END AS cos_q8
+      FROM normed q CROSS JOIN normed c WHERE q.vec_id % {mod} = 0)
+    SELECT query_id, nn_id, cos_q8, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_q8 DESC, nn_id) AS rank FROM sq_scored) r
+    WHERE rank <= {k}
+    """
+
+
+def _pq_oracle_sql(n_sub: int, dsub: int, n_cent: int, mod: int, k: int) -> str:
+    """DuckDB twin of similarity.pq_topk with sample codebooks (the
+    ann03 sample-centroid pattern): L2-normalize, slice into subspaces,
+    codebook m = subvectors of the first n_cent vectors by id, encode =
+    per-subspace argmin of ROUNDED squared L2 (ties to the smaller
+    centroid index), ADC distance = round(sum of the query's exact
+    subvector-to-centroid squared distances at the stored codes, 6).
+    Rounding to 6 decimals before every ordering decision absorbs the
+    cross-engine float summation-order ulps (the dp04/ann03
+    precedent)."""
+    r = f"range(1, {dsub + 1})"
+    return f"""
+    , nv AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))) > 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                        CAST(embedding AS DOUBLE[]))))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS v
+      FROM embeddings),
+    samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+             FROM (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT {n_cent}) s0),
+    cb AS (SELECT m, j, list_transform({r}, i -> v[m*{dsub} + i]) AS c
+           FROM samp, (SELECT unnest(range(0, {n_sub})) AS m) ms),
+    subv AS (SELECT vec_id, m, list_transform({r}, i -> v[m*{dsub} + i]) AS vm
+             FROM nv, (SELECT unnest(range(0, {n_sub})) AS m) ms),
+    pq_dists AS (
+      SELECT s.vec_id, s.m, c.j,
+             round(list_inner_product(list_transform({r}, i -> s.vm[i] - c.c[i]),
+                                      list_transform({r}, i -> s.vm[i] - c.c[i])), 6) AS dsq
+      FROM subv s JOIN cb c ON c.m = s.m),
+    enc AS (SELECT vec_id, m, j AS code FROM (
+              SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY dsq, j) AS rn FROM pq_dists) e WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, s.m, c.j,
+             list_inner_product(list_transform({r}, i -> s.vm[i] - c.c[i]),
+                                list_transform({r}, i -> s.vm[i] - c.c[i])) AS dsq_raw
+      FROM subv s JOIN cb c ON c.m = s.m WHERE s.vec_id % {mod} = 0),
+    adc AS (
+      SELECT q.query_id, e.vec_id AS nn_id, round(sum(q.dsq_raw), 6) AS adc_dist
+      FROM enc e JOIN qd q ON q.m = e.m AND q.j = e.code
+      GROUP BY q.query_id, e.vec_id)
+    SELECT query_id, nn_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, nn_id) AS rank FROM adc) r
+    WHERE rank <= {k}
+    """
+
+
 def _datapipe_specs() -> list[QuerySpec]:
     """Training-data pipeline operators over documents/embeddings."""
     from ..datapipe import dedup as dd
@@ -2083,6 +2167,40 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "passage-dedup"),
         )
     )
+
+    # compressed-index ANN family: int8 scalar quantization (exact
+    # integer-domain scoring — zero float risk) and product
+    # quantization with asymmetric-distance lookup (sample codebooks
+    # here, the ann03 pattern; the TRAINED-codebook variant is the
+    # pytest recall gate in test_datapipe.py)
+    def _sq(s: SparkSession) -> DataFrame:
+        emb = s.table("embeddings")
+        queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.sq_topk(emb, queries, k=10)
+
+    sp.append(
+        QuerySpec(
+            "ann04_sq_topk", _sq, _sq_oracle_sql(dim=64, mod=500, k=10),
+            tags=("datapipe", "ann-sq"),
+        )
+    )
+
+    def _pq(s: SparkSession) -> DataFrame:
+        emb = s.table("embeddings")
+        queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.pq_topk(emb, queries, k=10)
+
+    sp.append(
+        QuerySpec(
+            "ann05_pq_adc", _pq,
+            _pq_oracle_sql(n_sub=8, dsub=8, n_cent=16, mod=500, k=10),
+            tags=("datapipe", "ann-pq"),
+        )
+    )
     return sp
 
 
@@ -2368,6 +2486,8 @@ _TAIL_NAMES = (
     # round-6 session-2 additions start in the tail: the 50-row window
     # was frozen for the rotation evidence; these earn rows next round.
     "dp22_passage_dedup",
+    "ann04_sq_topk",
+    "ann05_pq_adc",
 )
 
 
