@@ -29,6 +29,7 @@ PICKS = [
     "dp18_pii_scrub", "dp19_repetition_profile", "dp14_curation_filter",
     "dp15_corpus_report", "ann03_ivf_topk", "dp01_exact_dedup",
     "dp21_decontaminate", "dp20_mixture_weights",
+    "dp22_passage_dedup", "ann04_sq_topk", "ann05_pq_adc",
 ]
 
 
