@@ -466,3 +466,16 @@ def test_pq_encode_shape_and_persisted_reuse(spark):
         )
     )
     assert a == b
+
+
+def test_self_passage_dedup(spark):
+    rows = [
+        (1, "a b c x y z a b c"),  # windows (w=3): abc / xyz / abc -> drop 3rd
+        (2, "p q r p q"),          # "p q r" then partial "p q" -> both kept
+        (3, "m n o m n o m n o"),  # three identical windows -> keep one
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dd.self_passage_dedup(df, window_words=3).collect()}
+    assert (got[1].clean_text, got[1].n_kept, got[1].n_removed) == ("a b c x y z", 2, 1)
+    assert (got[2].clean_text, got[2].n_removed) == ("p q r p q", 0)
+    assert (got[3].clean_text, got[3].n_kept, got[3].n_removed) == ("m n o", 1, 2)

@@ -951,3 +951,46 @@ def passage_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def self_passage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 20,
+) -> DataFrame:
+    """WITHIN-document duplicate-passage removal: keep only the first
+    occurrence of each exact ``window_words``-word passage inside a
+    document (templated scrapes repeat their own chrome — headers,
+    cookie banners — many times per page; :func:`passage_dedup` only
+    removes passages repeated ACROSS documents).  Complements
+    :func:`..text.repetition_profile`, which measures self-repetition;
+    this removes it.
+
+    Entirely per-document, so the plan is a single narrow codegen
+    projection — ZERO shuffles, embarrassingly parallel at any scale:
+    the passage array, the first-occurrence filter
+    (``array_position(p, x) == i+1``), and the reassembly all happen
+    inside one whole-stage-codegen pass.  The first-occurrence scan is
+    O(passages²) per document, but passages-per-document is bounded by
+    document length, not corpus size.
+
+    Output matches :func:`passage_dedup`:
+    ``(id_col, clean_text, n_kept int, n_removed int)``."""
+    w = int(window_words)
+    ws = F.split(F.col(text_col), " ")
+    n_total = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_total - 1),
+        lambda g: F.array_join(F.slice(ws, g * w + 1, F.lit(w)), " "),
+    )
+    step = docs.select(F.col(id_col), passages.alias("__p"))
+    kept = F.filter(
+        F.col("__p"), lambda x, i: F.array_position(F.col("__p"), x) == i + 1
+    )
+    return step.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("int").alias("n_kept"),
+        (F.size("__p") - F.size(kept)).cast("int").alias("n_removed"),
+    )

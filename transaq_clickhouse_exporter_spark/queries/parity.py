@@ -1014,6 +1014,46 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "funnel"),
         )
     )
+
+    # cohort retention: cohort = user's first-seen day, retention =
+    # distinct users active at each day-offset from their cohort — the
+    # standard product-analytics matrix, exercised as two-level
+    # aggregation + key join (per-user reduce, then per-cell count)
+    def _cohort(s: SparkSession) -> DataFrame:
+        ev = s.table("ev")
+        day = F.expr("ts_s DIV 86400")
+        first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+        active = (
+            ev.select("user_id", day.alias("day"))
+            .join(first, "user_id")
+            .select(
+                "cohort_day",
+                (F.col("day") - F.col("cohort_day")).alias("offset_days"),
+                "user_id",
+            )
+            .distinct()
+        )
+        return active.groupBy("cohort_day", "offset_days").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev07_cohort_retention",
+            _cohort,
+            """
+            , f7 AS (SELECT user_id, min(ts_s // 86400) AS cohort_day
+                     FROM ev GROUP BY user_id),
+            a7 AS (SELECT DISTINCT f7.cohort_day,
+                          (e.ts_s // 86400) - f7.cohort_day AS offset_days,
+                          e.user_id
+                   FROM ev e JOIN f7 USING (user_id))
+            SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS n_users
+            FROM a7 GROUP BY cohort_day, offset_days
+            """,
+            tags=("events", "cohort-retention"),
+        )
+    )
     return sp
 
 
@@ -1144,6 +1184,58 @@ def _tpch_specs() -> list[QuerySpec]:
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             """,
             tags=("tpch", "rollup", "grouping-sets"),
+        )
+    )
+    # TPC-H Q17 shape: correlated per-group average feeding a filter on
+    # the same fact table (small-quantity order revenue).  Exactness:
+    # l_quantity is integer-valued (checked at sf0.01/0.1), so the
+    # per-part avg is exact int/count on both engines; revenue uses the
+    # micro-scaled-bigint sum with integer division by 7.
+    def _small_qty(s: SparkSession) -> DataFrame:
+        # broadcast the filtered part keys so the fact table never
+        # shuffles for the dim filter; the per-part avg then reduces
+        # the (already-pruned) fact rows before the self-join
+        lif = (
+            s.table("lineitem")
+            .join(
+                F.broadcast(
+                    s.table("part")
+                    .filter(F.col("p_brand") == "Brand#4")
+                    .select("p_partkey")
+                ),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .select("l_partkey", "l_quantity", "l_extendedprice")
+        )
+        aq = lif.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+        small = lif.join(aq, "l_partkey").filter(
+            F.col("l_quantity") < 0.2 * F.col("aq")
+        )
+        return small.agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.round(F.col("l_extendedprice") * 1e6).cast("long")).alias(
+                "__sum_micro"
+            ),
+        ).select(
+            "n_small", F.expr("__sum_micro DIV 7").alias("avg_yearly_micro")
+        )
+
+    sp.append(
+        QuerySpec(
+            "tp06_small_qty_revenue",
+            _small_qty,
+            """
+            , pf6 AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+            lif6 AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem JOIN pf6 ON l_partkey = p_partkey),
+            aq6 AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lif6
+                    GROUP BY l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_small,
+                   CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) // 7
+                     AS BIGINT) AS avg_yearly_micro
+            FROM lif6 JOIN aq6 USING (l_partkey) WHERE l_quantity < 0.2 * aq
+            """,
+            tags=("tpch", "correlated-agg"),
         )
     )
     return sp
@@ -2201,6 +2293,47 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "ann-pq"),
         )
     )
+
+    # within-document span dedup: the driver docs have no natural
+    # self-repeats, so both engines prepend each doc's first 20 words —
+    # window 0 then equals window 1 and the operator provably removes
+    # it (the remover twin of dp19's repetition measurement)
+    def _selfdup(s: SparkSession) -> DataFrame:
+        docs = s.table("documents")
+        injected = F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " "),
+            F.col("text"),
+        )
+        return dd.self_passage_dedup(
+            docs.select("doc_id", injected.alias("text")), window_words=20
+        )
+
+    sp.append(
+        QuerySpec(
+            "dp23_self_passage_dedup",
+            _selfdup,
+            """
+            , inj23 AS (SELECT doc_id,
+                concat_ws(' ', array_to_string((string_split(text, ' '))[1:20], ' '),
+                          text) AS text
+              FROM documents),
+            w23 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj23),
+            p23 AS (SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT)),
+                       g -> array_to_string(ws[(g*20+1):((g+1)*20)], ' ')) AS p
+                    FROM w23),
+            k23 AS (SELECT doc_id, p,
+                     list_filter(p, (x, i) -> list_position(p, x) = i) AS kept
+                    FROM p23)
+            SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   CAST(len(p) - len(kept) AS INT) AS n_removed
+            FROM k23
+            """,
+            tags=("datapipe", "self-passage-dedup"),
+        )
+    )
     return sp
 
 
@@ -2488,6 +2621,9 @@ _TAIL_NAMES = (
     "dp22_passage_dedup",
     "ann04_sq_topk",
     "ann05_pq_adc",
+    "dp23_self_passage_dedup",
+    "ev07_cohort_retention",
+    "tp06_small_qty_revenue",
 )
 
 
