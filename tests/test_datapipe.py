@@ -479,3 +479,15 @@ def test_self_passage_dedup(spark):
     assert (got[1].clean_text, got[1].n_kept, got[1].n_removed) == ("a b c x y z", 2, 1)
     assert (got[2].clean_text, got[2].n_removed) == ("p q r p q", 0)
     assert (got[3].clean_text, got[3].n_kept, got[3].n_removed) == ("m n o", 1, 2)
+
+
+def test_sq_engines_bit_identical(spark):
+    # integer-domain scoring: BLAS reordering cannot perturb a bit, so
+    # the two engines must be EXACTLY equal (not just rounded-equal)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, sim.sq_topk(emb, queries, k=10, engine="blas").collect()))
+    b = sorted(map(tuple, sim.sq_topk(emb, queries, k=10, engine="jvm").collect()))
+    assert a == b and len(a) == 100

@@ -71,6 +71,41 @@ def main() -> None:
               docs.select("doc_id", dtx.ws_token_count("text").alias("t")),
               "doc_id", "t", budget=2048).count())
     timed("mixture weights", lambda: mixture_weights(docs).count())
+    # duplicate-passage removal: on THIS corpus every base doc's 10
+    # replicas share all aligned windows, so the dup-passage set is
+    # dense — the worst realistic case for the dup-set shuffle.
+    # Aggregate n_removed so the full reassembly actually executes.
+    timed("passage dedup (20-word cross-doc windows)",
+          lambda: dd.passage_dedup(docs)
+          .agg(F.sum("n_removed")).collect() and n)
+    timed("self passage dedup (zero-shuffle scan)",
+          lambda: dd.self_passage_dedup(docs)
+          .agg(F.sum("n_kept")).collect() and n)
+    # compressed-ANN family at 10x corpus: SQ fit+scan, PQ encode+ADC
+    emb10 = (
+        load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        .crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+        .select((F.col("vec_id") * 16 + F.col("rep")).alias("vec_id"),
+                "embedding")
+        .repartition(32)
+        .cache()
+    )
+    nq = emb10.filter(F.col("vec_id") % 5000 == 0)
+    queries = nq.select(F.col("vec_id").alias("query_id"), "embedding")
+    print(f"embeddings: {emb10.count()} vectors, {queries.count()} queries",
+          flush=True)
+    from transaq_clickhouse_exporter_spark.datapipe import similarity as sim
+
+    timed("SQ int8 fit + quantized brute-force top-10",
+          lambda: sim.sq_topk(emb10, queries, k=10).count())
+    cb = sim.pq_codebooks(emb10, n_cent=64, train=True, sample_size=1024)
+    timed("PQ encode (8 subspaces x 64 cents, zero shuffle)",
+          lambda: sim.pq_encode(emb10, cb).count())
+    enc = sim.pq_encode(emb10, cb).cache()
+    enc.count()
+    timed("PQ/ADC top-10 over persisted codes",
+          lambda: sim.pq_topk(emb10, queries, codebooks=cb, k=10,
+                              encoded=enc).count())
     spark.stop()
 
 
