@@ -1238,6 +1238,21 @@ def _tpch_specs() -> list[QuerySpec]:
             tags=("tpch", "correlated-agg"),
         )
     )
+    # HyperLogLog distinct sketch (ClickHouse `uniq` parity): portable
+    # deterministic registers, exact-integer harmonic sum -> the
+    # estimate itself hash-matches across engines
+    from ..functions.hll import hll_distinct
+
+    sp.append(
+        QuerySpec(
+            "tp07_hll_distinct",
+            lambda s: hll_distinct(
+                s.table("lineitem"), "l_orderkey", ("l_returnflag",)
+            ),
+            _hll_oracle_sql(precision=10),
+            tags=("tpch", "sketch", "hll"),
+        )
+    )
     return sp
 
 
@@ -1403,6 +1418,50 @@ def _pq_oracle_sql(n_sub: int, dsub: int, n_cent: int, mod: int, k: int) -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adc_dist, nn_id) AS rank FROM adc) r
     WHERE rank <= {k}
+    """
+
+
+def _hll_oracle_sql(precision: int) -> str:
+    """DuckDB twin of functions.hll.hll_distinct over
+    (lineitem.l_orderkey grouped by l_returnflag): same 60-bit md5
+    hash (nibble-parsed), same integer bucket/rho register math, and
+    the same EXACT-INTEGER harmonic sum — the float constants are
+    computed once in Python and embedded as literals so both engines
+    divide the identical numerator by the identical integer sum."""
+    m = 1 << precision
+    r_bits = 60 - precision
+    scale = r_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << scale)  # one Python double, shared
+    hexd = "'0123456789abcdef'"
+    h_expr = " + ".join(
+        f"(strpos({hexd}, substr(h32, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    e_raw = (
+        f"({num!r}) / CAST(s_present + ({m} - nb) * {1 << scale} AS DOUBLE)"
+    )
+    return f"""
+    , hh7 AS (
+      SELECT l_returnflag, {h_expr} AS h
+      FROM (SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h32
+            FROM lineitem) t),
+    reg7 AS (
+      SELECT l_returnflag, h % {m} AS bucket,
+             max(CASE WHEN h // {m} = 0 THEN {r_bits + 1}
+                      ELSE {r_bits} - length(bin(h // {m})) + 1 END) AS m_rho
+      FROM hh7 GROUP BY l_returnflag, h % {m}),
+    agg7 AS (
+      SELECT l_returnflag,
+             sum(CAST(pow(2, {scale} - m_rho) AS BIGINT)) AS s_present,
+             count(*) AS nb
+      FROM reg7 GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - nb) > 0
+                     THEN round({float(m)!r} * ln({float(m)!r} / ({m} - nb)))
+                     ELSE round({e_raw})
+                END AS BIGINT) AS est
+    FROM agg7
     """
 
 
@@ -2624,6 +2683,7 @@ _TAIL_NAMES = (
     "dp23_self_passage_dedup",
     "ev07_cohort_retention",
     "tp06_small_qty_revenue",
+    "tp07_hll_distinct",
 )
 
 
