@@ -1,0 +1,73 @@
+"""Generic event-chain funnel — the ClickHouse ``windowFunnel``
+aggregate (GDJ dashboards use fixed panels; CH exposes the generic
+aggregate) re-expressed as relational composition.
+
+Semantics (earliest-anchor, deterministic): per user,
+``t_1 = min(ts | cond_1)``; for i > 1,
+``t_i = min(ts | cond_i, ts > t_{i-1}, ts <= t_1 + window)`` —
+every later stage must fall inside ``window`` of the FIRST stage and
+strictly after the previous one.  ``level`` = the longest prefix
+reached.  (ClickHouse's DP scan can find later anchors that reach
+deeper; the earliest-anchor rule is the deterministic, SQL-mirrorable
+contract — each stage is a pure min-aggregation.)
+
+Plan shape: k−1 joins keyed on the user id, each side a per-user
+min-aggregate with map-side combine — at 100 TB this is k narrow
+passes over the (time-partition-pruned) event table, never a per-user
+sort or a window over raw events.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    conds: list[Column],
+    ts_col: str = "ts_s",
+    user_col: str = "user_id",
+    window: int = 3600,
+) -> DataFrame:
+    """Per-user funnel depth: ``(user_col, level int)`` for every user
+    that reached stage 1, ``level`` in [1, len(conds)]."""
+    assert len(conds) >= 1
+    cur = events.filter(conds[0]).groupBy(user_col).agg(
+        F.min(ts_col).alias("__t"), F.min(ts_col).alias("__anchor")
+    )
+    frames = [cur]
+    for cond in conds[1:]:
+        cur = (
+            events.filter(cond)
+            .join(cur, user_col)
+            .filter(
+                (F.col(ts_col) > F.col("__t"))
+                & (F.col(ts_col) <= F.col("__anchor") + window)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"), F.min("__anchor").alias("__anchor"))
+        )
+        frames.append(cur)
+    levels = reduce(
+        DataFrame.unionAll,
+        [
+            f.select(F.col(user_col), F.lit(i + 1).alias("level"))
+            for i, f in enumerate(frames)
+        ],
+    )
+    return levels.groupBy(user_col).agg(F.max("level").cast("int").alias("level"))
+
+
+def funnel_level_counts(
+    events: DataFrame,
+    conds: list[Column],
+    ts_col: str = "ts_s",
+    user_col: str = "user_id",
+    window: int = 3600,
+) -> DataFrame:
+    """Funnel report: users per reached depth, ``(level, n_users)``."""
+    lv = window_funnel(events, conds, ts_col, user_col, window)
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))

@@ -1,0 +1,118 @@
+"""Histogram-based quantile sketch — the deterministic, mergeable
+scale path next to ``queries/analytics.price_percentiles``' exact
+``percentile_cont`` (ClickHouse's ``quantileDeterministic`` family).
+
+Spark's ``percentile_approx`` is deterministic for fixed data but its
+GK merge depends on partition boundaries, so its value is not
+layout-stable and cannot be oracled.  This sketch is: a fixed-width
+histogram over the per-group [min, max] with INTEGER counts —
+layout-independent, recomputable in any engine, and mergeable (same
+bounds → counts add; the deployment keeps per-day histograms and
+answers quantiles over any range by summing counts).
+
+Estimator: rank ``r = max(1, ceil(q·n))``; find the first bucket whose
+cumulative count reaches ``r``; linear interpolation inside it.  Every
+input to the float expression is an exact integer or a raw data value,
+and the expression is written identically in the SQL oracle, so the
+rounded estimate matches bit-for-bit.  Error is bounded by the bucket
+width ``(max−min)/buckets``, the classic equi-width trade-off.
+
+Two narrow passes (min/max, then counts) — both map-side-combinable
+aggregations; the quantile extraction runs on ≤ ``buckets`` rows per
+group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    buckets: int = 128,
+) -> DataFrame:
+    """Fixed-width histogram:
+    ``(group_cols…, bucket int, cnt long, mn double, mx double)``."""
+    g = list(group_cols)
+    stats = df.groupBy(*g).agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    )
+    x = F.col(col).cast("double")
+    joined = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    idx = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((x - F.col("mn")) * buckets / (F.col("mx") - F.col("mn"))),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        joined.select(*g, idx.alias("bucket"), "mn", "mx")
+        .groupBy(*g, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("mn").alias("mn"), F.min("mx").alias("mx"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    buckets: int = 128,
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram:
+    ``(group_cols…, q double, est double)``."""
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy("bucket")
+    cum = hist.select(
+        *g,
+        "bucket",
+        "cnt",
+        "mn",
+        "mx",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*g) if g else Window.partitionBy()).alias(
+            "n"
+        ),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    expanded = cum.select(*g, "bucket", "cnt", "mn", "mx", "cum", "n",
+                          F.explode(qarr).alias("q"))
+    r = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")))
+    hit = expanded.filter(F.col("cum") >= r).withColumn(
+        "__rn",
+        F.row_number().over(
+            (Window.partitionBy(*g, "q") if g else Window.partitionBy("q")).orderBy(
+                "bucket"
+            )
+        ),
+    ).filter(F.col("__rn") == 1)
+    est = F.round(
+        F.col("mn")
+        + (F.col("mx") - F.col("mn"))
+        / buckets
+        * (
+            F.col("bucket")
+            + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ),
+        6,
+    )
+    return hit.select(*g, "q", est.alias("est"))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    buckets: int = 128,
+) -> DataFrame:
+    return quantiles_from_histogram(
+        histogram_sketch(df, col, group_cols, buckets), qs, group_cols, buckets
+    )

@@ -1054,6 +1054,89 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "cohort-retention"),
         )
     )
+
+    # generic windowFunnel (ClickHouse parity): 4-stage chain anchored
+    # within 7 days of the first stage, earliest-anchor semantics
+    def _wfunnel(s: SparkSession) -> DataFrame:
+        from ..functions.funnel import funnel_level_counts
+
+        return funnel_level_counts(
+            s.table("ev"),
+            [F.col("event_type") == t for t in ("signup", "view", "click", "purchase")],
+            window=604800,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev08_window_funnel",
+            _wfunnel,
+            """
+            , wf1 AS (SELECT user_id, min(ts_s) AS t, min(ts_s) AS a FROM ev
+                      WHERE event_type = 'signup' GROUP BY user_id),
+            wf2 AS (SELECT e.user_id, min(e.ts_s) AS t, min(wf1.a) AS a
+                    FROM ev e JOIN wf1 USING (user_id)
+                    WHERE e.event_type = 'view' AND e.ts_s > wf1.t
+                      AND e.ts_s <= wf1.a + 604800 GROUP BY e.user_id),
+            wf3 AS (SELECT e.user_id, min(e.ts_s) AS t, min(wf2.a) AS a
+                    FROM ev e JOIN wf2 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts_s > wf2.t
+                      AND e.ts_s <= wf2.a + 604800 GROUP BY e.user_id),
+            wf4 AS (SELECT e.user_id, min(e.ts_s) AS t, min(wf3.a) AS a
+                    FROM ev e JOIN wf3 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts_s > wf3.t
+                      AND e.ts_s <= wf3.a + 604800 GROUP BY e.user_id),
+            wflv AS (SELECT user_id, 1 AS level FROM wf1
+                     UNION ALL SELECT user_id, 2 FROM wf2
+                     UNION ALL SELECT user_id, 3 FROM wf3
+                     UNION ALL SELECT user_id, 4 FROM wf4)
+            SELECT CAST(level AS INT) AS level, CAST(count(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id, max(level) AS level FROM wflv GROUP BY user_id) g
+            GROUP BY level
+            """,
+            tags=("events", "window-funnel"),
+        )
+    )
+
+    # histogram quantile sketch (quantileDeterministic parity): p50/p90/
+    # p99 of event value per type from a 128-bucket mergeable histogram
+    def _qsketch(s: SparkSession) -> DataFrame:
+        from ..functions.quantiles import quantile_sketch
+
+        return quantile_sketch(s.table("ev"), "value", group_cols=("event_type",))
+
+    sp.append(
+        QuerySpec(
+            "ev09_quantile_sketch",
+            _qsketch,
+            """
+            , st9 AS (SELECT event_type, min(CAST(value AS DOUBLE)) AS mn,
+                             max(CAST(value AS DOUBLE)) AS mx FROM ev GROUP BY 1),
+            hb9 AS (SELECT e.event_type,
+                     CAST(CASE WHEN mx = mn THEN 0
+                               ELSE least(127, floor((CAST(value AS DOUBLE) - mn) * 128
+                                                     / (mx - mn))) END AS INT) AS bucket,
+                     count(*) AS cnt, min(mn) AS mn, min(mx) AS mx
+                    FROM ev e JOIN st9 USING (event_type) GROUP BY 1, 2),
+            cum9 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                                              ORDER BY bucket) AS cum,
+                            sum(cnt) OVER (PARTITION BY event_type) AS n FROM hb9),
+            ex9 AS (SELECT *, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                      CAST(0.99 AS DOUBLE)]) AS q FROM cum9),
+            hit9 AS (SELECT * FROM (
+                       SELECT *, row_number() OVER (PARTITION BY event_type, q
+                                                    ORDER BY bucket) AS rn
+                       FROM ex9
+                       WHERE cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))) t
+                     WHERE rn = 1)
+            SELECT event_type, q,
+                   round(mn + (mx - mn) / 128 *
+                         (bucket + (greatest(1, CAST(ceil(q * n) AS BIGINT))
+                                    - (cum - cnt)) / cnt), 6) AS est
+            FROM hit9
+            """,
+            tags=("events", "quantile-sketch"),
+        )
+    )
     return sp
 
 
@@ -2684,6 +2767,8 @@ _TAIL_NAMES = (
     "ev07_cohort_retention",
     "tp06_small_qty_revenue",
     "tp07_hll_distinct",
+    "ev08_window_funnel",
+    "ev09_quantile_sketch",
 )
 
 
