@@ -491,3 +491,13 @@ def test_sq_engines_bit_identical(spark):
     a = sorted(map(tuple, sim.sq_topk(emb, queries, k=10, engine="blas").collect()))
     b = sorted(map(tuple, sim.sq_topk(emb, queries, k=10, engine="jvm").collect()))
     assert a == b and len(a) == 100
+
+
+def test_passage_windowing_roundtrips(spark, docs):
+    # with the dup threshold effectively disabled, reassembly must be
+    # the identity on single-space-separated text — pins the window
+    # slicing/join math that dp22/dp23 rely on
+    out = dd.passage_dedup(docs, window_words=7, max_docs=1 << 30)
+    joined = out.join(docs, "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+    assert out.filter(F.col("n_removed") != 0).count() == 0

@@ -132,3 +132,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert joined.count() == 5000
     spark.sql("DROP DATABASE bt CASCADE")
+
+
+def test_compact_table_merges_files_and_dedups(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    base = _trades_df(spark, 900)
+    # three fragmented appends; the third re-ingests 300 rows with a
+    # later _ingest_seq and shifted price (the merge-tree upsert shape)
+    storage.write_table(base.repartition(8), path, "transaq_trades")
+    storage.write_table(_trades_df(spark, 600).repartition(8), path, "transaq_trades")
+    dup = (
+        _trades_df(spark, 300)
+        .withColumn("_ingest_seq", F.col("_ingest_seq") + 10_000)
+        .withColumn("price", (F.col("price") + 1).cast("float"))
+    )
+    storage.write_table(dup.repartition(8), path, "transaq_trades")
+
+    expected = sorted(
+        map(
+            tuple,
+            storage.read_table_range(spark, path, "transaq_trades").collect(),
+        )
+    )
+    report = storage.compact_table(spark, path, "transaq_trades")
+    assert report and all(before > after for before, after in report.values())
+    # post-compaction: FINAL during the rewrite -> plain read equals the
+    # pre-compaction dedup-on-read result
+    got = sorted(
+        map(
+            tuple,
+            storage.read_table_range(
+                spark, path, "transaq_trades", final=False
+            ).collect(),
+        )
+    )
+    assert got == expected
+    # and dedup-on-read stays idempotent over the compacted layout
+    still = sorted(
+        map(tuple, storage.read_table_range(spark, path, "transaq_trades").collect())
+    )
+    assert still == expected
+
+
+def test_compact_table_day_restriction(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    storage.write_table(_trades_df(spark, 600).repartition(6), path, "transaq_trades")
+    days = sorted(
+        p.name.split("=")[1] for p in (tmp_path / "trades").glob("p_date=*")
+    )
+    report = storage.compact_table(spark, path, "transaq_trades", days=[days[0]])
+    assert list(report) == [days[0]]

@@ -122,3 +122,47 @@ def hll_distinct(
     return hll_estimate_from_registers(
         hll_registers(df, col, group_cols, precision), group_cols, precision
     )
+
+
+def hll_registers_windowed(
+    stream: DataFrame,
+    col: str,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    precision: int = 10,
+) -> DataFrame:
+    """Streaming HLL: per-time-window register tables from a streaming
+    DataFrame.  Because a register is just ``max(rho)``, HLL composes
+    with Spark's native streaming aggregation — no custom state
+    operator: ``groupBy(window(ts), bucket).agg(max(rho))`` maintains
+    the registers incrementally, the watermark bounds state, and the
+    emitted register rows feed :func:`hll_estimate_from_registers`
+    (grouped by the window column) exactly like a batch sketch.  This
+    is the "distinct users per hour" dashboard at any event rate: state
+    is O(windows x 2^precision), independent of cardinality."""
+    assert 7 <= precision <= 16
+    m = 1 << precision
+    r_bits = 60 - precision
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    step = (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.window(ts_col, window).alias("win"), h.alias("__h"))
+        .select(
+            "win",
+            (F.col("__h") % m).cast("int").alias("bucket"),
+            F.expr(f"__h DIV {m}").alias("__w"),
+        )
+    )
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(r_bits + 1))
+        .otherwise(F.lit(r_bits) - F.length(F.bin(F.col("__w"))) + 1)
+        .cast("int")
+    )
+    return (
+        step.select("win", "bucket", rho.alias("__rho"))
+        .groupBy("win", "bucket")
+        .agg(F.max("__rho").alias("m_rho"))
+    )

@@ -104,3 +104,76 @@ def read_table_range(
     if final:
         df = dedup_last_write_wins(df, spec.dedup_keys, INGEST_SEQ)
     return df.select(*[f.name for f in spec.schema.fields if f.name in df.columns])
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    target_file_mb: int = 128,
+    final: bool = True,
+    days: list[str] | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction — the job ClickHouse's background merges
+    do for the reference's ReplacingMergeTree parts (``db.go:31-107``):
+    streaming ingest appends a file per micro-batch per day, and a
+    1000-executor deployment turns that into millions of tiny files
+    unless something periodically rewrites them.
+
+    Per day partition: measure on-disk bytes, rewrite the partition as
+    ``ceil(bytes / target_file_mb)`` key-sorted files, and (``final``)
+    apply last-write-wins dedup DURING the rewrite — exactly the
+    merge-tree contract, so a compacted table needs no dedup-on-read
+    until new appends arrive.  The rewrite goes to a sibling temp
+    directory and swaps in with two renames (atomic on a filesystem;
+    on object storage the swap step becomes a manifest flip).
+
+    The per-day loop is metadata-driven (a directory listing), not a
+    data collect; each day's rewrite is one narrow Spark job whose
+    parallelism is the day's own size.  ``days`` restricts compaction
+    (e.g. yesterday only — the steady-state incremental regime).
+
+    Returns ``{day: (files_before, files_after)}``."""
+    import math
+    import os
+    import shutil
+
+    spec = TABLES[name]
+    tcol = _TIME_COL[name]
+    keys = [k for k in spec.dedup_keys if k != tcol]
+    out: dict[str, tuple[int, int]] = {}
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("p_date="):
+            continue
+        day = entry.split("=", 1)[1]
+        if days is not None and day not in days:
+            continue
+        part_dir = os.path.join(path, entry)
+        files = [
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        nbytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(part_dir)
+        if final:
+            df = dedup_last_write_wins(df, spec.dedup_keys, INGEST_SEQ)
+        tmp_dir = part_dir + ".compact.tmp"
+        old_dir = part_dir + ".compact.old"
+        (
+            df.repartition(n_out, *keys[:1])
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
+        n_after = len(
+            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        )
+        out[day] = (len(files), n_after)
+    return out
