@@ -66,3 +66,28 @@ def test_rolling_channel_frame(spark):
     # minute 120 sees minutes 60+120 only
     assert out[120].roll_high == 15.0 and out[120].roll_low == 8.0
     assert out[120].roll_vol == 8.0 * 2 + 15.0
+
+
+def test_ema_recurrence_and_partition_invariance(spark):
+    from transaq_clickhouse_exporter_spark.queries.analytics import ema
+
+    rows = [("A", t, float(v)) for t, v in enumerate([10, 12, 11, 15, 14])]
+    rows += [("B", t, float(v)) for t, v in enumerate([100, 90])]
+    df = spark.createDataFrame(rows, "sec_code string, bucket_s long, close double")
+    got = {(r.sec_code, r.bucket_s): r.ema for r in ema(df, alpha=0.5).collect()}
+
+    def ref(xs, a=0.5):
+        e, out = None, []
+        for x in xs:
+            e = x if e is None else e + a * (x - e)
+            out.append(e)
+        return out
+
+    want_a = ref([10, 12, 11, 15, 14])
+    want_b = ref([100, 90])
+    assert [got[("A", t)] for t in range(5)] == want_a
+    assert [got[("B", t)] for t in range(2)] == want_b
+    shuffled = sorted(
+        map(tuple, ema(df.repartition(7), alpha=0.5).collect())
+    )
+    assert shuffled == sorted(map(tuple, ema(df, alpha=0.5).collect()))

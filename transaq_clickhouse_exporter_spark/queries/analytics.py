@@ -120,3 +120,50 @@ def rolling_channel(trades: DataFrame, window_minutes: int = 10) -> DataFrame:
         F.min("px_low").over(w).alias("roll_low"),
         F.sum("vol").over(w).alias("roll_vol"),
     )
+
+
+def ema(
+    bars: DataFrame,
+    value_col: str = "close",
+    key_col: str = "sec_code",
+    order_col: str = "bucket_s",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Exponential moving average per key over an ordered bar series —
+    ClickHouse's ``exponentialMovingAverage`` for the candle tables.
+
+    The recurrence ``e_t = e_{t-1} + α·(x_t − e_{t-1})`` (e_0 = x_0) is
+    inherently sequential per key, so this is the applyInPandas case by
+    design: one grouped pass where each group is ONE security's bar
+    series — bounded by the trading day, not the corpus, exactly like
+    the exact candle fold (`ingest/candles.py`).  No closed-form window
+    trick is used on purpose: the Σ x_i·(1−α)^(t−i) reformulation needs
+    (1−α)^(−i) factors that overflow/denormalize on long series.
+
+    Engine-exactness: the recurrence fixes the float evaluation ORDER,
+    so an engine replaying the identical IEEE ops (e.g. a recursive SQL
+    CTE with the same update expression) reproduces the result
+    bit-for-bit — no rounding tolerance needed, unlike the BLAS
+    reductions in the ANN family.
+
+    Output: (key_col, order_col, value_col, ``ema`` double)."""
+    import pandas as pd
+
+    a = float(alpha)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        e = None
+        out = []
+        for x in pdf[value_col].astype("float64"):
+            e = x if e is None else e + a * (x - e)
+            out.append(e)
+        pdf = pdf.copy()
+        pdf["ema"] = out
+        return pdf
+
+    schema_src = bars.select(key_col, order_col, F.col(value_col).cast("double").alias(value_col))
+    return schema_src.groupBy(key_col).applyInPandas(
+        fold,
+        schema=f"{key_col} string, {order_col} bigint, {value_col} double, ema double",
+    )

@@ -2711,6 +2711,41 @@ def _analytics_specs() -> list[QuerySpec]:
             tags=("analytics", "rolling-window"),
         )
     )
+    # EMA over the minute-close series (ClickHouse
+    # exponentialMovingAverage): the recurrence pins the float op
+    # order, so the recursive-CTE oracle reproduces it BIT-identically
+    # (no rounding needed, unlike the BLAS families)
+    sp.append(
+        QuerySpec(
+            "an06_ema",
+            lambda s: an.ema(
+                candles_windowed(s.table("ticks"), minutes=1), alpha=0.2
+            ),
+            """
+            , bars6 AS (
+              SELECT sec_code, bucket_s, close,
+                     row_number() OVER (PARTITION BY sec_code
+                                        ORDER BY bucket_s) AS rn
+              FROM (
+                SELECT DISTINCT sec_code, (ts_s // 60) * 60 AS bucket_s,
+                       last_value(last) OVER (PARTITION BY sec_code, (ts_s // 60) * 60
+                         ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS close
+                FROM ticks) c)
+            SELECT sec_code, bucket_s, close, ema FROM (
+              WITH RECURSIVE rec6(sec_code, bucket_s, close, rn, ema) AS (
+                SELECT sec_code, bucket_s, close, rn, close AS ema
+                FROM bars6 WHERE rn = 1
+                UNION ALL
+                SELECT b.sec_code, b.bucket_s, b.close, b.rn,
+                       r.ema + 0.2 * (b.close - r.ema)
+                FROM bars6 b JOIN rec6 r
+                  ON b.sec_code = r.sec_code AND b.rn = r.rn + 1)
+              SELECT sec_code, bucket_s, close, ema FROM rec6) t6
+            """,
+            tags=("analytics", "ema", "stateful"),
+        )
+    )
     return sp
 
 
@@ -2769,6 +2804,7 @@ _TAIL_NAMES = (
     "tp07_hll_distinct",
     "ev08_window_funnel",
     "ev09_quantile_sketch",
+    "an06_ema",
 )
 
 
