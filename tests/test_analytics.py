@@ -91,3 +91,46 @@ def test_ema_recurrence_and_partition_invariance(spark):
         map(tuple, ema(df.repartition(7), alpha=0.5).collect())
     )
     assert shuffled == sorted(map(tuple, ema(df, alpha=0.5).collect()))
+
+
+def test_ema_stream_matches_batch_across_restart(spark, tmp_path):
+    from transaq_clickhouse_exporter_spark.queries.analytics import ema, ema_stream
+    from transaq_clickhouse_exporter_spark.sources.replay import write_jsonl_fixture
+
+    b1 = [{"sec_code": "A", "bucket_s": t, "close": float(v)}
+          for t, v in enumerate([10, 12, 11])]
+    b1 += [{"sec_code": "B", "bucket_s": t, "close": float(v)}
+           for t, v in enumerate([100, 90])]
+    b2 = [{"sec_code": "A", "bucket_s": t + 3, "close": float(v)}
+          for t, v in enumerate([15, 14])]
+    b2 += [{"sec_code": "B", "bucket_s": 2, "close": 95.0}]
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    write_jsonl_fixture(f"{src}/a.jsonl", b1, mtime=1_000)
+
+    def run():
+        stream = (
+            spark.readStream.schema("sec_code string, bucket_s long, close double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            ema_stream(stream, alpha=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # phase 1, then "kill" (availableNow terminates)
+    write_jsonl_fixture(f"{src}/b.jsonl", b2, mtime=2_000)
+    run()  # phase 2 resumes the recurrence from checkpointed state
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    whole = spark.createDataFrame(
+        b1 + b2, "sec_code string, bucket_s long, close double"
+    )
+    want = sorted(map(tuple, ema(whole, alpha=0.5).collect()))
+    assert got == want  # state crossed the restart: EMA identical to batch

@@ -167,3 +167,61 @@ def ema(
         fold,
         schema=f"{key_col} string, {order_col} bigint, {value_col} double, ema double",
     )
+
+
+def ema_stream(
+    bars_stream: DataFrame,
+    value_col: str = "close",
+    key_col: str = "sec_code",
+    order_col: str = "bucket_s",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Streaming :func:`ema`: the recurrence's state is ONE double per
+    key (the last EMA), carried in GroupState across micro-batches —
+    the smallest possible stateful-stream operator, same machinery as
+    the exact candle builder (`ingest/candles.py:228`).  Within a
+    micro-batch rows fold in ``order_col`` order; across batches the
+    source must deliver a key's bars in order (true for the replay/
+    backfill shape: time-ordered micro-batches).
+
+    Restart-safe by construction: state lives in the checkpoint, so a
+    killed query resumes the recurrence exactly (see
+    tests/test_streaming_curation.py for the restart pattern)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    a = float(alpha)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(order_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("ema", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("e", T.DoubleType())])
+
+    def fold(key, pdfs, state: GroupState):
+        e = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="stable")
+            for t, x in zip(pdf[order_col], pdf[value_col].astype("float64")):
+                e = x if e is None else e + a * (x - e)
+                rows.append((key[0], int(t), float(x), e))
+        if e is not None:
+            state.update((float(e),))
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, order_col, value_col, "ema"])
+
+    return bars_stream.select(
+        key_col, order_col, F.col(value_col).cast("double").alias(value_col)
+    ).groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
