@@ -501,3 +501,47 @@ def test_passage_windowing_roundtrips(spark, docs):
     joined = out.join(docs, "doc_id")
     assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
     assert out.filter(F.col("n_removed") != 0).count() == 0
+
+
+def test_score_documents_seam_and_buckets(spark, docs):
+    from transaq_clickhouse_exporter_spark.datapipe.scoring import (
+        score_buckets,
+        score_documents,
+    )
+
+    # a custom model hook: score = doc length fraction (plugs straight in)
+    def by_len(texts):
+        import numpy as np
+
+        return np.array([min(len(t), 1000) / 1000.0 for t in texts])
+
+    scored = score_documents(docs, batch_scorer=by_len).collect()
+    assert all(0.0 <= r.score <= 1.0 for r in scored)
+    got = {r.doc_id: r.score for r in scored}
+    want = {r.doc_id: min(len(r.text), 1000) / 1000.0 for r in docs.collect()}
+    assert got == want
+    bucketed = score_buckets(
+        score_documents(docs, scorer="fake"), edges=(0.25, 0.5, 0.75)
+    ).collect()
+    assert {r.bucket for r in bucketed} <= {0, 1, 2, 3}
+    for r in bucketed:
+        assert r.bucket == sum(r.score >= e for e in (0.25, 0.5, 0.75))
+
+
+def test_training_data_job_model_score_gate(spark, docs):
+    from transaq_clickhouse_exporter_spark.datapipe.pipeline import (
+        training_data_job,
+    )
+    from transaq_clickhouse_exporter_spark.datapipe.scoring import (
+        score_documents,
+    )
+
+    out = training_data_job(docs, min_model_score=0.5)
+    rejects = out["rejects"].filter(F.col("fail_reason") == "model_score")
+    low = score_documents(docs, scorer="fake").filter(F.col("score") < 0.5)
+    # every model-score reject scored below the bar, and no kept doc did
+    rejected_ids = {r.doc_id for r in rejects.collect()}
+    low_ids = {r.doc_id for r in low.collect()}
+    assert rejected_ids <= low_ids
+    kept = {r.doc_id for r in out["curated"].collect()}
+    assert kept.isdisjoint(low_ids)

@@ -140,3 +140,38 @@ def test_streaming_curation_matches_reference_and_restarts(spark, tmp_path):
     curate_document_batch(b2_df, 2, state, threshold=THRESHOLD)
     again = sorted(r.doc_id for r in read_curated(spark, state).collect())
     assert again == got
+
+
+def test_partial_write_crash_replay_heals_state(spark, tmp_path):
+    """Simulate a crash BETWEEN a batch's state writes: after batch 1
+    commits, delete its bands directory (as if the process died after
+    writing curated/hashes but before bands) and replay the batch.
+    Because state reads only see lower batch ids, the replay recomputes
+    from the exact pre-batch state and rewrites ALL three directories —
+    the corpus ends identical to the uninterrupted run."""
+    import shutil
+
+    batches = _doc_batches(spark)
+    state_a = str(tmp_path / "a")  # uninterrupted reference run
+    state_b = str(tmp_path / "b")  # crash-and-replay run
+    for i, b in enumerate(batches[:2]):
+        df = spark.createDataFrame(b, "doc_id long, text string")
+        curate_document_batch(df, i, state_a, threshold=THRESHOLD)
+        curate_document_batch(df, i, state_b, threshold=THRESHOLD)
+
+    shutil.rmtree(os.path.join(state_b, "bands", "b00000001"))  # the "crash"
+    df1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+    curate_document_batch(df1, 1, state_b, threshold=THRESHOLD)  # replay
+
+    rd = spark.read.option("recursiveFileLookup", "true")
+    for sub in ("curated", "hashes", "bands"):
+        a = sorted(map(tuple, rd.parquet(f"{state_a}/{sub}").collect()))
+        b = sorted(map(tuple, rd.parquet(f"{state_b}/{sub}").collect()))
+        assert a == b, sub
+    # and batch 2 on the healed state matches the reference run
+    df2 = spark.createDataFrame(batches[2], "doc_id long, text string")
+    curate_document_batch(df2, 2, state_a, threshold=THRESHOLD)
+    curate_document_batch(df2, 2, state_b, threshold=THRESHOLD)
+    a = {r.doc_id for r in read_curated(spark, state_a).collect()}
+    b = {r.doc_id for r in read_curated(spark, state_b).collect()}
+    assert a == b

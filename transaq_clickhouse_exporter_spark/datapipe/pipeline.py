@@ -65,6 +65,8 @@ def training_data_job(
     near_dup_threshold: float = 0.7,
     gate_kwargs: dict | None = None,
     eval_docs: DataFrame | None = None,
+    min_model_score: float | None = None,
+    model_scorer=None,
 ) -> dict[str, DataFrame]:
     """The whole training-data run as one composition — what a 100 TB
     pipeline executes end-to-end, each stage an operator from this
@@ -74,9 +76,12 @@ def training_data_job(
     1. rule gate (:func:`..text.curation_filter` — narrow codegen scan)
     2. benchmark decontamination (:func:`..dedup.decontaminate`,
        broadcast probe — only when ``eval_docs`` is given)
-    3. exact + transitive near-dup removal (:func:`curate_corpus`)
-    4. contamination-proof split assignment (no shuffle)
-    5. token counting + sequence packing (bucketed window)
+    3. model-quality gate (:mod:`.scoring` — the pluggable classifier
+       seam; only when ``min_model_score`` is given, rejects get
+       ``fail_reason='model_score'``)
+    4. exact + transitive near-dup removal (:func:`curate_corpus`)
+    5. contamination-proof split assignment (no shuffle)
+    6. token counting + sequence packing (bucketed window)
 
     Returns the output tables a run materializes: ``curated`` (survivor
     docs + profile + split + packing coordinates), ``summary``
@@ -100,6 +105,21 @@ def training_data_job(
         )
         passed = passed.join(
             flags.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
+        )
+
+    if min_model_score is not None:
+        from .scoring import score_documents
+
+        scored = score_documents(
+            passed, text_col, id_col,
+            batch_scorer=model_scorer, threshold=min_model_score,
+        )
+        rejects = rejects.unionAll(
+            scored.filter(~F.col("keep"))
+            .select(id_col, F.lit("model_score").alias("fail_reason"))
+        )
+        passed = passed.join(
+            scored.filter(F.col("keep")).select(id_col), id_col, "left_semi"
         )
 
     curated = curate_corpus(

@@ -2476,6 +2476,32 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "self-passage-dedup"),
         )
     )
+
+    # model-scoring seam (the quality-classifier stage): the 'fake'
+    # scorer is md5-derived, so DuckDB recomputes score AND gate
+    def _scores(s: SparkSession) -> DataFrame:
+        from ..datapipe.scoring import score_documents
+
+        return score_documents(s.table("documents"), threshold=0.2)
+
+    hexd = "'0123456789abcdef'"
+    h8 = " + ".join(
+        f"(strpos({hexd}, substr(h32, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    sp.append(
+        QuerySpec(
+            "dp24_model_scores",
+            _scores,
+            f"""
+            , sc24 AS (
+              SELECT doc_id, (({h8}) % 1000000) / 1000000.0 AS score
+              FROM (SELECT doc_id, md5(text) AS h32 FROM documents) t)
+            SELECT doc_id, score, score >= 0.2 AS keep FROM sc24
+            """,
+            tags=("datapipe", "model-scoring"),
+        )
+    )
     return sp
 
 
@@ -2805,6 +2831,7 @@ _TAIL_NAMES = (
     "ev08_window_funnel",
     "ev09_quantile_sketch",
     "an06_ema",
+    "dp24_model_scores",
 )
 
 
