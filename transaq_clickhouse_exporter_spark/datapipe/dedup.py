@@ -869,6 +869,21 @@ def decontaminate(
 # --------------------------------------------------------------------------
 
 
+def _passage_array(text_col: str, window_words: int):
+    """Array of non-overlapping ``window_words``-word passages of a
+    single-space-tokenized text column — the shared unit of
+    :func:`passage_dedup` (cross-document) and
+    :func:`self_passage_dedup` (within-document).  Pure codegen:
+    split → windowed slice/array_join inside transform(sequence)."""
+    w = int(window_words)
+    ws = F.split(F.col(text_col), " ")
+    n_total = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_total - 1),
+        lambda g: F.array_join(F.slice(ws, g * w + 1, F.lit(w)), " "),
+    ), n_total
+
+
 def passage_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -908,17 +923,9 @@ def passage_dedup(
     shuffle ``xxhash64(passage)`` instead and shrink shuffle bytes ~5×;
     exactness is kept here because a false bucket-collision would
     silently delete a non-duplicate passage from every document."""
-    w = int(window_words)
-    ws = F.split(F.col(text_col), " ")
-    n_total = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+    parr, n_total = _passage_array(text_col, window_words)
     passages = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_total - 1),
-                lambda g: F.array_join(F.slice(ws, g * w + 1, F.lit(w)), " "),
-            )
-        ).alias("win", "passage"),
+        F.col(id_col), F.posexplode(parr).alias("win", "passage")
     )
     dup = (
         passages.select("passage", id_col)
@@ -977,14 +984,8 @@ def self_passage_dedup(
 
     Output matches :func:`passage_dedup`:
     ``(id_col, clean_text, n_kept int, n_removed int)``."""
-    w = int(window_words)
-    ws = F.split(F.col(text_col), " ")
-    n_total = F.ceil(F.size(ws) / F.lit(w)).cast("int")
-    passages = F.transform(
-        F.sequence(F.lit(0), n_total - 1),
-        lambda g: F.array_join(F.slice(ws, g * w + 1, F.lit(w)), " "),
-    )
-    step = docs.select(F.col(id_col), passages.alias("__p"))
+    parr, _ = _passage_array(text_col, window_words)
+    step = docs.select(F.col(id_col), parr.alias("__p"))
     kept = F.filter(
         F.col("__p"), lambda x, i: F.array_position(F.col("__p"), x) == i + 1
     )
