@@ -67,8 +67,21 @@ def _strict_decode(payload: bytes) -> np.ndarray:
 DECODERS = {"fake": _fake_decode, "strict": _strict_decode}
 
 
-def attach_meta(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
-    """Wrap raw binary rows into the canonical media schema."""
+def attach_meta(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    mime: str,
+    duration_col: str | None = None,
+) -> DataFrame:
+    """Wrap raw binary rows into the canonical media schema.
+    ``duration_col``: optional source column for ``meta.duration_ms``
+    (video/audio rows — drives :func:`frame_sample`'s frame count)."""
+    dur = (
+        F.col(duration_col).cast("long")
+        if duration_col
+        else F.lit(None).cast("long")
+    )
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.col(payload_col).cast("binary").alias("payload"),
@@ -76,7 +89,7 @@ def attach_meta(df: DataFrame, id_col: str, payload_col: str, mime: str) -> Data
             F.lit(mime).alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            dur.alias("duration_ms"),
             F.lit(None).cast("string").alias("codec"),
         ).alias("meta"),
     )

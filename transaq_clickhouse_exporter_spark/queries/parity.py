@@ -2157,6 +2157,53 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
+    # frame sampling (the video 1→N path): duration derives from
+    # n_chars so every doc expands to 1-5 frames; the fake decoder's
+    # rolled features are recomputed byte-for-byte in SQL
+    def _mm2(s: SparkSession) -> DataFrame:
+        from ..datapipe.multimodal import frame_sample
+
+        media = attach_meta(
+            s.table("documents").select(
+                "doc_id",
+                F.encode("text", "utf-8").alias("payload"),
+                ((F.col("n_chars") % 5 + 1) * 1000).cast("long").alias("dur"),
+            ),
+            "doc_id", "payload", "video/fake", duration_col="dur",
+        )
+        fr = frame_sample(media, every_ms=1000, decoder="fake")
+        return fr.select(
+            "media_id", "frame_idx", "ts_ms",
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+            F.round(F.element_at("feature", 8), 6).alias("f7"),
+        )
+
+    _hx = "'0123456789abcdef'"
+
+    def _byte_at(k: str) -> str:
+        return (
+            f"((strpos({_hx}, substr(h, 2*({k})+1, 1)) - 1) * 16"
+            f" + strpos({_hx}, substr(h, 2*({k})+2, 1)) - 1)"
+        )
+
+    sp.append(
+        QuerySpec(
+            "mm02_frame_sample",
+            _mm2,
+            f"""
+            , mmb AS (SELECT doc_id, sha256(text) AS h,
+                             (n_chars % 5 + 1) AS nf FROM documents),
+            mmf AS (SELECT doc_id, h, unnest(range(0, nf)) AS i FROM mmb)
+            SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 1000 AS BIGINT) AS ts_ms,
+                   round({_byte_at("((0 - i) % 16 + 16) % 16")} / 255.0, 6) AS f0,
+                   round({_byte_at("((7 - i) % 16 + 16) % 16")} / 255.0, 6) AS f7
+            FROM mmf
+            """,
+            tags=("datapipe", "multimodal", "frame-sample"),
+        )
+    )
+
     # ---- deterministic curation: sampling / packing / vocabulary ----
     from . import analytics as _an  # noqa: F401 (module layout anchor)
     from ..datapipe.packing import pack_sequences, pack_summary
@@ -2832,6 +2879,7 @@ _TAIL_NAMES = (
     "ev09_quantile_sketch",
     "an06_ema",
     "dp24_model_scores",
+    "mm02_frame_sample",
 )
 
 
