@@ -79,6 +79,7 @@ HEAVY_FIRST = [
     "dp03_ngram_jaccard", "dp02_text_profile", "ann02_lsh_topk",
     "dp16_dup_clusters", "ann03_ivf_topk", "dp22_passage_dedup", "an06_ema",
     "in06_candles_rollup", "in03_candles_windowed", "dp06_simhash_near_dups",
+    "tp07_hll_distinct",
     "dp01_exact_dedup", "db01_volume_by_interval_buy", "db03_netto_buy_top10",
 ]
 
