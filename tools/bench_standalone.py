@@ -32,7 +32,7 @@ PICKS = [
     "dp22_passage_dedup", "ann04_sq_topk", "ann05_pq_adc",
     "dp23_self_passage_dedup", "tp07_hll_distinct", "ev08_window_funnel",
     "ev09_quantile_sketch", "tp06_small_qty_revenue", "ev07_cohort_retention",
-    "an06_ema",
+    "an06_ema", "dp24_model_scores", "mm02_frame_sample",
 ]
 
 
