@@ -533,10 +533,15 @@ def test_training_data_job_model_score_gate(spark, docs):
         training_data_job,
     )
     from transaq_clickhouse_exporter_spark.datapipe.scoring import (
+        SCORERS,
         score_documents,
     )
 
-    out = training_data_job(docs, min_model_score=0.5)
+    with pytest.raises(ValueError):  # silent fake-scorer gating is refused
+        training_data_job(docs, min_model_score=0.5)
+    out = training_data_job(
+        docs, min_model_score=0.5, model_scorer=SCORERS["fake"]
+    )
     rejects = out["rejects"].filter(F.col("fail_reason") == "model_score")
     low = score_documents(docs, scorer="fake").filter(F.col("score") < 0.5)
     # every model-score reject scored below the bar, and no kept doc did
@@ -545,3 +550,13 @@ def test_training_data_job_model_score_gate(spark, docs):
     assert rejected_ids <= low_ids
     kept = {r.doc_id for r in out["curated"].collect()}
     assert kept.isdisjoint(low_ids)
+
+
+def test_ann_empty_query_batches_return_empty(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    none = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert sim.sq_topk(emb, none, k=5).count() == 0
+    assert sim.pq_topk(emb, none, k=5).count() == 0
+    assert sim.brute_force_topk_blas(emb, none, k=5).count() == 0

@@ -108,3 +108,17 @@ def test_histogram_merge_property(spark, sf_smoke):
     q_whole = sorted(map(tuple, quantiles_from_histogram(whole, (0.5, 0.9)).collect()))
     q_merge = sorted(map(tuple, quantiles_from_histogram(merged, (0.5, 0.9)).collect()))
     assert q_whole == q_merge
+
+
+def test_quantiles_use_histogram_own_bucket_count(spark, sf_smoke):
+    # a 64-bucket sketch estimated by a caller who forgot buckets= must
+    # still scale by 64 (the n_buckets column), not the default 128
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    h64 = histogram_sketch(li, "l_extendedprice", buckets=64)
+    a = sorted(map(tuple, quantiles_from_histogram(h64, (0.5,)).collect()))
+    b = sorted(
+        map(tuple, quantiles_from_histogram(h64, (0.5,), buckets=64).collect())
+    )
+    assert a == b
+    exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
+    assert abs(a[0][1] - exact) / exact < 0.03

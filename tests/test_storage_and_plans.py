@@ -182,3 +182,28 @@ def test_compact_table_day_restriction(spark, tmp_path):
     )
     report = storage.compact_table(spark, path, "transaq_trades", days=[days[0]])
     assert list(report) == [days[0]]
+
+
+def test_compact_table_crash_recovery(spark, tmp_path):
+    import os
+    import shutil
+
+    path = str(tmp_path / "trades")
+    storage.write_table(_trades_df(spark, 600).repartition(6), path, "transaq_trades")
+    expected = sorted(
+        map(tuple, storage.read_table_range(spark, path, "transaq_trades").collect())
+    )
+    day_dir = sorted((tmp_path / "trades").glob("p_date=*"))[0]
+    # crash window 1: between the two swap renames (live dir missing)
+    os.rename(day_dir, str(day_dir) + ".compact.old")
+    # crash window 2: an incomplete rewrite of another day
+    other = sorted((tmp_path / "trades").glob("p_date=*"))[0]
+    shutil.copytree(other, str(other) + ".compact.tmp")
+    report = storage.compact_table(spark, path, "transaq_trades")
+    assert report  # recovery restored the day, then compacted it
+    leftovers = [p.name for p in (tmp_path / "trades").glob("*.compact.*")]
+    assert leftovers == []
+    got = sorted(
+        map(tuple, storage.read_table_range(spark, path, "transaq_trades").collect())
+    )
+    assert got == expected

@@ -819,7 +819,9 @@ def decontaminate(
     distinct shingle set BROADCASTS; the corpus side is one narrow
     projection + explode + broadcast hash join — the 100 TB corpus
     never shuffles.  Only the (small) matched rows aggregate, and the
-    per-doc hit counts broadcast back onto the id spine.  Exactly the
+    per-doc hit counts join back onto the id spine (broadcast only
+    when AQE measures them small — they are corpus-sized in the
+    boilerplate-heavy worst case).  Exactly the
     asymmetric-cardinality shape as :func:`incremental_minhash_near_dups`
     but with a membership probe instead of a sketch probe.
 
@@ -853,9 +855,13 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("tk").alias("n_shared"))
     )
+    # NO broadcast hint on hits: its cardinality is one row per
+    # contaminated doc, which on a boilerplate-heavy corpus (or an eval
+    # set with common n-grams) is corpus-sized — AQE broadcasts it when
+    # it is actually small
     return (
         docs.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),

@@ -79,11 +79,18 @@ def pack_sequences(
     return out
 
 
-def pack_summary(packed: DataFrame, token_col: str) -> DataFrame:
+def pack_summary(
+    packed: DataFrame, token_col: str, partition_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-sequence roll-up of a :func:`pack_sequences` output: document
     count and token fill (the tail sequence of each bucket under-fills;
-    everything else fills to ≥ budget − max_doc_tokens + 1)."""
-    return packed.groupBy("bucket", "seq_in_bucket").agg(
+    everything else fills to ≥ budget − max_doc_tokens + 1).
+
+    ``partition_cols`` must match the packing call: the sequence
+    identity is ``(*partition_cols, bucket, seq_in_bucket)``, so a
+    per-split tape summarized without its partition columns would merge
+    unrelated sequences that share (bucket, seq) coordinates."""
+    return packed.groupBy(*partition_cols, "bucket", "seq_in_bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("sum_tokens"),
         F.min("offset_in_seq").alias("first_offset"),

@@ -110,6 +110,13 @@ def training_data_job(
     if min_model_score is not None:
         from .scoring import score_documents
 
+        if model_scorer is None:
+            # deleting documents on the md5 stand-in scorer must be an
+            # explicit choice, never a silent default
+            raise ValueError(
+                "min_model_score requires model_scorer (a batch callable; "
+                "pass scoring.SCORERS['fake'] explicitly for tests)"
+            )
         scored = score_documents(
             passed, text_col, id_col,
             batch_scorer=model_scorer, threshold=min_model_score,

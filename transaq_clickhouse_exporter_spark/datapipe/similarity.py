@@ -79,6 +79,11 @@ def brute_force_topk_blas(
     At 100 TB this is the scan-shaped exact baseline: one linear pass,
     map-side candidate pruning, a tiny final aggregation."""
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:  # empty query batch -> empty result
+        qt0 = dict(queries.dtypes)[query_id_col]
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qt0}, nn_id bigint, cos_sim double, rank bigint"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
@@ -519,6 +524,11 @@ def sq_topk(
             return np.clip(c, -127.0, 127.0)
 
         qrows = queries.select(query_id_col, vec_col).collect()
+        if not qrows:  # empty query batch -> empty result, like the JVM path
+            qt0 = dict(queries.dtypes)[query_id_col]
+            return corpus.sparkSession.createDataFrame(
+                [], f"{query_id_col} {qt0}, nn_id bigint, cos_q8 double, rank bigint"
+            )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qc = _codes(np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]))
         qn = (qc * qc).sum(axis=1)  # exact: integer-valued doubles
@@ -692,6 +702,11 @@ def pq_topk(
     enc = encoded if encoded is not None else pq_encode(corpus, codebooks, id_col, vec_col)
 
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:  # empty query batch -> empty result
+        qt0 = dict(queries.dtypes)[query_id_col]
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qt0}, nn_id bigint, adc_dist double, rank bigint"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)

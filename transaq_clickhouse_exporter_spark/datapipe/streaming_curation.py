@@ -76,12 +76,31 @@ def _read_state(
     return spark.read.schema(schema).parquet(*dirs)
 
 
-def read_curated(spark: SparkSession, state_root: str, schema=None) -> DataFrame:
-    """The curated corpus accumulated so far (all committed batches)."""
-    return _read_state(
-        spark, state_root, "curated", schema, before_batch=1 << 62
-    ) if schema is not None else spark.read.parquet(
-        *(_state_dirs(state_root, "curated", 1 << 62) or [os.path.join(state_root, "curated")])
+def read_curated(
+    spark: SparkSession,
+    state_root: str,
+    schema=None,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """The curated corpus accumulated so far.  ``before_batch``: an
+    exclusive upper bound on batch ids — a reader racing a live stream
+    must pass the in-flight batch id so it never sees that batch's
+    partially-written directory (the same rule the batch's own state
+    reads follow).  The default reads every directory present, which
+    is safe only when no batch is mid-write."""
+    bb = (1 << 62) if before_batch is None else int(before_batch)
+    dirs = _state_dirs(state_root, "curated", bb)
+    if not dirs:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"no committed curated state under {state_root}/curated; "
+            "pass schema= to get an empty frame instead"
+        )
+    return (
+        spark.read.schema(schema).parquet(*dirs)
+        if schema is not None
+        else spark.read.parquet(*dirs)
     )
 
 

@@ -41,22 +41,19 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(
-    df: DataFrame,
-    col: str,
-    group_cols: tuple[str, ...] = (),
-    precision: int = 10,
-) -> DataFrame:
-    """Per-group HLL registers: ``(group_cols…, bucket int, m_rho int)``.
-    One narrow projection + one max-aggregation (map-side combine)."""
+def _bucket_rho(df: DataFrame, col: str, keep_cols: list, precision: int) -> DataFrame:
+    """The ONE definition of the register projection — (keep_cols…,
+    bucket, __rho) — shared by the batch and streaming builders so the
+    hash discipline can never desynchronize between them (their
+    registers must stay :func:`hll_merge`-compatible)."""
     assert 7 <= precision <= 16, "precision must be in [7, 16]"
     m = 1 << precision
     r_bits = 60 - precision
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    step = df.select(*group_cols, h.alias("__h")).select(
-        *group_cols,
+    step = df.select(*keep_cols, h.alias("__h")).select(
+        *keep_cols,
         (F.col("__h") % m).cast("int").alias("bucket"),
         F.expr(f"__h DIV {m}").alias("__w"),
     )
@@ -65,8 +62,19 @@ def hll_registers(
         .otherwise(F.lit(r_bits) - F.length(F.bin(F.col("__w"))) + 1)
         .cast("int")
     )
+    return step.select(*keep_cols, "bucket", rho.alias("__rho"))
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    precision: int = 10,
+) -> DataFrame:
+    """Per-group HLL registers: ``(group_cols…, bucket int, m_rho int)``.
+    One narrow projection + one max-aggregation (map-side combine)."""
     return (
-        step.select(*group_cols, "bucket", rho.alias("__rho"))
+        _bucket_rho(df, col, list(group_cols), precision)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").alias("m_rho"))
     )
@@ -141,28 +149,11 @@ def hll_registers_windowed(
     (grouped by the window column) exactly like a batch sketch.  This
     is the "distinct users per hour" dashboard at any event rate: state
     is O(windows x 2^precision), independent of cardinality."""
-    assert 7 <= precision <= 16
-    m = 1 << precision
-    r_bits = 60 - precision
-    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    step = (
-        stream.withWatermark(ts_col, watermark)
-        .select(F.window(ts_col, window).alias("win"), h.alias("__h"))
-        .select(
-            "win",
-            (F.col("__h") % m).cast("int").alias("bucket"),
-            F.expr(f"__h DIV {m}").alias("__w"),
-        )
-    )
-    rho = (
-        F.when(F.col("__w") == 0, F.lit(r_bits + 1))
-        .otherwise(F.lit(r_bits) - F.length(F.bin(F.col("__w"))) + 1)
-        .cast("int")
+    windowed = stream.withWatermark(ts_col, watermark).select(
+        F.window(ts_col, window).alias("win"), F.col(col)
     )
     return (
-        step.select("win", "bucket", rho.alias("__rho"))
+        _bucket_rho(windowed, col, ["win"], precision)
         .groupBy("win", "bucket")
         .agg(F.max("__rho").alias("m_rho"))
     )

@@ -57,6 +57,10 @@ def histogram_sketch(
         joined.select(*g, idx.alias("bucket"), "mn", "mx")
         .groupBy(*g, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("mn").alias("mn"), F.min("mx").alias("mx"))
+        # carried so the estimator can never be mis-paired with a
+        # different bucket count (the width term derives from this
+        # column, not from a caller-supplied parameter)
+        .withColumn("n_buckets", F.lit(int(buckets)))
     )
 
 
@@ -67,8 +71,14 @@ def quantiles_from_histogram(
     buckets: int = 128,
 ) -> DataFrame:
     """Per-group quantile estimates from a histogram:
-    ``(group_cols…, q double, est double)``."""
+    ``(group_cols…, q double, est double)``.  The bucket count is read
+    from the histogram's own ``n_buckets`` column when present (any
+    :func:`histogram_sketch` output), so a sketch built at one width
+    can never be silently mis-scaled; the ``buckets`` parameter is the
+    fallback for hand-built register frames."""
     g = list(group_cols)
+    if "n_buckets" not in hist.columns:
+        hist = hist.withColumn("n_buckets", F.lit(int(buckets)))
     w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy("bucket")
     cum = hist.select(
         *g,
@@ -76,13 +86,14 @@ def quantiles_from_histogram(
         "cnt",
         "mn",
         "mx",
+        "n_buckets",
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(Window.partitionBy(*g) if g else Window.partitionBy()).alias(
             "n"
         ),
     )
     qarr = F.array(*[F.lit(float(q)) for q in qs])
-    expanded = cum.select(*g, "bucket", "cnt", "mn", "mx", "cum", "n",
+    expanded = cum.select(*g, "bucket", "cnt", "mn", "mx", "n_buckets", "cum", "n",
                           F.explode(qarr).alias("q"))
     r = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")))
     hit = expanded.filter(F.col("cum") >= r).withColumn(
@@ -96,7 +107,7 @@ def quantiles_from_histogram(
     est = F.round(
         F.col("mn")
         + (F.col("mx") - F.col("mn"))
-        / buckets
+        / F.col("n_buckets")
         * (
             F.col("bucket")
             + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")

@@ -121,12 +121,25 @@ def compact_table(
     unless something periodically rewrites them.
 
     Per day partition: measure on-disk bytes, rewrite the partition as
-    ``ceil(bytes / target_file_mb)`` key-sorted files, and (``final``)
-    apply last-write-wins dedup DURING the rewrite — exactly the
-    merge-tree contract, so a compacted table needs no dedup-on-read
-    until new appends arrive.  The rewrite goes to a sibling temp
-    directory and swaps in with two renames (atomic on a filesystem;
-    on object storage the swap step becomes a manifest flip).
+    ``ceil(bytes / target_file_mb)`` RANGE-partitioned key-sorted files
+    (range, not hash: a day dominated by one security would hash into
+    one oversized file plus empties), and (``final``) apply
+    last-write-wins dedup DURING the rewrite — exactly the merge-tree
+    contract, so a compacted table needs no dedup-on-read until new
+    appends arrive.
+
+    Crash safety: the rewrite goes to ``<dir>.compact.tmp``, then
+    ``dir → <dir>.compact.old`` / ``tmp → dir`` / delete old.  Each
+    rename is atomic, the whole swap is NOT — a crash between the two
+    renames leaves the day offline until the next call.  Every call
+    therefore begins with recovery: a leftover ``.old`` whose live dir
+    is missing is renamed back (the rewrite then redoes from the
+    original), any other leftover ``.tmp``/``.old`` is deleted, and
+    the partition scan ignores ``.compact.*`` names so poison dirs are
+    never mistaken for day partitions.  Readers racing the swap can
+    observe the gap; a deployment needing read-during-compact runs it
+    on a snapshot/manifest layer (object stores: flip a manifest
+    instead of renaming).
 
     The per-day loop is metadata-driven (a directory listing), not a
     data collect; each day's rewrite is one narrow Spark job whose
@@ -141,9 +154,20 @@ def compact_table(
     spec = TABLES[name]
     tcol = _TIME_COL[name]
     keys = [k for k in spec.dedup_keys if k != tcol]
+    # recovery pass: heal any leftovers of a previously-crashed swap
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry.endswith(".compact.old"):
+            live = full[: -len(".compact.old")]
+            if not os.path.exists(live):
+                os.rename(full, live)  # crash between the two renames
+            else:
+                shutil.rmtree(full)  # crash before the old dir's delete
+        elif entry.endswith(".compact.tmp"):
+            shutil.rmtree(full)  # incomplete rewrite — redo from source
     out: dict[str, tuple[int, int]] = {}
     for entry in sorted(os.listdir(path)):
-        if not entry.startswith("p_date="):
+        if not entry.startswith("p_date=") or ".compact." in entry:
             continue
         day = entry.split("=", 1)[1]
         if days is not None and day not in days:
@@ -164,7 +188,7 @@ def compact_table(
         tmp_dir = part_dir + ".compact.tmp"
         old_dir = part_dir + ".compact.old"
         (
-            df.repartition(n_out, *keys[:1])
+            df.repartitionByRange(n_out, *keys)
             .sortWithinPartitions(*keys)
             .write.mode("overwrite")
             .parquet(tmp_dir)
