@@ -89,12 +89,32 @@ def mixture_weights(
     rounded to 6 decimals.  One aggregation shuffle on the group key
     (map-side combine); the normalizing total runs on the aggregated
     frame — |groups| rows, so the unpartitioned window is a no-op at
-    any corpus scale."""
+    any corpus scale.
+
+    Cross-engine exactness: the raw per-group weight is quantized to
+    an integer (``round(n_units^alpha * 1e6)`` as BIGINT) before
+    normalizing, so the final ratio is one correctly-rounded double
+    division of two exact integers — bit-identical on any IEEE-754
+    engine.  For alpha in {0, 0.5, 1} even the pre-quantization float
+    path is exact-portable (sqrt IS correctly rounded per IEEE-754;
+    pow is NOT), so those alphas hash-match DuckDB verbatim; other
+    alphas keep pow() and may differ in the raw integer's last ulp on
+    a .5 rounding boundary (fine in practice, flagged here for the
+    value-hash oracle)."""
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(size_col).cast("long").alias("n_units"),
     )
-    raw = F.pow(F.col("n_units").cast("double"), F.lit(float(alpha)))
+    units = F.col("n_units").cast("double")
+    if alpha == 0.5:
+        raw_f = F.sqrt(units)
+    elif alpha == 0.0:
+        raw_f = F.lit(1.0)
+    elif alpha == 1.0:
+        raw_f = units
+    else:
+        raw_f = F.pow(units, F.lit(float(alpha)))
+    raw = F.round(raw_f * F.lit(1e6), 0).cast("long")
     w_all = Window.partitionBy()
     return agg.select(
         *group_cols,

@@ -2401,19 +2401,25 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
     # temperature-scaled mixture weights (alpha=0.5 upweights small
-    # sources) — float-bearing (pow), so kept in the catalog tail until
-    # a driver round proves the pow ulp story like dp04/ann01 did
+    # sources).  Exact-portable by construction: alpha=0.5 uses sqrt
+    # (correctly rounded per IEEE-754, unlike pow), the raw weight is
+    # quantized to a BIGINT before normalizing, and the final value is
+    # one double division of exact integers — both engines produce the
+    # identical bits, no ulp exposure left.
     sp.append(
         QuerySpec(
             "dp20_mixture_weights",
             lambda s: mixture_weights(s.table("documents"), ("source",), "n_chars", 0.5),
             """
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS n_units,
-                   round(pow(CAST(sum(n_chars) AS BIGINT), 0.5)
-                         / sum(pow(CAST(sum(n_chars) AS BIGINT), 0.5)) OVER (), 6)
+            SELECT source, n_docs, n_units,
+                   round(CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE), 6)
                      AS weight
-            FROM documents GROUP BY source
+            FROM (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS n_units,
+                     CAST(round(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS raw
+              FROM documents GROUP BY source) g
             """,
             tags=("datapipe", "mixture"),
         )
@@ -2828,11 +2834,16 @@ def _analytics_specs() -> list[QuerySpec]:
 #: therefore holds the entries whose absence loses the least signal:
 #: exact buy/sell mirror twins of a still-checked sibling, entries
 #: whose OPERATOR CLASS keeps an in-window representative, and mm01
-#: (oracle-less by design).  Round 6 rotates the eight round-5
-#: operator classes (an05, ev06, dp14–dp19) INTO the window per
-#: VERDICT r5 item 1, displacing eight entries that each leave class
-#: evidence behind — every displaced entry stays oracle-paired and
-#: locally gated by the full-catalog sweep in
+#: (oracle-less by design).  Round 7 rotates the twelve round-6
+#: operator classes (dp20 — now exact-portable via integer-scaled
+#: sqrt — dp22, ann04/ann05, ev07–ev09, tp06/tp07, an06, dp24, mm02)
+#: INTO the window per the NOTES round-7 plan, while KEEPING every
+#: round-5/6 class that has never had an external row (an05, ev06,
+#: dp14–dp19, dp21 stay in-window: CORRECTNESS_r06 never landed, so
+#: this round is their first external check).  The twelve displaced
+#: entries below all carried green rows in CORRECTNESS_r05 and each
+#: leaves class evidence behind; every displaced entry stays
+#: oracle-paired and locally gated by the full-catalog sweep in
 #: tests/test_parity_catalog.py.  If the driver checks all entries,
 #: the order is irrelevant.
 _TAIL_NAMES = (
@@ -2844,42 +2855,45 @@ _TAIL_NAMES = (
     "db13_imoex_volume_by_time",      # by-time family still covered by db15
     "db14_lots_by_time_sell",         # twin of db13/db15 time-series family
     "db16_distinct_sec_codes",        # DISTINCT+LIMIT evidence stays via db17
-    "mm01_feature_extract",           # no oracle by design
-    # round-6 displacements (VERDICT r5 "candidates"): each class
-    # keeps at least one green in-window representative.
+    "mm01_feature_extract",           # no oracle by design; mm02 (in-window
+                                      # now) value-checks the multimodal path
     "an01_vwap",                      # join+agg arithmetic ≡ db01–db10 shape
-    "an02_cumulative_volume",         # window evidence stays via an03 (lag)
-                                      # and an05 (rolling min/max), now in-window
-    "dp04_embedding_near_dups",       # blocked-BLAS cosine stays via ann01–ann03
+    "an02_cumulative_volume",         # window evidence stays via an05 (rolling
+                                      # min/max) and an06 (EMA), now in-window
+    "dp04_embedding_near_dups",       # blocked-BLAS cosine stays via ann01–ann05
     "ev02_json_extract",              # verdict-named candidate; locally gated
-    "in03_candles_windowed",          # candle evidence stays via in05 (exact
-                                      # fold) + in06 (rollup)
-    "dp08_stratified_sample",         # sampling evidence stays via dp07 + dp12
+    "in03_candles_windowed",          # candle evidence stays via in05 (exact fold)
+    "dp08_stratified_sample",         # sampling evidence stays via dp12
     "op02_quotes_final",              # dedup_last_write_wins evidence stays via
                                       # op01 (same operator, 6-key trades table)
     "dp03_ngram_jaccard",             # jaccard-verify evidence stays via dp05
                                       # (100%-recall all-pairs oracle) and dp17
-    # round-6 additions / displacement: dp21 (decontamination — integer
-    # counts + boolean, no float risk) takes tp02's window slot (top-K
-    # evidence stays via db03/db04 + the TakeOrderedAndProject plan
-    # assertion); dp20 carries a pow() double and waits in the tail
-    # until a driver round proves its ulp story (the dp04 precedent).
-    "tp02_top_revenue_orders",
-    "dp20_mixture_weights",
-    # round-6 session-2 additions start in the tail: the 50-row window
-    # was frozen for the rotation evidence; these earn rows next round.
-    "dp22_passage_dedup",
-    "ann04_sq_topk",
-    "ann05_pq_adc",
-    "dp23_self_passage_dedup",
-    "ev07_cohort_retention",
-    "tp06_small_qty_revenue",
-    "tp07_hll_distinct",
-    "ev08_window_funnel",
-    "ev09_quantile_sketch",
-    "an06_ema",
-    "dp24_model_scores",
-    "mm02_frame_sample",
+    "tp02_top_revenue_orders",        # top-K evidence stays via db03/db04 +
+                                      # the TakeOrderedAndProject plan assertion
+    "dp23_self_passage_dedup",        # passage-dedup class enters via dp22
+    # round-7 displacements: all green in CORRECTNESS_r05, each class
+    # keeps (or gains) an in-window representative.
+    "an03_minute_returns",            # lag evidence stays via ev03 (sessionize
+                                      # gap-lag); bar series via in05/an06
+    "an04_price_percentiles",         # quantile evidence enters via ev09
+                                      # (mergeable histogram sketch)
+    "db06_icebergs",                  # HAVING stays via db03; topK sketch via ev04
+    "ev01_tumbling_agg",              # tumbling buckets stay via db01/db07–db10
+    "tp03_semi_anti_counts",          # semi/anti-join stays via db03/db10/db17
+    "tp04_supplier_stats_by_nation",  # multi-join agg stays via db broadcast
+                                      # joins + tp01/tp05 + tp06 (correlated)
+    "op03_book_depth",                # dedup→agg composition: op01 keeps dedup,
+                                      # aggregation shape ubiquitous in-window
+    "in06_candles_rollup",            # exact candle fold stays via in05; ROLLUP
+                                      # grouping-sets evidence via tp05
+    "dp07_hash_sample",               # content-stable hash sampling stays via
+                                      # dp12 (same md5-range mechanism)
+    "dp09_term_stats",                # explicit two-level agg stays via
+                                      # db03/db07/db08
+    "dp11_rolling_fingerprint",       # rolling-hash class keeps dp02's
+                                      # fingerprint column in-window
+    "dp13_incremental_dedup",         # incremental-vs-history class stays via
+                                      # dp17 (incremental near-dup, in-window)
 )
 
 
