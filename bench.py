@@ -76,6 +76,7 @@ def _host_canary() -> dict:
 HEAVY_FIRST = [
     "op01_dedup_last_write_wins", "dp05_minhash_lsh_near_dups",
     "in05_candle_builder_exact", "op04_asof_join", "an03_minute_returns",
+    "dp28_bigram_lm", "dp26_semantic_dedup", "dp25_bm25_topk",
     "dp03_ngram_jaccard", "dp02_text_profile", "ann02_lsh_topk",
     "dp16_dup_clusters", "ann03_ivf_topk", "dp22_passage_dedup", "an06_ema",
     "in06_candles_rollup", "in03_candles_windowed", "dp06_simhash_near_dups",

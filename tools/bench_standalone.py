@@ -33,6 +33,8 @@ PICKS = [
     "dp23_self_passage_dedup", "tp07_hll_distinct", "ev08_window_funnel",
     "ev09_quantile_sketch", "tp06_small_qty_revenue", "ev07_cohort_retention",
     "an06_ema", "dp24_model_scores", "mm02_frame_sample",
+    "dp25_bm25_topk", "dp26_semantic_dedup", "dp27_weighted_sample",
+    "dp28_bigram_lm",
 ]
 
 

@@ -1001,3 +1001,79 @@ def self_passage_dedup(
         F.size(kept).cast("int").alias("n_kept"),
         (F.size("__p") - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster-then-pairwise over embeddings)
+# --------------------------------------------------------------------------
+
+
+def semantic_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid,
+    then compare pairs ONLY within a cluster — the quadratic work is
+    bounded per cluster, never corpus-wide.
+
+    Output: (``id_a``, ``id_b``, ``cos_sim``) with id_a < id_b and
+    rounded-to-6 cosine ≥ threshold, exactly the
+    :func:`embedding_near_dup_pairs` shape, so downstream clustering /
+    keep-min policies compose unchanged.
+
+    Scale shape: centroid assignment is the zero-shuffle BLAS argmax
+    (:func:`.similarity.assign_cells`); the per-cluster pairwise pass
+    is one BLAS matmul per cluster (:func:`embedding_near_dup_pairs_blocked`
+    on the cell key).  At 100 TB the cluster count comes from an
+    offline k-means fit (:func:`.similarity.train_ivf_centroids`) sized
+    so clusters stay small (the paper uses ~100k clusters for
+    LAION-scale corpora); the deterministic sample default keeps the
+    whole path SQL-reproducible for the correctness oracle.  Like the
+    paper's method this trades recall for tractability: a pair split
+    across two clusters is not compared (the LSH families dp05/dp06
+    are the recall-bounded alternatives)."""
+    from .similarity import assign_cells, sample_centroids
+
+    cents = (
+        centroids.select("cell", "cent")
+        if centroids is not None
+        else sample_centroids(emb, n_cells, id_col, vec_col)
+    )
+    assigned = assign_cells(emb, cents, id_col, vec_col)
+    return embedding_near_dup_pairs_blocked(
+        assigned, threshold, block_col="cell", id_col=id_col, vec_col="cv"
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-id semantic-dedup verdicts: ``(id_col, cluster_id, keep)``
+    where ``cluster_id`` is the connected-component canonical (minimum
+    id) over the :func:`semantic_near_dup_pairs` graph and ``keep`` is
+    true for exactly one representative per component (the minimum id —
+    the same keep policy as :func:`curate_corpus`'s near-dup stage).
+    Ids with no near-dup neighbor keep themselves."""
+    pairs = semantic_near_dup_pairs(
+        emb, threshold, n_cells, id_col, vec_col, centroids
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        emb.select(F.col(id_col))
+        .join(comps.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )

@@ -158,3 +158,48 @@ def assign_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(fractions[-1][0]) if expr is None else expr.otherwise(F.lit(fractions[-1][0]))
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis, Inf. Process. Lett. 97(5), 2006): each row draws a
+    content-stable uniform ``u`` from its id hash and ranks by the key
+    ``ln(u)/w`` (the log-monotone form of ``u^(1/w)``); the top ``k``
+    keys ARE a weighted sample without replacement.  The training-data
+    use: "sample 1M documents proportional to token count" without a
+    global RNG, reproducibly across engines, re-runs, and re-shards
+    (same hash-uniform discipline as :func:`hash_sample`).
+
+    ``u = (h + 1) / 2^52`` where ``h`` is the first 13 hex digits of
+    md5(id) — 52 bits, so both the integer and the quotient are exact
+    doubles, and ``u > 0`` keeps ``ln`` finite.  Rows with
+    non-positive weight never sample (filtered, matching the
+    algorithm's domain).
+
+    Output: (all input columns, ``sel_key`` = the ranking key rounded
+    to 6), ordered by raw key desc then id asc.  The plan is a narrow
+    projection plus ``orderBy(...).limit(k)`` — TakeOrderedAndProject,
+    never a global sort; per-partition top-k flows to one reducer.
+
+    Cross-engine note: ``ln`` is not IEEE-exact across engines (≤1 ulp
+    apart); membership of the top-k flips only if the k-th and
+    (k+1)-th raw keys differ by less than that ulp, which hash-drawn
+    uniforms make astronomically unlikely (same accepted exposure as
+    the rounded-cosine ANN family)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(F.substring(id_hash(id_col), 1, 13), 16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 52))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(k)
+        .select(*df.columns, F.round("__key", 6).alias("sel_key"))
+    )

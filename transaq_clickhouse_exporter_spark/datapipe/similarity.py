@@ -255,6 +255,73 @@ def lsh_topk(
     )
 
 
+def sample_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic stand-in centroids: ids sorted, first ``n_cells``
+    vectors, cell ids 1..n (``monotonically_increasing_id`` would
+    depend on physical partitioning).  At scale a k-means fit
+    (:func:`train_ivf_centroids`) replaces this; the sample keeps the
+    whole pipeline SQL-reproducible for the correctness oracle."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            _as_double(vec_col).alias("cent"),
+        )
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its max-cosine centroid.  Output:
+    (``id_col`` bigint, ``cell`` int, ``cv`` array<double>).
+
+    A row_number() window over the id here would shuffle
+    n_cells × |corpus| rows on a per-row key (the round-1
+    scale-killer); instead the (tiny) centroid matrix is collected
+    once and closed over a mapInPandas stage: each Arrow batch scores
+    batch × n_cells in ONE BLAS matmul and emits its argmax — ZERO
+    shuffle, no per-pair rows ever exist.  Tie-break matches the
+    declarative form (max rounded sim, then smallest cell): np.argmax
+    returns the FIRST max and columns are ordered by ascending cell
+    id."""
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])  # tiny by design
+    cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+    cmat = np.stack([np.asarray(r["cent"], dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm[:, None]
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((m / norms[:, None]) @ cmat.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cells_np[np.argmax(sims, axis=1)],
+                    "cv": [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} bigint, cell int, cv array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -276,52 +343,13 @@ def ivf_topk(
     the sample centroids; ``n_cells`` is then ignored.  This is how the
     offline k-means fit feeds the query path at scale (train once,
     persist, probe forever)."""
-    cents = centroids.select("cell", "cent") if centroids is not None else (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            # deterministic cell ids (monotonically_increasing_id would
-            # depend on physical partitioning)
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("cell"),
-            _as_double(vec_col).alias("cent"),
-        )
+    cents = (
+        centroids.select("cell", "cent")
+        if centroids is not None
+        else sample_centroids(corpus, n_cells, id_col, vec_col)
     )
-    # assign: argmax centroid similarity.  A row_number() window over
-    # nn_id here would shuffle n_cells × |corpus| rows on a per-row key
-    # (the round-1 scale-killer); instead the (tiny) centroid matrix is
-    # collected once and closed over a mapInPandas stage: each Arrow
-    # batch scores batch × n_cells in ONE BLAS matmul and emits its
-    # argmax — ZERO shuffle, no per-pair rows ever exist.  Tie-break
-    # matches the declarative form (max rounded sim, then smallest
-    # cell): np.argmax returns the FIRST max and columns are ordered by
-    # ascending cell id.
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])  # tiny by design
-    cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
-    cmat = np.stack([np.asarray(r["cent"], dtype=np.float64) for r in cent_rows])
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    cmat = cmat / cnorm[:, None]
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = np.round((m / norms[:, None]) @ cmat.T, 6)
-            yield pd.DataFrame(
-                {
-                    "nn_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cell": cells_np[np.argmax(sims, axis=1)],
-                    "cv": [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
-                }
-            )
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema="nn_id bigint, cell int, cv array<double>"
+    assigned = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed(
+        id_col, "nn_id"
     )
     q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qv"))
     w_probe = Window.partitionBy(query_id_col).orderBy(

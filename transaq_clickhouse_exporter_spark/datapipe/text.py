@@ -321,3 +321,89 @@ def repetition_profile(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet / perplexity-filter
+    family): train an add-one-smoothed bigram model on the corpus and
+    score every document by its total and mean log-probability under
+    it.  Template spam and word-salad both sit far from the corpus
+    distribution, so a low mean log-prob is the classic cheap quality
+    gate between rule filters and a learned classifier
+    (:mod:`.scoring`).
+
+    Tokenization is the portable ASCII form shared with
+    :func:`term_stats`.  ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)``
+    where ``c(w1)`` counts bigram prefixes and ``V`` is the corpus
+    vocabulary size.  Output per document:
+    (``id_col``, ``n_bigrams`` BIGINT, ``logp_micro_sum`` BIGINT — the
+    summed natural-log probability in 1e-6 units — and ``avg_logp``,
+    the mean rounded to 6).  Docs with fewer than 2 tokens re-enter
+    with zeros.
+
+    Scale shape: posexplode → lead() bigrams (the dp19 machinery);
+    bigram counts are a map-side-combined hash agg on (w1, w2) and the
+    score join keys on the SAME columns, so the count side arrives
+    already partitioned (no extra exchange); the vocabulary size and
+    nothing else is a 1-row broadcast.  At 100 TB the counts tables
+    persist once (train offline, score forever) — the in-corpus form
+    here keeps the whole path one SQL-reproducible expression.
+
+    Cross-engine exactness: ``p`` is a single division of exact
+    integers (both engines correctly round it identically); each
+    bigram's log-prob is quantized to an integer BEFORE the per-doc
+    sum, so only ``ln``'s last-ulp engine difference remains — the
+    same accepted exposure as the rounded-cosine families."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    toks = df.select(F.col(id_col), F.posexplode(arr).alias("__pos", "__w"))
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    big = (
+        toks.select(
+            F.col(id_col),
+            F.col("__w").alias("w1"),
+            F.lead("__w", 1).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vc = toks.agg(F.countDistinct("__w").alias("v_size"))
+
+    p = (F.col("cb") + F.lit(1)) / (F.col("cu") + F.col("v_size"))
+    logp_micro = F.round(F.log(p) * F.lit(1e6), 0).cast("long")
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        # c1 is |vocab|-sized — web-corpus vocabularies reach 10^7-10^8
+        # tokens, so it shuffles (equi-join on w1), never broadcasts
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vc))
+        .select(F.col(id_col), logp_micro.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lp").alias("logp_micro_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("logp_micro_sum", F.lit(0)).alias("logp_micro_sum"),
+            F.when(
+                F.col("n_bigrams").isNotNull() & (F.col("n_bigrams") > 0),
+                F.round(
+                    F.col("logp_micro_sum") / F.col("n_bigrams") / F.lit(1e6), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_logp"),
+        )
+    )

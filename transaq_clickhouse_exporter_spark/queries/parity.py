@@ -2555,6 +2555,157 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "model-scoring"),
         )
     )
+
+    # BM25 ranked retrieval (query-based corpus filtering).  Literals
+    # in the oracle are the repr() of the exact Python doubles the
+    # Spark expression closes over, and every float op is written with
+    # the same association on both sides; the per-(doc,term) score is
+    # micro-quantized before the per-doc sum (search.py docstring).
+    from ..datapipe.search import bm25_topk
+
+    _BM25_TERMS = ("join", "spark", "window")
+    _k1, _b = 1.2, 0.75
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    sp.append(
+        QuerySpec(
+            "dp25_bm25_topk",
+            lambda s: bm25_topk(
+                s.table("documents"), _BM25_TERMS, k=10, k1=_k1, b=_b
+            ),
+            f"""
+            , dl25 AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                     x -> x <> '')) AS dl
+              FROM documents),
+            cs25 AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                     FROM dl25),
+            tf25 AS (
+              SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+                FROM documents) t
+              WHERE token IN ({terms_sql}) GROUP BY doc_id, token),
+            df25 AS (SELECT token, count(*) AS dfq FROM tf25 GROUP BY token),
+            sc25 AS (
+              SELECT t.doc_id,
+                     CAST(round(
+                       ln(1.0 + (c.n_docs - f.dfq + 0.5) / (f.dfq + 0.5))
+                       * ((t.tf * {_k1 + 1.0!r}) /
+                          (t.tf + {_k1!r} * (1.0 - {_b!r}
+                             + {_b!r} * l.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))
+                       * 1000000.0) AS BIGINT) AS s_micro
+              FROM tf25 t JOIN df25 f USING (token)
+                   JOIN dl25 l USING (doc_id) CROSS JOIN cs25 c)
+            SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+                   CAST(count(*) AS BIGINT) AS n_hit_terms
+            FROM sc25 GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+            """,
+            tags=("datapipe", "search-bm25"),
+        )
+    )
+
+    # SemDeDup semantic near-dup pairs: ann03's deterministic
+    # cell-assignment machinery + dp04's within-block rounded cosine,
+    # so the full path states as SQL.
+    sp.append(
+        QuerySpec(
+            "dp26_semantic_dedup",
+            lambda s: dd.semantic_near_dup_pairs(
+                s.table("embeddings"), threshold=0.3, n_cells=16
+            ),
+            """
+            , cents26 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cent
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 16) s0
+            ), asg26 AS (
+              SELECT nn_id, cv, cell FROM (
+                SELECT e.vec_id AS nn_id, CAST(e.embedding AS DOUBLE[]) AS cv,
+                       c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), c.cent), 6)
+                                  DESC, c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents26 c) a
+              WHERE rn = 1
+            )
+            SELECT a.nn_id AS id_a, b.nn_id AS id_b,
+                   round(list_cosine_similarity(a.cv, b.cv), 6) AS cos_sim
+            FROM asg26 a JOIN asg26 b ON a.cell = b.cell AND a.nn_id < b.nn_id
+            WHERE round(list_cosine_similarity(a.cv, b.cv), 6) >= 0.3
+            """,
+            tags=("datapipe", "dedup-semantic"),
+        )
+    )
+
+    # weighted sampling without replacement (Efraimidis–Spirakis):
+    # content-stable hash uniform, key = ln(u)/w, top-k.
+    from ..datapipe.sampling import weighted_sample
+
+    sp.append(
+        QuerySpec(
+            "dp27_weighted_sample",
+            lambda s: weighted_sample(
+                s.table("documents").select("doc_id", "n_chars"),
+                "n_chars", "doc_id", 15,
+            ),
+            f"""
+            , ws27 AS (
+              SELECT doc_id, n_chars,
+                     ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                              AS BIGINT) + 1) / {float(1 << 52)!r}) / n_chars AS key
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars, round(key, 6) AS sel_key
+            FROM ws27 ORDER BY key DESC, doc_id ASC LIMIT 15
+            """,
+            tags=("datapipe", "sampling-weighted"),
+        )
+    )
+
+    # add-one bigram LM quality scoring (the CCNet perplexity-filter
+    # family); per-bigram log-prob micro-quantized before the per-doc
+    # sum so only ln's last ulp is exposed (text.py docstring).
+    sp.append(
+        QuerySpec(
+            "dp28_bigram_lm",
+            lambda s: dtx.bigram_lm_scores(s.table("documents")),
+            """
+            , w28 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            b28 AS (
+              SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+              FROM w28 WHERE len(w) >= 2),
+            c2_28 AS (SELECT w1, w2, count(*) AS cb FROM b28 GROUP BY w1, w2),
+            c1_28 AS (SELECT w1, count(*) AS cu FROM b28 GROUP BY w1),
+            vc28 AS (SELECT count(DISTINCT tok) AS v_size
+                     FROM (SELECT unnest(w) AS tok FROM w28) u),
+            sc28 AS (
+              SELECT b.doc_id,
+                     CAST(round(ln((cb + 1) / (cu + v_size)) * 1000000.0)
+                          AS BIGINT) AS lp
+              FROM b28 b JOIN c2_28 USING (w1, w2) JOIN c1_28 USING (w1)
+                   CROSS JOIN vc28),
+            ag28 AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(lp) AS BIGINT) AS logp_micro_sum
+              FROM sc28 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(a.logp_micro_sum, 0) AS logp_micro_sum,
+                   CASE WHEN a.n_bigrams > 0
+                        THEN round(a.logp_micro_sum / a.n_bigrams / 1000000.0, 6)
+                        ELSE 0.0 END AS avg_logp
+            FROM documents d LEFT JOIN ag28 a USING (doc_id)
+            """,
+            tags=("datapipe", "lm-scoring"),
+        )
+    )
     return sp
 
 
@@ -2894,6 +3045,12 @@ _TAIL_NAMES = (
                                       # fingerprint column in-window
     "dp13_incremental_dedup",         # incremental-vs-history class stays via
                                       # dp17 (incremental near-dup, in-window)
+    # round-7 additions start in the tail (the window is frozen for
+    # this round's rotation evidence); they earn rows next round.
+    "dp25_bm25_topk",
+    "dp26_semantic_dedup",
+    "dp27_weighted_sample",
+    "dp28_bigram_lm",
 )
 
 
