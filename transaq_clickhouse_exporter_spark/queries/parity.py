@@ -1137,6 +1137,42 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "quantile-sketch"),
         )
     )
+
+    # sequenceMatch / sequenceCount (ClickHouse parity): per-user event
+    # chain "view …* purchase …* view" — a REPEATING chain alphabet no
+    # join-chain funnel (ev08) can express.  Token-string + regex over
+    # condition-matching events only; deterministic (ts, event_id)
+    # order.  See functions/seqmatch.py for the portable contract.
+    def _seqmatch(s: SparkSession) -> DataFrame:
+        from ..functions.seqmatch import sequence_match
+
+        return sequence_match(
+            s.table("ev"),
+            "(?1).*(?2).*(?1)",
+            [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev10_sequence_match",
+            _seqmatch,
+            """
+            , sq10 AS (SELECT user_id,
+                              string_agg(tok, '' ORDER BY ts_s, event_id) AS seq
+                       FROM (SELECT user_id, ts_s, event_id,
+                                    CASE WHEN event_type = 'view' THEN '1'
+                                         WHEN event_type = 'purchase' THEN '2'
+                                    END AS tok FROM ev) t
+                       WHERE tok IS NOT NULL GROUP BY user_id)
+            SELECT user_id,
+                   regexp_matches(seq, '1.*2.*1') AS matched,
+                   CAST(len(regexp_extract_all(seq, '1.*?2.*?1')) AS BIGINT)
+                       AS n_chains
+            FROM sq10
+            """,
+            tags=("events", "sequence-match"),
+        )
+    )
     return sp
 
 
@@ -3051,6 +3087,7 @@ _TAIL_NAMES = (
     "dp26_semantic_dedup",
     "dp27_weighted_sample",
     "dp28_bigram_lm",
+    "ev10_sequence_match",
 )
 
 
