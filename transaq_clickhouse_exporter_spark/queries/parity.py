@@ -1173,6 +1173,53 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "sequence-match"),
         )
     )
+
+    # native session_window (batch form of the streaming sessionizer in
+    # operators/sessions.py): per-session rows from ONE hash agg — no
+    # per-key sort, unlike ev03's lag/flag-sum plan.  Oracle mirrors
+    # Spark's adjacency-coalescing contract (break on ts - prev > gap;
+    # end = last event + gap) via gaps-and-islands.
+    def _sesswin(s: SparkSession) -> DataFrame:
+        from ..operators.sessions import session_windows
+
+        return session_windows(
+            s.table("ev"),
+            gap_seconds=1800,
+            aggs=[
+                F.sum(F.round(F.col("value") * 1e6).cast("long")).alias(
+                    "sum_value_micro"
+                )
+            ],
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev11_session_windows",
+            _sesswin,
+            """
+            , si11 AS (SELECT user_id, ts_s, event_id, value,
+                     CASE WHEN lag(ts_s) OVER (PARTITION BY user_id
+                                               ORDER BY ts_s, event_id) IS NULL
+                            OR ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                                      ORDER BY ts_s, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+                       FROM ev),
+            sg11 AS (SELECT user_id, ts_s, event_id, value,
+                            sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_s, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM si11)
+            SELECT user_id,
+                   min(ts_s) AS session_start_s,
+                   max(ts_s) + 1800 AS session_end_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_value_micro
+            FROM sg11 GROUP BY user_id, sid
+            """,
+            tags=("events", "session-window"),
+        )
+    )
     return sp
 
 
@@ -3088,6 +3135,7 @@ _TAIL_NAMES = (
     "dp27_weighted_sample",
     "dp28_bigram_lm",
     "ev10_sequence_match",
+    "ev11_session_windows",
 )
 
 
