@@ -2789,6 +2789,38 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "lm-scoring"),
         )
     )
+
+    # deterministic shard plan + manifest (datapipe/shards.py): the
+    # export step's content-stable shard assignment and the
+    # order-independent integer checksum two independent runs (and two
+    # engines, here literally) must reproduce bit-for-bit.
+    def _shard_manifest(s: SparkSession) -> DataFrame:
+        from ..datapipe.shards import shard_manifest
+
+        return shard_manifest(
+            s.table("documents"), "doc_id", 16, token_col="n_chars"
+        )
+
+    sp.append(
+        QuerySpec(
+            "dp29_shard_manifest",
+            _shard_manifest,
+            """
+            , sh29 AS (
+              SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 16 AS INT) AS shard,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) AS h32,
+                     n_chars
+              FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(h32) AS BIGINT) AS id_checksum,
+                   CAST(sum(n_chars) AS BIGINT) AS n_tokens
+            FROM sh29 GROUP BY shard
+            """,
+            tags=("datapipe", "shard-export"),
+        )
+    )
     return sp
 
 
@@ -3136,6 +3168,7 @@ _TAIL_NAMES = (
     "dp28_bigram_lm",
     "ev10_sequence_match",
     "ev11_session_windows",
+    "dp29_shard_manifest",
 )
 
 
