@@ -134,3 +134,31 @@ def test_ema_stream_matches_batch_across_restart(spark, tmp_path):
     )
     want = sorted(map(tuple, ema(whole, alpha=0.5).collect()))
     assert got == want  # state crossed the restart: EMA identical to batch
+
+
+def test_trailing_time_stats_range_semantics(spark):
+    from transaq_clickhouse_exporter_spark.queries.analytics import trailing_time_stats
+
+    rows = [
+        # same-second peers see each other symmetrically (RANGE frame)
+        ("S", 100, 1.0, 10),
+        ("S", 100, 1.0, 20),
+        # 399 is inside (100, 399] trailing-300 window of t=399? frame is
+        # [t-299, t]: for t=399 the frame starts at 100 -> includes both
+        ("S", 399, 1.0, 5),
+        # 400: frame [101, 400] excludes the t=100 pair
+        ("S", 400, 1.0, 7),
+        ("T", 100, 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "sec_code string, time_s long, price double, quantity long")
+    got = {
+        (r.sec_code, r.time_s, r.vol_trailing, r.n_trailing)
+        for r in trailing_time_stats(df, seconds=300).collect()
+    }
+    assert got == {
+        ("S", 100, 30, 2),
+        ("S", 100, 30, 2),
+        ("S", 399, 35, 3),
+        ("S", 400, 12, 2),
+        ("T", 100, 1, 1),
+    }

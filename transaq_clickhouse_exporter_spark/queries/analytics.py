@@ -122,6 +122,36 @@ def rolling_channel(trades: DataFrame, window_minutes: int = 10) -> DataFrame:
     )
 
 
+def trailing_time_stats(trades: DataFrame, seconds: int = 300) -> DataFrame:
+    """Trailing-``seconds`` activity per trade event: count and volume
+    of the security's trades in ``(t - seconds, t]`` — the event-time
+    sliding aggregate behind "trades in the last 5 minutes" tickers.
+
+    This is a **RANGE** window frame (``rangeBetween`` on the epoch
+    seconds), the class a ROWS frame (an05) cannot express on
+    irregularly spaced events: the frame width is wall-clock, not a
+    row count.  Both engines define RANGE frames to include ALL peer
+    rows sharing the current order value, so same-second trades see
+    each other symmetrically — deterministic without a tiebreak.
+
+    Plan: one Exchange on sec_code + one sort; Spark evaluates the
+    sliding frame with a moving two-pointer over the sorted run (no
+    per-row rescan).  At 100 TB the partition key is the security —
+    skew on a hot symbol is ordinary window skew; pre-bucketing by
+    (sec_code, day) bounds any one sort run."""
+    w = (
+        Window.partitionBy("sec_code")
+        .orderBy(F.col("time_s").cast("long"))
+        .rangeBetween(-(seconds - 1), 0)
+    )
+    return trades.select(
+        "sec_code",
+        "time_s",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("quantity").over(w).cast("long").alias("vol_trailing"),
+    )
+
+
 def ema(
     bars: DataFrame,
     value_col: str = "close",

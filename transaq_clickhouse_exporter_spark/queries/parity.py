@@ -2960,6 +2960,49 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "range-join"),
         )
     )
+
+    # SCD2 history (operators/scd2.py): versioned quote stream →
+    # validity-interval dimension.  Composes the ReplacingMergeTree
+    # dedup (op01/op02) with change-collapse + lead-close; the output
+    # is the interval side op05's range join consumes (time travel).
+    def _scd2(s: SparkSession) -> DataFrame:
+        from ..operators.scd2 import scd2_history
+
+        return scd2_history(
+            s.table("quotes_dup"),
+            ("secid", "board", "sec_code"),
+            "time_s",
+            ("price",),
+            "_ingest_seq",
+        )
+
+    sp.append(
+        QuerySpec(
+            "op06_scd2_history",
+            _scd2,
+            """
+            , q06 AS (SELECT secid, board, sec_code, time_s, price FROM (
+                SELECT secid, board, sec_code, time_s, price,
+                       row_number() OVER (PARTITION BY secid, board, sec_code,
+                                                       time_s
+                                          ORDER BY _ingest_seq DESC) AS rn
+                FROM quotes_dup) t WHERE rn = 1),
+            h06 AS (SELECT *, lag(price) OVER (PARTITION BY secid, board,
+                                                            sec_code
+                                               ORDER BY time_s) AS pl
+                    FROM q06),
+            r06 AS (SELECT secid, board, sec_code, time_s, price
+                    FROM h06 WHERE pl IS NULL OR price <> pl)
+            SELECT secid, board, sec_code,
+                   time_s AS valid_from_s,
+                   lead(time_s) OVER (PARTITION BY secid, board, sec_code
+                                      ORDER BY time_s) AS valid_to_s,
+                   price
+            FROM r06
+            """,
+            tags=("operator", "scd2"),
+        )
+    )
     return sp
 
 
@@ -3091,6 +3134,25 @@ def _analytics_specs() -> list[QuerySpec]:
             tags=("analytics", "ema", "stateful"),
         )
     )
+
+    # RANGE window frame (event-time trailing aggregate): the window
+    # class ROWS frames (an05) cannot express on irregular events —
+    # frame width is wall-clock seconds, not a row count.
+    sp.append(
+        QuerySpec(
+            "an07_trailing_time_stats",
+            lambda s: an.trailing_time_stats(_t(s), seconds=300),
+            """
+            SELECT sec_code, time_s,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+                   CAST(sum(quantity) OVER w AS BIGINT) AS vol_trailing
+            FROM trades
+            WINDOW w AS (PARTITION BY sec_code ORDER BY time_s
+                         RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+            """,
+            tags=("analytics", "range-frame"),
+        )
+    )
     return sp
 
 
@@ -3169,6 +3231,8 @@ _TAIL_NAMES = (
     "ev10_sequence_match",
     "ev11_session_windows",
     "dp29_shard_manifest",
+    "op06_scd2_history",
+    "an07_trailing_time_stats",
 )
 
 
