@@ -35,6 +35,8 @@ PICKS = [
     "an06_ema", "dp24_model_scores", "mm02_frame_sample",
     "dp25_bm25_topk", "dp26_semantic_dedup", "dp27_weighted_sample",
     "dp28_bigram_lm",
+    "ev10_sequence_match", "ev11_session_windows", "dp29_shard_manifest",
+    "op06_scd2_history", "an07_trailing_time_stats",
 ]
 
 
