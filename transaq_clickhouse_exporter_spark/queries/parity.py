@@ -3153,6 +3153,56 @@ def _analytics_specs() -> list[QuerySpec]:
             tags=("analytics", "range-frame"),
         )
     )
+
+    # WITH FILL parity (functions/fill.py): complete the bucket axis of
+    # a sparse large-trade series (quantity >= 40 keeps ~1/5 of trades,
+    # guaranteeing real gaps), zero-fill volume, carry price forward.
+    def _gapfill(s: SparkSession) -> DataFrame:
+        from ..functions.fill import fill_gaps
+
+        b = (
+            s.table("trades")
+            .filter(F.col("quantity") >= 40)
+            .withColumn("bucket_s", F.expr("time_s DIV 300 * 300"))
+            .groupBy("sec_code", "bucket_s")
+            .agg(
+                F.sum("quantity").cast("long").alias("vol"),
+                F.max("price").alias("px_high"),
+            )
+        )
+        return fill_gaps(
+            b, "bucket_s", 300, keys=("sec_code",),
+            fill={"vol": "zero", "px_high": "ffill"},
+        )
+
+    sp.append(
+        QuerySpec(
+            "an08_gap_fill",
+            _gapfill,
+            """
+            , gb8 AS (SELECT sec_code, (time_s // 300) * 300 AS bucket_s,
+                             CAST(sum(quantity) AS BIGINT) AS vol,
+                             max(price) AS px_high
+                      FROM trades WHERE quantity >= 40 GROUP BY 1, 2),
+            bounds8 AS (SELECT sec_code, min(bucket_s) AS mn, max(bucket_s) AS mx
+                        FROM gb8 GROUP BY 1),
+            spine8 AS (SELECT sec_code,
+                              unnest(generate_series(mn, mx, 300)) AS bucket_s
+                       FROM bounds8),
+            j8 AS (SELECT s.sec_code, s.bucket_s, g.vol, g.px_high
+                   FROM spine8 s LEFT JOIN gb8 g USING (sec_code, bucket_s))
+            SELECT sec_code, bucket_s,
+                   CAST(COALESCE(vol, 0) AS BIGINT) AS vol,
+                   last_value(px_high IGNORE NULLS)
+                       OVER (PARTITION BY sec_code ORDER BY bucket_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS px_high,
+                   (vol IS NULL) AS is_gap
+            FROM j8
+            """,
+            tags=("analytics", "gap-fill"),
+        )
+    )
     return sp
 
 
@@ -3233,6 +3283,7 @@ _TAIL_NAMES = (
     "dp29_shard_manifest",
     "op06_scd2_history",
     "an07_trailing_time_stats",
+    "an08_gap_fill",
 )
 
 
