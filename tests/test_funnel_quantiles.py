@@ -122,3 +122,35 @@ def test_quantiles_use_histogram_own_bucket_count(spark, sf_smoke):
     assert a == b
     exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
     assert abs(a[0][1] - exact) / exact < 0.03
+
+
+def test_weighted_quantiles_exact(spark):
+    from transaq_clickhouse_exporter_spark.functions.quantiles import (
+        weighted_quantiles,
+    )
+
+    # values 1..4 with weights 1,1,6,2 (total 10): cum = 1,2,8,10
+    # q=0.5 -> first cum >= 5 is value 3; q=0.9 -> cum >= 9 is value 4;
+    # q=0.2 -> cum >= 2 is value 2 (peers-inclusive tie handling below)
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 6), ("g", 4.0, 2)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {
+        r.q: r.est
+        for r in weighted_quantiles(df, "v", "w", (0.2, 0.5, 0.9), ("k",)).collect()
+    }
+    assert got == {0.2: 2.0, 0.5: 3.0, 0.9: 4.0}
+
+
+def test_weighted_quantiles_tied_values_merge_weights(spark):
+    from transaq_clickhouse_exporter_spark.functions.quantiles import (
+        weighted_quantiles,
+    )
+
+    # two rows of value 2.0 (weights 3 and 3) act as one value with
+    # weight 6 — the RANGE-default peers-inclusive cumsum
+    rows = [("g", 1.0, 1), ("g", 2.0, 3), ("g", 2.0, 3), ("g", 9.0, 1)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {
+        r.q: r.est for r in weighted_quantiles(df, "v", "w", (0.5,), ("k",)).collect()
+    }
+    assert got == {0.5: 2.0}

@@ -75,3 +75,16 @@ def test_multi_value_and_null_transitions(spark):
     h = scd2_history(df, ("k",), "ts", ("v1", "v2"), order_col=None)
     got = sorted((r.valid_from_s, r.valid_to_s, r.v1, r.v2) for r in h.collect())
     assert got == [(0, 20, None, 1.0), (20, 30, 5.0, 1.0), (30, None, 5.0, 2.0)]
+
+
+def test_twap_over_history(spark):
+    from transaq_clickhouse_exporter_spark.queries.analytics import twap
+
+    rows = [("SBER", 0, 100.0, 1), ("SBER", 60, 110.0, 2), ("SBER", 180, 120.0, 3)]
+    h = scd2_history(_quotes(spark, rows), ("sec_code",), "time_s", ("price",))
+    # window [30, 210): 100 for 30s, 110 for 120s, 120 (open) for 30s
+    r = twap(h, 30, 210, keys=("sec_code",)).collect()[0]
+    want = (100 * 30 + 110 * 120 + 120 * 30) / 180
+    assert r.covered_s == 180 and abs(r.twap - round(want, 6)) < 1e-12
+    # window entirely before/after the history contributes nothing
+    assert twap(h, -100, -50, keys=("sec_code",)).count() == 0

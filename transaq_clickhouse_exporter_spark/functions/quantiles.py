@@ -127,3 +127,50 @@ def quantile_sketch(
     return quantiles_from_histogram(
         histogram_sketch(df, col, group_cols, buckets), qs, group_cols, buckets
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact weighted quantiles — ClickHouse ``quantileExactWeighted``
+    parity: the q-quantile is the smallest value whose cumulative
+    weight reaches ``q × total_weight`` (each row counted ``weight``
+    times; the classic "median trade price weighted by quantity" /
+    "token-weighted length percentile" aggregate the unweighted
+    ``percentile`` (an04) cannot answer).
+
+    Output: ``(*group_cols, q, est)``.  Deterministic and
+    engine-exact with integer weights: the cumulative and total sums
+    are exact integers, ``q × total`` is one IEEE double product, and
+    the peers-inclusive RANGE default of ``sum() OVER (ORDER BY
+    value)`` merges tied values' weights exactly as CH's
+    value→weight map does.
+
+    Plan: one Exchange on the group key + one sort carries BOTH
+    window sums (cumulative and total); the quantile probes are a
+    posexplode + min-agg on the windowed rows — no second pass over
+    the data, no per-group collect."""
+    gcols = list(group_cols)
+    w_cum = Window.partitionBy(*gcols).orderBy(value_col)
+    w_all = Window.partitionBy(*gcols)
+    cum = (
+        df.select(*gcols, value_col, F.col(weight_col).cast("long").alias("__w"))
+        .withColumn("__cum", F.sum("__w").over(w_cum))
+        .withColumn("__tot", F.sum("__w").over(w_all))
+    )
+    probes = cum.select(
+        *gcols,
+        value_col,
+        "__cum",
+        "__tot",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    return (
+        probes.filter(F.col("__cum") >= F.col("q") * F.col("__tot"))
+        .groupBy(*gcols, "q")
+        .agg(F.min(value_col).alias("est"))
+    )

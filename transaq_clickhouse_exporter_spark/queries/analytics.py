@@ -9,6 +9,8 @@ on both engines.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,6 +151,42 @@ def trailing_time_stats(trades: DataFrame, seconds: int = 300) -> DataFrame:
         "time_s",
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum("quantity").over(w).cast("long").alias("vol_trailing"),
+    )
+
+
+def twap(
+    history: DataFrame,
+    frm: int,
+    to: int,
+    keys: Sequence[str] = ("sec_code",),
+    value_col: str = "price",
+    ts_from: str = "valid_from_s",
+    ts_to: str = "valid_to_s",
+) -> DataFrame:
+    """Time-weighted average price over SCD2 validity intervals
+    (:func:`..operators.scd2.scd2_history` output): each value run
+    contributes ``value × overlap([from,to), run)`` seconds —
+    the standard TWAP/TWAR definition, and the duration-weighted
+    aggregation class (vs an01's volume-weighted VWAP).
+
+    Open runs (NULL ``ts_to``) extend to ``to``.  Runs outside the
+    window contribute nothing (narrow filter, pushes to the scan).
+    Exactness: integer second weights × integer-valued prices — the
+    quotient is ONE double division of two exact integers, identical
+    on any IEEE engine.  Plan: filter + one hash agg, no window."""
+    keys = list(keys)
+    w_start = F.greatest(F.col(ts_from), F.lit(frm))
+    w_end = F.least(F.coalesce(F.col(ts_to), F.lit(to)), F.lit(to))
+    dur = w_end - w_start
+    return (
+        history.filter((F.col(ts_from) < to) & (w_end > w_start))
+        .groupBy(*keys)
+        .agg(
+            F.sum(dur).cast("long").alias("covered_s"),
+            F.round(
+                F.sum(F.col(value_col) * dur) / F.sum(dur), 6
+            ).alias("twap"),
+        )
     )
 
 

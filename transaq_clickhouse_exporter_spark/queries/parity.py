@@ -3203,6 +3203,94 @@ def _analytics_specs() -> list[QuerySpec]:
             tags=("analytics", "gap-fill"),
         )
     )
+
+    # TWAP over SCD2 validity intervals (duration-weighted aggregation —
+    # vs an01's volume-weighted VWAP): op06's history feeds it directly.
+    _FRM9, _TO9 = 1734688800, 1734688800 + 520 * 60
+
+    def _twap(s: SparkSession) -> DataFrame:
+        from ..operators.scd2 import scd2_history
+
+        hist = scd2_history(
+            s.table("quotes_dup"),
+            ("secid", "board", "sec_code"),
+            "time_s",
+            ("price",),
+            "_ingest_seq",
+        )
+        return an.twap(hist, _FRM9, _TO9, keys=("secid", "board", "sec_code"))
+
+    sp.append(
+        QuerySpec(
+            "an09_twap",
+            _twap,
+            f"""
+            , q09 AS (SELECT secid, board, sec_code, time_s, price FROM (
+                SELECT secid, board, sec_code, time_s, price,
+                       row_number() OVER (PARTITION BY secid, board, sec_code,
+                                                       time_s
+                                          ORDER BY _ingest_seq DESC) AS rn
+                FROM quotes_dup) t WHERE rn = 1),
+            h09 AS (SELECT *, lag(price) OVER (PARTITION BY secid, board,
+                                                            sec_code
+                                               ORDER BY time_s) AS pl
+                    FROM q09),
+            r09 AS (SELECT secid, board, sec_code, time_s, price
+                    FROM h09 WHERE pl IS NULL OR price <> pl),
+            iv09 AS (SELECT secid, board, sec_code, time_s AS valid_from_s,
+                            lead(time_s) OVER (PARTITION BY secid, board,
+                                                            sec_code
+                                               ORDER BY time_s) AS valid_to_s,
+                            price
+                     FROM r09),
+            cl09 AS (SELECT secid, board, sec_code, price,
+                            least(coalesce(valid_to_s, {_TO9}), {_TO9})
+                              - greatest(valid_from_s, {_FRM9}) AS dur
+                     FROM iv09
+                     WHERE valid_from_s < {_TO9}
+                       AND least(coalesce(valid_to_s, {_TO9}), {_TO9})
+                           > greatest(valid_from_s, {_FRM9}))
+            SELECT secid, board, sec_code,
+                   CAST(sum(dur) AS BIGINT) AS covered_s,
+                   round(sum(price * dur) / sum(dur), 6) AS twap
+            FROM cl09 GROUP BY 1, 2, 3
+            """,
+            tags=("analytics", "twap", "scd2"),
+        )
+    )
+
+    # exact weighted quantiles (quantileExactWeighted parity): median /
+    # p90 trade price weighted by traded quantity — the weighted class
+    # an04's plain percentile cannot answer.
+    def _wq(s: SparkSession) -> DataFrame:
+        from ..functions.quantiles import weighted_quantiles
+
+        return weighted_quantiles(
+            _t(s), "price", "quantity", (0.5, 0.9), ("sec_code",)
+        )
+
+    sp.append(
+        QuerySpec(
+            "an10_weighted_quantiles",
+            _wq,
+            """
+            , cq10 AS (SELECT sec_code, price,
+                              sum(CAST(quantity AS BIGINT))
+                                OVER (PARTITION BY sec_code ORDER BY price)
+                                AS cum,
+                              sum(CAST(quantity AS BIGINT))
+                                OVER (PARTITION BY sec_code) AS tot
+                       FROM trades),
+            pq10 AS (SELECT sec_code, price, cum, tot,
+                            unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)])
+                                AS q
+                     FROM cq10)
+            SELECT sec_code, q, min(price) AS est
+            FROM pq10 WHERE cum >= q * tot GROUP BY sec_code, q
+            """,
+            tags=("analytics", "weighted-quantile"),
+        )
+    )
     return sp
 
 
@@ -3284,6 +3372,8 @@ _TAIL_NAMES = (
     "op06_scd2_history",
     "an07_trailing_time_stats",
     "an08_gap_fill",
+    "an09_twap",
+    "an10_weighted_quantiles",
 )
 
 
