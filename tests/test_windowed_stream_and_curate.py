@@ -174,3 +174,37 @@ def test_training_data_job_end_to_end(spark, sf_smoke):
     assert (ev_ids - gated_out) <= contaminated
     curated_d = {r.doc_id for r in out_d["curated"].collect()}
     assert curated_d.isdisjoint(contaminated) and curated_d <= again
+
+
+def test_export_training_run(spark, sf_smoke, tmp_path):
+    """The last mile: job outputs -> shard files + manifest + telemetry
+    tables; re-export reproduces the manifest bit-for-bit."""
+    from transaq_clickhouse_exporter_spark.datapipe.pipeline import (
+        export_training_run,
+        training_data_job,
+    )
+    from transaq_clickhouse_exporter_spark.datapipe.shards import verify_shards
+    from transaq_clickhouse_exporter_spark.testdata import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    gk = dict(min_stopword_hits=0)
+    out = training_data_job(docs, token_budget=512, gate_kwargs=gk)
+    p1 = str(tmp_path / "run1")
+    m1 = sorted(map(tuple, export_training_run(out, p1, n_shards=4).collect()))
+
+    data = spark.read.parquet(p1 + "/data")
+    assert data.count() == out["curated"].count()
+    # per-split counts in the manifest agree with the job's summary
+    summ = {r.split: r.n_docs for r in spark.read.parquet(p1 + "/summary").collect()}
+    from collections import defaultdict
+    per_split = defaultdict(int)
+    for row in m1:
+        per_split[row[0]] += row[2]  # (split, shard, n_docs, checksum, tokens)
+    assert dict(per_split) == summ
+    assert verify_shards(spark, p1 + "/data", "doc_id").count() == 0
+    assert spark.read.parquet(p1 + "/rejects").count() == out["rejects"].count()
+
+    # determinism: a fresh job + export reproduces the manifest exactly
+    out2 = training_data_job(docs, token_budget=512, gate_kwargs=gk)
+    m2 = sorted(map(tuple, export_training_run(out2, str(tmp_path / "run2"), n_shards=4).collect()))
+    assert m1 == m2

@@ -148,3 +148,43 @@ def training_data_job(
         F.countDistinct("bucket", "seq_in_bucket").alias("n_sequences"),
     )
     return {"curated": curated, "summary": summary, "rejects": rejects}
+
+
+def export_training_run(
+    outputs: dict[str, DataFrame],
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Materialize a :func:`training_data_job` result as the on-disk
+    artifact a trainer consumes — the last mile of the pipeline:
+
+    - ``path/data/split=…/shard=K/`` — curated docs in deterministic
+      one-file-per-shard layout with a verified manifest
+      (:func:`.shards.write_training_shards`; ``n_tokens`` from the
+      packing stage rides along as the manifest token count);
+    - ``path/summary`` and ``path/rejects`` — the run's telemetry
+      tables (tiny; coalesced to one file each).
+
+    Returns the shard manifest.  Sharding is content-stable, so an
+    identical re-run reproduces the manifest bit-for-bit — the test
+    harness (and a production resume) asserts exactly that."""
+    import os
+
+    from .shards import write_training_shards
+
+    manifest = write_training_shards(
+        outputs["curated"],
+        os.path.join(path, "data"),
+        id_col,
+        n_shards,
+        token_col="n_tokens",
+        split_col="split",
+    )
+    outputs["summary"].coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "summary")
+    )
+    outputs["rejects"].coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "rejects")
+    )
+    return manifest
