@@ -1,0 +1,143 @@
+"""Run the reference's OWN Grafana panel SQL through the CH
+compatibility layer (queries/ch_compat.py) — loaded from
+/root/reference at test time, never copied into this repo.
+
+Evidence level: every rawSql panel either runs verbatim against the
+engine's views (19/20) or raises the documented UnsupportedChSql
+(topK — covered by the DataFrame builder db06/functions/topk.py), and
+three panels are VALUE-equal to their dashboard.py DataFrame twins
+under the catalog's pinned parameters."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from transaq_clickhouse_exporter_spark.queries import ch_compat as cc
+from transaq_clickhouse_exporter_spark.queries import dashboard as dash
+from transaq_clickhouse_exporter_spark.queries.parity import (
+    FRM,
+    SEC_CODES,
+    TO,
+    register_derived_views,
+)
+from transaq_clickhouse_exporter_spark.testdata import register_views
+
+_DASH = "/root/reference/etc/grafana-dashboard-trades.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_DASH), reason="reference dashboard not available"
+)
+
+TMAP = {
+    "default.transaq_trades": "trades",
+    "default.transaq_securities": "securities",
+}
+
+
+def _panels() -> list[str]:
+    sqls: list[str] = []
+
+    def walk(o):
+        if isinstance(o, dict):
+            if "rawSql" in o:
+                sqls.append(o["rawSql"])
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                walk(v)
+
+    walk(json.load(open(_DASH)))
+    return sqls
+
+
+def _params(spark):
+    etf = sorted(r.sec_code for r in spark.table("etf_codes").collect())
+    return {
+        "interval": 5,
+        "sec_code": SEC_CODES,
+        "sec_code_etf": etf,
+        "__fromTime": FRM,
+        "__toTime": TO,
+    }
+
+
+def _setup(spark, sf_smoke):
+    register_views(spark, sf_smoke)
+    register_derived_views(spark, sf_smoke)
+
+
+def test_every_panel_runs_or_raises_documented(spark, sf_smoke):
+    _setup(spark, sf_smoke)
+    panels = _panels()
+    assert len(panels) == 20
+    params = _params(spark)
+    ran, unsupported = 0, 0
+    for sql in panels:
+        try:
+            assert cc.run_ch_sql(spark, sql, params, TMAP).count() >= 0
+            ran += 1
+        except cc.UnsupportedChSql:
+            assert "topK" in sql  # the one documented gap
+            unsupported += 1
+    assert (ran, unsupported) == (19, 1)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=repr)
+
+
+def test_netto_top10_panel_equals_dataframe_twin(spark, sf_smoke):
+    _setup(spark, sf_smoke)
+    sql = next(
+        s for s in _panels() if "LIMIT 10" in s and "not in [$sec_code_etf]" in s
+    )
+    got = cc.run_ch_sql(spark, sql, _params(spark), TMAP)
+    want = dash.netto_top10(
+        spark.table("trades"),
+        spark.table("securities"),
+        spark.table("etf_codes"),
+        5,
+        FRM,
+        TO,
+        "buy",
+    )
+    assert _rows(got) == _rows(want) and got.count() == 10
+
+
+def test_count_trades_panels_equal_dataframe_twin(spark, sf_smoke):
+    _setup(spark, sf_smoke)
+    panels = [s for s in _panels() if "count(price)" in s]
+    assert len(panels) == 2  # buy and sell variants
+    for sql in panels:
+        bs = "B" if "'B'" in sql else "S"
+        got = cc.run_ch_sql(spark, sql, _params(spark), TMAP)
+        want = dash.count_trades_by_time(
+            spark.table("trades"), SEC_CODES, FRM, TO, bs
+        )
+        assert _rows(got) == _rows(want)
+        assert got.count() > 0
+
+
+def test_imoex_volume_panels_equal_dataframe_twin(spark, sf_smoke):
+    _setup(spark, sf_smoke)
+    panels = [
+        s
+        for s in _panels()
+        if "sum(price * quantity)" in s
+        and "not in [$sec_code_etf]" in s
+        and "toStartOfInterval" not in s
+        and "lotsize" not in s
+    ]
+    assert len(panels) == 2  # buy and sell variants
+    for sql in panels:
+        bs = "B" if "'B'" in sql else "S"
+        got = cc.run_ch_sql(spark, sql, _params(spark), TMAP)
+        want = dash.imoex_volume_by_time(
+            spark.table("trades"), spark.table("etf_codes"), FRM, TO, bs
+        )
+        assert _rows(got) == _rows(want)
+        assert got.count() > 0

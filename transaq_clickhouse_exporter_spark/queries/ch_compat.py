@@ -93,6 +93,9 @@ _RENAMES = {
     "uniqCombined": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "countIf": "count_if",
+    # CH timestampAdd/timestamp_add(unit, n, ts) == Spark timestampadd
+    "timestamp_add": "timestampadd",
+    "timestampAdd": "timestampadd",
     # NOT mapped: bare `any(…)` — ANSI quantified comparisons
     # (`> ANY (SELECT …)`) use the same spelling; CH users should
     # write any_value directly.
@@ -168,16 +171,116 @@ def _split_args(args: str) -> list[str]:
     return out
 
 
-def translate_ch_sql(sql: str) -> str:
+def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> str:
     """Rewrite the CH-dialect constructs described in the module
     docstring into Spark SQL.  Pure text-to-text; unknown functions
-    pass through (the scalar shims handle them at run time)."""
+    pass through (the scalar shims handle them at run time).
+
+    ``table_map`` maps CH table names (``db.table``) to Spark
+    view/table names — every quoting variant (``"db"."t"``,
+    ``db."t"``, bare ``t`` as a qualifier prefix) is replaced.
+
+    Beyond function rewrites, four grammar bridges cover the CH-isms
+    the reference's panels actually use (GDJ rawSql):
+
+    - ``IN [a, b]`` array syntax → ``IN (a, b)``;
+    - double-quoted identifiers/aliases → backticks;
+    - ``FROM t FINAL`` → ``FROM t`` (the views dedup on read);
+    - SELECT-list aliases referenced from WHERE/HAVING of the same
+      query block (legal in CH, not in Spark) are inlined as their
+      defining expression."""
     import re
 
+    sql = _apply_table_map(sql, dict(table_map or {}))
+    sql = _brackets_to_parens(sql)
+    sql = _dquotes_to_backticks(sql)
     # `FROM t FINAL` → `FROM t`: dedup-on-read views already implement
     # ReplacingMergeTree FINAL (operators/dedup.py).  Anchored on the
     # FROM clause so a column/alias named "final" is untouched.
-    sql = re.sub(r"(?i)(\bFROM\s+[A-Za-z_][\w.]*)\s+FINAL\b", r"\1", sql)
+    sql = re.sub(r"(?i)(\bFROM\s+[A-Za-z_`][\w.`]*)\s+FINAL\b", r"\1", sql)
+    return _inline_where_aliases(_rewrite_calls(sql))
+
+
+def _apply_table_map(sql: str, table_map: Mapping[str, str]) -> str:
+    import re
+
+    for src, dst in table_map.items():
+        if "." in src:
+            db, tbl = src.split(".", 1)
+            for pat in (
+                rf'"{db}"\s*\.\s*"{tbl}"',
+                rf'"{db}"\s*\.\s*{tbl}\b',
+                rf'\b{db}\s*\.\s*"{tbl}"',
+                rf"\b{db}\s*\.\s*{tbl}\b",
+            ):
+                sql = re.sub(pat, dst, sql)
+            # bare table name as a column-qualifier prefix (`t.col`)
+            sql = re.sub(rf"\b{tbl}\b(?!\s*\()", dst, sql)
+        else:
+            sql = re.sub(rf"\b{src}\b(?!\s*\()", dst, sql)
+    return sql
+
+
+def _brackets_to_parens(sql: str) -> str:
+    """CH ``IN [a, b]`` / ``NOT IN [a, b]`` → parenthesized lists."""
+    import re
+
+    out = sql
+    while True:
+        m = re.search(r"(?i)\bIN\s*\[", out)
+        if not m:
+            return out
+        open_idx = m.end() - 1
+        depth, i, n = 0, open_idx, len(out)
+        while i < n:
+            c = out[i]
+            if c == "'":
+                i += 1
+                while i < n and out[i] != "'":
+                    i += 1
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise UnsupportedChSql("unbalanced brackets in IN [...]")
+        out = out[:open_idx] + "(" + out[open_idx + 1 : i] + ")" + out[i + 1 :]
+
+
+def _dquotes_to_backticks(sql: str) -> str:
+    """CH double-quoted identifiers → Spark backticks (single-quoted
+    string literals pass through untouched)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = sql.find('"', i + 1)
+            if j < 0:
+                raise UnsupportedChSql("unterminated double-quoted identifier")
+            out.append("`" + sql[i + 1 : j] + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_calls(sql: str) -> str:
+    import re
 
     out = []
     i, n = 0, len(sql)
@@ -212,7 +315,7 @@ def translate_ch_sql(sql: str) -> str:
             i = j
             continue
         close = _find_close(sql, k)
-        inner = translate_ch_sql(sql[k + 1 : close])
+        inner = _rewrite_calls(sql[k + 1 : close])
         # parameterized form: name(params)(args)?
         k2 = close + 1
         while k2 < n and sql[k2] in " \t\n":
@@ -225,7 +328,7 @@ def translate_ch_sql(sql: str) -> str:
             )
         if name in _PARAMETERIZED and has_second:
             close2 = _find_close(sql, k2)
-            args = translate_ch_sql(sql[k2 + 1 : close2])
+            args = _rewrite_calls(sql[k2 + 1 : close2])
             out.append(f"percentile({args}, {inner.strip()})")
             i = close2 + 1
             continue
@@ -274,11 +377,191 @@ def substitute(sql: str, params: Mapping[str, object]) -> str:
 
 
 def run_ch_sql(
-    spark: SparkSession, sql: str, params: Mapping[str, object] | None = None
+    spark: SparkSession,
+    sql: str,
+    params: Mapping[str, object] | None = None,
+    table_map: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """One-call entry: substitute template variables, translate the
-    dialect, register the scalar shims, run."""
+    dialect (mapping CH table names to Spark views), register the
+    scalar shims, run."""
     if params:
         sql = substitute(sql, params)
     register_ch_functions(spark)
-    return spark.sql(translate_ch_sql(sql))
+    text = translate_ch_sql(sql, table_map)
+    # CH resolves an unqualified column that exists on both join sides
+    # to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.  Emulate the
+    # CH rule by qualifying the reported column with the first FROM
+    # relation and retrying (the reference's panels rely on this for
+    # `board` in trades⋈securities WHERE clauses).
+    import re
+
+    for _ in range(5):
+        try:
+            return spark.sql(text)
+        except Exception as e:
+            m = re.search(r"Reference `([^`]+)` is ambiguous", str(e))
+            lm = re.search(r"(?is)\bFROM\s+([a-z_]\w*)\b", text)
+            if not m or not lm:
+                raise
+            col, left = m.group(1), lm.group(1)
+            fixed = re.sub(
+                rf"(?<![\w.`]){re.escape(col)}(?![\w.`(])", f"{left}.{col}", text
+            )
+            if fixed == text:
+                raise
+            text = fixed
+    return spark.sql(text)
+
+
+# ---- alias-in-WHERE inlining -------------------------------------------
+# CH resolves SELECT-list aliases inside the same query's WHERE (the
+# reference's panels bucket in the SELECT and filter on the alias:
+# `WHERE minute >= $__fromTime`, GDJ:113).  Spark resolves aliases in
+# GROUP BY / ORDER BY / HAVING but not WHERE, so the translator inlines
+# the defining expression at the reference site.
+
+import re as _re
+
+_ALIAS_RE = _re.compile(r"(?is)^(.*\S)\s+AS\s+(`[^`]*`|[A-Za-z_]\w*)\s*$")
+_STOP_AFTER_WHERE = {"group", "having", "order", "limit", "union", "window"}
+
+
+def _scan_words(s: str) -> list[tuple[str, int, int]]:
+    """(lowercased word, start, end) for every bare word at paren depth
+    0, outside quotes/backticks."""
+    res: list[tuple[str, int, int]] = []
+    i, n, depth = 0, len(s), 0
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+        elif c == "`":
+            j = s.find("`", i + 1)
+            i = n if j < 0 else j + 1
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            i += 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            res.append((s[i:j].lower(), i, j))
+            i = j
+        else:
+            i += 1
+    return res
+
+
+def _replace_alias_refs(segment: str, alias: str, expr: str) -> str:
+    """Replace standalone references to ``alias`` (bare or backticked)
+    in ``segment`` with the parenthesized expression."""
+    rep = f"({expr.strip()})"
+    if alias.startswith("`"):
+        segment = segment.replace(alias, rep)
+        inner = alias[1:-1]
+        if not _re.fullmatch(r"[A-Za-z_]\w*", inner):
+            return segment  # not addressable unquoted
+        alias = inner  # a quoted alias may still be referenced bare
+    pat = _re.compile(
+        rf"(?<![\w.`]){_re.escape(alias)}(?![\w.`(])"
+    )
+    return pat.sub(rep.replace("\\", "\\\\"), segment)
+
+
+def _inline_block(s: str) -> str:
+    words = _scan_words(s)
+    # split on depth-0 UNION boundaries; process each side alone
+    for w, a, _ in words:
+        if w == "union":
+            left, right = s[:a], s[a:]
+            m = _re.match(r"(?is)^union(\s+all|\s+distinct)?", right)
+            head = m.group(0)
+            return _inline_block(left) + head + _inline_block(right[len(head):])
+    sel = nxt = whr = hav = None
+    for w, a, b in words:
+        if w == "select" and sel is None:
+            sel = (a, b)
+        elif w == "from" and sel is not None and nxt is None:
+            nxt = (a, b)
+        elif w == "where" and whr is None:
+            whr = (a, b)
+        elif w == "having" and hav is None:
+            hav = (a, b)
+    if sel is None or nxt is None:
+        return s
+    items = _split_args(s[sel[1] : nxt[0]])
+    aliases: list[tuple[str, str]] = []
+    for item in items:
+        m = _ALIAS_RE.match(item)
+        if m:
+            aliases.append((m.group(2), m.group(1)))
+    if not aliases:
+        return s
+
+    def clause_end(start: int) -> int:
+        for w, a, _ in words:
+            if a > start and w in _STOP_AFTER_WHERE:
+                return a
+        return len(s)
+
+    spans = []
+    if whr:
+        spans.append((whr[1], clause_end(whr[1])))
+    if hav:
+        spans.append((hav[1], clause_end(hav[1])))
+    if not spans:
+        return s
+    out, pos = [], 0
+    for a, b in sorted(spans):
+        out.append(s[pos:a])
+        seg = s[a:b]
+        for alias, expr in aliases:
+            seg = _replace_alias_refs(seg, alias, expr)
+        out.append(seg)
+        pos = b
+    out.append(s[pos:])
+    return "".join(out)
+
+
+def _inline_where_aliases(s: str) -> str:
+    """Recursively inline same-block SELECT aliases referenced from
+    WHERE/HAVING — subqueries first, then this block."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c == "`":
+            j = s.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c == "(":
+            close = _find_close(s, i)
+            out.append("(" + _inline_where_aliases(s[i + 1 : close]) + ")")
+            i = close + 1
+        else:
+            out.append(c)
+            i += 1
+    return _inline_block("".join(out))
