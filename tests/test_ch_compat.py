@@ -61,7 +61,11 @@ def test_translate_final_and_literals():
 
 def test_unsupported_raises():
     with pytest.raises(UnsupportedChSql):
-        translate_ch_sql("SELECT topK(10)(sec_code) FROM trades")
+        translate_ch_sql("SELECT topKWeighted(10)(sec_code, w) FROM trades")
+    with pytest.raises(UnsupportedChSql):  # time guards need the DP scan
+        translate_ch_sql(
+            "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a=1, b=2) FROM e"
+        )
 
 
 def test_substitute_quotes_hostile_values():

@@ -1,0 +1,159 @@
+"""The CH funnel-family aggregate expansions (queries/ch_compat.py)
+value-checked against the engine's own DataFrame operators — one
+contract, two front-ends:
+
+* ``windowFunnel(w)(ts, c1…)``  vs functions/funnel.window_funnel
+* ``sequenceMatch/Count``        vs functions/seqmatch operators
+* ``topK(k)(x)``                 vs an exact groupBy-count top-k
+* ``retention(c1…)``             vs an independent per-user flag model
+* ``quantileTiming``             runs as percentile_approx (rank-approx)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.functions import seqmatch as sm
+from transaq_clickhouse_exporter_spark.functions.funnel import window_funnel
+from transaq_clickhouse_exporter_spark.queries import ch_compat as cc
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_smoke):
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    ev.createOrReplaceTempView("events")
+    return ev
+
+
+STAGES = ("view", "click", "purchase")
+
+
+def _conds():
+    return [F.col("event_type") == v for v in STAGES]
+
+
+def test_window_funnel_matches_dataframe_operator(spark, events):
+    got = {
+        r.user_id: r.lvl
+        for r in cc.run_ch_sql(
+            spark,
+            "SELECT user_id, windowFunnel(3600)(ts, event_type='view', "
+            "event_type='click', event_type='purchase') AS lvl "
+            "FROM events GROUP BY user_id",
+        ).collect()
+    }
+    want_df = window_funnel(
+        events.withColumn("ts_s", F.col("ts").cast("timestamp").cast("double")),
+        _conds(),
+        ts_col="ts_s",
+        window=3600,
+    )
+    want = {r.user_id: r.level for r in want_df.collect()}
+    assert want  # driver data exercises multiple levels
+    assert {u: l for u, l in got.items() if l > 0} == want
+
+
+def test_sequence_count_matches_token_strings(spark, events):
+    got = {
+        r.user_id: r.c
+        for r in cc.run_ch_sql(
+            spark,
+            "SELECT user_id, sequenceCount('(?1).*(?2)')(ts, "
+            "event_type='view', event_type='purchase') AS c "
+            "FROM events GROUP BY user_id",
+        ).collect()
+    }
+    strs = sm.sequence_strings(
+        events.withColumn("ts_s", F.col("ts").cast("timestamp").cast("double")),
+        [F.col("event_type") == v for v in ("view", "purchase")],
+        ts_col="ts_s",
+        order_col="event_id",
+    )
+    want = {r.user_id: len(re.findall("1.*?2", r.seq)) for r in strs.collect()}
+    assert sum(want.values()) > 0
+    assert {u: c for u, c in got.items() if u in want} == want
+
+
+def test_sequence_match_repeating_alphabet(spark, events):
+    """(?1).*(?2).*(?1) — the repeat-pattern class joins can't express;
+    verify against a driver-side regex over the same token strings."""
+    got = {
+        r.user_id: r.m
+        for r in cc.run_ch_sql(
+            spark,
+            "SELECT user_id, sequenceMatch('(?1).*(?2).*(?1)')(ts, "
+            "event_type='signup', event_type='purchase') AS m "
+            "FROM events WHERE ts < '2024-01-03' GROUP BY user_id",
+        ).collect()
+    }
+    strs = sm.sequence_strings(
+        events.filter(F.col("ts") < "2024-01-03").withColumn(
+            "ts_s", F.col("ts").cast("timestamp").cast("double")
+        ),
+        [F.col("event_type") == v for v in ("signup", "purchase")],
+        ts_col="ts_s",
+        order_col="event_id",
+    )
+    want = {r.user_id: bool(re.search("1.*2.*1", r.seq)) for r in strs.collect()}
+    assert any(want.values()) and not all(want.values())
+    assert {u: m for u, m in got.items() if u in want} == want
+
+
+def test_topk_matches_exact_counts(spark, events):
+    [row] = cc.run_ch_sql(
+        spark, "SELECT topK(3)(event_type) AS top FROM events"
+    ).collect()
+    want = [
+        r.event_type
+        for r in events.groupBy("event_type")
+        .count()
+        .orderBy(F.desc("count"), "event_type")
+        .limit(3)
+        .collect()
+    ]
+    assert row.top == want
+
+
+def test_retention_flag_semantics(spark, events):
+    got = {
+        r.user_id: r.r
+        for r in cc.run_ch_sql(
+            spark,
+            "SELECT user_id, retention(event_type='view', "
+            "event_type='click', event_type='purchase') AS r "
+            "FROM events GROUP BY user_id",
+        ).collect()
+    }
+    per_user = {
+        r.user_id: set(r.types)
+        for r in events.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+        .collect()
+    }
+    for u, types in per_user.items():
+        f1 = int("view" in types)
+        want = [f1, f1 * int("click" in types), f1 * int("purchase" in types)]
+        assert got[u] == want
+
+
+def test_quantile_timing_runs_near_exact(spark, events):
+    [row] = cc.run_ch_sql(
+        spark, "SELECT quantileTiming(0.5)(value) AS q FROM events"
+    ).collect()
+    [exact] = spark.sql("SELECT percentile(value, 0.5) AS q FROM events").collect()
+    assert row.q == pytest.approx(exact.q, rel=0.05)
+
+
+def test_renames_run(spark, events):
+    [row] = cc.run_ch_sql(
+        spark,
+        "SELECT argMax(event_type, ts) AS last_t, "
+        "size(groupUniqArray(event_type)) AS n FROM events",
+    ).collect()
+    assert row.last_t in {"view", "click", "purchase", "signup", "error"}
+    assert row.n == 5
+    out = cc.run_ch_sql(spark, "SELECT arrayJoin(array(1, 2, 3)) AS v").collect()
+    assert sorted(r.v for r in out) == [1, 2, 3]

@@ -2,11 +2,10 @@
 compatibility layer (queries/ch_compat.py) — loaded from
 /root/reference at test time, never copied into this repo.
 
-Evidence level: every rawSql panel either runs verbatim against the
-engine's views (19/20) or raises the documented UnsupportedChSql
-(topK — covered by the DataFrame builder db06/functions/topk.py), and
-three panels are VALUE-equal to their dashboard.py DataFrame twins
-under the catalog's pinned parameters."""
+Evidence level: every rawSql panel runs verbatim against the engine's
+views (20/20, including the topK panel via the ch_topk expansion), and
+four panels are VALUE-equal to a DataFrame or plain-SQL twin under the
+catalog's pinned parameters."""
 
 from __future__ import annotations
 
@@ -70,20 +69,36 @@ def _setup(spark, sf_smoke):
     register_derived_views(spark, sf_smoke)
 
 
-def test_every_panel_runs_or_raises_documented(spark, sf_smoke):
+def test_every_panel_runs(spark, sf_smoke):
     _setup(spark, sf_smoke)
     panels = _panels()
     assert len(panels) == 20
     params = _params(spark)
-    ran, unsupported = 0, 0
     for sql in panels:
-        try:
-            assert cc.run_ch_sql(spark, sql, params, TMAP).count() >= 0
-            ran += 1
-        except cc.UnsupportedChSql:
-            assert "topK" in sql  # the one documented gap
-            unsupported += 1
-    assert (ran, unsupported) == (19, 1)
+        assert cc.run_ch_sql(spark, sql, params, TMAP).count() >= 0
+
+
+def test_topk_panel_values(spark, sf_t2):
+    """The topK(10)(sec_code) panel (GDJ:374) — its GROUP BY includes
+    sec_code, so each group's top list is exactly [sec_code]; verify
+    the translated aggregate produces that and the rest of the row
+    matches a plain Spark-SQL twin.  sf0.01: the panel's
+    `quantity = 1 … HAVING vol > 1` needs repeated unit-quantity
+    trades in one (time, sec_code) cell, which sf0.001 lacks."""
+    _setup(spark, sf_t2)
+    sql = next(s for s in _panels() if "topK" in s)
+    got = _rows(cc.run_ch_sql(spark, sql, _params(spark), TMAP))
+    assert len(got) > 0
+    want = _rows(
+        spark.sql(
+            "SELECT time, array(CAST(sec_code AS STRING)) AS sec, "
+            "sum(quantity) AS vol FROM trades "
+            "WHERE quantity = 1 AND buy_sell = 'B' "
+            f"AND time >= '{FRM}' AND time <= '{TO}' "
+            "GROUP BY time, sec_code HAVING vol > 1 ORDER BY time"
+        )
+    )
+    assert got == want
 
 
 def _rows(df):

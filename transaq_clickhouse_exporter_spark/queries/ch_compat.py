@@ -32,12 +32,22 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    - ``FROM t FINAL``            → ``FROM t`` (the engine's views
      already apply ReplacingMergeTree FINAL on read — op01/op02)
 
+   - ``topK(k)(x)``              → ``ch_topk(collect_list(…), k)``
+     (exact counts, tie rule count-desc/value-asc — `functions/topk.py`)
+   - ``retention(c1, c2…)``      → per-condition any-row flags,
+     ``r[0]=flag1, r[i]=flag1·flag_i``  (CH's bitmask state)
+   - ``sequenceMatch/sequenceCount('pat')(ts, c1…)`` → regex over a
+     per-group token string (`functions/seqmatch.py` contract)
+   - ``windowFunnel(w)(ts, c1…)`` → one-pass fold over sorted events
+     (`functions/funnel.py` earliest-anchor contract)
+   - ``quantileTiming/quantileTDigest(q)(x)`` → ``percentile_approx``
+   - ``arrayJoin/argMax/argMin/groupArray/groupUniqArray`` → renames
+
    Anything it does not recognize passes through untouched, so plain
-   ANSI stays intact; CH features with no Spark equivalent in this
-   subset (``topK(k)(x)``, ``quantileTiming``, array-join dialect)
-   raise ``UnsupportedChSql`` with the offending name rather than
-   mistranslating — use the DataFrame operators (`functions/topk.py`,
-   …) for those.
+   ANSI stays intact; the few CH aggregates with no faithful mapping
+   here (weighted/sketch-state variants, ``_UNSUPPORTED``) raise
+   ``UnsupportedChSql`` with the offending name rather than
+   mistranslating — use the DataFrame operators for those.
 
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as
@@ -74,6 +84,18 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toStartOfMinute": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('minute', ts)",
     "toStartOfHour": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('hour', ts)",
     "toStartOfDay": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('day', ts)",
+    # exact top-k most-frequent values of a collected group (the CH
+    # `topK(k)(x)` aggregate's result contract), ties broken by value
+    # ascending — the same (-count, value) rule as functions/topk.py.
+    # The translator feeds it `collect_list(CAST(x AS STRING))`; the
+    # O(d·n) per-group cost is exact and fine at panel granularity
+    # (the 100 TB heavy-hitter path is functions/topk.approx_top_k).
+    "ch_topk": (
+        "(xs ARRAY<STRING>, k INT) RETURNS ARRAY<STRING> RETURN "
+        "slice(transform(array_sort(transform(array_distinct(xs), "
+        "v -> struct(-size(filter(xs, y -> y <=> v)) AS nc, v AS val))), "
+        "s -> s.val), 1, k)"
+    ),
 }
 
 
@@ -100,17 +122,38 @@ _RENAMES = {
     # (`> ANY (SELECT …)`) use the same spelling; CH users should
     # write any_value directly.
     "anyLast": "any_value",
+    # CH argMax/argMin(ret, by) == Spark max_by/min_by (same arg order)
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    # CH arrayJoin expands rows; Spark's explode is the generator
+    # equivalent.  Valid only where Spark allows a generator (top-level
+    # SELECT item / LATERAL VIEW) — elsewhere Spark raises its own
+    # analysis error rather than us mistranslating silently.
+    "arrayJoin": "explode",
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
 _IF_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
-#: parameterized aggregates `name(params)(args)` we map to Spark.
-_PARAMETERIZED = {"quantile", "quantileExact", "quantileDeterministic"}
+#: parameterized aggregates `name(q…)(args)` mapped to a Spark
+#: percentile family member.  quantileTiming/TDigest are CH's
+#: approximate sketches — percentile_approx is the honest analogue
+#: (both are rank-approximate; neither promises bit equality).
+_PARAMETERIZED = {
+    "quantile": "percentile",
+    "quantileExact": "percentile",
+    "quantileDeterministic": "percentile",
+    "quantileTiming": "percentile_approx",
+    "quantileTDigest": "percentile_approx",
+}
 
 #: recognized-but-unsupported: raise instead of mistranslating.
-_UNSUPPORTED = {"topK", "quantileTiming", "quantileTDigest", "arrayJoin",
-                "sequenceMatch", "sequenceCount", "windowFunnel", "retention"}
+#: (weighted/sketch-state variants whose semantics have no faithful
+#: single-expression Spark mapping in this subset)
+_UNSUPPORTED = {"topKWeighted", "quantileTimingWeighted", "sequenceNextNode",
+                "uniqTheta", "groupArrayMovingAvg", "groupArrayMovingSum"}
 
 
 def _find_close(sql: str, open_idx: int) -> int:
@@ -279,6 +322,112 @@ def _dquotes_to_backticks(sql: str) -> str:
     return "".join(out)
 
 
+# ---- funnel-family aggregate expansions --------------------------------
+# CH's parameterized event-chain aggregates rewritten as single Spark
+# SQL aggregate expressions (usable anywhere an aggregate is), mirroring
+# the engine's DataFrame operators' documented contracts:
+#   topK           → functions/topk.py tie rule (-count, value asc)
+#   sequenceMatch/Count → functions/seqmatch.py token-string contract
+#   windowFunnel   → functions/funnel.py earliest-anchor contract
+#   retention      → r[0]=flag(c1); r[i]=flag(c1)·flag(c_i)  (CH docs)
+
+
+def _topk_expr(params: str, args: list[str]) -> str:
+    k = params.strip()
+    if not k.isdigit():
+        raise UnsupportedChSql("topK(k) expects an integer literal parameter")
+    if len(args) != 1:
+        raise UnsupportedChSql("topK(k)(x) expects exactly one argument")
+    # CAST AS STRING: one shim signature covers every input type; the
+    # result is the CH value list rendered as strings (tie rule:
+    # count desc, then value asc — deterministic, unlike CH).
+    return f"ch_topk(collect_list(CAST({args[0]} AS STRING)), {k})"
+
+
+def _retention_expr(parts: list[str]) -> str:
+    """CH retention state is one held-on-ANY-row flag per condition;
+    the result pairs each later flag with the first:
+    r[0] = flag_1, r[i] = flag_1 AND flag_i  (CH docs, retention)."""
+    if not parts or parts == [""]:
+        raise UnsupportedChSql("retention() expects at least one condition")
+
+    def flag(p: str) -> str:
+        return f"max(CASE WHEN ({p}) THEN 1 ELSE 0 END)"
+
+    elems = [flag(parts[0])]
+    elems += [f"({flag(parts[0])} * {flag(p)})" for p in parts[1:]]
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _seq_expr(name: str, params: str, args: list[str]) -> str:
+    """``sequenceMatch('pat')(ts, c1…cn)`` → regex over the per-group
+    token string (same construction as seqmatch.sequence_strings, with
+    (ts, token) as the deterministic order — the text form has no
+    unique order column to pin same-timestamp ties with)."""
+    pat = params.strip()
+    if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+        raise UnsupportedChSql(f"{name} pattern must be a string literal")
+    if len(args) < 2:
+        raise UnsupportedChSql(f"{name} expects (timestamp, cond…) arguments")
+    from ..functions.seqmatch import translate_pattern
+
+    ts, conds = args[0], args[1:]
+    try:
+        regex = translate_pattern(
+            pat[1:-1].replace("''", "'"), len(conds),
+            lazy=(name == "sequenceCount"),
+        )
+    except ValueError as e:
+        raise UnsupportedChSql(str(e)) from e
+    tok = (
+        "CASE "
+        + " ".join(f"WHEN ({c}) THEN '{i + 1}'" for i, c in enumerate(conds))
+        + " END"
+    )
+    s = (
+        f"array_join(transform(array_sort(collect_list("
+        f"CASE WHEN ({tok}) IS NOT NULL THEN "
+        f"struct(CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t, {tok} AS tok) END)), "
+        f"e -> e.tok), '')"
+    )
+    fn = "regexp_like" if name == "sequenceMatch" else "regexp_count"
+    return f"{fn}({s}, '{regex}')"
+
+
+def _funnel_expr(params: str, args: list[str]) -> str:
+    """``windowFunnel(w)(ts, c1…cn)`` → one-pass fold over the sorted
+    condition-matching events.  acc[i] = timestamp of the i+1-th stage
+    of the earliest-anchored chain (funnel.window_funnel's contract:
+    t_1 = min ts with c1; t_i = min ts with c_i, ts > t_{i-1},
+    ts <= t_1 + w).  Fills are prefix-ordered, so the level is the
+    count of non-null slots.  Strict `>` makes one event unable to
+    fill two stages, and ascending sort makes each fill the minimum —
+    identical to the stage-by-stage min-aggregation by induction."""
+    if len(args) < 2:
+        raise UnsupportedChSql("windowFunnel expects (timestamp, cond…)")
+    ts, conds = args[0], args[1:]
+    n = len(conds)
+    any_c = " OR ".join(f"({c})" for c in conds)
+    cs = ", ".join(f"({c})" for c in conds)
+    evs = (
+        f"array_sort(collect_list(CASE WHEN {any_c} THEN "
+        f"struct(CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t, array({cs}) AS cs) END))"
+    )
+    init = f"CAST(array({', '.join(['NULL'] * n)}) AS ARRAY<DOUBLE>)"
+    upd = ["CASE WHEN acc[0] IS NULL AND e.cs[0] THEN e.t ELSE acc[0] END"]
+    for i in range(1, n):
+        upd.append(
+            f"CASE WHEN acc[{i}] IS NULL AND acc[{i - 1}] IS NOT NULL "
+            f"AND e.cs[{i}] AND e.t > acc[{i - 1}] "
+            f"AND e.t <= acc[0] + ({params.strip()}) "
+            f"THEN e.t ELSE acc[{i}] END"
+        )
+    return (
+        f"aggregate({evs}, {init}, (acc, e) -> array({', '.join(upd)}), "
+        f"acc -> size(filter(acc, x -> x IS NOT NULL)))"
+    )
+
+
 def _rewrite_calls(sql: str) -> str:
     import re
 
@@ -326,14 +475,34 @@ def _rewrite_calls(sql: str) -> str:
                 f"{name}() has no faithful SQL mapping here — use the "
                 f"DataFrame operator (see functions/ and datapipe/)"
             )
+        if name in ("topK", "sequenceMatch", "sequenceCount", "windowFunnel"):
+            if not has_second:
+                raise UnsupportedChSql(f"{name} expects the (params)(args) form")
+            close2 = _find_close(sql, k2)
+            args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
+            if name == "topK":
+                out.append(_topk_expr(inner, args))
+            elif name == "windowFunnel":
+                out.append(_funnel_expr(inner, args))
+            else:
+                out.append(_seq_expr(name, inner, args))
+            i = close2 + 1
+            continue
+        if name == "retention":
+            out.append(_retention_expr(_split_args(inner)))
+            i = close + 1
+            continue
         if name in _PARAMETERIZED and has_second:
             close2 = _find_close(sql, k2)
-            args = _rewrite_calls(sql[k2 + 1 : close2])
-            out.append(f"percentile({args}, {inner.strip()})")
+            args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
+            # quantileDeterministic(x, seed): the seed only stabilizes
+            # CH's sampling — exact/approx percentile ignores it.
+            cols = args[0] if name == "quantileDeterministic" else ", ".join(args)
+            out.append(f"{_PARAMETERIZED[name]}({cols}, {inner.strip()})")
             i = close2 + 1
             continue
         if name in _PARAMETERIZED:  # CH `quantile(x)` defaults to median
-            out.append(f"percentile({inner}, 0.5)")
+            out.append(f"{_PARAMETERIZED[name]}({inner}, 0.5)")
             i = close + 1
             continue
         if name in _IF_AGGS:
