@@ -1,0 +1,100 @@
+"""Unit contracts for the two round-6 session-5 additions:
+
+* ``datapipe.chunking.chunk_documents`` — sliding token windows with
+  overlap (coverage, overlap width, stop rule, reconstruction)
+* ``functions.funnel.retention_flags`` — CH retention's any-row flag
+  semantics (dialect twin checked separately in
+  tests/test_ch_compat_aggregates.py)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transaq_clickhouse_exporter_spark.datapipe.chunking import chunk_documents
+from transaq_clickhouse_exporter_spark.functions.funnel import retention_flags
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    toks = [f"t{i}" for i in range(150)]
+    rows = [
+        (1, " ".join(toks)),          # 150 tokens → multiple chunks
+        (2, " ".join(toks[:64])),     # exactly one full chunk
+        (3, " ".join(toks[:65])),     # one token past a chunk boundary
+        (4, "solo"),                  # single token
+        (5, "   "),                   # whitespace only → no chunks
+        (6, ""),                      # empty → no chunks
+        (7, "  a   b\tc\nd  "),       # messy whitespace
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _chunks(docs, **kw):
+    out = chunk_documents(docs, **kw)
+    return {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tok, r.chunk_text)
+        for r in out.collect()
+    }
+
+
+def test_chunk_coverage_and_overlap(docs):
+    got = _chunks(docs, size=64, stride=48)
+    # doc 1: 150 tokens → starts 0, 48, 96 (96+64 ≥ 150 stops the grid;
+    # 144 is excluded because chunk@96 already reached the end)
+    d1 = sorted(k[1] for k in got if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    assert got[(1, 0)][0] == 0 and got[(1, 0)][1] == 64
+    assert got[(1, 1)][0] == 48 and got[(1, 1)][1] == 64
+    assert got[(1, 2)][0] == 96 and got[(1, 2)][1] == 54
+    # consecutive chunks share exactly size - stride tokens
+    c0, c1 = got[(1, 0)][2].split(" "), got[(1, 1)][2].split(" ")
+    assert c0[48:] == c1[:16]
+    # every token covered exactly once by the stride-aligned prefixes
+    recon = c0[:48] + c1[:48] + got[(1, 2)][2].split(" ")
+    assert recon == [f"t{i}" for i in range(150)]
+
+
+def test_chunk_boundary_cases(docs):
+    got = _chunks(docs, size=64, stride=48)
+    assert sorted(k[1] for k in got if k[0] == 2) == [0]       # exact fit
+    assert got[(2, 0)][1] == 64
+    # 65 tokens: chunk@0 ends at 64 < 65 → second (short) chunk at 48
+    assert sorted(k[1] for k in got if k[0] == 3) == [0, 1]
+    assert got[(3, 1)] == (48, 17, " ".join(f"t{i}" for i in range(48, 65)))
+    assert got[(4, 0)] == (0, 1, "solo")
+    assert not any(k[0] in (5, 6) for k in got)                # no empty-doc chunks
+    assert got[(7, 0)] == (0, 4, "a b c d")                    # whitespace folded
+
+
+def test_chunk_no_overlap_mode(docs):
+    got = _chunks(docs, size=50, stride=50)
+    d1 = sorted((k[1], *got[k]) for k in got if k[0] == 1)
+    assert [(i, s, n) for i, s, n, _ in d1] == [(0, 0, 50), (1, 50, 50), (2, 100, 50)]
+
+
+def test_chunk_validates_stride():
+    with pytest.raises(ValueError):
+        chunk_documents(None, size=10, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(None, size=10, stride=11)
+
+
+def test_retention_flags_semantics(spark):
+    rows = [
+        (1, "view"), (1, "click"),                  # r = 1,1,0
+        (2, "click"), (2, "purchase"),              # no view → 0,0,0
+        (3, "view"), (3, "purchase"), (3, "view"),  # r = 1,0,1
+        (4, "signup"),                              # r = 0,0,0
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        r.user_id: (r.r1, r.r2, r.r3)
+        for r in retention_flags(
+            ev, [F.col("event_type") == t for t in ("view", "click", "purchase")]
+        ).collect()
+    }
+    assert out == {1: (1, 1, 0), 2: (0, 0, 0), 3: (1, 0, 1), 4: (0, 0, 0)}
+    with pytest.raises(ValueError):
+        retention_flags(ev, [])

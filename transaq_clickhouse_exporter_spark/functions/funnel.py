@@ -71,3 +71,34 @@ def funnel_level_counts(
     """Funnel report: users per reached depth, ``(level, n_users)``."""
     lv = window_funnel(events, conds, ts_col, user_col, window)
     return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def retention_flags(
+    events: DataFrame,
+    conds: list[Column],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention(cond1…condN)`` parity: per user, one
+    held-on-ANY-row flag per condition (CH's bitmask aggregate state),
+    paired so ``r1 = flag_1`` and ``r_i = flag_1 AND flag_i`` — the CH
+    docs' rule.  Output ``(user_col, r1 … rN int)``, one row per user
+    (CH emits the array; scalar columns here so every downstream
+    compare/hashing path stays engine-portable).
+
+    Plan shape: ONE hash aggregation with map-side partial ``max`` per
+    condition — no join, no window; at 100 TB this is a single narrow
+    shuffle of (user, N small ints).
+    """
+    if not conds:
+        raise ValueError("retention needs at least one condition")
+    flags = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"__f{i}")
+        for i, c in enumerate(conds)
+    ]
+    agg = events.groupBy(user_col).agg(*flags)
+    cols = [F.col(user_col), F.col("__f0").cast("int").alias("r1")]
+    cols += [
+        (F.col("__f0") * F.col(f"__f{i}")).cast("int").alias(f"r{i + 1}")
+        for i in range(1, len(conds))
+    ]
+    return agg.select(*cols)

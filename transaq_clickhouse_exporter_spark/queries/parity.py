@@ -1220,6 +1220,37 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "session-window"),
         )
     )
+
+    # ClickHouse `retention(cond1…condN)` aggregate parity: one
+    # held-on-ANY-row flag per condition, r1 = flag_1, r_i = flag_1 AND
+    # flag_i (the CH bitmask-state rule; dialect twin in
+    # queries/ch_compat._retention_expr).  One hash agg, no join.
+    def _retention(s: SparkSession) -> DataFrame:
+        from ..functions.funnel import retention_flags
+
+        return retention_flags(
+            s.table("ev"),
+            [F.col("event_type") == t for t in ("view", "click", "purchase")],
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev12_retention",
+            _retention,
+            """
+            , rt12 AS (SELECT user_id,
+                     max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+                       FROM ev GROUP BY user_id)
+            SELECT user_id, CAST(f1 AS INT) AS r1,
+                   CAST(f1 * f2 AS INT) AS r2,
+                   CAST(f1 * f3 AS INT) AS r3
+            FROM rt12
+            """,
+            tags=("events", "retention"),
+        )
+    )
     return sp
 
 
@@ -2821,6 +2852,43 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "shard-export"),
         )
     )
+
+    # sliding-window document chunking (size 64, stride 48 — 16-token
+    # overlap): the context-window preprocessing step; surviving chunk
+    # starts are a prefix of the stride grid (the stop rule is
+    # monotone), so chunk_idx = start DIV stride in both engines.
+    def _chunk(s: SparkSession) -> DataFrame:
+        from ..datapipe.chunking import chunk_documents
+
+        return chunk_documents(s.table("documents"), size=64, stride=48)
+
+    sp.append(
+        QuerySpec(
+            "dp30_chunk_documents",
+            _chunk,
+            r"""
+            , ck30 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t != '') AS w
+              FROM documents),
+            st30 AS (
+              SELECT doc_id, w, len(w) AS n,
+                     unnest(list_filter(range(0, greatest(len(w), 1), 48),
+                                        st -> st = 0 OR st - 48 + 64 < len(w)))
+                         AS st
+              FROM ck30)
+            SELECT doc_id,
+                   CAST(st // 48 AS INT) AS chunk_idx,
+                   CAST(st AS INT) AS start_tok,
+                   CAST(least(64, n - st) AS INT) AS n_tok,
+                   array_to_string(list_slice(w, st + 1, st + 64), ' ')
+                       AS chunk_text
+            FROM st30 WHERE n > 0
+            """,
+            tags=("datapipe", "chunking"),
+        )
+    )
     return sp
 
 
@@ -3374,6 +3442,8 @@ _TAIL_NAMES = (
     "an08_gap_fill",
     "an09_twap",
     "an10_weighted_quantiles",
+    "ev12_retention",
+    "dp30_chunk_documents",
 )
 
 
