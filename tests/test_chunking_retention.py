@@ -98,3 +98,62 @@ def test_retention_flags_semantics(spark):
     assert out == {1: (1, 1, 0), 2: (0, 0, 0), 3: (1, 0, 1), 4: (0, 0, 0)}
     with pytest.raises(ValueError):
         retention_flags(ev, [])
+
+
+# ---- retrieval (datapipe/retrieval.py) ---------------------------------
+
+
+def test_build_chunk_index_hashed_default(spark, docs):
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        build_chunk_index,
+    )
+
+    idx = build_chunk_index(docs, size=64, stride=48, dim=16)
+    rows = idx.collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3, 4, 7}
+    for r in rows:
+        assert len(r.embedding) == 17                 # dim + bias
+        assert r.embedding[-1] == 1.0                 # constant bias
+        # signed unit contributions: components are exact integers
+        assert all(v == int(v) for v in r.embedding)
+        assert sum(abs(v) for v in r.embedding[:-1]) <= r.n_tok
+
+
+def test_build_chunk_index_custom_embedder(spark, docs):
+    import numpy as np
+
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        build_chunk_index,
+    )
+
+    def embedder(texts):
+        return np.array([[float(len(t)), 1.0] for t in texts])
+
+    idx = build_chunk_index(docs, size=64, stride=48, batch_embedder=embedder)
+    got = {(r.doc_id, r.chunk_idx): r.embedding for r in idx.collect()}
+    assert got[(4, 0)] == [4.0, 1.0]                  # len("solo")
+    assert all(len(v) == 2 for v in got.values())
+
+
+def test_doc_search_max_pools_chunks(spark):
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import doc_search
+
+    # doc 1 has two chunks: one orthogonal-ish, one identical to the
+    # query; doc 2 one mediocre chunk — doc 1 must win via max-pool.
+    idx = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (1, 1, [0.0, 1.0, 0.0]),
+            (2, 0, [1.0, 1.0, 0.0]),
+        ],
+        "doc_id long, chunk_idx int, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [0.0, 1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = {
+        (r.query_id, r.doc_id): (r.best_sim, r.rank)
+        for r in doc_search(idx, q, k=2).collect()
+    }
+    assert out[(100, 1)] == (1.0, 1)
+    assert out[(100, 2)][1] == 2 and abs(out[(100, 2)][0] - 0.707107) < 1e-6

@@ -2889,6 +2889,78 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "chunking"),
         )
     )
+
+    # chunk-level retrieval: hashed-embedding index over dp30's chunk
+    # grid, query chunks searched against it, chunk hits max-pooled to
+    # documents.  The ±1 signed bag-of-hashed-words design keeps every
+    # sum/norm an exact small integer, so cosine is one IEEE div+sqrt
+    # in both engines — bit-stable under round(…, 6).
+    def _chunk_search(s: SparkSession) -> DataFrame:
+        from ..datapipe.retrieval import build_chunk_index, doc_search
+
+        idx = build_chunk_index(s.table("documents"), size=64, stride=48, dim=16)
+        q = idx.filter(
+            (F.col("doc_id") % 167 == 5) & (F.col("chunk_idx") == 0)
+        ).select(F.col("doc_id").alias("query_id"), "embedding")
+        return doc_search(idx, q, k=5)
+
+    sp.append(
+        QuerySpec(
+            "dp31_chunk_search",
+            _chunk_search,
+            r"""
+            , ck31 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t != '') AS w
+              FROM documents),
+            st31 AS (
+              SELECT doc_id, w, len(w) AS n,
+                     unnest(list_filter(range(0, greatest(len(w), 1), 48),
+                                        st -> st = 0 OR st - 48 + 64 < len(w)))
+                         AS st
+              FROM ck31),
+            chv31 AS (
+              SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
+                     array_to_string(list_slice(w, st + 1, st + 64), ' ')
+                         AS chunk_text
+              FROM st31 WHERE n > 0),
+            emb31 AS (
+              SELECT doc_id, chunk_idx,
+                     list_append(
+                       list_transform(range(0, 16), j ->
+                         coalesce(list_sum(list_transform(
+                           list_filter(regexp_split_to_array(
+                                         trim(lower(chunk_text)), '\s+'),
+                                       t -> t != ''),
+                           t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8)
+                                          AS BIGINT) % 16 = j
+                                     THEN (CASE WHEN CAST('0x' ||
+                                                substr(md5(t), 9, 2)
+                                                AS BIGINT) % 2 = 0
+                                           THEN 1.0 ELSE -1.0 END)
+                                     ELSE 0.0 END)), 0.0)),
+                       1.0) AS v
+              FROM chv31),
+            q31 AS (SELECT doc_id AS query_id, v AS qv FROM emb31
+                    WHERE doc_id % 167 = 5 AND chunk_idx = 0),
+            sc31 AS (
+              SELECT q.query_id, e.doc_id,
+                     round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                  CAST(e.v AS DOUBLE[])), 6)
+                         AS cos_sim
+              FROM q31 q, emb31 e),
+            pool31 AS (SELECT query_id, doc_id, max(cos_sim) AS best_sim
+                       FROM sc31 GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, best_sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY best_sim DESC, doc_id) AS BIGINT) AS rank
+            FROM pool31 QUALIFY rank <= 5
+            """,
+            tags=("datapipe", "retrieval"),
+        )
+    )
     return sp
 
 
@@ -3444,6 +3516,7 @@ _TAIL_NAMES = (
     "an10_weighted_quantiles",
     "ev12_retention",
     "dp30_chunk_documents",
+    "dp31_chunk_search",
 )
 
 
