@@ -88,6 +88,27 @@ def test_scalar_shims(spark):
     assert str(row.dt) == "2024-12-20 10:00:00"
     assert (row.d, row.i) == (3, 3)
     assert str(row.h) == "2024-12-20 10:00:00"
+    # calendar family — 2024-12-20 is a Friday (ISO dow 5), Q4
+    cal = spark.sql(
+        "SELECT toStartOfWeek(timestamp'2024-12-20 10:07:33') AS w,"
+        " toStartOfMonth(timestamp'2024-12-20 10:07:33') AS m,"
+        " toStartOfQuarter(timestamp'2024-12-20 10:07:33') AS q,"
+        " toStartOfYear(timestamp'2024-12-20 10:07:33') AS y,"
+        " toYYYYMM(timestamp'2024-12-20 10:07:33') AS ym,"
+        " toYYYYMMDD(timestamp'2024-12-20 10:07:33') AS ymd,"
+        " toDayOfWeek(timestamp'2024-12-20 10:07:33') AS dw,"
+        " toDayOfWeek(timestamp'2024-12-22 00:00:00') AS dw_sun,"
+        " toHour(timestamp'2024-12-20 10:07:33') AS hh,"
+        " toMinute(timestamp'2024-12-20 10:07:33') AS mi,"
+        " toSecond(timestamp'2024-12-20 10:07:33') AS ss"
+    ).collect()[0]
+    assert str(cal.w) == "2024-12-16"  # Monday (CH mode-1 week)
+    assert (str(cal.m), str(cal.q), str(cal.y)) == (
+        "2024-12-01", "2024-10-01", "2024-01-01",
+    )
+    assert (cal.ym, cal.ymd) == (202412, 20241220)
+    assert (cal.dw, cal.dw_sun) == (5, 7)  # CH ISO: Mon=1 … Sun=7
+    assert (cal.hh, cal.mi, cal.ss) == (10, 7, 33)
 
 
 def test_ch_panel_runs_verbatim_vs_dataframe_twin(spark, sf_smoke):

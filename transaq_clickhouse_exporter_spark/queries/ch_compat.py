@@ -17,7 +17,9 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    not Python UDFs.  Covers ``toStartOfInterval`` (any day-time
    INTERVAL literal), ``toDateTime``/``toDate``/``toUnixTimestamp``,
    ``intDiv``/``modulo``, ``toInt64``/``toFloat64``/``toString``,
-   ``toStartOfMinute/Hour/Day``.
+   ``toStartOfMinute/Hour/Day/Week/Month/Quarter/Year``,
+   ``toYYYYMM[DD]``, ``toYear/Month/DayOfMonth/DayOfWeek`` (CH ISO
+   Mon=1), ``toHour/Minute/Second``.
 2. **A conservative text translator** (:func:`translate_ch_sql`) for
    what a scalar UDF cannot express — aggregate renames and CH's
    parameterized-aggregate syntax — using a real paren-matching
@@ -84,6 +86,24 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toStartOfMinute": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('minute', ts)",
     "toStartOfHour": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('hour', ts)",
     "toStartOfDay": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('day', ts)",
+    # calendar family (CH returns Date for these; DATE casts match)
+    "toStartOfWeek": (
+        "(ts TIMESTAMP) RETURNS DATE RETURN "
+        "CAST(date_trunc('week', ts) AS DATE)"  # ISO Monday start (CH mode 1)
+    ),
+    "toStartOfMonth": "(ts TIMESTAMP) RETURNS DATE RETURN CAST(date_trunc('month', ts) AS DATE)",
+    "toStartOfQuarter": "(ts TIMESTAMP) RETURNS DATE RETURN CAST(date_trunc('quarter', ts) AS DATE)",
+    "toStartOfYear": "(ts TIMESTAMP) RETURNS DATE RETURN CAST(date_trunc('year', ts) AS DATE)",
+    "toYYYYMM": "(ts TIMESTAMP) RETURNS INT RETURN CAST(date_format(ts, 'yyyyMM') AS INT)",
+    "toYYYYMMDD": "(ts TIMESTAMP) RETURNS INT RETURN CAST(date_format(ts, 'yyyyMMdd') AS INT)",
+    "toYear": "(ts TIMESTAMP) RETURNS INT RETURN year(ts)",
+    "toMonth": "(ts TIMESTAMP) RETURNS INT RETURN month(ts)",
+    "toDayOfMonth": "(ts TIMESTAMP) RETURNS INT RETURN day(ts)",
+    # CH: Monday = 1 … Sunday = 7 (ISO); Spark dayofweek: Sunday = 1
+    "toDayOfWeek": "(ts TIMESTAMP) RETURNS INT RETURN ((dayofweek(ts) + 5) % 7) + 1",
+    "toHour": "(ts TIMESTAMP) RETURNS INT RETURN hour(ts)",
+    "toMinute": "(ts TIMESTAMP) RETURNS INT RETURN minute(ts)",
+    "toSecond": "(ts TIMESTAMP) RETURNS INT RETURN second(ts)",
     # exact top-k most-frequent values of a collected group (the CH
     # `topK(k)(x)` aggregate's result contract), ties broken by value
     # ascending — the same (-count, value) rule as functions/topk.py.
