@@ -37,23 +37,35 @@ def hashed_embedding(text_col: Column, dim: int = 16) -> Column:
     token ``t`` adds ±1 (sign from md5 hex 9..10) to dimension
     ``conv(md5(t)[1..8], 16, 10) % dim``; component ``dim`` (one past
     the hashed range) is a constant 1 bias so no vector has zero norm
-    (cosine stays defined in every engine).  Pure codegen — no UDF."""
+    (cosine stays defined in every engine).  All JVM-side higher-order
+    functions — zero Python in the hot path."""
     toks = F.filter(
         F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    dim_of = (
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % dim
+    # hash each token ONCE (md5 is the per-token cost; the per-dim
+    # pass below must not re-derive it dim× per token), then reduce
+    # (d, s) pairs per dimension — O(n·dim) cheap adds, O(n) hashes
+    tok_ds = F.transform(
+        F.transform(toks, lambda t: F.md5(t)),
+        lambda h: F.struct(
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim).alias("d"),
+            F.when(
+                F.conv(F.substring(h, 9, 2), 16, 10).cast("bigint") % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).alias("s"),
+        ),
     )
-    sign_of = lambda t: F.when(
-        F.conv(F.substring(F.md5(t), 9, 2), 16, 10).cast("bigint") % 2 == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    body = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            toks,
-            F.lit(0.0),
-            lambda a, t: a + F.when(dim_of(t) == j, sign_of(t)).otherwise(F.lit(0.0)),
+    # ONE aggregate pass with an array accumulator.  NOT one aggregate
+    # per dimension: CollapseProject re-inlines `tok_ds` into every
+    # per-dim lambda, recomputing the md5 pass dim× — measured 75 s vs
+    # 7.7 s for this form on a 69k-chunk corpus (tools/
+    # scale_rehearsal_round6s5.py's shape).  ±1 contributions commute
+    # exactly (integer sums), so accumulation order is value-neutral.
+    body = F.aggregate(
+        tok_ds,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, e: F.transform(
+            acc, lambda v, i: v + F.when(e["d"] == i, e["s"]).otherwise(F.lit(0.0))
         ),
     )
     return F.concat(body, F.array(F.lit(1.0)))
