@@ -141,3 +141,32 @@ def test_ch_panel_runs_verbatim_vs_dataframe_twin(spark, sf_smoke):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 10
+
+
+def test_limit_by_translation():
+    out = translate_ch_sql(
+        "SELECT a, b FROM t ORDER BY b DESC LIMIT 2 BY a"
+    )
+    assert "row_number() OVER (PARTITION BY a ORDER BY b DESC)" in out
+    assert "__rn <= 2" in out and out.rstrip().endswith("ORDER BY b DESC")
+    # offset form + trailing global LIMIT
+    out2 = translate_ch_sql("SELECT a, b FROM t ORDER BY b LIMIT 1, 2 BY a LIMIT 10")
+    assert "__rn > 1 AND __rn <= 3" in out2 and out2.rstrip().endswith("LIMIT 10")
+    with pytest.raises(UnsupportedChSql):  # storage-order nondeterminism
+        translate_ch_sql("SELECT a FROM t LIMIT 2 BY a")
+    # plain LIMIT untouched
+    s = "SELECT a FROM t ORDER BY a LIMIT 5"
+    assert translate_ch_sql(s) == s
+
+
+def test_limit_by_runs(spark):
+    spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 2), (1, "c", 1), (2, "x", 9), (2, "y", 8), (2, "z", 7)],
+        "user_id long, k string, v int",
+    ).createOrReplaceTempView("lb_t")
+    out = run_ch_sql(
+        spark, "SELECT user_id, k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY user_id"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 3), (1, "b", 2), (2, "x", 9), (2, "y", 8),
+    ]

@@ -243,15 +243,18 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     view/table names — every quoting variant (``"db"."t"``,
     ``db."t"``, bare ``t`` as a qualifier prefix) is replaced.
 
-    Beyond function rewrites, four grammar bridges cover the CH-isms
-    the reference's panels actually use (GDJ rawSql):
+    Beyond function rewrites, five grammar bridges cover the CH-isms
+    the reference's panels (GDJ rawSql) and everyday CH queries use:
 
     - ``IN [a, b]`` array syntax → ``IN (a, b)``;
     - double-quoted identifiers/aliases → backticks;
     - ``FROM t FINAL`` → ``FROM t`` (the views dedup on read);
     - SELECT-list aliases referenced from WHERE/HAVING of the same
       query block (legal in CH, not in Spark) are inlined as their
-      defining expression."""
+      defining expression;
+    - ``ORDER BY … LIMIT [k,] n BY cols`` (top-n rows per group) →
+      a ``row_number`` wrapper (top level of the statement; requires
+      the ORDER BY — see :func:`_limit_by`)."""
     import re
 
     sql = _apply_table_map(sql, dict(table_map or {}))
@@ -261,7 +264,73 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     # ReplacingMergeTree FINAL (operators/dedup.py).  Anchored on the
     # FROM clause so a column/alias named "final" is untouched.
     sql = re.sub(r"(?i)(\bFROM\s+[A-Za-z_`][\w.`]*)\s+FINAL\b", r"\1", sql)
-    return _inline_where_aliases(_rewrite_calls(sql))
+    return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
+
+
+def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
+    """First regex match at paren depth 0, outside string literals."""
+    import re
+
+    depth, i, n = 0, 0, len(sql)
+    rx = re.compile(pattern, re.IGNORECASE)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(sql, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _limit_by(sql: str) -> str:
+    """CH ``ORDER BY … LIMIT [k,] n BY cols [LIMIT m]`` (top-n rows
+    per group) → a ``row_number`` wrapper.  Top level of the statement
+    only; ORDER BY is required — CH's LIMIT BY without it keeps rows
+    in storage order, which no deterministic engine should mimic."""
+    m = _scan_toplevel(sql, r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+)\s*)?BY\b")
+    if m is None:
+        return sql
+    off, n = (int(m.group(1)), int(m.group(2))) if m.group(2) else (0, int(m.group(1)))
+    body = sql[: m.start()].rstrip()
+    rest = sql[m.end():]
+    # BY column list runs to a top-level LIMIT or the end
+    tail_m = _scan_toplevel(rest, r"\bLIMIT\s+(\d+)\b")
+    cols = (rest[: tail_m.start()] if tail_m else rest).strip()
+    final_limit = f" LIMIT {tail_m.group(1)}" if tail_m else ""
+    if not cols:
+        raise UnsupportedChSql("LIMIT BY needs at least one column")
+    # last top-level ORDER BY in the body
+    ob = None
+    pos = 0
+    while True:
+        om = _scan_toplevel(body[pos:], r"\bORDER\s+BY\b")
+        if om is None:
+            break
+        ob = (pos + om.start(), pos + om.end())
+        pos = pos + om.end()
+    if ob is None:
+        raise UnsupportedChSql(
+            "LIMIT BY without ORDER BY is storage-order-dependent — add an "
+            "ORDER BY to make the per-group selection deterministic"
+        )
+    order = body[ob[1]:].strip()
+    inner = body[: ob[0]].rstrip()
+    guard = f"__rn <= {n}" if off == 0 else f"__rn > {off} AND __rn <= {off + n}"
+    return (
+        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {order}) "
+        f"AS __rn FROM ({inner}) __lb) __lb2 "
+        f"WHERE {guard} ORDER BY {order}{final_limit}"
+    )
 
 
 def _apply_table_map(sql: str, table_map: Mapping[str, str]) -> str:
