@@ -170,3 +170,30 @@ def test_limit_by_runs(spark):
     assert sorted(map(tuple, out.collect())) == [
         (1, "a", 3), (1, "b", 2), (2, "x", 9), (2, "y", 8),
     ]
+
+
+def test_prewhere_settings_format_and_plural_quantiles(spark):
+    # PREWHERE merges into WHERE; SETTINGS / FORMAT tails drop
+    out = translate_ch_sql(
+        "SELECT a FROM t PREWHERE x > 1 WHERE y < 2 GROUP BY a "
+        "SETTINGS max_threads = 8"
+    )
+    assert out == "SELECT a FROM t WHERE (x > 1) AND (y < 2) GROUP BY a"
+    assert translate_ch_sql("SELECT a FROM t PREWHERE x > 1 ORDER BY a") == (
+        "SELECT a FROM t WHERE x > 1 ORDER BY a"
+    )
+    assert translate_ch_sql("SELECT a FROM t FORMAT JSON") == "SELECT a FROM t"
+    # a nested SETTINGS-looking literal survives
+    s = "SELECT 'SETTINGS x=1' FROM t"
+    assert translate_ch_sql(s) == s
+    # plural quantiles → array percentile
+    assert translate_ch_sql("SELECT quantiles(0.5, 0.9)(v) FROM t") == (
+        "SELECT percentile(v, array(0.5, 0.9)) FROM t"
+    )
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    ).createOrReplaceTempView("pq_t")
+    [row] = run_ch_sql(
+        spark, "SELECT quantiles(0.5, 0.99)(v) AS qs FROM pq_t"
+    ).collect()
+    assert row.qs == [50.5, 99.01]

@@ -169,6 +169,15 @@ _PARAMETERIZED = {
     "quantileTDigest": "percentile_approx",
 }
 
+#: plural forms `quantiles(q1, q2…)(x)` → one array-percentile call.
+_PARAMETERIZED_PLURAL = {
+    "quantiles": "percentile",
+    "quantilesExact": "percentile",
+    "quantilesDeterministic": "percentile",
+    "quantilesTiming": "percentile_approx",
+    "quantilesTDigest": "percentile_approx",
+}
+
 #: recognized-but-unsupported: raise instead of mistranslating.
 #: (weighted/sketch-state variants whose semantics have no faithful
 #: single-expression Spark mapping in this subset)
@@ -254,7 +263,9 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
       defining expression;
     - ``ORDER BY … LIMIT [k,] n BY cols`` (top-n rows per group) →
       a ``row_number`` wrapper (top level of the statement; requires
-      the ORDER BY — see :func:`_limit_by`)."""
+      the ORDER BY — see :func:`_limit_by`);
+    - ``PREWHERE`` merges into WHERE (Catalyst does its own pushdown);
+      trailing ``SETTINGS`` / ``FORMAT`` execution hints drop."""
     import re
 
     sql = _apply_table_map(sql, dict(table_map or {}))
@@ -264,7 +275,44 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     # ReplacingMergeTree FINAL (operators/dedup.py).  Anchored on the
     # FROM clause so a column/alias named "final" is untouched.
     sql = re.sub(r"(?i)(\bFROM\s+[A-Za-z_`][\w.`]*)\s+FINAL\b", r"\1", sql)
+    sql = _strip_trailing_clauses(sql)
+    sql = _prewhere_to_where(sql)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
+
+
+def _strip_trailing_clauses(sql: str) -> str:
+    """Drop CH's execution-hint tails: a top-level ``SETTINGS k=v, …``
+    and/or ``FORMAT Name`` suffix (the engine's execution knobs and
+    wire format mean nothing to Spark; the query itself is unchanged)."""
+    for pat in (r"\bSETTINGS\s+\w+\s*=", r"\bFORMAT\s+\w+\s*$"):
+        m = _scan_toplevel(sql, pat)
+        if m is not None:
+            sql = sql[: m.start()].rstrip()
+    return sql
+
+
+def _prewhere_to_where(sql: str) -> str:
+    """``PREWHERE`` is CH's manual pushdown stage; relationally it is
+    the same filter — merge into WHERE (Catalyst does its own
+    pushdown).  ``PREWHERE a WHERE b`` → ``WHERE (a) AND (b)``."""
+    m = _scan_toplevel(sql, r"\bPREWHERE\b")
+    if m is None:
+        return sql
+    after = sql[m.end():]
+    clause_end = _scan_toplevel(
+        after, r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION)\b"
+    )
+    if clause_end is None or not after[clause_end.start():].upper().startswith("WHERE"):
+        # no same-block WHERE: plain rename
+        return sql[: m.start()] + "WHERE" + after
+    pre_cond = after[: clause_end.start()].strip()
+    rest = after[clause_end.end():]  # the WHERE condition + later clauses
+    w_end = _scan_toplevel(
+        rest, r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION)\b"
+    )
+    w_cond = (rest if w_end is None else rest[: w_end.start()]).strip()
+    tail = "" if w_end is None else " " + rest[w_end.start():]
+    return sql[: m.start()] + f"WHERE ({pre_cond}) AND ({w_cond})" + tail
 
 
 def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
@@ -580,6 +628,14 @@ def _rewrite_calls(sql: str) -> str:
         if name == "retention":
             out.append(_retention_expr(_split_args(inner)))
             i = close + 1
+            continue
+        if name in _PARAMETERIZED_PLURAL and has_second:
+            close2 = _find_close(sql, k2)
+            args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
+            out.append(
+                f"{_PARAMETERIZED_PLURAL[name]}({args[0]}, array({inner.strip()}))"
+            )
+            i = close2 + 1
             continue
         if name in _PARAMETERIZED and has_second:
             close2 = _find_close(sql, k2)
