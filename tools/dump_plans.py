@@ -48,6 +48,12 @@ PICKS = {
     "dp29_shard_manifest": "shard manifest: narrow md5 projection → one map-side-combinable hash agg",
     "op06_scd2_history": "SCD2: dedup exchange on (keys, ts), then change-collapse + lead-close sharing ONE (keys) sort",
     "an07_trailing_time_stats": "RANGE frame: one exchange + sort, sliding two-pointer event-time frame",
+    "an08_gap_fill": "gap fill: per-key grid sequence+explode, left join onto observations, forward fill via last-ignorenulls window",
+    "an09_twap": "TWAP: SCD2 intervals clipped to the window, weight·price agg — no per-tick work",
+    "an10_weighted_quantiles": "weighted quantiles: one (key) exchange, cumulative-weight window, rank filter",
+    "ev12_retention": "retention: ONE partial→final hash agg (per-condition max flags), no join/window",
+    "dp30_chunk_documents": "chunking: single codegen span — split → posexplode over the stride grid, ZERO exchanges",
+    "dp31_chunk_search": "chunk search: corpus side never shuffles (broadcast query side), max-pool agg + WindowGroupLimit top-k",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
