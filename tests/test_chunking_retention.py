@@ -157,3 +157,40 @@ def test_doc_search_max_pools_chunks(spark):
     }
     assert out[(100, 1)] == (1.0, 1)
     assert out[(100, 2)][1] == 2 and abs(out[(100, 2)][0] - 0.707107) < 1e-6
+
+
+@pytest.mark.parametrize("size,stride", [(10, 7), (10, 10), (5, 3), (64, 48), (3, 1)])
+def test_chunk_grid_invariants(spark, size, stride):
+    """For documents of every token count 1..130: full coverage, the
+    exact overlap width, prefix-closed grid, no redundant tail chunk."""
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 131)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, size=size, stride=stride)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in range(1, 131):
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        # prefix-closed grid: idx k starts at k*stride
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.start_tok == c.chunk_idx * stride for c in chunks)
+        # coverage: last chunk reaches the end; every token in >=1 chunk
+        last = chunks[-1]
+        assert last.start_tok + last.n_tok == n
+        assert chunks[0].start_tok == 0
+        assert all(
+            c.n_tok == min(size, n - c.start_tok) and c.n_tok > 0 for c in chunks
+        )
+        # no redundant tail: a non-first chunk must add new tokens
+        for c in chunks[1:]:
+            assert c.start_tok - stride + size < n
+        # stop rule: had there been one more grid start, it would be
+        # redundant (previous chunk already reached the end) or off-grid
+        nxt = last.start_tok + stride
+        assert nxt >= n or last.start_tok + size >= n
+        # exact overlap text between consecutive chunks
+        for a, b in zip(chunks, chunks[1:]):
+            at, bt = a.chunk_text.split(" "), b.chunk_text.split(" ")
+            ov = size - stride
+            if ov:
+                assert at[stride:stride + min(ov, a.n_tok)] == bt[: min(ov, a.n_tok - stride)]

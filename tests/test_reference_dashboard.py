@@ -156,3 +156,21 @@ def test_imoex_volume_panels_equal_dataframe_twin(spark, sf_smoke):
         )
         assert _rows(got) == _rows(want)
         assert got.count() > 0
+
+
+def test_run_dashboard_end_to_end(spark, sf_smoke):
+    """The public migration entry (queries/grafana.py): load the
+    reference's own dashboard JSON, run EVERY panel, collect each."""
+    from transaq_clickhouse_exporter_spark.queries.grafana import (
+        extract_panels,
+        run_dashboard,
+    )
+
+    _setup(spark, sf_smoke)
+    panels = extract_panels(_DASH)
+    assert len(panels) == 20
+    assert all(title for title in panels)          # every panel keyed by title
+    dfs = run_dashboard(spark, _DASH, _params(spark), TMAP)
+    assert len(dfs) == 20
+    n_nonempty = sum(1 for df in dfs.values() if df.count() > 0)
+    assert n_nonempty >= 15                        # sf0.001: a few legit empties

@@ -37,6 +37,8 @@ PICKS = [
     "dp28_bigram_lm",
     "ev10_sequence_match", "ev11_session_windows", "dp29_shard_manifest",
     "op06_scd2_history", "an07_trailing_time_stats",
+    "an08_gap_fill", "an09_twap", "an10_weighted_quantiles",
+    "ev12_retention", "dp30_chunk_documents", "dp31_chunk_search",
 ]
 
 
