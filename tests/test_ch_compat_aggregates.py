@@ -24,7 +24,7 @@ from transaq_clickhouse_exporter_spark.queries import ch_compat as cc
 @pytest.fixture(scope="module")
 def events(spark, sf_smoke):
     ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
-    ev.createOrReplaceTempView("events")
+    ev.createOrReplaceTempView("cc_events")
     return ev
 
 
@@ -42,7 +42,7 @@ def test_window_funnel_matches_dataframe_operator(spark, events):
             spark,
             "SELECT user_id, windowFunnel(3600)(ts, event_type='view', "
             "event_type='click', event_type='purchase') AS lvl "
-            "FROM events GROUP BY user_id",
+            "FROM cc_events GROUP BY user_id",
         ).collect()
     }
     want_df = window_funnel(
@@ -63,7 +63,7 @@ def test_sequence_count_matches_token_strings(spark, events):
             spark,
             "SELECT user_id, sequenceCount('(?1).*(?2)')(ts, "
             "event_type='view', event_type='purchase') AS c "
-            "FROM events GROUP BY user_id",
+            "FROM cc_events GROUP BY user_id",
         ).collect()
     }
     strs = sm.sequence_strings(
@@ -86,7 +86,7 @@ def test_sequence_match_repeating_alphabet(spark, events):
             spark,
             "SELECT user_id, sequenceMatch('(?1).*(?2).*(?1)')(ts, "
             "event_type='signup', event_type='purchase') AS m "
-            "FROM events WHERE ts < '2024-01-03' GROUP BY user_id",
+            "FROM cc_events WHERE ts < '2024-01-03' GROUP BY user_id",
         ).collect()
     }
     strs = sm.sequence_strings(
@@ -104,7 +104,7 @@ def test_sequence_match_repeating_alphabet(spark, events):
 
 def test_topk_matches_exact_counts(spark, events):
     [row] = cc.run_ch_sql(
-        spark, "SELECT topK(3)(event_type) AS top FROM events"
+        spark, "SELECT topK(3)(event_type) AS top FROM cc_events"
     ).collect()
     want = [
         r.event_type
@@ -124,7 +124,7 @@ def test_retention_flag_semantics(spark, events):
             spark,
             "SELECT user_id, retention(event_type='view', "
             "event_type='click', event_type='purchase') AS r "
-            "FROM events GROUP BY user_id",
+            "FROM cc_events GROUP BY user_id",
         ).collect()
     }
     per_user = {
@@ -141,9 +141,9 @@ def test_retention_flag_semantics(spark, events):
 
 def test_quantile_timing_runs_near_exact(spark, events):
     [row] = cc.run_ch_sql(
-        spark, "SELECT quantileTiming(0.5)(value) AS q FROM events"
+        spark, "SELECT quantileTiming(0.5)(value) AS q FROM cc_events"
     ).collect()
-    [exact] = spark.sql("SELECT percentile(value, 0.5) AS q FROM events").collect()
+    [exact] = spark.sql("SELECT percentile(value, 0.5) AS q FROM cc_events").collect()
     assert row.q == pytest.approx(exact.q, rel=0.05)
 
 
@@ -151,7 +151,7 @@ def test_renames_run(spark, events):
     [row] = cc.run_ch_sql(
         spark,
         "SELECT argMax(event_type, ts) AS last_t, "
-        "size(groupUniqArray(event_type)) AS n FROM events",
+        "size(groupUniqArray(event_type)) AS n FROM cc_events",
     ).collect()
     assert row.last_t in {"view", "click", "purchase", "signup", "error"}
     assert row.n == 5
