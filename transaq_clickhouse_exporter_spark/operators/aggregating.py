@@ -1,0 +1,121 @@
+"""Aggregating/SummingMergeTree semantics — ClickHouse's incremental
+materialized-aggregate engines (the MergeTree family members beyond
+the reference's ReplacingMergeTree, ``db.go:31``): ingest writes
+small PARTIAL aggregate states per key; background merges combine
+states; reads finalize.  The Spark-first re-expression keeps one
+mergeable-state row per key per ingest batch:
+
+* ``sum`` / ``count`` states merge by addition (SummingMergeTree),
+* ``min`` / ``max`` by min/max,
+* approx-distinct by HLL register max-merge — the registers ride
+  along as a ``map<bucket, rho>`` column (`functions/hll.py`'s
+  portable seed-free sketch, so partial-merged registers are
+  IDENTICAL to whole-data registers and the estimate is
+  engine-reproducible).
+
+Why this matters at 100 TB: a rollup consumer never re-reads raw
+data — each new batch contributes |keys| state rows, compaction
+(`storage.compact_table`'s shape) merges states instead of rows, and
+the read-side finalize touches only states.  Merge is associative +
+commutative by construction, so batch boundaries, re-shards, and
+replays cannot change the final answer (proved by the split-invariance
+test).
+
+Plan shape: partials are ONE map-side-combinable hash agg per batch
+(plus the register agg sharing the same shuffle key); merge is one
+hash agg over state rows; finalize is a narrow projection + the
+exact-integer HLL estimator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hll import hll_estimate_from_registers, hll_registers
+
+
+def partial_states(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    hll_col: str | None = None,
+    precision: int = 10,
+) -> DataFrame:
+    """One mergeable state row per key for this batch:
+    ``(keys…, n, sum_<c>…, min_<c>…, max_<c>…[, hll map<int,int>])``."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    out = df.groupBy(*keys).agg(*aggs)
+    if hll_col is not None:
+        regs = (
+            hll_registers(df, hll_col, keys, precision)
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "m_rho"))
+                ).alias("hll")
+            )
+        )
+        out = out.join(regs, list(keys))
+    return out
+
+
+def merge_states(states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Combine state rows per key (background-merge semantics): adds
+    counts/sums, min/max of extrema, per-bucket max of HLL registers.
+    Associative + commutative — any grouping of batches merges to the
+    same state."""
+    has_hll = "hll" in states.columns
+    aggs = []
+    for c in states.columns:
+        if c in keys or c == "hll":
+            continue
+        if c == "n" or c.startswith("sum_"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"unmergeable state column: {c}")
+    if has_hll:
+        # map-merge: explode to (bucket, rho), max per bucket, re-pack
+        flat = states.select(
+            *keys, F.explode_outer("hll").alias("bucket", "m_rho")
+        )
+        regs = (
+            flat.filter(F.col("bucket").isNotNull())
+            .groupBy(*keys, "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "m_rho"))
+                ).alias("hll")
+            )
+        )
+        return states.groupBy(*keys).agg(*aggs).join(regs, list(keys))
+    return states.groupBy(*keys).agg(*aggs)
+
+
+def finalize(
+    states: DataFrame,
+    keys: tuple[str, ...],
+    precision: int = 10,
+) -> DataFrame:
+    """Read-side FINAL: scalar states pass through; the HLL map (if
+    present) becomes a ``distinct_est`` column via the exact-integer
+    estimator."""
+    merged = merge_states(states, keys)
+    if "hll" not in merged.columns:
+        return merged
+    regs = merged.select(*keys, F.explode("hll").alias("bucket", "m_rho"))
+    est = hll_estimate_from_registers(regs, tuple(keys), precision).withColumnRenamed(
+        "est", "distinct_est"
+    )
+    return merged.drop("hll").join(est, list(keys))

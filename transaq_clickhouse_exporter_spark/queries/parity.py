@@ -1618,9 +1618,17 @@ def _pq_oracle_sql(n_sub: int, dsub: int, n_cent: int, mod: int, k: int) -> str:
     """
 
 
-def _hll_oracle_sql(precision: int) -> str:
+def _hll_oracle_sql(
+    precision: int,
+    table: str = "lineitem",
+    group_col: str = "l_returnflag",
+    value_expr: str = "CAST(l_orderkey AS VARCHAR)",
+    suffix: str = "7",
+    as_cte: str | None = None,
+) -> str:
     """DuckDB twin of functions.hll.hll_distinct over
-    (lineitem.l_orderkey grouped by l_returnflag): same 60-bit md5
+    (``table``.``value_expr`` grouped by ``group_col``; defaults:
+    lineitem.l_orderkey by l_returnflag — tp07): same 60-bit md5
     hash (nibble-parsed), same integer bucket/rho register math, and
     the same EXACT-INTEGER harmonic sum — the float constants are
     computed once in Python and embedded as literals so both engines
@@ -1638,27 +1646,33 @@ def _hll_oracle_sql(precision: int) -> str:
     e_raw = (
         f"({num!r}) / CAST(s_present + ({m} - nb) * {1 << scale} AS DOUBLE)"
     )
+    s = suffix
+    final = f"""
+    SELECT {{group_col}},
+           CAST(CASE WHEN {{e_raw}} <= {{lim!r}} AND ({{m}} - nb) > 0
+                     THEN round({{fm!r}} * ln({{fm!r}} / ({{m}} - nb)))
+                     ELSE round({{e_raw}})
+                END AS BIGINT) AS est
+    FROM agg{s}""".format(
+        group_col=group_col, e_raw=e_raw, lim=2.5 * m, m=m, fm=float(m)
+    )
+    tail = f", {as_cte} AS ({final})" if as_cte else final
     return f"""
-    , hh7 AS (
-      SELECT l_returnflag, {h_expr} AS h
-      FROM (SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h32
-            FROM lineitem) t),
-    reg7 AS (
-      SELECT l_returnflag, h % {m} AS bucket,
+    , hh{s} AS (
+      SELECT {group_col}, {h_expr} AS h
+      FROM (SELECT {group_col}, md5({value_expr}) AS h32
+            FROM {table}) t),
+    reg{s} AS (
+      SELECT {group_col}, h % {m} AS bucket,
              max(CASE WHEN h // {m} = 0 THEN {r_bits + 1}
                       ELSE {r_bits} - length(bin(h // {m})) + 1 END) AS m_rho
-      FROM hh7 GROUP BY l_returnflag, h % {m}),
-    agg7 AS (
-      SELECT l_returnflag,
+      FROM hh{s} GROUP BY {group_col}, h % {m}),
+    agg{s} AS (
+      SELECT {group_col},
              sum(CAST(pow(2, {scale} - m_rho) AS BIGINT)) AS s_present,
              count(*) AS nb
-      FROM reg7 GROUP BY l_returnflag)
-    SELECT l_returnflag,
-           CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - nb) > 0
-                     THEN round({float(m)!r} * ln({float(m)!r} / ({m} - nb)))
-                     ELSE round({e_raw})
-                END AS BIGINT) AS est
-    FROM agg7
+      FROM reg{s} GROUP BY {group_col})
+    {tail}
     """
 
 
@@ -3143,6 +3157,66 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "scd2"),
         )
     )
+
+    # Aggregating/SummingMergeTree semantics (CH's incremental
+    # materialized-aggregate engines): trades ingested as THREE
+    # disjoint batches (trade_no mod 3) of per-key partial states —
+    # count/sum/min/max scalars + HLL register maps — merged and
+    # finalized on read.  Oracle computes every value DIRECTLY over
+    # the whole table: the merge being state-path-independent is
+    # exactly the property under test (registers are content-hashed,
+    # so partial-merged == whole-data, and the estimate reproduces
+    # through the exact-integer estimator).
+    def _aggregating(s: SparkSession) -> DataFrame:
+        from ..operators.aggregating import finalize, partial_states
+
+        t = s.table("trades")
+        parts = [
+            partial_states(
+                t.filter(F.pmod(F.col("trade_no"), F.lit(3)) == i),
+                ("sec_code",),
+                sum_cols=("quantity",),
+                min_cols=("price",),
+                max_cols=("price",),
+                hll_col="trade_no",
+            )
+            for i in range(3)
+        ]
+        states = parts[0].unionAll(parts[1]).unionAll(parts[2])
+        return finalize(states, ("sec_code",)).select(
+            "sec_code",
+            F.col("n").cast("long").alias("n_trades"),
+            F.col("sum_quantity").cast("long").alias("sum_quantity"),
+            "min_price",
+            "max_price",
+            "distinct_est",
+        )
+
+    sp.append(
+        QuerySpec(
+            "op07_aggregating_states",
+            _aggregating,
+            _hll_oracle_sql(
+                10,
+                table="trades",
+                group_col="sec_code",
+                value_expr="CAST(trade_no AS VARCHAR)",
+                suffix="7x",
+                as_cte="est7x",
+            )
+            + """
+            , base7x AS (
+              SELECT sec_code, CAST(count(*) AS BIGINT) AS n_trades,
+                     CAST(sum(quantity) AS BIGINT) AS sum_quantity,
+                     min(price) AS min_price, max(price) AS max_price
+              FROM trades GROUP BY sec_code)
+            SELECT b.sec_code, b.n_trades, b.sum_quantity,
+                   b.min_price, b.max_price, e.est AS distinct_est
+            FROM base7x b JOIN est7x e ON b.sec_code = e.sec_code
+            """,
+            tags=("operator", "aggregating-merge"),
+        )
+    )
     return sp
 
 
@@ -3517,6 +3591,7 @@ _TAIL_NAMES = (
     "ev12_retention",
     "dp30_chunk_documents",
     "dp31_chunk_search",
+    "op07_aggregating_states",
 )
 
 
