@@ -74,7 +74,8 @@ def _host_canary() -> dict:
 #: tail of the pool.  Names absent from the catalog are ignored; any
 #: catalog entry not listed here just runs after these.
 HEAVY_FIRST = [
-    "op01_dedup_last_write_wins", "dp05_minhash_lsh_near_dups",
+    "op01_dedup_last_write_wins", "op07_aggregating_states",
+    "dp31_chunk_search", "dp05_minhash_lsh_near_dups",
     "in05_candle_builder_exact", "op04_asof_join", "an03_minute_returns",
     "dp28_bigram_lm", "dp26_semantic_dedup", "dp25_bm25_topk",
     "dp03_ngram_jaccard", "dp02_text_profile", "ann02_lsh_topk",
