@@ -106,3 +106,77 @@ def test_scalar_only_states(rows):
         .collect()
     }
     assert out == want
+
+
+def test_states_stream_restart_and_replay(spark, tmp_path):
+    """Streaming maintenance (CH materialized-view shape): 3 file
+    micro-batches of events feed partial states; a kill/restart on the
+    same checkpoint resumes without reprocessing; the finalized read
+    equals direct aggregation over all rows; replaying a committed
+    batch is idempotent."""
+    import os
+
+    from transaq_clickhouse_exporter_spark.operators.aggregating import (
+        partial_states,
+        read_final,
+        states_stream_sink,
+    )
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        write_jsonl_fixture,
+    )
+
+    rows = [
+        {"rid": i, "key": f"K{i % 4}", "price": float(100 + (i * 31) % 40),
+         "qty": (i * 7) % 5 + 1}
+        for i in range(300)
+    ]
+    batches = [rows[:100], rows[100:200], rows[200:]]
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    spec = dict(sum_cols=("qty",), min_cols=("price",), max_cols=("price",),
+                hll_col="rid")
+    schema = "rid long, key string, price double, qty long"
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                states_stream_sink(state, ("key",), **spec)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    write_jsonl_fixture(os.path.join(src, "b0.jsonl"), batches[0], mtime=1_000)
+    write_jsonl_fixture(os.path.join(src, "b1.jsonl"), batches[1], mtime=2_000)
+    run_stream().awaitTermination(300)
+
+    # kill happened (availableNow drained); third batch arrives, a new
+    # query on the SAME checkpoint resumes at the next offset
+    write_jsonl_fixture(os.path.join(src, "b2.jsonl"), batches[2], mtime=3_000)
+    run_stream().awaitTermination(300)
+
+    got = {
+        r.key: (r.n, r.sum_qty, r.min_price, r.max_price, r.distinct_est)
+        for r in read_final(spark, state, ("key",)).collect()
+    }
+    whole = spark.createDataFrame(rows, schema)
+    want = _final(
+        partial_states(whole, ("key",), **spec)
+    )
+    assert got == want
+
+    # replay idempotence: recommitting batch 1 overwrites its own dir
+    b1 = spark.createDataFrame(batches[1], schema)
+    partial_states(b1, ("key",), **spec).write.mode("overwrite").parquet(
+        f"{state}/b1"
+    )
+    again = {
+        r.key: (r.n, r.sum_qty, r.min_price, r.max_price, r.distinct_est)
+        for r in read_final(spark, state, ("key",)).collect()
+    }
+    assert again == got

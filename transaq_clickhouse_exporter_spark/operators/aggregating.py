@@ -119,3 +119,41 @@ def finalize(
         "est", "distinct_est"
     )
     return merged.drop("hll").join(est, list(keys))
+
+
+# ---- streaming maintenance (CH: a materialized view feeding the
+# AggregatingMergeTree on every insert) -----------------------------------
+
+
+def states_stream_sink(
+    state_root: str,
+    keys: tuple[str, ...],
+    **spec,
+):
+    """``foreachBatch`` sink: each micro-batch writes its partial
+    states to ``<state_root>/b<batch_id>`` with ``mode("overwrite")``
+    — the per-batch-directory overwrite makes crash replays idempotent
+    (the re-run batch recomputes the same states and overwrites its
+    own directory; streaming_curation.py's exactly-once discipline).
+
+    State volume per batch is |keys in batch| rows, not |rows|; the
+    raw batch is never persisted."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        partial_states(batch, keys, **spec).write.mode("overwrite").parquet(
+            f"{state_root}/b{int(batch_id)}"
+        )
+
+    return _sink
+
+
+def read_final(
+    spark,
+    state_root: str,
+    keys: tuple[str, ...],
+    precision: int = 10,
+) -> DataFrame:
+    """Read-side FINAL over every batch's states (merge + estimate)."""
+    return finalize(spark.read.parquet(f"{state_root}/b*"), keys, precision)
