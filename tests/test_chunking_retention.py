@@ -194,3 +194,20 @@ def test_chunk_grid_invariants(spark, size, stride):
             ov = size - stride
             if ov:
                 assert at[stride:stride + min(ov, a.n_tok)] == bt[: min(ov, a.n_tok - stride)]
+
+
+def test_doc_search_engines_identical(spark, docs):
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        build_chunk_index,
+        doc_search,
+    )
+
+    idx = build_chunk_index(docs, size=10, stride=7, dim=8)
+    q = idx.filter(F.col("chunk_idx") == 0).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, doc_search(idx, q, k=3, engine="hof").collect()), key=repr)
+    b = sorted(map(tuple, doc_search(idx, q, k=3, engine="blas").collect()), key=repr)
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        doc_search(idx, q, engine="nope")

@@ -121,14 +121,29 @@ def doc_search(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    engine: str = "blas",
 ) -> DataFrame:
     """Search the chunk index, max-pooling chunk similarity per
     document: ``(query_id, doc_id, best_sim, rank)``, top ``k``
     documents per query by best-matching chunk (ties → doc_id asc).
 
-    The query side is broadcast (|queries| ≪ |index|): the index never
-    shuffles for the scoring pass; the max-pool and top-k are ordinary
-    partial-aggregating shuffles of (query, doc) rows."""
+    Two engines, verified value-identical (the similarity.py twin
+    discipline — exact-integer components make the cosine independent
+    of summation order, so BLAS vs fold cannot differ even in ulps):
+
+    - ``'blas'`` (default): the query matrix is collected once and
+      closed over; each ``mapInPandas`` batch scores batch × queries
+      in one matmul and PARTIAL-max-pools per document before the
+      shuffle — the index never shuffles for scoring, and the shuffle
+      carries ≤ |docs in batch|·|queries| pooled rows.  ~10× the HOF
+      engine's scoring rate (see SCALE.md).
+    - ``'hof'``: pure JVM higher-order functions, zero Python — the
+      declarative reference form the oracle mirrors.
+    """
+    if engine == "blas":
+        return _doc_search_blas(index, queries, k, id_col, query_id_col, vec_col)
+    if engine != "hof":
+        raise ValueError(f"unknown engine {engine!r}")
     c = index.select(
         F.col(id_col), l2_normalize(F.col(vec_col)).alias("cv")
     )
@@ -143,6 +158,10 @@ def doc_search(
     pooled = scored.groupBy(query_id_col, id_col).agg(
         F.max("cos_sim").alias("best_sim")
     )
+    return _rank_pooled(pooled, k, id_col, query_id_col)
+
+
+def _rank_pooled(pooled: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFrame:
     w = Window.partitionBy(query_id_col).orderBy(F.desc("best_sim"), F.col(id_col))
     return (
         pooled.withColumn("rank", F.row_number().over(w))
@@ -154,3 +173,60 @@ def doc_search(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _doc_search_blas(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        qt0 = dict(queries.dtypes)[query_id_col]
+        return index.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qt0}, {id_col} bigint, best_sim double, rank bigint"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = qm / qn[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((m / norms[:, None]) @ qm.T, 6)  # (chunks, q)
+            # partial max-pool per doc BEFORE the shuffle
+            df = pd.DataFrame(sims, columns=range(len(qids)))
+            df[id_col] = ids
+            pooled = df.groupby(id_col, sort=False).max()
+            n = len(pooled)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids, n),
+                    id_col: np.tile(pooled.index.to_numpy(), len(qids)),
+                    "best_sim": np.concatenate(
+                        [pooled[j].to_numpy() for j in range(len(qids))]
+                    ),
+                }
+            )
+
+    qt = dict(queries.dtypes)[query_id_col]
+    partial = index.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} {qt}, {id_col} bigint, best_sim double"
+    )
+    pooled = partial.groupBy(query_id_col, id_col).agg(
+        F.max("best_sim").alias("best_sim")
+    )
+    return _rank_pooled(pooled, k, id_col, query_id_col)
