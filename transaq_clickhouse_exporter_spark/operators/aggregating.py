@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hll import hll_estimate_from_registers, hll_registers
+from ..functions.hll import _bucket_rho, hll_estimate_from_registers
 
 
 def partial_states(
@@ -45,24 +45,37 @@ def partial_states(
     precision: int = 10,
 ) -> DataFrame:
     """One mergeable state row per key for this batch:
-    ``(keys…, n, sum_<c>…, min_<c>…, max_<c>…[, hll map<int,int>])``."""
+    ``(keys…, n, sum_<c>…, min_<c>…, max_<c>…[, hll map<int,int>])``.
+
+    With ``hll_col`` the scalars ride the register aggregation's own
+    two-level pass — count/sum/min/max all decompose over the
+    (keys, bucket) grain, so one scan and one shuffle produce BOTH
+    the scalar states and the register map (no second agg, no join)."""
     aggs = [F.count(F.lit(1)).alias("n")]
     aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
-    out = df.groupBy(*keys).agg(*aggs)
-    if hll_col is not None:
-        regs = (
-            hll_registers(df, hll_col, keys, precision)
-            .groupBy(*keys)
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("bucket", "m_rho"))
-                ).alias("hll")
+    if hll_col is None:
+        return df.groupBy(*keys).agg(*aggs)
+    keep = list(dict.fromkeys([*keys, *sum_cols, *min_cols, *max_cols]))
+    lvl1 = (
+        _bucket_rho(df, hll_col, keep, precision)
+        .groupBy(*keys, "bucket")
+        .agg(*aggs, F.max("__rho").alias("m_rho"))
+    )
+    relay = [F.sum("n").alias("n")]
+    relay += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    relay += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+    relay += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+    return lvl1.groupBy(*keys).agg(
+        *relay,
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(F.struct("bucket", "m_rho")),
+                lambda e: e["bucket"].isNotNull(),
             )
-        )
-        out = out.join(regs, list(keys))
-    return out
+        ).alias("hll"),
+    )
 
 
 def merge_states(states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
