@@ -126,6 +126,33 @@ def main() -> None:
               "SELECT topK(5)(event_type) AS top FROM ev10m",
           ).count())
 
+    # ---- aggregating states: 3 ingest batches over 10M rows, 100k keys
+    from transaq_clickhouse_exporter_spark.operators.aggregating import (
+        finalize,
+        partial_states,
+    )
+
+    ev2 = events.select(
+        "event_id",
+        (F.col("user_id") % 100_000).alias("key"),
+        F.col("ts_s").cast("double").alias("price"),
+        (F.col("event_id") % 7 + 1).alias("qty"),
+    )
+    spec = dict(sum_cols=("qty",), min_cols=("price",), max_cols=("price",),
+                hll_col="event_id")
+
+    def agg_run():
+        parts = [
+            partial_states(ev2.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                           ("key",), **spec)
+            for i in range(3)
+        ]
+        return finalize(parts[0].unionAll(parts[1]).unionAll(parts[2]),
+                        ("key",)).count()
+
+    timed("aggregating states 3-batch ingest+finalize 10M rows / 100k keys",
+          N, agg_run)
+
     spark.stop()
 
 
