@@ -197,3 +197,27 @@ def test_prewhere_settings_format_and_plural_quantiles(spark):
         spark, "SELECT quantiles(0.5, 0.99)(v) AS qs FROM pq_t"
     ).collect()
     assert row.qs == [50.5, 99.01]
+
+
+def test_array_join_clause_and_guards(spark):
+    spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, [])],
+        "id long, tags array<string>",
+    ).createOrReplaceTempView("aj_t")
+    # aliased form
+    out = run_ch_sql(spark, "SELECT id, t FROM aj_t ARRAY JOIN tags AS t")
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (1, "b"), (2, "c")]
+    # LEFT keeps empty-array rows (NULL element), as in CH
+    out2 = run_ch_sql(spark, "SELECT id, t FROM aj_t LEFT ARRAY JOIN tags AS t")
+    assert (3, None) in set(map(tuple, out2.collect()))
+    # bare form shadows the source column (simple-FROM wrap)
+    out3 = run_ch_sql(spark, "SELECT id, tags FROM aj_t ARRAY JOIN tags")
+    assert sorted(map(tuple, out3.collect())) == [(1, "a"), (1, "b"), (2, "c")]
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT 1 FROM t ARRAY JOIN a, b")
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+    # GLOBAL hint strips
+    assert translate_ch_sql("SELECT 1 FROM t WHERE x GLOBAL IN (SELECT y FROM u)") == (
+        "SELECT 1 FROM t WHERE x IN (SELECT y FROM u)"
+    )

@@ -265,7 +265,11 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
       a ``row_number`` wrapper (top level of the statement; requires
       the ORDER BY — see :func:`_limit_by`);
     - ``PREWHERE`` merges into WHERE (Catalyst does its own pushdown);
-      trailing ``SETTINGS`` / ``FORMAT`` execution hints drop."""
+      trailing ``SETTINGS`` / ``FORMAT`` execution hints drop;
+    - ``[LEFT] ARRAY JOIN arr [AS x]`` → ``LATERAL VIEW [OUTER]
+      explode`` (bare form emulates CH's column shadowing for a
+      simple-table FROM); ``GLOBAL IN/JOIN`` hints strip; ``ASOF
+      JOIN`` raises with a pointer to ``operators/asof``."""
     import re
 
     sql = _apply_table_map(sql, dict(table_map or {}))
@@ -277,7 +281,69 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     sql = re.sub(r"(?i)(\bFROM\s+[A-Za-z_`][\w.`]*)\s+FINAL\b", r"\1", sql)
     sql = _strip_trailing_clauses(sql)
     sql = _prewhere_to_where(sql)
+    sql = _array_join_clause(sql)
+    if _scan_toplevel(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
+        raise UnsupportedChSql(
+            "ASOF JOIN has no Spark SQL equivalent — use "
+            "operators/asof.asof_join (union+window, single shuffle)"
+        )
+    # GLOBAL IN / GLOBAL JOIN: CH's distributed-subquery hint; the
+    # relational meaning is plain IN / JOIN (Catalyst plans shipping)
+    sql = re.sub(r"(?i)\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b)", "", sql)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
+
+
+def _array_join_clause(sql: str) -> str:
+    """CH's ``FROM t [LEFT] ARRAY JOIN arr AS x`` clause → Spark
+    ``LATERAL VIEW [OUTER] explode(arr) __aj AS x`` (single-array
+    form; the multi-array zip form raises rather than guessing).
+    Without ``AS``, a bare column ref ``ARRAY JOIN arr`` re-uses the
+    column's own name, matching CH's shadowing behavior."""
+    import re
+
+    while True:
+        m = _scan_toplevel(sql, r"\b(LEFT\s+)?ARRAY\s+JOIN\b")
+        if m is None:
+            return sql
+        outer = "OUTER " if m.group(1) else ""
+        after = sql[m.end():]
+        stop = _scan_toplevel(
+            after,
+            r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|"
+            r"WINDOW|UNION|SETTINGS|LEFT|RIGHT|INNER|JOIN)\b",
+        )
+        clause = (after if stop is None else after[: stop.start()]).strip()
+        tail = "" if stop is None else " " + after[stop.start():]
+        if "," in clause.split(" AS ")[0] and clause.count(",") >= 1 and " AS " not in clause:
+            raise UnsupportedChSql("multi-array ARRAY JOIN (zip form) not supported")
+        am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*|`[^`]*`)\s*$", clause)
+        head = sql[: m.start()]
+        if am:
+            arr, alias = am.group(1).strip(), am.group(2)
+        else:
+            # bare form: CH SHADOWS the source column with its elements.
+            # Emulate by dropping the array column in a wrapped FROM —
+            # possible only for a simple `FROM table` head.
+            arr = clause
+            if not re.match(r"^[A-Za-z_]\w*$", arr):
+                raise UnsupportedChSql(
+                    "ARRAY JOIN on an expression needs an AS alias"
+                )
+            fm = re.search(r"(?is)\bFROM\s+([A-Za-z_][\w.]*)\s*$", head)
+            if fm is None:
+                raise UnsupportedChSql(
+                    "bare ARRAY JOIN (column shadowing) supported only "
+                    "directly after FROM <table> — add an AS alias"
+                )
+            head = (
+                head[: fm.start()]
+                + f"FROM (SELECT * EXCEPT ({arr}), {arr} AS __aj_src "
+                + f"FROM {fm.group(1)}) __aj_t"
+            )
+            alias, arr = arr, "__aj_src"
+        if "," in arr:
+            raise UnsupportedChSql("multi-array ARRAY JOIN (zip form) not supported")
+        sql = head + f" LATERAL VIEW {outer}explode({arr}) __aj AS {alias}" + tail
 
 
 def _strip_trailing_clauses(sql: str) -> str:
