@@ -53,7 +53,8 @@ PICKS = {
     "an10_weighted_quantiles": "weighted quantiles: one (key) exchange, cumulative-weight window, rank filter",
     "ev12_retention": "retention: ONE partial→final hash agg (per-condition max flags), no join/window",
     "dp30_chunk_documents": "chunking: single codegen span — split → posexplode over the stride grid, ZERO exchanges",
-    "dp31_chunk_search": "chunk search: corpus side never shuffles (broadcast query side), max-pool agg + WindowGroupLimit top-k",
+    "dp31_chunk_search": "chunk search (BLAS): zero-shuffle mapInPandas score+partial-pool, then pooled-agg + WindowGroupLimit top-k",
+    "op07_aggregating_states": "aggregating states: per-batch ONE two-level hash agg (scalars ride the register pass), state merge, finalize join",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
