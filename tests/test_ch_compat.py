@@ -221,3 +221,14 @@ def test_array_join_clause_and_guards(spark):
     assert translate_ch_sql("SELECT 1 FROM t WHERE x GLOBAL IN (SELECT y FROM u)") == (
         "SELECT 1 FROM t WHERE x IN (SELECT y FROM u)"
     )
+
+
+def test_grammar_bridges_leave_literals_alone():
+    for s in (
+        "SELECT 'PREWHERE x' FROM t",
+        "SELECT 'LIMIT 2 BY a' FROM t",
+        "SELECT 'ARRAY JOIN tags' FROM t",
+        "SELECT 'GLOBAL IN (1)' FROM t",
+        "SELECT 'FORMAT JSON' AS fmt_note FROM t",
+    ):
+        assert translate_ch_sql(s) == s

@@ -288,9 +288,37 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
             "operators/asof.asof_join (union+window, single shuffle)"
         )
     # GLOBAL IN / GLOBAL JOIN: CH's distributed-subquery hint; the
-    # relational meaning is plain IN / JOIN (Catalyst plans shipping)
-    sql = re.sub(r"(?i)\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b)", "", sql)
+    # relational meaning is plain IN / JOIN (Catalyst plans shipping).
+    # Applied outside string literals at ANY depth (subqueries use it).
+    sql = _sub_outside_literals(
+        sql, r"(?i)\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b)", ""
+    )
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
+
+
+def _sub_outside_literals(sql: str, pattern: str, repl: str) -> str:
+    """re.sub that never touches single-quoted literal content."""
+    import re
+
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        else:
+            j = sql.find("'", i)
+            seg = sql[i:] if j < 0 else sql[i:j]
+            out.append(re.sub(pattern, repl, seg))
+            i = n if j < 0 else j
+    return "".join(out)
 
 
 def _array_join_clause(sql: str) -> str:
