@@ -26,8 +26,8 @@ def test_translate_renames_and_if_aggs():
         "SELECT count(DISTINCT a, b) FROM t"
     )
     assert translate_ch_sql("SELECT sumIf(v, x > 1) FROM t") == (
-        "SELECT sum(CASE WHEN x > 1 THEN v END) FROM t"
-    )
+        "SELECT coalesce(sum(CASE WHEN x > 1 THEN v END), 0) FROM t"
+    )  # CH sum returns 0, not NULL, when no row matches
     assert translate_ch_sql("SELECT countIf(x = 'B') FROM t") == (
         "SELECT count_if(x = 'B') FROM t"
     )

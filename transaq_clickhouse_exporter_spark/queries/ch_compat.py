@@ -748,7 +748,11 @@ def _rewrite_calls(sql: str) -> str:
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(f"{name}() expects 2 arguments")
-            out.append(f"{_IF_AGGS[name]}(CASE WHEN {parts[1]} THEN {parts[0]} END)")
+            body = f"{_IF_AGGS[name]}(CASE WHEN {parts[1]} THEN {parts[0]} END)"
+            # CH's sum family returns 0 (not NULL) when no row matches
+            if name == "sumIf":
+                body = f"coalesce({body}, 0)"
+            out.append(body)
             i = close + 1
             continue
         if name == "uniqExact":
