@@ -123,15 +123,22 @@ def finalize(
 ) -> DataFrame:
     """Read-side FINAL: scalar states pass through; the HLL map (if
     present) becomes a ``distinct_est`` column via the exact-integer
-    estimator."""
-    merged = merge_states(states, keys)
-    if "hll" not in merged.columns:
-        return merged
-    regs = merged.select(*keys, F.explode("hll").alias("bucket", "m_rho"))
+    estimator.  Registers go straight from the state maps to the
+    estimator (explode → per-bucket max → estimate) without the
+    intermediate re-packed map ``merge_states`` would build — the
+    per-bucket max IS the merge, so the estimate is identical."""
+    if "hll" not in states.columns:
+        return merge_states(states, keys)
+    merged = merge_states(states.drop("hll"), keys)
+    regs = (
+        states.select(*keys, F.explode("hll").alias("bucket", "m_rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
     est = hll_estimate_from_registers(regs, tuple(keys), precision).withColumnRenamed(
         "est", "distinct_est"
     )
-    return merged.drop("hll").join(est, list(keys))
+    return merged.join(est, list(keys))
 
 
 # ---- streaming maintenance (CH: a materialized view feeding the
