@@ -232,3 +232,16 @@ def test_grammar_bridges_leave_literals_alone():
         "SELECT 'FORMAT JSON' AS fmt_note FROM t",
     ):
         assert translate_ch_sql(s) == s
+
+
+def test_quantile_exact_weighted(spark):
+    spark.createDataFrame(
+        [(1.0, 1), (2.0, 3), (3.0, 1)], "v double, w long"
+    ).createOrReplaceTempView("qw_t")
+    [row] = run_ch_sql(
+        spark, "SELECT quantileExactWeighted(0.5)(v, w) AS q FROM qw_t"
+    ).collect()
+    # weight-expanded multiset {1,2,2,2,3} -> median 2
+    assert row.q == 2.0
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT quantileExactWeighted(0.5)(v) FROM t")

@@ -731,6 +731,15 @@ def _rewrite_calls(sql: str) -> str:
             )
             i = close2 + 1
             continue
+        if name == "quantileExactWeighted" and has_second:
+            close2 = _find_close(sql, k2)
+            args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
+            if len(args) != 2:
+                raise UnsupportedChSql("quantileExactWeighted(q)(x, w) expects 2 args")
+            # Spark percentile's third argument IS the frequency weight
+            out.append(f"percentile({args[0]}, {inner.strip()}, {args[1]})")
+            i = close2 + 1
+            continue
         if name in _PARAMETERIZED and has_second:
             close2 = _find_close(sql, k2)
             args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
