@@ -211,3 +211,33 @@ def test_doc_search_engines_identical(spark, docs):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError):
         doc_search(idx, q, engine="nope")
+
+
+def test_doc_search_lsh_recall(spark, sf_smoke):
+    """Bucketed retrieval vs brute force on the driver corpus: rank-1
+    self-hit always survives (a doc shares every bucket with itself),
+    and top-5 doc recall stays above the multi-probe floor."""
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        build_chunk_index,
+        doc_search,
+        doc_search_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    idx = build_chunk_index(corpus, size=64, stride=48, dim=16)
+    q = idx.filter(
+        (F.col("doc_id") % 29 == 3) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("query_id"), "embedding")
+    exact = doc_search(idx, q, k=5)
+    approx = doc_search_lsh(idx, q, dim=16, k=5, n_planes=6, n_probes=6)
+    truth = {(r.query_id, r.doc_id) for r in exact.collect()}
+    got = {(r.query_id, r.doc_id) for r in approx.collect()}
+    self_hits = {r.query_id for r in approx.collect() if r.doc_id == r.query_id}
+    qids = {r.query_id for r in q.select("query_id").collect()}
+    assert self_hits == qids                       # rank-1 self always found
+    recall = len(truth & got) / len(truth)
+    # hashed embeddings make even true top-5 neighbors barely-above-
+    # noise (near-orthogonal), the HARDEST case for sign-LSH — real
+    # semantic embeddings cluster far tighter.  0.6 is the measured
+    # conservative floor at 6 planes x 6 probes (observed 0.81).
+    assert recall >= 0.6, recall

@@ -560,3 +560,20 @@ def test_ann_empty_query_batches_return_empty(spark):
     assert sim.sq_topk(emb, none, k=5).count() == 0
     assert sim.pq_topk(emb, none, k=5).count() == 0
     assert sim.brute_force_topk_blas(emb, none, k=5).count() == 0
+
+
+def test_rademacher_bucket_jvm_equals_pandas(spark, sf_smoke):
+    from transaq_clickhouse_exporter_spark.datapipe.similarity import (
+        rademacher_bucket,
+        rademacher_bucket_jvm,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    both = emb.select(
+        "vec_id",
+        rademacher_bucket("embedding", dim, 10).alias("pd_b"),
+        rademacher_bucket_jvm("embedding", dim, 10).alias("jvm_b"),
+    )
+    rows = both.collect()
+    assert rows and all(r.pd_b == r.jvm_b for r in rows)

@@ -174,6 +174,31 @@ def rademacher_bucket(vec_col, dim: int, n_planes: int = 12):
     return bucket(v)
 
 
+def rademacher_bucket_jvm(vec_col, dim: int, n_planes: int = 12):
+    """UDF-free twin of :func:`rademacher_bucket` — the SAME sign
+    matrix and micro-quantization as literal arrays + integer HOF
+    arithmetic, so bucket ids are identical bit-for-bit (asserted in
+    tests).  Slower per row than the Arrow matmul (interpreted
+    lambdas), but usable where Python-UDF extraction cannot reach —
+    e.g. a plan whose vector column is itself a lambda expression
+    downstream of a generator (the chunk-index shape)."""
+    signs = rademacher_signs(dim, n_planes)
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.transform(v, lambda x: F.floor(x * 1e6 + 0.5).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for j, row in enumerate(signs):
+        arr = F.array(*[F.lit(int(s)).cast("long") for s in row])
+        proj = F.aggregate(
+            F.zip_with(q, arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return bucket
+
+
 def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12):
     """Signed-projection LSH bucket id (0..2^n_planes-1) as a vectorized
     Pandas UDF (one matmul per Arrow batch)."""
