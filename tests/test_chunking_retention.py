@@ -241,3 +241,63 @@ def test_doc_search_lsh_recall(spark, sf_smoke):
     # semantic embeddings cluster far tighter.  0.6 is the measured
     # conservative floor at 6 planes x 6 probes (observed 0.81).
     assert recall >= 0.6, recall
+
+
+def test_incremental_index_stream_restart(spark, sf_smoke, tmp_path):
+    """Stream sf0.001 documents in 3 micro-batches with a kill/restart:
+    the persisted incremental index answers doc_search identically to
+    an index built over the whole corpus in one shot (chunking and
+    embedding are per-document pure), and replaying a committed batch
+    is a no-op."""
+    import os
+
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        build_chunk_index,
+        doc_search,
+        index_stream_sink,
+        read_chunk_index,
+    )
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        write_jsonl_fixture,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = [r.asDict() for r in docs.collect()]
+    batches = [rows[:170], rows[170:340], rows[340:]]
+    src, root, ckpt = (str(tmp_path / d) for d in ("src", "idx", "ckpt"))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(index_stream_sink(root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    write_jsonl_fixture(os.path.join(src, "b0.jsonl"), batches[0], mtime=1_000)
+    write_jsonl_fixture(os.path.join(src, "b1.jsonl"), batches[1], mtime=2_000)
+    run_stream().awaitTermination(300)
+    write_jsonl_fixture(os.path.join(src, "b2.jsonl"), batches[2], mtime=3_000)
+    run_stream().awaitTermination(300)
+
+    idx_inc = read_chunk_index(spark, root)
+    idx_full = build_chunk_index(docs)
+    assert idx_inc.count() == idx_full.count()
+    q = idx_full.filter(
+        (F.col("doc_id") % 101 == 7) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, doc_search(idx_inc, q, k=5).collect()), key=repr)
+    b = sorted(map(tuple, doc_search(idx_full, q, k=5).collect()), key=repr)
+    assert a == b and len(a) > 0
+
+    # replay idempotence
+    b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+    index_stream_sink(root)(b1, 1)
+    assert read_chunk_index(spark, root).count() == idx_full.count()

@@ -287,3 +287,35 @@ def doc_search_lsh(
         .agg(F.max("cos_sim").alias("best_sim"))
     )
     return _rank_pooled(pooled, k, id_col, query_id_col)
+
+
+# ---- incremental index maintenance --------------------------------------
+# The retrieval twin of the incremental dedup family: new documents
+# stream in, each micro-batch appends its chunk vectors to the
+# persisted index; history is never re-chunked or re-embedded
+# (chunking/embedding are per-document pure, so batch boundaries
+# cannot change any vector).  Exactly-once by per-batch-directory
+# overwrite — the streaming_curation.py discipline.
+
+
+def index_stream_sink(index_root: str, size: int = 64, stride: int = 48,
+                      dim: int = 16, text_col: str = "text",
+                      id_col: str = "doc_id", batch_embedder=None):
+    """``foreachBatch`` sink: chunk+embed THIS batch's documents and
+    write them to ``<index_root>/b<batch_id>`` (overwrite = idempotent
+    crash replay)."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        build_chunk_index(
+            batch, size=size, stride=stride, dim=dim,
+            text_col=text_col, id_col=id_col, batch_embedder=batch_embedder,
+        ).write.mode("overwrite").parquet(f"{index_root}/b{int(batch_id)}")
+
+    return _sink
+
+
+def read_chunk_index(spark, index_root: str) -> DataFrame:
+    """The queryable index: union of every batch's chunk vectors."""
+    return spark.read.parquet(f"{index_root}/b*")
