@@ -2983,6 +2983,96 @@ def _datapipe_specs() -> list[QuerySpec]:
             tags=("datapipe", "retrieval"),
         )
     )
+
+    # bucketed retrieval (the scale path): LSH-bucket the chunk index
+    # (Rademacher integer projection over the 17-dim embedding), probe
+    # the query's bucket + one-bit-flip neighbors, cosine only matched
+    # candidates, max-pool to docs.  Oracle recomputes buckets from
+    # the SAME literal sign matrix (one Python source), probes with
+    # xor, and reproduces the round-6 cosine pooling — the whole
+    # approximate path is value-pinned, not just its recall.
+    def _chunk_search_lsh(s: SparkSession) -> DataFrame:
+        from ..datapipe.retrieval import doc_search_lsh
+
+        idx = s.table("chunk_index")
+        q = idx.filter(
+            (F.col("doc_id") % 167 == 5) & (F.col("chunk_idx") == 0)
+        ).select(F.col("doc_id").alias("query_id"), "embedding")
+        return doc_search_lsh(idx, q, dim=16, k=5, n_planes=6, n_probes=3)
+
+    from ..datapipe.similarity import rademacher_signs as _rs
+
+    _signs32 = _rs(17, 6)
+    _planes32 = []
+    for p in range(6):
+        terms = " ".join(
+            ("+" if sgn > 0 else "-")
+            + f" CAST(floor(CAST(v[{j + 1}] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            for j, sgn in enumerate(_signs32[p])
+        ).lstrip("+ ")
+        _planes32.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    _bucket32 = " + ".join(_planes32)
+
+    sp.append(
+        QuerySpec(
+            "dp32_chunk_search_lsh",
+            _chunk_search_lsh,
+            r"""
+            , ck32 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t != '') AS w
+              FROM documents),
+            st32 AS (
+              SELECT doc_id, w, len(w) AS n,
+                     unnest(list_filter(range(0, greatest(len(w), 1), 48),
+                                        st -> st = 0 OR st - 48 + 64 < len(w)))
+                         AS st
+              FROM ck32),
+            chv32 AS (
+              SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
+                     array_to_string(list_slice(w, st + 1, st + 64), ' ')
+                         AS chunk_text
+              FROM st32 WHERE n > 0),
+            emb32 AS (
+              SELECT doc_id, chunk_idx,
+                     list_append(
+                       list_transform(range(0, 16), j ->
+                         coalesce(list_sum(list_transform(
+                           list_filter(regexp_split_to_array(
+                                         trim(lower(chunk_text)), '\s+'),
+                                       t -> t != ''),
+                           t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8)
+                                          AS BIGINT) % 16 = j
+                                     THEN (CASE WHEN CAST('0x' ||
+                                                substr(md5(t), 9, 2)
+                                                AS BIGINT) % 2 = 0
+                                           THEN 1.0 ELSE -1.0 END)
+                                     ELSE 0.0 END)), 0.0)),
+                       1.0) AS v
+              FROM chv32),
+            bkt32 AS (
+              SELECT doc_id, chunk_idx, v, __BUCKET__ AS bucket FROM emb32),
+            q32 AS (
+              SELECT query_id, qv, unnest([b0, xor(b0, 1), xor(b0, 2)]) AS bucket
+              FROM (SELECT doc_id AS query_id, v AS qv, bucket AS b0
+                    FROM bkt32 WHERE doc_id % 167 = 5 AND chunk_idx = 0) t),
+            pool32 AS (
+              SELECT q.query_id, c.doc_id,
+                     max(round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                      CAST(c.v AS DOUBLE[])),
+                               6)) AS best_sim
+              FROM q32 q JOIN bkt32 c USING (bucket)
+              GROUP BY q.query_id, c.doc_id)
+            SELECT query_id, doc_id, best_sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY best_sim DESC, doc_id) AS BIGINT) AS rank
+            FROM pool32 QUALIFY rank <= 5
+            """.replace("__BUCKET__", _bucket32),
+            tags=("datapipe", "retrieval", "lsh"),
+        )
+    )
     return sp
 
 
@@ -3600,6 +3690,7 @@ _TAIL_NAMES = (
     "dp30_chunk_documents",
     "dp31_chunk_search",
     "op07_aggregating_states",
+    "dp32_chunk_search_lsh",
 )
 
 
