@@ -76,3 +76,38 @@ def test_cli_serve_then_query(spark, tmp_path, capsys):
     assert rc == 0
     lots = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
     assert [(r["sec_code"], r["lot"]) for r in lots] == [("GAZP", 10), ("SBER", 10)]
+
+
+def test_cli_dashboard_runs_reference_json(spark, tmp_path, capsys):
+    """dashboard subcommand over the reference's own JSON with string
+    --param values (numerics must coerce bare for INTERVAL $interval)."""
+    import os
+
+    if not os.path.exists("/root/reference/etc/grafana-dashboard-trades.json"):
+        import pytest
+
+        pytest.skip("reference dashboard unavailable")
+    data = str(tmp_path / "data")
+    _securities_dump(str(tmp_path / "sec.jsonl"))
+    _trades_fixture(str(tmp_path / "events" / "trades" / "t0.json"))
+    assert main([
+        "--tz", "UTC", "serve", "--data-dir", data,
+        "--events-dir", str(tmp_path / "events"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--bootstrap", str(tmp_path / "sec.jsonl"),
+        "--timeout", "120", "--no-env",
+    ]) == 0
+    capsys.readouterr()
+    rc = main([
+        "--tz", "UTC", "dashboard", "--data-dir", data,
+        "--json", "/root/reference/etc/grafana-dashboard-trades.json",
+        "--param", "interval=5",
+        "--param", "sec_code=SBER,GAZP",
+        "--param", "sec_code_etf=NONE1,NONE2",
+        "--param", "__fromTime=2024-12-20 00:00:00",
+        "--param", "__toTime=2024-12-21 00:00:00",
+        "--format", "json",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("== ") == 20          # every panel rendered

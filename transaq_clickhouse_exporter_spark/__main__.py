@@ -119,9 +119,21 @@ def cmd_dashboard(args) -> int:
 
     spark = get_spark(app="tce-dashboard", tz=args.tz)
     tmap = _register_tables(spark, args.data_dir)
-    params = dict(
-        kv.split("=", 1) for kv in (args.param or [])
-    )
+
+    def _coerce(v: str):
+        # numeric template vars must render bare (INTERVAL $interval
+        # minute); comma lists become IN-list sequences
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v.split(",") if "," in v else v
+
+    params = {
+        k: _coerce(v)
+        for k, v in (kv.split("=", 1) for kv in (args.param or []))
+    }
     for title, df in run_dashboard(spark, args.json, params, tmap).items():
         print(f"== {title}")
         _print_df(df, args.format)
