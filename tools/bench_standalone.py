@@ -39,7 +39,7 @@ PICKS = [
     "op06_scd2_history", "an07_trailing_time_stats",
     "an08_gap_fill", "an09_twap", "an10_weighted_quantiles",
     "ev12_retention", "dp30_chunk_documents", "dp31_chunk_search",
-    "op07_aggregating_states",
+    "op07_aggregating_states", "dp32_chunk_search_lsh",
 ]
 
 

@@ -72,6 +72,15 @@ def main() -> None:
     nq = q.count()
     timed(f"doc_search {nq} queries x index", idx.count(),
           lambda: doc_search(idx, q, k=10).count())
+
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        doc_search_lsh,
+    )
+
+    timed(f"doc_search_lsh {nq} queries x index (6 planes, 3 probes)",
+          idx.count(),
+          lambda: doc_search_lsh(idx, q, dim=16, k=10,
+                                 n_planes=6, n_probes=3).count())
     idx.unpersist()
     docs.unpersist()
 
