@@ -301,3 +301,31 @@ def test_incremental_index_stream_restart(spark, sf_smoke, tmp_path):
     b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
     index_stream_sink(root)(b1, 1)
     assert read_chunk_index(spark, root).count() == idx_full.count()
+
+
+def test_prebucketed_index_identical(spark, sf_smoke):
+    """A pre-bucketed index (bucket_planes=…) gives doc_search_lsh the
+    same answers as on-the-fly bucketing — and a mismatched
+    on-the-fly plane count cannot silently change results because the
+    stored column wins."""
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import (
+        build_chunk_index,
+        doc_search_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plain = build_chunk_index(corpus, size=64, stride=48, dim=16)
+    bucketed = build_chunk_index(
+        corpus, size=64, stride=48, dim=16, bucket_planes=6
+    )
+    assert "bucket" in bucketed.columns
+    q = plain.filter(
+        (F.col("doc_id") % 29 == 3) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, doc_search_lsh(plain, q, dim=16, k=5,
+                                         n_planes=6, n_probes=3).collect()),
+               key=repr)
+    b = sorted(map(tuple, doc_search_lsh(bucketed, q, dim=16, k=5,
+                                         n_planes=6, n_probes=3).collect()),
+               key=repr)
+    assert a == b and len(a) > 0

@@ -80,12 +80,18 @@ def build_chunk_index(
     id_col: str = "doc_id",
     batch_embedder=None,
     keep_text: bool = False,
+    bucket_planes: int | None = None,
 ) -> DataFrame:
-    """Chunk + embed: ``(id_col, chunk_idx, n_tok, embedding[, chunk_text])``.
+    """Chunk + embed: ``(id_col, chunk_idx, n_tok, embedding[, chunk_text]
+    [, bucket])``.
 
     ``batch_embedder``: ``Callable[[list[str]], np.ndarray (n, d)]`` —
     the real-model hook, run through Arrow-batched ``mapInPandas``;
-    default is the SQL-portable hashed embedder."""
+    default is the SQL-portable hashed embedder.  ``bucket_planes``
+    persists the LSH bucket column with the index (one pass at build
+    time) — measured to be what makes :func:`doc_search_lsh` beat the
+    linear scan (SCALE.md: per-query-run bucket assignment costs more
+    than the cosine work it saves)."""
     chunks = chunk_documents(docs, size=size, stride=stride, text_col=text_col, id_col=id_col)
     if batch_embedder is None:
         out = chunks.withColumn(
@@ -111,7 +117,14 @@ def build_chunk_index(
     cols = [id_col, "chunk_idx", "n_tok", "embedding"]
     if keep_text:
         cols.insert(3, "chunk_text")
-    return out.select(*cols)
+    out = out.select(*cols)
+    if bucket_planes is not None:
+        from .similarity import rademacher_bucket_jvm
+
+        out = out.withColumn(
+            "bucket", rademacher_bucket_jvm(F.col("embedding"), dim + 1, bucket_planes)
+        )
+    return out
 
 
 def doc_search(
@@ -260,12 +273,20 @@ def doc_search_lsh(
 
     # the JVM bucket twin: the index's vector column is a lambda
     # expression downstream of a generator, where Python-UDF
-    # extraction fails — the literal-sign HOF form evaluates anywhere
-    c = index.select(
-        F.col(id_col),
-        F.col(vec_col).alias("cv"),
-        rademacher_bucket_jvm(F.col(vec_col), dim + 1, n_planes).alias("bucket"),
-    )
+    # extraction fails — the literal-sign HOF form evaluates anywhere.
+    # A pre-bucketed index (build_chunk_index(bucket_planes=…)) skips
+    # the assignment entirely — the measured requirement for the
+    # bucketed path to beat the linear scan (SCALE.md).
+    if "bucket" in index.columns:
+        c = index.select(
+            F.col(id_col), F.col(vec_col).alias("cv"), "bucket"
+        )
+    else:
+        c = index.select(
+            F.col(id_col),
+            F.col(vec_col).alias("cv"),
+            rademacher_bucket_jvm(F.col(vec_col), dim + 1, n_planes).alias("bucket"),
+        )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("qv"),
