@@ -245,3 +245,29 @@ def test_quantile_exact_weighted(spark):
     assert row.q == 2.0
     with pytest.raises(UnsupportedChSql):
         translate_ch_sql("SELECT quantileExactWeighted(0.5)(v) FROM t")
+
+
+def test_everyday_scalar_rewrites(spark):
+    assert translate_ch_sql("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t") == (
+        "SELECT CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END FROM t"
+    )
+    assert translate_ch_sql("SELECT splitByChar('.', host) FROM t") == (
+        r"SELECT split(host, '\.') FROM t"
+    )
+    assert translate_ch_sql("SELECT assumeNotNull(x) FROM t") == (
+        "SELECT (x) FROM t"
+    )
+    [row] = run_ch_sql(
+        spark,
+        "SELECT has(array(1, 2), 2) AS h, indexOf(array(7, 8), 8) AS i, "
+        "arrayStringConcat(array('a', 'b'), '-') AS j, "
+        "multiIf(1 = 2, 'no', 1 = 1, 'yes', 'else') AS m, "
+        "splitByChar(',', 'a,b,c') AS s",
+    ).collect()
+    assert (row.h, row.i, row.j, row.m, row.s) == (
+        True, 2, "a-b", "yes", ["a", "b", "c"],
+    )
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT multiIf(a, b) FROM t")
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT splitByChar(sep_col, s) FROM t")

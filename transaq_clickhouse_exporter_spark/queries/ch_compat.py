@@ -152,6 +152,17 @@ _RENAMES = {
     # SELECT item / LATERAL VIEW) — elsewhere Spark raises its own
     # analysis error rather than us mistranslating silently.
     "arrayJoin": "explode",
+    # array/scalar everyday functions (same arity + arg order)
+    "has": "array_contains",
+    "indexOf": "array_position",
+    "arrayElement": "element_at",
+    "arrayStringConcat": "array_join",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "array_sort",
+    "arrayConcat": "concat",
+    "ifNull": "ifnull",
+    "lcase": "lower",
+    "ucase": "upper",
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
@@ -721,6 +732,32 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "retention":
             out.append(_retention_expr(_split_args(inner)))
+            i = close + 1
+            continue
+        if name == "multiIf":
+            parts = _split_args(inner)
+            if len(parts) < 3 or len(parts) % 2 == 0:
+                raise UnsupportedChSql("multiIf expects (c1, v1, …, else)")
+            whens = " ".join(
+                f"WHEN {parts[j]} THEN {parts[j + 1]}"
+                for j in range(0, len(parts) - 1, 2)
+            )
+            out.append(f"CASE {whens} ELSE {parts[-1]} END")
+            i = close + 1
+            continue
+        if name == "assumeNotNull":  # relational no-op on Spark
+            out.append(f"({inner})")
+            i = close + 1
+            continue
+        if name == "splitByChar":
+            parts = _split_args(inner)
+            if len(parts) != 2 or not (
+                parts[0].startswith("'") and parts[0].endswith("'")
+            ):
+                raise UnsupportedChSql("splitByChar expects a literal separator")
+            sep = parts[0][1:-1].replace("''", "'")
+            esc = "".join("\\" + c if c in r".^$*+?()[]{}|\\" else c for c in sep)
+            out.append(f"split({parts[1]}, '{esc}')")
             i = close + 1
             continue
         if name in _PARAMETERIZED_PLURAL and has_second:
