@@ -87,8 +87,30 @@ def cmd_serve(args) -> int:
     if not live:
         print("no event directories found — nothing to stream", file=sys.stderr)
         return 1
+    # the reference's primary write path: CLICKHOUSE_URL set → every
+    # batch ALSO appends to ClickHouse over JDBC (main.go:42,
+    # etc/*.service); storage stays the engine's own query substrate
+    sink_factory = None
+    ch_url = os.environ.get("CLICKHOUSE_URL")
+    if ch_url and not args.no_env:
+        from .jobs import _storage_sink
+        from .sources.clickhouse import ClickHouseSink, from_clickhouse_url
+
+        jdbc, user, pw = from_clickhouse_url(ch_url)
+
+        def sink_factory(cfg_, table):
+            store = _storage_sink(cfg_, table)
+            ch = ClickHouseSink(url=jdbc, table=table, user=user, password=pw)
+
+            def both(df, batch_id):
+                store(df, batch_id)
+                ch(df, batch_id)
+
+            return both
+
     queries = streaming_job(
-        spark, args.events_dir, args.checkpoint, cfg, pipelines=live
+        spark, args.events_dir, args.checkpoint, cfg, pipelines=live,
+        sink_factory=sink_factory,
     )
     try:
         if args.timeout:

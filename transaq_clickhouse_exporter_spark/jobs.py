@@ -101,10 +101,16 @@ def streaming_job(
     checkpoint_dir: str,
     cfg: EngineConfig,
     pipelines: Sequence[str] = ("trades", "quotes", "sec_info", "candles"),
+    sink_factory=None,
 ):
     """Phase 3 (process.go:11-175): one streaming query per event type,
     replaying ``events_dir/<name>/`` (or any source the caller wires) into
-    day-partitioned storage.  Returns the started queries."""
+    day-partitioned storage.  Returns the started queries.
+
+    ``sink_factory(cfg, table) -> foreachBatch sink`` overrides the
+    storage sink — e.g. the CLI composes storage + ClickHouse JDBC
+    append when CLICKHOUSE_URL is configured."""
+    make_sink = sink_factory or _storage_sink
     queries = []
     for name in pipelines:
         schema, shape, table = PIPELINES[name]
@@ -113,7 +119,7 @@ def streaming_job(
             ing.start_pipeline(
                 stream,
                 shape,
-                _storage_sink(cfg, table),
+                make_sink(cfg, table),
                 checkpoint=os.path.join(checkpoint_dir, name),
                 trigger_seconds=cfg.trigger_seconds,
                 query_name=f"tce_{name}",
