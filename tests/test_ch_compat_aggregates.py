@@ -157,3 +157,51 @@ def test_renames_run(spark, events):
     assert row.n == 5
     out = cc.run_ch_sql(spark, "SELECT arrayJoin(array(1, 2, 3)) AS v").collect()
     assert sorted(r.v for r in out) == [1, 2, 3]
+
+
+def test_retention_expansion_streams(spark, tmp_path):
+    """The retention expansion is a plain max-flag aggregation, so the
+    SAME translated SQL runs as a streaming aggregation: stream events
+    in 2 micro-batches (update mode into a memory sink) and the final
+    per-user flags equal the batch answer."""
+    import os
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        register_ch_functions,
+        translate_ch_sql,
+    )
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        write_jsonl_fixture,
+    )
+
+    rows = [
+        {"user_id": u, "event_type": t}
+        for u, t in [(1, "view"), (1, "click"), (2, "click"),
+                     (3, "view"), (3, "purchase"), (2, "view")]
+    ]
+    src = str(tmp_path / "src")
+    write_jsonl_fixture(os.path.join(src, "b0.jsonl"), rows[:3], mtime=1_000)
+    write_jsonl_fixture(os.path.join(src, "b1.jsonl"), rows[3:], mtime=2_000)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    stream.createOrReplaceTempView("ret_stream")
+    register_ch_functions(spark)
+    sql = translate_ch_sql(
+        "SELECT user_id, retention(event_type='view', event_type='click', "
+        "event_type='purchase') AS r FROM ret_stream GROUP BY user_id"
+    )
+    q = (
+        spark.sql(sql)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ret_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.user_id: r.r for r in spark.table("ret_out").collect()}
+    assert got == {1: [1, 1, 0], 2: [1, 1, 0], 3: [1, 0, 1]}
