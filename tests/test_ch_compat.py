@@ -91,6 +91,8 @@ def test_scalar_shims(spark):
     # calendar family — 2024-12-20 is a Friday (ISO dow 5), Q4
     cal = spark.sql(
         "SELECT toStartOfWeek(timestamp'2024-12-20 10:07:33') AS w,"
+        " toStartOfWeek(timestamp'2024-12-22 00:00:00') AS w_sun,"
+        " toStartOfISOWeek(timestamp'2024-12-20 10:07:33') AS wi,"
         " toStartOfMonth(timestamp'2024-12-20 10:07:33') AS m,"
         " toStartOfQuarter(timestamp'2024-12-20 10:07:33') AS q,"
         " toStartOfYear(timestamp'2024-12-20 10:07:33') AS y,"
@@ -102,7 +104,11 @@ def test_scalar_shims(spark):
         " toMinute(timestamp'2024-12-20 10:07:33') AS mi,"
         " toSecond(timestamp'2024-12-20 10:07:33') AS ss"
     ).collect()[0]
-    assert str(cal.w) == "2024-12-16"  # Monday (CH mode-1 week)
+    # CH default mode 0: week starts SUNDAY (Fri 20th -> Sun 15th;
+    # a Sunday is its own week start); ISO variant -> Monday
+    assert str(cal.w) == "2024-12-15"
+    assert str(cal.w_sun) == "2024-12-22"
+    assert str(cal.wi) == "2024-12-16"
     assert (str(cal.m), str(cal.q), str(cal.y)) == (
         "2024-12-01", "2024-10-01", "2024-01-01",
     )

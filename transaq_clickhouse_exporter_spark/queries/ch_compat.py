@@ -87,9 +87,14 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toStartOfHour": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('hour', ts)",
     "toStartOfDay": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('day', ts)",
     # calendar family (CH returns Date for these; DATE casts match)
+    # CH toStartOfWeek DEFAULT mode 0 = week starts SUNDAY (mode 1's
+    # ISO Monday is toStartOfISOWeek/date_trunc) — shift+trunc+shift
     "toStartOfWeek": (
         "(ts TIMESTAMP) RETURNS DATE RETURN "
-        "CAST(date_trunc('week', ts) AS DATE)"  # ISO Monday start (CH mode 1)
+        "date_sub(CAST(date_trunc('week', date_add(CAST(ts AS DATE), 1)) AS DATE), 1)"
+    ),
+    "toStartOfISOWeek": (
+        "(ts TIMESTAMP) RETURNS DATE RETURN CAST(date_trunc('week', ts) AS DATE)"
     ),
     "toStartOfMonth": "(ts TIMESTAMP) RETURNS DATE RETURN CAST(date_trunc('month', ts) AS DATE)",
     "toStartOfQuarter": "(ts TIMESTAMP) RETURNS DATE RETURN CAST(date_trunc('quarter', ts) AS DATE)",
