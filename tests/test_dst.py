@@ -87,3 +87,42 @@ def test_interval_bucketing_across_moscow_dst(spark, start):
         assert not any(lb.startswith("2010-03-28 02:") for lb in locals_)
         assert any(lb.startswith("2010-03-28 01:") for lb in locals_)
         assert any(lb.startswith("2010-03-28 03:") for lb in locals_)
+
+
+def test_calendar_shims_across_moscow_dst(spark):
+    """The ch_compat calendar shims (day/week truncation) across the
+    2010 Europe/Moscow spring-forward: a local day containing a
+    skipped hour still truncates to its own local midnight, and week
+    starts stay on local Sunday/Monday — pinned against DuckDB
+    computing the same truncations in the same zone."""
+    import duckdb
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        register_ch_functions,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
+    try:
+        register_ch_functions(spark)
+        # 2010-03-28 is the spring-forward Sunday (02:00 -> 03:00)
+        rows = spark.sql(
+            "SELECT CAST(toStartOfDay(timestamp'2010-03-28 03:30:00') AS STRING) AS d,"
+            " CAST(toStartOfWeek(timestamp'2010-03-28 03:30:00') AS STRING) AS w,"
+            " CAST(toStartOfWeek(timestamp'2010-03-27 12:00:00') AS STRING) AS w_sat,"
+            " CAST(toStartOfISOWeek(timestamp'2010-03-28 03:30:00') AS STRING) AS wi"
+        ).collect()[0]
+        assert rows.d == "2010-03-28 00:00:00"   # local midnight exists
+        assert rows.w == "2010-03-28"            # the DST Sunday starts its week
+        assert rows.w_sat == "2010-03-21"        # Saturday belongs to prior week
+        assert rows.wi == "2010-03-22"           # ISO Monday of that week
+        con = duckdb.connect()
+        con.execute("SET TimeZone='Europe/Moscow'")
+        [(dd, dw)] = con.execute(
+            "SELECT strftime(date_trunc('day', TIMESTAMP '2010-03-28 03:30:00'),"
+            " '%Y-%m-%d %H:%M:%S'),"
+            " CAST(date_trunc('week', TIMESTAMP '2010-03-28 03:30:00') AS VARCHAR)"
+        ).fetchall()
+        assert dd == rows.d and dw == rows.wi
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
