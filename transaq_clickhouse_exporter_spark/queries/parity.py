@@ -947,6 +947,30 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "topk"),
         )
     )
+
+    # the topK SKETCH path (Space-Saving-style partial per-partition
+    # top-M then exact re-count of survivors — functions/topk.py's
+    # 100 TB shape).  M = 5k ≫ the corpus's distinct sec_codes, so
+    # every true heavy hitter reaches its partition's top-M and the
+    # sketch is EXACT here — the oracle is the plain count ranking,
+    # and a red row would mean the candidate/re-rank plumbing broke.
+    def _heavy(s: SparkSession) -> DataFrame:
+        from ..functions.topk import approx_top_k
+
+        return approx_top_k(s.table("trades"), "sec_code", 10)
+
+    sp.append(
+        QuerySpec(
+            "ev13_heavy_hitters",
+            _heavy,
+            """
+            SELECT sec_code, CAST(count(*) AS BIGINT) AS weight
+            FROM trades GROUP BY sec_code
+            ORDER BY weight DESC, sec_code LIMIT 10
+            """,
+            tags=("events", "topk-sketch"),
+        )
+    )
     # pivot: per-user event-type counts as wide columns
     types = ["click", "view", "purchase", "signup", "error"]
     sp.append(
@@ -3691,6 +3715,7 @@ _TAIL_NAMES = (
     "dp31_chunk_search",
     "op07_aggregating_states",
     "dp32_chunk_search_lsh",
+    "ev13_heavy_hitters",
 )
 
 
