@@ -293,3 +293,35 @@ def ema_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def max_drawdown(candles: DataFrame) -> DataFrame:
+    """Maximum drawdown per security from a bar series (``bucket_s``,
+    ``close``): the most negative ``close / running_peak − 1``, with
+    the bucket where it bottomed — the running-extrema window class
+    (cummax composed into a ratio, then an argmin).
+
+    Plan shape: one (sec_code) exchange reused by BOTH windows (the
+    running max and the argmin rank share the partitioning), bar-sized
+    input — ticks never enter a window.  Exact cross-engine: one IEEE
+    division per bar under round(…, 6)."""
+    w = (
+        Window.partitionBy("sec_code")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = candles.select(
+        "sec_code",
+        "bucket_s",
+        F.round(F.col("close") / F.max("close").over(w) - 1, 6).alias("dd"),
+    )
+    r = Window.partitionBy("sec_code").orderBy("dd", "bucket_s")
+    return (
+        scored.withColumn("rn", F.row_number().over(r))
+        .filter(F.col("rn") == 1)
+        .select(
+            "sec_code",
+            F.col("dd").alias("max_drawdown"),
+            F.col("bucket_s").alias("at_bucket_s"),
+        )
+    )

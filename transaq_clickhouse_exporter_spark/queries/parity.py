@@ -3398,6 +3398,35 @@ def _analytics_specs() -> list[QuerySpec]:
             tags=("analytics", "lag"),
         )
     )
+    # running-extrema composition: cummax -> ratio -> argmin (the
+    # drawdown class no plain agg/lag entry exercises)
+    sp.append(
+        QuerySpec(
+            "an11_max_drawdown",
+            lambda s: an.max_drawdown(candles_windowed(s.table("ticks"), minutes=1)),
+            """
+            , mdd AS (
+              SELECT sec_code, bucket_s,
+                     round(close / max(close) OVER (
+                       PARTITION BY sec_code ORDER BY bucket_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1, 6) AS dd
+              FROM (
+                SELECT DISTINCT sec_code, (ts_s // 60) * 60 AS bucket_s,
+                       last_value(last) OVER (PARTITION BY sec_code, (ts_s // 60) * 60
+                         ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                         AS close
+                FROM ticks) c)
+            SELECT sec_code, dd AS max_drawdown, bucket_s AS at_bucket_s
+            FROM (SELECT sec_code, dd, bucket_s,
+                         row_number() OVER (PARTITION BY sec_code
+                                            ORDER BY dd, bucket_s) AS rn
+                  FROM mdd) r
+            WHERE rn = 1
+            """,
+            tags=("analytics", "drawdown"),
+        )
+    )
     sp.append(
         QuerySpec(
             "an04_price_percentiles",
@@ -3716,6 +3745,7 @@ _TAIL_NAMES = (
     "op07_aggregating_states",
     "dp32_chunk_search_lsh",
     "ev13_heavy_hitters",
+    "an11_max_drawdown",
 )
 
 
