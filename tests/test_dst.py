@@ -126,3 +126,24 @@ def test_calendar_shims_across_moscow_dst(spark):
         assert dd == rows.d and dw == rows.wi
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_db18_catalog_entry_skips_nonexistent_local_hour(spark, sf_smoke):
+    """The driver-window DST entry (db18) must show the spring-forward
+    gap: Moscow wall-clock buckets jump 01:30 -> 03:00; no bucket can
+    fall in the never-existing 02:00-02:59 local hour.  Also pins the
+    UTC->MSK offset flip (+3h before the transition, +4h after)."""
+    from transaq_clickhouse_exporter_spark.queries.parity import run
+
+    rows = run(spark, sf_smoke, "db18_dst_spring_buckets").collect()
+    assert rows, "fixture produced no buckets"
+    transition = 1269730800  # 2010-03-27 23:00:00 UTC
+    for r in rows:
+        local_s = r.msk_bucket_s % 86400
+        assert not (2 * 3600 <= local_s < 3 * 3600), (
+            f"bucket in the non-existent 02:xx local hour: {r}"
+        )
+        off = r.msk_bucket_s - r.bucket_s
+        assert off == (4 * 3600 if r.bucket_s >= transition else 3 * 3600), r
+    offs = {r.msk_bucket_s - r.bucket_s for r in rows}
+    assert offs == {3 * 3600, 4 * 3600}, "range must cross the transition"

