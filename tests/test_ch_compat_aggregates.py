@@ -17,7 +17,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from transaq_clickhouse_exporter_spark.functions import seqmatch as sm
-from transaq_clickhouse_exporter_spark.functions.funnel import window_funnel
+from transaq_clickhouse_exporter_spark.functions.funnel import (
+    window_funnel_ch,
+)
 from transaq_clickhouse_exporter_spark.queries import ch_compat as cc
 
 
@@ -45,7 +47,7 @@ def test_window_funnel_matches_dataframe_operator(spark, events):
             "FROM cc_events GROUP BY user_id",
         ).collect()
     }
-    want_df = window_funnel(
+    want_df = window_funnel_ch(
         events.withColumn("ts_s", F.col("ts").cast("timestamp").cast("double")),
         _conds(),
         ts_col="ts_s",
@@ -54,6 +56,45 @@ def test_window_funnel_matches_dataframe_operator(spark, events):
     want = {r.user_id: r.level for r in want_df.collect()}
     assert want  # driver data exercises multiple levels
     assert {u: l for u, l in got.items() if l > 0} == want
+
+
+def test_window_funnel_ch_default_mode_semantics(spark):
+    """CH default-mode cases the earliest-anchor contract misses
+    (ADVICE r6 medium): a LATER cond1 anchor completing a chain, and
+    equal-timestamp stage advancement."""
+    rows = [
+        # u1: ADVICE example — c1@0, c1@2000, c2@5000, w=3600: the
+        # 2000 anchor reaches c2 (5000 <= 5600) -> level 2
+        (1, "a", 0), (1, "a", 2000), (1, "b", 5000),
+        # u2: equal timestamps allowed in default mode -> level 2
+        (2, "a", 100), (2, "b", 100),
+        # u3: order still matters (b before any a) -> level 1
+        (3, "b", 100), (3, "a", 200),
+        # u4: full chain via the later anchor only -> level 3
+        (4, "a", 0), (4, "b", 5000), (4, "a", 4000), (4, "c", 6000),
+        # u5: no anchor at all -> absent
+        (5, "b", 10), (5, "c", 20),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    conds = [F.col("event_type") == t for t in ("a", "b", "c")]
+    want = {1: 2, 2: 2, 3: 1, 4: 3}
+    got = {
+        r.user_id: r.level
+        for r in window_funnel_ch(ev, conds, window=3600).collect()
+    }
+    assert got == want
+    # the SQL bridge implements the same fold
+    ev.createOrReplaceTempView("wf_ch_events")
+    got_sql = {
+        r.user_id: r.lvl
+        for r in cc.run_ch_sql(
+            spark,
+            "SELECT user_id, windowFunnel(3600)(ts_s, event_type='a', "
+            "event_type='b', event_type='c') AS lvl "
+            "FROM wf_ch_events GROUP BY user_id",
+        ).collect()
+    }
+    assert {u: l for u, l in got_sql.items() if l > 0} == want
 
 
 def test_sequence_count_matches_token_strings(spark, events):

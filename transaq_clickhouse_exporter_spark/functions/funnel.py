@@ -9,7 +9,10 @@ every later stage must fall inside ``window`` of the FIRST stage and
 strictly after the previous one.  ``level`` = the longest prefix
 reached.  (ClickHouse's DP scan can find later anchors that reach
 deeper; the earliest-anchor rule is the deterministic, SQL-mirrorable
-contract — each stage is a pure min-aggregation.)
+contract — each stage is a pure min-aggregation.  For CH-exact
+default-mode semantics — max over ALL anchors, equal timestamps
+allowed — use :func:`window_funnel_ch`, which the ``windowFunnel``
+SQL bridge in ``queries/ch_compat.py`` mirrors.)
 
 Plan shape: k−1 joins keyed on the user id, each side a per-user
 min-aggregate with map-side combine — at 100 TB this is k narrow
@@ -21,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,6 +62,69 @@ def window_funnel(
         ],
     )
     return levels.groupBy(user_col).agg(F.max("level").cast("int").alias("level"))
+
+
+def window_funnel_ch(
+    events: DataFrame,
+    conds: list[Column],
+    ts_col: str = "ts_s",
+    user_col: str = "user_id",
+    window: int = 3600,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel`` DEFAULT-MODE exact semantics
+    (AggregateFunctionWindowFunnel.h): the level is the deepest stage
+    reachable over ALL cond₁ anchors — not just the earliest —, equal
+    timestamps are allowed between consecutive stages, and one event
+    may fill consecutive stages.  :func:`window_funnel` keeps the
+    stricter earliest-anchor contract as a separately documented
+    operator.
+
+    Derivation (anchor dominance): in default mode the only state a
+    level-``i`` chain carries forward is its ANCHOR timestamp (the
+    stage-``i+1`` check is ``ts <= anchor + window``; the previous
+    stage's own timestamp never appears), and anchors propagate
+    monotonically, so the chain with the LATEST viable anchor dominates
+    every other — exactly CH's single events_timestamp[] slot per
+    level.  That makes the whole aggregate a chain of per-user RUNNING
+    MAXES: A₁(t) = max{c₁ ts ≤ t}; stage i is viable at an event iff
+    ``ts <= A_{i-1}(ts) + window``; A_i = running max of the viable
+    anchors.  Equal-timestamp ties: all events at the same timestamp
+    are mutually visible (RANGE frame) — deterministic, inside CH's
+    own insertion-order tie envelope.
+
+    Plan shape: the k−1 RANGE running-max windows share ONE per-user
+    sort (a single Exchange+Sort feeding chained Window operators),
+    then one hash aggregation — no joins, no repeated shuffles, no
+    per-anchor expansion: at 100 TB this is one shuffle of the
+    (pruned) event rows regardless of how many cond₁ anchors exist."""
+    assert len(conds) >= 1
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.withColumn("__t", F.col(ts_col).cast("double"))
+    df = df.withColumn("__a", F.max(F.when(conds[0], F.col("__t"))).over(w))
+    stage_aggs = [F.max(F.when(conds[0], F.lit(1)))]
+    for i, cond in enumerate(conds[1:], start=2):
+        v = f"__v{i}"
+        df = df.withColumn(
+            v,
+            cond
+            & F.col("__a").isNotNull()
+            & (F.col("__t") <= F.col("__a") + F.lit(float(window))),
+        )
+        stage_aggs.append(F.max(F.when(F.col(v), F.lit(i))))
+        if i < len(conds):  # anchor for the next stage's viability check
+            df = df.withColumn(
+                "__a", F.max(F.when(F.col(v), F.col("__a"))).over(w)
+            )
+    return (
+        df.groupBy(user_col)
+        .agg(F.greatest(*stage_aggs).cast("int").alias("level"))
+        if len(stage_aggs) > 1
+        else df.groupBy(user_col).agg(stage_aggs[0].cast("int").alias("level"))
+    ).filter(F.col("level").isNotNull())
 
 
 def funnel_level_counts(

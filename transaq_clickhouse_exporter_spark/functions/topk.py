@@ -22,6 +22,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class SpaceSaving:
+    """Metwally et al.'s Space-Saving sketch with a HARD ``m``-counter
+    memory bound (`Efficient Computation of Frequent and Top-k Elements
+    in Data Streams`, ICDT 2005).
+
+    State is exactly ``m`` (value → estimated count) entries plus a
+    lazy-deletion min-heap that is compacted back to ``m`` live entries
+    whenever stale pushes exceed ``8*m`` — O(m) memory regardless of
+    the number of distinct values seen, unlike a full distinct dict.
+    Any value whose true count exceeds N/m is guaranteed to be resident;
+    when distinct ≤ m no eviction ever fires and counts are exact."""
+
+    def __init__(self, m: int):
+        self.m = m
+        self.counters: dict = {}
+        self._heap: list = []  # (count, value), lazily invalidated
+
+    def _push(self, v, c) -> None:
+        import heapq
+
+        heapq.heappush(self._heap, (c, v))
+        if len(self._heap) > 8 * self.m:
+            self._heap = [(c, v) for v, c in self.counters.items()]
+            heapq.heapify(self._heap)
+
+    def add(self, v, c: int = 1) -> None:
+        import heapq
+
+        cur = self.counters.get(v)
+        if cur is not None:
+            self.counters[v] = cur + c
+            self._push(v, cur + c)
+        elif len(self.counters) < self.m:
+            self.counters[v] = c
+            self._push(v, c)
+        else:
+            # evict the current minimum; the newcomer inherits its
+            # count (the Space-Saving overestimate invariant)
+            while True:
+                cnt, u = self._heap[0]
+                if self.counters.get(u) == cnt:
+                    break
+                heapq.heappop(self._heap)  # stale entry
+            heapq.heappop(self._heap)
+            del self.counters[u]
+            self.counters[v] = cnt + c
+            self._push(v, cnt + c)
+
+    def items_desc(self) -> list:
+        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
 def approx_top_k(
     df: DataFrame,
     value_col: str,
@@ -29,25 +81,28 @@ def approx_top_k(
     candidates_per_partition: int | None = None,
 ) -> DataFrame:
     """Approximate global heavy hitters — the ClickHouse ``topK``
-    sketch's 100 TB shape: per-partition partial top-M (M = 5k by
-    default, Space-Saving-style candidate bound) computed map-side, then
-    an exact re-count of only the surviving candidates.
+    sketch's 100 TB shape: per-partition Space-Saving with M = 5k
+    counters by default (hard O(M) state, not a full distinct dict),
+    then an exact re-count of only the surviving candidates.
 
     One narrow shuffle of ≤ M×partitions candidate rows replaces a full
     ``groupBy(value)`` shuffle of the raw data.  Exact when every true
-    heavy hitter reaches the per-partition top-M (the standard
-    Space-Saving guarantee under bounded skew); :func:`top_k_per_group`
-    is the exact verifier."""
+    heavy hitter survives the per-partition sketch (guaranteed for any
+    value with per-partition frequency > rows/M — the Space-Saving
+    bound); :func:`top_k_per_group` is the exact verifier."""
     m = candidates_per_partition or 5 * k
     import pandas as pd
 
     def partial(batches):
-        counts: dict = {}
+        sk = SpaceSaving(m)
         for pdf in batches:
+            # chunk-local pre-aggregation: distinct-per-Arrow-batch is
+            # bounded by the batch size, then folded into O(M) state
             for v, c in pdf[value_col].value_counts().items():
-                counts[v] = counts.get(v, 0) + int(c)
-        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
-        yield pd.DataFrame(top, columns=[value_col, "partial_count"])
+                sk.add(v, int(c))
+        yield pd.DataFrame(
+            sk.items_desc(), columns=[value_col, "partial_count"]
+        )
 
     field = df.schema[value_col].dataType.simpleString()
     candidates = (

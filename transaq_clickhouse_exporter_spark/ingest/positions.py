@@ -61,13 +61,17 @@ def merge_positions_stream(
         else:
             last_seq, cur = -1, [None] * len(fields)
         for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # column-wise last-non-empty: one vectorized NA scan per
+            # field instead of a per-row Python loop (bounded either
+            # way, but keeps the package iterrows-free)
             pdf = pdf.sort_values("seq", kind="stable")
-            for _, row in pdf.iterrows():
-                last_seq = max(last_seq, int(row["seq"]))
-                for i, f in enumerate(fields):
-                    v = row[f]
-                    if v is not None and not (isinstance(v, float) and pd.isna(v)):
-                        cur[i] = v
+            last_seq = max(last_seq, int(pdf["seq"].iloc[-1]))
+            for i, f in enumerate(fields):
+                idx = pdf[f].last_valid_index()
+                if idx is not None:
+                    cur[i] = pdf[f].loc[idx]
         state.update((last_seq, *cur))
         yield pd.DataFrame([[key[0], last_seq, *cur]], columns=["client", "last_seq", *fields])
 

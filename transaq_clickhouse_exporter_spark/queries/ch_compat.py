@@ -40,8 +40,9 @@ Two mechanisms, used together by :func:`run_ch_sql`:
      ``r[0]=flag1, r[i]=flag1·flag_i``  (CH's bitmask state)
    - ``sequenceMatch/sequenceCount('pat')(ts, c1…)`` → regex over a
      per-group token string (`functions/seqmatch.py` contract)
-   - ``windowFunnel(w)(ts, c1…)`` → one-pass fold over sorted events
-     (`functions/funnel.py` earliest-anchor contract)
+   - ``windowFunnel(w)(ts, c1…)`` → one-pass fold over sorted events,
+     CH default-mode exact (max over all anchors, equal ts allowed;
+     `functions/funnel.py window_funnel_ch` is the DataFrame twin)
    - ``quantileTiming/quantileTDigest(q)(x)`` → ``percentile_approx``
    - ``arrayJoin/argMax/argMin/groupArray/groupUniqArray`` → renames
 
@@ -575,7 +576,7 @@ def _dquotes_to_backticks(sql: str) -> str:
 # the engine's DataFrame operators' documented contracts:
 #   topK           → functions/topk.py tie rule (-count, value asc)
 #   sequenceMatch/Count → functions/seqmatch.py token-string contract
-#   windowFunnel   → functions/funnel.py earliest-anchor contract
+#   windowFunnel   → CH default-mode exact (funnel.window_funnel_ch)
 #   retention      → r[0]=flag(c1); r[i]=flag(c1)·flag(c_i)  (CH docs)
 
 
@@ -642,32 +643,44 @@ def _seq_expr(name: str, params: str, args: list[str]) -> str:
 
 
 def _funnel_expr(params: str, args: list[str]) -> str:
-    """``windowFunnel(w)(ts, c1…cn)`` → one-pass fold over the sorted
-    condition-matching events.  acc[i] = timestamp of the i+1-th stage
-    of the earliest-anchored chain (funnel.window_funnel's contract:
-    t_1 = min ts with c1; t_i = min ts with c_i, ts > t_{i-1},
-    ts <= t_1 + w).  Fills are prefix-ordered, so the level is the
-    count of non-null slots.  Strict `>` makes one event unable to
-    fill two stages, and ascending sort makes each fill the minimum —
-    identical to the stage-by-stage min-aggregation by induction."""
+    """``windowFunnel(w)(ts, c1…cn)`` → CH DEFAULT-MODE EXACT fold
+    (AggregateFunctionWindowFunnel.h; ADVICE r6): the level is the
+    deepest stage over ALL cond₁ anchors, equal timestamps are
+    allowed, and one event may fill consecutive stages.
+
+    Construction: one fold ELEMENT per (event, matched condition),
+    sorted by (t, cond_idx) — ascending cond index at equal t mirrors
+    CH's ascending event_idx loop within one event.  State acc[i] =
+    anchor timestamp of the dominating chain at level i+1 (CH's
+    events_timestamp slot): a c₁ element always overwrites acc[0]
+    (latest anchor dominates — the stage-i+1 check only reads the
+    anchor, and anchors are monotone under the sorted fold); a c_{i+1}
+    element propagates acc[i] = acc[i-1] when t <= acc[i-1] + w.
+    Slots fill in prefix order and never unset, so the level is the
+    count of non-null slots.  Each element touches exactly one slot,
+    keeping the generated expression linear in n."""
     if len(args) < 2:
         raise UnsupportedChSql("windowFunnel expects (timestamp, cond…)")
     ts, conds = args[0], args[1:]
     n = len(conds)
-    any_c = " OR ".join(f"({c})" for c in conds)
-    cs = ", ".join(f"({c})" for c in conds)
-    evs = (
-        f"array_sort(collect_list(CASE WHEN {any_c} THEN "
-        f"struct(CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t, array({cs}) AS cs) END))"
+    t_expr = f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
+    per_row = (
+        "filter(array("
+        + ", ".join(
+            f"struct({t_expr} AS t, {i + 1} AS i, ({c}) AS m)"
+            for i, c in enumerate(conds)
+        )
+        + "), x -> x.m AND x.t IS NOT NULL)"
     )
+    evs = f"array_sort(flatten(collect_list({per_row})))"
     init = f"CAST(array({', '.join(['NULL'] * n)}) AS ARRAY<DOUBLE>)"
-    upd = ["CASE WHEN acc[0] IS NULL AND e.cs[0] THEN e.t ELSE acc[0] END"]
+    w = params.strip()
+    upd = ["CASE WHEN e.i = 1 THEN e.t ELSE acc[0] END"]
     for i in range(1, n):
         upd.append(
-            f"CASE WHEN acc[{i}] IS NULL AND acc[{i - 1}] IS NOT NULL "
-            f"AND e.cs[{i}] AND e.t > acc[{i - 1}] "
-            f"AND e.t <= acc[0] + ({params.strip()}) "
-            f"THEN e.t ELSE acc[{i}] END"
+            f"CASE WHEN e.i = {i + 1} AND acc[{i - 1}] IS NOT NULL "
+            f"AND e.t <= acc[{i - 1}] + ({w}) "
+            f"THEN acc[{i - 1}] ELSE acc[{i}] END"
         )
     return (
         f"aggregate({evs}, {init}, (acc, e) -> array({', '.join(upd)}), "

@@ -1348,6 +1348,63 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "retention"),
         )
     )
+
+    # CH-exact windowFunnel (default mode: max over ALL cond1 anchors,
+    # equal timestamps allowed — ADVICE r6 medium; ev08 keeps the
+    # documented earliest-anchor contract).  Oracle mirrors the
+    # anchor-dominance running-max derivation (funnel.window_funnel_ch
+    # docstring): one RANGE running max per stage, shared sort.
+    def _wfunnel_ch(s: SparkSession) -> DataFrame:
+        from ..functions.funnel import window_funnel_ch
+
+        lv = window_funnel_ch(
+            s.table("ev"),
+            [F.col("event_type") == t for t in ("signup", "view", "click", "purchase")],
+            window=604800,
+        )
+        return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+    _wfr = (
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    sp.append(
+        QuerySpec(
+            "ev14_window_funnel_ch",
+            _wfunnel_ch,
+            f"""
+            , wc1 AS (SELECT user_id, event_type, CAST(ts_s AS DOUBLE) AS t,
+                     max(CASE WHEN event_type = 'signup'
+                              THEN CAST(ts_s AS DOUBLE) END)
+                       OVER (PARTITION BY user_id ORDER BY ts_s {_wfr}) AS a1
+                      FROM ev),
+            wc2 AS (SELECT *, CASE WHEN event_type = 'view' AND a1 IS NOT NULL
+                                    AND t <= a1 + 604800 THEN TRUE END AS v2
+                    FROM wc1),
+            wc2m AS (SELECT *, max(CASE WHEN v2 THEN a1 END)
+                       OVER (PARTITION BY user_id ORDER BY t {_wfr}) AS a2
+                     FROM wc2),
+            wc3 AS (SELECT *, CASE WHEN event_type = 'click' AND a2 IS NOT NULL
+                                    AND t <= a2 + 604800 THEN TRUE END AS v3
+                    FROM wc2m),
+            wc3m AS (SELECT *, max(CASE WHEN v3 THEN a2 END)
+                       OVER (PARTITION BY user_id ORDER BY t {_wfr}) AS a3
+                     FROM wc3),
+            wc4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND a3 IS NOT NULL
+                                    AND t <= a3 + 604800 THEN TRUE END AS v4
+                    FROM wc3m),
+            wlvl AS (SELECT user_id,
+                            greatest(
+                              max(CASE WHEN event_type = 'signup' THEN 1 END),
+                              max(CASE WHEN v2 THEN 2 END),
+                              max(CASE WHEN v3 THEN 3 END),
+                              max(CASE WHEN v4 THEN 4 END)) AS level
+                     FROM wc4 GROUP BY user_id)
+            SELECT CAST(level AS INT) AS level, CAST(count(*) AS BIGINT) AS n_users
+            FROM wlvl WHERE level IS NOT NULL GROUP BY level
+            """,
+            tags=("events", "window-funnel", "ch-exact"),
+        )
+    )
     return sp
 
 
@@ -3827,6 +3884,8 @@ _TAIL_NAMES = (
     "ann05_pq_adc",                   # compressed-ANN class keeps ann04 (SQ)
     "mm02_frame_sample",              # 1-row value check: r06 row banked;
                                       # multimodal plumbing pytest-gated
+    # round-7 additions start in the tail; they earn rows next round.
+    "ev14_window_funnel_ch",
 )
 
 
