@@ -180,3 +180,25 @@ def test_states_stream_restart_and_replay(spark, tmp_path):
         for r in read_final(spark, state, ("key",)).collect()
     }
     assert again == got
+
+
+def test_all_null_hll_key_keeps_scalars(spark):
+    """ADVICE r6: a key whose hll column is NULL on every row must not
+    vanish from merge_states/finalize — scalars survive, est = 0."""
+    from transaq_clickhouse_exporter_spark.operators.aggregating import (
+        finalize,
+        merge_states,
+        partial_states,
+    )
+
+    rows = [("a", 1, "x"), ("a", 2, "y"), ("b", 5, None), ("b", 7, None)]
+    df = spark.createDataFrame(rows, "k string, v long, u string")
+    st = partial_states(df, ("k",), sum_cols=("v",), hll_col="u")
+    merged = {r.k: r for r in merge_states(st, ("k",)).collect()}
+    assert set(merged) == {"a", "b"}
+    assert merged["b"].sum_v == 12 and merged["b"].hll == {}
+    fin = {r.k: r for r in finalize(st, ("k",)).collect()}
+    assert set(fin) == {"a", "b"}
+    assert fin["b"].n == 2 and fin["b"].sum_v == 12
+    assert fin["b"].distinct_est == 0
+    assert fin["a"].distinct_est == 2

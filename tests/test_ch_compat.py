@@ -227,6 +227,23 @@ def test_array_join_clause_and_guards(spark):
     assert translate_ch_sql("SELECT 1 FROM t WHERE x GLOBAL IN (SELECT y FROM u)") == (
         "SELECT 1 FROM t WHERE x IN (SELECT y FROM u)"
     )
+    assert translate_ch_sql("SELECT 1 FROM a GLOBAL ANY LEFT JOIN b USING (k)") == (
+        "SELECT 1 FROM a ANY LEFT JOIN b USING (k)"
+    )
+    # ADVICE r6: an identifier literally named 'global' in operand
+    # position must NOT be deleted
+    for kept in (
+        "SELECT 1 FROM t WHERE global IN (1, 2)",
+        "SELECT 1 FROM t WHERE x = 1 AND global IN (1, 2)",
+        "SELECT 1 FROM t WHERE (global IN (1, 2))",
+        "SELECT global IN (1, 2) FROM t",
+        "SELECT 1 FROM global JOIN u USING (k)",
+    ):
+        assert translate_ch_sql(kept) == kept, kept
+    # hint after a closing paren (completed expression) still strips
+    assert translate_ch_sql(
+        "SELECT 1 FROM t WHERE lower(x) GLOBAL IN (SELECT y FROM u)"
+    ) == "SELECT 1 FROM t WHERE lower(x) IN (SELECT y FROM u)"
 
 
 def test_grammar_bridges_leave_literals_alone():

@@ -329,3 +329,29 @@ def test_prebucketed_index_identical(spark, sf_smoke):
                                          n_planes=6, n_probes=3).collect()),
                key=repr)
     assert a == b and len(a) > 0
+
+
+def test_doc_search_string_ids_both_engines(spark):
+    """ADVICE r6: the default 'blas' engine must handle non-integral
+    doc/query ids (string/UUID) identically to 'hof'."""
+    from transaq_clickhouse_exporter_spark.datapipe.retrieval import doc_search
+
+    idx = spark.createDataFrame(
+        [
+            ("doc-aa", 0, [1.0, 0.0, 0.0]),
+            ("doc-aa", 1, [0.0, 1.0, 0.0]),
+            ("doc-bb", 0, [1.0, 1.0, 0.0]),
+        ],
+        "doc_id string, chunk_idx int, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q-1", [0.0, 1.0, 0.0]), ("q-2", [1.0, 0.0, 0.0])],
+        "query_id string, embedding array<double>",
+    )
+    a = sorted(map(tuple, doc_search(idx, q, k=2, engine="hof").collect()), key=repr)
+    b = sorted(map(tuple, doc_search(idx, q, k=2, engine="blas").collect()), key=repr)
+    assert a == b and len(a) == 4
+    assert {r[1] for r in a} == {"doc-aa", "doc-bb"}
+    # empty-query early return keeps the string schema too
+    empty = doc_search(idx, q.limit(0), k=2, engine="blas")
+    assert dict(empty.dtypes)["doc_id"] == "string" and empty.count() == 0

@@ -114,8 +114,17 @@ def cmd_serve(args) -> int:
     )
     try:
         if args.timeout:
+            # one SHARED deadline for the whole pipeline set (ADVICE
+            # r6: per-query awaits stacked up to N x timeout); each
+            # await gets only what remains of the window
+            import time
+
+            deadline = time.monotonic() + args.timeout
             for q in queries:
-                q.awaitTermination(args.timeout)
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                q.awaitTermination(remaining)
         else:
             for q in queries:
                 q.awaitTermination()

@@ -199,13 +199,16 @@ def _doc_search_blas(
     import numpy as np
     import pandas as pd
 
+    # id dtypes follow the input schemas (ADVICE r6: string/UUID doc
+    # ids must work on the default engine, not only on 'hof')
+    it = dict(index.dtypes)[id_col]
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
         qt0 = dict(queries.dtypes)[query_id_col]
         return index.sparkSession.createDataFrame(
-            [], f"{query_id_col} {qt0}, {id_col} bigint, best_sim double, rank bigint"
+            [], f"{query_id_col} {qt0}, {id_col} {it}, best_sim double, rank bigint"
         )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = np.array([r[0] for r in qrows])
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
     qn[qn == 0] = 1.0
@@ -215,7 +218,7 @@ def _doc_search_blas(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
@@ -237,7 +240,7 @@ def _doc_search_blas(
 
     qt = dict(queries.dtypes)[query_id_col]
     partial = index.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{query_id_col} {qt}, {id_col} bigint, best_sim double"
+        score, schema=f"{query_id_col} {qt}, {id_col} {it}, best_sim double"
     )
     pooled = partial.groupBy(query_id_col, id_col).agg(
         F.max("best_sim").alias("best_sim")

@@ -112,7 +112,18 @@ def merge_states(states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
                 ).alias("hll")
             )
         )
-        return states.groupBy(*keys).agg(*aggs).join(regs, list(keys))
+        # LEFT join: a key whose hll map was empty on every state row
+        # (hll_col NULL throughout) has no register rows; its scalar
+        # states must survive with an empty map (ADVICE r6).
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<int>")
+        )
+        return (
+            states.groupBy(*keys)
+            .agg(*aggs)
+            .join(regs, list(keys), "left")
+            .withColumn("hll", F.coalesce(F.col("hll"), empty_map))
+        )
     return states.groupBy(*keys).agg(*aggs)
 
 
@@ -138,7 +149,12 @@ def finalize(
     est = hll_estimate_from_registers(regs, tuple(keys), precision).withColumnRenamed(
         "est", "distinct_est"
     )
-    return merged.join(est, list(keys))
+    # LEFT join + 0: keys with no register rows (hll empty on every
+    # state row) keep their scalars; the distinct estimate of an
+    # all-NULL column is 0 (ADVICE r6).
+    return merged.join(est, list(keys), "left").withColumn(
+        "distinct_est", F.coalesce(F.col("distinct_est"), F.lit(0).cast("long"))
+    )
 
 
 # ---- streaming maintenance (CH: a materialized view feeding the

@@ -307,16 +307,13 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     # GLOBAL IN / GLOBAL JOIN: CH's distributed-subquery hint; the
     # relational meaning is plain IN / JOIN (Catalyst plans shipping).
     # Applied outside string literals at ANY depth (subqueries use it).
-    sql = _sub_outside_literals(
-        sql, r"(?i)\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b)", ""
-    )
+    sql = _strip_global_hints(sql)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
 
 
-def _sub_outside_literals(sql: str, pattern: str, repl: str) -> str:
-    """re.sub that never touches single-quoted literal content."""
-    import re
-
+def _mask_literals(sql: str) -> str:
+    """Same-length shadow of ``sql`` with single-quoted literal CONTENT
+    blanked, so regex scans see quotes but never literal text."""
     out, i, n = [], 0, len(sql)
     while i < n:
         if sql[i] == "'":
@@ -328,13 +325,45 @@ def _sub_outside_literals(sql: str, pattern: str, repl: str) -> str:
                         continue
                     break
                 j += 1
-            out.append(sql[i : j + 1])
+            out.append("'" + " " * max(0, j - i - 1) + ("'" if j < n else ""))
             i = j + 1
         else:
-            j = sql.find("'", i)
-            seg = sql[i:] if j < 0 else sql[i:j]
-            out.append(re.sub(pattern, repl, seg))
-            i = n if j < 0 else j
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+#: Tokens after which a word spelled ``global`` is an OPERAND (a
+#: column/alias), not CH's distributed-subquery hint — the hint only
+#: ever follows a completed expression (identifier, ``)``, literal).
+_GLOBAL_KEEP_PREV = {
+    "", "SELECT", "WHERE", "AND", "OR", "ON", "NOT", "FROM", "BY",
+    "HAVING", "WHEN", "THEN", "ELSE", "CASE", "IN", "IS", "LIKE",
+    "BETWEEN", "DISTINCT", "ALL", "AS", ",", "(", "=", "<", ">",
+    "<=", ">=", "!=", "<>", "+", "-", "*", "/", "%",
+}
+
+
+def _strip_global_hints(sql: str) -> str:
+    """Remove ``GLOBAL`` hint tokens before IN/NOT IN/JOIN/ANY/ALL —
+    but ONLY in hint position (after a completed expression).  An
+    identifier literally named ``global`` used as an operand
+    (``WHERE global IN (1,2)``) is preceded by a clause boundary or
+    operator and is left untouched (ADVICE r6)."""
+    import re
+
+    sh = _mask_literals(sql)
+    out, last = [], 0
+    for m in re.finditer(
+        r"(?i)\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b)", sh
+    ):
+        pm = re.search(r"([A-Za-z_0-9`$.]+|\S)\s*$", sh[: m.start()])
+        prev = pm.group(1).upper() if pm else ""
+        if prev in _GLOBAL_KEEP_PREV:
+            continue  # operand named 'global', not a hint
+        out.append(sql[last : m.start()])
+        last = m.end()
+    out.append(sql[last:])
     return "".join(out)
 
 
