@@ -113,3 +113,19 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str, rel_t
                 f"hash-alike representation mismatch at sorted row {rn}:\n"
                 f"spark: {sr}\nduck:  {dr}"
             )
+
+
+def utc_str(v) -> str:
+    """Render a COLLECTED temporal value in UTC wall clock.
+
+    ``collect()`` converts TIMESTAMP columns to naive datetimes in the
+    PYTHON process timezone (independent of the session tz), so
+    ``str(row.ts)`` assertions silently depend on the TZ env var.
+    Naive datetimes are re-interpreted as process-local and re-rendered
+    in UTC — correct under any TZ because the underlying instant is
+    what Spark shipped.  DATE values pass through (no instant)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.astimezone(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)

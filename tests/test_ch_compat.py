@@ -79,15 +79,21 @@ def test_substitute_quotes_hostile_values():
 
 def test_scalar_shims(spark):
     register_ch_functions(spark)
+    # timestamps rendered SERVER-side (session tz, pinned UTC):
+    # collect() converts TIMESTAMP to a datetime in the PYTHON process
+    # timezone, so str(row.ts) would break under a hostile TZ env
     row = spark.sql(
-        "SELECT toStartOfInterval(timestamp'2024-12-20 10:07:33', INTERVAL 5 minute) AS b,"
-        " toDateTime('2024-12-20 10:00:00') AS dt, intDiv(17, 5) AS d,"
-        " toInt64(3.9) AS i, toStartOfHour(timestamp'2024-12-20 10:07:33') AS h"
+        "SELECT CAST(toStartOfInterval(timestamp'2024-12-20 10:07:33',"
+        " INTERVAL 5 minute) AS STRING) AS b,"
+        " CAST(toDateTime('2024-12-20 10:00:00') AS STRING) AS dt,"
+        " intDiv(17, 5) AS d,"
+        " toInt64(3.9) AS i,"
+        " CAST(toStartOfHour(timestamp'2024-12-20 10:07:33') AS STRING) AS h"
     ).collect()[0]
-    assert str(row.b) == "2024-12-20 10:05:00"
-    assert str(row.dt) == "2024-12-20 10:00:00"
+    assert row.b == "2024-12-20 10:05:00"
+    assert row.dt == "2024-12-20 10:00:00"
     assert (row.d, row.i) == (3, 3)
-    assert str(row.h) == "2024-12-20 10:00:00"
+    assert row.h == "2024-12-20 10:00:00"
     # calendar family — 2024-12-20 is a Friday (ISO dow 5), Q4
     cal = spark.sql(
         "SELECT toStartOfWeek(timestamp'2024-12-20 10:07:33') AS w,"

@@ -10,6 +10,8 @@ from transaq_clickhouse_exporter_spark import jobs, schemas, storage
 from transaq_clickhouse_exporter_spark.queries import dashboard
 from transaq_clickhouse_exporter_spark.sources.replay import write_jsonl_fixture
 
+from tests.oracle import utc_str
+
 
 def _raw_securities(spark):
     rows = [
@@ -96,7 +98,7 @@ def test_full_lifecycle(spark, tmp_path):
         spark, cfg.table_path("transaq_securities_info"), "transaq_securities_info"
     )
     r = si.first()
-    assert len(si.columns) == 28 and str(r["mat_date"]).startswith("2025-06-15")
+    assert len(si.columns) == 28 and utc_str(r["mat_date"]).startswith("2025-06-15")
 
     candles = storage.read_table_range(
         spark, cfg.table_path("transaq_candles"), "transaq_candles", final=False
@@ -104,7 +106,7 @@ def test_full_lifecycle(spark, tmp_path):
     by_period = {r["period"]: r for r in candles.collect()}
     assert by_period[60]["volume"] == 1000  # history page
     c = by_period[1]  # builder emission
-    assert str(c["date"]) == "2024-12-20 11:01:00"
+    assert utc_str(c["date"]) == "2024-12-20 11:01:00"
     assert (c["open"], c["close"], c["volume"]) == (250.0, 251.0, 3)
 
 

@@ -14,6 +14,8 @@ from transaq_clickhouse_exporter_spark.sources.replay import (
     write_jsonl_fixture,
 )
 
+from tests.oracle import utc_str
+
 RAW_TRADES = [
     {"time": "20.12.2024 10:00:01", "secid": 1, "sec_code": "SBER", "trade_no": 101,
      "board": "TQBR", "price": 250.5, "quantity": 10, "buy_sell": "B",
@@ -51,7 +53,7 @@ def test_trades_pipeline_end_to_end(spark, tmp_path):
     )
     assert final.count() == 3
     t = final.filter(F.col("trade_no") == 101).first()
-    assert str(t["time"]) == "2024-12-20 10:00:01"
+    assert utc_str(t["time"]) == "2024-12-20 10:00:01"
 
 
 def test_quotes_and_secinfo_shaping(spark):
@@ -62,7 +64,7 @@ def test_quotes_and_secinfo_shaping(spark):
     q = ing.shape_quotes(raw_q)
     assert [f.name for f in q.schema.fields] == [f.name for f in schemas.QUOTES.fields]
     row = q.first()
-    assert row["sell"] == -50 and str(row["time"]).startswith("2024-12-20 12:00")
+    assert row["sell"] == -50 and utc_str(row["time"]).startswith("2024-12-20 12:00")
 
     vals = {f.name: None for f in schemas.RAW_SEC_INFO.fields}
     vals.update(secid=6, sec_code="RU000A0JX0J2", sec_name="МТС 001P", market=1,
@@ -73,7 +75,7 @@ def test_quotes_and_secinfo_shaping(spark):
     si = ing.shape_sec_info(raw_si)
     assert len(si.schema.fields) == 28  # declared DDL schema (db.go:64-94)
     r = si.first()
-    assert str(r["mat_date"]).startswith("2025-06-15")
+    assert utc_str(r["mat_date"]).startswith("2025-06-15")
     assert r["coupon_period"] == 182
 
 
@@ -84,7 +86,7 @@ def test_candle_page_shaping(spark):
     )
     out = ing.shape_candles(raw)
     r = out.first()
-    assert str(r["date"]) == "2024-12-20 10:00:00" and r["volume"] == 1000
+    assert utc_str(r["date"]) == "2024-12-20 10:00:00" and r["volume"] == 1000
 
 
 def test_corrupt_jsonl_line_becomes_null_row(spark, tmp_path):

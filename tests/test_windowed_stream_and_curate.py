@@ -11,6 +11,8 @@ from transaq_clickhouse_exporter_spark.sources.replay import (
     write_jsonl_fixture,
 )
 
+from tests.oracle import utc_str
+
 
 def test_candles_windowed_stream_watermark(spark, tmp_path):
     base = 1734688800  # 2024-12-20 10:00:00 UTC
@@ -34,7 +36,7 @@ def test_candles_windowed_stream_watermark(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ck")).start())
     q.processAllAvailable()
     q.stop()
-    got = {str(r["bucket_start"]): r.asDict() for r in spark.sql("SELECT * FROM wc").collect()}
+    got = {utc_str(r["bucket_start"]): r.asDict() for r in spark.sql("SELECT * FROM wc").collect()}
     first = got["2024-12-20 10:00:00"]
     assert (first["open"], first["close"], first["high"], first["low"], first["volume"]) == (
         100.0, 103.0, 103.0, 100.0, 3,
@@ -91,7 +93,7 @@ def test_streaming_session_window(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "swck")).start())
     q.processAllAvailable()
     q.stop()
-    got = {(r["user_id"], str(r["start"])): r["n"] for r in spark.sql("SELECT * FROM sw").collect()}
+    got = {(r["user_id"], utc_str(r["start"])): r["n"] for r in spark.sql("SELECT * FROM sw").collect()}
     assert got[(1, "2024-12-20 10:00:00")] == 2
     assert got[(1, "2024-12-20 10:03:20")] == 1
 
