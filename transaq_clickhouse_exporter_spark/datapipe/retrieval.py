@@ -324,10 +324,14 @@ def doc_search_lsh(
 
 def index_stream_sink(index_root: str, size: int = 64, stride: int = 48,
                       dim: int = 16, text_col: str = "text",
-                      id_col: str = "doc_id", batch_embedder=None):
+                      id_col: str = "doc_id", batch_embedder=None,
+                      bucket_planes: int | None = None):
     """``foreachBatch`` sink: chunk+embed THIS batch's documents and
     write them to ``<index_root>/b<batch_id>`` (overwrite = idempotent
-    crash replay)."""
+    crash replay).  ``bucket_planes`` persists the LSH bucket column
+    with each increment — REQUIRED for a maintained index to stay on
+    :func:`doc_search_lsh`'s fast path (SCALE.md measured per-search
+    bucket assignment to cost more than the cosine work it saves)."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -335,6 +339,7 @@ def index_stream_sink(index_root: str, size: int = 64, stride: int = 48,
         build_chunk_index(
             batch, size=size, stride=stride, dim=dim,
             text_col=text_col, id_col=id_col, batch_embedder=batch_embedder,
+            bucket_planes=bucket_planes,
         ).write.mode("overwrite").parquet(f"{index_root}/b{int(batch_id)}")
 
     return _sink
