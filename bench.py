@@ -95,7 +95,22 @@ def main() -> None:
     # (44.5s with AQE vs 56.5s without, whole catalog, sequential).
     # FAIR scheduling so concurrent panel queries share executor slots
     # instead of convoying behind the largest job.
+    # Canary-GATED start (VERDICT r6 item 4): the committed BENCH
+    # artifact should measure the engine, not a hypervisor contention
+    # window (NOTES.md: same code spans 5-70 s cold at eff32 0.12 vs
+    # 0.5).  Probe the host; while parallel efficiency is below the
+    # floor, wait briefly and re-probe — bounded at ~2 min so a busy
+    # host still produces an artifact (with its honest canary attached).
+    floor = float(os.environ.get("SPARK_GRAFT_CANARY_FLOOR", "0.5"))
+    waits = (20, 30, 40, 30)  # seconds between re-probes
     canary = _host_canary()
+    for w in waits:
+        if canary["eff32"] >= floor:
+            break
+        time.sleep(w)
+        # always keep the LATEST probe: it is the one contemporaneous
+        # with the run that follows (a max would overstate the host)
+        canary = _host_canary()
     spark = get_spark(app="tce-bench", extra={"spark.scheduler.mode": "FAIR"})
 
     register_views(spark, sf_dir)
