@@ -97,6 +97,44 @@ def test_window_funnel_ch_default_mode_semantics(spark):
     assert {u: l for u, l in got_sql.items() if l > 0} == want
 
 
+def test_window_funnel_strict_increase_mode(spark):
+    """CH 'strict_increase': chain timestamps must strictly increase —
+    the equal-timestamp advance allowed in default mode is refused;
+    anchors still follow CH's greedy latest-slot rule."""
+    rows = [
+        (1, "a", 100), (1, "b", 100),            # equal ts -> level 1
+        (2, "a", 100), (2, "b", 200), (2, "c", 200),  # c at b's ts -> 2
+        (3, "a", 100), (3, "b", 200), (3, "c", 300),  # increasing -> 3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    ev.createOrReplaceTempView("wf_strict_events")
+    q = (
+        "SELECT user_id, windowFunnel(3600, {mode})(ts_s, event_type='a', "
+        "event_type='b', event_type='c') AS lvl "
+        "FROM wf_strict_events GROUP BY user_id"
+    )
+    strict = {
+        r.user_id: r.lvl
+        for r in cc.run_ch_sql(spark, q.format(mode="'strict_increase'")).collect()
+    }
+    assert strict == {1: 1, 2: 2, 3: 3}
+    default = {
+        r.user_id: r.lvl
+        for r in cc.run_ch_sql(
+            spark,
+            "SELECT user_id, windowFunnel(3600)(ts_s, event_type='a', "
+            "event_type='b', event_type='c') AS lvl "
+            "FROM wf_strict_events GROUP BY user_id",
+        ).collect()
+    }
+    assert default == {1: 2, 2: 3, 3: 3}
+    # unsupported modes raise instead of mistranslating
+    with pytest.raises(cc.UnsupportedChSql):
+        cc.translate_ch_sql(q.format(mode="'strict_order'"))
+    with pytest.raises(cc.UnsupportedChSql):
+        cc.translate_ch_sql(q.format(mode="'strict_deduplication'"))
+
+
 def test_sequence_count_matches_token_strings(spark, events):
     got = {
         r.user_id: r.c

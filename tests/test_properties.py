@@ -104,3 +104,33 @@ def test_range_join_bin_cover(t, s, dur, w):
     e = s + dur
     if s <= t < e:
         assert s // w <= t // w <= (e - 1) // w
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=400),
+    st.integers(2, 12),  # m counters
+)
+def test_space_saving_invariants(stream, m):
+    """Metwally et al.'s guarantees, for ANY stream and counter budget:
+    (1) state never exceeds m counters; (2) every resident estimate
+    overestimates by at most N/m (and never underestimates); (3) any
+    value with true count > N/m is resident; (4) with distinct <= m
+    the counts are exact."""
+    from collections import Counter
+
+    from transaq_clickhouse_exporter_spark.functions.topk import SpaceSaving
+
+    sk = SpaceSaving(m)
+    for v in stream:
+        sk.add(v)
+        assert len(sk.counters) <= m
+    true = Counter(stream)
+    n = len(stream)
+    for v, est in sk.counters.items():
+        assert true[v] <= est <= true[v] + n // m
+    for v, c in true.items():
+        if c > n // m:
+            assert v in sk.counters, (v, c, n, m)
+    if len(true) <= m:
+        assert dict(sk.counters) == dict(true)

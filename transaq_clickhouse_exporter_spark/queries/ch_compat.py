@@ -40,9 +40,10 @@ Two mechanisms, used together by :func:`run_ch_sql`:
      ``r[0]=flag1, r[i]=flag1·flag_i``  (CH's bitmask state)
    - ``sequenceMatch/sequenceCount('pat')(ts, c1…)`` → regex over a
      per-group token string (`functions/seqmatch.py` contract)
-   - ``windowFunnel(w)(ts, c1…)`` → one-pass fold over sorted events,
-     CH default-mode exact (max over all anchors, equal ts allowed;
-     `functions/funnel.py window_funnel_ch` is the DataFrame twin)
+   - ``windowFunnel(w[, mode])(ts, c1…)`` → one-pass fold over sorted
+     events, CH default-mode exact (max over all anchors, equal ts
+     allowed; `functions/funnel.py window_funnel_ch` is the DataFrame
+     twin); ``'strict_increase'`` supported, other modes raise
    - ``quantileTiming/quantileTDigest(q)(x)`` → ``percentile_approx``
    - ``arrayJoin/argMax/argMin/groupArray/groupUniqArray`` → renames
 
@@ -690,6 +691,23 @@ def _funnel_expr(params: str, args: list[str]) -> str:
     keeping the generated expression linear in n."""
     if len(args) < 2:
         raise UnsupportedChSql("windowFunnel expects (timestamp, cond…)")
+    parts = _split_args(params)
+    w = parts[0].strip() if parts else ""
+    if not w:
+        raise UnsupportedChSql("windowFunnel expects a window parameter")
+    strict_increase = False
+    for p in parts[1:]:
+        mode = p.strip().strip("'")
+        if mode == "strict_increase":
+            strict_increase = True
+        else:
+            # 'strict_order' / 'strict_deduplication' depend on
+            # non-chain events interleaving — not expressible in this
+            # per-matched-condition fold; raise rather than mistranslate
+            raise UnsupportedChSql(
+                f"windowFunnel mode {mode!r} is not supported "
+                "(default and 'strict_increase' are)"
+            )
     ts, conds = args[0], args[1:]
     n = len(conds)
     t_expr = f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
@@ -702,18 +720,27 @@ def _funnel_expr(params: str, args: list[str]) -> str:
         + "), x -> x.m AND x.t IS NOT NULL)"
     )
     evs = f"array_sort(flatten(collect_list({per_row})))"
-    init = f"CAST(array({', '.join(['NULL'] * n)}) AS ARRAY<DOUBLE>)"
-    w = params.strip()
-    upd = ["CASE WHEN e.i = 1 THEN e.t ELSE acc[0] END"]
+    # state slot per level: (a = chain anchor ts, l = that level's own
+    # event ts).  Default mode only reads a; strict_increase adds CH's
+    # `timestamp > previous stage's event` check on l (CH keeps the
+    # same single greedy slot per level in strict mode — mirrored).
+    null_slot = "named_struct('a', CAST(NULL AS DOUBLE), 'l', CAST(NULL AS DOUBLE))"
+    init = f"array({', '.join([null_slot] * n)})"
+    upd = [
+        "CASE WHEN e.i = 1 THEN named_struct('a', e.t, 'l', e.t) "
+        "ELSE acc[0] END"
+    ]
     for i in range(1, n):
+        strict = f"AND e.t > acc[{i - 1}].l " if strict_increase else ""
         upd.append(
-            f"CASE WHEN e.i = {i + 1} AND acc[{i - 1}] IS NOT NULL "
-            f"AND e.t <= acc[{i - 1}] + ({w}) "
-            f"THEN acc[{i - 1}] ELSE acc[{i}] END"
+            f"CASE WHEN e.i = {i + 1} AND acc[{i - 1}].a IS NOT NULL "
+            f"AND e.t <= acc[{i - 1}].a + ({w}) {strict}"
+            f"THEN named_struct('a', acc[{i - 1}].a, 'l', e.t) "
+            f"ELSE acc[{i}] END"
         )
     return (
         f"aggregate({evs}, {init}, (acc, e) -> array({', '.join(upd)}), "
-        f"acc -> size(filter(acc, x -> x IS NOT NULL)))"
+        f"acc -> size(filter(acc, x -> x.a IS NOT NULL)))"
     )
 
 
