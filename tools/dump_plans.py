@@ -55,6 +55,8 @@ PICKS = {
     "dp30_chunk_documents": "chunking: single codegen span — split → posexplode over the stride grid, ZERO exchanges",
     "dp31_chunk_search": "chunk search (BLAS): zero-shuffle mapInPandas score+partial-pool, then pooled-agg + WindowGroupLimit top-k",
     "op07_aggregating_states": "aggregating states: per-batch ONE two-level hash agg (scalars ride the register pass), state merge, finalize join",
+    "db18_dst_spring_buckets": "DST evidence: codegen epoch arithmetic + tz-rule shift, one partial→final agg",
+    "ev14_window_funnel_ch": "CH-exact windowFunnel: chained RANGE running-max windows over ONE sort/exchange, then partial→final agg",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
