@@ -300,3 +300,78 @@ def test_everyday_scalar_rewrites(spark):
         translate_ch_sql("SELECT multiIf(a, b) FROM t")
     with pytest.raises(UnsupportedChSql):
         translate_ch_sql("SELECT splitByChar(sep_col, s) FROM t")
+
+
+def test_asof_join_bridge(spark):
+    """CH `ASOF JOIN` through run_ch_sql: bare form is INNER, LEFT
+    keeps unmatched rows; key columns may differ in name; the rest of
+    the statement (WHERE/GROUP BY/aliases) keeps working against the
+    bridged view."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+    spark.createDataFrame(
+        [("SBER", 100, 250.0), ("SBER", 200, 251.0), ("GAZP", 150, 170.0),
+         ("LKOH", 50, 6000.0)],
+        "sec string, t_tr long, price double",
+    ).createOrReplaceTempView("asof_tr")
+    spark.createDataFrame(
+        [("SBER", 90, 249.5), ("SBER", 180, 250.5), ("GAZP", 150, 169.5)],
+        "qsec string, t_q long, bid double",
+    ).createOrReplaceTempView("asof_q")
+
+    inner = {
+        (r.sec, r.t_tr): (r.bid, r.t_q_out if hasattr(r, "t_q_out") else None)
+        for r in run_ch_sql(
+            spark,
+            "SELECT a.sec, a.t_tr, b.bid FROM asof_tr a ASOF JOIN asof_q b "
+            "ON a.sec = b.qsec AND a.t_tr >= b.t_q",
+        ).collect()
+    }
+    # SBER@100 -> quote@90; SBER@200 -> quote@180; GAZP@150 -> 150
+    # (inclusive); LKOH has no quote -> dropped by the INNER form
+    assert {k: v[0] for k, v in inner.items()} == {
+        ("SBER", 100): 249.5, ("SBER", 200): 250.5, ("GAZP", 150): 169.5,
+    }
+
+    left = {
+        (r.sec, r.t_tr): r.bid
+        for r in run_ch_sql(
+            spark,
+            "SELECT sec, t_tr, bid FROM asof_tr a ASOF LEFT JOIN asof_q b "
+            "ON a.sec = b.qsec AND a.t_tr >= b.t_q",
+        ).collect()
+    }
+    assert left[("LKOH", 50)] is None and len(left) == 4
+
+    # mirrored <= inequality + aggregation over the bridged view
+    agg = run_ch_sql(
+        spark,
+        "SELECT sec, count(*) AS n, max(bid) AS top_bid "
+        "FROM asof_tr a ASOF JOIN asof_q b "
+        "ON b.qsec = a.sec AND b.t_q <= a.t_tr "
+        "WHERE a.price > 200 GROUP BY sec ORDER BY sec",
+    ).collect()
+    assert [(r.sec, r.n, r.top_bid) for r in agg] == [("SBER", 2, 250.5)]
+
+
+def test_asof_join_bridge_rejects_unsupported_forms(spark):
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        UnsupportedChSql,
+        _bridge_asof_join,
+    )
+
+    for bad in (
+        # strict inequality
+        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.sec = b.qsec AND a.t_tr > b.t_q",
+        # no equality
+        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.t_tr >= b.t_q",
+        # two inequalities
+        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.sec = b.qsec "
+        "AND a.t_tr >= b.t_q AND a.t_tr <= b.t_q",
+        # unqualified column
+        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON sec = qsec AND a.t_tr >= b.t_q",
+        # inequality pointing the wrong way
+        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.sec = b.qsec AND b.t_q >= a.t_tr",
+    ):
+        with pytest.raises(UnsupportedChSql):
+            _bridge_asof_join(spark, bad, None)

@@ -36,10 +36,14 @@ def asof_join(
     left_ts: str = "time",
     right_ts: str = "time",
     tolerance_seconds: int | None = None,
+    right_ts_out: str | None = None,
 ) -> DataFrame:
     """Left as-of join.  Right payload columns (everything except
     ``by`` + ``right_ts``) appear on the output with their own names;
-    left rows with no prior right row get NULLs."""
+    left rows with no prior right row get NULLs.  ``right_ts_out``
+    additionally emits the MATCHED right row's timestamp under that
+    name (NULL = no match) — the match indicator ClickHouse's inner
+    ``ASOF JOIN`` semantics need."""
     by = list(by)
     if left_ts in by or right_ts in by:
         raise ValueError("timestamp column must not be a key column")
@@ -93,7 +97,15 @@ def asof_join(
         out = out.select(
             *by, left_ts, *l_cols,
             *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload],
+            *(
+                [F.when(stale, F.lit(None)).otherwise(F.col("__rts")).alias(right_ts_out)]
+                if right_ts_out
+                else []
+            ),
         )
     else:
-        out = out.select(*by, left_ts, *l_cols, *payload)
+        out = out.select(
+            *by, left_ts, *l_cols, *payload,
+            *([F.col("__rts").alias(right_ts_out)] if right_ts_out else []),
+        )
     return out

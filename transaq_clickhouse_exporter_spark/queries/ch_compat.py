@@ -302,8 +302,10 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     sql = _array_join_clause(sql)
     if _scan_toplevel(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
         raise UnsupportedChSql(
-            "ASOF JOIN has no Spark SQL equivalent — use "
-            "operators/asof.asof_join (union+window, single shuffle)"
+            "ASOF JOIN has no Spark SQL equivalent — run_ch_sql bridges "
+            "the simple-table form through operators/asof.asof_join "
+            "(union+window, single shuffle); for DataFrames use that "
+            "operator directly"
         )
     # GLOBAL IN / GLOBAL JOIN: CH's distributed-subquery hint; the
     # relational meaning is plain IN / JOIN (Catalyst plans shipping).
@@ -908,6 +910,133 @@ def substitute(sql: str, params: Mapping[str, object]) -> str:
     return re.sub(r"\$\{(\w+)\}|\$(\w+)", repl, sql)
 
 
+#: monotone suffix for bridged ASOF temp-view names
+_ASOF_VIEW_SEQ = [0]
+
+
+def _bridge_asof_join(
+    spark: SparkSession, sql: str, table_map: Mapping[str, str] | None
+) -> str:
+    """Rewrite CH's ``FROM t1 [a] ASOF [LEFT] JOIN t2 [b] ON equi…
+    AND l.ts >= r.ts`` through :func:`operators.asof.asof_join`: the
+    joined result registers as a temp view and the statement's FROM
+    clause (plus both sides' alias qualifiers) rewrite against it.
+
+    Supported subset (raise-don't-mistranslate elsewhere): ONE ASOF
+    JOIN of two named tables/views, conjunctive ON with ≥1 equality
+    and exactly one inclusive inequality (``l.ts >= r.ts`` or
+    ``r.ts <= l.ts``), qualified columns in ON, and no payload column
+    collisions between the sides.  CH semantics preserved: bare ASOF
+    JOIN is INNER (unmatched left rows drop — gated on the matched
+    right timestamp), ASOF LEFT JOIN keeps them with NULLs.  Plan
+    shape is the operator's: union + one keyed window, single
+    shuffle, no nested-loop join."""
+    import re
+
+    from ..operators.asof import asof_join
+
+    sh = _mask_literals(sql)
+    if not re.search(r"(?i)\bASOF\s+(?:LEFT\s+)?JOIN\b", sh):
+        return sql
+    pat = re.compile(
+        r"(?is)\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b)([A-Za-z_]\w*))?"
+        r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\s+"
+    )
+    ms = list(pat.finditer(sh))
+    if not ms:
+        raise UnsupportedChSql(
+            "ASOF JOIN form not recognized — supported: FROM t1 [a] "
+            "ASOF [LEFT] JOIN t2 [b] ON equi… AND l.ts >= r.ts"
+        )
+    if len(ms) > 1:
+        raise UnsupportedChSql("only one ASOF JOIN per statement is supported")
+    m = ms[0]
+    t1, a1, left_kw, t2, a2 = m.groups()
+    rest = sh[m.end():]
+    stop = re.search(
+        r"(?is)\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|"
+        r"UNION|WINDOW)\b|\)",
+        rest,
+    )
+    cond_end = m.end() + (stop.start() if stop else len(rest))
+    left_names = {n for n in (t1, a1) if n}
+    right_names = {n for n in (t2, a2) if n}
+    keys: list[tuple[str, str]] = []
+    lts = rts = None
+    part_re = re.compile(r"^\s*(\w+)\.(\w+)\s*(>=|<=|=)\s*(\w+)\.(\w+)\s*$")
+    for part in re.split(r"(?i)\bAND\b", sql[m.end():cond_end]):
+        pm = part_re.match(part)
+        if not pm:
+            raise UnsupportedChSql(
+                f"unsupported ASOF ON term {part.strip()!r} (qualified "
+                "`x.col OP y.col` conjunction only)"
+            )
+        q1, c1, op, q2, c2 = pm.groups()
+        if op == "=":
+            if q1 in left_names and q2 in right_names:
+                keys.append((c1, c2))
+            elif q1 in right_names and q2 in left_names:
+                keys.append((c2, c1))
+            else:
+                raise UnsupportedChSql(f"ASOF ON equality {part.strip()!r} "
+                                       "must relate the two join sides")
+        else:
+            if lts is not None:
+                raise UnsupportedChSql("ASOF JOIN needs exactly one inequality")
+            if op == ">=" and q1 in left_names and q2 in right_names:
+                lts, rts = c1, c2
+            elif op == "<=" and q1 in right_names and q2 in left_names:
+                lts, rts = c2, c1
+            else:
+                raise UnsupportedChSql(
+                    f"ASOF inequality {part.strip()!r} must be "
+                    "`left.ts >= right.ts` (or the mirrored <=)"
+                )
+    if not keys or lts is None:
+        raise UnsupportedChSql(
+            "ASOF JOIN needs at least one equality and exactly one "
+            "inequality in ON"
+        )
+    tmap = dict(table_map or {})
+    ldf = spark.table(tmap.get(t1, t1))
+    rdf = spark.table(tmap.get(t2, t2))
+    for lk, rk in keys:
+        if rk != lk:
+            if rts == rk:
+                rts = lk
+            rdf = rdf.withColumnRenamed(rk, lk)
+    try:
+        joined = asof_join(
+            ldf, rdf, by=[lk for lk, _ in keys],
+            left_ts=lts, right_ts=rts, right_ts_out="__asof_rts",
+        )
+    except ValueError as e:
+        raise UnsupportedChSql(
+            f"ASOF JOIN bridge: {e} — alias colliding columns away in a "
+            "subquery, or call operators/asof.asof_join directly"
+        ) from e
+    from pyspark.sql import functions as F
+
+    if not left_kw:  # CH bare ASOF JOIN is INNER
+        joined = joined.filter(F.col("__asof_rts").isNotNull())
+    joined = joined.drop("__asof_rts")
+    name = f"__ch_asof_{_ASOF_VIEW_SEQ[0]}"
+    _ASOF_VIEW_SEQ[0] += 1
+    joined.createOrReplaceTempView(name)
+    new_sql = sql[: m.start()] + f"FROM {name} " + sql[cond_end:]
+    # strip now-dangling side qualifiers (a.x / t1.x → x), literals safe
+    quals = sorted(left_names | right_names, key=len, reverse=True)
+    qre = re.compile(r"\b(?:" + "|".join(map(re.escape, quals)) + r")\.(?=[A-Za-z_`])")
+    sh2 = _mask_literals(new_sql)
+    out, last = [], 0
+    for qm in qre.finditer(sh2):
+        out.append(new_sql[last : qm.start()])
+        last = qm.end()
+    out.append(new_sql[last:])
+    return "".join(out)
+
+
 def run_ch_sql(
     spark: SparkSession,
     sql: str,
@@ -920,6 +1049,7 @@ def run_ch_sql(
     if params:
         sql = substitute(sql, params)
     register_ch_functions(spark)
+    sql = _bridge_asof_join(spark, sql, table_map)
     text = translate_ch_sql(sql, table_map)
     # CH resolves an unqualified column that exists on both join sides
     # to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.  Emulate the
