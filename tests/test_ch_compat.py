@@ -61,7 +61,7 @@ def test_translate_final_and_literals():
 
 def test_unsupported_raises():
     with pytest.raises(UnsupportedChSql):
-        translate_ch_sql("SELECT topKWeighted(10)(sec_code, w) FROM trades")
+        translate_ch_sql("SELECT sequenceNextNode('forward', 'head')(ts, e, c) FROM t")
     with pytest.raises(UnsupportedChSql):  # time guards need the DP scan
         translate_ch_sql(
             "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a=1, b=2) FROM e"

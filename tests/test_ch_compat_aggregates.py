@@ -284,3 +284,31 @@ def test_retention_expansion_streams(spark, tmp_path):
     q.awaitTermination(300)
     got = {r.user_id: r.r for r in spark.table("ret_out").collect()}
     assert got == {1: [1, 1, 0], 2: [1, 1, 0], 3: [1, 0, 1]}
+
+
+def test_topk_weighted_and_uniq_upto(spark):
+    """topKWeighted ranks by summed weight (count is irrelevant);
+    uniqUpTo is exact up to N and pins N+1 beyond."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 10), ("c", 5), ("c", 1)],
+        "x string, w long",
+    ).createOrReplaceTempView("tw_t")
+    [row] = cc.run_ch_sql(
+        spark, "SELECT topKWeighted(2)(x, w) AS top FROM tw_t"
+    ).collect()
+    assert row.top == ["b", "c"]  # weights: b=10, c=6, a=3
+    [u] = cc.run_ch_sql(
+        spark,
+        "SELECT uniqUpTo(2)(x) AS u2, uniqUpTo(5)(x) AS u5, "
+        "uniqUpTo(3)(x) AS u3 FROM tw_t",
+    ).collect()
+    assert (u.u2, u.u5, u.u3) == (3, 3, 3)  # 3 distinct: capped at 2+1
+    spark.createDataFrame(
+        [(i % 7,) for i in range(50)], "x long"
+    ).createOrReplaceTempView("tw_u")
+    [v] = cc.run_ch_sql(
+        spark, "SELECT uniqUpTo(3)(x) AS u FROM tw_u"
+    ).collect()
+    assert v.u == 4  # 7 distinct > 3 -> N+1
+    with pytest.raises(cc.UnsupportedChSql):
+        cc.translate_ch_sql("SELECT quantileTimingWeighted(0.5)(v, w) FROM t")

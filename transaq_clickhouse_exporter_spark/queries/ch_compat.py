@@ -123,6 +123,17 @@ _SCALAR_SHIMS: dict[str, str] = {
         "v -> struct(-size(filter(xs, y -> y <=> v)) AS nc, v AS val))), "
         "s -> s.val), 1, k)"
     ),
+    # weighted twin: rank by summed weight instead of row count, same
+    # (-weight, value asc) tie rule (`topKWeighted(k)(x, w)`)
+    "ch_topk_weighted": (
+        "(xs ARRAY<STRUCT<v: STRING, w: BIGINT>>, k INT) "
+        "RETURNS ARRAY<STRING> RETURN "
+        "slice(transform(array_sort(transform("
+        "array_distinct(transform(xs, e -> e.v)), "
+        "v -> struct(-aggregate(filter(xs, y -> y.v <=> v), "
+        "CAST(0 AS BIGINT), (a, y) -> a + y.w) AS nw, v AS val))), "
+        "s -> s.val), 1, k)"
+    ),
 }
 
 
@@ -199,7 +210,7 @@ _PARAMETERIZED_PLURAL = {
 #: recognized-but-unsupported: raise instead of mistranslating.
 #: (weighted/sketch-state variants whose semantics have no faithful
 #: single-expression Spark mapping in this subset)
-_UNSUPPORTED = {"topKWeighted", "quantileTimingWeighted", "sequenceNextNode",
+_UNSUPPORTED = {"quantileTimingWeighted", "sequenceNextNode",
                 "uniqTheta", "groupArrayMovingAvg", "groupArrayMovingSum"}
 
 
@@ -624,6 +635,34 @@ def _topk_expr(params: str, args: list[str]) -> str:
     return f"ch_topk(collect_list(CAST({args[0]} AS STRING)), {k})"
 
 
+def _topk_weighted_expr(params: str, args: list[str]) -> str:
+    """``topKWeighted(k)(x, w)`` — rank by summed weight; same string
+    rendering and (-weight, value asc) tie rule as ``topK``."""
+    k = params.strip()
+    if not k.isdigit():
+        raise UnsupportedChSql("topKWeighted(k) expects an integer literal parameter")
+    if len(args) != 2:
+        raise UnsupportedChSql("topKWeighted(k)(x, w) expects exactly two arguments")
+    return (
+        f"ch_topk_weighted(collect_list(struct(CAST({args[0]} AS STRING) AS v, "
+        f"CAST({args[1]} AS BIGINT) AS w)), {k})"
+    )
+
+
+def _uniq_upto_expr(params: str, args: list[str]) -> str:
+    """``uniqUpTo(N)(x…)`` — CH: exact distinct count while ≤ N, else
+    N+1.  Exactly ``least(count(DISTINCT …), N+1)``."""
+    nstr = params.strip()
+    if not nstr.isdigit():
+        raise UnsupportedChSql("uniqUpTo(N) expects an integer literal parameter")
+    if not args:
+        raise UnsupportedChSql("uniqUpTo(N)(x…) expects at least one argument")
+    return (
+        f"least(count(DISTINCT {', '.join(args)}), "
+        f"CAST({int(nstr) + 1} AS BIGINT))"
+    )
+
+
 def _retention_expr(parts: list[str]) -> str:
     """CH retention state is one held-on-ANY-row flag per condition;
     the result pairs each later flag with the first:
@@ -793,13 +832,18 @@ def _rewrite_calls(sql: str) -> str:
                 f"{name}() has no faithful SQL mapping here — use the "
                 f"DataFrame operator (see functions/ and datapipe/)"
             )
-        if name in ("topK", "sequenceMatch", "sequenceCount", "windowFunnel"):
+        if name in ("topK", "topKWeighted", "uniqUpTo",
+                    "sequenceMatch", "sequenceCount", "windowFunnel"):
             if not has_second:
                 raise UnsupportedChSql(f"{name} expects the (params)(args) form")
             close2 = _find_close(sql, k2)
             args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
             if name == "topK":
                 out.append(_topk_expr(inner, args))
+            elif name == "topKWeighted":
+                out.append(_topk_weighted_expr(inner, args))
+            elif name == "uniqUpTo":
+                out.append(_uniq_upto_expr(inner, args))
             elif name == "windowFunnel":
                 out.append(_funnel_expr(inner, args))
             else:
