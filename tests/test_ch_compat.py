@@ -375,3 +375,30 @@ def test_asof_join_bridge_rejects_unsupported_forms(spark):
     ):
         with pytest.raises(UnsupportedChSql):
             _bridge_asof_join(spark, bad, None)
+
+
+def test_array_join_zip_form(spark):
+    """Multi-array ARRAY JOIN iterates arrays in lockstep (CH zip
+    semantics) — bridged via one explode over arrays_zip with alias
+    rewriting; non-simple items still raise."""
+    spark.createDataFrame(
+        [(1, ["a", "b"], [10, 20]), (2, ["c"], [30])],
+        "id long, ks array<string>, vs array<int>",
+    ).createOrReplaceTempView("ajz_t")
+    out = run_ch_sql(
+        spark,
+        "SELECT id, k, v FROM ajz_t ARRAY JOIN ks AS k, vs AS v "
+        "WHERE v > 5 ORDER BY id, v",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "a", 10), (1, "b", 20), (2, "c", 30),
+    ]
+    # aggregation over zipped aliases
+    agg = run_ch_sql(
+        spark,
+        "SELECT k, sum(v) AS s FROM ajz_t ARRAY JOIN ks AS k, vs AS v "
+        "GROUP BY k ORDER BY k",
+    )
+    assert [tuple(r) for r in agg.collect()] == [("a", 10), ("b", 20), ("c", 30)]
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT 1 FROM t ARRAY JOIN f(x) AS a, ys AS b")

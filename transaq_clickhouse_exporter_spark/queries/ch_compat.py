@@ -402,8 +402,44 @@ def _array_join_clause(sql: str) -> str:
         )
         clause = (after if stop is None else after[: stop.start()]).strip()
         tail = "" if stop is None else " " + after[stop.start():]
-        if "," in clause.split(" AS ")[0] and clause.count(",") >= 1 and " AS " not in clause:
-            raise UnsupportedChSql("multi-array ARRAY JOIN (zip form) not supported")
+        if "," in clause:
+            # multi-array zip form: `ARRAY JOIN a AS x, b AS y` — CH
+            # iterates the arrays IN LOCKSTEP.  Spark equivalent: one
+            # explode over arrays_zip, aliases rewritten to the zipped
+            # struct's fields.  Restricted to simple aliased column
+            # refs (arrays_zip names fields positionally otherwise).
+            # Deviation (documented): CH errors on unequal lengths,
+            # arrays_zip NULL-pads — identical on every CH-valid input.
+            items = []
+            for part in clause.split(","):
+                im = re.match(
+                    r"(?is)^\s*([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*$", part
+                )
+                if not im:
+                    raise UnsupportedChSql(
+                        "multi-array ARRAY JOIN supports only simple "
+                        "aliased columns (`arr AS x, arr2 AS y`)"
+                    )
+                items.append((im.group(1), im.group(2)))
+            zipped = ", ".join(c for c, _ in items)
+            sql = (
+                sql[: m.start()]
+                + f" LATERAL VIEW {outer}explode(arrays_zip({zipped})) "
+                + "__ajz AS __zr"
+                + tail
+            )
+            sh = _mask_literals(sql)
+            for col, alias in items:
+                pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\b")
+                out, last = [], 0
+                for am2 in pat.finditer(sh):
+                    out.append(sql[last : am2.start()])
+                    out.append(f"__zr.{col}")
+                    last = am2.end()
+                out.append(sql[last:])
+                sql = "".join(out)
+                sh = _mask_literals(sql)
+            continue
         am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*|`[^`]*`)\s*$", clause)
         head = sql[: m.start()]
         if am:
