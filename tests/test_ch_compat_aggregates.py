@@ -310,5 +310,11 @@ def test_topk_weighted_and_uniq_upto(spark):
         spark, "SELECT uniqUpTo(3)(x) AS u FROM tw_u"
     ).collect()
     assert v.u == 4  # 7 distinct > 3 -> N+1
-    with pytest.raises(cc.UnsupportedChSql):
-        cc.translate_ch_sql("SELECT quantileTimingWeighted(0.5)(v, w) FROM t")
+    # TimingWeighted maps to the exact weighted percentile (same
+    # honest-analogue rule as quantileTiming -> percentile_approx)
+    [qt] = cc.run_ch_sql(
+        spark, "SELECT quantileTimingWeighted(0.5)(w, w) AS q FROM tw_t"
+    ).collect()
+    # weight-expanded multiset {1x4, 5x5, 10x10} (19 elems): the 0.5
+    # interpolated rank (10th) lands on 10
+    assert qt.q == 10.0

@@ -147,3 +147,23 @@ def test_db18_catalog_entry_skips_nonexistent_local_hour(spark, sf_smoke):
         assert off == (4 * 3600 if r.bucket_s >= transition else 3 * 3600), r
     offs = {r.msk_bucket_s - r.bucket_s for r in rows}
     assert offs == {3 * 3600, 4 * 3600}, "range must cross the transition"
+
+
+def test_db19_catalog_entry_repeats_ambiguous_local_hour(spark, sf_smoke):
+    """Fall-back twin: the 2010-10-31 Moscow transition repeats the
+    local 02:xx hour — at least one Moscow wall-clock bucket must be
+    shared by TWO distinct UTC buckets, and the offset must step
+    +4h -> +3h at 2010-10-30 23:00 UTC."""
+    from collections import Counter
+
+    from transaq_clickhouse_exporter_spark.queries.parity import run
+
+    rows = run(spark, sf_smoke, "db19_dst_fall_buckets").collect()
+    assert rows
+    transition = 1288479600  # 2010-10-30 23:00:00 UTC
+    for r in rows:
+        off = r.msk_bucket_s - r.bucket_s
+        assert off == (3 * 3600 if r.bucket_s >= transition else 4 * 3600), r
+    assert {r.msk_bucket_s - r.bucket_s for r in rows} == {3 * 3600, 4 * 3600}
+    dup = Counter(r.msk_bucket_s for r in rows)
+    assert max(dup.values()) == 2  # the ambiguous hour renders twice

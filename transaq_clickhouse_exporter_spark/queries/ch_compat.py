@@ -210,7 +210,7 @@ _PARAMETERIZED_PLURAL = {
 #: recognized-but-unsupported: raise instead of mistranslating.
 #: (weighted/sketch-state variants whose semantics have no faithful
 #: single-expression Spark mapping in this subset)
-_UNSUPPORTED = {"quantileTimingWeighted", "sequenceNextNode",
+_UNSUPPORTED = {"sequenceNextNode",
                 "uniqTheta", "groupArrayMovingAvg", "groupArrayMovingSum"}
 
 
@@ -924,12 +924,15 @@ def _rewrite_calls(sql: str) -> str:
             )
             i = close2 + 1
             continue
-        if name == "quantileExactWeighted" and has_second:
+        if name in ("quantileExactWeighted", "quantileTimingWeighted") and has_second:
             close2 = _find_close(sql, k2)
             args = _split_args(_rewrite_calls(sql[k2 + 1 : close2]))
             if len(args) != 2:
-                raise UnsupportedChSql("quantileExactWeighted(q)(x, w) expects 2 args")
-            # Spark percentile's third argument IS the frequency weight
+                raise UnsupportedChSql(f"{name}(q)(x, w) expects 2 args")
+            # Spark percentile's third argument IS the frequency weight.
+            # TimingWeighted maps to the EXACT weighted percentile —
+            # the same honest-analogue treatment as quantileTiming
+            # (CH's timing sketch is itself approximate).
             out.append(f"percentile({args[0]}, {inner.strip()}, {args[1]})")
             i = close2 + 1
             continue

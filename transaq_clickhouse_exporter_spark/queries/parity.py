@@ -703,6 +703,61 @@ def _dashboard_specs() -> list[QuerySpec]:
             tags=("dashboard", "interval", "dst"),
         )
     )
+    # ---- fall-back twin (tail): 2010-10-31 Moscow DST end — the
+    # local 02:xx hour occurs TWICE (MSD +4 → MSK +3 at 23:00 UTC
+    # 10-30, 1800-aligned), so two UTC buckets share one Moscow
+    # wall-clock bucket; grouping by BOTH keeps them distinct and the
+    # duplication is the evidence (test_dst.py asserts it).
+    _DST_T0_FALL = 1288472400  # 2010-10-30 21:00:00 UTC = 01:00 MSD
+    sp.append(
+        QuerySpec(
+            "db19_dst_fall_buckets",
+            lambda s: (
+                _t(s)
+                .select(
+                    (F.lit(_DST_T0_FALL) + F.pmod(F.col("time_s"), F.lit(21600)))
+                    .alias("t"),
+                    F.col("quantity").cast("long").alias("quantity"),
+                )
+                .withColumn(
+                    "msk_s",
+                    F.unix_timestamp(
+                        F.from_utc_timestamp(
+                            F.timestamp_seconds("t"), "Europe/Moscow"
+                        )
+                    ),
+                )
+                .groupBy(
+                    F.unix_timestamp(
+                        to_start_of_interval(F.timestamp_seconds("t"), 30)
+                    ).alias("bucket_s"),
+                    (F.col("msk_s") - F.pmod(F.col("msk_s"), F.lit(1800)))
+                    .alias("msk_bucket_s"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_trades"),
+                    F.sum("quantity").alias("qty"),
+                )
+                .orderBy("bucket_s")
+            ),
+            f"""
+            SELECT (t // 1800) * 1800 AS bucket_s,
+                   (msk // 1800) * 1800 AS msk_bucket_s,
+                   CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(sum(CAST(quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM (
+              SELECT t,
+                     CAST(epoch(timezone('Europe/Moscow', to_timestamp(t)))
+                          AS BIGINT) AS msk,
+                     quantity
+              FROM (SELECT {_DST_T0_FALL} + (time_s % 21600) AS t, quantity
+                    FROM trades)
+            )
+            GROUP BY 1, 2 ORDER BY 1
+            """,
+            tags=("dashboard", "interval", "dst"),
+        )
+    )
     # ---- ReplacingMergeTree FINAL dedup (SURVEY §1.5 / O-12) ----
     sp.append(
         QuerySpec(
@@ -3886,6 +3941,7 @@ _TAIL_NAMES = (
                                       # multimodal plumbing pytest-gated
     # round-7 additions start in the tail; they earn rows next round.
     "ev14_window_funnel_ch",
+    "db19_dst_fall_buckets",          # fall-back twin of db18 (in-window)
 )
 
 
