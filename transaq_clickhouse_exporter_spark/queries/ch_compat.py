@@ -152,6 +152,9 @@ _RENAMES = {
     "uniq": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
+    # theta sketches add set-ops CH-side; as a plain aggregate it is
+    # one more approximate-distinct — same mapping as uniq/HLL12
+    "uniqTheta": "approx_count_distinct",
     "countIf": "count_if",
     # CH timestampAdd/timestamp_add(unit, n, ts) == Spark timestampadd
     "timestamp_add": "timestampadd",
@@ -211,7 +214,7 @@ _PARAMETERIZED_PLURAL = {
 #: (weighted/sketch-state variants whose semantics have no faithful
 #: single-expression Spark mapping in this subset)
 _UNSUPPORTED = {"sequenceNextNode",
-                "uniqTheta", "groupArrayMovingAvg", "groupArrayMovingSum"}
+                "groupArrayMovingAvg", "groupArrayMovingSum"}
 
 
 def _find_close(sql: str, open_idx: int) -> int:
