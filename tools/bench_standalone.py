@@ -40,6 +40,8 @@ PICKS = [
     "an08_gap_fill", "an09_twap", "an10_weighted_quantiles",
     "ev12_retention", "dp30_chunk_documents", "dp31_chunk_search",
     "op07_aggregating_states", "dp32_chunk_search_lsh",
+    "db18_dst_spring_buckets", "db19_dst_fall_buckets",
+    "ev14_window_funnel_ch", "ev13_heavy_hitters",
 ]
 
 
