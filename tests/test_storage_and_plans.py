@@ -247,3 +247,24 @@ def test_approx_top_k_high_cardinality_partition(spark):
     df = spark.createDataFrame(rows, "sec_code string").coalesce(1)
     got = approx_top_k(df, "sec_code", 5, candidates_per_partition=60).collect()
     assert [(r[0], r[1]) for r in got] == [(f"HOT{j}", 200) for j in range(5)]
+
+
+def test_window_funnel_ch_single_sort_plan(spark):
+    """The CH-exact funnel's k-1 RANGE running maxes must share ONE
+    exchange + ONE sort (chained Window operators), then aggregate —
+    the plan shape its 100 TB story claims."""
+    import re
+
+    from transaq_clickhouse_exporter_spark.functions.funnel import window_funnel_ch
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1)], "user_id long, event_type string, ts_s long"
+    )
+    conds = [F.col("event_type") == t for t in ("a", "b", "c", "d")]
+    plan = (
+        window_funnel_ch(ev, conds, window=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+    assert len(re.findall(r"\bWindow \[", plan)) == 3  # k-1 chained
