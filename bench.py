@@ -75,6 +75,7 @@ def _host_canary() -> dict:
 #: catalog entry not listed here just runs after these.
 HEAVY_FIRST = [
     "op01_dedup_last_write_wins", "op07_aggregating_states",
+    "dp32_chunk_search_lsh",
     "dp31_chunk_search", "dp05_minhash_lsh_near_dups",
     "in05_candle_builder_exact", "op04_asof_join", "an03_minute_returns",
     "dp28_bigram_lm", "dp26_semantic_dedup", "dp25_bm25_topk",
