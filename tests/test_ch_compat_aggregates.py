@@ -318,3 +318,70 @@ def test_topk_weighted_and_uniq_upto(spark):
     # weight-expanded multiset {1x4, 5x5, 10x10} (19 elems): the 0.5
     # interpolated rank (10th) lands on 10
     assert qt.q == 10.0
+
+
+def test_window_funnel_randomized_vs_reference_simulation(spark):
+    """60 random event sets (dense small timestamps -> plenty of
+    equal-ts collisions) checked against a direct simulation of CH's
+    greedy slot algorithm, for BOTH engines (running-max DataFrame op,
+    SQL fold) and BOTH modes (default, strict_increase)."""
+    import random
+
+    n_conds, window = 3, 7
+
+    def ref_level(evs, strict):
+        # CH AggregateFunctionWindowFunnel: events sorted by ts (cond
+        # index ascending at ties = our deterministic tie contract);
+        # one (anchor, last_event_ts) slot per level, greedy overwrite.
+        slots = [None] * n_conds
+        for t, i in sorted(evs):
+            if i == 1:
+                slots[0] = (t, t)
+            elif slots[i - 2] is not None:
+                a, last = slots[i - 2]
+                if t <= a + window and (not strict or t > last):
+                    slots[i - 1] = (a, t)
+        return sum(1 for s in slots if s is not None)
+
+    rng = random.Random(1234)
+    rows, want_default, want_strict = [], {}, {}
+    for u in range(60):
+        evs = [
+            (rng.randrange(0, 15), rng.randrange(1, n_conds + 1))
+            for _ in range(rng.randrange(0, 13))
+        ]
+        for t, i in evs:
+            rows.append((u, f"e{i}", t))
+        want_default[u] = ref_level(evs, strict=False)
+        want_strict[u] = ref_level(evs, strict=True)
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    ev.createOrReplaceTempView("wf_rand_events")
+
+    conds = [F.col("event_type") == f"e{i}" for i in range(1, n_conds + 1)]
+    got_df = {
+        r.user_id: r.level
+        for r in window_funnel_ch(ev, conds, window=window).collect()
+    }
+    assert got_df == {u: l for u, l in want_default.items() if l > 0}
+
+    base = (
+        "SELECT user_id, windowFunnel({w}{mode})(ts_s, event_type='e1', "
+        "event_type='e2', event_type='e3') AS lvl "
+        "FROM wf_rand_events GROUP BY user_id"
+    )
+    got_sql = {
+        r.user_id: r.lvl
+        for r in cc.run_ch_sql(spark, base.format(w=window, mode="")).collect()
+    }
+    assert {u: l for u, l in got_sql.items() if l > 0} == {
+        u: l for u, l in want_default.items() if l > 0
+    }
+    got_strict = {
+        r.user_id: r.lvl
+        for r in cc.run_ch_sql(
+            spark, base.format(w=window, mode=", 'strict_increase'")
+        ).collect()
+    }
+    assert {u: l for u, l in got_strict.items() if l > 0} == {
+        u: l for u, l in want_strict.items() if l > 0
+    }
