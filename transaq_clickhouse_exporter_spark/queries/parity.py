@@ -3378,6 +3378,48 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join"),
         )
     )
+    # the ASOF SQL BRIDGE itself (run_ch_sql rewrites CH's ASOF JOIN
+    # through operators/asof): INNER semantics this time (op04 pins
+    # LEFT), oracled against DuckDB's native inner ASOF JOIN.
+    def _asof_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        (
+            s.table("quotes_dup")
+            .groupBy("sec_code", "time_s")
+            .agg(F.max(F.col("price")).alias("quote_price"))
+        ).createOrReplaceTempView("asof_quote_series")
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code, count(*) AS n_trades,
+                   sum(CAST(round(quote_price * 1e6) AS BIGINT))
+                     AS sum_quote_price_micro
+            FROM trades t ASOF JOIN asof_quote_series q
+              ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+            GROUP BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "op08_asof_sql_bridge",
+            _asof_sql,
+            """
+            SELECT sec_code, CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(sum(CAST(round(quote_price * 1e6) AS BIGINT))
+                        AS BIGINT) AS sum_quote_price_micro
+            FROM (
+              SELECT t.sec_code, q.quote_price
+              FROM trades t ASOF JOIN (
+                SELECT sec_code, time_s, max(price) AS quote_price
+                FROM quotes_dup GROUP BY sec_code, time_s) q
+                ON t.sec_code = q.sec_code AND t.time_s >= q.time_s) j
+            GROUP BY sec_code
+            """,
+            tags=("operator", "asof-join", "ch-sql"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -3942,6 +3984,8 @@ _TAIL_NAMES = (
     # round-7 additions start in the tail; they earn rows next round.
     "ev14_window_funnel_ch",
     "db19_dst_fall_buckets",          # fall-back twin of db18 (in-window)
+    "op08_asof_sql_bridge",           # ASOF SQL bridge; operator evidence
+                                      # stays via op04 (in-window, LEFT)
 )
 
 
