@@ -1460,6 +1460,69 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "window-funnel", "ch-exact"),
         )
     )
+
+    # the windowFunnel SQL FOLD itself through run_ch_sql — same CH
+    # default-mode semantics, same oracle as ev14 (the running-max
+    # construction was proved equal to the fold by the randomized
+    # reference-simulation test); gives the dialect expansion its own
+    # driver-checkable row.
+    wf_oracle = sp[-1].oracle
+
+    def _wfunnel_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT CAST(level AS INT) AS level,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id, windowFunnel(604800)(ts_s,
+                    event_type='signup', event_type='view',
+                    event_type='click', event_type='purchase') AS level
+                  FROM ev GROUP BY user_id) g
+            WHERE level > 0 GROUP BY level
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev15_window_funnel_sql",
+            _wfunnel_sql,
+            wf_oracle,
+            tags=("events", "window-funnel", "ch-sql"),
+        )
+    )
+
+    # topKWeighted through the dialect, exploded to engine-neutral
+    # (rank, value) rows; oracle = exact weighted ranking with the
+    # shim's (-weight, value asc) tie rule.
+    def _topkw_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT CAST(pos + 1 AS BIGINT) AS rnk, col AS sec_code
+            FROM (SELECT posexplode(t) FROM
+                  (SELECT topKWeighted(5)(sec_code, quantity) AS t
+                   FROM trades))
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev16_topk_weighted_sql",
+            _topkw_sql,
+            """
+            SELECT CAST(row_number() OVER (ORDER BY w DESC, sec_code)
+                        AS BIGINT) AS rnk, sec_code
+            FROM (SELECT sec_code, sum(CAST(quantity AS BIGINT)) AS w
+                  FROM trades GROUP BY sec_code)
+            ORDER BY rnk LIMIT 5
+            """,
+            tags=("events", "topk-weighted", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -3986,6 +4049,8 @@ _TAIL_NAMES = (
     "db19_dst_fall_buckets",          # fall-back twin of db18 (in-window)
     "op08_asof_sql_bridge",           # ASOF SQL bridge; operator evidence
                                       # stays via op04 (in-window, LEFT)
+    "ev15_window_funnel_sql",         # SQL-fold twin of ev14
+    "ev16_topk_weighted_sql",         # weighted topK dialect evidence
 )
 
 
