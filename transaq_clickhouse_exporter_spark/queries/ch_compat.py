@@ -34,8 +34,13 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    - ``FROM t FINAL``            → ``FROM t`` (the engine's views
      already apply ReplacingMergeTree FINAL on read — op01/op02)
 
-   - ``topK(k)(x)``              → ``ch_topk(collect_list(…), k)``
-     (exact counts, tie rule count-desc/value-asc — `functions/topk.py`)
+   - ``topK(k)(x)`` / ``topKWeighted(k)(x, w)`` → a PRE-AGGREGATED
+     two-level rewrite (``_preaggregate_topk``): the enclosing SELECT
+     block re-plans as ``GROUP BY keys, value`` + rank-and-slice so the
+     aggregation state is d-sized (distinct values), never n-sized —
+     the 100 TB-safe plan; unsupported block shapes fall back to the
+     exact ``ch_topk(collect_list(…), k)`` expression (tie rule
+     count-desc/value-asc in both — `functions/topk.py`)
    - ``retention(c1, c2…)``      → per-condition any-row flags,
      ``r[0]=flag1, r[i]=flag1·flag_i``  (CH's bitmask state)
    - ``sequenceMatch/sequenceCount('pat')(ts, c1…)`` → regex over a
@@ -132,6 +137,21 @@ _SCALAR_SHIMS: dict[str, str] = {
         "array_distinct(transform(xs, e -> e.v)), "
         "v -> struct(-aggregate(filter(xs, y -> y.v <=> v), "
         "CAST(0 AS BIGINT), (a, y) -> a + y.w) AS nw, v AS val))), "
+        "s -> s.val), 1, k)"
+    ),
+    # scale-path finisher for the topK pre-aggregation rewrite
+    # (_preaggregate_topk): input is ONE ENTRY PER DISTINCT VALUE
+    # (weight already pre-summed by a hash aggregate), so this is a
+    # d-sized sort+slice, not the O(d·n) rescan of ch_topk.  NULL
+    # values are dropped (CH aggregate functions skip NULLs).  Tie
+    # rule identical to ch_topk / functions/topk.py: weight desc,
+    # value asc.
+    "ch_topk_pre": (
+        "(es ARRAY<STRUCT<w: BIGINT, v: STRING>>, k INT) "
+        "RETURNS ARRAY<STRING> RETURN "
+        "slice(transform(array_sort(transform("
+        "filter(es, e -> e.v IS NOT NULL), "
+        "e -> struct(-e.w AS nw, e.v AS val))), "
         "s -> s.val), 1, k)"
     ),
 }
@@ -325,6 +345,7 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     # relational meaning is plain IN / JOIN (Catalyst plans shipping).
     # Applied outside string literals at ANY depth (subqueries use it).
     sql = _strip_global_hints(sql)
+    sql = _preaggregate_topk(sql)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
 
 
@@ -574,6 +595,476 @@ def _limit_by(sql: str) -> str:
     )
 
 
+# ---- topK pre-aggregation (the scale path) -----------------------------
+# The expression expansion of `topK(k)(x)` / `topKWeighted(k)(x, w)`
+# (`_topk_expr`, ch_topk shim) collects EVERY ROW of the group into one
+# aggregation state and rescans it per distinct value — exact, O(d·n),
+# and OOM-shaped when the group is large (ungrouped over a fact table:
+# the whole table funnels into a single array).  This pass restructures
+# the enclosing SELECT block so the heavy lifting is a plain two-level
+# hash aggregate and the collected array is d-sized (one entry per
+# distinct value, weight pre-summed):
+#
+#   SELECT g, topK(5)(x) AS t, sum(q) AS s FROM tbl WHERE p GROUP BY g
+#     ⇒
+#   SELECT __gk0 AS g,
+#          ch_topk_pre(collect_list(struct(__tk_c AS w, __tk_v AS v)), 5) AS t,
+#          sum(__p0) AS s
+#   FROM (SELECT g AS __gk0, CAST(x AS STRING) AS __tk_v,
+#                count(*) AS __tk_c, sum(q) AS __p0
+#         FROM tbl WHERE p GROUP BY g, __tk_v) __tkpre
+#   GROUP BY __gk0
+#
+# Sibling aggregates combine from per-value partials (sum→sum,
+# count→sum, min/max→min/max, *If likewise, avg→sum/count).  Results
+# are identical to the expression expansion (same string rendering,
+# same weight-desc/value-asc tie rule) except that NULL values are now
+# skipped on the weighted path too, matching ClickHouse.  Blocks that
+# do not fit the supported shape — non-decomposable sibling aggregates,
+# DISTINCT, window functions in the SELECT list, positional/rollup
+# GROUP BY, LIMIT BY, topK in HAVING/ORDER BY, differing topK argument
+# expressions — FALL BACK to the n-sized expansion unchanged: same
+# results, original (panel-granularity) cost.
+
+
+class _TopkFallback(Exception):
+    """Internal: block shape unsupported — keep the expression path."""
+
+
+def _depth_map(sh: str) -> list[int]:
+    """Paren depth of each character of a literal-masked string.  An
+    opening ``(`` carries its OUTER depth; everything up to and
+    including the matching ``)`` carries the inner depth."""
+    d, out = 0, []
+    for c in sh:
+        if c == "(":
+            out.append(d)
+            d += 1
+        elif c == ")":
+            d -= 1
+            out.append(d)
+        else:
+            out.append(d)
+    return out
+
+
+def _enclosing_select(sh: str, depths: list[int], pos: int) -> int:
+    """Start offset of the SELECT keyword of the query block containing
+    ``pos`` (the innermost SELECT reachable without entering a nested
+    paren scope), or -1."""
+    import re
+
+    mind = depths[pos]
+    i = pos
+    while i >= 0:
+        if depths[i] < mind:
+            mind = depths[i]
+        if (
+            sh[i] in "Ss"
+            and re.match(r"(?i)SELECT\b", sh[i : i + 7])
+            and depths[i] == mind
+            and (i == 0 or not (sh[i - 1].isalnum() or sh[i - 1] in "_`"))
+        ):
+            return i
+        i -= 1
+    return -1
+
+
+def _block_end(sh: str, depths: list[int], start: int) -> int:
+    """End offset (exclusive) of the query block whose SELECT starts at
+    ``start``: the matching close paren, a same-depth set operator
+    (UNION/EXCEPT/INTERSECT), or end of string."""
+    import re
+
+    d0 = depths[start]
+    setop = re.compile(r"(?i)\b(UNION|EXCEPT|INTERSECT)\b")
+    i, n = start, len(sh)
+    while i < n:
+        # a close paren carries its OUTER depth (see _depth_map), so
+        # the block's own closer is the first `)` at d0 - 1
+        if sh[i] == ")" and depths[i] == d0 - 1:
+            return i
+        if depths[i] == d0:
+            m = setop.match(sh, i)
+            if m and not (i > 0 and (sh[i - 1].isalnum() or sh[i - 1] in "_`")):
+                return i
+        i += 1
+    return n
+
+
+def _block_clauses(
+    sh: str, depths: list[int], start: int, end: int
+) -> dict[str, tuple[int, int]]:
+    """Map of clause keyword → (kw_start, kw_end) at the block's own
+    depth, for the first occurrence of each clause in [start, end)."""
+    import re
+
+    d0 = depths[start]
+    rx = re.compile(
+        r"(?i)\b(FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW)\b"
+    )
+    out: dict[str, tuple[int, int]] = {}
+    for m in rx.finditer(sh, start, end):
+        if depths[m.start()] != d0:
+            continue
+        key = re.sub(r"\s+", " ", m.group(1).upper())
+        out.setdefault(key, (m.start(), m.end()))
+    return out
+
+
+def _split_toplevel_commas(text: str) -> list[str]:
+    """Split on depth-0 commas of ``text`` (literals respected)."""
+    return _split_args(text)
+
+
+def _split_item_alias(item: str) -> tuple[str, str | None]:
+    """Split a SELECT item into (expression, alias) on a trailing
+    depth-0 ``AS alias`` (or None)."""
+    import re
+
+    sh = _mask_literals(item)
+    depths = _depth_map(sh)
+    for m in list(re.finditer(r"(?i)\bAS\s+(`[^`]*`|[A-Za-z_]\w*)\s*$", sh))[::-1]:
+        if depths[m.start()] == 0:
+            return item[: m.start()].rstrip(), item[m.start() :].strip()[2:].strip()
+    return item.strip(), None
+
+
+_TOPK_STD_AGGS = {"sum", "count", "min", "max", "avg"}
+_TOPK_IF_AGGS = {"sumIf", "countIf", "minIf", "maxIf"}
+#: outer re-combination of a per-value partial
+_TOPK_COMBINE = {
+    "sum": "sum", "count": "sum", "min": "min", "max": "max",
+    "sumIf": "sum", "countIf": "sum", "minIf": "min", "maxIf": "max",
+}
+
+
+def _scan_agg_calls(text: str) -> list[tuple[str, int, int, str | None, str]]:
+    """Outermost aggregate calls in an expression text:
+    ``(name, start, end, params_or_None, args_text)``.  ``(SELECT …)``
+    subexpressions are skipped (their aggregates belong to the inner
+    block); unknown function names are scanned INTO (so aggregates
+    nested in scalar wrappers are found), known aggregates are not."""
+    import re
+
+    sh = _mask_literals(text)
+    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    res: list[tuple[str, int, int, str | None, str]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = sh[i]
+        if c == "(":
+            j = i + 1
+            while j < n and sh[j] in " \t\n":
+                j += 1
+            if re.match(r"(?i)SELECT\b", sh[j : j + 7]):
+                i = _find_close(text, i) + 1
+            else:
+                i += 1
+            continue
+        m = ident.match(sh, i)
+        if not m:
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        k = j
+        while k < n and sh[k] in " \t\n":
+            k += 1
+        if k >= n or sh[k] != "(":
+            i = j
+            continue
+        lname = name.lower()
+        if name in ("topK", "topKWeighted"):
+            close = _find_close(text, k)
+            k2 = close + 1
+            while k2 < n and sh[k2] in " \t\n":
+                k2 += 1
+            if k2 >= n or sh[k2] != "(":
+                raise _TopkFallback("topK without (params)(args) form")
+            close2 = _find_close(text, k2)
+            res.append((name, i, close2 + 1, text[k + 1 : close],
+                        text[k2 + 1 : close2]))
+            i = close2 + 1
+            continue
+        if lname in _TOPK_STD_AGGS or name in _TOPK_IF_AGGS:
+            close = _find_close(text, k)
+            res.append((name if name in _TOPK_IF_AGGS else lname,
+                        i, close + 1, None, text[k + 1 : close]))
+            i = close + 1
+            continue
+        i = k + 1  # scalar wrapper: scan inside its parens
+    return res
+
+
+def _norm_expr(text: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", text.strip()).lower()
+
+
+def _key_sub(text: str, keys: list[tuple[str, str]]) -> str:
+    """Replace occurrences of each group-key expression with its
+    ``__gk{i}`` alias in ``text`` (longest key first; identifier keys
+    word-bounded, expression keys by exact text)."""
+    import re
+
+    for raw, alias in sorted(keys, key=lambda kv: -len(kv[0])):
+        if re.match(r"^[A-Za-z_][\w.]*$", raw):
+            text = re.sub(
+                rf"(?<![\w.`$]){re.escape(raw)}(?![\w.`(])", alias, text
+            )
+        else:
+            text = text.replace(raw, alias)
+    return text
+
+
+def _rewrite_topk_block(sql: str, sh: str, depths: list[int],
+                        bs: int, be: int) -> str:
+    """Rewrite the query block sql[bs:be] into the pre-aggregated
+    two-level form; raises :class:`_TopkFallback` when the block shape
+    is unsupported."""
+    import re
+
+    d0 = depths[bs]
+    cl = _block_clauses(sh, depths, bs, be)
+    if "WINDOW" in cl or "FROM" not in cl:
+        raise _TopkFallback("WINDOW clause / missing FROM")
+    if "LIMIT" in cl and re.search(r"(?i)\bBY\b",
+                                   sh[cl["LIMIT"][1] : be]):
+        raise _TopkFallback("LIMIT BY block")
+    sel_start = bs + len("SELECT")
+    if re.match(r"(?is)\s*DISTINCT\b", sh[sel_start : cl["FROM"][0]]):
+        raise _TopkFallback("SELECT DISTINCT")
+    order = [cl[k][0] for k in
+             ("FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
+             if k in cl]
+    if order != sorted(order):
+        raise _TopkFallback("out-of-order clauses")
+
+    def clause_text(key: str, nxt: list[str]) -> str:
+        if key not in cl:
+            return ""
+        s = cl[key][1]
+        e = min([cl[k][0] for k in nxt if k in cl] + [be])
+        return sql[s:e].strip()
+
+    select_text = sql[sel_start : cl["FROM"][0]]
+    source_start = cl["FROM"][0]
+    source_end = min([cl[k][0] for k in
+                      ("GROUP BY", "HAVING", "ORDER BY", "LIMIT")
+                      if k in cl] + [be])
+    source_text = sql[source_start:source_end].rstrip()
+    group_text = clause_text("GROUP BY", ["HAVING", "ORDER BY", "LIMIT"])
+    having_text = clause_text("HAVING", ["ORDER BY", "LIMIT"])
+    order_text = clause_text("ORDER BY", ["LIMIT"])
+    limit_text = clause_text("LIMIT", [])
+    if re.search(r"(?i)\b(topK|topKWeighted)\s*\(",
+                 _mask_literals(having_text + " " + order_text)):
+        raise _TopkFallback("topK outside the SELECT list")
+    if re.search(r"(?i)\bOVER\s*\(", _mask_literals(select_text)):
+        raise _TopkFallback("window function in the SELECT list")
+
+    # group keys
+    keys: list[tuple[str, str]] = []  # (raw text, __gk alias)
+    if group_text:
+        if re.search(r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS)\b", group_text):
+            raise _TopkFallback("grouping-set GROUP BY")
+        for g in _split_toplevel_commas(group_text):
+            if re.match(r"^\d+$", g):
+                raise _TopkFallback("positional GROUP BY")
+            keys.append((g, f"__gk{len(keys)}"))
+    norm_keys = {_norm_expr(r): a for r, a in keys}
+
+    items = [_split_item_alias(it)
+             for it in _split_toplevel_commas(select_text)]
+
+    # collect topK signature + partials over SELECT + HAVING + ORDER BY
+    topk_x: str | None = None
+    weight_cols: dict[str, str] = {}  # normalized weight expr ('' = count) → col
+    partials: dict[str, tuple[str, str]] = {}  # norm call → (inner sql, outer expr)
+
+    def topk_outer(name: str, params: str, args_text: str) -> str:
+        nonlocal topk_x
+        k = params.strip()
+        if not k.isdigit():
+            raise _TopkFallback("non-literal topK parameter")
+        args = _split_args(args_text)
+        if re.match(r"(?i)^\s*DISTINCT\b", args_text):
+            raise _TopkFallback("DISTINCT inside topK")
+        if name == "topK":
+            if len(args) != 1:
+                raise _TopkFallback("topK arity")
+            x, w = args[0], None
+        else:
+            if len(args) != 2:
+                raise _TopkFallback("topKWeighted arity")
+            x, w = args[0], args[1]
+        if topk_x is None:
+            topk_x = x
+        elif _norm_expr(topk_x) != _norm_expr(x):
+            raise _TopkFallback("differing topK argument expressions")
+        wkey = "" if w is None else _norm_expr(w)
+        if wkey not in weight_cols:
+            weight_cols[wkey] = (
+                "__tk_c" if w is None else f"__tk_w{len(weight_cols)}"
+            )
+            weight_inner[weight_cols[wkey]] = (
+                "count(*)" if w is None else f"sum(CAST({w} AS BIGINT))"
+            )
+        wcol = weight_cols[wkey]
+        return (f"ch_topk_pre(collect_list(struct({wcol} AS w, "
+                f"__tk_v AS v)), {k})")
+
+    weight_inner: dict[str, str] = {}
+
+    def decompose(name: str, args_text: str) -> str:
+        if re.match(r"(?i)^\s*DISTINCT\b", args_text):
+            raise _TopkFallback("DISTINCT aggregate")
+        norm = f"{name}({_norm_expr(args_text)})"
+        if norm in partials:
+            return partials[norm][1]
+        pid = f"__p{len(partials)}"
+        if name == "avg":
+            inner = (f"sum(CAST({args_text} AS DOUBLE)) AS {pid}a, "
+                     f"count({args_text}) AS {pid}b")
+            outer = f"(sum({pid}a) / sum({pid}b))"
+        elif name == "count" and args_text.strip() in ("", "*"):
+            inner = f"count(*) AS {pid}"
+            outer = f"sum({pid})"
+        else:
+            inner = f"{name}({args_text}) AS {pid}"
+            outer = f"{_TOPK_COMBINE[name]}({pid})"
+        partials[norm] = (inner, outer)
+        return outer
+
+    def rewrite_expr(expr: str) -> tuple[str, bool]:
+        """Replace aggregate calls in ``expr``; returns (text, had_agg)."""
+        calls = _scan_agg_calls(expr)
+        if not calls:
+            return expr, False
+        out = expr
+        for name, s, e, params, args_text in reversed(calls):
+            if name in ("topK", "topKWeighted"):
+                rep = topk_outer(name, params or "", args_text)
+            else:
+                rep = decompose(name, args_text)
+            out = out[:s] + rep + out[e:]
+        return out, True
+
+    out_items: list[str] = []
+    key_out_alias: dict[str, str] = {}  # norm key → SELECT output alias
+    plain_aliases: dict[str, str] = {}  # alias → original expr (for WHERE inlining)
+    for expr, alias in items:
+        if alias is not None:
+            plain_aliases[alias] = expr
+        new_expr, had_agg = rewrite_expr(expr)
+        if not had_agg:
+            norm = _norm_expr(expr)
+            if norm not in norm_keys:
+                raise _TopkFallback("non-aggregate item outside GROUP BY")
+            gk = norm_keys[norm]
+            out_alias = alias or (
+                expr.strip() if re.match(r"^[A-Za-z_]\w*$", expr.strip())
+                else None
+            )
+            if out_alias is None:
+                raise _TopkFallback("unaliased expression key item")
+            out_items.append(f"{gk} AS {out_alias}")
+            key_out_alias[norm] = out_alias
+            continue
+        new_expr = _key_sub(new_expr, keys)
+        out_items.append(f"{new_expr} AS {alias}" if alias else new_expr)
+    if topk_x is None:
+        raise _TopkFallback("no topK call in the SELECT list")
+
+    # HAVING / ORDER BY run above the outer projection: reference a key
+    # through its SELECT output alias when it has one (a bare __gk name
+    # does not survive the projection), else the __gk grouping alias.
+    out_keys = [(raw, key_out_alias.get(_norm_expr(raw), a)) for raw, a in keys]
+    having_out = _key_sub(rewrite_expr(having_text)[0], out_keys) \
+        if having_text else ""
+    order_out = _key_sub(rewrite_expr(order_text)[0], out_keys) \
+        if order_text else ""
+
+    # CH-ism: WHERE may reference SELECT aliases — inline them into the
+    # inner query's WHERE (aggregate-bearing aliases cannot legally
+    # appear there, so inlining the raw expression is always sound).
+    if "WHERE" in cl and plain_aliases:
+        src_sh = _mask_literals(source_text)
+        for alias, expr in plain_aliases.items():
+            if _scan_agg_calls(expr):
+                continue
+            pat = re.compile(rf"(?<![\w.`$]){re.escape(alias)}(?![\w.`(])")
+            pieces, last = [], 0
+            for am in pat.finditer(src_sh):
+                pieces.append(source_text[last : am.start()])
+                pieces.append(f"({expr})")
+                last = am.end()
+            pieces.append(source_text[last:])
+            source_text = "".join(pieces)
+            src_sh = _mask_literals(source_text)
+
+    inner_items = [f"{raw} AS {a}" for raw, a in keys]
+    inner_items.append(f"CAST({topk_x} AS STRING) AS __tk_v")
+    inner_items += [f"{weight_inner[c]} AS {c}" for c in weight_inner]
+    inner_items += [inner for inner, _ in partials.values()]
+    inner_group = ", ".join([raw for raw, _ in keys] + ["__tk_v"])
+    inner_sql = (f"SELECT {', '.join(inner_items)} {source_text} "
+                 f"GROUP BY {inner_group}")
+
+    outer = [f"SELECT {', '.join(out_items)} FROM ({inner_sql}) __tkpre"]
+    if keys:
+        outer.append("GROUP BY " + ", ".join(a for _, a in keys))
+    if having_out:
+        outer.append("HAVING " + having_out)
+    if order_out:
+        outer.append("ORDER BY " + order_out)
+    if limit_text:
+        outer.append("LIMIT " + limit_text)
+    return sql[:bs] + " ".join(outer) + sql[be:]
+
+
+def _preaggregate_topk(sql: str) -> str:
+    """Apply :func:`_rewrite_topk_block` to every query block containing
+    a ``topK``/``topKWeighted`` call, innermost/rightmost first; blocks
+    whose shape is unsupported keep the expression expansion."""
+    import re
+
+    fallbacks: list[list[int]] = []  # mutable [start, end) spans
+    for _ in range(64):  # backstop; each round consumes ≥1 call site
+        sh = _mask_literals(sql)
+        depths = _depth_map(sh)
+        cands = [
+            m for m in re.finditer(r"\b(topK|topKWeighted)\s*\(", sh)
+            if not any(s <= m.start() < e for s, e in fallbacks)
+        ]
+        if not cands:
+            return sql
+        m = cands[-1]
+        bs = _enclosing_select(sh, depths, m.start())
+        if bs < 0:
+            fallbacks.append([m.start(), m.end()])
+            continue
+        be = _block_end(sh, depths, bs)
+        if any(s < be and bs < e for s, e in fallbacks):
+            # block overlaps an already-fallen-back span: conservative
+            fallbacks.append([bs, be])
+            continue
+        try:
+            new_sql = _rewrite_topk_block(sql, sh, depths, bs, be)
+        except _TopkFallback:
+            fallbacks.append([bs, be])
+            continue
+        delta = len(new_sql) - len(sql)
+        for span in fallbacks:
+            if span[0] >= be:
+                span[0] += delta
+                span[1] += delta
+        sql = new_sql
+    return sql
+
+
 def _apply_table_map(sql: str, table_map: Mapping[str, str]) -> str:
     import re
 
@@ -663,6 +1154,12 @@ def _dquotes_to_backticks(sql: str) -> str:
 
 
 def _topk_expr(params: str, args: list[str]) -> str:
+    """FALLBACK path only: blocks in the supported shape are rewritten
+    by :func:`_preaggregate_topk` into a two-level hash aggregate
+    (d-sized state) before this expansion ever runs; this n-sized
+    collect_list form survives only for shapes the structural rewrite
+    declines (non-decomposable siblings, DISTINCT, window functions…),
+    where the group is small by construction of the query."""
     k = params.strip()
     if not k.isdigit():
         raise UnsupportedChSql("topK(k) expects an integer literal parameter")
