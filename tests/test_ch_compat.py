@@ -402,3 +402,79 @@ def test_array_join_zip_form(spark):
     assert [tuple(r) for r in agg.collect()] == [("a", 10), ("b", 20), ("c", 30)]
     with pytest.raises(UnsupportedChSql):
         translate_ch_sql("SELECT 1 FROM t ARRAY JOIN f(x) AS a, ys AS b")
+
+
+def test_asof_bridge_right_ts_reference_resolves_to_matched_row(spark):
+    """ADVICE r7 (medium): `q.<ts>` outside ON must be the MATCHED
+    right-row timestamp (what CH returns), not the left timestamp —
+    including the nasty case where both sides share the ts name."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+    spark.createDataFrame(
+        [("SBER", 100, 250.0), ("SBER", 200, 251.0), ("LKOH", 50, 6000.0)],
+        "sec string, time_s long, price double",
+    ).createOrReplaceTempView("asof_tr2")
+    spark.createDataFrame(
+        [("SBER", 90, 249.5), ("SBER", 180, 250.5)],
+        "qsec string, time_s long, bid double",
+    ).createOrReplaceTempView("asof_q2")
+
+    got = {
+        (r.sec, r.lt): (r.rt, r.bid)
+        for r in run_ch_sql(
+            spark,
+            "SELECT a.sec, a.time_s AS lt, q.time_s AS rt, q.bid "
+            "FROM asof_tr2 a ASOF JOIN asof_q2 q "
+            "ON a.sec = q.qsec AND a.time_s >= q.time_s",
+        ).collect()
+    }
+    assert got == {
+        ("SBER", 100): (90, 249.5),   # matched quote@90, NOT 100
+        ("SBER", 200): (180, 250.5),  # matched quote@180, NOT 200
+    }
+    # LEFT form: unmatched left rows carry NULL matched ts
+    left = {
+        (r.sec, r.lt): r.rt
+        for r in run_ch_sql(
+            spark,
+            "SELECT a.sec, a.time_s AS lt, q.time_s AS rt "
+            "FROM asof_tr2 a ASOF LEFT JOIN asof_q2 q "
+            "ON a.sec = q.qsec AND a.time_s >= q.time_s",
+        ).collect()
+    }
+    assert left[("LKOH", 50)] is None and left[("SBER", 100)] == 90
+
+
+def test_asof_bridge_view_cleanup_and_uniqueness(spark):
+    """ADVICE r7: the bridge's temp view must not leak, and the
+    returned DataFrame must survive the drop (plan inlined at
+    analysis)."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+    before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    df = run_ch_sql(
+        spark,
+        "SELECT a.sec, b.bid FROM asof_tr a ASOF JOIN asof_q b "
+        "ON a.sec = b.qsec AND a.t_tr >= b.t_q",
+    )
+    after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert not {n for n in after - before if n.startswith("__ch_asof_")}
+    assert len(df.collect()) == 3  # still executable after the drop
+
+
+def test_array_join_zip_alias_rewrite_scoped_to_block(spark):
+    """ADVICE r7: the multi-array alias rewrite must not touch other
+    scopes (UNION branches) that legitimately define the same name."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+    spark.createDataFrame(
+        [(1, ["a", "b"], [10, 20])],
+        "id long, ks array<string>, vs array<int>",
+    ).createOrReplaceTempView("ajz_scope")
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v FROM (SELECT 'x' AS k, 0 AS v) u "
+        "UNION ALL "
+        "SELECT k, v FROM ajz_scope ARRAY JOIN ks AS k, vs AS v",
+    ).collect()
+    assert sorted((r.k, r.v) for r in rows) == [("a", 10), ("b", 20), ("x", 0)]

@@ -55,7 +55,9 @@ def test_window_funnel_matches_dataframe_operator(spark, events):
     )
     want = {r.user_id: r.level for r in want_df.collect()}
     assert want  # driver data exercises multiple levels
-    assert {u: l for u, l in got.items() if l > 0} == want
+    # both front-ends emit level 0 for users with no cond1 match (CH
+    # behavior) — compare the FULL maps, zero-level users included
+    assert got == want
 
 
 def test_window_funnel_ch_default_mode_semantics(spark):
@@ -72,12 +74,12 @@ def test_window_funnel_ch_default_mode_semantics(spark):
         (3, "b", 100), (3, "a", 200),
         # u4: full chain via the later anchor only -> level 3
         (4, "a", 0), (4, "b", 5000), (4, "a", 4000), (4, "c", 6000),
-        # u5: no anchor at all -> absent
+        # u5: no anchor at all -> level 0 (CH keeps the user)
         (5, "b", 10), (5, "c", 20),
     ]
     ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
     conds = [F.col("event_type") == t for t in ("a", "b", "c")]
-    want = {1: 2, 2: 2, 3: 1, 4: 3}
+    want = {1: 2, 2: 2, 3: 1, 4: 3, 5: 0}
     got = {
         r.user_id: r.level
         for r in window_funnel_ch(ev, conds, window=3600).collect()
@@ -94,7 +96,7 @@ def test_window_funnel_ch_default_mode_semantics(spark):
             "FROM wf_ch_events GROUP BY user_id",
         ).collect()
     }
-    assert {u: l for u, l in got_sql.items() if l > 0} == want
+    assert got_sql == want  # zero-level users included on both paths
 
 
 def test_window_funnel_strict_increase_mode(spark):
@@ -362,7 +364,10 @@ def test_window_funnel_randomized_vs_reference_simulation(spark):
         r.user_id: r.level
         for r in window_funnel_ch(ev, conds, window=window).collect()
     }
-    assert got_df == {u: l for u, l in want_default.items() if l > 0}
+    # users WITH events compare in full (level 0 kept, CH behavior);
+    # users whose random draw produced zero events have no rows at all
+    present = {u for u, _, _ in rows}
+    assert got_df == {u: l for u, l in want_default.items() if u in present}
 
     base = (
         "SELECT user_id, windowFunnel({w}{mode})(ts_s, event_type='e1', "
@@ -373,18 +378,14 @@ def test_window_funnel_randomized_vs_reference_simulation(spark):
         r.user_id: r.lvl
         for r in cc.run_ch_sql(spark, base.format(w=window, mode="")).collect()
     }
-    assert {u: l for u, l in got_sql.items() if l > 0} == {
-        u: l for u, l in want_default.items() if l > 0
-    }
+    assert got_sql == {u: l for u, l in want_default.items() if u in present}
     got_strict = {
         r.user_id: r.lvl
         for r in cc.run_ch_sql(
             spark, base.format(w=window, mode=", 'strict_increase'")
         ).collect()
     }
-    assert {u: l for u, l in got_strict.items() if l > 0} == {
-        u: l for u, l in want_strict.items() if l > 0
-    }
+    assert got_strict == {u: l for u, l in want_strict.items() if u in present}
 
 
 # ---- topK pre-aggregation (the scale path, _preaggregate_topk) ---------

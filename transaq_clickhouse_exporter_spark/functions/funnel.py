@@ -119,12 +119,16 @@ def window_funnel_ch(
             df = df.withColumn(
                 "__a", F.max(F.when(F.col(v), F.col("__a"))).over(w)
             )
-    return (
-        df.groupBy(user_col)
-        .agg(F.greatest(*stage_aggs).cast("int").alias("level"))
-        if len(stage_aggs) > 1
-        else df.groupBy(user_col).agg(stage_aggs[0].cast("int").alias("level"))
-    ).filter(F.col("level").isNotNull())
+    # CH returns level 0 for a user whose events never match cond₁ —
+    # keep those rows (coalesce, not filter) so this operator and its
+    # SQL twin (the windowFunnel fold in ch_compat) agree on zero-level
+    # users exactly as ClickHouse does (ADVICE r7)
+    level = (
+        F.greatest(*stage_aggs) if len(stage_aggs) > 1 else stage_aggs[0]
+    )
+    return df.groupBy(user_col).agg(
+        F.coalesce(level, F.lit(0)).cast("int").alias("level")
+    )
 
 
 def funnel_level_counts(

@@ -452,16 +452,26 @@ def _array_join_clause(sql: str) -> str:
                 + "__ajz AS __zr"
                 + tail
             )
+            # alias → zipped-struct field, restricted to the SELECT
+            # block containing the ARRAY JOIN: other scopes (sibling
+            # CTEs, UNION branches, subqueries elsewhere) may
+            # legitimately define the same identifier (ADVICE r7)
             sh = _mask_literals(sql)
+            depths = _depth_map(sh)
+            bs = _enclosing_select(sh, depths, m.start())
+            lo, hi = (0, len(sql)) if bs < 0 else \
+                (bs, _block_end(sh, depths, bs))
             for col, alias in items:
                 pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\b")
                 out, last = [], 0
-                for am2 in pat.finditer(sh):
+                for am2 in pat.finditer(sh, lo, hi):
                     out.append(sql[last : am2.start()])
                     out.append(f"__zr.{col}")
                     last = am2.end()
                 out.append(sql[last:])
+                before = len(sql)
                 sql = "".join(out)
+                hi += len(sql) - before  # block end shifts with each pass
                 sh = _mask_literals(sql)
             continue
         am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*|`[^`]*`)\s*$", clause)
@@ -1493,17 +1503,17 @@ def substitute(sql: str, params: Mapping[str, object]) -> str:
     return re.sub(r"\$\{(\w+)\}|\$(\w+)", repl, sql)
 
 
-#: monotone suffix for bridged ASOF temp-view names
-_ASOF_VIEW_SEQ = [0]
-
-
 def _bridge_asof_join(
     spark: SparkSession, sql: str, table_map: Mapping[str, str] | None
-) -> str:
+) -> tuple[str, str | None]:
     """Rewrite CH's ``FROM t1 [a] ASOF [LEFT] JOIN t2 [b] ON equi…
     AND l.ts >= r.ts`` through :func:`operators.asof.asof_join`: the
     joined result registers as a temp view and the statement's FROM
     clause (plus both sides' alias qualifiers) rewrite against it.
+    Returns ``(rewritten_sql, view_name_or_None)`` — the caller drops
+    the view once the statement is analyzed (the view name is
+    uuid-unique per call, so concurrent ``run_ch_sql`` callers never
+    collide).
 
     Supported subset (raise-don't-mistranslate elsewhere): ONE ASOF
     JOIN of two named tables/views, conjunctive ON with ≥1 equality
@@ -1511,16 +1521,19 @@ def _bridge_asof_join(
     ``r.ts <= l.ts``), qualified columns in ON, and no payload column
     collisions between the sides.  CH semantics preserved: bare ASOF
     JOIN is INNER (unmatched left rows drop — gated on the matched
-    right timestamp), ASOF LEFT JOIN keeps them with NULLs.  Plan
-    shape is the operator's: union + one keyed window, single
-    shuffle, no nested-loop join."""
+    right timestamp), ASOF LEFT JOIN keeps them with NULLs; a
+    qualified reference to the RIGHT side's timestamp outside the ON
+    clause (``q.ts`` — ClickHouse returns the MATCHED right-row
+    timestamp there, not the left one) resolves to the operator's
+    matched-timestamp output.  Plan shape is the operator's: union +
+    one keyed window, single shuffle, no nested-loop join."""
     import re
 
     from ..operators.asof import asof_join
 
     sh = _mask_literals(sql)
     if not re.search(r"(?i)\bASOF\s+(?:LEFT\s+)?JOIN\b", sh):
-        return sql
+        return sql, None
     pat = re.compile(
         r"(?is)\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b)([A-Za-z_]\w*))?"
         r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_]\w*)"
@@ -1581,6 +1594,7 @@ def _bridge_asof_join(
             "ASOF JOIN needs at least one equality and exactly one "
             "inequality in ON"
         )
+    rts_as_written = rts  # name used for `q.<rts>` references in the body
     tmap = dict(table_map or {})
     ldf = spark.table(tmap.get(t1, t1))
     rdf = spark.table(tmap.get(t2, t2))
@@ -1603,11 +1617,30 @@ def _bridge_asof_join(
 
     if not left_kw:  # CH bare ASOF JOIN is INNER
         joined = joined.filter(F.col("__asof_rts").isNotNull())
-    joined = joined.drop("__asof_rts")
-    name = f"__ch_asof_{_ASOF_VIEW_SEQ[0]}"
-    _ASOF_VIEW_SEQ[0] += 1
-    joined.createOrReplaceTempView(name)
+    import uuid
+
+    name = f"__ch_asof_{uuid.uuid4().hex[:12]}"
     new_sql = sql[: m.start()] + f"FROM {name} " + sql[cond_end:]
+    # CH resolves `<right>.<rts>` in the statement body to the MATCHED
+    # right-row timestamp (the left ts would be a silently wrong value
+    # when the sides share the name) — point those references at the
+    # operator's matched-timestamp output before the qualifiers strip
+    rref = re.compile(
+        r"\b(?:" + "|".join(map(re.escape, sorted(right_names))) + r")\."
+        + re.escape(rts_as_written) + r"(?![\w`(])"
+    )
+    sh2 = _mask_literals(new_sql)
+    out, last, n_rref = [], 0, 0
+    for qm in rref.finditer(sh2):
+        out.append(new_sql[last : qm.start()])
+        out.append("__asof_rts")
+        last = qm.end()
+        n_rref += 1
+    out.append(new_sql[last:])
+    new_sql = "".join(out)
+    if n_rref == 0:
+        joined = joined.drop("__asof_rts")
+    joined.createOrReplaceTempView(name)
     # strip now-dangling side qualifiers (a.x / t1.x → x), literals safe
     quals = sorted(left_names | right_names, key=len, reverse=True)
     qre = re.compile(r"\b(?:" + "|".join(map(re.escape, quals)) + r")\.(?=[A-Za-z_`])")
@@ -1617,7 +1650,7 @@ def _bridge_asof_join(
         out.append(new_sql[last : qm.start()])
         last = qm.end()
     out.append(new_sql[last:])
-    return "".join(out)
+    return "".join(out), name
 
 
 def run_ch_sql(
@@ -1632,31 +1665,39 @@ def run_ch_sql(
     if params:
         sql = substitute(sql, params)
     register_ch_functions(spark)
-    sql = _bridge_asof_join(spark, sql, table_map)
-    text = translate_ch_sql(sql, table_map)
-    # CH resolves an unqualified column that exists on both join sides
-    # to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.  Emulate the
-    # CH rule by qualifying the reported column with the first FROM
-    # relation and retrying (the reference's panels rely on this for
-    # `board` in trades⋈securities WHERE clauses).
-    import re
+    sql, asof_view = _bridge_asof_join(spark, sql, table_map)
+    try:
+        text = translate_ch_sql(sql, table_map)
+        # CH resolves an unqualified column that exists on both join
+        # sides to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.
+        # Emulate the CH rule by qualifying the reported column with
+        # the first FROM relation and retrying (the reference's panels
+        # rely on this for `board` in trades⋈securities WHERE clauses).
+        import re
 
-    for _ in range(5):
-        try:
-            return spark.sql(text)
-        except Exception as e:
-            m = re.search(r"Reference `([^`]+)` is ambiguous", str(e))
-            lm = re.search(r"(?is)\bFROM\s+([a-z_]\w*)\b", text)
-            if not m or not lm:
-                raise
-            col, left = m.group(1), lm.group(1)
-            fixed = re.sub(
-                rf"(?<![\w.`]){re.escape(col)}(?![\w.`(])", f"{left}.{col}", text
-            )
-            if fixed == text:
-                raise
-            text = fixed
-    return spark.sql(text)
+        for _ in range(5):
+            try:
+                return spark.sql(text)
+            except Exception as e:
+                m = re.search(r"Reference `([^`]+)` is ambiguous", str(e))
+                lm = re.search(r"(?is)\bFROM\s+([a-z_]\w*)\b", text)
+                if not m or not lm:
+                    raise
+                col, left = m.group(1), lm.group(1)
+                fixed = re.sub(
+                    rf"(?<![\w.`]){re.escape(col)}(?![\w.`(])",
+                    f"{left}.{col}", text,
+                )
+                if fixed == text:
+                    raise
+                text = fixed
+        return spark.sql(text)
+    finally:
+        # spark.sql analyzes eagerly, inlining the view into the
+        # returned DataFrame's plan — safe to drop here even though
+        # the caller has not collected yet
+        if asof_view is not None:
+            spark.catalog.dropTempView(asof_view)
 
 
 # ---- alias-in-WHERE inlining -------------------------------------------

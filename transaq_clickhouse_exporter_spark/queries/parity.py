@@ -1417,7 +1417,14 @@ def _events_specs() -> list[QuerySpec]:
             [F.col("event_type") == t for t in ("signup", "view", "click", "purchase")],
             window=604800,
         )
-        return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+        # the operator is CH-exact and now emits level-0 users; this
+        # catalog entry reports reached depths only (oracle filters
+        # level IS NOT NULL on its running-max construction)
+        return (
+            lv.filter(F.col("level") > 0)
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
 
     _wfr = (
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
