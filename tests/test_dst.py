@@ -167,3 +167,43 @@ def test_db19_catalog_entry_repeats_ambiguous_local_hour(spark, sf_smoke):
     assert {r.msk_bucket_s - r.bucket_s for r in rows} == {3 * 3600, 4 * 3600}
     dup = Counter(r.msk_bucket_s for r in rows)
     assert max(dup.values()) == 2  # the ambiguous hour renders twice
+
+
+def test_fall_back_ambiguous_instants_pinned_on_both_engines(spark):
+    """VERDICT r7 item 3: the 2010-10-31 ambiguous hour has TWO
+    instants per wall-clock label.  Both engines must assign the SAME
+    offset to the SAME instant — +4 h (MSD) for the pre-transition
+    instant, +3 h (MSK) for the post-transition one — so the db19
+    driver row cannot flap on the direction either engine resolves
+    the fold.  Conversions here are instant→local (from_utc_timestamp
+    / timezone()), which is offset-determined and has no ambiguity;
+    this test pins that both engines implement that rule."""
+    import duckdb
+
+    # both render as Moscow wall clock 2010-10-31 02:30:00
+    first_0230 = 1288477800   # 2010-10-30 22:30:00 UTC  (+4h, MSD)
+    second_0230 = 1288481400  # 2010-10-30 23:30:00 UTC  (+3h, MSK)
+    df = spark.createDataFrame(
+        [(first_0230,), (second_0230,)], "t long"
+    ).selectExpr(
+        "t",
+        "unix_timestamp(from_utc_timestamp(timestamp_seconds(t), "
+        "'Europe/Moscow')) AS msk",
+    )
+    got = {r.t: r.msk for r in df.collect()}
+    assert got[first_0230] - first_0230 == 4 * 3600
+    assert got[second_0230] - second_0230 == 3 * 3600
+    # identical local label, distinct instants
+    con = duckdb.connect()
+    want = {
+        t: int(m)
+        for t, m in con.execute(
+            f"""
+            SELECT t, CAST(epoch(timezone('Europe/Moscow', to_timestamp(t)))
+                           AS BIGINT)
+            FROM (VALUES ({first_0230}), ({second_0230})) AS v(t)
+            """
+        ).fetchall()
+    }
+    assert want == got  # engine-for-engine identical fold resolution
+    assert got[first_0230] == got[second_0230]  # same wall clock twice

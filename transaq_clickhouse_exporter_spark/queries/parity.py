@@ -4051,13 +4051,23 @@ _TAIL_NAMES = (
     "ann05_pq_adc",                   # compressed-ANN class keeps ann04 (SQ)
     "mm02_frame_sample",              # 1-row value check: r06 row banked;
                                       # multimodal plumbing pytest-gated
-    # round-7 additions start in the tail; they earn rows next round.
-    "ev14_window_funnel_ch",
-    "db19_dst_fall_buckets",          # fall-back twin of db18 (in-window)
-    "op08_asof_sql_bridge",           # ASOF SQL bridge; operator evidence
-                                      # stays via op04 (in-window, LEFT)
-    "ev15_window_funnel_sql",         # SQL-fold twin of ev14
-    "ev16_topk_weighted_sql",         # weighted topK dialect evidence
+    # ROUND-8 ROTATION (executes VERDICT r7 item 2): the five round-7
+    # additions (ev14/ev15/ev16/op08/db19) move INTO the window —
+    # after this, every oracle-able catalog entry has held an external
+    # driver row.  The five displacements below ALL hold green rows in
+    # CORRECTNESS_r07 and each leaves an in-window class
+    # representative, named per entry.
+    "ev06_funnel",                    # funnel class keeps ev08 (earliest-
+                                      # anchor) + ev14/ev15 (CH-exact) in-window
+    "db08_volume_diff_day_shifted",   # ts-arithmetic twin of db07 (in-window);
+                                      # its r07 row was 0-row at sf0.01 anyway
+    "db15_count_trades_by_time_buy",  # count-agg shape ubiquitous in-window
+                                      # (ev14 n_users, dp01 dup counts, an07)
+    "db17_etf_template_var",          # NOT-IN-subquery anti-join stays via
+                                      # db03; template vars are by-construction
+                                      # in every builder (Q18)
+    "ann01_brute_force_topk",         # BLAS cosine top-k stays via ann03
+                                      # (IVF probe) + dp31 (chunk retrieval)
 )
 
 
