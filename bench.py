@@ -77,7 +77,8 @@ HEAVY_FIRST = [
     "op01_dedup_last_write_wins", "op07_aggregating_states",
     "dp32_chunk_search_lsh",
     "dp31_chunk_search", "dp05_minhash_lsh_near_dups",
-    "in05_candle_builder_exact", "op04_asof_join", "an03_minute_returns",
+    "in05_candle_builder_exact", "op04_asof_join", "op08_asof_sql_bridge",
+    "an03_minute_returns",
     "dp28_bigram_lm", "dp26_semantic_dedup", "dp25_bm25_topk",
     "dp03_ngram_jaccard", "dp02_text_profile", "ann02_lsh_topk",
     "dp16_dup_clusters", "ann03_ivf_topk", "dp22_passage_dedup", "an06_ema",

@@ -517,3 +517,68 @@ def test_topk_preagg_plan_is_two_level_hash_agg(spark, events):
     # the collect_list input is the d-sized pre-aggregate output
     txt = cc.translate_ch_sql("SELECT topK(3)(event_type) AS top FROM cc_events")
     assert "__tkpre" in txt and "count(*)" in txt
+
+
+def test_funnel_family_grouped_with_expression_keys(spark, events):
+    """VERDICT r7 item 5 (funnel family): windowFunnel and
+    sequenceMatch expansions alongside other aggregates AND a GROUP BY
+    with an expression key (`toStartOfInterval`), locking the rewriter
+    against alias/positional regressions.  Oracle: the same fold
+    recomputed per (day, user) partition via the DataFrame operator on
+    day-filtered slices."""
+    rows = cc.run_ch_sql(
+        spark,
+        """
+        SELECT toStartOfInterval(ts, INTERVAL 1 day) AS d, user_id,
+               windowFunnel(3600)(unix_timestamp(ts), event_type='view',
+                                  event_type='click') AS lvl,
+               sequenceMatch('(?1).*(?2)')(unix_timestamp(ts),
+                                  event_type='view',
+                                  event_type='purchase') AS sm,
+               count(*) AS n, max(value) AS mx
+        FROM cc_events
+        GROUP BY toStartOfInterval(ts, INTERVAL 1 day), user_id
+        ORDER BY d, user_id
+        """,
+    ).collect()
+    assert rows
+    ev = spark.table("cc_events")
+    days = {r.d for r in rows}
+    assert len(days) > 1
+    for d in sorted(days)[:2]:  # two days suffice to pin the shape
+        day_ev = ev.filter(F.date_trunc("day", "ts") == d).withColumn(
+            "ts_s", F.unix_timestamp("ts").cast("double")
+        )
+        want_lvl = {
+            r.user_id: r.level
+            for r in window_funnel_ch(
+                day_ev,
+                [F.col("event_type") == "view", F.col("event_type") == "click"],
+                window=3600,
+            ).collect()
+        }
+        want_n = {
+            r.user_id: (r.n, r.mx)
+            for r in day_ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+            .collect()
+        }
+        import re as _re2
+
+        want_sm = {
+            r.user_id: bool(_re2.search("1.*2", r.seq))
+            for r in sm.sequence_strings(
+                day_ev,
+                [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+                ts_col="ts_s",
+                order_col="event_id",
+            ).collect()
+        }
+        got_day = [r for r in rows if r.d == d]
+        assert {r.user_id: r.lvl for r in got_day} == want_lvl
+        assert {r.user_id: (r.n, r.mx) for r in got_day} == want_n
+        # sequence_strings omits users with zero matching events; the
+        # SQL aggregate reports them as no-match — fill with False
+        assert {r.user_id: bool(r.sm) for r in got_day} == {
+            r.user_id: want_sm.get(r.user_id, False) for r in got_day
+        }

@@ -75,3 +75,25 @@ def test_filter_candle_kinds():
     assert batch.filter_candle_kinds(kinds, []) == kinds  # empty ⇒ all (main.go:178)
     assert [k["id"] for k in batch.filter_candle_kinds(kinds, ["60", "3600"])] == [1, 3]
     assert batch.filter_candle_kinds(kinds, ["999"]) == []
+
+
+def test_lotsize_uint8_range_passes_through_widened(spark):
+    """SURVEY §1.3 / VERDICT r7 item 6: the reference declares
+    ``lotsize UInt8`` (db.go:43) — ClickHouse would WRAP an
+    out-of-range value mod 256 (300 → 44).  This engine's documented
+    type policy (schemas.py: UInt8 → IntegerType, 'fits with
+    headroom') PASSES the value THROUGH unchanged: no wrap, no clamp,
+    no NULL.  Pinned so the choice stays deliberate."""
+    cols = [f.name for f in schemas.RAW_SECURITY.fields]
+    rows = [
+        (21, "BIGL", "E", "TQBR", 1, "BigLot", 2, 0.01, 300, 1.0, "SHARE", 1, "true"),
+        (22, "EDGE", "E", "TQBR", 1, "Edge", 2, 0.01, 255, 1.0, "SHARE", 1, "true"),
+        (23, "NULL0", "E", "TQBR", 1, "NoLot", 2, 0.01, None, 1.0, "SHARE", 1, "true"),
+    ]
+    out = batch.valid_securities(
+        spark.createDataFrame(rows, schema=schemas.RAW_SECURITY)
+    )
+    got = {r.secid: r.lotsize for r in out.collect()}
+    assert got == {21: 300, 22: 255, 23: None}
+    [f] = [f for f in out.schema.fields if f.name == "lotsize"]
+    assert f.dataType.simpleString() == "int"

@@ -60,7 +60,12 @@ def test_salted_join_paths(spark):
 def test_salted_lsh_band_join_hot_bucket(spark):
     """VERDICT r5 item 7: the one shuffle the dedup family has is the
     banding self-join — prove its skew story by salting a deliberately
-    viral bucket and getting the identical pair set."""
+    viral bucket and getting the identical pair set.  The 10M-row
+    measurement of the same shape (SCALE.md "Round-8 rehearsal",
+    tools/scale_rehearsal_round8.py) pins WHEN the salt pays: the
+    right side replicates ×g, which dominates before the hot reducer
+    does — keep g ≤ 8 and treat monster buckets as boilerplate
+    shingles first."""
     from transaq_clickhouse_exporter_spark.datapipe.dedup import (
         _pairs_from_banded,
         minhash_near_dups,

@@ -42,6 +42,8 @@ PICKS = [
     "op07_aggregating_states", "dp32_chunk_search_lsh",
     "db18_dst_spring_buckets", "db19_dst_fall_buckets",
     "ev14_window_funnel_ch", "ev13_heavy_hitters",
+    "ev15_window_funnel_sql", "ev16_topk_weighted_sql",
+    "op08_asof_sql_bridge",
 ]
 
 

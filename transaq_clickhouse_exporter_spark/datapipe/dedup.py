@@ -278,8 +278,14 @@ def _pairs_from_banded(
     the left row's salt), so the output is identical, but the hot
     bucket's pair enumeration spreads over g reducers.  Cost: the
     banded table shuffles g× on the right side — the standard salting
-    trade; reserve it for corpora with known viral clusters (AQE
-    skew-join splitting already covers moderate skew)."""
+    trade — and MEASUREMENT says that cost dominates long before the
+    hot reducer does (SCALE.md "Round-8 rehearsal": a 72M-pair bucket
+    enumerates in seconds of one codegen'd SMJ task, while salt=32
+    doubles wall time at 10M banded rows; AQE's skew split never fires
+    because the hot key is byte-small).  Keep g ≤ 8, reserve for a
+    bucket so viral that one task's enumeration threatens the executor
+    wall, and treat such a bucket as a data-quality signal (a
+    boilerplate shingle) first."""
     if salt_buckets:
         from ..operators.salting import explode_salt
 
