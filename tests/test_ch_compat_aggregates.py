@@ -582,3 +582,40 @@ def test_funnel_family_grouped_with_expression_keys(spark, events):
         assert {r.user_id: bool(r.sm) for r in got_day} == {
             r.user_id: want_sm.get(r.user_id, False) for r in got_day
         }
+
+
+def test_topk_preagg_equivalence_vs_forced_fallback(spark, events, monkeypatch):
+    """Every supported rewrite shape must return exactly what the
+    n-sized expression expansion returns (the structural pass disabled
+    via monkeypatch) — the two paths are one contract."""
+    queries = [
+        "SELECT topK(3)(event_type) AS t FROM cc_events",
+        "SELECT topKWeighted(4)(event_type, value) AS t FROM cc_events",
+        "SELECT user_id, topK(2)(event_type) AS t, count(*) AS n "
+        "FROM cc_events GROUP BY user_id",
+        """SELECT toStartOfInterval(ts, INTERVAL 1 day) AS d,
+                  topK(2)(event_type) AS t, sum(value) AS sv
+           FROM cc_events WHERE value > 1
+           GROUP BY toStartOfInterval(ts, INTERVAL 1 day)
+           HAVING sv > 0 ORDER BY d LIMIT 5""",
+        "SELECT CAST(pos + 1 AS BIGINT) AS rnk, col AS v FROM "
+        "(SELECT posexplode(t) FROM "
+        "(SELECT topKWeighted(3)(event_type, value) AS t FROM cc_events))",
+    ]
+    for q in queries:
+        assert "__tkpre" in cc.translate_ch_sql(q), q  # rewrite fires
+        pre = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()), key=repr)
+        with monkeypatch.context() as mp:
+            mp.setattr(cc, "_preaggregate_topk", lambda s: s)
+            assert "__tkpre" not in cc.translate_ch_sql(q)
+            fb = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()), key=repr)
+        # float sums re-associate through partials: compare with repr
+        # rounding via pytest.approx on numeric fields
+        assert len(pre) == len(fb), q
+        for a, b in zip(pre, fb):
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                if isinstance(x, float):
+                    assert x == pytest.approx(y, rel=1e-12), q
+                else:
+                    assert x == y, q

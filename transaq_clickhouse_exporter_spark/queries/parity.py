@@ -1530,6 +1530,48 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "topk-weighted", "ch-sql"),
         )
     )
+
+    # GROUPED topK through the dialect's pre-aggregation rewrite
+    # (round 8): a real GROUP BY key plus a decomposed sibling sum —
+    # the structural path ev16's ungrouped form doesn't reach.  Oracle
+    # = exact per-board count ranking with the (-count, value asc) tie
+    # rule, sibling sum recomputed independently.
+    def _topk_grouped_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT board, CAST(pos + 1 AS BIGINT) AS rnk, col AS sec_code, qty
+            FROM (SELECT board, qty, posexplode(t) FROM
+                  (SELECT board, topK(3)(sec_code) AS t,
+                          sum(CAST(quantity AS BIGINT)) AS qty
+                   FROM trades GROUP BY board))
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev17_topk_grouped_sql",
+            _topk_grouped_sql,
+            """
+            SELECT r.board, r.rnk, r.sec_code, q.qty
+            FROM (
+              SELECT board,
+                     CAST(row_number() OVER (PARTITION BY board
+                           ORDER BY c DESC, sec_code) AS BIGINT) AS rnk,
+                     sec_code
+              FROM (SELECT board, sec_code, count(*) AS c
+                    FROM trades GROUP BY board, sec_code)
+            ) r
+            JOIN (SELECT board, CAST(sum(CAST(quantity AS BIGINT)) AS BIGINT)
+                         AS qty
+                  FROM trades GROUP BY board) q ON r.board = q.board
+            WHERE r.rnk <= 3
+            """,
+            tags=("events", "topk", "ch-sql", "preagg"),
+        )
+    )
     return sp
 
 
@@ -4068,6 +4110,9 @@ _TAIL_NAMES = (
                                       # in every builder (Q18)
     "ann01_brute_force_topk",         # BLAS cosine top-k stays via ann03
                                       # (IVF probe) + dp31 (chunk retrieval)
+    # round-8 additions start in the tail; they earn rows next round.
+    "ev17_topk_grouped_sql",          # grouped pre-agg topK rewrite; the
+                                      # ungrouped path holds ev16's row
 )
 
 
