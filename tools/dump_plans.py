@@ -57,6 +57,9 @@ PICKS = {
     "op07_aggregating_states": "aggregating states: per-batch ONE two-level hash agg (scalars ride the register pass), state merge, finalize join",
     "db18_dst_spring_buckets": "DST evidence: codegen epoch arithmetic + tz-rule shift, one partial→final agg",
     "ev14_window_funnel_ch": "CH-exact windowFunnel: chained RANGE running-max windows over ONE sort/exchange, then partial→final agg",
+    "ev16_topk_weighted_sql": "topKWeighted pre-agg rewrite: two-level hash agg (per-value weights), d-sized collect — NO raw-row collect_list",
+    "ev17_topk_grouped_sql": "grouped topK pre-agg: GROUP BY (key, value) partial→final, sibling sum rides the same aggregates",
+    "op08_asof_sql_bridge": "ASOF SQL bridge: the asof_join operator plan (union + one keyed window) under the statement's agg",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
