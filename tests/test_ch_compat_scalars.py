@@ -1,0 +1,154 @@
+"""Round-8 everyday-CH scalar/aggregate surface of the dialect
+(queries/ch_compat.py): renames, calendar shims, boundary-exact
+dateDiff, formatDateTime token translation, CH-arg-order array HOFs,
+argMaxIf/argMinIf — value-checked against hand-computed expectations,
+plus the honest raises for order-dependent aggregates."""
+
+from __future__ import annotations
+
+import pytest
+
+from transaq_clickhouse_exporter_spark.queries import ch_compat as cc
+from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+    UnsupportedChSql,
+    run_ch_sql,
+    translate_ch_sql,
+)
+
+
+def _one(spark, sql):
+    [row] = run_ch_sql(spark, sql).collect()
+    return row
+
+
+def test_calendar_bucket_shims(spark):
+    r = _one(
+        spark,
+        "SELECT toStartOfFiveMinutes(timestamp'2024-03-05 10:17:45') AS m5,"
+        " toStartOfTenMinutes(timestamp'2024-03-05 10:17:45') AS m10,"
+        " toStartOfFifteenMinutes(timestamp'2024-03-05 10:17:45') AS m15,"
+        " toDayOfYear(timestamp'2024-03-05 10:17:45') AS doy,"
+        " toQuarter(timestamp'2024-11-05 00:00:00') AS q,"
+        " toISOWeek(timestamp'2024-01-04 00:00:00') AS w",
+    )
+    assert str(r.m5) == "2024-03-05 10:15:00"
+    assert str(r.m10) == "2024-03-05 10:10:00"
+    assert str(r.m15) == "2024-03-05 10:15:00"
+    assert (r.doy, r.q, r.w) == (65, 4, 1)  # 2024 leap: Mar 5 = day 65
+
+
+def test_add_subtract_family_and_or_zero_division(spark):
+    r = _one(
+        spark,
+        "SELECT addDays(timestamp'2024-02-28 12:00:00', 2) AS d,"
+        " subtractHours(timestamp'2024-01-01 01:30:00', 2) AS h,"
+        " addMonths(timestamp'2024-01-31 00:00:00', 1) AS m,"
+        " intDivOrZero(7, 0) AS z, intDivOrZero(7, 2) AS t,"
+        " moduloOrZero(7, 0) AS mz",
+    )
+    assert str(r.d) == "2024-03-01 12:00:00"   # leap-year Feb 29 crossed
+    assert str(r.h) == "2023-12-31 23:30:00"
+    assert str(r.m) == "2024-02-29 00:00:00"   # month-end clamp
+    assert (r.z, r.t, r.mz) == (0, 3, 0)
+
+
+def test_datediff_counts_boundaries_not_complete_units(spark):
+    """CH dateDiff is toRelative*Num difference (boundary crossings):
+    23:00 -> next day 01:00 is ONE day, not zero."""
+    r = _one(
+        spark,
+        "SELECT dateDiff('day', timestamp'2024-01-01 23:00:00',"
+        " timestamp'2024-01-02 01:00:00') AS d,"
+        " dateDiff('hour', timestamp'2024-01-01 10:59:00',"
+        " timestamp'2024-01-01 11:01:00') AS h,"
+        " dateDiff('second', timestamp'2024-01-01 00:00:10',"
+        " timestamp'2024-01-01 00:00:25') AS s,"
+        " dateDiff('month', timestamp'2024-01-31 00:00:00',"
+        " timestamp'2024-02-01 00:00:00') AS mo,"
+        " dateDiff('year', timestamp'2023-12-31 00:00:00',"
+        " timestamp'2024-01-01 00:00:00') AS y",
+    )
+    assert (r.d, r.h, r.s, r.mo, r.y) == (1, 1, 15, 1, 1)
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT dateDiff('week', a, b) FROM t")
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT dateDiff(unit_col, a, b) FROM t")
+
+
+def test_format_datetime_tokens(spark):
+    r = _one(
+        spark,
+        "SELECT formatDateTime(timestamp'2024-03-05 09:07:02',"
+        " '%Y-%m-%d %H:%M:%S') AS full,"
+        " formatDateTime(timestamp'2024-03-05 09:07:02', '%F') AS f,"
+        " formatDateTime(timestamp'2024-03-05 09:07:02',"
+        " 'at %H h %% done') AS lit",
+    )
+    assert r.full == "2024-03-05 09:07:02"
+    assert r.f == "2024-03-05"
+    assert r.lit == "at 09 h % done"
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM t")
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT formatDateTime(ts, '%Y', 'UTC') FROM t")
+
+
+def test_array_hofs_ch_argument_order(spark):
+    r = _one(
+        spark,
+        "SELECT arrayMap(x -> x * 2, array(1, 2, 3)) AS m,"
+        " arrayFilter(x -> x > 1, array(1, 2, 3)) AS f,"
+        " arrayExists(x -> x = 2, array(1, 2, 3)) AS e,"
+        " arrayAll(x -> x > 0, array(1, 2, 3)) AS a,"
+        " arrayCount(x -> x % 2 = 1, array(1, 2, 3)) AS c,"
+        " arrayReverse(array(1, 2, 3)) AS rev,"
+        " arrayMax(array(1, 5, 3)) AS mx,"
+        " arraySlice(array(1, 2, 3, 4), 2, 2) AS sl,"
+        " arrayUniq(array('a', 'b', 'a')) AS u",
+    )
+    assert r.m == [2, 4, 6] and r.f == [2, 3]
+    assert r.e is True and r.a is True and r.c == 2
+    assert r.rev == [3, 2, 1] and r.mx == 5 and r.sl == [2, 3] and r.u == 2
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT arrayMap(x, y -> x + y, a, b) FROM t")
+
+
+def test_argmaxif_and_stats_renames(spark):
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 5.0), ("d", 4, 30.0)],
+        "k string, flag int, v double",
+    ).createOrReplaceTempView("scal_t")
+    r = _one(
+        spark,
+        "SELECT argMaxIf(k, v, flag % 2 = 0) AS amx,"
+        " argMinIf(k, v, flag % 2 = 0) AS amn,"
+        " stddevPop(v) AS sp, varSamp(v) AS vs, medianExact(v) AS med"
+        " FROM scal_t",
+    )
+    assert r.amx == "d" and r.amn == "b"   # even flags: b(20), d(30)
+    import statistics
+
+    vals = [10.0, 20.0, 5.0, 30.0]
+    assert r.sp == pytest.approx(statistics.pstdev(vals))
+    assert r.vs == pytest.approx(statistics.variance(vals))
+    assert r.med == pytest.approx(statistics.median(vals))
+
+
+def test_string_and_misc_shims(spark):
+    r = _one(
+        spark,
+        "SELECT empty('') AS e1, empty('x') AS e2, notEmpty('x') AS ne,"
+        " startsWith('hello', 'he') AS sw, endsWith('hello', 'lo') AS ew,"
+        " trimLeft('  x ') AS tl, splitByString('::', 'a::b::c') AS sp,"
+        " lengthUTF8('héllo') AS lu, today() AS t, yesterday() AS y",
+    )
+    assert (r.e1, r.e2, r.ne, r.sw, r.ew) == (True, False, True, True, True)
+    assert r.tl == "x " and r.sp == ["a", "b", "c"] and r.lu == 5
+    assert (r.t - r.y).days == 1
+
+
+def test_order_dependent_aggregates_raise(spark):
+    for fn in ("runningDifference(x)", "neighbor(x, -1)", "deltaSum(x)",
+               "sumMap(k, v)", "groupArrayMovingSum(x)"):
+        with pytest.raises(UnsupportedChSql):
+            translate_ch_sql(f"SELECT {fn} FROM t")

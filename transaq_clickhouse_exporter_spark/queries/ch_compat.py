@@ -52,11 +52,24 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    - ``quantileTiming/quantileTDigest(q)(x)`` → ``percentile_approx``
    - ``arrayJoin/argMax/argMin/groupArray/groupUniqArray`` → renames
 
+   Everyday-surface bridges (round 8): ``add*/subtract*`` calendar
+   arithmetic → ``timestampadd``; ``dateDiff`` with CH's
+   BOUNDARY-CROSSING semantics (not complete units — ``timestampdiff``
+   would silently disagree); ``formatDateTime`` %-token translation;
+   the array HOF family (``arrayMap/Filter/Exists/All/Count``) with
+   CH's (lambda, array) argument order swapped to Spark's;
+   ``argMaxIf/argMinIf``; ``splitByString``; the statistics renames
+   (``stddevPop`` → ``stddev_pop`` etc.); ``toStartOfFive/Ten/
+   FifteenMinutes``, ``today/yesterday/now``, ``intDivOrZero``.
+
    Anything it does not recognize passes through untouched, so plain
-   ANSI stays intact; the few CH aggregates with no faithful mapping
-   here (weighted/sketch-state variants, ``_UNSUPPORTED``) raise
-   ``UnsupportedChSql`` with the offending name rather than
-   mistranslating — use the DataFrame operators for those.
+   ANSI stays intact; CH aggregates with no faithful mapping —
+   order-dependent state machines (``runningDifference``,
+   ``neighbor``, ``deltaSum``, ``groupArrayMoving*``,
+   ``sequenceNextNode``) and the map-merge family (``sumMap``…) —
+   raise ``UnsupportedChSql`` with the offending name rather than
+   mistranslating — use window functions / explode+GROUP BY / the
+   DataFrame operators for those.
 
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as
@@ -91,6 +104,18 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toFloat64": "(x DOUBLE) RETURNS DOUBLE RETURN x",
     "toString": "(x STRING) RETURNS STRING RETURN x",
     "toStartOfMinute": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('minute', ts)",
+    "toStartOfFiveMinutes": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "timestamp_seconds((unix_timestamp(ts) DIV 300) * 300)"
+    ),
+    "toStartOfTenMinutes": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "timestamp_seconds((unix_timestamp(ts) DIV 600) * 600)"
+    ),
+    "toStartOfFifteenMinutes": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "timestamp_seconds((unix_timestamp(ts) DIV 900) * 900)"
+    ),
     "toStartOfHour": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('hour', ts)",
     "toStartOfDay": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('day', ts)",
     # calendar family (CH returns Date for these; DATE casts match)
@@ -116,6 +141,28 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toHour": "(ts TIMESTAMP) RETURNS INT RETURN hour(ts)",
     "toMinute": "(ts TIMESTAMP) RETURNS INT RETURN minute(ts)",
     "toSecond": "(ts TIMESTAMP) RETURNS INT RETURN second(ts)",
+    "toDayOfYear": "(ts TIMESTAMP) RETURNS INT RETURN dayofyear(ts)",
+    "toQuarter": "(ts TIMESTAMP) RETURNS INT RETURN quarter(ts)",
+    "toISOWeek": "(ts TIMESTAMP) RETURNS INT RETURN weekofyear(ts)",
+    "today": "() RETURNS DATE RETURN current_date()",
+    "yesterday": "() RETURNS DATE RETURN date_sub(current_date(), 1)",
+    # CH's zero-on-zero-divisor integer ops (plain intDiv/modulo raise)
+    "intDivOrZero": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN "
+        "CASE WHEN b = 0 THEN 0 ELSE a DIV b END"
+    ),
+    "moduloOrZero": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN "
+        "CASE WHEN b = 0 THEN 0 ELSE a % b END"
+    ),
+    # string emptiness (CH also applies these to arrays — use
+    # size()/cardinality() for arrays on Spark)
+    "empty": "(x STRING) RETURNS BOOLEAN RETURN coalesce(length(x), 0) = 0",
+    "notEmpty": "(x STRING) RETURNS BOOLEAN RETURN coalesce(length(x), 0) > 0",
+    # count of DISTINCT elements of one array (CH arrayUniq/1)
+    "arrayUniq": (
+        "(xs ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(xs))"
+    ),
     # exact top-k most-frequent values of a collected group (the CH
     # `topK(k)(x)` aggregate's result contract), ties broken by value
     # ascending — the same (-count, value) rule as functions/topk.py.
@@ -204,6 +251,30 @@ _RENAMES = {
     "ifNull": "ifnull",
     "lcase": "lower",
     "ucase": "upper",
+    # round-8 everyday surface (same arity + arg order on both engines)
+    "arrayReverse": "reverse",
+    "arrayMax": "array_max",
+    "arrayMin": "array_min",
+    "arraySlice": "slice",
+    "arrayFlatten": "flatten",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "trimBoth": "trim",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "substringUTF8": "substring",
+    "lengthUTF8": "length",      # both count CODEPOINTS (bare CH
+                                 # length counts bytes — left alone)
+    "now": "current_timestamp",
+    # statistics family: CH camelCase → Spark snake_case, identical
+    # population/sample semantics
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "medianExact": "median",     # Spark median() is the exact 0.5 quantile
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
@@ -233,8 +304,17 @@ _PARAMETERIZED_PLURAL = {
 #: recognized-but-unsupported: raise instead of mistranslating.
 #: (weighted/sketch-state variants whose semantics have no faithful
 #: single-expression Spark mapping in this subset)
+#: order-dependent / state-machine aggregates with no faithful SQL
+#: mapping: raise with a pointer instead of mistranslating.  running*/
+#: neighbor depend on CH block processing order (CH's own docs call
+#: them deprecated in favor of window functions — which Spark SQL has
+#: natively: use lag/lead/sum OVER).  *Map aggregates merge maps
+#: key-wise: express as explode → GROUP BY key → map_from_entries.
 _UNSUPPORTED = {"sequenceNextNode",
-                "groupArrayMovingAvg", "groupArrayMovingSum"}
+                "groupArrayMovingAvg", "groupArrayMovingSum",
+                "runningDifference", "runningAccumulate", "neighbor",
+                "deltaSum", "deltaSumTimestamp",
+                "sumMap", "minMap", "maxMap", "avgMap"}
 
 
 def _find_close(sql: str, open_idx: int) -> int:
@@ -1331,6 +1411,102 @@ def _funnel_expr(params: str, args: list[str]) -> str:
     )
 
 
+#: CH add*/subtract* calendar arithmetic → Spark timestampadd units
+_ADDSUB_UNITS = {
+    **{f"add{u.capitalize()}s": (u.upper(), 1)
+       for u in ("year", "month", "week", "day", "hour", "minute", "second")},
+    **{f"subtract{u.capitalize()}s": (u.upper(), -1)
+       for u in ("year", "month", "week", "day", "hour", "minute", "second")},
+}
+
+#: CH array HOFs take (lambda, array); Spark's take (array, lambda)
+_LAMBDA_SWAP = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+}
+
+
+def _datediff_expr(args: list[str]) -> str:
+    """CH ``dateDiff('unit', start, end)`` counts UNIT-BOUNDARY
+    crossings (toRelative*Num difference), NOT complete intervals —
+    so Spark's ``timestampdiff`` (complete units) would be a silent
+    mistranslation.  Emit the boundary arithmetic per unit; 'week'
+    raises (CH's relative week epoch rule is not worth guessing)."""
+    if len(args) != 3:
+        raise UnsupportedChSql("dateDiff('unit', start, end) expects 3 args")
+    unit_lit, s, e = args
+    if not (unit_lit.startswith("'") and unit_lit.endswith("'")):
+        raise UnsupportedChSql("dateDiff needs a literal unit")
+    unit = unit_lit[1:-1].lower()
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit in secs:
+        w = secs[unit]
+        if unit == "second":
+            return f"(unix_timestamp({e}) - unix_timestamp({s}))"
+        return (
+            f"((unix_timestamp(date_trunc('{unit}', {e})) - "
+            f"unix_timestamp(date_trunc('{unit}', {s}))) DIV {w})"
+        )
+    if unit == "month":
+        return (f"((year({e}) * 12 + month({e})) - "
+                f"(year({s}) * 12 + month({s})))")
+    if unit == "quarter":
+        return (f"((year({e}) * 4 + quarter({e})) - "
+                f"(year({s}) * 4 + quarter({s})))")
+    if unit == "year":
+        return f"(year({e}) - year({s}))"
+    raise UnsupportedChSql(f"dateDiff unit {unit!r} not supported")
+
+
+#: CH formatDateTime %-tokens → Spark datetime pattern fragments
+_CH_FMT_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%p": "a",
+    "%j": "DDD", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%R": "HH:mm",
+    "%%": "%",
+}
+
+
+def _format_datetime_expr(args: list[str]) -> str:
+    """``formatDateTime(ts, '%Y-%m-%d')`` → ``date_format(ts, …)`` with
+    the %-tokens translated; unknown tokens and the timezone argument
+    raise (session-timezone discipline) rather than mistranslate.
+    Literal text between tokens is single-quoted for Spark's pattern
+    syntax."""
+    import re
+
+    if len(args) == 3:
+        raise UnsupportedChSql(
+            "formatDateTime timezone argument not supported — the session "
+            "timezone governs rendering"
+        )
+    if len(args) != 2:
+        raise UnsupportedChSql("formatDateTime(ts, 'fmt') expects 2 args")
+    ts, fmt_lit = args
+    if not (fmt_lit.startswith("'") and fmt_lit.endswith("'")):
+        raise UnsupportedChSql("formatDateTime needs a literal format")
+    fmt = fmt_lit[1:-1].replace("''", "'")
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            tok = fmt[i : i + 2]
+            if tok not in _CH_FMT_TOKENS:
+                raise UnsupportedChSql(
+                    f"formatDateTime token {tok!r} not supported"
+                )
+            out.append(_CH_FMT_TOKENS[tok])
+            i += 2
+        else:
+            m = re.match(r"[^%]+", fmt[i:])
+            lit = m.group(0)
+            out.append("'" + lit.replace("'", "''") + "'")
+            i += len(lit)
+    pat = "".join(out).replace("'", "\\'")
+    return f"date_format({ts}, '{pat}')"
+
+
 def _rewrite_calls(sql: str) -> str:
     import re
 
@@ -1413,6 +1589,63 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "assumeNotNull":  # relational no-op on Spark
             out.append(f"({inner})")
+            i = close + 1
+            continue
+        if name in _ADDSUB_UNITS:
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(ts, n) expects 2 arguments")
+            unit, sign = _ADDSUB_UNITS[name]
+            n_expr = parts[1] if sign > 0 else f"-({parts[1]})"
+            out.append(f"timestampadd({unit}, {n_expr}, {parts[0]})")
+            i = close + 1
+            continue
+        if name == "dateDiff":
+            out.append(_datediff_expr(_split_args(inner)))
+            i = close + 1
+            continue
+        if name == "formatDateTime":
+            out.append(_format_datetime_expr(_split_args(inner)))
+            i = close + 1
+            continue
+        if name in _LAMBDA_SWAP:
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    f"{name}(lambda, arr) with exactly one array is "
+                    "supported (Spark's HOFs take a single array)"
+                )
+            out.append(f"{_LAMBDA_SWAP[name]}({parts[1]}, {parts[0]})")
+            i = close + 1
+            continue
+        if name == "arrayCount":
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("arrayCount(lambda, arr) expects 2 args")
+            out.append(f"size(filter({parts[1]}, {parts[0]}))")
+            i = close + 1
+            continue
+        if name in ("argMaxIf", "argMinIf"):
+            parts = _split_args(inner)
+            if len(parts) != 3:
+                raise UnsupportedChSql(f"{name}(x, by, cond) expects 3 args")
+            base = "max_by" if name == "argMaxIf" else "min_by"
+            x, by, cond = parts
+            out.append(
+                f"{base}(CASE WHEN {cond} THEN {x} END, "
+                f"CASE WHEN {cond} THEN {by} END)"
+            )
+            i = close + 1
+            continue
+        if name == "splitByString":
+            parts = _split_args(inner)
+            if len(parts) != 2 or not (
+                parts[0].startswith("'") and parts[0].endswith("'")
+            ):
+                raise UnsupportedChSql("splitByString expects a literal separator")
+            sep = parts[0][1:-1].replace("''", "'")
+            esc = "".join("\\" + c if c in r".^$*+?()[]{}|\\" else c for c in sep)
+            out.append(f"split({parts[1]}, '{esc}')")
             i = close + 1
             continue
         if name == "splitByChar":
