@@ -619,3 +619,56 @@ def test_topk_preagg_equivalence_vs_forced_fallback(spark, events, monkeypatch):
                     assert x == pytest.approx(y, rel=1e-12), q
                 else:
                     assert x == y, q
+
+
+def test_topk_preagg_combinatorial_equivalence(spark, monkeypatch):
+    """Systematic shape sweep: grouped/ungrouped × sibling-aggregate
+    sets × HAVING/ORDER BY/LIMIT combinations, every supported shape
+    compared against the forced-fallback expression path.  Catches
+    interaction regressions the hand-picked shapes miss."""
+    spark.createDataFrame(
+        [(g, f"v{(g * 7 + i * 3) % 5}", (g + i) % 11, float((i * 13) % 7))
+         for g in range(4) for i in range(25)],
+        "g long, x string, w long, val double",
+    ).createOrReplaceTempView("tk_fuzz")
+
+    sib_sets = [
+        "",
+        ", count(*) AS n",
+        ", sum(w) AS sw, min(val) AS mn",
+        ", avg(val) AS av, max(w) AS mxw",
+        ", countIf(w > 5) AS ci, sumIf(w, val > 2) AS si",
+    ]
+    tails_grouped = [
+        "",
+        " HAVING n >= 1" if True else "",
+        " ORDER BY g",
+        " ORDER BY g LIMIT 3",
+    ]
+    checked = 0
+    for grouped in (False, True):
+        for sib in sib_sets:
+            for tail in (tails_grouped if grouped else [""]):
+                if "HAVING n" in tail and ", count(*) AS n" != sib:
+                    continue
+                if grouped:
+                    q = (f"SELECT g, topK(2)(x) AS t{sib} FROM tk_fuzz "
+                         f"GROUP BY g{tail}")
+                else:
+                    q = f"SELECT topK(2)(x) AS t{sib} FROM tk_fuzz"
+                assert "__tkpre" in cc.translate_ch_sql(q), q
+                pre = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()),
+                             key=repr)
+                with monkeypatch.context() as mp:
+                    mp.setattr(cc, "_preaggregate_topk", lambda s: s)
+                    fb = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()),
+                                key=repr)
+                assert len(pre) == len(fb), q
+                for a, b in zip(pre, fb):
+                    for xx, yy in zip(a, b):
+                        if isinstance(xx, float):
+                            assert xx == pytest.approx(yy, rel=1e-12), q
+                        else:
+                            assert xx == yy, q
+                checked += 1
+    assert checked >= 20
