@@ -280,8 +280,11 @@ def test_everyday_scalar_rewrites(spark):
     assert translate_ch_sql("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t") == (
         "SELECT CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END FROM t"
     )
+    # the separator is escaped for BOTH layers: the regex needs \.
+    # and the string literal parser consumes one backslash, so the
+    # emitted TEXT carries two (self-review r8)
     assert translate_ch_sql("SELECT splitByChar('.', host) FROM t") == (
-        r"SELECT split(host, '\.') FROM t"
+        "SELECT split(host, '\\\\.') FROM t"
     )
     assert translate_ch_sql("SELECT assumeNotNull(x) FROM t") == (
         "SELECT (x) FROM t"

@@ -641,7 +641,7 @@ def test_topk_preagg_combinatorial_equivalence(spark, monkeypatch):
     ]
     tails_grouped = [
         "",
-        " HAVING n >= 1" if True else "",
+        " HAVING n >= 1",
         " ORDER BY g",
         " ORDER BY g LIMIT 3",
     ]

@@ -79,7 +79,7 @@ def test_format_datetime_tokens(spark):
     r = _one(
         spark,
         "SELECT formatDateTime(timestamp'2024-03-05 09:07:02',"
-        " '%Y-%m-%d %H:%M:%S') AS full,"
+        " '%Y-%m-%d %H:%i:%S') AS full,"
         " formatDateTime(timestamp'2024-03-05 09:07:02', '%F') AS f,"
         " formatDateTime(timestamp'2024-03-05 09:07:02',"
         " 'at %H h %% done') AS lit",
@@ -91,6 +91,9 @@ def test_format_datetime_tokens(spark):
         translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM t")
     with pytest.raises(UnsupportedChSql):
         translate_ch_sql("SELECT formatDateTime(ts, '%Y', 'UTC') FROM t")
+    # %M raises: minutes pre-23.4, month name after — unmappable safely
+    with pytest.raises(UnsupportedChSql, match="%i"):
+        translate_ch_sql("SELECT formatDateTime(ts, '%H:%M') FROM t")
 
 
 def test_array_hofs_ch_argument_order(spark):
@@ -152,3 +155,72 @@ def test_order_dependent_aggregates_raise(spark):
                "sumMap(k, v)", "groupArrayMovingSum(x)"):
         with pytest.raises(UnsupportedChSql):
             translate_ch_sql(f"SELECT {fn} FROM t")
+
+
+def test_split_separator_metachars_and_quotes(spark):
+    """Self-review r8: regex metachars in the separator must survive
+    BOTH escaping layers (string literal, then regex) — '.' must split
+    on dots, not on every character."""
+    r = _one(
+        spark,
+        "SELECT splitByString('.', '1.2.3') AS dots,"
+        " splitByChar('|', 'a|b|c') AS pipes,"
+        " splitByString('][', 'a][b') AS brk,"
+        " splitByChar('''', 'x''y') AS quo",
+    )
+    assert r.dots == ["1", "2", "3"]
+    assert r.pipes == ["a", "b", "c"]
+    assert r.brk == ["a", "b"]
+    assert r.quo == ["x", "y"]
+
+
+def test_datediff_dst_local_days(spark):
+    """Self-review r8: day diff counts LOCAL calendar boundaries even
+    when the local day is 23 h (spring-forward); hour/minute diffs are
+    UTC-epoch relative numbers (CH toRelative*Num), DST-free."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
+    try:
+        r = _one(
+            spark,
+            "SELECT dateDiff('day', timestamp'2010-03-27 12:00:00',"
+            " timestamp'2010-03-28 12:00:00') AS d,"
+            " dateDiff('hour', timestamp'2010-03-28 01:30:00',"
+            " timestamp'2010-03-28 03:30:00') AS h",
+        )
+        # 23-hour local day still crosses ONE day boundary; the local
+        # 01:30->03:30 spans the skipped hour = ONE real UTC hour
+        assert r.d == 1 and r.h == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_topk_preagg_where_alias_colliding_with_table_name(spark):
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (12, "b")], "g long, x string"
+    ).createOrReplaceTempView("tk_coll")
+    # `tk_coll` is BOTH the table name and a select alias referenced
+    # from WHERE (CH-ism): the inliner must rewrite only the WHERE
+    # occurrence, never the FROM clause (self-review r8)
+    rows = run_ch_sql(
+        spark,
+        "SELECT g AS tk_coll, topK(1)(x) AS t FROM tk_coll "
+        "WHERE tk_coll >= 2 GROUP BY g ORDER BY tk_coll",
+    ).collect()
+    assert [(r.tk_coll, r.t) for r in rows] == [(2, ["b"]), (12, ["b"])]
+
+
+def test_asof_backticked_right_ts_reference(spark):
+    spark.createDataFrame(
+        [("S", 100, 1.0)], "sec string, time_s long, price double"
+    ).createOrReplaceTempView("asof_bt_l")
+    spark.createDataFrame(
+        [("S", 90, 2.0)], "qsec string, time_s long, bid double"
+    ).createOrReplaceTempView("asof_bt_r")
+    for spelling in ("q.`time_s`", 'q."time_s"'):
+        [r] = run_ch_sql(
+            spark,
+            f"SELECT a.sec, {spelling} AS rt FROM asof_bt_l a ASOF JOIN "
+            "asof_bt_r q ON a.sec = q.qsec AND a.time_s >= q.time_s",
+        ).collect()
+        assert r.rt == 90, spelling  # the MATCHED right ts, not left 100

@@ -256,7 +256,9 @@ _RENAMES = {
     "arrayMax": "array_max",
     "arrayMin": "array_min",
     "arraySlice": "slice",
-    "arrayFlatten": "flatten",
+    # NOT mapped: arrayFlatten — CH flattens ALL nesting depths, Spark
+    # flatten removes exactly one level; left unmapped (loud
+    # unresolved-function error) rather than silently wrong at depth 3+
     "trimLeft": "ltrim",
     "trimRight": "rtrim",
     "trimBoth": "trim",
@@ -274,7 +276,11 @@ _RENAMES = {
     "varSamp": "var_samp",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
-    "medianExact": "median",     # Spark median() is the exact 0.5 quantile
+    # Spark median() interpolates on even counts where CH medianExact
+    # is nearest-rank — the SAME documented honest-analogue deviation
+    # as the quantileExact → percentile mapping above (both return the
+    # 0.5 quantile under their engine's exact-quantile definition)
+    "medianExact": "median",
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
@@ -802,11 +808,6 @@ def _block_clauses(
     return out
 
 
-def _split_toplevel_commas(text: str) -> list[str]:
-    """Split on depth-0 commas of ``text`` (literals respected)."""
-    return _split_args(text)
-
-
 def _split_item_alias(item: str) -> tuple[str, str | None]:
     """Split a SELECT item into (expression, alias) on a trailing
     depth-0 ``AS alias`` (or None)."""
@@ -960,14 +961,14 @@ def _rewrite_topk_block(sql: str, sh: str, depths: list[int],
     if group_text:
         if re.search(r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS)\b", group_text):
             raise _TopkFallback("grouping-set GROUP BY")
-        for g in _split_toplevel_commas(group_text):
+        for g in _split_args(group_text):
             if re.match(r"^\d+$", g):
                 raise _TopkFallback("positional GROUP BY")
             keys.append((g, f"__gk{len(keys)}"))
     norm_keys = {_norm_expr(r): a for r, a in keys}
 
     items = [_split_item_alias(it)
-             for it in _split_toplevel_commas(select_text)]
+             for it in _split_args(select_text)]
 
     # collect topK signature + partials over SELECT + HAVING + ORDER BY
     topk_x: str | None = None
@@ -1080,20 +1081,26 @@ def _rewrite_topk_block(sql: str, sh: str, depths: list[int],
     # CH-ism: WHERE may reference SELECT aliases — inline them into the
     # inner query's WHERE (aggregate-bearing aliases cannot legally
     # appear there, so inlining the raw expression is always sound).
+    # Replacement is bounded to the WHERE clause's own span: an alias
+    # colliding with a table/column name in FROM/JOIN/ON must stay
+    # untouched (self-review r8).
     if "WHERE" in cl and plain_aliases:
-        src_sh = _mask_literals(source_text)
+        w_off = cl["WHERE"][1] - source_start  # cond text starts here
+        head, cond = source_text[:w_off], source_text[w_off:]
+        cond_sh = _mask_literals(cond)
         for alias, expr in plain_aliases.items():
             if _scan_agg_calls(expr):
                 continue
             pat = re.compile(rf"(?<![\w.`$]){re.escape(alias)}(?![\w.`(])")
             pieces, last = [], 0
-            for am in pat.finditer(src_sh):
-                pieces.append(source_text[last : am.start()])
+            for am in pat.finditer(cond_sh):
+                pieces.append(cond[last : am.start()])
                 pieces.append(f"({expr})")
                 last = am.end()
-            pieces.append(source_text[last:])
-            source_text = "".join(pieces)
-            src_sh = _mask_literals(source_text)
+            pieces.append(cond[last:])
+            cond = "".join(pieces)
+            cond_sh = _mask_literals(cond)
+        source_text = head + cond
 
     inner_items = [f"{raw} AS {a}" for raw, a in keys]
     inner_items.append(f"CAST({topk_x} AS STRING) AS __tk_v")
@@ -1411,6 +1418,25 @@ def _funnel_expr(params: str, args: list[str]) -> str:
     )
 
 
+def _sep_regex_lit(sep_lit: str) -> str:
+    """Content for a Spark single-quoted string literal that, after the
+    literal parser processes backslash escapes, yields a REGEX matching
+    the separator exactly.  Two escaping layers stack: regex metachars
+    need a backslash that must itself survive the string literal
+    (``'.'`` → ``\\\\.`` in the literal text), and quotes re-escape as
+    ``''`` (the input arrives as a quoted SQL literal)."""
+    sep = sep_lit[1:-1].replace("''", "'")
+    out = []
+    for c in sep:
+        if c in r".^$*+?()[]{}|\\":
+            out.append("\\\\" + c)
+        elif c == "'":
+            out.append("''")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 #: CH add*/subtract* calendar arithmetic → Spark timestampadd units
 _ADDSUB_UNITS = {
     **{f"add{u.capitalize()}s": (u.upper(), 1)
@@ -1440,15 +1466,19 @@ def _datediff_expr(args: list[str]) -> str:
     if not (unit_lit.startswith("'") and unit_lit.endswith("'")):
         raise UnsupportedChSql("dateDiff needs a literal unit")
     unit = unit_lit[1:-1].lower()
-    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    if unit in secs:
-        w = secs[unit]
-        if unit == "second":
-            return f"(unix_timestamp({e}) - unix_timestamp({s}))"
-        return (
-            f"((unix_timestamp(date_trunc('{unit}', {e})) - "
-            f"unix_timestamp(date_trunc('{unit}', {s}))) DIV {w})"
-        )
+    if unit == "second":
+        return f"(unix_timestamp({e}) - unix_timestamp({s}))"
+    if unit in ("minute", "hour"):
+        # CH toRelativeMinute/HourNum are UTC-epoch floor-divisions —
+        # DST-independent by construction (a local date_trunc delta
+        # would miscount across a 23/25-hour local day)
+        w = 60 if unit == "minute" else 3600
+        return (f"(unix_timestamp({e}) DIV {w} - "
+                f"unix_timestamp({s}) DIV {w})")
+    if unit == "day":
+        # calendar-day boundary count in the session zone; datediff on
+        # DATEs is DST-proof (no fixed 86400 s assumption)
+        return f"datediff(CAST({e} AS DATE), CAST({s} AS DATE))"
     if unit == "month":
         return (f"((year({e}) * 12 + month({e})) - "
                 f"(year({s}) * 12 + month({s})))")
@@ -1460,10 +1490,15 @@ def _datediff_expr(args: list[str]) -> str:
     raise UnsupportedChSql(f"dateDiff unit {unit!r} not supported")
 
 
-#: CH formatDateTime %-tokens → Spark datetime pattern fragments
+#: CH formatDateTime %-tokens → Spark datetime pattern fragments.
+#: %M is deliberately ABSENT: ClickHouse changed its default meaning in
+#: 23.4 (minutes before, full month name after) — a mapping would be
+#: silently wrong on one side of that line, so it raises with a
+#: pointer to the unambiguous %i (minutes).  %e (space-padded day) has
+#: no Spark pattern equivalent and raises too.
 _CH_FMT_TOKENS = {
-    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
-    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%p": "a",
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%I": "hh", "%i": "mm", "%S": "ss", "%p": "a",
     "%j": "DDD", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%R": "HH:mm",
     "%%": "%",
 }
@@ -1492,6 +1527,12 @@ def _format_datetime_expr(args: list[str]) -> str:
     while i < len(fmt):
         if fmt[i] == "%":
             tok = fmt[i : i + 2]
+            if tok == "%M":
+                raise UnsupportedChSql(
+                    "formatDateTime %M is ambiguous across ClickHouse "
+                    "versions (minutes before 23.4, month name after) — "
+                    "use %i for minutes"
+                )
             if tok not in _CH_FMT_TOKENS:
                 raise UnsupportedChSql(
                     f"formatDateTime token {tok!r} not supported"
@@ -1637,26 +1678,13 @@ def _rewrite_calls(sql: str) -> str:
             )
             i = close + 1
             continue
-        if name == "splitByString":
+        if name in ("splitByString", "splitByChar"):
             parts = _split_args(inner)
             if len(parts) != 2 or not (
                 parts[0].startswith("'") and parts[0].endswith("'")
             ):
-                raise UnsupportedChSql("splitByString expects a literal separator")
-            sep = parts[0][1:-1].replace("''", "'")
-            esc = "".join("\\" + c if c in r".^$*+?()[]{}|\\" else c for c in sep)
-            out.append(f"split({parts[1]}, '{esc}')")
-            i = close + 1
-            continue
-        if name == "splitByChar":
-            parts = _split_args(inner)
-            if len(parts) != 2 or not (
-                parts[0].startswith("'") and parts[0].endswith("'")
-            ):
-                raise UnsupportedChSql("splitByChar expects a literal separator")
-            sep = parts[0][1:-1].replace("''", "'")
-            esc = "".join("\\" + c if c in r".^$*+?()[]{}|\\" else c for c in sep)
-            out.append(f"split({parts[1]}, '{esc}')")
+                raise UnsupportedChSql(f"{name} expects a literal separator")
+            out.append(f"split({parts[1]}, '{_sep_regex_lit(parts[0])}')")
             i = close + 1
             continue
         if name in _PARAMETERIZED_PLURAL and has_second:
@@ -1858,9 +1886,12 @@ def _bridge_asof_join(
     # right-row timestamp (the left ts would be a silently wrong value
     # when the sides share the name) — point those references at the
     # operator's matched-timestamp output before the qualifiers strip
+    rts_esc = re.escape(rts_as_written)
     rref = re.compile(
         r"\b(?:" + "|".join(map(re.escape, sorted(right_names))) + r")\."
-        + re.escape(rts_as_written) + r"(?![\w`(])"
+        # bare, backticked, or CH double-quoted spelling (the bridge
+        # runs BEFORE the double-quote → backtick conversion)
+        + rf"(?:{rts_esc}(?![\w`(])|`{rts_esc}`|\"{rts_esc}\")"
     )
     sh2 = _mask_literals(new_sql)
     out, last, n_rref = [], 0, 0
@@ -1876,7 +1907,9 @@ def _bridge_asof_join(
     joined.createOrReplaceTempView(name)
     # strip now-dangling side qualifiers (a.x / t1.x → x), literals safe
     quals = sorted(left_names | right_names, key=len, reverse=True)
-    qre = re.compile(r"\b(?:" + "|".join(map(re.escape, quals)) + r")\.(?=[A-Za-z_`])")
+    qre = re.compile(
+        r"\b(?:" + "|".join(map(re.escape, quals)) + r")\.(?=[A-Za-z_`\"])"
+    )
     sh2 = _mask_literals(new_sql)
     out, last = [], 0
     for qm in qre.finditer(sh2):
