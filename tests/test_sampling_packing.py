@@ -199,3 +199,32 @@ def test_mixture_weights_invariants(spark):
             assert w["e"] > w["d"] > w["c"] > w["b"] > w["a"]
         assert max(w.values()) >= prev_max  # skew grows with alpha
         prev_max = max(w.values())
+
+
+def test_diversity_sample_quota_and_determinism(spark, sf_smoke):
+    from transaq_clickhouse_exporter_spark.datapipe.sampling import (
+        diversity_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = diversity_sample(emb, per_cell=4, n_cells=8).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r.sample_rank)
+    assert by_cell and all(len(v) <= 4 for v in by_cell.values())
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_cell.values())
+    # content-stable: identical selection regardless of layout
+    again = diversity_sample(emb.repartition(7), per_cell=4, n_cells=8).collect()
+    assert sorted((r.vec_id, r.cell, r.sample_rank) for r in out) == \
+        sorted((r.vec_id, r.cell, r.sample_rank) for r in again)
+    # every cell that has members is represented (diversity holds)
+    from transaq_clickhouse_exporter_spark.datapipe.similarity import (
+        assign_cells,
+        sample_centroids,
+    )
+
+    cells_all = {
+        r.cell
+        for r in assign_cells(emb, sample_centroids(emb, 8)).select("cell").distinct().collect()
+    }
+    assert set(by_cell) == cells_all

@@ -203,3 +203,39 @@ def weighted_sample(
         .limit(k)
         .select(*df.columns, F.round("__key", 6).alias("sel_key"))
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    per_cell: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    prefilter_hex4: str | None = None,
+) -> DataFrame:
+    """Cluster-balanced subsampling (the SemDeDup-family "diversity"
+    selection a pretraining mix needs): assign every vector to its
+    max-cosine centroid cell (:func:`..datapipe.similarity.assign_cells`
+    — one zero-shuffle BLAS pass over a broadcast centroid matrix),
+    then keep up to ``per_cell`` ids per cell by the content-stable
+    (md5(id), id) rank — so over-represented regions of embedding
+    space are capped while sparse regions survive intact, and the
+    selection is reproducible across runs, engines, and re-shards.
+
+    Output: (``id_col``, ``cell``, ``sample_rank``).  Scale shape: the
+    quota is :func:`stratified_sample` on the cell column — ONE
+    shuffle on ~n_cells keys; a corpus-dominating hot cell pre-thins
+    with ``prefilter_hex4`` exactly like any hot stratum (sampling
+    module docstring).  ``centroids`` accepts a trained/persisted
+    centroid table (``similarity.train_ivf_centroids``); default =
+    the deterministic first-``n_cells``-by-id sample centroids."""
+    from .similarity import assign_cells, sample_centroids
+
+    cents = (
+        centroids
+        if centroids is not None
+        else sample_centroids(emb, n_cells, id_col, vec_col)
+    )
+    asg = assign_cells(emb, cents, id_col, vec_col).select(id_col, "cell")
+    return stratified_sample(asg, ["cell"], per_cell, id_col, prefilter_hex4)

@@ -3114,6 +3114,46 @@ def _datapipe_specs() -> list[QuerySpec]:
         )
     )
 
+    # cluster-balanced diversity sampling (round 8): ann03/dp26's
+    # deterministic cell assignment + the stratified content-stable
+    # quota — caps over-represented embedding-space regions.  Oracle
+    # recomputes the assignment from the same literal centroid rule
+    # and ranks by (md5(id), id) per cell.
+    from ..datapipe.sampling import diversity_sample
+
+    sp.append(
+        QuerySpec(
+            "dp33_diversity_sample",
+            lambda s: diversity_sample(
+                s.table("embeddings"), per_cell=5, n_cells=16
+            ),
+            """
+            , centsD AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cent
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 16) s0
+            ), asgD AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), c.cent), 6)
+                                  DESC, c.cell) AS rn
+                FROM embeddings e CROSS JOIN centsD c) a
+              WHERE rn = 1
+            )
+            SELECT vec_id, cell, CAST(rk AS INT) AS sample_rank FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY cell
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+              FROM asgD) r
+            WHERE rk <= 5
+            """,
+            tags=("datapipe", "sampling-diversity"),
+        )
+    )
+
     # add-one bigram LM quality scoring (the CCNet perplexity-filter
     # family); per-bigram log-prob micro-quantized before the per-doc
     # sum so only ln's last ulp is exposed (text.py docstring).
@@ -4113,6 +4153,8 @@ _TAIL_NAMES = (
     # round-8 additions start in the tail; they earn rows next round.
     "ev17_topk_grouped_sql",          # grouped pre-agg topK rewrite; the
                                       # ungrouped path holds ev16's row
+    "dp33_diversity_sample",          # cell-quota diversity sampling; cell
+                                      # machinery holds dp26/ann03 rows
 )
 
 
