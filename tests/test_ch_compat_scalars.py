@@ -224,3 +224,105 @@ def test_asof_backticked_right_ts_reference(spark):
             "asof_bt_r q ON a.sec = q.qsec AND a.time_s >= q.time_s",
         ).collect()
         assert r.rt == 90, spelling  # the MATCHED right ts, not left 100
+
+
+# ---- round-8 deep-review regressions (ch_compat full-module review) ----
+
+
+def test_todatetime_numeric_epoch_form(spark):
+    """The Grafana $__timeGroup idiom: toDateTime(<unix seconds>) must
+    yield the timestamp, not NULL (review r8)."""
+    r = _one(
+        spark,
+        "SELECT toDateTime(intDiv(toUnixTimestamp("
+        "timestamp'2024-03-05 10:17:45'), 60) * 60) AS m,"
+        " toDateTime('2024-03-05 10:17:45') AS s,"
+        " toDate(19000) AS days, toDate(1709633865) AS epoch,"
+        " toDate('20240305') AS compact, toDate('2024-03-05') AS iso",
+    )
+    assert str(r.m) == "2024-03-05 10:17:00"
+    assert str(r.s) == "2024-03-05 10:17:45"
+    assert str(r.days) == "2022-01-08"      # CH: <65536 = days since epoch
+    assert str(r.epoch) == "2024-03-05"
+    assert str(r.compact) == "2024-03-05" and str(r.iso) == "2024-03-05"
+
+
+def test_literals_survive_every_rewrite_layer(spark):
+    """String literals must never be rewritten: table-map names,
+    IN [...] syntax, FINAL, alias inlining, group-key substitution,
+    and the ambiguity retry all run masked (review r8)."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        _apply_table_map,
+    )
+
+    # table map: literal containing the table name is untouched; the
+    # substituted destination is not re-substituted
+    out = _apply_table_map(
+        "SELECT * FROM db.tr WHERE note = 'db.tr feed' AND tag = 'tr'",
+        {"db.tr": "cat.tr"},
+    )
+    assert out == "SELECT * FROM cat.tr WHERE note = 'db.tr feed' AND tag = 'tr'"
+    # IN [..] / FROM .. FINAL inside literals survive translation
+    t = translate_ch_sql(
+        "SELECT 1 FROM t WHERE a = 'not IN [scope]' AND b = 'FROM x FINAL'"
+    )
+    assert "'not IN [scope]'" in t and "'FROM x FINAL'" in t
+    # alias-in-WHERE inlining: the alias char inside a literal survives
+    spark.createDataFrame(
+        [(1, "h"), (2, "x")], "v long, tag string"
+    ).createOrReplaceTempView("lit_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT v * 2 AS h FROM lit_t WHERE h >= 2 AND tag = 'h'",
+    ).collect()
+    assert [(r.h) for r in rows] == [2]  # v=1 row (tag='h', h=2)
+
+
+def test_backslash_escaped_quotes_normalize(spark):
+    """CH's formatter emits \\' — scanners must not invert their
+    in/out-of-string state (review r8)."""
+    [r] = run_ch_sql(
+        spark,
+        "SELECT count_if(x = 'it\\'s') AS n FROM "
+        "(SELECT 'it''s' AS x UNION ALL SELECT 'other')",
+    ).collect()
+    assert r.n == 1
+    # escaped backslash stays a backslash
+    [r2] = run_ch_sql(spark, r"SELECT 'a\\b' AS s").collect()
+    assert r2.s == "a\\b"
+
+
+def test_topk_preagg_literal_case_distinct_siblings(spark):
+    """Two *If siblings differing only in literal case must not dedupe
+    to one partial (review r8)."""
+    spark.createDataFrame(
+        [(1, "x", "US", 10), (1, "y", "us", 3), (1, "x", "US", 5)],
+        "g long, x string, s string, q long",
+    ).createOrReplaceTempView("tk_lit")
+    [r] = cc.run_ch_sql(
+        spark,
+        "SELECT g, topK(1)(x) AS t, sumIf(q, s = 'US') AS a,"
+        " sumIf(q, s = 'us') AS b FROM tk_lit GROUP BY g",
+    ).collect()
+    assert (r.a, r.b) == (15, 3)
+
+
+def test_topk_preagg_mixed_nondecomposable_item_falls_back(spark, sf_smoke):
+    """An item mixing a decomposable aggregate with a non-decomposable
+    one must fall back whole-block, not half-decompose (review r8)."""
+    spark.read.parquet(f"{sf_smoke}/events.parquet").createOrReplaceTempView(
+        "tk_mixed_ev"
+    )
+    q = ("SELECT topK(2)(event_type) AS t, sum(value) + anyLast(value) AS s "
+         "FROM tk_mixed_ev")
+    assert "__tkpre" not in translate_ch_sql(q)
+    assert run_ch_sql(spark, q).collect()  # runs on the fallback path
+
+
+def test_sequence_match_condition_count_cap(spark):
+    conds = ", ".join(f"event_type='e{i}'" for i in range(1, 11))
+    with pytest.raises(UnsupportedChSql, match="9 conditions"):
+        translate_ch_sql(
+            f"SELECT user_id, sequenceMatch('(?1)')(ts, {conds}) "
+            "FROM t GROUP BY user_id"
+        )

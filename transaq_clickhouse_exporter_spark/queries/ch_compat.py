@@ -94,8 +94,30 @@ _SCALAR_SHIMS: dict[str, str] = {
         "timestamp_seconds((CAST(unix_timestamp(ts) AS BIGINT) DIV CAST(iv AS BIGINT))"
         " * CAST(iv AS BIGINT))"
     ),
-    "toDateTime": "(x STRING) RETURNS TIMESTAMP RETURN CAST(x AS TIMESTAMP)",
-    "toDate": "(x STRING) RETURNS DATE RETURN CAST(x AS DATE)",
+    # CH accepts BOTH a renderable string and a numeric unix epoch —
+    # the epoch form is the Grafana $__timeGroup idiom
+    # `toDateTime(intDiv(toUnixTimestamp(t), 60) * 60)` (review r8).
+    # A numeric argument coerces to its decimal string, which the
+    # all-digits branch sends through timestamp_seconds.
+    "toDateTime": (
+        "(x STRING) RETURNS TIMESTAMP RETURN "
+        "CASE WHEN x RLIKE '^[0-9]+$' "
+        "THEN timestamp_seconds(CAST(x AS BIGINT)) "
+        "ELSE CAST(x AS TIMESTAMP) END"
+    ),
+    # toDate numeric rule mirrors CH: < 65536 = days since epoch,
+    # larger = unix seconds; 8-digit 19/20-prefixed strings parse as
+    # yyyyMMdd (the common compact-date spelling)
+    "toDate": (
+        "(x STRING) RETURNS DATE RETURN "
+        "CASE WHEN x RLIKE '^(19|20)[0-9]{6}$' "
+        "THEN to_date(x, 'yyyyMMdd') "
+        "WHEN x RLIKE '^[0-9]+$' AND CAST(x AS BIGINT) < 65536 "
+        "THEN date_add(DATE'1970-01-01', CAST(x AS INT)) "
+        "WHEN x RLIKE '^[0-9]+$' "
+        "THEN CAST(timestamp_seconds(CAST(x AS BIGINT)) AS DATE) "
+        "ELSE CAST(x AS DATE) END"
+    ),
     "toUnixTimestamp": "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts)",
     "intDiv": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b",
     "modulo": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b",
@@ -410,13 +432,21 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
       JOIN`` raises with a pointer to ``operators/asof``."""
     import re
 
+    sql = _normalize_escapes(sql)
     sql = _apply_table_map(sql, dict(table_map or {}))
     sql = _brackets_to_parens(sql)
     sql = _dquotes_to_backticks(sql)
     # `FROM t FINAL` → `FROM t`: dedup-on-read views already implement
     # ReplacingMergeTree FINAL (operators/dedup.py).  Anchored on the
-    # FROM clause so a column/alias named "final" is untouched.
-    sql = re.sub(r"(?i)(\bFROM\s+[A-Za-z_`][\w.`]*)\s+FINAL\b", r"\1", sql)
+    # FROM clause so a column/alias named "final" is untouched; masked
+    # scan so literal text containing "FROM x FINAL" is left alone.
+    sh_f = _mask_literals(sql)
+    parts, last = [], 0
+    for m in re.finditer(r"(?i)(\bFROM\s+[A-Za-z_`][\w.`]*)\s+FINAL\b", sh_f):
+        parts.append(sql[last : m.end(1)])
+        last = m.end()
+    parts.append(sql[last:])
+    sql = "".join(parts)
     sql = _strip_trailing_clauses(sql)
     sql = _prewhere_to_where(sql)
     sql = _array_join_clause(sql)
@@ -433,6 +463,55 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     sql = _strip_global_hints(sql)
     sql = _preaggregate_topk(sql)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
+
+
+def _sub_masked(rx: "re.Pattern[str]", repl: str, sql: str) -> str:
+    """``rx.sub(repl, sql)`` applied only at match positions OUTSIDE
+    single-quoted literals (matches found on the masked shadow, text
+    spliced on the original).  ``repl`` must be a plain string without
+    group backreferences (group text would come from the mask)."""
+    sh = _mask_literals(sql)
+    out, last = [], 0
+    for m in rx.finditer(sh):
+        out.append(sql[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _normalize_escapes(sql: str) -> str:
+    """Convert ClickHouse backslash escapes inside string literals to
+    the ``''`` doubling convention every scanner in this module (and
+    ANSI SQL) understands.  CH's own query formatter emits ``\\'`` —
+    left alone it would invert every scanner's in/out-of-string
+    classification for the rest of the statement (review r8).
+    ``\\\\`` (escaped backslash) passes through unchanged."""
+    out, i, n = [], 0, len(sql)
+    in_lit = False
+    while i < n:
+        c = sql[i]
+        if not in_lit:
+            out.append(c)
+            if c == "'":
+                in_lit = True
+            i += 1
+            continue
+        if c == "\\" and i + 1 < n and sql[i + 1] == "'":
+            out.append("''")
+            i += 2
+        elif c == "\\" and i + 1 < n and sql[i + 1] == "\\":
+            out.append("\\\\")
+            i += 2
+        elif c == "'" and i + 1 < n and sql[i + 1] == "'":
+            out.append("''")
+            i += 2
+        else:
+            out.append(c)
+            if c == "'":
+                in_lit = False
+            i += 1
+    return "".join(out)
 
 
 def _mask_literals(sql: str) -> str:
@@ -828,6 +907,34 @@ _TOPK_COMBINE = {
     "sum": "sum", "count": "sum", "min": "min", "max": "max",
     "sumIf": "sum", "countIf": "sum", "minIf": "min", "maxIf": "max",
 }
+#: aggregates the pre-aggregation CANNOT decompose — meeting one in a
+#: topK block forces the whole-block fallback (otherwise a mixed item
+#: like `sum(a) + anyLast(b)` would decompose only the sum and leave a
+#: dangling raw-column reference in the outer query — review r8).
+#: Lowercased; covers the CH names this module maps plus their Spark
+#: spellings (the scan runs pre-translation, but users paste both).
+_TOPK_NONDECOMP = {
+    name.lower()
+    for name in (
+        "uniq", "uniqexact", "uniqcombined", "uniqcombined64", "uniqhll12",
+        "uniqtheta", "uniqupto", "approx_count_distinct",
+        "quantile", "quantileexact", "quantiletiming", "quantiletdigest",
+        "quantiledeterministic", "quantileexactweighted",
+        "quantiletimingweighted", "quantiles", "quantilesexact",
+        "median", "medianexact", "percentile", "percentile_approx",
+        "any", "any_value", "anylast", "anyheavy", "first", "last",
+        "first_value", "last_value",
+        "argmax", "argmin", "max_by", "min_by", "argmaxif", "argminif",
+        "grouparray", "groupuniqarray", "collect_list", "collect_set",
+        "avgif", "count_if",
+        "stddevpop", "stddevsamp", "varpop", "varsamp", "covarpop",
+        "covarsamp", "corr", "stddev", "stddev_pop", "stddev_samp",
+        "variance", "var_pop", "var_samp", "covar_pop", "covar_samp",
+        "skewness", "kurtosis", "mode", "bool_and", "bool_or",
+        "retention", "windowfunnel", "sequencematch", "sequencecount",
+        "histogram", "sum_distinct", "count_distinct",
+    )
+}
 
 
 def _scan_agg_calls(text: str) -> list[tuple[str, int, int, str | None, str]]:
@@ -884,29 +991,52 @@ def _scan_agg_calls(text: str) -> list[tuple[str, int, int, str | None, str]]:
                         i, close + 1, None, text[k + 1 : close]))
             i = close + 1
             continue
+        if lname in _TOPK_NONDECOMP:
+            # a mixed item (`sum(a) + anyLast(b)`) must not decompose
+            # half-way and leave raw columns dangling in the outer
+            # query — force the whole-block expression fallback
+            raise _TopkFallback(f"non-decomposable aggregate {name}")
         i = k + 1  # scalar wrapper: scan inside its parens
     return res
 
 
 def _norm_expr(text: str) -> str:
-    import re
-
-    return re.sub(r"\s+", " ", text.strip()).lower()
+    """Whitespace-collapsed, case-folded expression key — but string
+    LITERALS keep their exact content (case and spacing), so two
+    aggregates differing only inside a literal never dedupe to one
+    partial (review r8)."""
+    sh = _mask_literals(text)
+    out, i, n = [], 0, len(text)
+    while i < n:
+        if sh[i] == "'":  # literal (incl. quotes): copy verbatim
+            j = i + 1
+            while j < n and sh[j] != "'":
+                j += 1
+            out.append(text[i : min(j + 1, n)])
+            i = j + 1
+        elif text[i].isspace():
+            while i < n and sh[i] != "'" and text[i].isspace():
+                i += 1
+            out.append(" ")
+        else:
+            out.append(text[i].lower())
+            i += 1
+    return "".join(out).strip()
 
 
 def _key_sub(text: str, keys: list[tuple[str, str]]) -> str:
     """Replace occurrences of each group-key expression with its
     ``__gk{i}`` alias in ``text`` (longest key first; identifier keys
-    word-bounded, expression keys by exact text)."""
+    word-bounded, expression keys by exact text; string literals never
+    touched — review r8)."""
     import re
 
     for raw, alias in sorted(keys, key=lambda kv: -len(kv[0])):
         if re.match(r"^[A-Za-z_][\w.]*$", raw):
-            text = re.sub(
-                rf"(?<![\w.`$]){re.escape(raw)}(?![\w.`(])", alias, text
-            )
+            rx = re.compile(rf"(?<![\w.`$]){re.escape(raw)}(?![\w.`(])")
         else:
-            text = text.replace(raw, alias)
+            rx = re.compile(re.escape(raw))
+        text = _sub_masked(rx, alias, text)
     return text
 
 
@@ -1163,22 +1293,32 @@ def _preaggregate_topk(sql: str) -> str:
 
 
 def _apply_table_map(sql: str, table_map: Mapping[str, str]) -> str:
+    """Every replacement is masked (string literals untouched) and the
+    bare-name pass excludes dot-preceded occurrences, so an
+    already-substituted qualified destination (``cat.trades``) is
+    never re-rewritten into ``cat.cat.trades`` (review r8)."""
     import re
 
     for src, dst in table_map.items():
         if "." in src:
             db, tbl = src.split(".", 1)
+            dbe, tble = re.escape(db), re.escape(tbl)
             for pat in (
-                rf'"{db}"\s*\.\s*"{tbl}"',
-                rf'"{db}"\s*\.\s*{tbl}\b',
-                rf'\b{db}\s*\.\s*"{tbl}"',
-                rf"\b{db}\s*\.\s*{tbl}\b",
+                rf'"{dbe}"\s*\.\s*"{tble}"',
+                rf'"{dbe}"\s*\.\s*{tble}\b',
+                rf'\b{dbe}\s*\.\s*"{tble}"',
+                rf"\b{dbe}\s*\.\s*{tble}\b",
             ):
-                sql = re.sub(pat, dst, sql)
+                sql = _sub_masked(re.compile(pat), dst, sql)
             # bare table name as a column-qualifier prefix (`t.col`)
-            sql = re.sub(rf"\b{tbl}\b(?!\s*\()", dst, sql)
+            sql = _sub_masked(
+                re.compile(rf"(?<![\w.`]){tble}\b(?!\s*\()"), dst, sql
+            )
         else:
-            sql = re.sub(rf"\b{src}\b(?!\s*\()", dst, sql)
+            sql = _sub_masked(
+                re.compile(rf"(?<![\w.`]){re.escape(src)}\b(?!\s*\()"),
+                dst, sql,
+            )
     return sql
 
 
@@ -1188,7 +1328,7 @@ def _brackets_to_parens(sql: str) -> str:
 
     out = sql
     while True:
-        m = re.search(r"(?i)\bIN\s*\[", out)
+        m = re.search(r"(?i)\bIN\s*\[", _mask_literals(out))
         if not m:
             return out
         open_idx = m.end() - 1
@@ -1321,6 +1461,11 @@ def _seq_expr(name: str, params: str, args: list[str]) -> str:
         raise UnsupportedChSql(f"{name} pattern must be a string literal")
     if len(args) < 2:
         raise UnsupportedChSql(f"{name} expects (timestamp, cond…) arguments")
+    if len(args) - 1 > 9:
+        # single-character token alphabet (same cap as the DataFrame
+        # twin seqmatch._token_col): condition 10 would emit the
+        # two-char token '10', which regex '1' falsely matches
+        raise UnsupportedChSql(f"{name} supports at most 9 conditions")
     from ..functions.seqmatch import translate_pattern
 
     ts, conds = args[0], args[1:]
@@ -1931,6 +2076,7 @@ def run_ch_sql(
     if params:
         sql = substitute(sql, params)
     register_ch_functions(spark)
+    sql = _normalize_escapes(sql)  # before the bridge scans literals
     sql, asof_view = _bridge_asof_join(spark, sql, table_map)
     try:
         text = translate_ch_sql(sql, table_map)
@@ -1950,8 +2096,8 @@ def run_ch_sql(
                 if not m or not lm:
                     raise
                 col, left = m.group(1), lm.group(1)
-                fixed = re.sub(
-                    rf"(?<![\w.`]){re.escape(col)}(?![\w.`(])",
+                fixed = _sub_masked(
+                    re.compile(rf"(?<![\w.`]){re.escape(col)}(?![\w.`(])"),
                     f"{left}.{col}", text,
                 )
                 if fixed == text:
@@ -2021,7 +2167,7 @@ def _replace_alias_refs(segment: str, alias: str, expr: str) -> str:
     in ``segment`` with the parenthesized expression."""
     rep = f"({expr.strip()})"
     if alias.startswith("`"):
-        segment = segment.replace(alias, rep)
+        segment = _sub_masked(_re.compile(_re.escape(alias)), rep, segment)
         inner = alias[1:-1]
         if not _re.fullmatch(r"[A-Za-z_]\w*", inner):
             return segment  # not addressable unquoted
@@ -2029,7 +2175,7 @@ def _replace_alias_refs(segment: str, alias: str, expr: str) -> str:
     pat = _re.compile(
         rf"(?<![\w.`]){_re.escape(alias)}(?![\w.`(])"
     )
-    return pat.sub(rep.replace("\\", "\\\\"), segment)
+    return _sub_masked(pat, rep, segment)
 
 
 def _inline_block(s: str) -> str:
