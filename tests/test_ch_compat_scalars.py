@@ -326,3 +326,31 @@ def test_sequence_match_condition_count_cap(spark):
             f"SELECT user_id, sequenceMatch('(?1)')(ts, {conds}) "
             "FROM t GROUP BY user_id"
         )
+
+
+def test_scalar_with_items_inline(spark):
+    """CH scalar WITH (`WITH 100 AS k SELECT x/k`) inlines at reference
+    sites; CTE items stay; scalar-subquery items become scalar
+    subqueries; SAMPLE raises with a pointer."""
+    spark.createDataFrame(
+        [(10,), (20,), (30,)], "v long"
+    ).createOrReplaceTempView("w_t")
+    rows = run_ch_sql(
+        spark, "WITH 10 AS k SELECT v / k AS r FROM w_t ORDER BY r"
+    ).collect()
+    assert [r.r for r in rows] == [1.0, 2.0, 3.0]
+    # scalar subquery item + a real CTE in the same list
+    rows = run_ch_sql(
+        spark,
+        "WITH (SELECT max(v) FROM w_t) AS mx, "
+        "big AS (SELECT v FROM w_t WHERE v >= 20) "
+        "SELECT v, mx AS mx FROM big ORDER BY v",
+    ).collect()
+    assert [(r.v, r.mx) for r in rows] == [(20, 30), (30, 30)]
+    # alias char inside a literal is untouched
+    [r] = run_ch_sql(
+        spark, "WITH 5 AS k SELECT concat('k=', CAST(k AS STRING)) AS s"
+    ).collect()
+    assert r.s == "k=5"
+    with pytest.raises(UnsupportedChSql, match="hash_sample"):
+        translate_ch_sql("SELECT count() FROM trades SAMPLE 0.1")

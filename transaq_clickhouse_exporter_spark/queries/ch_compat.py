@@ -447,8 +447,15 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
         last = m.end()
     parts.append(sql[last:])
     sql = "".join(parts)
+    sql = _scalar_with(sql)
     sql = _strip_trailing_clauses(sql)
     sql = _prewhere_to_where(sql)
+    if _scan_toplevel(sql, r"\bSAMPLE\s+[\d.]"):
+        raise UnsupportedChSql(
+            "SAMPLE clause: CH samples deterministically by the table's "
+            "sampling key, Spark TABLESAMPLE does not — use "
+            "datapipe.sampling.hash_sample for a reproducible sample"
+        )
     sql = _array_join_clause(sql)
     if _scan_toplevel(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
         raise UnsupportedChSql(
@@ -1290,6 +1297,69 @@ def _preaggregate_topk(sql: str) -> str:
                 span[1] += delta
         sql = new_sql
     return sql
+
+
+def _scalar_with(sql: str) -> str:
+    """CH's scalar WITH items — ``WITH 100 AS k SELECT x/k …`` and
+    ``WITH (SELECT max(t) FROM x) AS m SELECT …`` — have no Spark
+    equivalent (Spark WITH is CTE-only).  Inline each scalar item as a
+    parenthesized expression at its bare reference sites (masked,
+    word-bounded); genuine CTE items (``name AS (SELECT …)``) stay in
+    the WITH list.  Statement-leading WITH only; a scalar WITH nested
+    in a subquery raises its own (loud) Spark parse error.  Caveat: a
+    bare SELECT-list reference takes the inlined expression's
+    auto-generated column name — alias it (``SELECT k AS k``) when the
+    output name matters."""
+    import re
+
+    sh = _mask_literals(sql)
+    m = re.match(r"(?is)\s*WITH\b", sh)
+    if not m:
+        return sql
+    depths = _depth_map(sh)
+    sel = None
+    for mm in re.finditer(r"(?i)\bSELECT\b", sh):
+        if depths[mm.start()] == 0:
+            sel = mm.start()
+            break
+    if sel is None:
+        return sql
+    keep: list[str] = []
+    scalars: list[tuple[str, str]] = []
+    for it in _split_args(sql[m.end() : sel]):
+        if re.match(r"(?is)^\s*[A-Za-z_`]\w*\s+AS\s*\(", _mask_literals(it)):
+            keep.append(it.strip())
+            continue
+        expr, alias = _split_item_alias(it)
+        if alias is None:
+            raise UnsupportedChSql(
+                "unsupported WITH item (neither `name AS (SELECT …)` "
+                "nor CH's scalar `expr AS name`)"
+            )
+        scalars.append((alias, expr))
+    if not scalars:
+        return sql
+
+    def inline(text: str, alias: str, expr: str) -> str:
+        rx = re.compile(rf"(?<![\w.`$]){re.escape(alias)}(?![\w.`(])")
+        shx = _mask_literals(text)
+        out, last = [], 0
+        for mm in rx.finditer(shx):
+            # `… AS alias` is a DEFINITION site, not a reference
+            if re.search(r"(?i)\bAS\s*$", shx[: mm.start()]):
+                continue
+            out.append(text[last : mm.start()])
+            out.append(f"({expr})")
+            last = mm.end()
+        out.append(text[last:])
+        return "".join(out)
+
+    rest = sql[sel:]
+    for alias, expr in scalars:
+        rest = inline(rest, alias, expr)
+        keep = [inline(k, alias, expr) for k in keep]
+    head = f"WITH {', '.join(keep)} " if keep else ""
+    return head + rest
 
 
 def _apply_table_map(sql: str, table_map: Mapping[str, str]) -> str:
