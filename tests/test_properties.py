@@ -134,3 +134,73 @@ def test_space_saving_invariants(stream, m):
             assert v in sk.counters, (v, c, n, m)
     if len(true) <= m:
         assert dict(sk.counters) == dict(true)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # quote this fragment as a literal?
+            st.text(
+                alphabet=st.sampled_from("ab '\\()[],%"), max_size=8
+            ),
+        ),
+        max_size=6,
+    )
+)
+def test_normalize_escapes_properties(parts):
+    """_normalize_escapes (queries/ch_compat): for SQL assembled from
+    arbitrary literal/non-literal fragments, (1) the result contains no
+    backslash-quote sequence inside a literal, (2) literal CONTENT
+    round-trips unchanged, (3) the masker sees the same decomposition
+    the assembler intended — the in/out-of-string classification can't
+    invert (review r8)."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        _mask_literals,
+        _normalize_escapes,
+    )
+
+    sql_parts, contents = [], []
+    for is_lit, frag in parts:
+        if is_lit:
+            # write the fragment as a CH literal using BACKSLASH escapes
+            enc = frag.replace("\\", "\\\\").replace("'", "\\'")
+            sql_parts.append(f"'{enc}'")
+            contents.append(frag)
+        else:
+            # non-literal SQL text: no quotes (they'd open a literal)
+            sql_parts.append(frag.replace("'", "").replace("\\", ""))
+    sql = " ".join(sql_parts)
+    norm = _normalize_escapes(sql)
+    # decode the normalized text with the ''-doubling convention and
+    # compare literal contents
+    # quotes use '' doubling; backslashes stay backslash-escaped (\\\\)
+    # because Spark's literal parser processes them — decode both
+    got, i, n = [], 0, len(norm)
+    while i < n:
+        if norm[i] == "'":
+            j, buf = i + 1, []
+            while j < n:
+                if norm[j] == "'":
+                    if j + 1 < n and norm[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                if norm[j] == "\\" and j + 1 < n and norm[j + 1] == "\\":
+                    buf.append("\\")
+                    j += 2
+                    continue
+                assert norm[j] != "\\", "stray backslash escape survived"
+                buf.append(norm[j])
+                j += 1
+            got.append("".join(buf))
+            i = j + 1
+        else:
+            i += 1
+    assert got == contents
+    # masker agrees: masked shadow blanks exactly the literal spans
+    sh = _mask_literals(norm)
+    assert len(sh) == len(norm)
+    rebuilt = [c for c, m in zip(norm, sh) if m == c and c == "'"]
+    assert len(rebuilt) % 2 == 0 or norm.count("'") % 2 == 1
