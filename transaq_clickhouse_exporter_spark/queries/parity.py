@@ -1550,6 +1550,47 @@ def _events_specs() -> list[QuerySpec]:
             """,
         )
 
+    # CH scalar WITH through the dialect (round 8): the literal item
+    # inlines at reference sites, the scalar-subquery item becomes a
+    # Spark scalar subquery, the CTE item survives as a CTE.  Oracle =
+    # the same statement with the CH-isms hand-lowered to ANSI.
+    def _scalar_with_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            WITH 1000 AS scale_q,
+                 (SELECT max(quantity) FROM trades) AS max_q,
+                 buys AS (SELECT sec_code, quantity FROM trades
+                          WHERE buy_sell = 'B')
+            SELECT sec_code,
+                   CAST(sum(quantity * scale_q) AS BIGINT) AS q_scaled,
+                   CAST(max_q AS BIGINT) AS max_q
+            FROM buys GROUP BY sec_code, max_q ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev18_scalar_with_sql",
+            _scalar_with_sql,
+            """
+            , buys18 AS (SELECT sec_code, quantity FROM trades
+                         WHERE buy_sell = 'B'),
+            mq18 AS (SELECT CAST(max(quantity) AS BIGINT) AS max_q
+                     FROM trades)
+            SELECT sec_code,
+                   CAST(sum(CAST(quantity AS BIGINT) * 1000) AS BIGINT)
+                     AS q_scaled,
+                   max_q
+            FROM buys18 CROSS JOIN mq18
+            GROUP BY sec_code, max_q ORDER BY sec_code
+            """,
+            tags=("events", "scalar-with", "ch-sql"),
+        )
+    )
+
     sp.append(
         QuerySpec(
             "ev17_topk_grouped_sql",
@@ -4155,6 +4196,7 @@ _TAIL_NAMES = (
                                       # ungrouped path holds ev16's row
     "dp33_diversity_sample",          # cell-quota diversity sampling; cell
                                       # machinery holds dp26/ann03 rows
+    "ev18_scalar_with_sql",           # scalar-WITH dialect bridge evidence
 )
 
 
