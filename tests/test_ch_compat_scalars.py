@@ -354,3 +354,65 @@ def test_scalar_with_items_inline(spark):
     assert r.s == "k=5"
     with pytest.raises(UnsupportedChSql, match="hash_sample"):
         translate_ch_sql("SELECT count() FROM trades SAMPLE 0.1")
+
+
+def test_split_backslash_separator(spark):
+    r"""Review r8 pass 2: a backslash-containing separator must decode
+    the literal's \\ escape and re-escape through both layers."""
+    r = _one(
+        spark,
+        r"SELECT splitByString('a\\b', 'xa\\by') AS mixed,"
+        r" splitByChar('\\', 'p\\q\\r') AS bs",
+    )
+    assert r.mixed == ["x", "y"]
+    assert r.bs == ["p", "q", "r"]
+
+
+def test_topk_preagg_expression_key_with_literal(spark):
+    """Review r8 pass 2: a GROUP BY key CONTAINING a string literal
+    must still be substituted in ORDER BY (the masked-regex match
+    could never see it)."""
+    spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "g string, x string"
+    ).createOrReplaceTempView("tk_kexpr")
+    rows = run_ch_sql(
+        spark,
+        "SELECT concat(g, '-') AS gg, topK(2)(x) AS t FROM tk_kexpr "
+        "GROUP BY concat(g, '-') ORDER BY concat(g, '-')",
+    ).collect()
+    assert [r.gg for r in rows] == ["a-", "b-"]
+    assert rows[0].t == ["x", "y"] and rows[1].t == ["x"]
+
+
+def test_with_cte_forms_pass_through(spark):
+    """Review r8 pass 2: column-list CTEs and WITH RECURSIVE are valid
+    Spark SQL and must not be rejected by the scalar-WITH bridge."""
+    [r] = run_ch_sql(spark, "WITH t(a) AS (SELECT 1) SELECT a FROM t").collect()
+    assert r.a == 1
+    rows = run_ch_sql(
+        spark,
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r "
+        "WHERE n < 3) SELECT n FROM r ORDER BY n",
+    ).collect()
+    assert [x.n for x in rows] == [1, 2, 3]
+
+
+def test_scalar_with_chained_aliases(spark):
+    """CH scalar items may reference preceding ones."""
+    spark.createDataFrame([(3,)], "v long").createOrReplaceTempView("w_chain")
+    [r] = run_ch_sql(
+        spark, "WITH 10 AS a, a * 2 AS b SELECT v * b AS r FROM w_chain"
+    ).collect()
+    assert r.r == 60
+
+
+def test_todate_epoch_vs_compact_boundaries(spark):
+    """8-digit values that are NOT valid yyyyMMdd dates (month 00)
+    fall through to CH's unix-seconds rule instead of NULL."""
+    r = _one(
+        spark,
+        "SELECT toDate(20000000) AS ep, toDate('20241301') AS bad_month",
+    )
+    # 20,000,000 s ≈ 1970-08-20; '20241301' month 13 → seconds rule too
+    assert str(r.ep) == "1970-08-20"
+    assert r.bad_month is not None  # resolves via seconds, never NULL

@@ -106,11 +106,15 @@ _SCALAR_SHIMS: dict[str, str] = {
         "ELSE CAST(x AS TIMESTAMP) END"
     ),
     # toDate numeric rule mirrors CH: < 65536 = days since epoch,
-    # larger = unix seconds; 8-digit 19/20-prefixed strings parse as
-    # yyyyMMdd (the common compact-date spelling)
+    # larger = unix seconds; 8-digit strings that form a VALID
+    # yyyyMMdd calendar date parse as the compact-date spelling
+    # (documented trade-off: such values are also valid 1970 epochs in
+    # CH's numeric reading — the compact date is the common SQL-text
+    # intent; month 00/13+ etc. falls through to the seconds rule)
     "toDate": (
         "(x STRING) RETURNS DATE RETURN "
-        "CASE WHEN x RLIKE '^(19|20)[0-9]{6}$' "
+        "CASE WHEN x RLIKE "
+        "'^(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$' "
         "THEN to_date(x, 'yyyyMMdd') "
         "WHEN x RLIKE '^[0-9]+$' AND CAST(x AS BIGINT) < 65536 "
         "THEN date_add(DATE'1970-01-01', CAST(x AS INT)) "
@@ -1031,19 +1035,61 @@ def _norm_expr(text: str) -> str:
     return "".join(out).strip()
 
 
+def _in_literal_flags(text: str) -> list[bool]:
+    """Per-character flag: is this position inside (or a quote of) a
+    single-quoted literal's interior/closing?  The OPENING quote and
+    everything before it are False, so a match may START at any
+    non-literal position."""
+    flags: list[bool] = []
+    in_lit, i, n = False, 0, len(text)
+    while i < n:
+        c = text[i]
+        if not in_lit:
+            flags.append(False)
+            if c == "'":
+                in_lit = True
+            i += 1
+        else:
+            if c == "'" and i + 1 < n and text[i + 1] == "'":
+                flags.extend((True, True))
+                i += 2
+                continue
+            flags.append(True)
+            if c == "'":
+                in_lit = False
+            i += 1
+    return flags
+
+
 def _key_sub(text: str, keys: list[tuple[str, str]]) -> str:
     """Replace occurrences of each group-key expression with its
     ``__gk{i}`` alias in ``text`` (longest key first; identifier keys
-    word-bounded, expression keys by exact text; string literals never
-    touched — review r8)."""
+    word-bounded, expression keys by exact text).  Matches never START
+    inside a string literal, but an expression key may itself CONTAIN
+    literals (``concat(g, '-')``) — hence exact-text matching on the
+    original, literal-anchored by position (review r8, second pass)."""
     import re
 
     for raw, alias in sorted(keys, key=lambda kv: -len(kv[0])):
         if re.match(r"^[A-Za-z_][\w.]*$", raw):
             rx = re.compile(rf"(?<![\w.`$]){re.escape(raw)}(?![\w.`(])")
-        else:
-            rx = re.compile(re.escape(raw))
-        text = _sub_masked(rx, alias, text)
+            text = _sub_masked(rx, alias, text)
+            continue
+        flags = _in_literal_flags(text)
+        out, start = [], 0
+        while True:
+            pos = text.find(raw, start)
+            if pos < 0:
+                break
+            if flags[pos]:
+                out.append(text[start : pos + 1])
+                start = pos + 1
+                continue
+            out.append(text[start:pos])
+            out.append(alias)
+            start = pos + len(raw)
+        out.append(text[start:])
+        text = "".join(out)
     return text
 
 
@@ -1224,19 +1270,13 @@ def _rewrite_topk_block(sql: str, sh: str, depths: list[int],
     if "WHERE" in cl and plain_aliases:
         w_off = cl["WHERE"][1] - source_start  # cond text starts here
         head, cond = source_text[:w_off], source_text[w_off:]
-        cond_sh = _mask_literals(cond)
         for alias, expr in plain_aliases.items():
             if _scan_agg_calls(expr):
                 continue
-            pat = re.compile(rf"(?<![\w.`$]){re.escape(alias)}(?![\w.`(])")
-            pieces, last = [], 0
-            for am in pat.finditer(cond_sh):
-                pieces.append(cond[last : am.start()])
-                pieces.append(f"({expr})")
-                last = am.end()
-            pieces.append(cond[last:])
-            cond = "".join(pieces)
-            cond_sh = _mask_literals(cond)
+            cond = _sub_masked(
+                re.compile(rf"(?<![\w.`$]){re.escape(alias)}(?![\w.`(])"),
+                f"({expr})", cond,
+            )
         source_text = head + cond
 
     inner_items = [f"{raw} AS {a}" for raw, a in keys]
@@ -1326,8 +1366,14 @@ def _scalar_with(sql: str) -> str:
         return sql
     keep: list[str] = []
     scalars: list[tuple[str, str]] = []
+    # CTE forms stay: `name AS (…)`, `name(cols) AS (…)`, and the
+    # RECURSIVE-prefixed first item (all valid Spark SQL)
+    cte_rx = re.compile(
+        r"(?is)^\s*(?:RECURSIVE\s+)?[A-Za-z_`\"]\w*[`\"]?\s*"
+        r"(?:\([^()]*\))?\s+AS\s*\("
+    )
     for it in _split_args(sql[m.end() : sel]):
-        if re.match(r"(?is)^\s*[A-Za-z_`]\w*\s+AS\s*\(", _mask_literals(it)):
+        if cte_rx.match(_mask_literals(it)):
             keep.append(it.strip())
             continue
         expr, alias = _split_item_alias(it)
@@ -1355,9 +1401,14 @@ def _scalar_with(sql: str) -> str:
         return "".join(out)
 
     rest = sql[sel:]
-    for alias, expr in scalars:
+    for idx, (alias, expr) in enumerate(scalars):
         rest = inline(rest, alias, expr)
         keep = [inline(k, alias, expr) for k in keep]
+        # CH scalar items may reference PRECEDING ones (`10 AS a,
+        # a*2 AS b`): propagate into the remaining scalars' expressions
+        for j in range(idx + 1, len(scalars)):
+            a2, e2 = scalars[j]
+            scalars[j] = (a2, inline(e2, alias, expr))
     head = f"WITH {', '.join(keep)} " if keep else ""
     return head + rest
 
@@ -1636,14 +1687,18 @@ def _funnel_expr(params: str, args: list[str]) -> str:
 def _sep_regex_lit(sep_lit: str) -> str:
     """Content for a Spark single-quoted string literal that, after the
     literal parser processes backslash escapes, yields a REGEX matching
-    the separator exactly.  Two escaping layers stack: regex metachars
-    need a backslash that must itself survive the string literal
-    (``'.'`` → ``\\\\.`` in the literal text), and quotes re-escape as
-    ``''`` (the input arrives as a quoted SQL literal)."""
-    sep = sep_lit[1:-1].replace("''", "'")
+    the separator exactly.  The input literal is DECODED first (``''``
+    doubling and ``\\\\`` backslash escapes), then each content char is
+    re-escaped through BOTH layers: regex metachars need one regex
+    backslash that must itself survive the string literal (``.`` →
+    ``\\\\.`` in the emitted text), a backslash needs a regex escape of
+    two backslashes = four in the text, and quotes re-double."""
+    sep = sep_lit[1:-1].replace("''", "'").replace("\\\\", "\\")
     out = []
     for c in sep:
-        if c in r".^$*+?()[]{}|\\":
+        if c == "\\":
+            out.append("\\\\\\\\")
+        elif c in r".^$*+?()[]{}|":
             out.append("\\\\" + c)
         elif c == "'":
             out.append("''")
