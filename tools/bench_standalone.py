@@ -44,6 +44,8 @@ PICKS = [
     "ev14_window_funnel_ch", "ev13_heavy_hitters",
     "ev15_window_funnel_sql", "ev16_topk_weighted_sql",
     "op08_asof_sql_bridge",
+    "ev17_topk_grouped_sql", "ev18_scalar_with_sql",
+    "dp33_diversity_sample",
 ]
 
 
