@@ -3613,6 +3613,53 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join", "ch-sql"),
         )
     )
+    # the bridge's LEFT path (ch_compat._bridge_asof_join left_kw
+    # branch): unmatched left rows survive with NULL right side — the
+    # semantic worth pinning externally is count(*) > count(matched)
+    # exactly where trades precede the first quote.  Oracled against
+    # DuckDB's native ASOF LEFT JOIN (op08 pins the INNER filter).
+    def _asof_left_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        (
+            s.table("quotes_dup")
+            .groupBy("sec_code", "time_s")
+            .agg(F.max(F.col("price")).alias("quote_price"))
+        ).createOrReplaceTempView("asof_quote_series")
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code, count(*) AS n_trades,
+                   count(quote_price) AS n_matched,
+                   sum(CAST(round(coalesce(quote_price, 0) * 1e6)
+                            AS BIGINT)) AS sum_quote_price_micro
+            FROM trades t ASOF LEFT JOIN asof_quote_series q
+              ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+            GROUP BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "op09_asof_left_bridge",
+            _asof_left_sql,
+            """
+            SELECT sec_code, CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(count(quote_price) AS BIGINT) AS n_matched,
+                   CAST(sum(CAST(round(coalesce(quote_price, 0) * 1e6)
+                                 AS BIGINT)) AS BIGINT)
+                     AS sum_quote_price_micro
+            FROM (
+              SELECT t.sec_code, q.quote_price
+              FROM trades t ASOF LEFT JOIN (
+                SELECT sec_code, time_s, max(price) AS quote_price
+                FROM quotes_dup GROUP BY sec_code, time_s) q
+                ON t.sec_code = q.sec_code AND t.time_s >= q.time_s) j
+            GROUP BY sec_code
+            """,
+            tags=("operator", "asof-join", "ch-sql"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -4082,14 +4129,24 @@ def _analytics_specs() -> list[QuerySpec]:
 #: class that has NEVER had an external driver row moves INTO the
 #: window — all 20 oracled round-6 additions (op06/op07, ev10–ev13,
 #: an07–an11, dp23, dp25–dp32) plus the new db18 DST entry — so that
-#: after this round 20/21 never-verified classes carry external rows
-#: (mm01 stays tail: oracle-less by design, value-checked locally).
+#: after this round 20/21 never-verified classes carry external rows.
 #: The 21 displaced entries ALL hold green rows in CORRECTNESS_r05 or
 #: _r06 (their class evidence is already externally banked) and each
 #: leaves an in-window class representative, named per entry below.
 #: Every tail entry stays oracle-paired and locally gated by the
 #: full-catalog sweep in tests/test_parity_catalog.py.  If the driver
 #: checks all entries, the order is irrelevant.
+#:
+#: ROUND-9 ROTATION (executes VERDICT r8 items 1+3): the four
+#: never-externally-verified entries move INTO the window —
+#: ev17/dp33/ev18 (round-8 additions) and mm01 (now carries a sha256
+#: DuckDB oracle, so it can finally earn a row) — after which EVERY
+#: catalog entry has held an external driver row at least once.  Six
+#: longest-absent banked classes also re-enter per the ~3-round
+#: re-earn cadence (NOTES.md): an01/an02 (tail since r05), dp03/dp04,
+#: ev01, tp01.  The ten displacements (named at the round-9 block
+#: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
+#: in-window class representative.
 _TAIL_NAMES = (
     "db02_volume_by_interval_sell",   # twin of db01 (buy)
     "db05_netto_union_sell_top10",    # twin of db04 (buy)
@@ -4099,26 +4156,19 @@ _TAIL_NAMES = (
     "db13_imoex_volume_by_time",      # by-time family still covered by db15
     "db14_lots_by_time_sell",         # twin of db13/db15 time-series family
     "db16_distinct_sec_codes",        # DISTINCT+LIMIT evidence stays via db17
-    "mm01_feature_extract",           # no oracle by design; mm02 value-checked
-                                      # r06, multimodal path locally gated
-    "an01_vwap",                      # join+agg arithmetic ≡ db01–db10 shape
-    "an02_cumulative_volume",         # window evidence stays via an07–an11
-    "dp04_embedding_near_dups",       # blocked-BLAS cosine stays via ann01/ann03+
     "ev02_json_extract",              # locally gated; scalar surface ubiquitous
     "in03_candles_windowed",          # candle evidence stays via in05 (exact fold)
     "dp08_stratified_sample",         # sampling evidence stays via dp27 (weighted)
     "op02_quotes_final",              # dedup_last_write_wins evidence stays via
                                       # op01 (same operator, 6-key trades table)
-    "dp03_ngram_jaccard",             # jaccard-verify evidence stays via dp05
-                                      # (100%-recall all-pairs oracle) and dp17
     "tp02_top_revenue_orders",        # top-K evidence stays via db03/db04 +
                                       # the TakeOrderedAndProject plan assertion
     "an03_minute_returns",            # lag evidence stays via ev03 (sessionize
                                       # gap-lag); bar series via in05
     "an04_price_percentiles",         # quantile evidence stays via an10
                                       # (weighted quantiles, now in-window)
-    "db06_icebergs",                  # HAVING stays via db03; topK via ev13
-    "ev01_tumbling_agg",              # tumbling buckets stay via db01/db07
+    "db06_icebergs",                  # HAVING stays via db03; topK via
+                                      # ev16/ev17 (ev13 now tail)
     "tp03_semi_anti_counts",          # semi/anti-join stays via db03/db17
     "tp04_supplier_stats_by_nation",  # multi-join agg stays via db broadcast
                                       # joins + tp06 (correlated)
@@ -4152,7 +4202,6 @@ _TAIL_NAMES = (
     "ev07_cohort_retention",          # retention class enters via ev12
     "ev09_quantile_sketch",           # mergeable-histogram class: r06 row
                                       # banked; quantile class stays via an10
-    "tp01_pricing_summary",           # agg shape ≡ db family; r06 row banked
     "tp05_rollup_grouping",           # ROLLUP r06 row banked; tp06/tp07 keep
                                       # the TPC-H family in-window
     "dp12_split_assign",              # hash-range family stays via dp27 +
@@ -4191,12 +4240,34 @@ _TAIL_NAMES = (
                                       # in every builder (Q18)
     "ann01_brute_force_topk",         # BLAS cosine top-k stays via ann03
                                       # (IVF probe) + dp31 (chunk retrieval)
-    # round-8 additions start in the tail; they earn rows next round.
-    "ev17_topk_grouped_sql",          # grouped pre-agg topK rewrite; the
-                                      # ungrouped path holds ev16's row
-    "dp33_diversity_sample",          # cell-quota diversity sampling; cell
-                                      # machinery holds dp26/ann03 rows
-    "ev18_scalar_with_sql",           # scalar-WITH dialect bridge evidence
+    # ROUND-9 ROTATION (executes VERDICT r8 items 1+3): ev17/dp33/
+    # ev18/mm01 and six stale banked classes (an01/an02/dp03/dp04/
+    # ev01/tp01) move INTO the window.  The ten displacements below
+    # ALL hold green rows in CORRECTNESS_r08 and each leaves an
+    # in-window class representative, named per entry.
+    "db18_dst_spring_buckets",        # DST-transition buckets: keep db19
+                                      # (fall, the harder repeated-hour case)
+    "ev13_heavy_hitters",             # Space-Saving sketch topK: keep ev16
+                                      # (weighted pre-agg SQL) + ev17 entering
+    "ev15_window_funnel_sql",         # funnel class keeps ev14 (CH-exact
+                                      # builder) + ev08 (earliest-anchor)
+    "an09_twap",                      # ordered-scan integral: window class
+                                      # keeps an07/an08/an10/an11
+    "op04_asof_join",                 # as-of class keeps op05 (range join) +
+                                      # op08 (ASOF SQL bridge)
+    "dp06_simhash_near_dups",         # near-dup class keeps dp05 (MinHash LSH)
+                                      # + dp17 (incremental) + dp03/dp04 entering
+    "dp26_semantic_dedup",            # cell-bucketed class keeps ann03 (IVF) +
+                                      # dp33 (diversity cells) entering
+    "dp27_weighted_sample",           # sampling class keeps dp33 entering
+                                      # (stratified quota path) + dp10 bucketing
+    "dp31_chunk_search",              # retrieval class keeps dp30 (chunking) +
+                                      # dp32 (LSH-bucketed search)
+    "ann04_sq_topk",                  # compressed-ANN class: int8 SQ r08 row
+                                      # banked; ann03 (IVF) stays in-window
+    # round-9 additions start in the tail; they earn rows next round.
+    "op09_asof_left_bridge",          # ASOF LEFT JOIN bridge (null right side
+                                      # on no-match) vs DuckDB ASOF LEFT
 )
 
 
