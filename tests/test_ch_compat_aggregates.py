@@ -606,7 +606,7 @@ def test_topk_preagg_equivalence_vs_forced_fallback(spark, events, monkeypatch):
         assert "__tkpre" in cc.translate_ch_sql(q), q  # rewrite fires
         pre = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()), key=repr)
         with monkeypatch.context() as mp:
-            mp.setattr(cc, "_preaggregate_topk", lambda s: s)
+            mp.setattr(cc, "_preaggregate_topk", lambda s, strict_scale=False: s)
             assert "__tkpre" not in cc.translate_ch_sql(q)
             fb = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()), key=repr)
         # float sums re-associate through partials: compare with repr
@@ -660,7 +660,7 @@ def test_topk_preagg_combinatorial_equivalence(spark, monkeypatch):
                 pre = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()),
                              key=repr)
                 with monkeypatch.context() as mp:
-                    mp.setattr(cc, "_preaggregate_topk", lambda s: s)
+                    mp.setattr(cc, "_preaggregate_topk", lambda s, strict_scale=False: s)
                     fb = sorted(map(tuple, cc.run_ch_sql(spark, q).collect()),
                                 key=repr)
                 assert len(pre) == len(fb), q
@@ -672,3 +672,87 @@ def test_topk_preagg_combinatorial_equivalence(spark, monkeypatch):
                             assert xx == yy, q
                 checked += 1
     assert checked >= 20
+
+
+def test_topk_fallback_warns_naming_construct(spark):
+    """Round-9 guard (VERDICT r8 item 2): a declined topK block is no
+    longer silent — the translator names the unsupported construct and
+    flags the ungrouped hazard (the 95x/OOM shape from SCALE.md)."""
+    import warnings as w
+
+    # ungrouped + aggregate FILTER (advisor round-9 item 1: the FILTER
+    # clause must force the whole-block fallback, not half-decompose)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        text = cc.translate_ch_sql(
+            "SELECT topK(3)(event_type) AS t, "
+            "sum(value) FILTER (WHERE value > 1) AS s FROM cc_events")
+    assert "__tkpre" not in text
+    msgs = [str(r.message) for r in rec
+            if issubclass(r.category, cc.TopkFallbackWarning)]
+    assert len(msgs) == 1
+    assert "aggregate FILTER clause" in msgs[0]
+    assert "UNGROUPED" in msgs[0]
+
+    # grouped decline names the construct but skips the ungrouped alarm
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        cc.translate_ch_sql(
+            "SELECT user_id, topK(2)(DISTINCT event_type) AS t "
+            "FROM cc_events GROUP BY user_id")
+    msgs = [str(r.message) for r in rec
+            if issubclass(r.category, cc.TopkFallbackWarning)]
+    assert len(msgs) == 1
+    assert "DISTINCT inside topK" in msgs[0]
+    assert "UNGROUPED" not in msgs[0]
+
+    # a supported shape stays quiet
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        text = cc.translate_ch_sql(
+            "SELECT user_id, topK(2)(event_type) AS t "
+            "FROM cc_events GROUP BY user_id")
+    assert "__tkpre" in text
+    assert not [r for r in rec
+                if issubclass(r.category, cc.TopkFallbackWarning)]
+
+
+def test_topk_fallback_strict_scale_raises(spark, events):
+    """``strict_scale=True`` refuses the n-sized path outright, through
+    both translate_ch_sql and run_ch_sql; supported shapes still run."""
+    bad = ("SELECT topK(3)(event_type) AS t, "
+           "sum(value) FILTER (WHERE value > 1) AS s FROM cc_events")
+    with pytest.raises(cc.UnsupportedChSql, match="FILTER"):
+        cc.translate_ch_sql(bad, strict_scale=True)
+    with pytest.raises(cc.UnsupportedChSql, match="FILTER"):
+        cc.run_ch_sql(spark, bad, strict_scale=True)
+    ok = ("SELECT user_id, topK(2)(event_type) AS t "
+          "FROM cc_events GROUP BY user_id")
+    assert cc.run_ch_sql(spark, ok, strict_scale=True).collect()
+
+
+def test_topk_sibling_filter_values_correct(spark, events):
+    """The FILTER-forced fallback must also be value-correct: compare
+    against the same query spelled with sumIf (no FILTER clause)."""
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore", cc.TopkFallbackWarning)
+        a = sorted(map(tuple, cc.run_ch_sql(
+            spark,
+            "SELECT user_id, topK(2)(event_type) AS t, "
+            "sum(value) FILTER (WHERE value > 1) AS s "
+            "FROM cc_events GROUP BY user_id").collect()), key=repr)
+    b = sorted(map(tuple, cc.run_ch_sql(
+        spark,
+        "SELECT user_id, topK(2)(event_type) AS t, "
+        "sumIf(value, value > 1) AS s "
+        "FROM cc_events GROUP BY user_id").collect()), key=repr)
+    # float sums re-associate between the two plans: approx-compare
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for xa, xb in zip(ra, rb):
+            if isinstance(xa, float):
+                assert xa == pytest.approx(xb, rel=1e-12)
+            else:
+                assert xa == xb

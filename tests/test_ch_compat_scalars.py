@@ -416,3 +416,56 @@ def test_todate_epoch_vs_compact_boundaries(spark):
     # 20,000,000 s ≈ 1970-08-20; '20241301' month 13 → seconds rule too
     assert str(r.ep) == "1970-08-20"
     assert r.bad_month is not None  # resolves via seconds, never NULL
+
+
+def test_empty_null_propagates(spark):
+    """Advisor round-9 item 3: CH's empty(Nullable NULL) is NULL, not
+    TRUE — the shim must propagate NULL instead of coalescing."""
+    r = _one(
+        spark,
+        "SELECT empty(CAST(NULL AS STRING)) AS e, "
+        "notEmpty(CAST(NULL AS STRING)) AS ne, "
+        "empty('') AS e0, notEmpty('x') AS n1",
+    )
+    assert r.e is None and r.ne is None
+    assert r.e0 is True and r.n1 is True
+
+
+def test_scalar_with_bare_select_item_keeps_name(spark):
+    """VERDICT r8 item 6: a scalar-WITH reference that is itself a
+    SELECT-list item keeps the WITH-item name as the output column
+    (CH behavior), with no manual `k AS k` alias needed."""
+    spark.createDataFrame([(7,)], "v long").createOrReplaceTempView("w_nm")
+    df = run_ch_sql(spark, "WITH 100 AS k SELECT k, v, k / v AS r FROM w_nm")
+    assert df.columns == ["k", "v", "r"]
+    [row] = df.collect()
+    assert (row.k, row.v) == (100, 7)
+    # non-item references (WHERE / inside expressions) stay bare inlines
+    df2 = run_ch_sql(
+        spark, "WITH 5 AS k SELECT v + k AS s FROM w_nm WHERE v > k"
+    )
+    assert df2.columns == ["s"] and df2.collect()[0].s == 12
+    # chained scalars: the later item's bare reference keeps ITS name
+    df3 = run_ch_sql(
+        spark, "WITH 10 AS a, a * 2 AS b SELECT b, a FROM w_nm"
+    )
+    assert df3.columns == ["b", "a"]
+    assert (df3.collect()[0].b, df3.collect()[0].a) == (20, 10)
+
+
+def test_scalar_with_quoted_cte_names(spark):
+    """Advisor round-9 item 2: backtick-quoted CTE names (which may
+    hold spaces) are valid Spark SQL and must pass through the
+    scalar-WITH bridge untouched."""
+    [r] = run_ch_sql(
+        spark,
+        "WITH `my cte` AS (SELECT 3 AS a) SELECT a FROM `my cte`",
+    ).collect()
+    assert r.a == 3
+    # quoted CTE mixed with a scalar item in one WITH list
+    [r2] = run_ch_sql(
+        spark,
+        "WITH `the base` AS (SELECT 4 AS v), 10 AS k "
+        "SELECT v * k AS p FROM `the base`",
+    ).collect()
+    assert r2.p == 40

@@ -71,6 +71,22 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    mistranslating — use window functions / explode+GROUP BY / the
    DataFrame operators for those.
 
+Documented deviations from ClickHouse (each also noted at its shim):
+
+- ``toDate(N)`` for a NUMERIC argument that spells a valid yyyyMMdd
+  date (e.g. ``toDate(20240305)``) parses as that calendar date here;
+  CH reads any numeric > 65535 as unix seconds (→ 1970-08-22).  The
+  STRING-typed shim cannot distinguish the two spellings after
+  coercion, and the compact date is the common SQL-text intent.
+- ``medianExact``/``quantileExact`` map to Spark ``median``/
+  ``percentile``, which interpolate on even counts where CH is
+  nearest-rank.
+- ``arrayZip`` pads to the longest input where CH errors on unequal
+  lengths.
+- ``topK``/``topKWeighted`` block shapes the pre-aggregation rewrite
+  cannot re-plan keep an n-sized ``collect_list`` expansion and emit
+  :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
+
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as
 :mod:`.sql` (``_lit``), so a hostile value cannot splice SQL.
@@ -182,9 +198,11 @@ _SCALAR_SHIMS: dict[str, str] = {
         "CASE WHEN b = 0 THEN 0 ELSE a % b END"
     ),
     # string emptiness (CH also applies these to arrays — use
-    # size()/cardinality() for arrays on Spark)
-    "empty": "(x STRING) RETURNS BOOLEAN RETURN coalesce(length(x), 0) = 0",
-    "notEmpty": "(x STRING) RETURNS BOOLEAN RETURN coalesce(length(x), 0) > 0",
+    # size()/cardinality() for arrays on Spark).  NULL propagates:
+    # CH's empty(Nullable NULL) is NULL, and length(NULL) already
+    # yields NULL here — no coalesce (advisor review, round 9)
+    "empty": "(x STRING) RETURNS BOOLEAN RETURN length(x) = 0",
+    "notEmpty": "(x STRING) RETURNS BOOLEAN RETURN length(x) > 0",
     # count of DISTINCT elements of one array (CH arrayUniq/1)
     "arrayUniq": (
         "(xs ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(xs))"
@@ -238,6 +256,19 @@ def register_ch_functions(spark: SparkSession) -> None:
 
 class UnsupportedChSql(ValueError):
     """A CH construct this subset deliberately refuses to guess at."""
+
+
+class TopkFallbackWarning(UserWarning):
+    """The ``topK``/``topKWeighted`` pre-aggregation rewrite declined a
+    block shape and the translator kept the ``collect_list``-based
+    expression expansion.  The fallback produces the SAME values but
+    holds O(n)-sized aggregation state (one list entry per input row)
+    instead of the rewrite's d-sized (distinct values) state — measured
+    95× slower ungrouped at 10M rows and OOM-shaped beyond (SCALE.md,
+    round 8).  Fine at Grafana-panel granularity; a hazard on a large
+    ungrouped scan.  Pass ``strict_scale=True`` to
+    :func:`run_ch_sql`/:func:`translate_ch_sql` to raise
+    :class:`UnsupportedChSql` instead of warning."""
 
 
 #: simple renames: same arity/arg order, different name.
@@ -407,10 +438,17 @@ def _split_args(args: str) -> list[str]:
     return out
 
 
-def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> str:
+def translate_ch_sql(
+    sql: str,
+    table_map: Mapping[str, str] | None = None,
+    strict_scale: bool = False,
+) -> str:
     """Rewrite the CH-dialect constructs described in the module
     docstring into Spark SQL.  Pure text-to-text; unknown functions
     pass through (the scalar shims handle them at run time).
+    ``strict_scale`` turns the topK-fallback warning (n-sized
+    aggregation state — see :class:`TopkFallbackWarning`) into an
+    :class:`UnsupportedChSql` raise.
 
     ``table_map`` maps CH table names (``db.table``) to Spark
     view/table names — every quoting variant (``"db"."t"``,
@@ -472,7 +510,7 @@ def translate_ch_sql(sql: str, table_map: Mapping[str, str] | None = None) -> st
     # relational meaning is plain IN / JOIN (Catalyst plans shipping).
     # Applied outside string literals at ANY depth (subqueries use it).
     sql = _strip_global_hints(sql)
-    sql = _preaggregate_topk(sql)
+    sql = _preaggregate_topk(sql, strict_scale=strict_scale)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
 
 
@@ -984,6 +1022,7 @@ def _scan_agg_calls(text: str) -> list[tuple[str, int, int, str | None, str]]:
             i = j
             continue
         lname = name.lower()
+        filter_rx = re.compile(r"(?i)\s*FILTER\s*\(")
         if name in ("topK", "topKWeighted"):
             close = _find_close(text, k)
             k2 = close + 1
@@ -992,12 +1031,19 @@ def _scan_agg_calls(text: str) -> list[tuple[str, int, int, str | None, str]]:
             if k2 >= n or sh[k2] != "(":
                 raise _TopkFallback("topK without (params)(args) form")
             close2 = _find_close(text, k2)
+            if filter_rx.match(sh, close2 + 1):
+                raise _TopkFallback("aggregate FILTER clause")
             res.append((name, i, close2 + 1, text[k + 1 : close],
                         text[k2 + 1 : close2]))
             i = close2 + 1
             continue
         if lname in _TOPK_STD_AGGS or name in _TOPK_IF_AGGS:
             close = _find_close(text, k)
+            # `sum(q) FILTER (WHERE c)`: decomposing the call would
+            # strand the FILTER predicate's raw columns on the outer
+            # partial re-combination — keep the whole-block fallback
+            if filter_rx.match(sh, close + 1):
+                raise _TopkFallback("aggregate FILTER clause")
             res.append((name if name in _TOPK_IF_AGGS else lname,
                         i, close + 1, None, text[k + 1 : close]))
             i = close + 1
@@ -1299,10 +1345,48 @@ def _rewrite_topk_block(sql: str, sh: str, depths: list[int],
     return sql[:bs] + " ".join(outer) + sql[be:]
 
 
-def _preaggregate_topk(sql: str) -> str:
+def _topk_fallback_notice(
+    sh: str, depths: list[int], bs: int, be: int, reason: str,
+    strict_scale: bool,
+) -> None:
+    """Warn (or raise under ``strict_scale``) that a block keeps the
+    n-sized ``collect_list`` expansion, naming the unsupported
+    construct.  The ungrouped form is the measured 100×-scale hazard
+    (SCALE.md round 8: 332 s vs 3.5 s at 10M rows), so it gets the
+    louder message."""
+    import re
+    import warnings
+
+    d0 = depths[bs] if 0 <= bs < len(depths) else 0
+    grouped = any(
+        depths[g.start()] == d0
+        for g in re.compile(r"(?i)\bGROUP\s+BY\b").finditer(sh, max(bs, 0), be)
+    )
+    msg = (
+        f"topK pre-aggregation rewrite declined this block ({reason}); "
+        "keeping the collect_list expression expansion with O(n)-sized "
+        "aggregation state"
+        + (
+            ""
+            if grouped
+            else " — UNGROUPED: state is one entry per input row on a "
+            "single reducer, measured 95x slower at 10M rows and "
+            "OOM-shaped beyond (SCALE.md)"
+        )
+    )
+    if strict_scale:
+        raise UnsupportedChSql(msg)
+    warnings.warn(msg, TopkFallbackWarning, stacklevel=6)
+
+
+def _preaggregate_topk(sql: str, strict_scale: bool = False) -> str:
     """Apply :func:`_rewrite_topk_block` to every query block containing
     a ``topK``/``topKWeighted`` call, innermost/rightmost first; blocks
-    whose shape is unsupported keep the expression expansion."""
+    whose shape is unsupported keep the expression expansion — loudly:
+    each declined block emits a :class:`TopkFallbackWarning` naming the
+    unsupported construct, or raises :class:`UnsupportedChSql` when
+    ``strict_scale`` is set (the fallback's n-sized state is the one
+    measured 100×-scale hazard in this module)."""
     import re
 
     fallbacks: list[list[int]] = []  # mutable [start, end) spans
@@ -1318,16 +1402,22 @@ def _preaggregate_topk(sql: str) -> str:
         m = cands[-1]
         bs = _enclosing_select(sh, depths, m.start())
         if bs < 0:
+            _topk_fallback_notice(
+                sh, depths, m.start(), len(sh),
+                "topK outside any SELECT block", strict_scale,
+            )
             fallbacks.append([m.start(), m.end()])
             continue
         be = _block_end(sh, depths, bs)
         if any(s < be and bs < e for s, e in fallbacks):
-            # block overlaps an already-fallen-back span: conservative
+            # block overlaps an already-fallen-back span: conservative;
+            # the inner span's notice already fired for this region
             fallbacks.append([bs, be])
             continue
         try:
             new_sql = _rewrite_topk_block(sql, sh, depths, bs, be)
-        except _TopkFallback:
+        except _TopkFallback as exc:
+            _topk_fallback_notice(sh, depths, bs, be, str(exc), strict_scale)
             fallbacks.append([bs, be])
             continue
         delta = len(new_sql) - len(sql)
@@ -1345,11 +1435,11 @@ def _scalar_with(sql: str) -> str:
     equivalent (Spark WITH is CTE-only).  Inline each scalar item as a
     parenthesized expression at its bare reference sites (masked,
     word-bounded); genuine CTE items (``name AS (SELECT …)``) stay in
-    the WITH list.  Statement-leading WITH only; a scalar WITH nested
-    in a subquery raises its own (loud) Spark parse error.  Caveat: a
-    bare SELECT-list reference takes the inlined expression's
-    auto-generated column name — alias it (``SELECT k AS k``) when the
-    output name matters."""
+    the WITH list.  A reference that is itself a complete SELECT-list
+    item (``SELECT k FROM …``) inlines as ``(expr) AS k`` so the
+    output column keeps the WITH-item name, matching CH.
+    Statement-leading WITH only; a scalar WITH nested in a subquery
+    raises its own (loud) Spark parse error."""
     import re
 
     sh = _mask_literals(sql)
@@ -1368,8 +1458,10 @@ def _scalar_with(sql: str) -> str:
     scalars: list[tuple[str, str]] = []
     # CTE forms stay: `name AS (…)`, `name(cols) AS (…)`, and the
     # RECURSIVE-prefixed first item (all valid Spark SQL)
+    # CTE name: bare identifier, or a backtick/double-quoted token
+    # (which may hold spaces — `my cte` is valid Spark SQL)
     cte_rx = re.compile(
-        r"(?is)^\s*(?:RECURSIVE\s+)?[A-Za-z_`\"]\w*[`\"]?\s*"
+        r"(?is)^\s*(?:RECURSIVE\s+)?(?:`[^`]*`|\"[^\"]*\"|[A-Za-z_]\w*)\s*"
         r"(?:\([^()]*\))?\s+AS\s*\("
     )
     for it in _split_args(sql[m.end() : sel]):
@@ -1386,16 +1478,53 @@ def _scalar_with(sql: str) -> str:
     if not scalars:
         return sql
 
+    clause_rx = re.compile(
+        r"(?i)\b(SELECT|FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|"
+        r"WINDOW|BY|ON|USING|DISTRIBUTE|SORT|CLUSTER|LATERAL)\b"
+    )
+
     def inline(text: str, alias: str, expr: str) -> str:
         rx = re.compile(rf"(?<![\w.`$]){re.escape(alias)}(?![\w.`(])")
         shx = _mask_literals(text)
+        dx = _depth_map(shx)
+        n = len(shx)
         out, last = [], 0
         for mm in rx.finditer(shx):
             # `… AS alias` is a DEFINITION site, not a reference
             if re.search(r"(?i)\bAS\s*$", shx[: mm.start()]):
                 continue
+            # A reference that IS a whole SELECT-list item keeps the
+            # WITH-item name as its output column (CH behavior): the
+            # nearest same-depth clause keyword before it is SELECT,
+            # its left neighbor is the list head or a same-depth
+            # comma, and its right neighbor ends the item.
+            d = dx[mm.start()]
+            kw = None
+            for cm in clause_rx.finditer(shx, 0, mm.start()):
+                if dx[cm.start()] == d:
+                    kw = cm.group(1).upper()
+            bare = False
+            if kw == "SELECT":
+                p = mm.start() - 1
+                while p >= 0 and shx[p] in " \t\n":
+                    p -= 1
+                prev_ok = p >= 0 and (
+                    (shx[p] == "," and dx[p] == d)
+                    or re.search(r"(?i)\b(SELECT|DISTINCT)$", shx[: p + 1])
+                    is not None
+                )
+                q = mm.end()
+                while q < n and shx[q] in " \t\n":
+                    q += 1
+                nxt_ok = (
+                    q >= n
+                    or (shx[q] == "," and dx[q] == d)
+                    or shx[q] == ")"
+                    or clause_rx.match(shx, q) is not None
+                )
+                bare = prev_ok and nxt_ok
             out.append(text[last : mm.start()])
-            out.append(f"({expr})")
+            out.append(f"({expr}) AS {alias}" if bare else f"({expr})")
             last = mm.end()
         out.append(text[last:])
         return "".join(out)
@@ -2194,17 +2323,20 @@ def run_ch_sql(
     sql: str,
     params: Mapping[str, object] | None = None,
     table_map: Mapping[str, str] | None = None,
+    strict_scale: bool = False,
 ) -> DataFrame:
     """One-call entry: substitute template variables, translate the
     dialect (mapping CH table names to Spark views), register the
-    scalar shims, run."""
+    scalar shims, run.  ``strict_scale=True`` raises instead of
+    warning when a ``topK`` block would keep the n-sized fallback
+    expansion (see :class:`TopkFallbackWarning`)."""
     if params:
         sql = substitute(sql, params)
     register_ch_functions(spark)
     sql = _normalize_escapes(sql)  # before the bridge scans literals
     sql, asof_view = _bridge_asof_join(spark, sql, table_map)
     try:
-        text = translate_ch_sql(sql, table_map)
+        text = translate_ch_sql(sql, table_map, strict_scale=strict_scale)
         # CH resolves an unqualified column that exists on both join
         # sides to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.
         # Emulate the CH rule by qualifying the reported column with
