@@ -228,3 +228,35 @@ def test_diversity_sample_quota_and_determinism(spark, sf_smoke):
         for r in assign_cells(emb, sample_centroids(emb, 8)).select("cell").distinct().collect()
     }
     assert set(by_cell) == cells_all
+
+
+def test_stratified_prefilter_identical_and_narrow(spark):
+    """Round-9 rehearsal shape (SCALE.md): dp33's quota stage with a
+    corpus-dominating hot cell.  A prefilter_hex4 that keeps >= quota
+    survivors in EVERY stratum selects bit-identical rows (md5-asc
+    rank: the winners all sit far below any viable threshold) while
+    thinning the hot reducer's sort input BEFORE the exchange —
+    measured 3.4 s -> 1.0 s at 10M rows / 80% hot cell in
+    tools/scale_rehearsal_round9.py."""
+    # 4k rows, cell 0 holds 75%; quota 20, threshold 1/2 ("8000"):
+    # smallest stratum ~333 rows -> ~166 expected survivors >= 8x quota
+    asg = spark.range(4000).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.when(F.col("id") < 3000, F.lit(0))
+        .otherwise((F.col("id") % 3 + 1))
+        .cast("int")
+        .alias("cell"),
+    )
+    a = stratified_sample(asg, ["cell"], 20, "vec_id", None)
+    b = stratified_sample(asg, ["cell"], 20, "vec_id", "8000")
+    assert a.count() == 80
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the pre-thin is a narrow filter below the window's exchange: the
+    # md5-prefix predicate must sit on the scan side, not post-shuffle
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    fpos = plan.find("md5")
+    xpos = plan.find("Exchange")
+    assert fpos >= 0 and xpos >= 0
+    # executedPlan prints top-down: the Exchange node appears ABOVE
+    # (before) its child filter in the dump
+    assert xpos < fpos, "prefilter must be under the exchange"
