@@ -277,8 +277,11 @@ def test_quantile_exact_weighted(spark):
 
 
 def test_everyday_scalar_rewrites(spark):
+    # conditions gain a BOOLEAN cast: CH accepts truthy numbers
+    # (multiIf(0, …)) where Spark CASE requires booleans (probe r9)
     assert translate_ch_sql("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t") == (
-        "SELECT CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END FROM t"
+        "SELECT CASE WHEN CAST((a > 1) AS BOOLEAN) THEN 'x' "
+        "WHEN CAST((a > 0) AS BOOLEAN) THEN 'y' ELSE 'z' END FROM t"
     )
     # the separator is escaped for BOTH layers: the regex needs \.
     # and the string literal parser consumes one backslash, so the

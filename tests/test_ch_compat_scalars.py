@@ -469,3 +469,119 @@ def test_scalar_with_quoted_cte_names(spark):
         "SELECT v * k AS p FROM `the base`",
     ).collect()
     assert r2.p == 40
+
+
+# ---- round-9 dialect-probe findings (tools/dialect_probe.py) ----
+
+
+def test_position_swaps_to_ch_argument_order(spark):
+    """CH position(haystack, needle) would resolve to Spark's builtin
+    with SWAPPED roles and silently return 0 — the probe's one
+    SILENT-DIFF.  The translator now rewrites to locate(needle, hay)."""
+    r = _one(
+        spark,
+        "SELECT position('Hello, world!', 'o') AS p,"
+        " position('Hello', 'z') AS z,"
+        " position('aXbXc', 'X', 3) AS s,"
+        " positionCaseInsensitive('Hello', 'h') AS ci",
+    )
+    assert (r.p, r.z, r.s, r.ci) == (5, 0, 4, 1)
+
+
+def test_array_literals_and_one_based_subscripts(spark):
+    """CH bracket expressions: `[...]` literals parse (Spark rejects
+    bare brackets), and subscripts are 1-BASED via element_at — a
+    passed-through Spark `x[i]` would silently read the i+1-th CH
+    element (0-based)."""
+    r = _one(
+        spark,
+        "SELECT indexOf([10, 20, 30], 20) AS i,"
+        " indexOf([10, 20, 30], 99) AS miss,"
+        " has([1, 2, 3], 2) AS h,"
+        " arrayStringConcat(['a', 'b', 'c'], '-') AS j",
+    )
+    assert (r.i, r.miss, r.h, r.j) == (2, 0, True, "a-b-c")
+    r2 = _one(
+        spark,
+        "SELECT ([10, 20, 30])[1] AS first, ([10, 20, 30])[-1] AS last,"
+        " splitByChar(',', 'a,b,c')[2] AS s,"
+        " [[1, 2], [3]][1][2] AS nested",
+    )
+    assert (r2.first, r2.last, r2.s, r2.nested) == (10, 30, "b", 2)
+    # map subscripts stay key-based through element_at
+    r3 = _one(spark, "SELECT map('k', 7)['k'] AS v")
+    assert r3.v == 7
+
+
+def test_zero_arg_count_and_numbers_table_function(spark):
+    rows = run_ch_sql(
+        spark, "SELECT number, count() AS c FROM numbers(3) GROUP BY number"
+        " ORDER BY number"
+    ).collect()
+    assert [(r.number, r.c) for r in rows] == [(0, 1), (1, 1), (2, 1)]
+    rows = run_ch_sql(spark, "SELECT number FROM numbers(5, 3)").collect()
+    assert sorted(r.number for r in rows) == [5, 6, 7]
+
+
+def test_json_extraction_family(spark):
+    r = _one(
+        spark,
+        'SELECT JSONExtractString(\'{"a": "x"}\', \'a\') AS s,'
+        ' JSONExtractString(\'{"a": "x"}\', \'miss\') AS sm,'
+        ' JSONExtractInt(\'{"n": 7}\', \'n\') AS i,'
+        ' JSONExtractInt(\'{"n": 7}\', \'miss\') AS im,'
+        ' JSONExtractFloat(\'{"f": 1.5}\', \'f\') AS f,'
+        ' JSONHas(\'{"a": 1}\', \'a\') AS h,'
+        ' JSONHas(\'{"a": 1}\', \'b\') AS hm,'
+        ' visitParamExtractString(\'{"a": "y"}\', \'a\') AS v,'
+        " JSONExtractString(CAST(NULL AS STRING), 'a') AS nn",
+    )
+    assert (r.s, r.sm, r.i, r.im, r.f) == ("x", "", 7, 0, 1.5)
+    assert (r.h, r.hm, r.v, r.nn) == (True, False, "y", None)
+
+
+def test_everyday_string_and_numeric_spellings(spark):
+    r = _one(
+        spark,
+        "SELECT leftPad('7', 3, '0') AS lp, rightPad('7', 3, 'x') AS rp,"
+        " replaceAll('aba', 'a', 'x') AS ra,"
+        " replaceOne('aba', 'a', 'x') AS ro,"
+        " replaceRegexpAll('a1b2', '[0-9]', '#') AS rr,"
+        " match('abc123', '^abc') AS m,"
+        " extract('abc123def', '\\\\d+') AS ex,"
+        " extract('key=val', 'key=(\\\\w+)') AS exg,"
+        " plus(1, 2) AS pl, minus(5, 3) AS mi, multiply(2, 3) AS mu,"
+        " divide(7, 2) AS dv, toUInt32('7') AS u32, toFloat32(1.5) AS f32",
+    )
+    assert (r.lp, r.rp, r.ra, r.ro, r.rr) == ("007", "7xx", "xbx", "xba", "a#b#")
+    assert (r.m, r.ex, r.exg) == (True, "123", "val")
+    assert (r.pl, r.mi, r.mu, r.dv) == (3, 2, 6, 3.5)
+    assert (r.u32, r.f32) == (7, 1.5)
+
+
+def test_multiif_truthy_numeric_conditions(spark):
+    r = _one(spark, "SELECT multiIf(0, 'a', 1, 'b', 'c') AS r,"
+                    " multiIf(1 > 2, 'x', 'y') AS s")
+    assert (r.r, r.s) == ("b", "y")
+
+
+def test_scalar_with_group_and_order_by_alias(spark):
+    """A scalar-WITH expression referenced bare in SELECT + GROUP BY +
+    ORDER BY: the select item keeps the name, and the BY references
+    resolve through the alias (re-inlining under the aggregate broke
+    ORDER BY's structural match — probe r9)."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "g long, v long"
+    ).createOrReplaceTempView("wg_t")
+    df = run_ch_sql(
+        spark,
+        "WITH g * 100 AS gk SELECT gk, count() AS c FROM wg_t"
+        " GROUP BY gk ORDER BY gk",
+    )
+    assert df.columns == ["gk", "c"]
+    assert [(r.gk, r.c) for r in df.collect()] == [(100, 2), (200, 1)]
+
+
+def test_group_array_max_size_form_raises(spark):
+    with pytest.raises(UnsupportedChSql, match="groupArray"):
+        translate_ch_sql("SELECT groupArray(10)(x) FROM t")

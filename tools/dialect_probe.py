@@ -1,0 +1,191 @@
+"""CH dialect breadth probe (VERDICT r8 item 7): run a corpus of
+everyday real-world ClickHouse query shapes — the kind that appear in
+public Grafana dashboards, the CH docs' examples, and monitoring
+queries — through ``run_ch_sql`` and classify each outcome:
+
+- ``ok-value``     ran AND returned the value ClickHouse documents
+- ``ok-run``       ran (no reference value asserted)
+- ``clean-raise``  UnsupportedChSql naming the construct (the contract)
+- ``loud-error``   a raw Spark parse/analysis error — ugly but LOUD;
+                   acceptable per the module contract ("unknown
+                   functions pass through"), listed for triage
+- ``SILENT-DIFF``  ran but returned a value ClickHouse would not —
+                   the only truly bad category; every finding here
+                   must become a shim or a documented raise + test
+
+Expected values encode PUBLIC ClickHouse documented semantics
+(https://clickhouse.com/docs/sql-reference) — e.g. ``position`` is
+1-based (haystack, needle), ``indexOf`` returns 0 on miss.
+
+Run: python tools/dialect_probe.py          (~1 min, local session)
+Exit code 1 iff any SILENT-DIFF is found.  Findings from the round-9
+run are filed as tests in tests/test_ch_compat_scalars.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transaq_clickhouse_exporter_spark.queries.ch_compat import (  # noqa: E402
+    TopkFallbackWarning,
+    UnsupportedChSql,
+    run_ch_sql,
+)
+
+# (sql, expected_row_or_None).  expected is a tuple compared against
+# the single result row; None = run-probe only.  Queries over tables
+# use the engine's derived views (trades/securities/ev).
+CORPUS: list[tuple[str, tuple | None]] = [
+    # --- scalar string/array functions, CH-documented values ---
+    ("SELECT position('Hello, world!', 'o') AS p", (5,)),
+    ("SELECT position('Hello', 'z') AS p", (0,)),
+    ("SELECT locate('o', 'Hello') AS p", None),  # CH22.8+: (needle, hay)
+    ("SELECT indexOf([10, 20, 30], 20) AS i", (2,)),
+    ("SELECT indexOf([10, 20, 30], 99) AS i", (0,)),
+    ("SELECT has([1, 2, 3], 2) AS h, has([1, 2, 3], 9) AS h2", (True, False)),
+    ("SELECT length('hello') AS l", (5,)),
+    ("SELECT length([1, 2, 3]) AS l", (3,)),
+    ("SELECT arrayStringConcat(['a', 'b', 'c'], '-') AS s", ("a-b-c",)),
+    ("SELECT splitByChar(',', 'a,b,c') AS s", (["a", "b", "c"],)),
+    ("SELECT splitByString('::', 'a::b') AS s", (["a", "b"],)),
+    ("SELECT leftPad('7', 3, '0') AS s, rightPad('7', 3, 'x') AS t",
+     ("007", "7xx")),
+    ("SELECT substring('clickhouse', 6) AS s", ("house",)),
+    ("SELECT substring('clickhouse', 1, 5) AS s", ("click",)),
+    ("SELECT lower('AB') AS a, upper('ab') AS b", ("ab", "AB")),
+    ("SELECT concat('a', 'b', 'c') AS s", ("abc",)),
+    ("SELECT reverse('abc') AS s", ("cba",)),
+    ("SELECT repeat('ab', 3) AS s", ("ababab",)),
+    ("SELECT replaceAll('aba', 'a', 'x') AS s", ("xbx",)),
+    ("SELECT replaceOne('aba', 'a', 'x') AS s", ("xba",)),
+    ("SELECT trim(BOTH ' ' FROM '  x  ') AS s", ("x",)),
+    ("SELECT match('abc123', '^abc') AS m", (True,)),
+    ("SELECT extract('abc123def', '\\\\d+') AS s", ("123",)),
+    ("SELECT ifNull(NULL, 'd') AS a, nullIf(1, 1) AS b", ("d", None)),
+    ("SELECT coalesce(NULL, NULL, 3) AS c", (3,)),
+    # --- numbers ---
+    ("SELECT intDiv(7, 2) AS d, modulo(7, 3) AS m", (3, 1)),
+    ("SELECT plus(1, 2) AS p, minus(5, 3) AS m, multiply(2, 3) AS x,"
+     " divide(7, 2) AS d", (3, 2, 6, 3.5)),
+    ("SELECT abs(-2) AS a, floor(1.7) AS f, ceil(1.2) AS c, round(2.5) AS r",
+     None),  # round: CH banker's vs Spark half-up — probe only
+    ("SELECT greatest(1, 2) AS g, least(1, 2) AS l", (2, 1)),
+    ("SELECT pow(2, 10) AS p, sqrt(9.0) AS s", (1024.0, 3.0)),
+    ("SELECT log(exp(1)) AS l", (1.0,)),  # CH log = natural log
+    ("SELECT log2(8) AS a, log10(1000) AS b", (3.0, 3.0)),
+    ("SELECT toInt64('42') AS i, toFloat64('1.5') AS f", (42, 1.5)),
+    ("SELECT toInt32(3.9) AS i", (3,)),  # CH truncates toward zero
+    ("SELECT toUInt32('7') AS u", None),
+    ("SELECT toFloat32(1.5) AS f", None),
+    # --- conditionals ---
+    ("SELECT if(1 > 0, 'y', 'n') AS r", ("y",)),
+    ("SELECT multiIf(0, 'a', 1, 'b', 'c') AS r", ("b",)),
+    # --- dates (fixed literals; tz-free functions only) ---
+    ("SELECT toYYYYMM(toDateTime('2024-03-05 10:00:00')) AS m", (202403,)),
+    ("SELECT toDayOfWeek(toDate('2024-03-04')) AS d", (1,)),  # Monday=1
+    ("SELECT dateDiff('day', toDate('2024-03-01'), toDate('2024-03-05'))"
+     " AS d", (4,)),
+    ("SELECT formatDateTime(toDateTime('2024-03-05 07:08:09'),"
+     " '%Y-%m-%d %H:%M:%S') AS s", ("2024-03-05 07:08:09",)),
+    ("SELECT addDays(toDate('2024-02-28'), 2) AS d", None),
+    ("SELECT toUnixTimestamp(toDateTime('1970-01-01 00:01:00')) AS u",
+     None),  # session-tz dependent; run-probe
+    # --- JSON (visitParam/JSONExtract family, very common in logs) ---
+    ('SELECT JSONExtractString(\'{"a": "x"}\', \'a\') AS s', ("x",)),
+    ('SELECT JSONExtractInt(\'{"a": 7}\', \'a\') AS i', (7,)),
+    ('SELECT JSONExtractFloat(\'{"a": 1.5}\', \'a\') AS f', (1.5,)),
+    ('SELECT JSONHas(\'{"a": 1}\', \'a\') AS h, JSONHas(\'{"a": 1}\','
+     " 'b') AS h2", (True, False)),
+    ('SELECT visitParamExtractString(\'{"a": "x"}\', \'a\') AS s', ("x",)),
+    # --- aggregates over the engine's views ---
+    ("SELECT count() AS c FROM trades", None),
+    ("SELECT count(*) AS c FROM trades WHERE price > 0", None),
+    ("SELECT sec_code, count() AS c FROM trades GROUP BY sec_code"
+     " ORDER BY c DESC, sec_code LIMIT 3", None),
+    ("SELECT uniqExact(sec_code) AS u FROM trades", None),
+    ("SELECT quantile(0.5)(price) AS q FROM trades", None),
+    ("SELECT quantiles(0.25, 0.75)(price) AS qs FROM trades", None),
+    ("SELECT argMax(sec_code, price) AS m FROM trades", None),
+    ("SELECT sumIf(quantity, buy_sell = 'B') AS s FROM trades", None),
+    ("SELECT sec_code, groupArray(price) AS g FROM trades"
+     " WHERE sec_code = 'SEC001' GROUP BY sec_code", None),
+    ("SELECT avg(price) AS a, stddevPop(price) AS s FROM trades", None),
+    ("SELECT topK(3)(sec_code) AS t FROM trades", None),
+    ("SELECT corr(price, quantity) AS c FROM trades", None),
+    # --- grammar bridges ---
+    ("SELECT sec_code FROM trades FINAL WHERE board IN ('TQBR', 'FUT')"
+     " LIMIT 1", None),
+    ("SELECT sec_code FROM trades WHERE board IN ['TQBR', 'FUT'] LIMIT 1",
+     None),
+    ("SELECT sec_code, price FROM trades ORDER BY sec_code, price DESC"
+     " LIMIT 2 BY sec_code LIMIT 6", None),
+    ("SELECT sec_code FROM trades PREWHERE price > 0 WHERE quantity > 0"
+     " LIMIT 1", None),
+    ("SELECT count() AS c FROM trades SETTINGS max_threads = 8", None),
+    ("WITH toStartOfDay(time) AS d SELECT d, count() AS c FROM trades"
+     " GROUP BY d ORDER BY d LIMIT 2", None),
+    ("SELECT arrayJoin([1, 2, 3]) AS x", None),
+    ("SELECT x FROM (SELECT [1, 2] AS arr) ARRAY JOIN arr AS x", None),
+    ("SELECT number FROM numbers(3)", None),  # table function
+    # --- documented clean raises ---
+    ("SELECT runningDifference(price) FROM trades", None),
+    ("SELECT sumMap([1], [2])", None),
+    ("SELECT sec_code FROM trades SAMPLE 0.1", None),
+]
+
+
+def main() -> int:
+    import warnings
+
+    from transaq_clickhouse_exporter_spark.queries.parity import (
+        register_derived_views,
+    )
+    from transaq_clickhouse_exporter_spark.session import get_spark
+    from transaq_clickhouse_exporter_spark.testdata import register_views
+
+    spark = get_spark(app="tce-dialect-probe")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    register_views(spark, sf_dir)
+    register_derived_views(spark, sf_dir)
+
+    tally: dict[str, list[str]] = {
+        "ok-value": [], "ok-run": [], "clean-raise": [],
+        "loud-error": [], "SILENT-DIFF": [],
+    }
+    for sql, expected in CORPUS:
+        head = sql.replace("\n", " ")[:72]
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", TopkFallbackWarning)
+                rows = run_ch_sql(spark, sql).collect()
+        except UnsupportedChSql as e:
+            tally["clean-raise"].append(f"{head}  -> {str(e)[:60]}")
+            continue
+        except Exception as e:
+            first = str(e).strip().splitlines()[0][:80]
+            tally["loud-error"].append(f"{head}  -> {first}")
+            continue
+        if expected is None:
+            tally["ok-run"].append(head)
+            continue
+        got = tuple(rows[0]) if rows else ()
+        if got == expected:
+            tally["ok-value"].append(head)
+        else:
+            tally["SILENT-DIFF"].append(
+                f"{head}  -> got {got!r}, CH documents {expected!r}")
+
+    for cat in ("ok-value", "ok-run", "clean-raise", "loud-error",
+                "SILENT-DIFF"):
+        print(f"\n== {cat} ({len(tally[cat])}) ==")
+        for line in tally[cat]:
+            print("  " + line)
+    print(f"\ntotal={sum(len(v) for v in tally.values())} corpus={len(CORPUS)}")
+    return 1 if tally["SILENT-DIFF"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -83,6 +83,11 @@ Documented deviations from ClickHouse (each also noted at its shim):
   nearest-rank.
 - ``arrayZip`` pads to the longest input where CH errors on unequal
   lengths.
+- ``round`` keeps Spark's HALF_UP at the .5 midpoint where CH uses
+  banker's rounding (HALF_EVEN) for floats; spell ``bround`` for
+  CH-exact midpoints.
+- ``JSONExtract*`` supports the single-key form only, and a JSON
+  ``null`` value reads as a missing key.
 - ``topK``/``topKWeighted`` block shapes the pre-aggregation rewrite
   cannot re-plan keep an n-sized ``collect_list`` expansion and emit
   :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
@@ -203,6 +208,94 @@ _SCALAR_SHIMS: dict[str, str] = {
     # yields NULL here — no coalesce (advisor review, round 9)
     "empty": "(x STRING) RETURNS BOOLEAN RETURN length(x) = 0",
     "notEmpty": "(x STRING) RETURNS BOOLEAN RETURN length(x) > 0",
+    # round-9 dialect-probe additions (tools/dialect_probe.py): the
+    # everyday CH spellings that otherwise fail loudly on Spark
+    "leftPad": (
+        "(s STRING, l INT, p STRING) RETURNS STRING RETURN lpad(s, l, p)"
+    ),
+    "rightPad": (
+        "(s STRING, l INT, p STRING) RETURNS STRING RETURN rpad(s, l, p)"
+    ),
+    "replaceAll": (
+        "(s STRING, f STRING, r STRING) RETURNS STRING RETURN "
+        "replace(s, f, r)"
+    ),
+    "replaceRegexpAll": (
+        "(s STRING, p STRING, r STRING) RETURNS STRING RETURN "
+        "regexp_replace(s, p, r)"
+    ),
+    # first-occurrence-only replace: splice around the first instr hit
+    "replaceOne": (
+        "(s STRING, f STRING, r STRING) RETURNS STRING RETURN "
+        "CASE WHEN f = '' OR instr(s, f) = 0 THEN s "
+        "ELSE concat(substring(s, 1, instr(s, f) - 1), r, "
+        "substring(s, instr(s, f) + length(f))) END"
+    ),
+    "match": "(h STRING, p STRING) RETURNS BOOLEAN RETURN h RLIKE p",
+    # unsigned-int casts: Spark has no unsigned types; BIGINT covers
+    # the value range of toUInt8/16/32 exactly (toUInt64 values above
+    # 2^63-1 would overflow — out of scope, as documented for toInt64)
+    "toUInt8": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
+    "toUInt16": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
+    "toUInt32": "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
+    "toUInt64": "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
+    "toInt8": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
+    "toInt16": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
+    "toFloat32": "(x DOUBLE) RETURNS FLOAT RETURN CAST(x AS FLOAT)",
+    # JSON extraction (single-key form; CH's variadic key paths and
+    # index arguments stay loud).  Miss/empty semantics follow CH:
+    # *String returns '' on a missing key, *Int/*Float return 0,
+    # JSONHas is false — NULL input propagates NULL.  Known edge: a
+    # JSON `null` value reads as missing here (get_json_object yields
+    # SQL NULL for it) where CH JSONHas would say true.
+    "JSONExtractString": (
+        "(j STRING, k STRING) RETURNS STRING RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE coalesce(get_json_object(j, concat('$.', k)), '') END"
+    ),
+    "JSONExtractInt": (
+        "(j STRING, k STRING) RETURNS BIGINT RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE coalesce(CAST(get_json_object(j, concat('$.', k)) "
+        "AS BIGINT), 0) END"
+    ),
+    "JSONExtractFloat": (
+        "(j STRING, k STRING) RETURNS DOUBLE RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE coalesce(CAST(get_json_object(j, concat('$.', k)) "
+        "AS DOUBLE), 0.0) END"
+    ),
+    "JSONExtractBool": (
+        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE coalesce(CAST(get_json_object(j, concat('$.', k)) "
+        "AS BOOLEAN), false) END"
+    ),
+    "JSONHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE get_json_object(j, concat('$.', k)) IS NOT NULL END"
+    ),
+    "visitParamExtractString": (
+        "(j STRING, k STRING) RETURNS STRING RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE coalesce(get_json_object(j, concat('$.', k)), '') END"
+    ),
+    "simpleJSONExtractString": (
+        "(j STRING, k STRING) RETURNS STRING RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE coalesce(get_json_object(j, concat('$.', k)), '') END"
+    ),
+    "visitParamHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE get_json_object(j, concat('$.', k)) IS NOT NULL END"
+    ),
+    "simpleJSONHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
+        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
+        "ELSE get_json_object(j, concat('$.', k)) IS NOT NULL END"
+    ),
     # count of DISTINCT elements of one array (CH arrayUniq/1)
     "arrayUniq": (
         "(xs ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(xs))"
@@ -477,7 +570,22 @@ def translate_ch_sql(
     sql = _normalize_escapes(sql)
     sql = _apply_table_map(sql, dict(table_map or {}))
     sql = _brackets_to_parens(sql)
+    sql = _bracket_expressions(sql)
     sql = _dquotes_to_backticks(sql)
+    # numbers(N) / numbers(M, N) table function → range(); the column
+    # is named `number` in CH, `id` in Spark
+    sh_n = _mask_literals(sql)
+    parts_n, last_n = [], 0
+    for m in re.finditer(
+        r"(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", sh_n
+    ):
+        a, b = m.group(1), m.group(2)
+        rng = f"range({a}, {int(a) + int(b)})" if b else f"range({a})"
+        parts_n.append(sql[last_n : m.start()])
+        parts_n.append(f"FROM (SELECT id AS number FROM {rng})")
+        last_n = m.end()
+    parts_n.append(sql[last_n:])
+    sql = "".join(parts_n)
     # `FROM t FINAL` → `FROM t`: dedup-on-read views already implement
     # ReplacingMergeTree FINAL (operators/dedup.py).  Anchored on the
     # FROM clause so a column/alias named "final" is untouched; masked
@@ -1489,6 +1597,7 @@ def _scalar_with(sql: str) -> str:
         dx = _depth_map(shx)
         n = len(shx)
         out, last = [], 0
+        aliased_depths: set[int] = set()
         for mm in rx.finditer(shx):
             # `… AS alias` is a DEFINITION site, not a reference
             if re.search(r"(?i)\bAS\s*$", shx[: mm.start()]):
@@ -1503,28 +1612,44 @@ def _scalar_with(sql: str) -> str:
             for cm in clause_rx.finditer(shx, 0, mm.start()):
                 if dx[cm.start()] == d:
                     kw = cm.group(1).upper()
+            p = mm.start() - 1
+            while p >= 0 and shx[p] in " \t\n":
+                p -= 1
+            q = mm.end()
+            while q < n and shx[q] in " \t\n":
+                q += 1
+            item_end = (
+                q >= n
+                or (shx[q] == "," and dx[q] == d)
+                or shx[q] == ")"
+                or clause_rx.match(shx, q) is not None
+            )
             bare = False
             if kw == "SELECT":
-                p = mm.start() - 1
-                while p >= 0 and shx[p] in " \t\n":
-                    p -= 1
                 prev_ok = p >= 0 and (
                     (shx[p] == "," and dx[p] == d)
                     or re.search(r"(?i)\b(SELECT|DISTINCT)$", shx[: p + 1])
                     is not None
                 )
-                q = mm.end()
-                while q < n and shx[q] in " \t\n":
-                    q += 1
-                nxt_ok = (
-                    q >= n
-                    or (shx[q] == "," and dx[q] == d)
-                    or shx[q] == ")"
-                    or clause_rx.match(shx, q) is not None
+                bare = prev_ok and item_end
+            elif kw == "BY" and d in aliased_depths:
+                # GROUP BY d / ORDER BY d after the select list was
+                # auto-aliased: keep the NAME — Spark resolves select
+                # aliases in both clauses, and re-inlining the
+                # expression under an aggregate breaks ORDER BY's
+                # structural match against the grouping expression
+                prev_ok = p >= 0 and (
+                    (shx[p] == "," and dx[p] == d)
+                    or re.search(r"(?i)\bBY$", shx[: p + 1]) is not None
                 )
-                bare = prev_ok and nxt_ok
+                if prev_ok and item_end:
+                    continue  # leave the bare alias reference in place
             out.append(text[last : mm.start()])
-            out.append(f"({expr}) AS {alias}" if bare else f"({expr})")
+            if bare:
+                out.append(f"({expr}) AS {alias}")
+                aliased_depths.add(d)
+            else:
+                out.append(f"({expr})")
             last = mm.end()
         out.append(text[last:])
         return "".join(out)
@@ -1599,6 +1724,95 @@ def _brackets_to_parens(sql: str) -> str:
         if depth != 0:
             raise UnsupportedChSql("unbalanced brackets in IN [...]")
         out = out[:open_idx] + "(" + out[open_idx + 1 : i] + ")" + out[i + 1 :]
+
+
+#: words whose trailing position marks an EXPRESSION context — a `[`
+#: after one of these starts an array literal, not a subscript
+_BRACKET_KEYWORDS = frozenset(
+    "in and or not when then else as on where select having by like "
+    "ilike rlike regexp between is union all distinct case from values "
+    "limit offset group order join using interval return".split()
+)
+
+
+def _bracket_expressions(sql: str) -> str:
+    """CH bracket expressions outside ``IN [...]`` (which
+    :func:`_brackets_to_parens` already handled):
+
+    - array LITERALS ``[1, 2, 3]`` → ``array(1, 2, 3)`` (Spark's
+      parser rejects bare brackets in expression position);
+    - SUBSCRIPTS ``arr[i]`` / ``m['k']`` / ``f(x)[i]`` →
+      ``element_at(base, i)`` — CH indexing is 1-BASED (and -1 =
+      last), while Spark's native ``x[i]`` is 0-based, so passing the
+      bracket through would silently shift every element access by
+      one; ``element_at`` is 1-based/negative-aware for arrays and
+      key-based for maps, matching CH for both.
+
+    A ``[`` is a subscript iff the previous non-space char ends an
+    identifier chain (that is not an expression keyword), a ``)``, or
+    a ``]``; anything else opens a literal.  One bracket rewrites per
+    pass, innermost-last; fixpoint-bounded."""
+    import re
+
+    for _ in range(256):  # each pass consumes exactly one bracket
+        sh = _mask_literals(sql)
+        b = sh.find("[")
+        if b < 0:
+            return sql
+        # matching close at bracket depth 0 relative to this open
+        depth, i, n = 0, b, len(sh)
+        while i < n:
+            if sh[i] == "[":
+                depth += 1
+            elif sh[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise UnsupportedChSql("unbalanced [ ] in expression")
+        close = i
+        p = b - 1
+        while p >= 0 and sh[p] in " \t\n":
+            p -= 1
+        base_start = None
+        if p >= 0 and (sh[p].isalnum() or sh[p] in "_`"):
+            s = p
+            while s >= 0 and (sh[s].isalnum() or sh[s] in "_.`$"):
+                s -= 1
+            word = sql[s + 1 : p + 1].split(".")[-1].strip("`").lower()
+            if word not in _BRACKET_KEYWORDS:
+                base_start = s + 1
+        elif p >= 0 and sh[p] in ")]":
+            # walk back over the balanced ()/[] group, then a possible
+            # function-name identifier chain in front of it
+            depth2, s = 0, p
+            openc = {"]": "[", ")": "("}[sh[p]]
+            while s >= 0:
+                if sh[s] == sh[p]:
+                    depth2 += 1
+                elif sh[s] == openc:
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                s -= 1
+            if depth2 != 0:
+                raise UnsupportedChSql("unbalanced parens before [ ]")
+            s -= 1
+            while s >= 0 and (sh[s].isalnum() or sh[s] in "_.`$"):
+                s -= 1
+            base_start = s + 1
+        if base_start is None:  # literal
+            sql = (sql[:b] + "array(" + sql[b + 1 : close] + ")"
+                   + sql[close + 1 :])
+        else:
+            base = sql[base_start:b].strip()
+            idx = sql[b + 1 : close].strip()
+            if not idx:
+                raise UnsupportedChSql("empty subscript [ ]")
+            sql = (sql[:base_start]
+                   + f"element_at({base}, {idx})" + sql[close + 1 :])
+    raise UnsupportedChSql("too many bracket expressions (>256)")
 
 
 def _dquotes_to_backticks(sql: str) -> str:
@@ -2020,13 +2234,69 @@ def _rewrite_calls(sql: str) -> str:
             parts = _split_args(inner)
             if len(parts) < 3 or len(parts) % 2 == 0:
                 raise UnsupportedChSql("multiIf expects (c1, v1, …, else)")
+            # CH conditions are truthy numbers (multiIf(0, …)); Spark
+            # CASE needs booleans — CAST bridges both spellings
             whens = " ".join(
-                f"WHEN {parts[j]} THEN {parts[j + 1]}"
+                f"WHEN CAST(({parts[j]}) AS BOOLEAN) THEN {parts[j + 1]}"
                 for j in range(0, len(parts) - 1, 2)
             )
             out.append(f"CASE {whens} ELSE {parts[-1]} END")
             i = close + 1
             continue
+        if name == "count" and not inner.strip():
+            out.append("count(*)")  # CH zero-arg count() = row count
+            i = close + 1
+            continue
+        if name in ("position", "positionUTF8", "positionCaseInsensitive"):
+            # CH position(haystack, needle[, start]) vs Spark's
+            # locate(needle, haystack[, start]) — the bare name would
+            # resolve to Spark's builtin with SWAPPED argument roles
+            # and silently return 0 (dialect probe, round 9)
+            parts = _split_args(inner)
+            if len(parts) not in (2, 3):
+                raise UnsupportedChSql(
+                    f"{name}(haystack, needle[, start]) expects 2-3 args")
+            hay, needle = parts[0], parts[1]
+            if name == "positionCaseInsensitive":
+                hay, needle = f"lower({hay})", f"lower({needle})"
+            tail = f", {parts[2]}" if len(parts) == 3 else ""
+            out.append(f"locate({needle}, {hay}{tail})")
+            i = close + 1
+            continue
+        if name in ("plus", "minus", "multiply", "divide"):
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(a, b) expects 2 arguments")
+            op = {"plus": "+", "minus": "-",
+                  "multiply": "*", "divide": "/"}[name]
+            # Spark int/int `/` is already float division, like CH divide
+            out.append(f"(({parts[0]}) {op} ({parts[1]}))")
+            i = close + 1
+            continue
+        if name == "extract":
+            # CH extract(haystack, 'regexp') = first match (or the
+            # first capture group if the pattern has one).  Only the
+            # comma form with a LITERAL pattern rewrites — `EXTRACT(
+            # field FROM ts)` has no top-level comma and passes
+            # through to Spark's builtin untouched.
+            parts = _split_args(inner)
+            if len(parts) == 2 and parts[1].strip().startswith("'"):
+                pat = parts[1].strip()
+                body = pat[1:-1].replace("\\\\", "")
+                group = 1 if re.search(r"(?<!\\)\((?!\?)", body) else 0
+                out.append(f"regexp_extract({parts[0]}, {pat}, {group})")
+                i = close + 1
+                continue
+            out.append(f"extract({inner})")
+            i = close + 1
+            continue
+        if name in ("groupArray", "groupUniqArray") and has_second:
+            raise UnsupportedChSql(
+                f"{name}(N)(x) max-size form not supported — CH keeps "
+                "the FIRST N in read order, which Spark's unordered "
+                "collect cannot honor; use the plain form + slice, or "
+                "an explicit window"
+            )
         if name == "assumeNotNull":  # relational no-op on Spark
             out.append(f"({inner})")
             i = close + 1
