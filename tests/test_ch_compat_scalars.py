@@ -477,20 +477,29 @@ def test_scalar_with_quoted_cte_names(spark):
 def test_position_swaps_to_ch_argument_order(spark):
     """CH position(haystack, needle) would resolve to Spark's builtin
     with SWAPPED roles and silently return 0 — the probe's one
-    SILENT-DIFF.  The translator now rewrites to locate(needle, hay)."""
+    SILENT-DIFF.  The translator now rewrites to locate(needle, hay),
+    and the non-UTF8 spellings return CH's BYTE offsets (review r9:
+    'в' is the 4th CHARACTER of 'привет' but starts at byte 7)."""
     r = _one(
         spark,
         "SELECT position('Hello, world!', 'o') AS p,"
         " position('Hello', 'z') AS z,"
-        " position('aXbXc', 'X', 3) AS s,"
-        " positionCaseInsensitive('Hello', 'h') AS ci",
+        " positionUTF8('aXbXc', 'X', 3) AS s,"
+        " positionCaseInsensitive('Hello', 'h') AS ci,"
+        " position('привет', 'в') AS byt,"
+        " positionUTF8('привет', 'в') AS chr",
     )
     assert (r.p, r.z, r.s, r.ci) == (5, 0, 4, 1)
+    assert (r.byt, r.chr) == (7, 4)
+    # 3-arg byte-based form raises (CH counts start_pos in bytes —
+    # no faithful character-function mapping) with the UTF8 pointer
+    with pytest.raises(UnsupportedChSql, match="positionUTF8"):
+        translate_ch_sql("SELECT position('aXbXc', 'X', 3)")
 
 
 def test_array_literals_and_one_based_subscripts(spark):
     """CH bracket expressions: `[...]` literals parse (Spark rejects
-    bare brackets), and subscripts are 1-BASED via element_at — a
+    bare brackets), and subscripts are 1-BASED via try_element_at — a
     passed-through Spark `x[i]` would silently read the i+1-th CH
     element (0-based)."""
     r = _one(
@@ -508,9 +517,38 @@ def test_array_literals_and_one_based_subscripts(spark):
         " [[1, 2], [3]][1][2] AS nested",
     )
     assert (r2.first, r2.last, r2.s, r2.nested) == (10, 30, "b", 2)
-    # map subscripts stay key-based through element_at
+    # map subscripts stay key-based through try_element_at
     r3 = _one(spark, "SELECT map('k', 7)['k'] AS v")
     assert r3.v == 7
+
+
+def test_subscript_out_of_range_is_null_not_ansi_error(spark):
+    """Under Spark 4's default ANSI mode a plain element_at throws on
+    any out-of-range index — a data-dependent crash CH never has
+    (review r9).  try_element_at yields NULL instead (documented
+    deviation: CH returns the element type's default value)."""
+    r = _one(
+        spark,
+        "SELECT splitByChar(',', 'abc')[2] AS s, [1, 2, 3][5] AS a,"
+        " map('k', 7)['z'] AS m",
+    )
+    assert (r.s, r.a, r.m) == (None, None, None)
+
+
+def test_subscript_bases_case_end_and_quoted_identifiers(spark):
+    """A subscript directly on CASE … END raises cleanly (treating END
+    as a base word would splice the statement corruptly); the
+    parenthesized form and CH double-quoted identifier bases work."""
+    with pytest.raises(UnsupportedChSql, match="CASE"):
+        translate_ch_sql(
+            "SELECT CASE WHEN a THEN [1,2] ELSE [3] END[1] FROM t")
+    r = _one(spark,
+             "SELECT (CASE WHEN 1 = 1 THEN [1, 2] ELSE [3] END)[1] AS a")
+    assert r.a == 1
+    spark.sql("SELECT array(7, 8) AS `my col`").createOrReplaceTempView(
+        "subscript_dq_t")
+    r2 = _one(spark, 'SELECT "my col"[2] AS v FROM subscript_dq_t')
+    assert r2.v == 8
 
 
 def test_zero_arg_count_and_numbers_table_function(spark):
@@ -538,6 +576,27 @@ def test_json_extraction_family(spark):
     )
     assert (r.s, r.sm, r.i, r.im, r.f) == ("x", "", 7, 0, 1.5)
     assert (r.h, r.hm, r.v, r.nn) == (True, False, "y", None)
+
+
+def test_json_extraction_is_type_strict_and_never_throws(spark):
+    """Hostile-data semantics (review r9): a present-but-wrong-typed
+    value must not crash the query (ANSI CAST would) and must follow
+    CH's strict typing — JSONExtractString('{\"a\": 1}') is '' (the
+    old get_json_object form leaked the raw JSON text '1'), and a JSON
+    null VALUE is a present key for JSONHas (true) but extracts ''."""
+    r = _one(
+        spark,
+        'SELECT JSONExtractInt(\'{"n": "abc"}\', \'n\') AS bad_int,'
+        ' JSONExtractString(\'{"a": 1}\', \'a\') AS num_as_str,'
+        ' JSONExtractString(\'{"a": {"b": 1}}\', \'a\') AS obj_as_str,'
+        ' JSONExtractString(\'{"a": null}\', \'a\') AS null_str,'
+        ' JSONHas(\'{"a": null}\', \'a\') AS null_has,'
+        ' JSONExtractInt(\'{"n": "8"}\', \'n\') AS str_int,'
+        " JSONExtractInt('not json', 'n') AS invalid",
+    )
+    assert (r.bad_int, r.num_as_str, r.obj_as_str) == (0, "", "")
+    assert (r.null_str, r.null_has) == ("", True)
+    assert (r.str_int, r.invalid) == (8, 0)
 
 
 def test_everyday_string_and_numeric_spellings(spark):
@@ -585,3 +644,54 @@ def test_scalar_with_group_and_order_by_alias(spark):
 def test_group_array_max_size_form_raises(spark):
     with pytest.raises(UnsupportedChSql, match="groupArray"):
         translate_ch_sql("SELECT groupArray(10)(x) FROM t")
+
+
+def test_integer_casts_wrap_like_clickhouse(spark):
+    """CH to(U)Int8/16/32 wrap modulo 2^N (toUInt8(300)=44,
+    toUInt32(-1)=4294967295, toInt8(200)=-56); a plain ANSI CAST would
+    throw on overflow instead (review r9).  The DECIMAL parameter
+    keeps 64-bit integers exact where the old DOUBLE rounded above
+    2^53, and still coerces strings / truncates fractions."""
+    r = _one(
+        spark,
+        "SELECT toUInt8(300) AS a, toUInt8(-1) AS b, toUInt16(70000) AS c,"
+        " toUInt32(-1) AS d, toInt8(200) AS e, toInt16(40000) AS f,"
+        " toInt32(3000000000) AS g, toInt64(9007199254740993) AS h,"
+        " toUInt32('7') AS s, toInt32(3.9) AS t, toInt32(-3.9) AS u",
+    )
+    assert (r.a, r.b, r.c, r.d) == (44, 255, 4464, 4294967295)
+    assert (r.e, r.f, r.g) == (-56, -25536, -1294967296)
+    assert r.h == 9007199254740993  # exact above 2^53
+    assert (r.s, r.t, r.u) == (7, 3, -3)
+
+
+def test_extract_group_detection_honors_both_escape_layers(spark):
+    """'\\\\(' spells the regex \\( — a LITERAL paren, zero capture
+    groups; the old doubled-backslash strip miscounted it as group 1
+    and regexp_extract threw REGEX_GROUP_INDEX (review r9).  Parens
+    inside [...] classes are literals too."""
+    r = _one(
+        spark,
+        "SELECT extract('a(1)b', '\\\\(\\\\d\\\\)') AS esc,"
+        " extract('x(y', '[(]') AS cls,"
+        " extract('key=val', 'key=(\\\\w+)') AS grp,"
+        " extract('ab12', '\\\\\\\\') AS bsl",
+    )
+    assert (r.esc, r.cls, r.grp, r.bsl) == ("(1)", "(", "val", "")
+
+
+def test_scalar_with_alias_scope_is_per_select_block(spark):
+    """The keep-the-alias rule for GROUP BY/ORDER BY references is
+    scoped to the SELECT block that gained the alias — a sibling
+    subquery at the same paren depth must still get the expression
+    inlined or its ORDER BY reference is unresolvable (review r9)."""
+    spark.createDataFrame([(1, 10), (2, 20)], "g long, v long") \
+        .createOrReplaceTempView("ws_t1")
+    spark.createDataFrame([(3, 30)], "g long, v long") \
+        .createOrReplaceTempView("ws_t2")
+    rows = run_ch_sql(
+        spark,
+        "WITH g * 100 AS gk SELECT * FROM (SELECT gk FROM ws_t1) a"
+        " CROSS JOIN (SELECT v FROM ws_t2 ORDER BY gk) b",
+    ).collect()
+    assert sorted((r.gk, r.v) for r in rows) == [(100, 30), (200, 30)]

@@ -42,6 +42,13 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # --- scalar string/array functions, CH-documented values ---
     ("SELECT position('Hello, world!', 'o') AS p", (5,)),
     ("SELECT position('Hello', 'z') AS p", (0,)),
+    # CH position() is BYTE-based ('в' starts at byte 7 of 'привет');
+    # positionUTF8 is character-based (review r9)
+    ("SELECT position('привет', 'в') AS b, positionUTF8('привет', 'в')"
+     " AS c", (7, 4)),
+    # out-of-range subscript: NULL here (documented deviation — CH
+    # yields the element type's default), never an ANSI crash
+    ("SELECT splitByChar(',', 'abc')[2] AS s", (None,)),
     ("SELECT locate('o', 'Hello') AS p", None),  # CH22.8+: (needle, hay)
     ("SELECT indexOf([10, 20, 30], 20) AS i", (2,)),
     ("SELECT indexOf([10, 20, 30], 99) AS i", (0,)),
@@ -80,6 +87,9 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT toInt32(3.9) AS i", (3,)),  # CH truncates toward zero
     ("SELECT toUInt32('7') AS u", None),
     ("SELECT toFloat32(1.5) AS f", None),
+    # CH integer casts WRAP modulo 2^N (review r9)
+    ("SELECT toUInt8(300) AS a, toUInt32(-1) AS b, toInt8(200) AS c",
+     (44, 4294967295, -56)),
     # --- conditionals ---
     ("SELECT if(1 > 0, 'y', 'n') AS r", ("y",)),
     ("SELECT multiIf(0, 'a', 1, 'b', 'c') AS r", ("b",)),
@@ -100,6 +110,11 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ('SELECT JSONHas(\'{"a": 1}\', \'a\') AS h, JSONHas(\'{"a": 1}\','
      " 'b') AS h2", (True, False)),
     ('SELECT visitParamExtractString(\'{"a": "x"}\', \'a\') AS s', ("x",)),
+    # type-strict + crash-free on hostile values (review r9): CH
+    # returns '' for a wrong-typed *String and 0 for an uncastable *Int
+    ('SELECT JSONExtractString(\'{"a": 1}\', \'a\') AS s,'
+     ' JSONExtractInt(\'{"n": "abc"}\', \'n\') AS i', ("", 0)),
+    ('SELECT JSONHas(\'{"a": null}\', \'a\') AS h', (True,)),
     # --- aggregates over the engine's views ---
     ("SELECT count() AS c FROM trades", None),
     ("SELECT count(*) AS c FROM trades WHERE price > 0", None),

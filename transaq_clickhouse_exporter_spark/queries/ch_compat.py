@@ -86,8 +86,15 @@ Documented deviations from ClickHouse (each also noted at its shim):
 - ``round`` keeps Spark's HALF_UP at the .5 midpoint where CH uses
   banker's rounding (HALF_EVEN) for floats; spell ``bround`` for
   CH-exact midpoints.
-- ``JSONExtract*`` supports the single-key form only, and a JSON
-  ``null`` value reads as a missing key.
+- ``JSONExtract*`` supports the single-key form only (variadic key
+  paths and array-index arguments stay loud).
+- subscripts ``x[i]`` return NULL on an out-of-range index where CH
+  returns the element type's default value (0 / ``''``).
+- ``toUInt64`` cannot represent values above 2^63-1 or CH's wrapped
+  negatives (Spark has no unsigned 64-bit type); ``toUInt8/16/32``
+  and ``toInt8/16/32`` wrap CH-exactly.
+- byte-offset ``position()`` with a ``start_pos`` raises (CH counts
+  the start in bytes) — ``positionUTF8`` supports all three args.
 - ``topK``/``topKWeighted`` block shapes the pre-aggregation rewrite
   cannot re-plan keep an n-sized ``collect_list`` expansion and emit
   :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
@@ -146,8 +153,13 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toUnixTimestamp": "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts)",
     "intDiv": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b",
     "modulo": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b",
-    "toInt32": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
-    "toInt64": "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
+    # wrap semantics + DECIMAL param: see the toUInt* block below
+    "toInt32": (
+        "(x DECIMAL(38,9)) RETURNS INT RETURN "
+        "CAST(pmod(CAST(x AS BIGINT) + 2147483648, 4294967296) "
+        "- 2147483648 AS INT)"
+    ),
+    "toInt64": "(x DECIMAL(38,9)) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
     "toFloat64": "(x DOUBLE) RETURNS DOUBLE RETURN x",
     "toString": "(x STRING) RETURNS STRING RETURN x",
     "toStartOfMinute": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('minute', ts)",
@@ -232,69 +244,77 @@ _SCALAR_SHIMS: dict[str, str] = {
         "substring(s, instr(s, f) + length(f))) END"
     ),
     "match": "(h STRING, p STRING) RETURNS BOOLEAN RETURN h RLIKE p",
-    # unsigned-int casts: Spark has no unsigned types; BIGINT covers
-    # the value range of toUInt8/16/32 exactly (toUInt64 values above
-    # 2^63-1 would overflow — out of scope, as documented for toInt64)
-    "toUInt8": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
-    "toUInt16": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
-    "toUInt32": "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
-    "toUInt64": "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
-    "toInt8": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
-    "toInt16": "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)",
+    # integer casts with CH's WRAP semantics: toUInt8(300) = 44,
+    # toUInt32(-1) = 4294967295, toInt8(200) = -56 — modular pmod into
+    # the target range, never an ANSI overflow error.  The DECIMAL
+    # parameter keeps 64-bit integers exact (a DOUBLE would round
+    # above 2^53) while still coercing strings and truncating
+    # fractions toward zero like CH.  toUInt64 is the one deviation:
+    # Spark has no unsigned 64-bit type, so values above 2^63-1 (and
+    # wrapped negatives) cannot be represented — documented below.
+    "toUInt8": (
+        "(x DECIMAL(38,9)) RETURNS INT RETURN "
+        "CAST(pmod(CAST(x AS BIGINT), 256) AS INT)"
+    ),
+    "toUInt16": (
+        "(x DECIMAL(38,9)) RETURNS INT RETURN "
+        "CAST(pmod(CAST(x AS BIGINT), 65536) AS INT)"
+    ),
+    "toUInt32": (
+        "(x DECIMAL(38,9)) RETURNS BIGINT RETURN "
+        "pmod(CAST(x AS BIGINT), 4294967296)"
+    ),
+    "toUInt64": "(x DECIMAL(38,9)) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
+    "toInt8": (
+        "(x DECIMAL(38,9)) RETURNS INT RETURN "
+        "CAST(pmod(CAST(x AS BIGINT) + 128, 256) - 128 AS INT)"
+    ),
+    "toInt16": (
+        "(x DECIMAL(38,9)) RETURNS INT RETURN "
+        "CAST(pmod(CAST(x AS BIGINT) + 32768, 65536) - 32768 AS INT)"
+    ),
     "toFloat32": "(x DOUBLE) RETURNS FLOAT RETURN CAST(x AS FLOAT)",
     # JSON extraction (single-key form; CH's variadic key paths and
-    # index arguments stay loud).  Miss/empty semantics follow CH:
-    # *String returns '' on a missing key, *Int/*Float return 0,
-    # JSONHas is false — NULL input propagates NULL.  Known edge: a
-    # JSON `null` value reads as missing here (get_json_object yields
-    # SQL NULL for it) where CH JSONHas would say true.
+    # index arguments stay loud).  Built on the VARIANT reading so the
+    # shims are type-strict like CH and never throw on hostile data:
+    # *String returns '' for a missing key OR a non-string value
+    # (get_json_object would leak the raw JSON text of numbers /
+    # objects), *Int/*Float/*Bool return 0/false when the value is
+    # missing or uncastable (try_variant_get, not an ANSI CAST that
+    # dies on '{"n": "abc"}'), and JSONHas distinguishes a JSON null
+    # VALUE (present → true, CH-exact) from a missing KEY (false).
+    # NULL/invalid-JSON input propagates NULL like CH's Nullable read.
     "JSONExtractString": (
         "(j STRING, k STRING) RETURNS STRING RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(get_json_object(j, concat('$.', k)), '') END"
+        "WHEN schema_of_variant(variant_get(try_parse_json(j), "
+        "concat('$.', k))) = 'STRING' "
+        "THEN variant_get(try_parse_json(j), concat('$.', k), 'string') "
+        "ELSE '' END"
     ),
     "JSONExtractInt": (
         "(j STRING, k STRING) RETURNS BIGINT RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(CAST(get_json_object(j, concat('$.', k)) "
-        "AS BIGINT), 0) END"
+        "ELSE coalesce(try_variant_get(try_parse_json(j), "
+        "concat('$.', k), 'bigint'), 0) END"
     ),
     "JSONExtractFloat": (
         "(j STRING, k STRING) RETURNS DOUBLE RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(CAST(get_json_object(j, concat('$.', k)) "
-        "AS DOUBLE), 0.0) END"
+        "ELSE coalesce(try_variant_get(try_parse_json(j), "
+        "concat('$.', k), 'double'), 0.0) END"
     ),
     "JSONExtractBool": (
         "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(CAST(get_json_object(j, concat('$.', k)) "
-        "AS BOOLEAN), false) END"
+        "ELSE coalesce(try_variant_get(try_parse_json(j), "
+        "concat('$.', k), 'boolean'), false) END"
     ),
     "JSONHas": (
         "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE get_json_object(j, concat('$.', k)) IS NOT NULL END"
-    ),
-    "visitParamExtractString": (
-        "(j STRING, k STRING) RETURNS STRING RETURN "
-        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(get_json_object(j, concat('$.', k)), '') END"
-    ),
-    "simpleJSONExtractString": (
-        "(j STRING, k STRING) RETURNS STRING RETURN "
-        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(get_json_object(j, concat('$.', k)), '') END"
-    ),
-    "visitParamHas": (
-        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
-        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE get_json_object(j, concat('$.', k)) IS NOT NULL END"
-    ),
-    "simpleJSONHas": (
-        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
-        "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE get_json_object(j, concat('$.', k)) IS NOT NULL END"
+        "ELSE variant_get(try_parse_json(j), concat('$.', k)) "
+        "IS NOT NULL END"
     ),
     # count of DISTINCT elements of one array (CH arrayUniq/1)
     "arrayUniq": (
@@ -339,6 +359,26 @@ _SCALAR_SHIMS: dict[str, str] = {
         "s -> s.val), 1, k)"
     ),
 }
+
+# CH's visitParam* (legacy) and simpleJSON* (current) spellings are a
+# faster non-strict parser over the same contract — alias them to the
+# strict shims (one body each, no hand-copied triplicates; the parsing
+# shortcuts are a CH performance detail, not a semantic one)
+_SCALAR_SHIMS.update({
+    alias: _SCALAR_SHIMS[target]
+    for alias, target in {
+        "visitParamExtractString": "JSONExtractString",
+        "simpleJSONExtractString": "JSONExtractString",
+        "visitParamExtractInt": "JSONExtractInt",
+        "simpleJSONExtractInt": "JSONExtractInt",
+        "visitParamExtractFloat": "JSONExtractFloat",
+        "simpleJSONExtractFloat": "JSONExtractFloat",
+        "visitParamExtractBool": "JSONExtractBool",
+        "simpleJSONExtractBool": "JSONExtractBool",
+        "visitParamHas": "JSONHas",
+        "simpleJSONHas": "JSONHas",
+    }.items()
+})
 
 
 def register_ch_functions(spark: SparkSession) -> None:
@@ -570,8 +610,8 @@ def translate_ch_sql(
     sql = _normalize_escapes(sql)
     sql = _apply_table_map(sql, dict(table_map or {}))
     sql = _brackets_to_parens(sql)
-    sql = _bracket_expressions(sql)
     sql = _dquotes_to_backticks(sql)
+    sql = _bracket_expressions(sql)  # after dquotes: `q ident`[1] bases
     # numbers(N) / numbers(M, N) table function → range(); the column
     # is named `number` in CH, `id` in Spark
     sh_n = _mask_literals(sql)
@@ -1597,7 +1637,10 @@ def _scalar_with(sql: str) -> str:
         dx = _depth_map(shx)
         n = len(shx)
         out, last = [], 0
-        aliased_depths: set[int] = set()
+        # SELECT-clause positions whose select list gained the alias —
+        # keyed by the governing SELECT's offset, NOT paren depth: two
+        # sibling subqueries share a depth but not an alias scope
+        aliased_selects: set[int] = set()
         for mm in rx.finditer(shx):
             # `… AS alias` is a DEFINITION site, not a reference
             if re.search(r"(?i)\bAS\s*$", shx[: mm.start()]):
@@ -1608,10 +1651,12 @@ def _scalar_with(sql: str) -> str:
             # its left neighbor is the list head or a same-depth
             # comma, and its right neighbor ends the item.
             d = dx[mm.start()]
-            kw = None
+            kw, sel_pos = None, None
             for cm in clause_rx.finditer(shx, 0, mm.start()):
                 if dx[cm.start()] == d:
                     kw = cm.group(1).upper()
+                    if kw == "SELECT":
+                        sel_pos = cm.start()
             p = mm.start() - 1
             while p >= 0 and shx[p] in " \t\n":
                 p -= 1
@@ -1632,7 +1677,7 @@ def _scalar_with(sql: str) -> str:
                     is not None
                 )
                 bare = prev_ok and item_end
-            elif kw == "BY" and d in aliased_depths:
+            elif kw == "BY" and sel_pos in aliased_selects:
                 # GROUP BY d / ORDER BY d after the select list was
                 # auto-aliased: keep the NAME — Spark resolves select
                 # aliases in both clauses, and re-inlining the
@@ -1647,7 +1692,7 @@ def _scalar_with(sql: str) -> str:
             out.append(text[last : mm.start()])
             if bare:
                 out.append(f"({expr}) AS {alias}")
-                aliased_depths.add(d)
+                aliased_selects.add(sel_pos)
             else:
                 out.append(f"({expr})")
             last = mm.end()
@@ -1742,16 +1787,25 @@ def _bracket_expressions(sql: str) -> str:
     - array LITERALS ``[1, 2, 3]`` → ``array(1, 2, 3)`` (Spark's
       parser rejects bare brackets in expression position);
     - SUBSCRIPTS ``arr[i]`` / ``m['k']`` / ``f(x)[i]`` →
-      ``element_at(base, i)`` — CH indexing is 1-BASED (and -1 =
+      ``try_element_at(base, i)`` — CH indexing is 1-BASED (and -1 =
       last), while Spark's native ``x[i]`` is 0-based, so passing the
       bracket through would silently shift every element access by
-      one; ``element_at`` is 1-based/negative-aware for arrays and
-      key-based for maps, matching CH for both.
+      one; ``try_element_at`` is 1-based/negative-aware for arrays and
+      key-based for maps, matching CH for both, and returns NULL on an
+      out-of-range index where the plain form would throw under ANSI
+      mode on data-dependent indexes (review r9).  Deviation: CH
+      returns the element type's DEFAULT value (0 / '') out of range,
+      and a literal ``[0]`` index still errors at runtime (invalid in
+      CH too, which answers it with the default value).
 
     A ``[`` is a subscript iff the previous non-space char ends an
-    identifier chain (that is not an expression keyword), a ``)``, or
-    a ``]``; anything else opens a literal.  One bracket rewrites per
-    pass, innermost-last; fixpoint-bounded."""
+    identifier chain (that is not an expression keyword), a
+    backtick-quoted identifier, a ``)``, or a ``]``; anything else
+    opens a literal.  Runs AFTER ``_dquotes_to_backticks`` so CH
+    ``"quoted ident"[1]`` subscripts are recognized.  A subscript
+    directly on ``CASE … END`` raises (wrap the CASE in parentheses) —
+    treating ``END`` as a base would splice the statement corruptly.
+    One bracket rewrites per pass, innermost-last; fixpoint-bounded."""
     import re
 
     for _ in range(256):  # each pass consumes exactly one bracket
@@ -1777,11 +1831,29 @@ def _bracket_expressions(sql: str) -> str:
             p -= 1
         base_start = None
         if p >= 0 and (sh[p].isalnum() or sh[p] in "_`"):
+            # walk back over a dotted identifier chain whose segments
+            # may be backtick-quoted (`my col`, db.`t 2`) — quoted
+            # content can hold spaces, so jump to the opening backtick
             s = p
-            while s >= 0 and (sh[s].isalnum() or sh[s] in "_.`$"):
-                s -= 1
-            word = sql[s + 1 : p + 1].split(".")[-1].strip("`").lower()
-            if word not in _BRACKET_KEYWORDS:
+            while s >= 0:
+                if sh[s] == "`":
+                    o = sh.rfind("`", 0, s)
+                    if o < 0:
+                        raise UnsupportedChSql(
+                            "unbalanced backticks before [ ]")
+                    s = o - 1
+                elif sh[s].isalnum() or sh[s] in "_.$":
+                    s -= 1
+                else:
+                    break
+            seg = sql[s + 1 : p + 1].split(".")[-1]
+            word = seg.strip("`").lower() if not seg.startswith("`") else ""
+            if word == "end":
+                raise UnsupportedChSql(
+                    "subscript directly on CASE … END — wrap the CASE "
+                    "in parentheses: (CASE … END)[i]"
+                )
+            if seg.startswith("`") or word not in _BRACKET_KEYWORDS:
                 base_start = s + 1
         elif p >= 0 and sh[p] in ")]":
             # walk back over the balanced ()/[] group, then a possible
@@ -1811,7 +1883,7 @@ def _bracket_expressions(sql: str) -> str:
             if not idx:
                 raise UnsupportedChSql("empty subscript [ ]")
             sql = (sql[:base_start]
-                   + f"element_at({base}, {idx})" + sql[close + 1 :])
+                   + f"try_element_at({base}, {idx})" + sql[close + 1 :])
     raise UnsupportedChSql("too many bracket expressions (>256)")
 
 
@@ -2161,6 +2233,42 @@ def _format_datetime_expr(args: list[str]) -> str:
     return f"date_format({ts}, '{pat}')"
 
 
+def _regex_has_capture_group(literal_body: str) -> bool:
+    """Whether the regex spelled by a SQL string literal's BODY (text
+    between the quotes) contains a capture group, honoring BOTH escape
+    layers: the SQL parser consumes one backslash (``'\\\\('`` is the
+    regex ``\\(`` — a literal paren, no group) and the regex layer's
+    own escapes and ``[...]`` classes (``'[(]'`` is also no group).
+    A naive strip of doubled backslashes miscounts both (review r9)."""
+    # SQL layer: `\\` → `\`, any other `\c` → `c` (the control-char
+    # meanings of \n etc. don't matter here — no paren can result)
+    rx, i, n = [], 0, len(literal_body)
+    while i < n:
+        if literal_body[i] == "\\" and i + 1 < n:
+            nxt = literal_body[i + 1]
+            rx.append("\\" if nxt == "\\" else nxt)
+            i += 2
+        else:
+            rx.append(literal_body[i])
+            i += 1
+    # regex layer: a backslash escapes the next char; parens inside
+    # [...] classes are literals
+    j, in_class = 0, False
+    while j < len(rx):
+        c = rx[j]
+        if c == "\\":
+            j += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not (j + 1 < len(rx) and rx[j + 1] == "?"):
+            return True
+        j += 1
+    return False
+
+
 def _rewrite_calls(sql: str) -> str:
     import re
 
@@ -2247,20 +2355,40 @@ def _rewrite_calls(sql: str) -> str:
             out.append("count(*)")  # CH zero-arg count() = row count
             i = close + 1
             continue
-        if name in ("position", "positionUTF8", "positionCaseInsensitive"):
+        if name in ("position", "positionUTF8", "positionCaseInsensitive",
+                    "positionCaseInsensitiveUTF8"):
             # CH position(haystack, needle[, start]) vs Spark's
             # locate(needle, haystack[, start]) — the bare name would
             # resolve to Spark's builtin with SWAPPED argument roles
-            # and silently return 0 (dialect probe, round 9)
+            # and silently return 0 (dialect probe, round 9).  CH's
+            # non-UTF8 spellings return BYTE offsets (5 for the 'в' in
+            # 'привет'); Spark locate() is character-based, so the
+            # byte forms re-measure the prefix with octet_length —
+            # identical on ASCII, CH-exact on multi-byte (review r9).
             parts = _split_args(inner)
             if len(parts) not in (2, 3):
                 raise UnsupportedChSql(
                     f"{name}(haystack, needle[, start]) expects 2-3 args")
             hay, needle = parts[0], parts[1]
-            if name == "positionCaseInsensitive":
+            utf8 = name.endswith("UTF8")
+            if "CaseInsensitive" in name:
                 hay, needle = f"lower({hay})", f"lower({needle})"
-            tail = f", {parts[2]}" if len(parts) == 3 else ""
-            out.append(f"locate({needle}, {hay}{tail})")
+            if utf8:
+                tail = f", {parts[2]}" if len(parts) == 3 else ""
+                out.append(f"locate({needle}, {hay}{tail})")
+            elif len(parts) == 3:
+                raise UnsupportedChSql(
+                    f"{name}() with start_pos: CH counts it in BYTES, "
+                    "which has no faithful character-function mapping "
+                    "here — use positionUTF8(haystack, needle, start) "
+                    "for character-based offsets"
+                )
+            else:
+                out.append(
+                    f"CASE WHEN locate({needle}, {hay}) = 0 THEN 0 "
+                    f"ELSE octet_length(substring({hay}, 1, "
+                    f"locate({needle}, {hay}) - 1)) + 1 END"
+                )
             i = close + 1
             continue
         if name in ("plus", "minus", "multiply", "divide"):
@@ -2282,8 +2410,7 @@ def _rewrite_calls(sql: str) -> str:
             parts = _split_args(inner)
             if len(parts) == 2 and parts[1].strip().startswith("'"):
                 pat = parts[1].strip()
-                body = pat[1:-1].replace("\\\\", "")
-                group = 1 if re.search(r"(?<!\\)\((?!\?)", body) else 0
+                group = 1 if _regex_has_capture_group(pat[1:-1]) else 0
                 out.append(f"regexp_extract({parts[0]}, {pat}, {group})")
                 i = close + 1
                 continue
