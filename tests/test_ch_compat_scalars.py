@@ -680,6 +680,81 @@ def test_extract_group_detection_honors_both_escape_layers(spark):
     assert (r.esc, r.cls, r.grp, r.bsl) == ("(1)", "(", "val", "")
 
 
+def test_with_totals_bridges_to_grouping_sets(spark):
+    """CH `GROUP BY k WITH TOTALS` adds one whole-set aggregate row —
+    GROUPING SETS ((k), ()) computes it in the same shuffle.
+    Documented deviation: the totals row's keys are NULL (CH renders
+    type defaults in its separate totals block)."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 5)], "g string, x long"
+    ).createOrReplaceTempView("wt_t")
+    rows = run_ch_sql(
+        spark, "SELECT g, sum(x) AS s FROM wt_t GROUP BY g WITH TOTALS"
+    ).collect()
+    assert sorted(((r.g, r.s) for r in rows), key=repr) == sorted(
+        [("a", 4), ("b", 5), (None, 9)], key=repr)
+    # multi-key form: every key NULL on the totals row
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, x, count() AS c FROM wt_t GROUP BY g, x WITH TOTALS",
+    ).collect()
+    assert (None, None, 3) in [(r.g, r.x, r.c) for r in rows]
+    with pytest.raises(UnsupportedChSql, match="WITH TOTALS"):
+        translate_ch_sql("SELECT count() FROM t WITH TOTALS")
+
+
+def test_with_fill_raises_with_gap_fill_pointer(spark):
+    with pytest.raises(UnsupportedChSql, match="gap_fill"):
+        translate_ch_sql("SELECT x FROM t ORDER BY x WITH FILL")
+
+
+def test_any_maps_to_any_value_but_quantified_form_survives(spark):
+    """CH any(x) is first-value; Spark's own any() is a boolean
+    aggregate and ANSI `> ANY (…)` is a quantified comparison — the
+    rewrite keys off the preceding comparison operator."""
+    spark.createDataFrame([("v", 1)], "g string, x long") \
+        .createOrReplaceTempView("any_t")
+    r = _one(spark, "SELECT any(g) AS a, anyLast(g) AS b FROM any_t")
+    assert (r.a, r.b) == ("v", "v")
+    # quantified spelling passes through untouched (Spark then raises
+    # its own loud error — never a silent boolean-aggregate rebind)
+    assert "any(SELECT" in translate_ch_sql(
+        "SELECT x FROM t WHERE x > any(SELECT 2)")
+
+
+def test_everyday_scalar_batch_round9b(spark):
+    """tuple/struct, bit ops, UTF8 renames, byte-length, range,
+    toFixedString, formatReadableSize, emptyArray*, typed via the
+    probe corpus (tools/dialect_probe.py)."""
+    r = _one(
+        spark,
+        "SELECT tupleElement(tuple(1, 'a'), 2) AS te,"
+        " bitAnd(5, 3) AS ba, bitOr(5, 3) AS bo, bitXor(5, 3) AS bx,"
+        " bitNot(5) AS bn, bitShiftLeft(1, 4) AS bs, bitCount(7) AS bc,"
+        " lowerUTF8('ПРИВЕТ') AS lu, upperUTF8('привет') AS uu,"
+        " length('привет') AS lb, lengthUTF8('привет') AS lc,"
+        " range(3) AS r1, range(2, 5) AS r2, range(0, 10, 3) AS r3,"
+        " range(0) AS r0, toFixedString('ab', 4) AS fs,"
+        " formatReadableSize(1048576) AS mib,"
+        " formatReadableSize(1500) AS kib,"
+        " emptyArrayString() AS ea, toTypeName(1) AS tn",
+    )
+    assert r.te == "a"
+    assert (r.ba, r.bo, r.bx, r.bn, r.bs, r.bc) == (1, 7, 6, -6, 16, 3)
+    assert (r.lu, r.uu) == ("привет", "ПРИВЕТ")
+    # CH length(String) counts BYTES; lengthUTF8 counts code points
+    assert (r.lb, r.lc) == (12, 6)
+    assert (list(r.r1), list(r.r2), list(r.r3), list(r.r0)) == (
+        [0, 1, 2], [2, 3, 4], [0, 3, 6, 9], [])
+    assert r.fs == "ab\x00\x00"
+    assert (r.mib, r.kib) == ("1.00 MiB", "1.46 KiB")
+    assert (list(r.ea), r.tn) == ([], "int")
+    # scalar range() must NOT clobber the numbers() bridge's
+    # table-valued FROM range(...)
+    rows = run_ch_sql(spark, "SELECT number FROM numbers(3)").collect()
+    assert sorted(r2.number for r2 in rows) == [0, 1, 2]
+
+
 def test_scalar_with_alias_scope_is_per_select_block(spark):
     """The keep-the-alias rule for GROUP BY/ORDER BY references is
     scoped to the SELECT block that gained the alias — a sibling

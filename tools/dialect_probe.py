@@ -54,6 +54,9 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT indexOf([10, 20, 30], 99) AS i", (0,)),
     ("SELECT has([1, 2, 3], 2) AS h, has([1, 2, 3], 9) AS h2", (True, False)),
     ("SELECT length('hello') AS l", (5,)),
+    # CH length(String) counts BYTES (12 for 6 Cyrillic chars);
+    # lengthUTF8 counts code points (review r9b)
+    ("SELECT length('привет') AS b, lengthUTF8('привет') AS c", (12, 6)),
     ("SELECT length([1, 2, 3]) AS l", (3,)),
     ("SELECT arrayStringConcat(['a', 'b', 'c'], '-') AS s", ("a-b-c",)),
     ("SELECT splitByChar(',', 'a,b,c') AS s", (["a", "b", "c"],)),
@@ -93,6 +96,16 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # --- conditionals ---
     ("SELECT if(1 > 0, 'y', 'n') AS r", ("y",)),
     ("SELECT multiIf(0, 'a', 1, 'b', 'c') AS r", ("b",)),
+    # --- round-9b batch: tuples, bit ops, ranges, formatting ---
+    ("SELECT tupleElement(tuple(1, 'a'), 2) AS e", ("a",)),
+    ("SELECT bitAnd(5, 3) AS a, bitOr(5, 3) AS o, bitXor(5, 3) AS x,"
+     " bitShiftLeft(1, 4) AS s", (1, 7, 6, 16)),
+    ("SELECT lowerUTF8('ПРИВЕТ') AS l", ("привет",)),
+    ("SELECT range(3) AS r", ([0, 1, 2],)),
+    ("SELECT range(2, 5) AS r", ([2, 3, 4],)),
+    ("SELECT formatReadableSize(1048576) AS s", ("1.00 MiB",)),
+    ("SELECT emptyArrayString() AS a", ([],)),
+    ("SELECT any(number) AS a FROM numbers(1)", (0,)),
     # --- dates (fixed literals; tz-free functions only) ---
     ("SELECT toYYYYMM(toDateTime('2024-03-05 10:00:00')) AS m", (202403,)),
     ("SELECT toDayOfWeek(toDate('2024-03-04')) AS d", (1,)),  # Monday=1
@@ -121,6 +134,8 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT sec_code, count() AS c FROM trades GROUP BY sec_code"
      " ORDER BY c DESC, sec_code LIMIT 3", None),
     ("SELECT uniqExact(sec_code) AS u FROM trades", None),
+    ("SELECT board, count() AS c FROM trades GROUP BY board WITH TOTALS",
+     None),
     ("SELECT quantile(0.5)(price) AS q FROM trades", None),
     ("SELECT quantiles(0.25, 0.75)(price) AS qs FROM trades", None),
     ("SELECT argMax(sec_code, price) AS m FROM trades", None),

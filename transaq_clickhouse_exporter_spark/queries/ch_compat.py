@@ -95,6 +95,13 @@ Documented deviations from ClickHouse (each also noted at its shim):
   and ``toInt8/16/32`` wrap CH-exactly.
 - byte-offset ``position()`` with a ``start_pos`` raises (CH counts
   the start in bytes) — ``positionUTF8`` supports all three args.
+- ``WITH TOTALS`` bridges to ``GROUPING SETS ((…), ())``: the totals
+  row's key columns are NULL where CH renders the type's default
+  values in its separate totals block.
+- ``toFixedString(s, n)`` truncates when s is longer than n (rpad
+  contract) where CH throws.
+- ``toTypeName`` returns Spark's type spellings ('bigint'), not CH's
+  ('Int64') — introspection is intentionally engine-native.
 - ``topK``/``topKWeighted`` block shapes the pre-aggregation rewrite
   cannot re-plan keep an n-sized ``collect_list`` expansion and emit
   :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
@@ -316,6 +323,34 @@ _SCALAR_SHIMS: dict[str, str] = {
         "ELSE variant_get(try_parse_json(j), concat('$.', k)) "
         "IS NOT NULL END"
     ),
+    # bitwise ops in CH's function spelling (operator forms on Spark)
+    "bitAnd": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "bitOr": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+    "bitXor": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    "bitNot": "(a BIGINT) RETURNS BIGINT RETURN ~a",
+    # NUL-padded fixed width; deviation: CH THROWS when s is longer
+    # than n, this truncates (rpad contract)
+    "toFixedString": (
+        "(s STRING, n INT) RETURNS STRING RETURN rpad(s, n, chr(0))"
+    ),
+    # CH's human-readable byte size: two decimals, IEC units
+    # (formatReadableSize(1048576) = '1.00 MiB')
+    "formatReadableSize": (
+        "(x DOUBLE) RETURNS STRING RETURN CASE "
+        "WHEN abs(x) < 1024 THEN concat(format_string('%.2f', x), ' B') "
+        "WHEN abs(x) < 1048576 THEN "
+        "concat(format_string('%.2f', x / 1024), ' KiB') "
+        "WHEN abs(x) < 1073741824 THEN "
+        "concat(format_string('%.2f', x / 1048576), ' MiB') "
+        "WHEN abs(x) < 1099511627776 THEN "
+        "concat(format_string('%.2f', x / 1073741824), ' GiB') "
+        "WHEN abs(x) < 1125899906842624 THEN "
+        "concat(format_string('%.2f', x / 1099511627776), ' TiB') "
+        "WHEN abs(x) < 1152921504606846976 THEN "
+        "concat(format_string('%.2f', x / 1125899906842624), ' PiB') "
+        "ELSE concat(format_string('%.2f', "
+        "x / 1152921504606846976), ' EiB') END"
+    ),
     # count of DISTINCT elements of one array (CH arrayUniq/1)
     "arrayUniq": (
         "(xs ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(xs))"
@@ -378,6 +413,19 @@ _SCALAR_SHIMS.update({
         "visitParamHas": "JSONHas",
         "simpleJSONHas": "JSONHas",
     }.items()
+})
+
+# CH's typed empty-array constructors (integer kinds share BIGINT —
+# Spark arrays are not width-parameterized)
+_SCALAR_SHIMS.update({
+    f"emptyArray{ch}": f"() RETURNS ARRAY<{spark}> RETURN "
+    f"CAST(array() AS ARRAY<{spark}>)"
+    for ch, spark in [
+        ("String", "STRING"), ("Date", "DATE"), ("DateTime", "TIMESTAMP"),
+        ("Float32", "DOUBLE"), ("Float64", "DOUBLE"),
+        *((f"{u}Int{w}", "BIGINT")
+          for u in ("", "U") for w in (8, 16, 32, 64)),
+    ]
 })
 
 
@@ -456,7 +504,22 @@ _RENAMES = {
     "endsWith": "endswith",
     "substringUTF8": "substring",
     "lengthUTF8": "length",      # both count CODEPOINTS (bare CH
-                                 # length counts bytes — left alone)
+                                 # length counts BYTES — rewritten to
+                                 # octet_length in _rewrite_calls)
+    "lowerUTF8": "lower",        # Spark lower/upper are UTF8-aware
+    "upperUTF8": "upper",
+    # bit-shift family (same arity/arg order); bitAnd/Or/Xor/Not are
+    # operator spellings — see the shims
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
+    "bitCount": "bit_count",
+    # introspection: VALUES are intentionally engine-native (Spark
+    # type spellings — 'bigint', not 'Int64'); the function exists so
+    # pasted debug queries run, not to emulate CH's type names
+    "toTypeName": "typeof",
+    # CH tuple(…) ≈ Spark struct(…) (fields auto-named col1, col2, …
+    # on both read paths; tupleElement maps to field access)
+    "tuple": "struct",
     "now": "current_timestamp",
     # statistics family: CH camelCase → Spark snake_case, identical
     # population/sample semantics
@@ -637,6 +700,7 @@ def translate_ch_sql(
         last = m.end()
     parts.append(sql[last:])
     sql = "".join(parts)
+    sql = _with_totals(sql)  # before _scalar_with: TOTALS is not a CTE
     sql = _scalar_with(sql)
     sql = _strip_trailing_clauses(sql)
     sql = _prewhere_to_where(sql)
@@ -864,6 +928,51 @@ def _array_join_clause(sql: str) -> str:
         if "," in arr:
             raise UnsupportedChSql("multi-array ARRAY JOIN (zip form) not supported")
         sql = head + f" LATERAL VIEW {outer}explode({arr}) __aj AS {alias}" + tail
+
+
+def _with_totals(sql: str) -> str:
+    """``GROUP BY <exprs> WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((<exprs>), ())`` — one extra whole-set aggregate row, computed in
+    the same shuffle.  Deviation: the totals row's key columns are
+    NULL (grouping-sets semantics) where CH renders the type's default
+    values in its separate totals block; ``WITH ROLLUP``/``WITH CUBE``
+    pass through (native Spark).  ``ORDER BY … WITH FILL`` raises: gap
+    materialization is a sequence join, not an expression — use
+    ``queries/analytics.gap_fill`` (the ``an08`` operator)."""
+    import re
+
+    if re.search(r"(?i)\bWITH\s+FILL\b", _mask_literals(sql)):
+        raise UnsupportedChSql(
+            "ORDER BY … WITH FILL: gap materialization needs a "
+            "generated time/number spine join — use "
+            "queries/analytics.gap_fill"
+        )
+    while True:
+        sh = _mask_literals(sql)
+        m = re.search(r"(?i)\bWITH\s+TOTALS\b", sh)
+        if m is None:
+            return sql
+        dx = _depth_map(sh)
+        d = dx[m.start()]
+        gb = None
+        for gm in re.finditer(r"(?i)\bGROUP\s+BY\b", sh[: m.start()]):
+            if dx[gm.start()] == d:
+                gb = gm
+        if gb is None:
+            raise UnsupportedChSql("WITH TOTALS without a GROUP BY")
+        exprs = sql[gb.end() : m.start()].strip()
+        if not exprs or re.search(
+            r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS|ALL)\b", exprs
+        ):
+            raise UnsupportedChSql(
+                "WITH TOTALS combined with ROLLUP/CUBE/GROUPING SETS/"
+                "ALL is not bridged — spell the GROUPING SETS directly"
+            )
+        sql = (
+            sql[: gb.start()]
+            + f"GROUP BY GROUPING SETS (({exprs}), ())"
+            + sql[m.end() :]
+        )
 
 
 def _strip_trailing_clauses(sql: str) -> str:
@@ -2389,6 +2498,77 @@ def _rewrite_calls(sql: str) -> str:
                     f"ELSE octet_length(substring({hay}, 1, "
                     f"locate({needle}, {hay}) - 1)) + 1 END"
                 )
+            i = close + 1
+            continue
+        if name == "any":
+            # CH any(x) = an arbitrary value (Spark any_value) — but
+            # the SAME spelling is ANSI's quantified comparison
+            # (`price > ANY (SELECT …)`), and Spark's own any() is a
+            # boolean aggregate.  Discriminate by the previous
+            # non-space char: a comparison operator means quantified
+            # (pass through untouched), anything else is the CH
+            # aggregate.
+            pprev = i - 1
+            while pprev >= 0 and sql[pprev] in " \t\n":
+                pprev -= 1
+            if pprev >= 0 and sql[pprev] in "=<>!":
+                out.append(f"any({inner})")
+            else:
+                out.append(f"any_value({inner})")
+            i = close + 1
+            continue
+        if name == "length":
+            # CH length(String) counts BYTES (lengthUTF8 is the
+            # code-point form) — Spark length() counts characters, a
+            # silent multi-byte diff.  Arrays still error loudly here
+            # (CH length(Array) = element count): spell size().
+            out.append(f"octet_length({inner})")
+            i = close + 1
+            continue
+        if name == "range" and inner.strip():
+            # CH range([start,] end[, step]) = [start, end) — Spark's
+            # closed-interval sequence() with an empty-range guard
+            # (sequence(0, -1) would count DOWN; CH returns []).
+            # NOT in FROM position: there `range()` is Spark's
+            # table-valued generator, which the numbers() bridge
+            # emits — leave it untouched.
+            head_tok = sql[:i].rstrip()
+            if re.search(r"(?i)\b(FROM|JOIN|LATERAL)$", head_tok):
+                out.append(f"range({inner})")
+                i = close + 1
+                continue
+            parts = _split_args(inner)
+            if len(parts) == 1:
+                s_, e_, st_ = "0", parts[0], "1"
+            elif len(parts) == 2:
+                s_, e_, st_ = parts[0], parts[1], "1"
+            elif len(parts) == 3:
+                s_, e_, st_ = parts
+            else:
+                raise UnsupportedChSql("range() expects 1-3 arguments")
+            out.append(
+                f"CASE WHEN ({e_}) <= ({s_}) THEN CAST(array() AS "
+                f"ARRAY<BIGINT>) ELSE sequence(CAST({s_} AS BIGINT), "
+                f"CAST(({e_}) - 1 AS BIGINT), CAST({st_} AS BIGINT)) END"
+            )
+            i = close + 1
+            continue
+        if name == "tupleElement":
+            # tuple() maps to struct() with auto-named col1, col2, …
+            # fields; tupleElement(t, N) / tupleElement(t, 'name') is
+            # field access on either spelling
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("tupleElement(t, index|name)")
+            idx = parts[1].strip()
+            if idx.isdigit():
+                out.append(f"({parts[0]}).col{idx}")
+            elif idx.startswith("'") and idx.endswith("'"):
+                out.append(f"({parts[0]}).`{idx[1:-1]}`")
+            else:
+                raise UnsupportedChSql(
+                    "tupleElement index must be an integer or string "
+                    "literal")
             i = close + 1
             continue
         if name in ("plus", "minus", "multiply", "divide"):
