@@ -1613,6 +1613,39 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "topk", "ch-sql", "preagg"),
         )
     )
+
+    # CH `GROUP BY … WITH TOTALS` through the dialect (round 9): the
+    # bridge plans GROUPING SETS ((keys), ()) — per-group rows plus
+    # ONE whole-set totals row from the same shuffle (ch_compat.py
+    # _with_totals; NULL totals keys are the documented deviation).
+    # Oracle = DuckDB's native GROUPING SETS, micro-int sums for
+    # cross-engine bit equality (same spelling as ev01).
+    def _with_totals_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT))
+                        AS BIGINT) AS sum_micro
+            FROM ev GROUP BY event_type WITH TOTALS
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev19_with_totals_sql",
+            _with_totals_sql,
+            """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT))
+                        AS BIGINT) AS sum_micro
+            FROM ev GROUP BY GROUPING SETS ((event_type), ())
+            """,
+            tags=("events", "with-totals", "grouping-sets", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4268,6 +4301,8 @@ _TAIL_NAMES = (
     # round-9 additions start in the tail; they earn rows next round.
     "op09_asof_left_bridge",          # ASOF LEFT JOIN bridge (null right side
                                       # on no-match) vs DuckDB ASOF LEFT
+    "ev19_with_totals_sql",           # WITH TOTALS → GROUPING SETS bridge vs
+                                      # DuckDB native GROUPING SETS
 )
 
 
