@@ -663,6 +663,15 @@ def test_integer_casts_wrap_like_clickhouse(spark):
     assert (r.e, r.f, r.g) == (-56, -25536, -1294967296)
     assert r.h == 9007199254740993  # exact above 2^53
     assert (r.s, r.t, r.u) == (7, 3, -3)
+    # int64-edge inputs: pmod-first fold, no ANSI bias overflow
+    # (CH toInt32(2^63-1) = -1; review r9b)
+    r2 = _one(
+        spark,
+        "SELECT toInt32(9223372036854775807) AS a,"
+        " toInt8(9223372036854775807) AS b,"
+        " toInt16(-9223372036854775808) AS c",
+    )
+    assert (r2.a, r2.b, r2.c) == (-1, -1, 0)
 
 
 def test_extract_group_detection_honors_both_escape_layers(spark):
@@ -708,6 +717,36 @@ def test_with_fill_raises_with_gap_fill_pointer(spark):
         translate_ch_sql("SELECT x FROM t ORDER BY x WITH FILL")
 
 
+def test_with_totals_survives_having_and_scopes_per_block(spark):
+    """Review r9b: (a) a key-predicate HAVING must not filter the
+    NULL-keyed totals row (CH computes totals before HAVING) — the
+    bridge ORs grouping_id() into the condition; (b) the GROUP BY
+    lookup is block-scoped, so a TOTALS in a subquery without its own
+    GROUP BY raises cleanly instead of binding a SIBLING subquery's
+    GROUP BY and splicing corrupt SQL; (c) a string literal spelling
+    'all' inside a grouping expression is not mistaken for GROUP BY
+    ALL."""
+    spark.createDataFrame(
+        [("a", 1), ("b", 5)], "g string, x long"
+    ).createOrReplaceTempView("wth_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, sum(x) AS s FROM wth_t GROUP BY g WITH TOTALS"
+        " HAVING g != 'zz' ORDER BY s",
+    ).collect()
+    assert [(r.g, r.s) for r in rows] == [("a", 1), ("b", 5), (None, 6)]
+    with pytest.raises(UnsupportedChSql, match="GROUP BY"):
+        translate_ch_sql(
+            "SELECT * FROM (SELECT g, sum(x) s FROM t GROUP BY g) a"
+            " JOIN (SELECT sum(x) s2 FROM t WITH TOTALS) b ON 1=1")
+    rows = run_ch_sql(
+        spark,
+        "SELECT if(g = 'all', 'x', g) AS k, sum(x) AS s FROM wth_t"
+        " GROUP BY if(g = 'all', 'x', g) WITH TOTALS",
+    ).collect()
+    assert (None, 6) in [(r.k, r.s) for r in rows]
+
+
 def test_any_maps_to_any_value_but_quantified_form_survives(spark):
     """CH any(x) is first-value; Spark's own any() is a boolean
     aggregate and ANSI `> ANY (…)` is a quantified comparison — the
@@ -716,10 +755,19 @@ def test_any_maps_to_any_value_but_quantified_form_survives(spark):
         .createOrReplaceTempView("any_t")
     r = _one(spark, "SELECT any(g) AS a, anyLast(g) AS b FROM any_t")
     assert (r.a, r.b) == ("v", "v")
-    # quantified spelling passes through untouched (Spark then raises
-    # its own loud error — never a silent boolean-aggregate rebind)
+    # quantified spelling (comparison op + SUBQUERY argument) passes
+    # through untouched (Spark then raises its own loud error — never
+    # a silent boolean-aggregate rebind)
     assert "any(SELECT" in translate_ch_sql(
         "SELECT x FROM t WHERE x > any(SELECT 2)")
+    # …but a comparison op with a NON-subquery argument is still the
+    # CH aggregate: `max(f) = any(f)` on a boolean column must not
+    # silently become Spark's bool_or (review r9b)
+    spark.createDataFrame([(True,), (False,)], "f boolean") \
+        .createOrReplaceTempView("anyb_t")
+    assert "any_value" in translate_ch_sql("SELECT max(f) = any(f) FROM t")
+    r2 = _one(spark, "SELECT max(f) = any(f) AS eq FROM anyb_t")
+    assert r2.eq in (True, False)  # first-value compare, runs
 
 
 def test_everyday_scalar_batch_round9b(spark):
@@ -740,6 +788,15 @@ def test_everyday_scalar_batch_round9b(spark):
         " emptyArrayString() AS ea, toTypeName(1) AS tn",
     )
     assert r.te == "a"
+    # tuple() uses EXPLICIT colN names: a bare struct(price, qty)
+    # would name fields after the source columns and break positional
+    # tupleElement access (review r9b)
+    spark.createDataFrame([(10.0, 3)], "price double, qty long") \
+        .createOrReplaceTempView("tup_t")
+    rt = _one(spark,
+              "SELECT tupleElement(tuple(price, qty), 1) AS p,"
+              " tupleElement(tuple(price, qty), 2) AS q FROM tup_t")
+    assert (rt.p, rt.q) == (10.0, 3)
     assert (r.ba, r.bo, r.bx, r.bn, r.bs, r.bc) == (1, 7, 6, -6, 16, 3)
     assert (r.lu, r.uu) == ("привет", "ПРИВЕТ")
     # CH length(String) counts BYTES; lengthUTF8 counts code points

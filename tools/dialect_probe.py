@@ -57,7 +57,10 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # CH length(String) counts BYTES (12 for 6 Cyrillic chars);
     # lengthUTF8 counts code points (review r9b)
     ("SELECT length('привет') AS b, lengthUTF8('привет') AS c", (12, 6)),
-    ("SELECT length([1, 2, 3]) AS l", (3,)),
+    # CH length(Array) = element count, but this bridge maps length to
+    # the byte-count form (strings only) — arrays are a DOCUMENTED
+    # loud raise (spell size()); run-probe records it as loud-error
+    ("SELECT length([1, 2, 3]) AS l", None),
     ("SELECT arrayStringConcat(['a', 'b', 'c'], '-') AS s", ("a-b-c",)),
     ("SELECT splitByChar(',', 'a,b,c') AS s", (["a", "b", "c"],)),
     ("SELECT splitByString('::', 'a::b') AS s", (["a", "b"],)),

@@ -102,6 +102,12 @@ Documented deviations from ClickHouse (each also noted at its shim):
   contract) where CH throws.
 - ``toTypeName`` returns Spark's type spellings ('bigint'), not CH's
   ('Int64') — introspection is intentionally engine-native.
+- ``bitAnd``/``bitOr``/``bitXor``/``bitNot``/shifts run in 64-bit
+  signed arithmetic; CH infers the narrowest argument type (its
+  ``bitNot(5)`` is 250 under UInt8 typing).  Results agree for
+  Int64-typed columns.
+- ``length(Array)`` raises (this bridge maps ``length`` to CH's
+  byte count, which only strings have) — spell ``size()``.
 - ``topK``/``topKWeighted`` block shapes the pre-aggregation rewrite
   cannot re-plan keep an n-sized ``collect_list`` expansion and emit
   :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
@@ -160,11 +166,15 @@ _SCALAR_SHIMS: dict[str, str] = {
     "toUnixTimestamp": "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts)",
     "intDiv": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b",
     "modulo": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b",
-    # wrap semantics + DECIMAL param: see the toUInt* block below
+    # wrap semantics + DECIMAL param: see the toUInt* block below.
+    # pmod FIRST, then the signed fold — adding the bias before the
+    # pmod overflows BIGINT for inputs near ±2^63 (review r9b)
     "toInt32": (
         "(x DECIMAL(38,9)) RETURNS INT RETURN "
-        "CAST(pmod(CAST(x AS BIGINT) + 2147483648, 4294967296) "
-        "- 2147483648 AS INT)"
+        "CAST(CASE WHEN pmod(CAST(x AS BIGINT), 4294967296) >= "
+        "2147483648 THEN pmod(CAST(x AS BIGINT), 4294967296) "
+        "- 4294967296 ELSE pmod(CAST(x AS BIGINT), 4294967296) END "
+        "AS INT)"
     ),
     "toInt64": "(x DECIMAL(38,9)) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
     "toFloat64": "(x DOUBLE) RETURNS DOUBLE RETURN x",
@@ -272,13 +282,19 @@ _SCALAR_SHIMS: dict[str, str] = {
         "pmod(CAST(x AS BIGINT), 4294967296)"
     ),
     "toUInt64": "(x DECIMAL(38,9)) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
+    # signed folds pmod first (bias-after, not bias-before — the +128
+    # spelling overflows BIGINT at the int64 edges; review r9b)
     "toInt8": (
         "(x DECIMAL(38,9)) RETURNS INT RETURN "
-        "CAST(pmod(CAST(x AS BIGINT) + 128, 256) - 128 AS INT)"
+        "CAST(CASE WHEN pmod(CAST(x AS BIGINT), 256) >= 128 "
+        "THEN pmod(CAST(x AS BIGINT), 256) - 256 "
+        "ELSE pmod(CAST(x AS BIGINT), 256) END AS INT)"
     ),
     "toInt16": (
         "(x DECIMAL(38,9)) RETURNS INT RETURN "
-        "CAST(pmod(CAST(x AS BIGINT) + 32768, 65536) - 32768 AS INT)"
+        "CAST(CASE WHEN pmod(CAST(x AS BIGINT), 65536) >= 32768 "
+        "THEN pmod(CAST(x AS BIGINT), 65536) - 65536 "
+        "ELSE pmod(CAST(x AS BIGINT), 65536) END AS INT)"
     ),
     "toFloat32": "(x DOUBLE) RETURNS FLOAT RETURN CAST(x AS FLOAT)",
     # JSON extraction (single-key form; CH's variadic key paths and
@@ -291,31 +307,51 @@ _SCALAR_SHIMS: dict[str, str] = {
     # dies on '{"n": "abc"}'), and JSONHas distinguishes a JSON null
     # VALUE (present → true, CH-exact) from a missing KEY (false).
     # NULL/invalid-JSON input propagates NULL like CH's Nullable read.
+    # single-parse plumbing: the 2-arg shims bind the extracted
+    # VARIANT once via these helpers instead of re-running
+    # try_parse_json + path traversal per branch (review r9b).  A NULL
+    # v means missing key / invalid JSON — the CH default value; the
+    # NULL-INPUT case (j/k NULL → NULL) is handled by the callers.
+    "ch_json_v_str": (
+        "(v VARIANT) RETURNS STRING RETURN "
+        "CASE WHEN schema_of_variant(v) = 'STRING' "
+        "THEN try_variant_get(v, '$', 'string') ELSE '' END"
+    ),
+    "ch_json_v_int": (
+        "(v VARIANT) RETURNS BIGINT RETURN "
+        "coalesce(try_variant_get(v, '$', 'bigint'), 0)"
+    ),
+    "ch_json_v_float": (
+        "(v VARIANT) RETURNS DOUBLE RETURN "
+        "coalesce(try_variant_get(v, '$', 'double'), 0.0)"
+    ),
+    "ch_json_v_bool": (
+        "(v VARIANT) RETURNS BOOLEAN RETURN "
+        "coalesce(try_variant_get(v, '$', 'boolean'), false)"
+    ),
     "JSONExtractString": (
         "(j STRING, k STRING) RETURNS STRING RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "WHEN schema_of_variant(variant_get(try_parse_json(j), "
-        "concat('$.', k))) = 'STRING' "
-        "THEN variant_get(try_parse_json(j), concat('$.', k), 'string') "
-        "ELSE '' END"
+        "ELSE ch_json_v_str(variant_get(try_parse_json(j), "
+        "concat('$.', k))) END"
     ),
     "JSONExtractInt": (
         "(j STRING, k STRING) RETURNS BIGINT RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(try_variant_get(try_parse_json(j), "
-        "concat('$.', k), 'bigint'), 0) END"
+        "ELSE ch_json_v_int(variant_get(try_parse_json(j), "
+        "concat('$.', k))) END"
     ),
     "JSONExtractFloat": (
         "(j STRING, k STRING) RETURNS DOUBLE RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(try_variant_get(try_parse_json(j), "
-        "concat('$.', k), 'double'), 0.0) END"
+        "ELSE ch_json_v_float(variant_get(try_parse_json(j), "
+        "concat('$.', k))) END"
     ),
     "JSONExtractBool": (
         "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
         "CASE WHEN j IS NULL OR k IS NULL THEN NULL "
-        "ELSE coalesce(try_variant_get(try_parse_json(j), "
-        "concat('$.', k), 'boolean'), false) END"
+        "ELSE ch_json_v_bool(variant_get(try_parse_json(j), "
+        "concat('$.', k))) END"
     ),
     "JSONHas": (
         "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
@@ -323,7 +359,18 @@ _SCALAR_SHIMS: dict[str, str] = {
         "ELSE variant_get(try_parse_json(j), concat('$.', k)) "
         "IS NOT NULL END"
     ),
-    # bitwise ops in CH's function spelling (operator forms on Spark)
+    # CH byte-offset position (the UDF parameter binds each argument
+    # ONCE — the inline spelling re-evaluated the haystack three
+    # times; review r9b)
+    "ch_position_bytes": (
+        "(h STRING, n STRING) RETURNS INT RETURN "
+        "CASE WHEN locate(n, h) = 0 THEN 0 "
+        "ELSE octet_length(substring(h, 1, locate(n, h) - 1)) + 1 END"
+    ),
+    # bitwise ops in CH's function spelling (operator forms on Spark).
+    # Deviation: 64-bit signed arithmetic throughout — CH infers the
+    # narrowest argument type, so e.g. CH bitNot(5) is 250 (UInt8)
+    # where this returns -6; results agree for BIGINT-typed columns.
     "bitAnd": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
     "bitOr": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
     "bitXor": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
@@ -517,9 +564,8 @@ _RENAMES = {
     # type spellings — 'bigint', not 'Int64'); the function exists so
     # pasted debug queries run, not to emulate CH's type names
     "toTypeName": "typeof",
-    # CH tuple(…) ≈ Spark struct(…) (fields auto-named col1, col2, …
-    # on both read paths; tupleElement maps to field access)
-    "tuple": "struct",
+    # (tuple maps to named_struct in _rewrite_calls — explicit colN
+    # field names so tupleElement's positional access always resolves)
     "now": "current_timestamp",
     # statistics family: CH camelCase → Spark snake_case, identical
     # population/sample semantics
@@ -933,11 +979,17 @@ def _array_join_clause(sql: str) -> str:
 def _with_totals(sql: str) -> str:
     """``GROUP BY <exprs> WITH TOTALS`` → ``GROUP BY GROUPING SETS
     ((<exprs>), ())`` — one extra whole-set aggregate row, computed in
-    the same shuffle.  Deviation: the totals row's key columns are
-    NULL (grouping-sets semantics) where CH renders the type's default
-    values in its separate totals block; ``WITH ROLLUP``/``WITH CUBE``
-    pass through (native Spark).  ``ORDER BY … WITH FILL`` raises: gap
-    materialization is a sequence join, not an expression — use
+    the same shuffle.  The lookup is BLOCK-scoped
+    (:func:`_enclosing_select`), never a same-depth scan that could
+    bind a sibling subquery's GROUP BY (review r9b).  A same-block
+    ``HAVING`` is wrapped as ``(grouping_id() = all-ones) OR (cond)``
+    so the totals row survives key predicates — CH's default
+    ``totals_mode`` computes totals before HAVING.  Deviation: the
+    totals row's key columns are NULL (grouping-sets semantics) where
+    CH renders the type's default values in its separate totals block;
+    ``WITH ROLLUP``/``WITH CUBE`` pass through (native Spark).
+    ``ORDER BY … WITH FILL`` raises: gap materialization is a
+    sequence join, not an expression — use
     ``queries/analytics.gap_fill`` (the ``an08`` operator)."""
     import re
 
@@ -953,26 +1005,42 @@ def _with_totals(sql: str) -> str:
         if m is None:
             return sql
         dx = _depth_map(sh)
-        d = dx[m.start()]
-        gb = None
-        for gm in re.finditer(r"(?i)\bGROUP\s+BY\b", sh[: m.start()]):
-            if dx[gm.start()] == d:
-                gb = gm
-        if gb is None:
+        sel = _enclosing_select(sh, dx, m.start())
+        if sel < 0:
             raise UnsupportedChSql("WITH TOTALS without a GROUP BY")
-        exprs = sql[gb.end() : m.start()].strip()
+        end = _block_end(sh, dx, sel)
+        cl = _block_clauses(sh, dx, sel, end)
+        gb = cl.get("GROUP BY")
+        if gb is None or gb[0] > m.start():
+            raise UnsupportedChSql("WITH TOTALS without a GROUP BY")
+        exprs = sql[gb[1] : m.start()].strip()
         if not exprs or re.search(
-            r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS|ALL)\b", exprs
+            r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS|ALL)\b",
+            _mask_literals(exprs),
         ):
             raise UnsupportedChSql(
                 "WITH TOTALS combined with ROLLUP/CUBE/GROUPING SETS/"
                 "ALL is not bridged — spell the GROUPING SETS directly"
             )
-        sql = (
-            sql[: gb.start()]
-            + f"GROUP BY GROUPING SETS (({exprs}), ())"
-            + sql[m.end() :]
-        )
+        gb_repl = f"GROUP BY GROUPING SETS (({exprs}), ())"
+        having = cl.get("HAVING")
+        if having is not None and having[0] > m.start():
+            # HAVING condition ends at the next same-depth clause
+            h_end = min(
+                (p for key, (p, _) in cl.items()
+                 if key in ("ORDER BY", "LIMIT", "WINDOW")
+                 and p > having[0]),
+                default=end,
+            )
+            cond = sql[having[1] : h_end].strip()
+            all_ones = (1 << len(_split_args(exprs))) - 1
+            sql = (
+                sql[: gb[0]] + gb_repl + sql[m.end() : having[1]]
+                + f" ((grouping_id() = {all_ones}) OR ({cond})) "
+                + sql[h_end:]
+            )
+        else:
+            sql = sql[: gb[0]] + gb_repl + sql[m.end() :]
 
 
 def _strip_trailing_clauses(sql: str) -> str:
@@ -2493,28 +2561,40 @@ def _rewrite_calls(sql: str) -> str:
                     "for character-based offsets"
                 )
             else:
-                out.append(
-                    f"CASE WHEN locate({needle}, {hay}) = 0 THEN 0 "
-                    f"ELSE octet_length(substring({hay}, 1, "
-                    f"locate({needle}, {hay}) - 1)) + 1 END"
-                )
+                out.append(f"ch_position_bytes({hay}, {needle})")
             i = close + 1
             continue
         if name == "any":
             # CH any(x) = an arbitrary value (Spark any_value) — but
             # the SAME spelling is ANSI's quantified comparison
             # (`price > ANY (SELECT …)`), and Spark's own any() is a
-            # boolean aggregate.  Discriminate by the previous
-            # non-space char: a comparison operator means quantified
-            # (pass through untouched), anything else is the CH
-            # aggregate.
+            # boolean aggregate.  Quantified ANY requires BOTH a
+            # preceding comparison operator AND a subquery argument —
+            # `max(f) = any(f)` on a boolean column is still the CH
+            # aggregate (a char-only check silently rebound it to
+            # bool_or; review r9b).
             pprev = i - 1
             while pprev >= 0 and sql[pprev] in " \t\n":
                 pprev -= 1
-            if pprev >= 0 and sql[pprev] in "=<>!":
+            is_subq = re.match(
+                r"(?i)\s*SELECT\b", _mask_literals(inner)) is not None
+            if pprev >= 0 and sql[pprev] in "=<>!" and is_subq:
                 out.append(f"any({inner})")
             else:
                 out.append(f"any_value({inner})")
+            i = close + 1
+            continue
+        if name == "tuple":
+            # named_struct with EXPLICIT colN field names: bare
+            # struct(a, b) names fields after source COLUMNS when the
+            # elements are column references, which breaks
+            # tupleElement's positional .colN access (review r9b)
+            parts = _split_args(inner)
+            if not parts or not parts[0].strip():
+                raise UnsupportedChSql("tuple() needs at least one element")
+            items = ", ".join(
+                f"'col{ix + 1}', {p}" for ix, p in enumerate(parts))
+            out.append(f"named_struct({items})")
             i = close + 1
             continue
         if name == "length":
@@ -2554,7 +2634,7 @@ def _rewrite_calls(sql: str) -> str:
             i = close + 1
             continue
         if name == "tupleElement":
-            # tuple() maps to struct() with auto-named col1, col2, …
+            # tuple() maps to named_struct with explicit col1, col2, …
             # fields; tupleElement(t, N) / tupleElement(t, 'name') is
             # field access on either spelling
             parts = _split_args(inner)
