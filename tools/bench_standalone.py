@@ -46,6 +46,7 @@ PICKS = [
     "op08_asof_sql_bridge",
     "ev17_topk_grouped_sql", "ev18_scalar_with_sql",
     "dp33_diversity_sample",
+    "op09_asof_left_bridge", "ev19_with_totals_sql",
 ]
 
 

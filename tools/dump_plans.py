@@ -60,6 +60,9 @@ PICKS = {
     "ev16_topk_weighted_sql": "topKWeighted pre-agg rewrite: two-level hash agg (per-value weights), d-sized collect — NO raw-row collect_list",
     "ev17_topk_grouped_sql": "grouped topK pre-agg: GROUP BY (key, value) partial→final, sibling sum rides the same aggregates",
     "op08_asof_sql_bridge": "ASOF SQL bridge: the asof_join operator plan (union + one keyed window) under the statement's agg",
+    "op09_asof_left_bridge": "ASOF LEFT bridge: same union+window plan, null right side surviving the match filter",
+    "ev19_with_totals_sql": "WITH TOTALS bridge: Expand x2 collapses in the map-side partial agg — the shuffle carries 2d rows, not 2x the input",
+    "dp33_diversity_sample": "diversity sample: BLAS cell assignment (zero-shuffle), one ~n_cells-key exchange for the per-cell quota rank",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries

@@ -476,10 +476,33 @@ _SCALAR_SHIMS.update({
 })
 
 
+#: session-conf marker so run_ch_sql doesn't pay ~110 CREATE FUNCTION
+#: py4j round-trips PER QUERY (measured +1-2 s on every dialect-bridge
+#: catalog entry once the shim count doubled in round 9); the token is
+#: a checksum of the shim bodies so editing a shim re-registers.
+_SHIMS_MARKER = "spark.tce.ch_shims"
+
+
 def register_ch_functions(spark: SparkSession) -> None:
-    """Idempotently register the scalar CH shims as SQL UDFs."""
+    """Idempotently register the scalar CH shims as SQL UDFs (no-op
+    when this session already holds the current shim set)."""
+    import zlib
+
+    token = format(
+        zlib.crc32(
+            "\x00".join(n + b for n, b in sorted(_SCALAR_SHIMS.items()))
+            .encode()
+        ),
+        "x",
+    )
+    try:
+        if spark.conf.get(_SHIMS_MARKER) == token:
+            return
+    except Exception:
+        pass
     for name, body in _SCALAR_SHIMS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
+    spark.conf.set(_SHIMS_MARKER, token)
 
 
 class UnsupportedChSql(ValueError):
