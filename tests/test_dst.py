@@ -128,6 +128,32 @@ def test_calendar_shims_across_moscow_dst(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_shim_registration_refreshes_on_timezone_change(spark):
+    """Spark resolves a SQL UDF body under the configs captured at
+    CREATE time, so the registration-gating marker must fold in the
+    session timezone: after a tz change, register_ch_functions must
+    re-register (NOT no-op) or the calendar shims keep truncating in
+    the old zone (round-9 regression: gating marker ignored tz)."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        register_ch_functions,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        register_ch_functions(spark)
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
+        register_ch_functions(spark)   # must refresh under the new tz
+        got = spark.sql(
+            "SELECT CAST(toStartOfDay(timestamp'2010-03-28 03:30:00')"
+            " AS STRING) AS d"
+        ).collect()[0].d
+        assert got == "2010-03-28 00:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        register_ch_functions(spark)
+
+
 def test_db18_catalog_entry_skips_nonexistent_local_hour(spark, sf_smoke):
     """The driver-window DST entry (db18) must show the spring-forward
     gap: Moscow wall-clock buckets jump 01:30 -> 03:00; no bucket can

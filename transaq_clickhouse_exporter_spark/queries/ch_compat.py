@@ -479,18 +479,25 @@ _SCALAR_SHIMS.update({
 #: session-conf marker so run_ch_sql doesn't pay ~110 CREATE FUNCTION
 #: py4j round-trips PER QUERY (measured +1-2 s on every dialect-bridge
 #: catalog entry once the shim count doubled in round 9); the token is
-#: a checksum of the shim bodies so editing a shim re-registers.
+#: a checksum of the shim bodies so editing a shim re-registers.  The
+#: session timezone is folded in too: Spark resolves a SQL UDF body
+#: with the configs captured at CREATE time, so a tz change makes the
+#: already-registered calendar shims (date_trunc et al.) truncate in
+#: the OLD zone — re-register whenever the zone moved.
 _SHIMS_MARKER = "spark.tce.ch_shims"
 
 
 def register_ch_functions(spark: SparkSession) -> None:
     """Idempotently register the scalar CH shims as SQL UDFs (no-op
-    when this session already holds the current shim set)."""
+    when this session already holds the current shim set, registered
+    under the current session timezone)."""
     import zlib
 
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
     token = format(
         zlib.crc32(
-            "\x00".join(n + b for n, b in sorted(_SCALAR_SHIMS.items()))
+            ("\x00".join(n + b for n, b in sorted(_SCALAR_SHIMS.items()))
+             + "\x00tz=" + (tz or ""))
             .encode()
         ),
         "x",
