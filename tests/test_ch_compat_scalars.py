@@ -827,3 +827,189 @@ def test_scalar_with_alias_scope_is_per_select_block(spark):
         " CROSS JOIN (SELECT v FROM ws_t2 ORDER BY gk) b",
     ).collect()
     assert sorted((r.gk, r.v) for r in rows) == [(100, 30), (200, 30)]
+
+
+# ---------------------------------------------------------------------------
+# round-9c batch: hash digests / random / array extras / dates / URLs
+# (found by extending tools/dialect_probe.py — MD5 and xxHash64 were
+# live silent diffs, rand() a silent-diff trap for % idioms)
+
+
+def test_digests_return_bytes_so_hex_is_ch_exact(spark):
+    r = _one(
+        spark,
+        "SELECT hex(MD5('abc')) AS m, hex(SHA1('abc')) AS s1,"
+        " hex(SHA256('abc')) AS s2",
+    )
+    assert r.m == "900150983CD24FB0D6963F7D28E17F72"
+    assert r.s1 == "A9993E364706816ABA3E25717850C26C9CD0D89D"
+    assert r.s2 == ("BA7816BF8F01CFEA414140DE5DAE2223"
+                    "B00361A396177A9CB410FF61F20015AD")
+    with pytest.raises(UnsupportedChSql, match="seed 42"):
+        translate_ch_sql("SELECT xxHash64('abc')")
+    with pytest.raises(UnsupportedChSql, match="ClickHouse-native"):
+        translate_ch_sql("SELECT cityHash64(sec_code) FROM trades")
+
+
+def test_rand_is_a_uint32_draw_like_clickhouse(spark):
+    # the CH idiom `rand() % 100 < k` selects ~k% of rows; under the
+    # bare Spark mapping ([0,1) double) it selects 100% — the whole
+    # point of the rewrite
+    r = _one(
+        spark,
+        "SELECT d >= 0 AS lo, d < 4294967296 AS hi,"
+        " d = CAST(d AS BIGINT) AS integral,"
+        " randCanonical() >= 0 AND randCanonical() < 1 AS canon"
+        " FROM (SELECT rand() AS d)",
+    )
+    assert (r.lo, r.hi, r.integral, r.canon) == (True, True, True, True)
+    with pytest.raises(UnsupportedChSql, match="block-constant"):
+        translate_ch_sql("SELECT randConstant()")
+
+
+def test_array_arithmetic_family(spark):
+    r = _one(
+        spark,
+        "SELECT arraySum([1, 2, 3]) AS s,"
+        " arraySum(x -> x * 2, [1, 2, 3]) AS sl,"
+        " arrayAvg([1, 2, 3]) AS a,"
+        " arrayProduct([2, 3, 4]) AS p,"
+        " arrayCumSum([1, 2, 3]) AS cs,"
+        " arrayDifference([1, 3, 6]) AS dif,"
+        " arrayReduce('sum', [1, 2, 3]) AS red",
+    )
+    assert (r.s, r.sl, r.a, r.p, r.red) == (6.0, 12.0, 2.0, 24.0, 6.0)
+    assert r.cs == [1.0, 3.0, 6.0]
+    assert r.dif == [0.0, 2.0, 3.0]
+
+
+def test_array_search_and_shape_family(spark):
+    r = _one(
+        spark,
+        "SELECT arrayFirst(x -> x > 1, [1, 2, 3]) AS f,"
+        " arrayLast(x -> x > 1, [1, 2, 3]) AS l,"
+        " arrayFirst(x -> x > 9, [1, 2, 3]) AS miss,"
+        " arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS fi,"
+        " arrayFirstIndex(x -> x > 9, [1, 2, 3]) AS fi0,"
+        " arrayEnumerate([7, 8, 9]) AS en,"
+        " arrayEnumerate(emptyArrayUInt8()) AS en0,"
+        " arrayCompact([1, 1, 2, 2, 1]) AS cp,"
+        " arrayPushBack([1, 2], 3) AS pb,"
+        " arrayPushFront([1, 2], 3) AS pf,"
+        " arrayPopBack([1, 2, 3]) AS ob,"
+        " arrayPopFront([1, 2, 3]) AS of,"
+        " arrayIntersect([1, 2, 3], [2, 3, 4], [3]) AS ix",
+    )
+    assert (r.f, r.l, r.miss, r.fi, r.fi0) == (2, 3, None, 2, 0)
+    assert (r.en, r.en0, r.cp) == ([1, 2, 3], [], [1, 2, 1])
+    assert (r.pb, r.pf, r.ob, r.of) == ([1, 2, 3], [3, 1, 2], [1, 2], [2, 3])
+    assert r.ix == [3]
+
+
+def test_array_sort_with_key_lambda(spark):
+    r = _one(
+        spark,
+        "SELECT arraySort(x -> -x, [1, 3, 2]) AS s,"
+        " arrayReverseSort([1, 3, 2]) AS rs,"
+        " arrayReverseSort(x -> -x, [1, 3, 2]) AS rsl,"
+        " arrayMin(x -> -x, [1, 3, 2]) AS mn,"
+        " arrayMax(x -> x * 10, [1, 3, 2]) AS mx",
+    )
+    assert r.s == [3, 2, 1]
+    assert r.rs == [3, 2, 1]
+    assert r.rsl == [1, 2, 3]
+    assert (r.mn, r.mx) == (-3, 30)
+
+
+def test_dictionary_transform_vs_lambda_transform(spark):
+    r = _one(
+        spark,
+        "SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS hit,"
+        " transform(9, [1, 2, 3], ['a', 'b', 'c'], 'z') AS dflt,"
+        " transform(9, [1, 2, 3], [10, 20, 30]) AS keep,"
+        " transform([1, 2, 3], x -> x * 2) AS hof",
+    )
+    assert (r.hit, r.dflt, r.keep) == ("b", "z", 9)
+    assert r.hof == [2, 4, 6]
+
+
+def test_age_counts_complete_units(spark):
+    r = _one(
+        spark,
+        "SELECT age('month', toDateTime('2024-01-15 10:00:00'),"
+        "  toDateTime('2024-03-15 09:00:00')) AS short,"
+        " age('month', toDateTime('2024-01-15 10:00:00'),"
+        "  toDateTime('2024-03-15 10:00:00')) AS full,"
+        " age('month', toDateTime('2024-03-15 09:00:00'),"
+        "  toDateTime('2024-01-15 10:00:00')) AS neg,"
+        " age('month', toDateTime('2024-01-31 10:00:00'),"
+        "  toDateTime('2024-02-29 09:00:00')) AS clamp,"
+        " age('year', toDate('2020-06-01'), toDate('2024-05-31')) AS y,"
+        " age('hour', toDateTime('2024-03-01 10:30:00'),"
+        "  toDateTime('2024-03-01 12:29:00')) AS h",
+    )
+    # complete units, trunc toward zero; months_between's ignored
+    # time-of-day on same-day pairs is patched (1h short of 2 months
+    # = 1, and the month-end clamped pair 1h short = 0)
+    assert (r.short, r.full, r.neg, r.clamp, r.y, r.h) == (1, 2, -1, 0, 3, 1)
+
+
+def test_everyday_date_and_misc_round9c(spark):
+    r = _one(
+        spark,
+        "SELECT CAST(toMonday(toDate('2024-03-07')) AS STRING) AS mon,"
+        " CAST(toLastDayOfMonth(toDate('2024-02-05')) AS STRING) AS eom,"
+        " CAST(dateTrunc('hour', toDateTime('2024-03-05 10:31:00'))"
+        "  AS STRING) AS tr,"
+        " CAST(parseDateTimeBestEffort('05/03/2024 10:00:00')"
+        "  AS STRING) AS dayfirst,"
+        " parseDateTimeBestEffort('garbage') AS bad,"
+        " CAST(parseDateTimeBestEffortOrZero('garbage') AS STRING) AS zero,"
+        " CAST(toDateTime64('2024-03-05 10:00:00.123', 3) AS STRING) AS t64,"
+        " CAST(roundBankers(2.5) AS INT) AS b1,"
+        " CAST(roundBankers(3.5) AS INT) AS b2,"
+        " toBool('true') AS bt, toBool('0') AS bf,"
+        " base64Encode('abc') AS be, base64Decode('YWJj') AS bd,"
+        " length(generateUUIDv4()) AS ul,"
+        " CAST(toDecimal64('1.50', 2) AS STRING) AS dec,"
+        " formatReadableQuantity(1234567) AS frq,"
+        " toRelativeDayNum(toDate('1970-01-10')) AS rdn",
+    )
+    assert r.mon == "2024-03-04" and r.eom == "2024-02-29"
+    assert r.tr == "2024-03-05 10:00:00"
+    assert r.dayfirst == "2024-03-05 10:00:00"  # day-first like CH
+    assert r.bad is None and r.zero == "1970-01-01 00:00:00"
+    assert r.t64 == "2024-03-05 10:00:00.123"
+    assert (r.b1, r.b2) == (2, 4)  # banker's midpoints
+    assert (r.bt, r.bf) == (True, False)
+    assert (r.be, r.bd) == ("YWJj", "abc")
+    assert r.ul == 36 and r.dec == "1.50"
+    assert r.frq == "1.23 million" and r.rdn == 9
+
+
+def test_url_family_is_crash_free_and_ch_shaped(spark):
+    r = _one(
+        spark,
+        "SELECT domain('https://user@example.com:8080/a?q=1') AS d,"
+        " domain('example.com/path') AS d2,"
+        " domainWithoutWWW('https://www.ex.com/a') AS dw,"
+        " protocol('https://x.com') AS pr,"
+        " path('https://ex.com/a/b?q=1') AS p,"
+        " pathFull('https://ex.com/a/b?q=1') AS pf,"
+        " queryString('https://ex.com/a?q=1&r=2') AS qs,"
+        " fragment('https://ex.com/a#frag') AS fr,"
+        " extractURLParameter('http://x.com/?a=1&b=2', 'b') AS ep,"
+        " extractURLParameter('not a url', 'b') AS miss,"
+        " cutQueryString('http://x.com/p?a=1#f') AS cq,"
+        " cutQueryStringAndFragment('http://x.com/p?a=1#f') AS cqf",
+    )
+    assert (r.d, r.d2, r.dw) == ("example.com", "example.com", "ex.com")
+    assert (r.pr, r.p, r.pf) == ("https", "/a/b", "/a/b?q=1")
+    assert (r.qs, r.fr) == ("q=1&r=2", "frag")
+    assert (r.ep, r.miss) == ("2", "")
+    assert r.cq == "http://x.com/p#f" and r.cqf == "http://x.com/p"
+
+
+def test_totimezone_raises_with_session_zone_pointer(spark):
+    with pytest.raises(UnsupportedChSql, match="session.timeZone"):
+        translate_ch_sql("SELECT toTimeZone(time, 'UTC') FROM trades")

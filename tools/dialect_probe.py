@@ -167,6 +167,80 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT runningDifference(price) FROM trades", None),
     ("SELECT sumMap([1], [2])", None),
     ("SELECT sec_code FROM trades SAMPLE 0.1", None),
+    # --- round-9c batch: hash/random/array/date/URL families ---
+    # digests return BYTES like CH; hex() of them is value-exact
+    ("SELECT hex(MD5('abc')) AS h",
+     ("900150983CD24FB0D6963F7D28E17F72",)),
+    ("SELECT hex(SHA256('abc')) AS h",
+     ("BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD",)),
+    # CH-native hashes raise (Spark xxhash64 = seed 42, CH = seed 0:
+    # a bare mapping silently changes which rows a sample selects)
+    ("SELECT cityHash64('abc') AS h", None),
+    ("SELECT xxHash64('abc') AS h", None),
+    ("SELECT sipHash64('abc') AS h", None),
+    # CH rand() is a UInt32 draw, NOT [0,1): `rand() % 100 < k`
+    # selects ~k% of rows — under the bare Spark mapping it selects
+    # 100% (dialect probe, round 9)
+    ("SELECT rand() >= 0 AND rand() < 4294967296 AS r", (True,)),
+    ("SELECT randCanonical() >= 0 AND randCanonical() < 1 AS r", (True,)),
+    ("SELECT randConstant() AS r", None),  # clean-raise
+    # array arithmetic: DOUBLE results (documented; CH widens to Int64)
+    ("SELECT arraySum([1, 2, 3]) AS s", (6.0,)),
+    ("SELECT arraySum(x -> x * 2, [1, 2, 3]) AS s", (12.0,)),
+    ("SELECT arrayAvg([1, 2, 3]) AS s", (2.0,)),
+    ("SELECT arrayProduct([2, 3, 4]) AS s", (24.0,)),
+    ("SELECT arrayCumSum([1, 2, 3]) AS s", ([1.0, 3.0, 6.0],)),
+    ("SELECT arrayDifference([1, 3, 6]) AS s", ([0.0, 2.0, 3.0],)),
+    ("SELECT arrayFirst(x -> x > 1, [1, 2, 3]) AS s", (2,)),
+    ("SELECT arrayLast(x -> x > 1, [1, 2, 3]) AS s", (3,)),
+    # no match: NULL here (documented deviation — CH yields the
+    # element default), same rule as subscripts
+    ("SELECT arrayFirst(x -> x > 9, [1, 2, 3]) AS s", (None,)),
+    ("SELECT arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS s", (2,)),
+    ("SELECT arrayFirstIndex(x -> x > 9, [1, 2, 3]) AS s", (0,)),
+    ("SELECT arrayEnumerate([7, 8, 9]) AS s", ([1, 2, 3],)),
+    ("SELECT arrayCompact([1, 1, 2, 2, 1]) AS s", ([1, 2, 1],)),
+    ("SELECT arrayPushBack([1, 2], 3) AS s", ([1, 2, 3],)),
+    ("SELECT arrayPopFront([1, 2, 3]) AS s", ([2, 3],)),
+    ("SELECT arrayIntersect([1, 2, 3], [2, 3, 4], [3]) AS s", ([3],)),
+    ("SELECT arrayReduce('sum', [1, 2, 3]) AS s", (6.0,)),
+    ("SELECT arraySort(x -> -x, [1, 3, 2]) AS s", ([3, 2, 1],)),
+    ("SELECT arrayReverseSort([1, 3, 2]) AS s", ([3, 2, 1],)),
+    ("SELECT arrayMin(x -> -x, [1, 3, 2]) AS s", (-3,)),
+    # CH dictionary transform (the 2-arg lambda spelling stays Spark's)
+    ("SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS t", ("b",)),
+    ("SELECT transform(9, [1, 2, 3], ['a', 'b', 'c'], 'z') AS t", ("z",)),
+    ("SELECT transform(9, [1, 2, 3], [10, 20, 30]) AS t", (9,)),
+    # dates
+    ("SELECT toMonday(toDate('2024-03-07')) AS d", None),
+    ("SELECT toLastDayOfMonth(toDate('2024-02-05')) AS d", None),
+    ("SELECT dateTrunc('hour', toDateTime('2024-03-05 10:31:00')) AS t",
+     None),
+    ("SELECT parseDateTimeBestEffort('05/03/2024 10:00:00') AS t",
+     None),  # day-first like CH
+    ("SELECT age('month', toDateTime('2024-01-15 10:00:00'),"
+     " toDateTime('2024-03-15 09:00:00')) AS a", (1,)),  # complete units
+    ("SELECT age('day', toDate('2024-03-01'), toDate('2024-03-05')) AS a",
+     (4,)),
+    ("SELECT toDateTime64('2024-03-05 10:00:00.123', 3) AS t", None),
+    ("SELECT toTimeZone(now(), 'UTC') AS t", None),  # clean-raise
+    # misc
+    ("SELECT roundBankers(2.5) AS a, roundBankers(3.5) AS b", None),
+    ("SELECT toBool('true') AS a, toBool('0') AS b", (True, False)),
+    ("SELECT base64Encode('abc') AS a, base64Decode('YWJj') AS b",
+     ("YWJj", "abc")),
+    ("SELECT toDecimal64('1.50', 2) AS d", None),
+    ("SELECT formatReadableQuantity(1234567) AS q", ("1.23 million",)),
+    # URL family (crash-free on hostile input; '' like CH on misses)
+    ("SELECT domain('https://user@example.com:8080/a?q=1') AS d",
+     ("example.com",)),
+    ("SELECT domain('example.com/path') AS d", ("example.com",)),
+    ("SELECT path('https://ex.com/a/b?q=1') AS p", ("/a/b",)),
+    ("SELECT extractURLParameter('http://x.com/?a=1&b=2', 'b') AS e",
+     ("2",)),
+    ("SELECT extractURLParameter('not a url', 'b') AS e", ("",)),
+    ("SELECT cutQueryString('http://x.com/p?a=1#f') AS c",
+     ("http://x.com/p#f",)),
 ]
 
 

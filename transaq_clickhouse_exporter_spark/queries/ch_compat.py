@@ -112,6 +112,47 @@ Documented deviations from ClickHouse (each also noted at its shim):
   cannot re-plan keep an n-sized ``collect_list`` expansion and emit
   :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
 
+Round-9 everyday additions (hash/random/array/date/URL families):
+
+- ``MD5``/``SHA1``/``SHA224``/``SHA256``/``SHA512`` return the digest
+  BYTES like CH (``hex(MD5(x))`` is value-exact); the CH-native
+  non-cryptographic hashes (``cityHash64``, ``sipHash64``,
+  ``xxHash64``…) RAISE — Spark's ``xxhash64`` uses seed 42 where CH
+  uses 0, and a silently different hash silently changes which rows a
+  sampling predicate selects.
+- ``rand()`` draws a uniform integer in [0, 2^32) like CH (NOT
+  Spark's [0,1) double — ``rand() % 100`` idioms depend on it);
+  ``rand64()`` packs two 32-bit draws and is SIGNED 64-bit (the
+  bit-op family's deviation); ``randCanonical()`` is the [0,1) form.
+- ``arraySum/arrayAvg/arrayProduct/arrayCumSum/arrayDifference``
+  (and ``arrayReduce('sum'|'avg'…)``) compute in DOUBLE — CH widens
+  integer inputs to (U)Int64; integers stay exact through 2^53.
+  ``arrayAvg([])`` is NaN.  Lambda-first forms reduce over
+  ``transform``.
+- ``arrayFirst/arrayLast`` return NULL when nothing matches (CH
+  returns the element type's default) — same rule as subscripts.
+- ``arraySort/arrayReverseSort(lambda, arr)`` break key ties by
+  element value (CH keeps input order).
+- ``arrayZip`` → ``arrays_zip``: struct fields are named '0','1',…
+  (CH: unnamed tuples); ``tupleElement(t, N)`` access lines up.
+- ``parseDateTimeBestEffort`` recognizes the common interchange
+  formats (ISO, dd/MM day-first like CH, dd.MM.yyyy, compact, 9-10
+  digit epochs) and returns NULL on an unparseable string (CH
+  throws; ``OrNull``/``OrZero`` are exact).
+- ``age()`` counts complete units truncating toward zero;
+  second…week ride epoch arithmetic (a DST-shortened 23-hour local
+  day is not a complete day here; CH counts wall-clock components).
+- URL helpers (``domain``/``path``/``queryString``/``fragment``/
+  ``extractURLParameter``/``cutQueryString``…) are crash-free on
+  hostile input and return '' like CH; scheme-less input parses for
+  ``domain`` only (CH parses it for all of them).
+- ``transform(x, from, to[, default])`` (the dictionary form) maps
+  via array position; the 2-arg lambda spelling stays Spark's HOF.
+- ``toDateTime64(x, p)`` accepts any precision argument but Spark
+  timestamps are fixed microseconds — sub-µs digits truncate.
+- ``toTimeZone``/``randConstant`` raise with pointers (zone-less
+  instants / no block-constant randomness in Spark).
+
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as
 :mod:`.sql` (``_lit``), so a hostile value cannot splice SQL.
@@ -475,6 +516,162 @@ _SCALAR_SHIMS.update({
     ]
 })
 
+# parseDateTimeBestEffort family: the common interchange formats CH's
+# best-effort parser recognizes, tried most-specific first.  CH
+# resolves the DD/MM-vs-MM/DD ambiguity day-first (its docs call out
+# the deviation from MySQL) — dd/MM is the only slash-day format
+# offered.  DEVIATION: the base spelling returns NULL on an
+# unparseable string (CH throws; OrNull is the exact match, OrZero
+# pins to epoch 0 like CH).
+_BEST_EFFORT_BODY = (
+    "coalesce("
+    "CASE WHEN x RLIKE '^[0-9]{9,10}$' "
+    "THEN timestamp_seconds(CAST(x AS BIGINT)) END, "
+    "try_to_timestamp(x), "
+    "try_to_timestamp(x, 'yyyy/MM/dd HH:mm:ss'), "
+    "try_to_timestamp(x, 'yyyy/MM/dd'), "
+    "try_to_timestamp(x, 'dd.MM.yyyy HH:mm:ss'), "
+    "try_to_timestamp(x, 'dd.MM.yyyy'), "
+    "try_to_timestamp(x, 'dd/MM/yyyy HH:mm:ss'), "
+    "try_to_timestamp(x, 'dd/MM/yyyy HH:mm'), "
+    "try_to_timestamp(x, 'dd/MM/yyyy'), "
+    "try_to_timestamp(x, 'yyyyMMddHHmmss'), "
+    "try_to_timestamp(x, 'yyyyMMdd'), "
+    "try_to_timestamp(x, 'dd MMM yyyy HH:mm:ss'), "
+    "try_to_timestamp(x, 'dd MMM yyyy'))"
+)
+
+_SCALAR_SHIMS.update({
+    "parseDateTimeBestEffort": (
+        f"(x STRING) RETURNS TIMESTAMP RETURN {_BEST_EFFORT_BODY}"
+    ),
+    "parseDateTimeBestEffortOrNull": (
+        f"(x STRING) RETURNS TIMESTAMP RETURN {_BEST_EFFORT_BODY}"
+    ),
+    "parseDateTimeBestEffortOrZero": (
+        "(x STRING) RETURNS TIMESTAMP RETURN "
+        f"coalesce({_BEST_EFFORT_BODY}, timestamp_seconds(0))"
+    ),
+    # calendar helpers (session timezone governs, like the other
+    # toStartOf* shims)
+    "toMonday": (
+        "(d TIMESTAMP) RETURNS DATE RETURN "
+        "CAST(date_trunc('week', d) AS DATE)"
+    ),
+    "toLastDayOfMonth": "(d TIMESTAMP) RETURNS DATE RETURN last_day(d)",
+    # toRelative*Num: epoch-based unit ordinals (same UTC floor
+    # arithmetic CH uses; the minute/hour forms are what dateDiff's
+    # boundary counting is built from)
+    "toRelativeSecondNum": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts)"
+    ),
+    "toRelativeMinuteNum": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts) DIV 60"
+    ),
+    "toRelativeHourNum": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts) DIV 3600"
+    ),
+    "toRelativeDayNum": (
+        "(ts TIMESTAMP) RETURNS INT RETURN "
+        "datediff(CAST(ts AS DATE), DATE'1970-01-01')"
+    ),
+    # toDateTime64(x, precision): Spark timestamps are fixed
+    # microsecond precision — the precision argument is accepted for
+    # syntax compatibility; sub-microsecond digits truncate.  Numeric
+    # spellings (with optional fraction) are unix seconds, like
+    # toDateTime's epoch branch.
+    "toDateTime64": (
+        "(x STRING, p INT) RETURNS TIMESTAMP RETURN "
+        "CASE WHEN x RLIKE '^[0-9]+(\\\\.[0-9]+)?$' "
+        "THEN timestamp_seconds(CAST(x AS DECIMAL(20,6))) "
+        "ELSE CAST(x AS TIMESTAMP) END"
+    ),
+    # toBool: numeric spellings are CH-truthy (non-zero = true);
+    # word spellings ride Spark's boolean cast (true/false/t/f/
+    # yes/no/y/n/1/0, case-insensitive)
+    "toBool": (
+        "(x STRING) RETURNS BOOLEAN RETURN "
+        "CASE WHEN x RLIKE '^-?[0-9]+(\\\\.[0-9]+)?$' "
+        "THEN CAST(x AS DOUBLE) <> 0 "
+        "ELSE CAST(lower(x) AS BOOLEAN) END"
+    ),
+    "base64Decode": (
+        "(x STRING) RETURNS STRING RETURN CAST(unbase64(x) AS STRING)"
+    ),
+    "formatReadableQuantity": (
+        "(x DOUBLE) RETURNS STRING RETURN "
+        "CASE WHEN abs(x) >= 1e12 "
+        "THEN concat(format_string('%.2f', x / 1e12), ' trillion') "
+        "WHEN abs(x) >= 1e9 "
+        "THEN concat(format_string('%.2f', x / 1e9), ' billion') "
+        "WHEN abs(x) >= 1e6 "
+        "THEN concat(format_string('%.2f', x / 1e6), ' million') "
+        "WHEN abs(x) >= 1e3 "
+        "THEN concat(format_string('%.2f', x / 1e3), ' thousand') "
+        "ELSE format_string('%.2f', x) END"
+    ),
+})
+
+# URL family: try_parse_url keeps hostile input crash-free (ANSI
+# parse_url raises INVALID_URL); CH returns '' for missing parts, so
+# every shim coalesces.  domain() works scheme-less via the regexp
+# (parse_url requires a scheme); extractURLParameter('' on absent key)
+# matches CH.  DEVIATION: path/queryString on scheme-less input give
+# '' here (CH still parses them).
+_SCALAR_SHIMS.update({
+    "protocol": (
+        "(u STRING) RETURNS STRING RETURN "
+        "coalesce(try_parse_url(u, 'PROTOCOL'), '')"
+    ),
+    "domain": (
+        "(u STRING) RETURNS STRING RETURN "
+        "regexp_extract(regexp_replace(u, "
+        "'^[A-Za-z][A-Za-z0-9+.\\\\-]*://', ''), "
+        "'^(?:[^/@:?#]+@)?([^/:?#]+)', 1)"
+    ),
+    "domainWithoutWWW": (
+        "(u STRING) RETURNS STRING RETURN "
+        "regexp_replace(regexp_extract(regexp_replace(u, "
+        "'^[A-Za-z][A-Za-z0-9+.\\\\-]*://', ''), "
+        "'^(?:[^/@:?#]+@)?([^/:?#]+)', 1), '^www\\\\.', '')"
+    ),
+    "path": (
+        "(u STRING) RETURNS STRING RETURN "
+        "coalesce(try_parse_url(u, 'PATH'), '')"
+    ),
+    "pathFull": (
+        "(u STRING) RETURNS STRING RETURN "
+        "concat(coalesce(try_parse_url(u, 'PATH'), ''), "
+        "CASE WHEN try_parse_url(u, 'QUERY') IS NOT NULL "
+        "THEN concat('?', try_parse_url(u, 'QUERY')) ELSE '' END)"
+    ),
+    "queryString": (
+        "(u STRING) RETURNS STRING RETURN "
+        "coalesce(try_parse_url(u, 'QUERY'), '')"
+    ),
+    "fragment": (
+        "(u STRING) RETURNS STRING RETURN "
+        "coalesce(try_parse_url(u, 'REF'), '')"
+    ),
+    "extractURLParameter": (
+        "(u STRING, p STRING) RETURNS STRING RETURN "
+        "coalesce(try_parse_url(u, 'QUERY', p), '')"
+    ),
+    # removes the query string (with its '?'), keeps the fragment —
+    # CH has cutQueryStringAndFragment for the stripped-both form
+    "cutQueryString": (
+        "(u STRING) RETURNS STRING RETURN "
+        "CASE WHEN locate('?', u) = 0 THEN u "
+        "ELSE concat(substr(u, 1, locate('?', u) - 1), "
+        "CASE WHEN locate('#', u) > locate('?', u) "
+        "THEN substr(u, locate('#', u)) ELSE '' END) END"
+    ),
+    "cutQueryStringAndFragment": (
+        "(u STRING) RETURNS STRING RETURN "
+        "substring_index(substring_index(u, '#', 1), '?', 1)"
+    ),
+})
+
 
 #: session-conf marker so run_ch_sql doesn't pay ~110 CREATE FUNCTION
 #: py4j round-trips PER QUERY (measured +1-2 s on every dialect-bridge
@@ -610,6 +807,15 @@ _RENAMES = {
     # as the quantileExact → percentile mapping above (both return the
     # 0.5 quantile under their engine's exact-quantile definition)
     "medianExact": "median",
+    # round-9 everyday surface (same arity + arg order + values)
+    "dateTrunc": "date_trunc",          # (unit, ts) both engines
+    "roundBankers": "bround",           # banker's rounding exactly
+    "generateUUIDv4": "uuid",
+    "base64Encode": "base64",
+    # DEVIATION: arrays_zip yields structs with positional field
+    # names '0','1',… where CH yields unnamed tuples — positional
+    # access via tupleElement(t, N) still lines up
+    "arrayZip": "arrays_zip",
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
@@ -650,6 +856,40 @@ _UNSUPPORTED = {"sequenceNextNode",
                 "runningDifference", "runningAccumulate", "neighbor",
                 "deltaSum", "deltaSumTimestamp",
                 "sumMap", "minMap", "maxMap", "avgMap"}
+
+#: recognized-but-unsupported with a SPECIFIC raise message.  The CH
+#: non-cryptographic hash family cannot map to Spark builtins without
+#: a silent value difference (Spark's xxhash64 is XXH64 with seed 42,
+#: CH's xxHash64 is seed 0; cityHash64/sipHash64/murmurHash* have no
+#: Spark implementation at all) — and hash values feed sampling/
+#: sharding predicates where a silently different value silently
+#: changes WHICH ROWS a query selects.  Raising names the engine-
+#: native escape hatch instead.
+_HASH_RAISE = (
+    "() is ClickHouse-native hashing with no value-exact Spark "
+    "mapping (Spark's xxhash64 uses seed 42, CH uses seed 0) — for "
+    "engine-native bucketing/sampling spell xxhash64() or hash() "
+    "directly and keep both sides of any comparison on one engine"
+)
+_UNSUPPORTED_MSG = {
+    **{name: name + _HASH_RAISE for name in (
+        "xxHash64", "xxHash32", "cityHash64", "sipHash64", "sipHash128",
+        "farmHash64", "farmFingerprint64", "halfMD5", "intHash32",
+        "intHash64", "metroHash64", "wyHash64", "javaHash", "hiveHash",
+        "murmurHash2_32", "murmurHash2_64", "murmurHash3_32",
+        "murmurHash3_64", "murmurHash3_128",
+    )},
+    "toTimeZone": (
+        "toTimeZone() has no faithful mapping: Spark timestamps are "
+        "zone-less instants rendered in the session timezone "
+        "(spark.sql.session.timeZone) — set the session zone, or use "
+        "from_utc_timestamp/to_utc_timestamp for explicit shifts"
+    ),
+    "randConstant": (
+        "randConstant() is block-constant randomness with no Spark "
+        "equivalent — use rand() per row or a literal seed"
+    ),
+}
 
 
 def _find_close(sql: str, open_idx: int) -> int:
@@ -2476,6 +2716,134 @@ def _regex_has_capture_group(literal_body: str) -> bool:
     return False
 
 
+def _is_lambda_arg(part: str) -> bool:
+    """Whether a top-level call argument is a lambda (`x -> …` /
+    `(x, i) -> …`), checked on literal-masked text so an `->` inside
+    a string can't false-positive."""
+    return "->" in _mask_literals(part)
+
+
+#: CH cryptographic digests return BINARY (FixedString(N)) — Spark's
+#: md5/sha1/sha2 return lowercase-hex STRINGS, so the bare rename
+#: makes `hex(MD5(x))` hex the hex (dialect probe, round 9: a live
+#: silent diff).  unhex() restores the digest bytes; hex() of the
+#: result is then CH-exact (both engines print uppercase).  CH
+#: registers these case-insensitively.
+_DIGESTS = {"md5": "unhex(md5({x}))", "sha1": "unhex(sha1({x}))",
+            "sha224": "unhex(sha2(({x}), 224))",
+            "sha256": "unhex(sha2(({x}), 256))",
+            "sha512": "unhex(sha2(({x}), 512))"}
+
+#: single-array forms of the CH array arithmetic family.  DEVIATION
+#: (documented in the module docstring): results are DOUBLE where CH
+#: widens integer inputs to (U)Int64 — Spark's aggregate() requires a
+#: statically-typed zero, and DOUBLE is the one type every numeric
+#: array coerces to (integers stay exact through 2^53).  CH's
+#: arrayAvg/arrayProduct return Float64 natively, so those two are
+#: value-exact.
+_ARR_SUM = ("aggregate({a}, CAST(0 AS DOUBLE), "
+            "(__acc, __x) -> __acc + CAST(__x AS DOUBLE))")
+_ARR_SINGLE = {
+    "arraySum": _ARR_SUM,
+    "arrayProduct": ("aggregate({a}, CAST(1 AS DOUBLE), "
+                     "(__acc, __x) -> __acc * CAST(__x AS DOUBLE))"),
+    # empty array → NaN (an avg over zero elements), guarded so ANSI
+    # mode can't raise DIVIDE_BY_ZERO
+    "arrayAvg": (f"(CASE WHEN size({{a}}) = 0 THEN CAST('NaN' AS DOUBLE) "
+                 f"ELSE {_ARR_SUM} / size({{a}}) END)"),
+    "arrayCumSum": ("transform({a}, (__x, __i) -> "
+                    "aggregate(slice({a}, 1, __i + 1), "
+                    "CAST(0 AS DOUBLE), "
+                    "(__acc, __y) -> __acc + CAST(__y AS DOUBLE)))"),
+    "arrayDifference": ("transform({a}, (__x, __i) -> "
+                        "CASE WHEN __i = 0 THEN CAST(0 AS DOUBLE) "
+                        "ELSE CAST(__x AS DOUBLE) - "
+                        "CAST(element_at({a}, __i) AS DOUBLE) END)"),
+    "arrayEnumerate": "slice(sequence(1, size({a}) + 1), 1, size({a}))",
+    "arrayCompact": ("filter({a}, (__x, __i) -> __i = 0 OR "
+                     "NOT (__x <=> element_at({a}, __i)))"),
+    "arrayPopBack": "slice({a}, 1, greatest(size({a}) - 1, 0))",
+    "arrayPopFront": "slice({a}, 2, greatest(size({a}) - 1, 0))",
+}
+
+#: (lambda, array) forms.  DEVIATION: arrayFirst/arrayLast return
+#: NULL when nothing matches (CH returns the element type's default
+#: value) — the same NULL-for-default rule as out-of-range subscripts.
+_ARR_LAMBDA = {
+    "arrayFirst": "try_element_at(filter({a}, {L}), 1)",
+    "arrayLast": "try_element_at(filter({a}, {L}), -1)",
+    "arrayFirstIndex": ("CAST(array_position("
+                        "transform({a}, {L}), true) AS INT)"),
+}
+
+#: arraySort/arrayReverseSort with a key lambda: decorate-sort-
+#: undecorate through zip_with (struct comparison orders by the key
+#: field first).  Ties break by element value here; CH keeps input
+#: order — documented.
+_ARR_SORT_LAMBDA = ("transform(array_sort(zip_with(transform({a}, {L}), "
+                    "{a}, (__k, __v) -> struct(__k AS k, __v AS v))), "
+                    "__s -> __s.v)")
+
+#: arrayReduce agg-name → single-array expression (literal agg names
+#: only; the general agg-by-name form raises)
+_ARR_REDUCE = {
+    "sum": _ARR_SUM,
+    "avg": _ARR_SINGLE["arrayAvg"],
+    "product": _ARR_SINGLE["arrayProduct"],
+    "min": "array_min({a})",
+    "max": "array_max({a})",
+    "count": "size({a})",
+    "uniq": "size(array_distinct({a}))",
+    "uniqExact": "size(array_distinct({a}))",
+}
+
+
+def _age_expr(args: list[str]) -> str:
+    """CH ``age('unit', start, end)`` counts COMPLETE units (unlike
+    dateDiff's boundary crossings), truncating toward zero so the
+    result is sign-symmetric.  second…week ride epoch arithmetic
+    (DEVIATION: a DST-shortened 23-hour local day is not a complete
+    'day' here — CH computes on wall-clock components); month/quarter/
+    year ride months_between, which is day-of-month and time-of-day
+    exact."""
+    if len(args) != 3:
+        raise UnsupportedChSql("age('unit', start, end) expects 3 args")
+    unit_lit, s, e = args
+    if not (unit_lit.startswith("'") and unit_lit.endswith("'")):
+        raise UnsupportedChSql("age needs a literal unit")
+    unit = unit_lit[1:-1].lower()
+    widths = {"second": 1, "minute": 60, "hour": 3600,
+              "day": 86400, "week": 604800}
+    if unit in widths:
+        # Spark's DIV truncates toward zero — sign-symmetric like CH
+        return (f"((unix_timestamp({e}) - unix_timestamp({s})) "
+                f"DIV {widths[unit]})")
+    months = {"month": 1, "quarter": 3, "year": 12}
+    if unit in months:
+        # months_between includes time-of-day EXCEPT when both sides
+        # share a day-of-month (or are both month-ends) — there it
+        # returns the bare integer, over-counting when the end's
+        # time-of-day hasn't reached the start's.  The CASE term
+        # patches exactly that hole, sign-symmetrically.
+        et, st = f"CAST({e} AS TIMESTAMP)", f"CAST({s} AS TIMESTAMP)"
+
+        def tod(x: str) -> str:
+            return f"(hour({x}) * 3600 + minute({x}) * 60 + second({x}))"
+
+        sameday = (f"(day({et}) = day({st}) OR (day({et}) = "
+                   f"day(last_day({et})) AND day({st}) = "
+                   f"day(last_day({st}))))")
+        corr = (f"CASE WHEN {sameday} AND {et} > {st} "
+                f"AND {tod(et)} < {tod(st)} THEN 1 "
+                f"WHEN {sameday} AND {et} < {st} "
+                f"AND {tod(et)} > {tod(st)} THEN -1 ELSE 0 END")
+        body = f"(CAST(months_between({et}, {st}) AS BIGINT) - ({corr}))"
+        if months[unit] > 1:
+            body = f"({body} DIV {months[unit]})"  # trunc toward zero
+        return body
+    raise UnsupportedChSql(f"age unit {unit!r} not supported")
+
+
 def _rewrite_calls(sql: str) -> str:
     import re
 
@@ -2523,6 +2891,8 @@ def _rewrite_calls(sql: str) -> str:
                 f"{name}() has no faithful SQL mapping here — use the "
                 f"DataFrame operator (see functions/ and datapipe/)"
             )
+        if name in _UNSUPPORTED_MSG:
+            raise UnsupportedChSql(_UNSUPPORTED_MSG[name])
         if name in ("topK", "topKWeighted", "uniqUpTo",
                     "sequenceMatch", "sequenceCount", "windowFunnel"):
             if not has_second:
@@ -2819,6 +3189,151 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "uniqExact":
             out.append(f"count(DISTINCT {inner})")
+            i = close + 1
+            continue
+        if name.lower() in _DIGESTS:
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(f"{name}(x) expects 1 argument")
+            out.append(_DIGESTS[name.lower()].format(x=parts[0]))
+            i = close + 1
+            continue
+        if name == "rand":
+            # CH rand() is a uniform UInt32 draw, NOT Spark's [0, 1)
+            # double — `rand() % 100 < 5` would silently select every
+            # row under the bare mapping.  An optional argument is a
+            # CSE-blocking tag in CH: accepted and ignored.
+            out.append("CAST(floor(rand() * 4294967296) AS BIGINT)")
+            i = close + 1
+            continue
+        if name == "rand64":
+            # two 32-bit draws packed into one 64-bit pattern,
+            # interpreted SIGNED (the same 64-bit-signed deviation as
+            # the bit-op family; CH's type is UInt64)
+            draw = "CAST(floor(rand() * 4294967296) AS BIGINT)"
+            out.append(f"(shiftleft({draw}, 32) | {draw})")
+            i = close + 1
+            continue
+        if name == "randCanonical":
+            out.append("rand()")  # both engines: uniform [0, 1) double
+            i = close + 1
+            continue
+        if name in ("arrayMin", "arrayMax"):
+            parts = _split_args(inner)
+            if len(parts) == 2 and _is_lambda_arg(parts[0]):
+                base = "array_min" if name == "arrayMin" else "array_max"
+                out.append(f"{base}(transform({parts[1]}, {parts[0]}))")
+                i = close + 1
+                continue
+            # 1-arg form rides the plain rename below
+            out.append(f"{_RENAMES.get(name, name)}{sql[j:k]}({inner})")
+            i = close + 1
+            continue
+        if name in _ARR_SINGLE:
+            parts = _split_args(inner)
+            # CH's optional (lambda, array) form (arraySum/Avg/Product/
+            # CumSum only) reduces to the single-array form over
+            # transform(array, lambda)
+            takes_lambda = name in ("arraySum", "arrayAvg",
+                                    "arrayProduct", "arrayCumSum")
+            if takes_lambda and len(parts) == 2 and _is_lambda_arg(parts[0]):
+                arr = f"transform({parts[1]}, {parts[0]})"
+            elif len(parts) == 1:
+                arr = parts[0]
+            else:
+                raise UnsupportedChSql(
+                    f"{name} expects one array"
+                    + (" (or a lambda + one array)" if takes_lambda else ""))
+            out.append(f"({_ARR_SINGLE[name].format(a=arr)})")
+            i = close + 1
+            continue
+        if name in _ARR_LAMBDA:
+            parts = _split_args(inner)
+            if len(parts) != 2 or not _is_lambda_arg(parts[0]):
+                raise UnsupportedChSql(f"{name}(lambda, arr) expects 2 args")
+            out.append(_ARR_LAMBDA[name].format(a=parts[1], L=parts[0]))
+            i = close + 1
+            continue
+        if name in ("arraySort", "arrayReverseSort"):
+            parts = _split_args(inner)
+            if len(parts) == 2 and _is_lambda_arg(parts[0]):
+                body = _ARR_SORT_LAMBDA.format(a=parts[1], L=parts[0])
+            elif len(parts) == 1 and name == "arrayReverseSort":
+                body = f"array_sort({parts[0]})"
+            else:
+                # 1-arg arraySort rides the plain rename below
+                out.append(f"{_RENAMES.get(name, name)}{sql[j:k]}({inner})")
+                i = close + 1
+                continue
+            if name == "arrayReverseSort":
+                body = f"reverse({body})"
+            out.append(body)
+            i = close + 1
+            continue
+        if name == "arrayPushBack" or name == "arrayPushFront":
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(arr, x) expects 2 args")
+            a, x = parts
+            out.append(f"concat({a}, array({x}))" if name == "arrayPushBack"
+                       else f"concat(array({x}), {a})")
+            i = close + 1
+            continue
+        if name == "arrayIntersect":
+            parts = _split_args(inner)
+            if len(parts) < 2:
+                raise UnsupportedChSql("arrayIntersect expects 2+ arrays")
+            body = parts[0]
+            for p in parts[1:]:  # CH is n-ary; Spark's builtin is binary
+                body = f"array_intersect({body}, {p})"
+            out.append(body)
+            i = close + 1
+            continue
+        if name == "arrayReduce":
+            parts = _split_args(inner)
+            if (len(parts) != 2 or not parts[0].strip().startswith("'")
+                    or not parts[0].strip().endswith("'")):
+                raise UnsupportedChSql(
+                    "arrayReduce('agg', arr) expects a literal aggregate "
+                    "name and one array")
+            agg = parts[0].strip()[1:-1]
+            if agg not in _ARR_REDUCE:
+                raise UnsupportedChSql(
+                    f"arrayReduce aggregate {agg!r} not supported — "
+                    f"supported: {', '.join(sorted(_ARR_REDUCE))}")
+            out.append(f"({_ARR_REDUCE[agg].format(a=parts[1])})")
+            i = close + 1
+            continue
+        if name == "transform":
+            # CH's dictionary transform(x, from, to[, default]); the
+            # 2-arg spelling is Spark's own lambda HOF and passes
+            # through untouched
+            parts = _split_args(inner)
+            if len(parts) in (3, 4) and not _is_lambda_arg(parts[1]):
+                x, frm, to = parts[0], parts[1], parts[2]
+                # element_at's index is INT; position 0 (no match) must
+                # become NULL — try_element_at raises on a literal 0
+                idx = f"CAST(nullif(array_position({frm}, {x}), 0) AS INT)"
+                dflt = parts[3] if len(parts) == 4 else x
+                out.append(f"coalesce(try_element_at({to}, {idx}), {dflt})")
+                i = close + 1
+                continue
+            out.append(f"transform{sql[j:k]}({inner})")
+            i = close + 1
+            continue
+        if name in ("toDecimal32", "toDecimal64", "toDecimal128"):
+            parts = _split_args(inner)
+            if len(parts) != 2 or not parts[1].strip().isdigit():
+                raise UnsupportedChSql(
+                    f"{name}(x, scale) expects a literal integer scale")
+            prec = {"toDecimal32": 9, "toDecimal64": 18,
+                    "toDecimal128": 38}[name]
+            out.append(
+                f"CAST(({parts[0]}) AS DECIMAL({prec}, {parts[1].strip()}))")
+            i = close + 1
+            continue
+        if name == "age":
+            out.append(_age_expr(_split_args(inner)))
             i = close + 1
             continue
         # untouched/renamed plain call: keep original spacing between
