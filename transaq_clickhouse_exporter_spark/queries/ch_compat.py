@@ -587,12 +587,17 @@ _SCALAR_SHIMS.update({
         "ELSE CAST(x AS TIMESTAMP) END"
     ),
     # toBool: numeric spellings are CH-truthy (non-zero = true);
-    # word spellings ride Spark's boolean cast (true/false/t/f/
-    # yes/no/y/n/1/0, case-insensitive)
+    # CH's extra word spellings (on/off/enable(d)/disable(d)) are
+    # explicit — Spark's boolean cast doesn't know them and would
+    # raise under ANSI (review r9c); the rest ride the cast
+    # (true/false/t/f/yes/no/y/n/1/0, case-insensitive), which still
+    # throws on garbage like CH does
     "toBool": (
         "(x STRING) RETURNS BOOLEAN RETURN "
         "CASE WHEN x RLIKE '^-?[0-9]+(\\\\.[0-9]+)?$' "
         "THEN CAST(x AS DOUBLE) <> 0 "
+        "WHEN lower(x) IN ('on', 'enable', 'enabled') THEN true "
+        "WHEN lower(x) IN ('off', 'disable', 'disabled') THEN false "
         "ELSE CAST(lower(x) AS BOOLEAN) END"
     ),
     "base64Decode": (
@@ -600,7 +605,9 @@ _SCALAR_SHIMS.update({
     ),
     "formatReadableQuantity": (
         "(x DOUBLE) RETURNS STRING RETURN "
-        "CASE WHEN abs(x) >= 1e12 "
+        "CASE WHEN abs(x) >= 1e15 "
+        "THEN concat(format_string('%.2f', x / 1e15), ' quadrillion') "
+        "WHEN abs(x) >= 1e12 "
         "THEN concat(format_string('%.2f', x / 1e12), ' trillion') "
         "WHEN abs(x) >= 1e9 "
         "THEN concat(format_string('%.2f', x / 1e9), ' billion') "
@@ -623,27 +630,32 @@ _SCALAR_SHIMS.update({
         "(u STRING) RETURNS STRING RETURN "
         "coalesce(try_parse_url(u, 'PROTOCOL'), '')"
     ),
+    # userinfo may carry a ':' (user:password@) — its class must not
+    # exclude colons or the username captures as the host (review r9c)
     "domain": (
         "(u STRING) RETURNS STRING RETURN "
         "regexp_extract(regexp_replace(u, "
         "'^[A-Za-z][A-Za-z0-9+.\\\\-]*://', ''), "
-        "'^(?:[^/@:?#]+@)?([^/:?#]+)', 1)"
+        "'^(?:[^/@?#]*@)?([^/:?#]+)', 1)"
     ),
     "domainWithoutWWW": (
         "(u STRING) RETURNS STRING RETURN "
         "regexp_replace(regexp_extract(regexp_replace(u, "
         "'^[A-Za-z][A-Za-z0-9+.\\\\-]*://', ''), "
-        "'^(?:[^/@:?#]+@)?([^/:?#]+)', 1), '^www\\\\.', '')"
+        "'^(?:[^/@?#]*@)?([^/:?#]+)', 1), '^www\\\\.', '')"
     ),
     "path": (
         "(u STRING) RETURNS STRING RETURN "
         "coalesce(try_parse_url(u, 'PATH'), '')"
     ),
+    # CH pathFull = path + query string + fragment (review r9c)
     "pathFull": (
         "(u STRING) RETURNS STRING RETURN "
         "concat(coalesce(try_parse_url(u, 'PATH'), ''), "
         "CASE WHEN try_parse_url(u, 'QUERY') IS NOT NULL "
-        "THEN concat('?', try_parse_url(u, 'QUERY')) ELSE '' END)"
+        "THEN concat('?', try_parse_url(u, 'QUERY')) ELSE '' END, "
+        "CASE WHEN try_parse_url(u, 'REF') IS NOT NULL "
+        "THEN concat('#', try_parse_url(u, 'REF')) ELSE '' END)"
     ),
     "queryString": (
         "(u STRING) RETURNS STRING RETURN "
@@ -653,15 +665,23 @@ _SCALAR_SHIMS.update({
         "(u STRING) RETURNS STRING RETURN "
         "coalesce(try_parse_url(u, 'REF'), '')"
     ),
+    # parse_url's key argument is a REGEX — escape every non-alnum
+    # char so the CH contract (literal key match) holds and a
+    # metachar key can't crash pattern compilation (review r9c)
     "extractURLParameter": (
         "(u STRING, p STRING) RETURNS STRING RETURN "
-        "coalesce(try_parse_url(u, 'QUERY', p), '')"
+        "coalesce(try_parse_url(u, 'QUERY', "
+        "regexp_replace(p, '([^a-zA-Z0-9])', '\\\\\\\\$1')), '')"
     ),
     # removes the query string (with its '?'), keeps the fragment —
-    # CH has cutQueryStringAndFragment for the stripped-both form
+    # CH has cutQueryStringAndFragment for the stripped-both form.
+    # A '?' INSIDE the fragment is not a query string: CH scans for
+    # the first of '?'/'#' and a leading '#' means no query
     "cutQueryString": (
         "(u STRING) RETURNS STRING RETURN "
-        "CASE WHEN locate('?', u) = 0 THEN u "
+        "CASE WHEN locate('?', u) = 0 "
+        "OR (locate('#', u) > 0 AND locate('#', u) < locate('?', u)) "
+        "THEN u "
         "ELSE concat(substr(u, 1, locate('?', u) - 1), "
         "CASE WHEN locate('#', u) > locate('?', u) "
         "THEN substr(u, locate('#', u)) ELSE '' END) END"
@@ -2751,14 +2771,27 @@ _ARR_SINGLE = {
     # mode can't raise DIVIDE_BY_ZERO
     "arrayAvg": (f"(CASE WHEN size({{a}}) = 0 THEN CAST('NaN' AS DOUBLE) "
                  f"ELSE {_ARR_SUM} / size({{a}}) END)"),
-    "arrayCumSum": ("transform({a}, (__x, __i) -> "
-                    "aggregate(slice({a}, 1, __i + 1), "
-                    "CAST(0 AS DOUBLE), "
-                    "(__acc, __y) -> __acc + CAST(__y AS DOUBLE)))"),
-    "arrayDifference": ("transform({a}, (__x, __i) -> "
-                        "CASE WHEN __i = 0 THEN CAST(0 AS DOUBLE) "
-                        "ELSE CAST(__x AS DOUBLE) - "
-                        "CAST(element_at({a}, __i) AS DOUBLE) END)"),
+    # single-pass running-state folds: linear, and the array (which
+    # may itself be a transform(arr, lambda)) is spliced ONCE so the
+    # user's lambda evaluates once per element (review r9c: the
+    # slice-per-prefix form was O(n²) and re-ran the lambda per prefix)
+    "arrayCumSum": ("aggregate({a}, "
+                    "struct(CAST(0 AS DOUBLE) AS s, "
+                    "CAST(array() AS ARRAY<DOUBLE>) AS o), "
+                    "(__acc, __x) -> struct("
+                    "__acc.s + CAST(__x AS DOUBLE) AS s, "
+                    "concat(__acc.o, array(__acc.s + CAST(__x AS DOUBLE)))"
+                    " AS o), "
+                    "__acc -> __acc.o)"),
+    "arrayDifference": ("aggregate({a}, "
+                        "struct(true AS f, CAST(0 AS DOUBLE) AS p, "
+                        "CAST(array() AS ARRAY<DOUBLE>) AS o), "
+                        "(__acc, __x) -> struct(false AS f, "
+                        "CAST(__x AS DOUBLE) AS p, "
+                        "concat(__acc.o, array("
+                        "CASE WHEN __acc.f THEN CAST(0 AS DOUBLE) "
+                        "ELSE CAST(__x AS DOUBLE) - __acc.p END)) AS o), "
+                        "__acc -> __acc.o)"),
     "arrayEnumerate": "slice(sequence(1, size({a}) + 1), 1, size({a}))",
     "arrayCompact": ("filter({a}, (__x, __i) -> __i = 0 OR "
                      "NOT (__x <=> element_at({a}, __i)))"),
@@ -2777,12 +2810,28 @@ _ARR_LAMBDA = {
 }
 
 #: arraySort/arrayReverseSort with a key lambda: decorate-sort-
-#: undecorate through zip_with (struct comparison orders by the key
-#: field first).  Ties break by element value here; CH keeps input
-#: order — documented.
+#: undecorate through zip_with.  NULL keys sort LAST in both
+#: directions like CH (a bare struct sort puts NULL fields first;
+#: review r9c), via an is-null flag field (asc) or an explicit
+#: comparator (desc).  Ties break by element value here; CH keeps
+#: input order — documented.
 _ARR_SORT_LAMBDA = ("transform(array_sort(zip_with(transform({a}, {L}), "
-                    "{a}, (__k, __v) -> struct(__k AS k, __v AS v))), "
-                    "__s -> __s.v)")
+                    "{a}, (__k, __v) -> struct((__k IS NULL) AS kn, "
+                    "__k AS k, __v AS v))), __s -> __s.v)")
+_ARR_SORT_LAMBDA_DESC = (
+    "transform(array_sort(zip_with(transform({a}, {L}), {a}, "
+    "(__k, __v) -> struct(__k AS k, __v AS v)), (__l, __r) -> "
+    "CASE WHEN __l.k IS NULL AND __r.k IS NULL THEN 0 "
+    "WHEN __l.k IS NULL THEN 1 WHEN __r.k IS NULL THEN -1 "
+    "WHEN __l.k < __r.k THEN 1 WHEN __l.k > __r.k THEN -1 "
+    "ELSE 0 END), __s -> __s.v)")
+#: descending element sort with NULLs LAST (CH rule in both
+#: directions; reverse(array_sort(a)) would put them first)
+_ARR_SORT_DESC = (
+    "array_sort({a}, (__l, __r) -> "
+    "CASE WHEN __l IS NULL AND __r IS NULL THEN 0 "
+    "WHEN __l IS NULL THEN 1 WHEN __r IS NULL THEN -1 "
+    "WHEN __l < __r THEN 1 WHEN __l > __r THEN -1 ELSE 0 END)")
 
 #: arrayReduce agg-name → single-array expression (literal agg names
 #: only; the general agg-by-name form raises)
@@ -2830,12 +2879,21 @@ def _age_expr(args: list[str]) -> str:
         def tod(x: str) -> str:
             return f"(hour({x}) * 3600 + minute({x}) * 60 + second({x}))"
 
-        sameday = (f"(day({et}) = day({st}) OR (day({et}) = "
-                   f"day(last_day({et})) AND day({st}) = "
-                   f"day(last_day({st}))))")
-        corr = (f"CASE WHEN {sameday} AND {et} > {st} "
+        # the patch applies when months_between ignored the time AND
+        # the time actually decides: same day-of-month, or both
+        # month-ends where the CLAMP BINDS (the earlier side's
+        # day-of-month exceeds the later side's — e.g. Jan 31 → Feb
+        # 29; Feb 29 → Mar 31 lands un-clamped on Mar 29 and is
+        # complete regardless of time; review r9c)
+        both_end = (f"(day({et}) = day(last_day({et})) AND "
+                    f"day({st}) = day(last_day({st})))")
+        same_fwd = (f"(day({et}) = day({st}) OR "
+                    f"({both_end} AND day({st}) > day({et})))")
+        same_bwd = (f"(day({et}) = day({st}) OR "
+                    f"({both_end} AND day({et}) > day({st})))")
+        corr = (f"CASE WHEN {same_fwd} AND {et} > {st} "
                 f"AND {tod(et)} < {tod(st)} THEN 1 "
-                f"WHEN {sameday} AND {et} < {st} "
+                f"WHEN {same_bwd} AND {et} < {st} "
                 f"AND {tod(et)} > {tod(st)} THEN -1 ELSE 0 END")
         body = f"(CAST(months_between({et}, {st}) AS BIGINT) - ({corr}))"
         if months[unit] > 1:
@@ -3256,18 +3314,16 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name in ("arraySort", "arrayReverseSort"):
             parts = _split_args(inner)
+            desc = name == "arrayReverseSort"
             if len(parts) == 2 and _is_lambda_arg(parts[0]):
-                body = _ARR_SORT_LAMBDA.format(a=parts[1], L=parts[0])
-            elif len(parts) == 1 and name == "arrayReverseSort":
-                body = f"array_sort({parts[0]})"
+                tpl = _ARR_SORT_LAMBDA_DESC if desc else _ARR_SORT_LAMBDA
+                out.append(tpl.format(a=parts[1], L=parts[0]))
+            elif len(parts) == 1 and desc:
+                out.append(_ARR_SORT_DESC.format(a=parts[0]))
             else:
-                # 1-arg arraySort rides the plain rename below
+                # 1-arg arraySort rides the plain rename below (Spark
+                # array_sort is already asc-with-NULLs-last, like CH)
                 out.append(f"{_RENAMES.get(name, name)}{sql[j:k]}({inner})")
-                i = close + 1
-                continue
-            if name == "arrayReverseSort":
-                body = f"reverse({body})"
-            out.append(body)
             i = close + 1
             continue
         if name == "arrayPushBack" or name == "arrayPushFront":
