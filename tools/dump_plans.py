@@ -63,6 +63,7 @@ PICKS = {
     "op09_asof_left_bridge": "ASOF LEFT bridge: same union+window plan, null right side surviving the match filter",
     "ev19_with_totals_sql": "WITH TOTALS bridge: Expand x2 collapses in the map-side partial agg — the shuffle carries 2d rows, not 2x the input",
     "dp33_diversity_sample": "diversity sample: BLAS cell assignment (zero-shuffle), one ~n_cells-key exchange for the per-cell quota rank",
+    "ev20_text_hash_profile_sql": "round-9c dialect surface: one partial->final hash aggregate over a 3-column pruned scan; digests/split/HOFs all codegen expressions, zero Python",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries

@@ -1646,6 +1646,54 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "with-totals", "grouping-sets", "ch-sql"),
         )
     )
+
+    # Round-9c dialect surface under external oracle: byte-exact
+    # length(), MD5 returning digest BYTES (hex() of it matches
+    # DuckDB's md5 hex), the arraySum lambda form, arrayFirstIndex,
+    # splitByChar — per-source text profile, all order-independent
+    # aggregates.  DuckDB twins: strlen (bytes), string_split,
+    # list_transform + list_position.
+    def _text_hash_profile_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT source,
+                   CAST(count() AS BIGINT) AS docs,
+                   min(hex(MD5(text))) AS min_md5,
+                   CAST(sum(length(text)) AS BIGINT) AS bytes,
+                   CAST(sum(arraySum(x -> 1, splitByChar(' ', text)))
+                        AS BIGINT) AS tokens,
+                   CAST(max(arrayFirstIndex(x -> lengthUTF8(x) > 8,
+                            splitByChar(' ', text))) AS BIGINT)
+                        AS first_long
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev20_text_hash_profile_sql",
+            _text_hash_profile_sql,
+            """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   min(upper(md5(text))) AS min_md5,
+                   CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                        AS tokens,
+                   CAST(max(coalesce(list_position(list_transform(
+                            string_split(text, ' '),
+                            x -> length(x) > 8), true), 0)) AS BIGINT)
+                        AS first_long
+            FROM documents GROUP BY source ORDER BY source
+            """,
+            tags=("events", "text", "digest", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4303,6 +4351,9 @@ _TAIL_NAMES = (
                                       # on no-match) vs DuckDB ASOF LEFT
     "ev19_with_totals_sql",           # WITH TOTALS → GROUPING SETS bridge vs
                                       # DuckDB native GROUPING SETS
+    "ev20_text_hash_profile_sql",     # round-9c surface (byte length, MD5
+                                      # digest bytes, arraySum lambda,
+                                      # arrayFirstIndex) vs DuckDB list/strlen
 )
 
 
