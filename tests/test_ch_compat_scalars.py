@@ -1052,3 +1052,90 @@ def test_review_r9c_fixes_are_pinned(spark):
     assert r.cqfrag == "http://x.com/p#f?a=1"  # '#' first → no query
     assert r.quad == "1.00 quadrillion"
     assert r.csl == [2.0, 6.0, 12.0] and r.d1 == [0.0]
+
+
+# ---------------------------------------------------------------------------
+# round-9d batch: CH type names in CAST + float/calendar/string misc
+
+
+def test_ch_type_names_in_cast(spark):
+    """CH CamelCase type spellings opt into CH semantics (integer
+    casts WRAP via the to* shims; Nullable/LowCardinality unwrap;
+    Array/FixedString/Decimal*/DateTime64 map); ANSI spellings in any
+    other casing pass through untouched — `CAST(x AS STRING)` stays
+    Spark-native while `CAST(x AS String)` is ClickHouse's."""
+    r = _one(
+        spark,
+        "SELECT CAST(300 AS UInt8) AS wrap8,"
+        " CAST(-1 AS UInt32) AS wrap32,"
+        " CAST(42, 'String') AS fn_form,"
+        " CAST('42', 'UInt64') AS fn_int,"
+        " CAST('x' AS Nullable(String)) AS nullable,"
+        " CAST([1, 2] AS Array(Int64)) AS arr,"
+        " CAST([1, 2] AS Array(String)) AS arr_s,"
+        " CAST('abc' AS FixedString(5)) AS fixed,"
+        " CAST('1.5' AS Decimal64(2)) AS dec,"
+        " CAST(20240305 AS Date) AS ch_date,"
+        " CAST('x' AS STRING) AS ansi_s,"
+        " CAST(1 AS BOOLEAN) AS ansi_b,"
+        " accurateCast(200, 'Int32') AS acc",
+    )
+    assert (r.wrap8, r.wrap32) == (44, 4294967295)
+    assert (r.fn_form, r.fn_int) == ("42", 42)
+    assert r.nullable == "x"
+    assert r.arr == [1, 2] and r.arr_s == ["1", "2"]
+    assert r.fixed == "abc\x00\x00"  # CH pads FixedString with NULs
+    assert str(r.dec) == "1.50"
+    assert str(r.ch_date) == "2024-03-05"  # toDate's compact branch
+    assert (r.ansi_s, r.ansi_b, r.acc) == ("x", True, 200)
+    # ANSI text is preserved byte-identically through the translator
+    t = translate_ch_sql("SELECT CAST(sum(q) AS BIGINT) AS s FROM tt")
+    assert "CAST(sum(q) AS BIGINT)" in t
+    with pytest.raises(UnsupportedChSql, match="unsigned"):
+        translate_ch_sql("SELECT accurateCast(x, 'UInt8') FROM t")
+    with pytest.raises(UnsupportedChSql, match="Array"):
+        translate_ch_sql("SELECT CAST(x AS Array(Tuple(Int8))) FROM t")
+
+
+def test_float_classification_and_misc_round9d(spark):
+    r = _one(
+        spark,
+        "SELECT isFinite(1.0) AS f1, isFinite(1e308 * 10) AS f2,"
+        " isInfinite(1e308 * 10) AS inf, isNaN(1.0) AS nn,"
+        " ifNotFinite(3.0, 42.0) AS keep,"
+        " ifNotFinite(1e308 * 10, 42.0) AS swap,"
+        " CAST(toStartOfSecond(toDateTime('2024-03-05 10:00:00'))"
+        "  AS STRING) AS sos,"
+        " CAST(toTime(toDateTime('2024-03-05 10:11:12')) AS STRING) AS tt,"
+        " CAST(timeSlot(toDateTime('2024-03-05 10:47:00')) AS STRING)"
+        "  AS slot,"
+        " countSubstrings('aaaa', 'aa') AS cs,"
+        " countSubstrings('abc', '') AS cs0,"
+        " countMatches('a1b22', '[0-9]+') AS cm,"
+        " mapKeys(map('a', 1)) AS mk, mapValues(map('a', 1)) AS mv,"
+        " CAST(makeDate(2024, 3, 5) AS STRING) AS md,"
+        " CAST(fromUnixTimestamp(60) AS STRING) AS fut,"
+        " concatAssumeInjective('a', 'b') AS cai",
+    )
+    assert (r.f1, r.f2, r.inf, r.nn) == (True, False, True, False)
+    assert (r.keep, r.swap) == (3.0, 42.0)
+    assert r.sos == "2024-03-05 10:00:00"
+    assert r.tt == "1970-01-02 10:11:12"  # CH: time-of-day on 1970-01-02
+    assert r.slot == "2024-03-05 10:30:00"
+    assert (r.cs, r.cs0, r.cm) == (2, 0, 2)
+    assert (r.mk, r.mv) == (["a"], [1])
+    assert r.md == "2024-03-05"
+    assert r.cai == "ab"
+    for bad in ("dictGet('d', 'a', 1)", "toWeek(d)", "toYearWeek(d)",
+                "fromUnixTimestamp(60, '%Y')"):
+        with pytest.raises(UnsupportedChSql):
+            translate_ch_sql(f"SELECT {bad} FROM t")
+
+
+def test_anyheavy_is_exact_mode(spark):
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "x int"
+    ).createOrReplaceTempView("heavy_t")
+    r = _one(spark, "SELECT anyHeavy(x) AS h,"
+                    " uniqCombined64(x) AS u FROM heavy_t")
+    assert (r.h, r.u) == (2, 3)

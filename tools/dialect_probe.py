@@ -241,6 +241,38 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT extractURLParameter('not a url', 'b') AS e", ("",)),
     ("SELECT cutQueryString('http://x.com/p?a=1#f') AS c",
      ("http://x.com/p#f",)),
+    # --- round-9d batch: CH type names in CAST, float classification,
+    # misc calendar/string helpers ---
+    # CH CamelCase type spellings opt into CH semantics (wrap casts);
+    # ANSI spellings (any other casing) pass through untouched
+    ("SELECT CAST(300 AS UInt8) AS u, CAST(-1 AS UInt32) AS w",
+     (44, 4294967295)),
+    ("SELECT CAST(42, 'String') AS s", ("42",)),        # function form
+    ("SELECT CAST('42', 'UInt64') AS u", (42,)),
+    ("SELECT CAST('x' AS Nullable(String)) AS n", ("x",)),
+    ("SELECT CAST([1, 2] AS Array(Int64)) AS a", ([1, 2],)),
+    ("SELECT CAST('abc' AS FixedString(5)) AS f", ("abc\x00\x00",)),
+    ("SELECT CAST('x' AS STRING) AS ansi", ("x",)),     # ANSI untouched
+    ("SELECT accurateCast(200, 'Int32') AS a", (200,)),
+    ("SELECT accurateCast(200, 'UInt8') AS a", None),   # clean-raise
+    ("SELECT isFinite(1.0) AS a, isInfinite(1.0) AS b, isNaN(1.0) AS c",
+     (True, False, False)),
+    ("SELECT ifNotFinite(3.0, 42.0) AS x", (3.0,)),
+    ("SELECT CAST(toTime(toDateTime('2024-03-05 10:11:12')) AS STRING)"
+     " AS t", ("1970-01-02 10:11:12",)),
+    ("SELECT CAST(timeSlot(toDateTime('2024-03-05 10:47:00')) AS STRING)"
+     " AS s", ("2024-03-05 10:30:00",)),
+    ("SELECT countSubstrings('aaaa', 'aa') AS c", (2,)),
+    ("SELECT countMatches('a1b22', '[0-9]+') AS c", (2,)),
+    ("SELECT mapKeys(map('a', 1)) AS k", (["a"],)),
+    ("SELECT CAST(makeDate(2024, 3, 5) AS STRING) AS d", ("2024-03-05",)),
+    ("SELECT CAST(fromUnixTimestamp(60) AS STRING) AS t", None),
+    ("SELECT fromUnixTimestamp(60, '%Y') AS t", None),  # clean-raise
+    ("SELECT anyHeavy(number) AS a FROM numbers(3)", None),
+    ("SELECT uniqCombined64(number) AS u FROM numbers(3)", (3,)),
+    ("SELECT dictGet('d', 'a', 1) AS d", None),         # clean-raise
+    ("SELECT toWeek(toDate('2024-01-04')) AS w", None), # clean-raise
+    ("SELECT concatAssumeInjective('a', 'b') AS c", ("ab",)),
 ]
 
 

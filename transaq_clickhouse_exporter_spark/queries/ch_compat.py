@@ -152,6 +152,19 @@ Round-9 everyday additions (hash/random/array/date/URL families):
   timestamps are fixed microseconds — sub-µs digits truncate.
 - ``toTimeZone``/``randConstant`` raise with pointers (zone-less
   instants / no block-constant randomness in Spark).
+- CH type names in ``CAST``: the CamelCase spellings (``UInt8``,
+  ``String``, ``Nullable(T)``, ``Array(T)``, ``FixedString(n)``,
+  ``Decimal64(s)``, ``DateTime64(p)``…) and the function form
+  ``CAST(x, 'Type')`` opt into CH semantics — integer targets WRAP
+  via the to* shims; ANSI spellings in any other casing pass through
+  to Spark untouched.  ``accurateCast`` maps to Spark's ANSI CAST
+  (both range-error) except unsigned targets, which raise.  NESTED
+  integer casts (Array elements) are ANSI range-checked, not wrapped.
+- ``anyHeavy`` maps to exact ``mode()`` (CH's is an approximate,
+  explicitly nondeterministic heavy-hitter pick); ``toWeek``/
+  ``toYearWeek`` raise (CH mode-0 weeks have no Spark spelling —
+  use ``toISOWeek``); ``countSubstrings`` counts non-overlapping
+  occurrences byte-exactly.
 
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as
@@ -159,6 +172,8 @@ Template variables: ``substitute(sql, params)`` fills Grafana-style
 """
 
 from __future__ import annotations
+
+import re
 
 from collections.abc import Mapping
 
@@ -692,6 +707,45 @@ _SCALAR_SHIMS.update({
     ),
 })
 
+# round-9d misc (probe pass 3): float classification, second/half-hour
+# truncation, CH's time-of-day-on-1970-01-02 form, substring counting
+_SCALAR_SHIMS.update({
+    "isFinite": (
+        "(x DOUBLE) RETURNS BOOLEAN RETURN "
+        "NOT (isnan(x) OR abs(x) = double('Infinity'))"
+    ),
+    "isInfinite": (
+        "(x DOUBLE) RETURNS BOOLEAN RETURN abs(x) = double('Infinity')"
+    ),
+    "ifNotFinite": (
+        "(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN "
+        "CASE WHEN isnan(x) OR abs(x) = double('Infinity') "
+        "THEN y ELSE x END"
+    ),
+    "toStartOfSecond": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('second', ts)"
+    ),
+    # CH toTime: same wall-clock time mapped onto 1970-01-02
+    "toTime": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "make_timestamp(1970, 1, 2, hour(ts), minute(ts), second(ts))"
+    ),
+    # timeSlot: half-hour floor (CH rounds to 30-minute slots)
+    "timeSlot": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "timestamp_seconds((CAST(unix_timestamp(ts) AS BIGINT) "
+        "DIV 1800) * 1800)"
+    ),
+    # non-overlapping occurrence count (the replace trick removes
+    # occurrences greedily left-to-right, exactly CH's scan)
+    "countSubstrings": (
+        "(h STRING, n STRING) RETURNS INT RETURN "
+        "CASE WHEN octet_length(n) = 0 THEN 0 "
+        "ELSE CAST((octet_length(h) - octet_length(replace(h, n, ''))) "
+        "DIV octet_length(n) AS INT) END"
+    ),
+})
+
 
 #: session-conf marker so run_ch_sql doesn't pay ~110 CREATE FUNCTION
 #: py4j round-trips PER QUERY (measured +1-2 s on every dialect-bridge
@@ -836,6 +890,22 @@ _RENAMES = {
     # names '0','1',… where CH yields unnamed tuples — positional
     # access via tupleElement(t, N) still lines up
     "arrayZip": "arrays_zip",
+    # round-9d batch (probe pass 3)
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "countMatches": "regexp_count",   # both: non-overlapping matches
+    "concatAssumeInjective": "concat",  # CH perf hint, same value
+    "makeDate": "make_date",
+    "makeDateTime": "make_timestamp",
+    # anyHeavy is CH's approximate heavy-hitter pick; mode() is the
+    # exact most-frequent value — honest analogue (CH's own result is
+    # explicitly nondeterministic)
+    "anyHeavy": "mode",
+    "uniqCombined64": "approx_count_distinct",
+    "currentDatabase": "current_database",
+    # nowInBlock differs from now() only per-block inside long
+    # INSERT SELECTs; per-query constant is the Spark evaluation
+    "nowInBlock": "current_timestamp",
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
@@ -908,6 +978,24 @@ _UNSUPPORTED_MSG = {
     "randConstant": (
         "randConstant() is block-constant randomness with no Spark "
         "equivalent — use rand() per row or a literal seed"
+    ),
+    "dictGet": (
+        "dictGet(): external dictionaries don't exist here — JOIN the "
+        "dimension table (broadcast joins give the same lookup plan)"
+    ),
+    "dictGetOrDefault": (
+        "dictGetOrDefault(): external dictionaries don't exist here — "
+        "LEFT JOIN the dimension table + coalesce(default)"
+    ),
+    "toWeek": (
+        "toWeek()/toYearWeek() default to CH mode 0 (Sunday-start, "
+        "week 0 exists) which Spark's ISO weekofyear cannot spell — "
+        "use toISOWeek() for ISO week numbering"
+    ),
+    "toYearWeek": (
+        "toWeek()/toYearWeek() default to CH mode 0 (Sunday-start, "
+        "week 0 exists) which Spark's ISO weekofyear cannot spell — "
+        "use toISOWeek() for ISO week numbering"
     ),
 }
 
@@ -2847,6 +2935,110 @@ _ARR_REDUCE = {
 }
 
 
+#: CH type spellings inside CAST → Spark types (used for NESTED
+#: positions — Array elements — and accurateCast).  Matching is
+#: CASE-SENSITIVE on CH's exact CamelCase spellings, as in ClickHouse
+#: itself — this is also what keeps plain ANSI casts untouched:
+#: ``CAST(x AS STRING)``/``AS DATE`` (any non-CH casing) must stay
+#: Spark-native, while ``AS String``/``AS Date`` opt into CH
+#: semantics.  DEVIATION: nested integer casts are range-checked
+#: (ANSI), not wrapped; top-level (U)IntN casts route through the
+#: wrap-exact to* shims instead.
+_CH_SIMPLE_TYPES = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+    "Int64": "BIGINT",
+    # unsigned widths widen to the next signed type that holds the
+    # full range (UInt64 stays BIGINT — same 2^63 limit as toUInt64)
+    "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+    "UInt64": "BIGINT",
+    "Float32": "FLOAT", "Float64": "DOUBLE",
+    "String": "STRING", "Date": "DATE", "Date32": "DATE",
+    "DateTime": "TIMESTAMP", "Bool": "BOOLEAN",
+}
+
+#: top-level CAST targets with CH value semantics — route through the
+#: existing shims so wrap/parse behavior is identical to the to* forms
+_CH_WRAP_CASTS = {
+    "UInt8": "toUInt8", "UInt16": "toUInt16", "UInt32": "toUInt32",
+    "UInt64": "toUInt64",
+    "Int8": "toInt8", "Int16": "toInt16", "Int32": "toInt32",
+    "Int64": "toInt64",
+    "Float32": "toFloat32", "Float64": "toFloat64",
+    "String": "toString", "Date": "toDate", "Date32": "toDate",
+    "DateTime": "toDateTime", "Bool": "toBool",
+}
+
+
+def _ch_cast_expr(expr: str, typetok: str, accurate: bool) -> str | None:
+    """Rewrite ``CAST(expr AS <CH type>)`` / ``CAST(expr, '<CH type>')``
+    / ``accurateCast`` when the type is a ClickHouse spelling; return
+    None for anything else (plain ANSI types pass through untouched).
+    Non-accurate integer casts WRAP like CH (via the to* shims);
+    accurateCast range-errors like CH does — Spark's ANSI CAST is the
+    exact analogue for signed targets, unsigned ones raise (ANSI can't
+    range-check an unsigned domain without a silent sign bug)."""
+    t = typetok.strip()
+    # unwrap Nullable(...) / LowCardinality(...): Spark columns are
+    # nullable, and LowCardinality is a CH storage hint
+    m = re.match(r"(?i)^(nullable|lowcardinality)\s*\((.*)\)$", t)
+    if m:
+        return _ch_cast_expr(expr, m.group(2), accurate) or (
+            f"CAST(({expr}) AS {m.group(2).strip()})")
+    m = re.match(r"(?i)^array\s*\((.*)\)$", t)
+    if m:
+        inner = m.group(1).strip()
+        inner_m = re.match(r"(?i)^(nullable|lowcardinality)\s*\((.*)\)$",
+                           inner)
+        if inner_m:
+            inner = inner_m.group(2).strip()
+        sp = _CH_SIMPLE_TYPES.get(inner)
+        if sp is None:
+            raise UnsupportedChSql(
+                f"CAST to Array({m.group(1).strip()}) not supported — "
+                "supported element types: "
+                + ", ".join(sorted(_CH_SIMPLE_TYPES)))
+        return f"CAST(({expr}) AS ARRAY<{sp}>)"
+    m = re.match(r"(?i)^fixedstring\s*\((\d+)\)$", t)
+    if m:
+        return f"toFixedString(({expr}), {m.group(1)})"
+    m = re.match(r"(?i)^datetime64\s*(?:\((\d+)\))?$", t)
+    if m:
+        return f"toDateTime64(({expr}), {m.group(1) or 3})"
+    m = re.match(r"(?i)^decimal\s*\((\d+)\s*,\s*(\d+)\)$", t)
+    if m:
+        return f"CAST(({expr}) AS DECIMAL({m.group(1)}, {m.group(2)}))"
+    m = re.match(r"(?i)^decimal(32|64|128)\s*\((\d+)\)$", t)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"CAST(({expr}) AS DECIMAL({prec}, {m.group(2)}))"
+    if t in _CH_WRAP_CASTS:
+        if accurate:
+            if t.startswith("UInt"):
+                raise UnsupportedChSql(
+                    f"accurateCast to {t}: Spark has no unsigned range "
+                    f"check — use CAST(x AS {_CH_SIMPLE_TYPES[t]}) with "
+                    f"an explicit >= 0 guard, or {_CH_WRAP_CASTS[t]}() "
+                    "for CH's wrapping form")
+            return f"CAST(({expr}) AS {_CH_SIMPLE_TYPES[t]})"
+        return f"{_CH_WRAP_CASTS[t]}({expr})"
+    return None  # not a CH spelling: plain ANSI passes through
+
+
+def _split_top_as(inner: str) -> tuple[str, str] | None:
+    """Split ``expr AS type`` on the RIGHTMOST top-level ``AS``
+    (paren-depth 0, outside string literals); None when absent."""
+    masked = _mask_literals(inner)
+    depth, best = 0, -1
+    for m in re.finditer(r"(?i)\bAS\b", masked):
+        depth = masked.count("(", 0, m.start()) - masked.count(
+            ")", 0, m.start())
+        if depth == 0:
+            best = m.start()
+    if best < 0:
+        return None
+    return inner[:best].strip(), inner[best + 2:].strip()
+
+
 def _age_expr(args: list[str]) -> str:
     """CH ``age('unit', start, end)`` counts COMPLETE units (unlike
     dateDiff's boundary crossings), truncating toward zero so the
@@ -3392,6 +3584,43 @@ def _rewrite_calls(sql: str) -> str:
             out.append(_age_expr(_split_args(inner)))
             i = close + 1
             continue
+        if name.lower() == "cast" or name == "accurateCast":
+            accurate = name == "accurateCast"
+            split = _split_top_as(inner)
+            if split is not None:
+                expr_, typetok = split
+                rewritten = _ch_cast_expr(expr_, typetok, accurate)
+                if rewritten is not None:
+                    out.append(rewritten)
+                    i = close + 1
+                    continue
+                # plain ANSI type: CAST passes through untouched
+            else:
+                parts = _split_args(inner)
+                p1 = parts[1].strip() if len(parts) == 2 else ""
+                if p1.startswith("'") and p1.endswith("'"):
+                    # CH's function-form CAST(x, 'Type')
+                    rewritten = _ch_cast_expr(parts[0], p1[1:-1], accurate)
+                    if rewritten is None:  # ANSI spelling in CH syntax
+                        rewritten = f"CAST(({parts[0]}) AS {p1[1:-1]})"
+                    out.append(rewritten)
+                    i = close + 1
+                    continue
+                if accurate:
+                    raise UnsupportedChSql(
+                        "accurateCast(x, 'Type') expects a literal type")
+            out.append(f"{name}{sql[j:k]}({inner})")
+            i = close + 1
+            continue
+        if name == "fromUnixTimestamp":
+            parts = _split_args(inner)
+            if len(parts) == 1:
+                out.append(f"timestamp_seconds({inner})")
+                i = close + 1
+                continue
+            raise UnsupportedChSql(
+                "fromUnixTimestamp(n, fmt) — spell "
+                "formatDateTime(toDateTime(n), fmt)")
         # untouched/renamed plain call: keep original spacing between
         # the name and its paren (e.g. ANSI `> ANY (SELECT …)`)
         out.append(f"{_RENAMES.get(name, name)}{sql[j:k]}({inner})")
