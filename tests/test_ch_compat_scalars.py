@@ -1125,6 +1125,7 @@ def test_float_classification_and_misc_round9d(spark):
     assert (r.cs, r.cs0, r.cm) == (2, 0, 2)
     assert (r.mk, r.mv) == (["a"], [1])
     assert r.md == "2024-03-05"
+    assert r.fut == "1970-01-01 00:01:00"  # seconds, not millis
     assert r.cai == "ab"
     for bad in ("dictGet('d', 'a', 1)", "toWeek(d)", "toYearWeek(d)",
                 "fromUnixTimestamp(60, '%Y')"):
@@ -1139,3 +1140,38 @@ def test_anyheavy_is_exact_mode(spark):
     r = _one(spark, "SELECT anyHeavy(x) AS h,"
                     " uniqCombined64(x) AS u FROM heavy_t")
     assert (r.h, r.u) == (2, 3)
+
+
+def test_review_r9d_fixes_are_pinned(spark):
+    """Round-9d review findings: ANSI pin, accurateCast FixedString
+    overflow raises at runtime, tz-qualified DateTime casts raise
+    cleanly, makeDate's 2-arg day-of-year form, and ANSI DECIMAL
+    passthrough staying byte-identical (case-sensitive regexes)."""
+    t = translate_ch_sql("SELECT CAST(x AS DECIMAL(10, 2)) FROM tt")
+    assert "CAST(x AS DECIMAL(10, 2))" in t
+    r = _one(
+        spark,
+        "SELECT CAST(makeDate(2024, 100) AS STRING) AS doy,"
+        " accurateCast('ab', 'FixedString(5)') AS fits",
+    )
+    assert r.doy == "2024-04-09" and r.fits == "ab\x00\x00\x00"
+    with pytest.raises(UnsupportedChSql, match="timezone-qualified"):
+        translate_ch_sql("SELECT CAST(x AS DateTime64(3, 'UTC')) FROM t")
+    with pytest.raises(UnsupportedChSql, match="timezone-qualified"):
+        translate_ch_sql(
+            "SELECT CAST(x AS DateTime('Europe/Moscow')) FROM t")
+    with pytest.raises(Exception, match="too long for FixedString"):
+        run_ch_sql(
+            spark,
+            "SELECT accurateCast('abcdef', 'FixedString(2)') AS f",
+        ).collect()
+    # the dialect pins ANSI mode: its documented error semantics
+    # (accurateCast range errors, CAST-on-garbage throwing) are ANSI
+    # behaviors that would silently wrap/null on a legacy session
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        run_ch_sql(spark, "SELECT 1 AS x").collect()
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

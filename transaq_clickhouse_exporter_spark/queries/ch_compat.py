@@ -737,7 +737,10 @@ _SCALAR_SHIMS.update({
         "DIV 1800) * 1800)"
     ),
     # non-overlapping occurrence count (the replace trick removes
-    # occurrences greedily left-to-right, exactly CH's scan)
+    # occurrences greedily left-to-right, exactly CH's scan).  Empty
+    # needle returns 0 here — CH's empty-needle behavior is
+    # undocumented and version-dependent; pinned locally, UNVERIFIED
+    # against a live server (review r9d)
     "countSubstrings": (
         "(h STRING, n STRING) RETURNS INT RETURN "
         "CASE WHEN octet_length(n) = 0 THEN 0 "
@@ -761,9 +764,16 @@ _SHIMS_MARKER = "spark.tce.ch_shims"
 def register_ch_functions(spark: SparkSession) -> None:
     """Idempotently register the scalar CH shims as SQL UDFs (no-op
     when this session already holds the current shim set, registered
-    under the current session timezone)."""
+    under the current session timezone).
+
+    Pins ``spark.sql.ansi.enabled=true``: the dialect's documented
+    error semantics (accurateCast range errors, CAST-on-garbage
+    throwing like CH, nested Array integer casts range-checking) are
+    ANSI behaviors — on a legacy-mode session they would silently
+    wrap/null instead, the module's worst category (review r9d)."""
     import zlib
 
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     tz = spark.conf.get("spark.sql.session.timeZone", "")
     token = format(
         zlib.crc32(
@@ -895,7 +905,8 @@ _RENAMES = {
     "mapValues": "map_values",
     "countMatches": "regexp_count",   # both: non-overlapping matches
     "concatAssumeInjective": "concat",  # CH perf hint, same value
-    "makeDate": "make_date",
+    # (makeDate is structural: CH also has the 2-arg (year,
+    # day_of_year) form — see _rewrite_calls)
     "makeDateTime": "make_timestamp",
     # anyHeavy is CH's approximate heavy-hitter pick; mode() is the
     # exact most-frequent value — honest analogue (CH's own result is
@@ -2978,17 +2989,30 @@ def _ch_cast_expr(expr: str, typetok: str, accurate: bool) -> str | None:
     exact analogue for signed targets, unsigned ones raise (ANSI can't
     range-check an unsigned domain without a silent sign bug)."""
     t = typetok.strip()
+    # timezone-qualified DateTime('tz') / DateTime64(p, 'tz'): the
+    # session timezone governs rendering here (same contract as
+    # toTimeZone's raise) — a clean raise beats Spark's opaque
+    # unsupported-datatype parse error (review r9d; the reference's
+    # own tables pin Europe/Moscow, so this spelling is likely)
+    if re.match(r"^DateTime(64)?\s*\(.*'", t):
+        raise UnsupportedChSql(
+            f"CAST to timezone-qualified {t.split('(')[0]}(…'tz') not "
+            "supported — Spark timestamps are zone-less instants; set "
+            "spark.sql.session.timeZone for rendering"
+        )
+    # The five compound regexes are CASE-SENSITIVE on CH's CamelCase,
+    # like the scalar map below: ANSI spellings (DECIMAL(10,2), any
+    # other casing) must pass through byte-identically (review r9d).
     # unwrap Nullable(...) / LowCardinality(...): Spark columns are
     # nullable, and LowCardinality is a CH storage hint
-    m = re.match(r"(?i)^(nullable|lowcardinality)\s*\((.*)\)$", t)
+    m = re.match(r"^(Nullable|LowCardinality)\s*\((.*)\)$", t)
     if m:
         return _ch_cast_expr(expr, m.group(2), accurate) or (
             f"CAST(({expr}) AS {m.group(2).strip()})")
-    m = re.match(r"(?i)^array\s*\((.*)\)$", t)
+    m = re.match(r"^Array\s*\((.*)\)$", t)
     if m:
         inner = m.group(1).strip()
-        inner_m = re.match(r"(?i)^(nullable|lowcardinality)\s*\((.*)\)$",
-                           inner)
+        inner_m = re.match(r"^(Nullable|LowCardinality)\s*\((.*)\)$", inner)
         if inner_m:
             inner = inner_m.group(2).strip()
         sp = _CH_SIMPLE_TYPES.get(inner)
@@ -2998,16 +3022,26 @@ def _ch_cast_expr(expr: str, typetok: str, accurate: bool) -> str | None:
                 "supported element types: "
                 + ", ".join(sorted(_CH_SIMPLE_TYPES)))
         return f"CAST(({expr}) AS ARRAY<{sp}>)"
-    m = re.match(r"(?i)^fixedstring\s*\((\d+)\)$", t)
+    m = re.match(r"^FixedString\s*\((\d+)\)$", t)
     if m:
+        if accurate:
+            # CH accurateCast THROWS on a too-long string where the
+            # plain cast's rpad contract truncates (review r9d)
+            n = m.group(1)
+            return (f"CASE WHEN octet_length(({expr})) > {n} THEN "
+                    f"raise_error(concat('accurateCast: value too long "
+                    f"for FixedString({n}): ', ({expr}))) "
+                    f"ELSE toFixedString(({expr}), {n}) END")
         return f"toFixedString(({expr}), {m.group(1)})"
-    m = re.match(r"(?i)^datetime64\s*(?:\((\d+)\))?$", t)
+    m = re.match(r"^DateTime64\s*(?:\((\d+)\))?$", t)
     if m:
         return f"toDateTime64(({expr}), {m.group(1) or 3})"
-    m = re.match(r"(?i)^decimal\s*\((\d+)\s*,\s*(\d+)\)$", t)
+    m = re.match(r"^Decimal\s*\((\d+)\s*,\s*(\d+)\)$", t)
     if m:
+        # ANSI CAST to DECIMAL overflow-errors — also what CH's plain
+        # and accurate casts both do for Decimal
         return f"CAST(({expr}) AS DECIMAL({m.group(1)}, {m.group(2)}))"
-    m = re.match(r"(?i)^decimal(32|64|128)\s*\((\d+)\)$", t)
+    m = re.match(r"^Decimal(32|64|128)\s*\((\d+)\)$", t)
     if m:
         prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
         return f"CAST(({expr}) AS DECIMAL({prec}, {m.group(2)}))"
@@ -3621,6 +3655,19 @@ def _rewrite_calls(sql: str) -> str:
             raise UnsupportedChSql(
                 "fromUnixTimestamp(n, fmt) — spell "
                 "formatDateTime(toDateTime(n), fmt)")
+        if name == "makeDate":
+            parts = _split_args(inner)
+            if len(parts) == 3:
+                out.append(f"make_date({inner})")
+            elif len(parts) == 2:  # CH's (year, day_of_year) form
+                out.append(f"date_add(make_date({parts[0]}, 1, 1), "
+                           f"({parts[1]}) - 1)")
+            else:
+                raise UnsupportedChSql(
+                    "makeDate expects (year, month, day) or "
+                    "(year, day_of_year)")
+            i = close + 1
+            continue
         # untouched/renamed plain call: keep original spacing between
         # the name and its paren (e.g. ANSI `> ANY (SELECT …)`)
         out.append(f"{_RENAMES.get(name, name)}{sql[j:k]}({inner})")
