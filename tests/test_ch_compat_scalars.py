@@ -1175,3 +1175,60 @@ def test_review_r9d_fixes_are_pinned(spark):
         assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_if_and_distinct_combinators_round9e(spark):
+    """CH's -If combinator over the NULL-skipping aggregates (any_value
+    gets ignoreNulls=true — it respects the CASE's injected NULLs by
+    default), the 2-arg countIf, uniqExactIf's DISTINCT form, and the
+    -Distinct combinator (sum/count/avg(DISTINCT ...))."""
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("a", 0, 30.0), ("c", 1, 10.0)],
+        "k string, f int, v double",
+    ).createOrReplaceTempView("comb_t")
+    r = _one(
+        spark,
+        "SELECT uniqIf(k, f = 1) AS u, uniqExactIf(k, f = 1) AS ue,"
+        " anyIf(k, k = 'b') AS af, anyLastIf(k, k = 'c') AS al,"
+        " groupArrayIf(v, f = 1) AS ga, groupUniqArrayIf(k, f = 0) AS gu,"
+        " countIf(f = 1) AS c1, countIf(v, f = 1) AS c2,"
+        " medianIf(v, f = 1) AS med,"
+        " sumDistinct(v) AS sd, countDistinct(k) AS cd,"
+        " avgDistinct(v) AS ad FROM comb_t",
+    )
+    assert (r.u, r.ue) == (3, 3)
+    assert (r.af, r.al) == ("b", "c")
+    assert sorted(r.ga) == [10.0, 10.0, 20.0] and r.gu == ["a"]
+    assert (r.c1, r.c2) == (3, 3)
+    assert r.med == 10.0
+    assert (r.sd, r.cd, r.ad) == (60.0, 3, 20.0)
+
+
+def test_aggregate_misc_round9e(spark):
+    spark.createDataFrame(
+        [(10.0, 1), (20.0, 3)], "x double, w int"
+    ).createOrReplaceTempView("aw_t")
+    r = _one(
+        spark,
+        "SELECT avgWeighted(x, w) AS aw, avgWeighted(x, 0) AS nanw,"
+        " groupBitAnd(w) AS ba, groupBitOr(w) AS bo, groupBitXor(w) AS bx,"
+        " corrStable(x, w) AS cs FROM aw_t",
+    )
+    assert r.aw == pytest.approx(17.5)  # (10*1 + 20*3) / 4
+    import math
+
+    assert math.isnan(r.nanw)  # CH: zero total weight -> NaN, no crash
+    assert (r.ba, r.bo, r.bx) == (1, 3, 2)
+    assert r.cs == pytest.approx(1.0)
+    r2 = _one(
+        spark,
+        "SELECT hasAll([1, 2, 3], [1, 2]) AS h1, hasAll([1, 2], [9]) AS h2,"
+        " hasAny([1, 2], [9, 2]) AS h3, countEqual([1, 2, 2], 2) AS ce,"
+        " countEqual([1, NULL], NULL) AS cen",
+    )
+    assert (r2.h1, r2.h2, r2.h3) == (True, False, True)
+    assert (r2.ce, r2.cen) == (2, 1)
+    for bad in ("hasSubstr(a, b)", "entropy(x)", "sumState(x)",
+                "uniqMerge(x)", "quantileState(0.5)(x)"):
+        with pytest.raises(UnsupportedChSql):
+            translate_ch_sql(f"SELECT {bad} FROM t")

@@ -273,6 +273,35 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT dictGet('d', 'a', 1) AS d", None),         # clean-raise
     ("SELECT toWeek(toDate('2024-01-04')) AS w", None), # clean-raise
     ("SELECT concatAssumeInjective('a', 'b') AS c", ("ab",)),
+    # --- round-9e batch: grouping modifiers, aggregate combinators,
+    # array predicates ---
+    ("SELECT board, count() AS c FROM trades GROUP BY ALL"
+     " ORDER BY c DESC LIMIT 1", None),                 # Spark-native
+    ("SELECT board, count() AS c FROM trades"
+     " GROUP BY board WITH ROLLUP ORDER BY c LIMIT 2", None),
+    ("SELECT uniqExactIf(sec_code, buy_sell = 'B') AS u FROM trades",
+     None),
+    ("SELECT anyIf(sec_code, sec_code = 'SEC001') AS a FROM trades",
+     ("SEC001",)),
+    ("SELECT countIf(price, buy_sell = 'B') AS c FROM trades", None),
+    ("SELECT avgWeighted(price, quantity) AS a FROM trades", None),
+    ("SELECT avgWeighted(price, 0) AS nan_guard FROM trades", None),
+    ("SELECT quantileExactLow(0.5)(price) AS q FROM trades", None),
+    ("SELECT corrStable(price, quantity) AS c FROM trades", None),
+    ("SELECT groupBitAnd(quantity) AS a, groupBitOr(quantity) AS o,"
+     " groupBitXor(quantity) AS x FROM trades", None),
+    ("SELECT sumDistinct(quantity) AS s, countDistinct(board) AS c"
+     " FROM trades", None),
+    ("SELECT skewPop(price) AS s, kurtPop(price) AS k FROM trades",
+     None),
+    ("SELECT hasAll([1, 2, 3], [1, 2]) AS a, hasAll([1, 2], [1, 9]) AS b",
+     (True, False)),
+    ("SELECT hasAny([1, 2, 3], [9, 2]) AS a", (True,)),
+    ("SELECT countEqual([1, 2, 2, 3], 2) AS c", (2,)),
+    ("SELECT hasSubstr([1, 2, 3], [2, 3]) AS h", None),  # clean-raise
+    ("SELECT entropy(board) AS e FROM trades", None),    # clean-raise
+    ("SELECT sumState(quantity) FROM trades", None),     # clean-raise
+    ("SELECT uniqMerge(x) FROM agg", None),              # clean-raise
 ]
 
 

@@ -917,10 +917,39 @@ _RENAMES = {
     # nowInBlock differs from now() only per-block inside long
     # INSERT SELECTs; per-query constant is the Spark evaluation
     "nowInBlock": "current_timestamp",
+    # CH *Stable statistics are numerically-stable variants of the
+    # same estimator — identical value contract
+    "corrStable": "corr",
+    "covarPopStable": "covar_pop",
+    "covarSampStable": "covar_samp",
+    "stddevPopStable": "stddev_pop",
+    "stddevSampStable": "stddev_samp",
+    "varPopStable": "var_pop",
+    "varSampStable": "var_samp",
+    # bitwise aggregates: exact Spark twins
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
+    # (-Distinct combinator is structural: sum_distinct/count_distinct
+    # are DataFrame-API-only names — see _rewrite_calls)
+    # hasAny = any shared element; arrays_overlap is the exact twin
+    "hasAny": "arrays_overlap",
+    # Spark skewness/kurtosis are the POPULATION forms (m3/m2^1.5,
+    # m4/m2^2) — exactly CH's skewPop/kurtPop; the Samp forms differ
+    # (bias corrections) and stay loud
+    "skewPop": "skewness",
+    "kurtPop": "kurtosis",
 }
 
-#: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)`
-_IF_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+#: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)` — CH's -If
+#: combinator over the aggregates whose Spark twins skip NULLs (which
+#: is exactly what the CASE produces for non-matching rows)
+_IF_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max",
+            "uniqIf": "approx_count_distinct",
+            "anyIf": "any_value", "anyLastIf": "any_value",
+            "groupArrayIf": "collect_list",
+            "groupUniqArrayIf": "collect_set",
+            "medianIf": "median", "medianExactIf": "median"}
 
 #: parameterized aggregates `name(q…)(args)` mapped to a Spark
 #: percentile family member.  quantileTiming/TDigest are CH's
@@ -929,6 +958,11 @@ _IF_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 _PARAMETERIZED = {
     "quantile": "percentile",
     "quantileExact": "percentile",
+    # Low/High pick the lower/upper nearest-rank element; percentile
+    # interpolates — the same honest-analogue deviation as
+    # quantileExact/medianExact (documented)
+    "quantileExactLow": "percentile",
+    "quantileExactHigh": "percentile",
     "quantileDeterministic": "percentile",
     "quantileTiming": "percentile_approx",
     "quantileTDigest": "percentile_approx",
@@ -1008,7 +1042,24 @@ _UNSUPPORTED_MSG = {
         "week 0 exists) which Spark's ISO weekofyear cannot spell — "
         "use toISOWeek() for ISO week numbering"
     ),
+    "hasSubstr": (
+        "hasSubstr() (contiguous subsequence test) has no faithful "
+        "single-expression mapping — use hasAll() for set containment "
+        "or an explode + window match"
+    ),
+    "entropy": (
+        "entropy() needs a two-level aggregation here — GROUP BY the "
+        "value to get counts, then -sum(p * log2(p)) over them"
+    ),
 }
+
+#: CH's -State / -Merge / -SimpleState combinators carry partial
+#: aggregation sketches between tables (AggregatingMergeTree).  The
+#: engine's equivalent is operators/aggregating.py (op07): persisted
+#: per-batch partials re-merged on read.  Raise with that pointer.
+_STATE_COMBINATOR_RX = (
+    r"^(sum|count|avg|min|max|any|uniq\w*|quantile\w*|groupArray|"
+    r"argMax|argMin|topK)(State|Merge|MergeState|SimpleState)$")
 
 
 def _find_close(sql: str, open_idx: int) -> int:
@@ -3177,6 +3228,12 @@ def _rewrite_calls(sql: str) -> str:
             )
         if name in _UNSUPPORTED_MSG:
             raise UnsupportedChSql(_UNSUPPORTED_MSG[name])
+        if re.match(_STATE_COMBINATOR_RX, name):
+            raise UnsupportedChSql(
+                f"{name}(): -State/-Merge partial-aggregation sketches "
+                "are AggregatingMergeTree machinery — this engine's "
+                "equivalent is operators/aggregating.py (persisted "
+                "per-batch partials, re-merged on read)")
         if name in ("topK", "topKWeighted", "uniqUpTo",
                     "sequenceMatch", "sequenceCount", "windowFunnel"):
             if not has_second:
@@ -3464,7 +3521,13 @@ def _rewrite_calls(sql: str) -> str:
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(f"{name}() expects 2 arguments")
-            body = f"{_IF_AGGS[name]}(CASE WHEN {parts[1]} THEN {parts[0]} END)"
+            case = f"CASE WHEN {parts[1]} THEN {parts[0]} END"
+            # any_value respects NULLs by default — the CASE injects
+            # one per non-matching row, so pass ignoreNulls=true
+            if _IF_AGGS[name] == "any_value":
+                body = f"any_value({case}, true)"
+            else:
+                body = f"{_IF_AGGS[name]}({case})"
             # CH's sum family returns 0 (not NULL) when no row matches
             if name == "sumIf":
                 body = f"coalesce({body}, 0)"
@@ -3473,6 +3536,60 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "uniqExact":
             out.append(f"count(DISTINCT {inner})")
+            i = close + 1
+            continue
+        if name in ("sumDistinct", "countDistinct", "avgDistinct"):
+            base = {"sumDistinct": "sum", "countDistinct": "count",
+                    "avgDistinct": "avg"}[name]
+            out.append(f"{base}(DISTINCT {inner})")
+            i = close + 1
+            continue
+        if name == "uniqExactIf":
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("uniqExactIf(x, cond) expects 2 args")
+            out.append(
+                f"count(DISTINCT CASE WHEN {parts[1]} THEN {parts[0]} END)")
+            i = close + 1
+            continue
+        if name == "countIf":
+            # 1-arg = predicate count (rename path); CH's 2-arg form
+            # counts non-NULL x where cond holds
+            parts = _split_args(inner)
+            if len(parts) == 2:
+                out.append(
+                    f"count(CASE WHEN {parts[1]} THEN {parts[0]} END)")
+                i = close + 1
+                continue
+            out.append(f"count_if({inner})")
+            i = close + 1
+            continue
+        if name == "avgWeighted":
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("avgWeighted(x, w) expects 2 args")
+            x, w = parts
+            # CH returns NaN on zero total weight; guard the ANSI
+            # divide-by-zero
+            out.append(
+                f"(CASE WHEN sum({w}) = 0 THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE sum(CAST(({x}) AS DOUBLE) * ({w})) / sum({w}) END)")
+            i = close + 1
+            continue
+        if name == "hasAll":
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("hasAll(arr, subset) expects 2 args")
+            out.append(
+                f"forall({parts[1]}, __x -> array_contains({parts[0]}, __x))")
+            i = close + 1
+            continue
+        if name == "countEqual":
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("countEqual(arr, x) expects 2 args")
+            out.append(
+                f"size(filter({parts[0]}, __x -> __x <=> ({parts[1]})))")
             i = close + 1
             continue
         if name.lower() in _DIGESTS:
