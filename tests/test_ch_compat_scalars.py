@@ -1165,14 +1165,17 @@ def test_review_r9d_fixes_are_pinned(spark):
             spark,
             "SELECT accurateCast('abcdef', 'FixedString(2)') AS f",
         ).collect()
-    # the dialect pins ANSI mode: its documented error semantics
+    # the dialect REQUIRES ANSI mode: its documented error semantics
     # (accurateCast range errors, CAST-on-garbage throwing) are ANSI
-    # behaviors that would silently wrap/null on a legacy session
+    # behaviors that would silently wrap/null on a legacy session —
+    # it raises rather than silently mutating the caller's session
+    # (a pin would change every non-dialect query's semantics too)
     prev = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
-        run_ch_sql(spark, "SELECT 1 AS x").collect()
-        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        with pytest.raises(UnsupportedChSql, match="ansi.enabled"):
+            run_ch_sql(spark, "SELECT 1 AS x")
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
@@ -1232,3 +1235,57 @@ def test_aggregate_misc_round9e(spark):
                 "uniqMerge(x)", "quantileState(0.5)(x)"):
         with pytest.raises(UnsupportedChSql):
             translate_ch_sql(f"SELECT {bad} FROM t")
+
+
+def test_review_r9e_fixes_are_pinned(spark):
+    """Round-9e review findings: kurtPop is Pearson (+3 over Spark's
+    excess kurtosis), avgWeighted skips NULL-x rows' weights entirely,
+    hasAll/hasAny treat NULL elements as values, medianIf returns NaN
+    on empty, widened -State raises, and a mixed topK block with a
+    newly-mapped CH aggregate takes the WHOLE-BLOCK fallback instead
+    of half-decomposing into unresolved columns."""
+    import math
+
+    spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (10.0,)], "x double"
+    ).createOrReplaceTempView("kurt_t")
+    r = _one(spark, "SELECT kurtPop(x) AS k, skewPop(x) AS s FROM kurt_t")
+    assert r.k == pytest.approx(2.788)   # Pearson m4/m2^2, NOT excess
+    assert r.s == pytest.approx(1.13842, abs=1e-4)
+
+    spark.createDataFrame(
+        [(10.0, 1), (None, 1)], "x double, w int"
+    ).createOrReplaceTempView("awn_t")
+    r = _one(spark, "SELECT avgWeighted(x, w) AS aw,"
+                    " medianIf(x, false) AS mnan FROM awn_t")
+    assert r.aw == 10.0            # NULL-x row's weight NOT counted
+    assert math.isnan(r.mnan)      # CH: quantile of empty = NaN
+
+    r = _one(
+        spark,
+        "SELECT hasAll(array(1, NULL), array(CAST(NULL AS INT))) AS ha,"
+        " hasAny(array(1, 2), array(CAST(NULL AS INT))) AS hn",
+    )
+    assert (r.ha, r.hn) == (True, False)  # NULL is a normal value in CH
+
+    for bad in ("anyLastState(x)", "medianState(x)",
+                "groupUniqArrayState(x)", "sumIfState(x, c)"):
+        with pytest.raises(UnsupportedChSql, match="AggregatingMergeTree"):
+            translate_ch_sql(f"SELECT {bad} FROM t")
+
+    # mixed topK + newly-mapped CH aggregate: whole-block fallback
+    # (warning), never a half-decomposed unresolved-column error
+    spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 2.0, 3), ("b", 3.0, 4)],
+        "k string, p double, q int",
+    ).createOrReplaceTempView("tkmix_t")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", cc.TopkFallbackWarning)
+        rows = run_ch_sql(
+            spark,
+            "SELECT k, topK(2)(q) AS t,"
+            " corrStable(p, q) AS c FROM tkmix_t GROUP BY k",
+        ).collect()
+    assert len(rows) == 2

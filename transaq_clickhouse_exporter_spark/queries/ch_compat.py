@@ -28,7 +28,7 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    - ``uniqExact(x[, y…])``      → ``count(DISTINCT x[, y…])``
    - ``uniq/uniqCombined/uniqHLL12(x)`` → ``approx_count_distinct(x)``
    - ``quantile(q)(x)`` / ``quantileExact(q)(x)`` → ``percentile(x, q)``
-   - ``countIf(c)``              → ``count_if(c)``
+   - ``countIf(c)`` / ``countIf(x, c)`` → ``count_if(c)`` / CASE form
    - ``sumIf/avgIf/minIf/maxIf(x, c)`` → ``agg(CASE WHEN c THEN x END)``
    - ``any(x)``                  → ``any_value(x)``
    - ``FROM t FINAL``            → ``FROM t`` (the engine's views
@@ -766,14 +766,23 @@ def register_ch_functions(spark: SparkSession) -> None:
     when this session already holds the current shim set, registered
     under the current session timezone).
 
-    Pins ``spark.sql.ansi.enabled=true``: the dialect's documented
-    error semantics (accurateCast range errors, CAST-on-garbage
-    throwing like CH, nested Array integer casts range-checking) are
-    ANSI behaviors — on a legacy-mode session they would silently
-    wrap/null instead, the module's worst category (review r9d)."""
+    Requires ``spark.sql.ansi.enabled=true`` (Spark 4's default): the
+    dialect's documented error semantics (accurateCast range errors,
+    CAST-on-garbage throwing like CH, nested Array integer casts
+    range-checking) are ANSI behaviors — on a legacy-mode session
+    they would silently wrap/null instead, the module's worst
+    category.  Raising beats silently mutating the caller's session
+    (the pin would change the semantics of every NON-dialect query
+    the host runs afterwards; review r9e)."""
     import zlib
 
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    if spark.conf.get("spark.sql.ansi.enabled", "true").lower() != "true":
+        raise UnsupportedChSql(
+            "the ClickHouse dialect requires spark.sql.ansi.enabled=true "
+            "(its documented error semantics are ANSI behaviors; a "
+            "legacy-mode session would silently wrap/null instead) — "
+            "set it on this session before run_ch_sql"
+        )
     tz = spark.conf.get("spark.sql.session.timeZone", "")
     token = format(
         zlib.crc32(
@@ -818,7 +827,8 @@ _RENAMES = {
     # theta sketches add set-ops CH-side; as a plain aggregate it is
     # one more approximate-distinct — same mapping as uniq/HLL12
     "uniqTheta": "approx_count_distinct",
-    "countIf": "count_if",
+    # (countIf is structural — CH also has the 2-arg (x, cond) form;
+    # see _rewrite_calls)
     # CH timestampAdd/timestamp_add(unit, n, ts) == Spark timestampadd
     "timestamp_add": "timestampadd",
     "timestampAdd": "timestampadd",
@@ -932,13 +942,16 @@ _RENAMES = {
     "groupBitXor": "bit_xor",
     # (-Distinct combinator is structural: sum_distinct/count_distinct
     # are DataFrame-API-only names — see _rewrite_calls)
-    # hasAny = any shared element; arrays_overlap is the exact twin
-    "hasAny": "arrays_overlap",
-    # Spark skewness/kurtosis are the POPULATION forms (m3/m2^1.5,
-    # m4/m2^2) — exactly CH's skewPop/kurtPop; the Samp forms differ
-    # (bias corrections) and stay loud
+    # (hasAny/hasAll are structural: CH treats NULL elements as
+    # normal values, which needs <=> — arrays_overlap returns NULL
+    # on null-bearing inputs; see _rewrite_calls)
+    # Spark skewness is the population form (m3/m2^1.5) — exactly
+    # CH's skewPop.  kurtPop is NOT a rename: Spark kurtosis is
+    # EXCESS kurtosis (m4/m2^2 - 3) where CH is Pearson (m4/m2^2) —
+    # off by exactly 3 (verified numerically; review r9e) — so it is
+    # a structural +3 rewrite.  The Samp forms differ (bias
+    # corrections) and stay loud.
     "skewPop": "skewness",
-    "kurtPop": "kurtosis",
 }
 
 #: `aggIf(x, cond)` → `agg(CASE WHEN cond THEN x END)` — CH's -If
@@ -1057,9 +1070,15 @@ _UNSUPPORTED_MSG = {
 #: aggregation sketches between tables (AggregatingMergeTree).  The
 #: engine's equivalent is operators/aggregating.py (op07): persisted
 #: per-batch partials re-merged on read.  Raise with that pointer.
+#: The prefix list covers every aggregate family this module maps
+#: (incl. -If stacking, anyLast/median/groupUniqArray — review r9e).
 _STATE_COMBINATOR_RX = (
-    r"^(sum|count|avg|min|max|any|uniq\w*|quantile\w*|groupArray|"
-    r"argMax|argMin|topK)(State|Merge|MergeState|SimpleState)$")
+    r"^(sum|count|avg|min|max|any|anyLast|anyHeavy|uniq\w*?|"
+    r"quantile\w*?|median\w*?|groupArray|groupUniqArray|groupBit\w*?|"
+    r"argMax|argMin|topK\w*?|corr\w*?|covar\w*?|stddev\w*?|var\w*?|"
+    r"skew\w*?|kurt\w*?|avgWeighted|histogram|entropy|windowFunnel|"
+    r"retention|sequence\w*?)"
+    r"(If)?(State|Merge|MergeState|SimpleState)$")
 
 
 def _find_close(sql: str, open_idx: int) -> int:
@@ -1747,6 +1766,19 @@ _TOPK_NONDECOMP = {
         "skewness", "kurtosis", "mode", "bool_and", "bool_or",
         "retention", "windowfunnel", "sequencematch", "sequencecount",
         "histogram", "sum_distinct", "count_distinct",
+        # round-9e additions: every CH aggregate name newly mapped in
+        # this module must also be non-decomposable here, or a mixed
+        # topK block half-decomposes into unresolved columns instead
+        # of taking the whole-block fallback (review r9e — the same
+        # r8 bug class this set exists to prevent)
+        "corrstable", "covarpopstable", "covarsampstable",
+        "stddevpopstable", "stddevsampstable", "varpopstable",
+        "varsampstable", "groupbitand", "groupbitor", "groupbitxor",
+        "bit_and", "bit_or", "bit_xor", "skewpop", "kurtpop",
+        "sumdistinct", "countdistinct", "avgdistinct", "avgweighted",
+        "uniqif", "uniqexactif", "anyif", "anylastif", "grouparrayif",
+        "groupuniqarrayif", "medianif", "medianexactif",
+        "quantileexactlow", "quantileexacthigh", "entropy",
     )
 }
 
@@ -3531,11 +3563,19 @@ def _rewrite_calls(sql: str) -> str:
             # CH's sum family returns 0 (not NULL) when no row matches
             if name == "sumIf":
                 body = f"coalesce({body}, 0)"
+            # CH's quantile family returns NaN on an empty sequence
+            elif name in ("medianIf", "medianExactIf"):
+                body = f"coalesce({body}, CAST('NaN' AS DOUBLE))"
             out.append(body)
             i = close + 1
             continue
         if name == "uniqExact":
             out.append(f"count(DISTINCT {inner})")
+            i = close + 1
+            continue
+        if name == "kurtPop":
+            # Spark kurtosis is EXCESS kurtosis; CH kurtPop is Pearson
+            out.append(f"(kurtosis({inner}) + 3)")
             i = close + 1
             continue
         if name in ("sumDistinct", "countDistinct", "avgDistinct"):
@@ -3569,19 +3609,28 @@ def _rewrite_calls(sql: str) -> str:
             if len(parts) != 2:
                 raise UnsupportedChSql("avgWeighted(x, w) expects 2 args")
             x, w = parts
-            # CH returns NaN on zero total weight; guard the ANSI
-            # divide-by-zero
+            # CH skips the whole ROW when x is NULL — the denominator
+            # must not count that row's weight (review r9e); zero or
+            # empty total weight returns NaN like CH (also guards the
+            # ANSI divide-by-zero)
+            wsum = f"sum(CASE WHEN ({x}) IS NOT NULL THEN ({w}) END)"
             out.append(
-                f"(CASE WHEN sum({w}) = 0 THEN CAST('NaN' AS DOUBLE) "
-                f"ELSE sum(CAST(({x}) AS DOUBLE) * ({w})) / sum({w}) END)")
+                f"(CASE WHEN coalesce({wsum}, 0) = 0 "
+                f"THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE sum(CAST(({x}) AS DOUBLE) * ({w})) / {wsum} END)")
             i = close + 1
             continue
-        if name == "hasAll":
+        if name in ("hasAll", "hasAny"):
             parts = _split_args(inner)
             if len(parts) != 2:
-                raise UnsupportedChSql("hasAll(arr, subset) expects 2 args")
+                raise UnsupportedChSql(f"{name}(arr, subset) expects 2 args")
+            # CH treats NULL elements as normal values (hasAll([1,
+            # NULL], [NULL]) = 1) — <=> keeps that; array_contains /
+            # arrays_overlap would return NULL instead (review r9e)
+            outer = "forall" if name == "hasAll" else "exists"
             out.append(
-                f"forall({parts[1]}, __x -> array_contains({parts[0]}, __x))")
+                f"{outer}({parts[1]}, __x -> "
+                f"exists({parts[0]}, __y -> __y <=> __x))")
             i = close + 1
             continue
         if name == "countEqual":
