@@ -47,7 +47,7 @@ PICKS = [
     "ev17_topk_grouped_sql", "ev18_scalar_with_sql",
     "dp33_diversity_sample",
     "op09_asof_left_bridge", "ev19_with_totals_sql",
-    "ev20_text_hash_profile_sql",
+    "ev20_text_hash_profile_sql", "ev21_combinator_profile_sql",
 ]
 
 

@@ -64,6 +64,7 @@ PICKS = {
     "ev19_with_totals_sql": "WITH TOTALS bridge: Expand x2 collapses in the map-side partial agg — the shuffle carries 2d rows, not 2x the input",
     "dp33_diversity_sample": "diversity sample: BLAS cell assignment (zero-shuffle), one ~n_cells-key exchange for the per-cell quota rank",
     "ev20_text_hash_profile_sql": "round-9c dialect surface: one partial->final hash aggregate over a 3-column pruned scan; digests/split/HOFs all codegen expressions, zero Python",
+    "ev21_combinator_profile_sql": "round-9e combinators: single partial->final aggregate, two count(DISTINCT) expands share the exchange; all CASE/bitwise expressions codegen",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries

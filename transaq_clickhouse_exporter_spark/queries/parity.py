@@ -1674,6 +1674,52 @@ def _events_specs() -> list[QuerySpec]:
             """,
         )
 
+    # Round-9e combinator surface under external oracle: avgWeighted
+    # (NULL-row weight exclusion + the an01 round-6 float discipline),
+    # the -If combinator's DISTINCT form, 2-arg countIf, the bitwise
+    # aggregate family, and the -Distinct combinator — DuckDB twins
+    # spell each one ANSI-style (FILTER-less CASE forms, bit_or,
+    # sum(DISTINCT ...)).
+    def _combinator_profile_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT board,
+                   round(avgWeighted(price, quantity), 6) AS w_price,
+                   CAST(uniqExactIf(sec_code, buy_sell = 'B') AS BIGINT)
+                        AS buy_secs,
+                   CAST(countIf(price, buy_sell = 'S') AS BIGINT)
+                        AS sell_rows,
+                   CAST(groupBitOr(quantity) AS BIGINT) AS qty_bits,
+                   CAST(sumDistinct(quantity) AS BIGINT)
+                        AS qty_distinct_sum
+            FROM trades GROUP BY board ORDER BY board
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev21_combinator_profile_sql",
+            _combinator_profile_sql,
+            """
+            SELECT board,
+                   round(sum(price * quantity) / sum(quantity), 6)
+                        AS w_price,
+                   CAST(count(DISTINCT CASE WHEN buy_sell = 'B'
+                        THEN sec_code END) AS BIGINT) AS buy_secs,
+                   CAST(count(CASE WHEN buy_sell = 'S' THEN price END)
+                        AS BIGINT) AS sell_rows,
+                   CAST(bit_or(quantity) AS BIGINT) AS qty_bits,
+                   CAST(sum(DISTINCT quantity) AS BIGINT)
+                        AS qty_distinct_sum
+            FROM trades GROUP BY board ORDER BY board
+            """,
+            tags=("events", "combinators", "ch-sql"),
+        )
+    )
+
     sp.append(
         QuerySpec(
             "ev20_text_hash_profile_sql",
@@ -4354,6 +4400,9 @@ _TAIL_NAMES = (
     "ev20_text_hash_profile_sql",     # round-9c surface (byte length, MD5
                                       # digest bytes, arraySum lambda,
                                       # arrayFirstIndex) vs DuckDB list/strlen
+    "ev21_combinator_profile_sql",    # round-9e combinators (avgWeighted,
+                                      # uniqExactIf, 2-arg countIf,
+                                      # groupBitOr, sumDistinct) vs ANSI twins
 )
 
 
