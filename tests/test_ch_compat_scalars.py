@@ -1289,3 +1289,95 @@ def test_review_r9e_fixes_are_pinned(spark):
             " corrStable(p, q) AS c FROM tkmix_t GROUP BY k",
         ).collect()
     assert len(rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# round-9f batch: ANY/ALL join multiplicity, search/regex, epoch64
+
+
+def test_any_join_keeps_one_right_row_per_key(spark):
+    """CH's ANY JOIN keeps at most ONE right row per join key (an
+    arbitrary one — any deterministic pick is within contract); ALL
+    is the explicit default and strips.  ON-form ANY joins raise
+    naming the USING workaround; quantified `> ANY (SELECT …)` text
+    is left untouched."""
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    ).createOrReplaceTempView("aj_l")
+    spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20)], "k string, w int"
+    ).createOrReplaceTempView("aj_r")
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v, w FROM aj_l ANY LEFT JOIN aj_r USING (k) ORDER BY k",
+    ).collect()
+    assert [(r.k, r.v, r.w) for r in rows] == [
+        ("a", 1, 10), ("b", 2, 20), ("c", 3, None)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v, w FROM aj_l ANY INNER JOIN aj_r AS rr USING (k)"
+        " ORDER BY k",
+    ).collect()
+    assert [(r.k, r.v, r.w) for r in rows] == [("a", 1, 10), ("b", 2, 20)]
+    [row] = run_ch_sql(
+        spark,
+        "SELECT count() AS c FROM aj_l ALL INNER JOIN aj_r"
+        " ON aj_l.k = aj_r.k",
+    ).collect()
+    assert row.c == 3  # ALL = every matching row (the plain join)
+    with pytest.raises(UnsupportedChSql, match="USING"):
+        translate_ch_sql(
+            "SELECT 1 FROM a ANY LEFT JOIN b ON a.k = b.k")
+    # quantified-comparison ANY text is untouched (never a join)
+    t = translate_ch_sql("SELECT x FROM t WHERE x > ANY (SELECT 1)")
+    assert "ANY (SELECT 1)" in t
+    # UNION ALL is untouched by the ALL noise-word strip
+    t = translate_ch_sql("SELECT 1 UNION ALL SELECT 2")
+    assert "UNION ALL" in t
+
+
+def test_search_regex_and_epoch64_round9f(spark):
+    r = _one(
+        spark,
+        "SELECT extractAll('a1b22c333', '[0-9]+') AS whole,"
+        " extractAll('k=1;k=2', 'k=([0-9])') AS grp,"
+        " multiSearchAny('hello world', ['foo', 'wor']) AS ms,"
+        " multiSearchAny('hello', ['foo']) AS ms0,"
+        " multiSearchAnyCaseInsensitive('Hello', ['HELL']) AS msi,"
+        " splitByRegexp('[0-9]+', 'a1b22c') AS sr,"
+        " bitTest(5, 0) AS bt1, bitTest(5, 1) AS bt0,"
+        " exp2(10) AS e2, exp10(3) AS e10, intExp2(10) AS ie2,"
+        " clamp(15, 0, 10) AS cl,"
+        " toUnixTimestamp64Milli(toDateTime64("
+        "   '2024-03-05 10:00:00.123', 3)) AS ms64,"
+        " CAST(fromUnixTimestamp64Milli(60123) AS STRING) AS fm,"
+        " toUnixTimestamp64Micro(toDateTime64("
+        "   '1970-01-01 00:00:01.5', 3)) AS us64,"
+        " like('hello', 'he%') AS lk, notLike('hello', 'xx%') AS nlk,"
+        " ilike('HELLO', 'he%') AS ilk,"
+        " toYYYYMMDDhhmmss(toDateTime('2024-03-05 10:11:12')) AS ymd,"
+        " CAST(toDate32('2024-03-05') AS STRING) AS d32",
+    )
+    assert r.whole == ["1", "22", "333"] and r.grp == ["1", "2"]
+    assert (r.ms, r.ms0, r.msi) == (True, False, True)
+    assert r.sr == ["a", "b", "c"]
+    assert (r.bt1, r.bt0) == (1, 0)
+    assert (r.e2, r.e10, r.ie2) == (1024.0, 1000.0, 1024)
+    assert r.cl == 10.0
+    assert r.fm == "1970-01-01 00:01:00.123"
+    assert r.us64 == 1_500_000
+    assert (r.lk, r.nlk, r.ilk) == (True, True, True)
+    assert r.ymd == 20240305101112
+    assert r.d32 == "2024-03-05"
+    # ms64 depends on the session zone only through the literal parse;
+    # round-trip instead of pinning the epoch
+    [row] = run_ch_sql(
+        spark,
+        "SELECT CAST(fromUnixTimestamp64Milli(toUnixTimestamp64Milli("
+        "toDateTime64('2024-03-05 10:00:00.123', 3))) AS STRING) AS rt",
+    ).collect()
+    assert row.rt == "2024-03-05 10:00:00.123"
+    with pytest.raises(UnsupportedChSql, match="replaceRegexpAll"):
+        translate_ch_sql("SELECT replaceRegexpOne(s, 'a', 'b') FROM t")
+    with pytest.raises(UnsupportedChSql, match="session timezone"):
+        translate_ch_sql("SELECT now64(3, 'UTC')")

@@ -302,6 +302,37 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT entropy(board) AS e FROM trades", None),    # clean-raise
     ("SELECT sumState(quantity) FROM trades", None),     # clean-raise
     ("SELECT uniqMerge(x) FROM agg", None),              # clean-raise
+    # --- round-9f batch: join multiplicity, search/regex, epoch64 ---
+    # ANY JOIN keeps ONE right row per key; ALL is the noise default
+    ("SELECT count() AS c FROM trades t ANY LEFT JOIN trades_dup d"
+     " USING (sec_code)", None),
+    ("SELECT count() AS c FROM trades t ALL INNER JOIN securities s"
+     " ON t.sec_code = s.seccode", None),
+    ("SELECT count() AS c FROM trades t ANY LEFT JOIN securities s"
+     " ON t.sec_code = s.seccode", None),                # clean-raise
+    ("SELECT extractAll('a1b22c333', '[0-9]+') AS e",
+     (["1", "22", "333"],)),
+    ("SELECT extractAll('k=1;k=2', 'k=([0-9])') AS e", (["1", "2"],)),
+    ("SELECT multiSearchAny('hello world', ['foo', 'wor']) AS m,"
+     " multiSearchAny('hello', ['foo']) AS m2", (True, False)),
+    ("SELECT splitByRegexp('[0-9]+', 'a1b22c') AS s", (["a", "b", "c"],)),
+    ("SELECT bitTest(5, 0) AS a, bitTest(5, 1) AS b", (1, 0)),
+    ("SELECT exp2(10) AS a, exp10(3) AS b, intExp2(10) AS c",
+     (1024.0, 1000.0, 1024)),
+    ("SELECT clamp(15, 0, 10) AS a, clamp(-5, 0, 10) AS b",
+     (10.0, 0.0)),
+    ("SELECT toUnixTimestamp64Milli(toDateTime64("
+     "'2024-03-05 10:00:00.123', 3)) IS NOT NULL AS m", (True,)),
+    ("SELECT CAST(fromUnixTimestamp64Milli(60123) AS STRING) AS t",
+     ("1970-01-01 00:01:00.123",)),
+    ("SELECT now64() <= now() AS n", (True,)),
+    ("SELECT like('hello', 'he%') AS l, notLike('hello', 'xx%') AS nl,"
+     " ilike('HELLO', 'he%') AS il", (True, True, True)),
+    ("SELECT toYYYYMMDDhhmmss(toDateTime('2024-03-05 10:11:12')) AS y",
+     (20240305101112,)),
+    ("SELECT CAST(toDate32('2024-03-05') AS STRING) AS d",
+     ("2024-03-05",)),
+    ("SELECT replaceRegexpOne('a1a2', '[0-9]', 'X') AS r", None),  # raise
 ]
 
 

@@ -165,6 +165,16 @@ Round-9 everyday additions (hash/random/array/date/URL families):
   ``toYearWeek`` raise (CH mode-0 weeks have no Spark spelling —
   use ``toISOWeek``); ``countSubstrings`` counts non-overlapping
   occurrences byte-exactly.
+- ``ANY [LEFT|INNER] JOIN … USING (cols)`` dedups the right side on
+  the USING keys (one arbitrary row per key in CH; one deterministic
+  row here — within contract); ``ALL`` before a JOIN strips (CH's
+  explicit default multiplicity); ON-form / RIGHT / FULL ANY joins
+  raise naming the workaround.
+- ``kurtPop`` = Spark ``kurtosis + 3`` (Pearson vs excess);
+  ``avgWeighted`` excludes NULL-value rows' weights and returns NaN
+  on zero total weight, both like CH.
+- ``toUnixTimestamp64Nano`` reports microsecond precision × 1000
+  (Spark timestamps carry no nanoseconds).
 
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as
@@ -736,6 +746,40 @@ _SCALAR_SHIMS.update({
         "timestamp_seconds((CAST(unix_timestamp(ts) AS BIGINT) "
         "DIV 1800) * 1800)"
     ),
+    "bitTest": (
+        "(x BIGINT, n INT) RETURNS TINYINT RETURN "
+        "CAST(shiftright(x, n) & 1 AS TINYINT)"
+    ),
+    "exp2": "(x DOUBLE) RETURNS DOUBLE RETURN power(2, x)",
+    "exp10": "(x DOUBLE) RETURNS DOUBLE RETURN power(10, x)",
+    "intExp2": "(x INT) RETURNS BIGINT RETURN shiftleft(CAST(1 AS BIGINT), x)",
+    # clamp computes in DOUBLE (same deviation as the array
+    # arithmetic family; integers exact through 2^53)
+    "clamp": (
+        "(x DOUBLE, lo DOUBLE, hi DOUBLE) RETURNS DOUBLE RETURN "
+        "greatest(lo, least(x, hi))"
+    ),
+    "toUnixTimestamp64Milli": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_millis(ts)"
+    ),
+    "toUnixTimestamp64Micro": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_micros(ts)"
+    ),
+    # Spark timestamps are micros — the Nano form is micros * 1000
+    # (sub-microsecond digits do not exist to report)
+    "toUnixTimestamp64Nano": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_micros(ts) * 1000"
+    ),
+    "fromUnixTimestamp64Milli": (
+        "(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(n)"
+    ),
+    "fromUnixTimestamp64Micro": (
+        "(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_micros(n)"
+    ),
+    "toYYYYMMDDhhmmss": (
+        "(ts TIMESTAMP) RETURNS BIGINT RETURN "
+        "CAST(date_format(ts, 'yyyyMMddHHmmss') AS BIGINT)"
+    ),
     # non-overlapping occurrence count (the replace trick removes
     # occurrences greedily left-to-right, exactly CH's scan).  Empty
     # needle returns 0 here — CH's empty-needle behavior is
@@ -945,6 +989,7 @@ _RENAMES = {
     # (hasAny/hasAll are structural: CH treats NULL elements as
     # normal values, which needs <=> — arrays_overlap returns NULL
     # on null-bearing inputs; see _rewrite_calls)
+    "toDate32": "toDate",         # same range-free mapping on Spark
     # Spark skewness is the population form (m3/m2^1.5) — exactly
     # CH's skewPop.  kurtPop is NOT a rename: Spark kurtosis is
     # EXCESS kurtosis (m4/m2^2 - 3) where CH is Pearson (m4/m2^2) —
@@ -1227,6 +1272,9 @@ def translate_ch_sql(
     # relational meaning is plain IN / JOIN (Catalyst plans shipping).
     # Applied outside string literals at ANY depth (subqueries use it).
     sql = _strip_global_hints(sql)
+    # CH join multiplicity: ALL (the default, noise word) strips; ANY
+    # (one arbitrary right row per key) dedups the right side
+    sql = _rewrite_any_join(sql)
     sql = _preaggregate_topk(sql, strict_scale=strict_scale)
     return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
 
@@ -1334,6 +1382,66 @@ def _strip_global_hints(sql: str) -> str:
         last = m.end()
     out.append(sql[last:])
     return "".join(out)
+
+
+def _rewrite_any_join(sql: str) -> str:
+    """CH join multiplicity keywords.
+
+    ``ALL INNER/LEFT/… JOIN`` is CH's explicit default (every matching
+    row) — the keyword strips.  ``ANY [LEFT|INNER] JOIN t [alias]
+    USING (cols)`` keeps at most ONE right row per join key (CH picks
+    an arbitrary one): the right side rewrites to a key-deduplicated
+    subquery (row_number over the USING keys — the pick is arbitrary
+    in CH too, so any deterministic pick is within contract).  ANY
+    forms this cannot express (ON conditions — the dedup key set is
+    not syntactically recoverable from an arbitrary predicate —
+    RIGHT/FULL direction, subquery right sides) raise naming the
+    USING workaround.  Quantified-comparison ``ANY (SELECT …)`` is
+    never followed by JOIN and stays untouched."""
+    import re
+
+    # ALL noise word: only immediately before a join spelling (UNION
+    # ALL / `> ALL (` don't match)
+    sql = _sub_masked(
+        re.compile(r"(?i)\bALL\s+(?=(?:INNER\s+|LEFT\s+|RIGHT\s+|"
+                   r"FULL\s+)?JOIN\b)"),
+        "", sql)
+    any_rx = re.compile(
+        r"(?i)\bANY\s+(LEFT|INNER)?\s*JOIN\s+"
+        r"([A-Za-z_][\w.]*)"                      # simple table ref
+        r"(?:\s+AS)?(?:\s+(?!USING\b)([A-Za-z_]\w*))?"  # optional alias
+        r"\s+USING\s*\(([^()]*)\)")
+    while True:
+        sh = _mask_literals(sql)
+        m = any_rx.search(sh)
+        if m is None:
+            break
+        jtype = (m.group(1) or "INNER").upper()
+        table, alias = m.group(2), m.group(3) or ""
+        cols = [c.strip().strip("`") for c in m.group(4).split(",")
+                if c.strip()]
+        if not cols:
+            raise UnsupportedChSql("ANY JOIN USING () needs columns")
+        keys = ", ".join(f"`{c}`" for c in cols)
+        dedup = (f"(SELECT * EXCEPT(__any_rn) FROM (SELECT *, "
+                 f"row_number() OVER (PARTITION BY {keys} "
+                 f"ORDER BY `{cols[0]}`) AS __any_rn FROM {table}) "
+                 f"WHERE __any_rn = 1)")
+        repl = (f"{jtype} JOIN {dedup}"
+                + (f" {alias}" if alias else f" {table}")
+                + f" USING ({m.group(4)})")
+        sql = sql[: m.start()] + repl + sql[m.end():]
+    sh = _mask_literals(sql)
+    left = re.search(
+        r"(?i)\bANY\s+(?:LEFT\s+|RIGHT\s+|INNER\s+|FULL\s+)?JOIN\b", sh)
+    if left is not None:
+        raise UnsupportedChSql(
+            "ANY JOIN is supported for the `ANY [LEFT|INNER] JOIN "
+            "<table> [alias] USING (cols)` form only — the USING keys "
+            "define the dedup; for ON-condition or RIGHT/FULL ANY "
+            "joins, pre-deduplicate the side yourself (row_number "
+            "OVER the key = 1)")
+    return sql
 
 
 def _array_join_clause(sql: str) -> str:
@@ -3578,6 +3686,67 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"(kurtosis({inner}) + 3)")
             i = close + 1
             continue
+        if name == "now64":
+            # now64([precision[, tz]]): Spark timestamps are fixed
+            # micros; a tz argument would violate the session-zone
+            # discipline
+            parts = [p for p in _split_args(inner) if p.strip()]
+            if len(parts) > 1:
+                raise UnsupportedChSql(
+                    "now64 timezone argument not supported — the "
+                    "session timezone governs rendering")
+            out.append("current_timestamp()")
+            i = close + 1
+            continue
+        if name == "extractAll":
+            # array of matches; like extract(), the first capture
+            # group when the pattern has one, else the whole match
+            parts = _split_args(inner)
+            if len(parts) != 2 or not parts[1].strip().startswith("'"):
+                raise UnsupportedChSql(
+                    "extractAll(haystack, 'regexp') needs a literal "
+                    "pattern")
+            pat = parts[1].strip()
+            group = 1 if _regex_has_capture_group(pat[1:-1]) else 0
+            out.append(f"regexp_extract_all({parts[0]}, {pat}, {group})")
+            i = close + 1
+            continue
+        if name in ("multiSearchAny", "multiSearchAnyCaseInsensitive"):
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    f"{name}(haystack, [needles]) expects 2 args")
+            hay, arr = parts
+            if "CaseInsensitive" in name:
+                out.append(f"exists({arr}, __x -> "
+                           f"contains(lower({hay}), lower(__x)))")
+            else:
+                out.append(f"exists({arr}, __x -> contains({hay}, __x))")
+            i = close + 1
+            continue
+        if name == "splitByRegexp":
+            # CH argument order is (regexp, haystack); Spark split()
+            # already treats the separator as a regex
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("splitByRegexp(re, s) expects 2 args")
+            out.append(f"split({parts[1]}, {parts[0]})")
+            i = close + 1
+            continue
+        if name in ("like", "notLike", "ilike", "notILike"):
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(haystack, pattern)")
+            op = "ILIKE" if name in ("ilike", "notILike") else "LIKE"
+            neg = "NOT " if name.startswith("not") else ""
+            out.append(f"(({parts[0]}) {neg}{op} ({parts[1]}))")
+            i = close + 1
+            continue
+        if name == "replaceRegexpOne":
+            raise UnsupportedChSql(
+                "replaceRegexpOne (first-match-only) has no Spark "
+                "expression — regexp_replace replaces every match; "
+                "use replaceRegexpAll or anchor the pattern")
         if name in ("sumDistinct", "countDistinct", "avgDistinct"):
             base = {"sumDistinct": "sum", "countDistinct": "count",
                     "avgDistinct": "avg"}[name]
