@@ -237,7 +237,7 @@ def test_array_join_clause_and_guards(spark):
     # on the USING key — one arbitrary right row per key, like CH
     t = translate_ch_sql("SELECT 1 FROM a GLOBAL ANY LEFT JOIN b USING (k)")
     assert t.startswith("SELECT 1 FROM a LEFT JOIN (SELECT * EXCEPT")
-    assert "__any_rn = 1" in t and t.endswith("b USING (k)")
+    assert "__any_rn = 1" in t and t.endswith("`b` USING (k)")
     # ADVICE r6: an identifier literally named 'global' in operand
     # position must NOT be deleted
     for kept in (

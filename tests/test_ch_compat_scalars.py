@@ -1381,3 +1381,53 @@ def test_search_regex_and_epoch64_round9f(spark):
         translate_ch_sql("SELECT replaceRegexpOne(s, 'a', 'b') FROM t")
     with pytest.raises(UnsupportedChSql, match="session timezone"):
         translate_ch_sql("SELECT now64(3, 'UTC')")
+
+
+def test_review_r9f_fixes_are_pinned(spark):
+    """Round-9f review findings: OUTER and postfix modifier orders for
+    ANY/ALL joins, RIGHT/FULL ANY raising (not splicing), qualified
+    right-table aliases, toDate32's days-since-epoch numerics, and
+    clean tz-argument raises for the epoch64 family."""
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    ).createOrReplaceTempView("ajf_l")
+    spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20)], "k string, w int"
+    ).createOrReplaceTempView("ajf_r")
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, count(w) AS c FROM ajf_l ANY LEFT OUTER JOIN ajf_r"
+        " USING (k) GROUP BY k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.c) for r in rows] == [("a", 1), ("b", 1), ("c", 0)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, count(w) AS c FROM ajf_l LEFT ANY JOIN ajf_r"
+        " USING (k) GROUP BY k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.c) for r in rows] == [("a", 1), ("b", 1), ("c", 0)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, count(*) AS c FROM ajf_l LEFT ALL JOIN ajf_r"
+        " USING (k) GROUP BY k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.c) for r in rows] == [("a", 2), ("b", 1), ("c", 1)]
+    for bad in ("ANY RIGHT JOIN", "RIGHT OUTER ANY JOIN",
+                "FULL ANY JOIN"):
+        with pytest.raises(UnsupportedChSql):
+            translate_ch_sql(f"SELECT 1 FROM a {bad} b USING (k)")
+    # qualified right table: last path segment becomes the alias
+    t = translate_ch_sql("SELECT k FROM a ANY LEFT JOIN db.tbl USING (k)")
+    assert ") `tbl` USING (k)" in t
+    r = _one(
+        spark,
+        "SELECT CAST(toDate32(70000) AS STRING) AS d,"
+        " CAST(toDate32(-10957) AS STRING) AS d2,"
+        " CAST(toDate32('2024-03-05') AS STRING) AS d3",
+    )
+    # days since epoch, signed (pre-1970 is toDate32's whole point)
+    assert (r.d, r.d2, r.d3) == ("2161-08-27", "1940-01-02", "2024-03-05")
+    for bad in ("fromUnixTimestamp64Milli(60123, 'UTC')",
+                "toUnixTimestamp64Micro(now64(), 'UTC')"):
+        with pytest.raises(UnsupportedChSql, match="session timezone"):
+            translate_ch_sql(f"SELECT {bad}")

@@ -746,6 +746,15 @@ _SCALAR_SHIMS.update({
         "timestamp_seconds((CAST(unix_timestamp(ts) AS BIGINT) "
         "DIV 1800) * 1800)"
     ),
+    # toDate32's numeric spelling is DAYS since epoch (signed, full
+    # range — pre-1970 is its point), unlike toDate's seconds/compact
+    # heuristics (review r9f)
+    "toDate32": (
+        "(x STRING) RETURNS DATE RETURN "
+        "CASE WHEN x RLIKE '^-?[0-9]+$' "
+        "THEN date_add(DATE'1970-01-01', CAST(x AS INT)) "
+        "ELSE CAST(x AS DATE) END"
+    ),
     "bitTest": (
         "(x BIGINT, n INT) RETURNS TINYINT RETURN "
         "CAST(shiftright(x, n) & 1 AS TINYINT)"
@@ -989,7 +998,9 @@ _RENAMES = {
     # (hasAny/hasAll are structural: CH treats NULL elements as
     # normal values, which needs <=> — arrays_overlap returns NULL
     # on null-bearing inputs; see _rewrite_calls)
-    "toDate32": "toDate",         # same range-free mapping on Spark
+    # (toDate32 is a dedicated shim: CH reads ITS numeric argument as
+    # DAYS since epoch across the full signed range — inheriting
+    # toDate's seconds-above-65535 heuristic would be a silent diff)
     # Spark skewness is the population form (m3/m2^1.5) — exactly
     # CH's skewPop.  kurtPop is NOT a rename: Spark kurtosis is
     # EXCESS kurtosis (m4/m2^2 - 3) where CH is Pearson (m4/m2^2) —
@@ -1388,26 +1399,31 @@ def _rewrite_any_join(sql: str) -> str:
     """CH join multiplicity keywords.
 
     ``ALL INNER/LEFT/… JOIN`` is CH's explicit default (every matching
-    row) — the keyword strips.  ``ANY [LEFT|INNER] JOIN t [alias]
-    USING (cols)`` keeps at most ONE right row per join key (CH picks
-    an arbitrary one): the right side rewrites to a key-deduplicated
-    subquery (row_number over the USING keys — the pick is arbitrary
-    in CH too, so any deterministic pick is within contract).  ANY
-    forms this cannot express (ON conditions — the dedup key set is
-    not syntactically recoverable from an arbitrary predicate —
-    RIGHT/FULL direction, subquery right sides) raise naming the
-    USING workaround.  Quantified-comparison ``ANY (SELECT …)`` is
-    never followed by JOIN and stays untouched."""
+    row) — the keyword strips (both orders: ``ALL LEFT [OUTER] JOIN``
+    and ``LEFT ALL JOIN``).  ``ANY [LEFT|INNER] [OUTER] JOIN t
+    [alias] USING (cols)`` — and CH's other modifier order ``LEFT
+    ANY JOIN`` — keeps at most ONE right row per join key: the right
+    side rewrites to a key-deduplicated subquery (row_number over the
+    USING keys).  The pick is ARBITRARY, exactly CH's contract — CH
+    documents ANY's row choice as nondeterministic, and so is this
+    one across shuffles.  ANY forms this cannot express (ON
+    conditions — the dedup key set is not syntactically recoverable
+    from an arbitrary predicate — RIGHT/FULL direction, subquery
+    right sides) raise naming the USING workaround.
+    Quantified-comparison ``ANY (SELECT …)`` is never followed by
+    JOIN and stays untouched."""
     import re
 
-    # ALL noise word: only immediately before a join spelling (UNION
-    # ALL / `> ALL (` don't match)
+    # ALL noise word: only immediately before a join spelling —
+    # covers `ALL LEFT [OUTER] JOIN` and the postfix `LEFT ALL JOIN`
+    # order; UNION ALL / `> ALL (` don't match
     sql = _sub_masked(
-        re.compile(r"(?i)\bALL\s+(?=(?:INNER\s+|LEFT\s+|RIGHT\s+|"
-                   r"FULL\s+)?JOIN\b)"),
+        re.compile(r"(?i)\bALL\s+(?=(?:(?:INNER|LEFT|RIGHT|FULL)\s+)?"
+                   r"(?:OUTER\s+)?JOIN\b)"),
         "", sql)
     any_rx = re.compile(
-        r"(?i)\bANY\s+(LEFT|INNER)?\s*JOIN\s+"
+        r"(?i)\b(?:ANY\s+(?:(LEFT|INNER)\s+(?:OUTER\s+)?)?"
+        r"|(LEFT|INNER)\s+(?:OUTER\s+)?ANY\s+)JOIN\s+"
         r"([A-Za-z_][\w.]*)"                      # simple table ref
         r"(?:\s+AS)?(?:\s+(?!USING\b)([A-Za-z_]\w*))?"  # optional alias
         r"\s+USING\s*\(([^()]*)\)")
@@ -1416,24 +1432,40 @@ def _rewrite_any_join(sql: str) -> str:
         m = any_rx.search(sh)
         if m is None:
             break
-        jtype = (m.group(1) or "INNER").upper()
-        table, alias = m.group(2), m.group(3) or ""
-        cols = [c.strip().strip("`") for c in m.group(4).split(",")
+        # a bare `ANY JOIN` match preceded by RIGHT/FULL [OUTER] is
+        # really a `RIGHT ANY JOIN` — unsupported direction, and
+        # rewriting just the tail would splice INNER after RIGHT
+        pre = re.search(r"(?i)\b(RIGHT|FULL)\s+(?:OUTER\s+)?$",
+                        sh[: m.start()])
+        if pre is not None and m.group(1) is None and m.group(2) is None:
+            raise UnsupportedChSql(
+                f"{pre.group(1).upper()} ANY JOIN not supported — "
+                "pre-deduplicate the many side yourself (row_number "
+                "OVER the key = 1)")
+        jtype = (m.group(1) or m.group(2) or "INNER").upper()
+        table, alias = m.group(3), m.group(4) or ""
+        if not alias:
+            # a qualified db.tbl name cannot serve as its own alias
+            alias = f"`{table.split('.')[-1]}`"
+        cols = [c.strip().strip("`") for c in m.group(5).split(",")
                 if c.strip()]
         if not cols:
             raise UnsupportedChSql("ANY JOIN USING () needs columns")
         keys = ", ".join(f"`{c}`" for c in cols)
+        # the ORDER BY is syntactically required; the resulting pick
+        # is arbitrary across shuffles — CH's ANY contract exactly
         dedup = (f"(SELECT * EXCEPT(__any_rn) FROM (SELECT *, "
                  f"row_number() OVER (PARTITION BY {keys} "
                  f"ORDER BY `{cols[0]}`) AS __any_rn FROM {table}) "
                  f"WHERE __any_rn = 1)")
-        repl = (f"{jtype} JOIN {dedup}"
-                + (f" {alias}" if alias else f" {table}")
-                + f" USING ({m.group(4)})")
+        repl = (f"{jtype} JOIN {dedup} {alias}"
+                f" USING ({m.group(5)})")
         sql = sql[: m.start()] + repl + sql[m.end():]
     sh = _mask_literals(sql)
     left = re.search(
-        r"(?i)\bANY\s+(?:LEFT\s+|RIGHT\s+|INNER\s+|FULL\s+)?JOIN\b", sh)
+        r"(?i)\b(?:ANY\s+(?:(?:LEFT|RIGHT|INNER|FULL)\s+)?(?:OUTER\s+)?"
+        r"JOIN|(?:LEFT|RIGHT|INNER|FULL)\s+(?:OUTER\s+)?ANY\s+JOIN)\b",
+        sh)
     if left is not None:
         raise UnsupportedChSql(
             "ANY JOIN is supported for the `ANY [LEFT|INNER] JOIN "
@@ -3684,6 +3716,19 @@ def _rewrite_calls(sql: str) -> str:
         if name == "kurtPop":
             # Spark kurtosis is EXCESS kurtosis; CH kurtPop is Pearson
             out.append(f"(kurtosis({inner}) + 3)")
+            i = close + 1
+            continue
+        if name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro",
+                    "toUnixTimestamp64Nano", "fromUnixTimestamp64Milli",
+                    "fromUnixTimestamp64Micro"):
+            # clean raise for the optional tz argument (same session-
+            # timezone discipline as now64; the bare shim would die
+            # with an opaque arity error — review r9f)
+            if len(_split_args(inner)) > 1:
+                raise UnsupportedChSql(
+                    f"{name} timezone argument not supported — the "
+                    "session timezone governs rendering")
+            out.append(f"{name}({inner})")
             i = close + 1
             continue
         if name == "now64":
