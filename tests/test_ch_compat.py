@@ -236,8 +236,8 @@ def test_array_join_clause_and_guards(spark):
     # GLOBAL strips, then ANY JOIN (round 9f) dedups the right side
     # on the USING key — one arbitrary right row per key, like CH
     t = translate_ch_sql("SELECT 1 FROM a GLOBAL ANY LEFT JOIN b USING (k)")
-    assert t.startswith("SELECT 1 FROM a LEFT JOIN (SELECT * EXCEPT")
-    assert "__any_rn = 1" in t and t.endswith("`b` USING (k)")
+    assert t.startswith("SELECT 1 FROM a LEFT JOIN (SELECT __any_s.* FROM")
+    assert "any_value(struct(*))" in t and t.endswith("`b` USING (k)")
     # ADVICE r6: an identifier literally named 'global' in operand
     # position must NOT be deleted
     for kept in (

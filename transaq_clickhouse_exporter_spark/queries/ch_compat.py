@@ -166,10 +166,11 @@ Round-9 everyday additions (hash/random/array/date/URL families):
   use ``toISOWeek``); ``countSubstrings`` counts non-overlapping
   occurrences byte-exactly.
 - ``ANY [LEFT|INNER] JOIN … USING (cols)`` dedups the right side on
-  the USING keys (one arbitrary row per key in CH; one deterministic
-  row here — within contract); ``ALL`` before a JOIN strips (CH's
-  explicit default multiplicity); ON-form / RIGHT / FULL ANY joins
-  raise naming the workaround.
+  the USING keys via ``any_value(struct(*)) GROUP BY`` (map-side
+  partials — the dedup exchange carries ~one row per task and key;
+  the pick is arbitrary, exactly CH's documented ANY contract);
+  ``ALL`` before a JOIN strips (CH's explicit default multiplicity);
+  ON-form / RIGHT / FULL ANY joins raise naming the workaround.
 - ``kurtPop`` = Spark ``kurtosis + 3`` (Pearson vs excess);
   ``avgWeighted`` excludes NULL-value rows' weights and returns NaN
   on zero total weight, both like CH.
@@ -1403,10 +1404,12 @@ def _rewrite_any_join(sql: str) -> str:
     and ``LEFT ALL JOIN``).  ``ANY [LEFT|INNER] [OUTER] JOIN t
     [alias] USING (cols)`` — and CH's other modifier order ``LEFT
     ANY JOIN`` — keeps at most ONE right row per join key: the right
-    side rewrites to a key-deduplicated subquery (row_number over the
-    USING keys).  The pick is ARBITRARY, exactly CH's contract — CH
-    documents ANY's row choice as nondeterministic, and so is this
-    one across shuffles.  ANY forms this cannot express (ON
+    side rewrites to a key-deduplicated subquery
+    (``any_value(struct(*)) GROUP BY keys`` — a hash aggregate with
+    map-side partials; a row_number window would shuffle every
+    duplicate then sort).  The pick is ARBITRARY, exactly CH's
+    contract — CH documents ANY's row choice as nondeterministic,
+    and so is this one across shuffles.  ANY forms this cannot express (ON
     conditions — the dedup key set is not syntactically recoverable
     from an arbitrary predicate — RIGHT/FULL direction, subquery
     right sides) raise naming the USING workaround.
@@ -1452,12 +1455,14 @@ def _rewrite_any_join(sql: str) -> str:
         if not cols:
             raise UnsupportedChSql("ANY JOIN USING () needs columns")
         keys = ", ".join(f"`{c}`" for c in cols)
-        # the ORDER BY is syntactically required; the resulting pick
-        # is arbitrary across shuffles — CH's ANY contract exactly
-        dedup = (f"(SELECT * EXCEPT(__any_rn) FROM (SELECT *, "
-                 f"row_number() OVER (PARTITION BY {keys} "
-                 f"ORDER BY `{cols[0]}`) AS __any_rn FROM {table}) "
-                 f"WHERE __any_rn = 1)")
+        # any_value(struct(*)) GROUP BY keys, not a row_number window:
+        # the aggregate gets MAP-SIDE PARTIALS, so the dedup exchange
+        # carries one row per (partition, key) instead of every
+        # duplicate — 1/dup_factor of the shuffle a window needs, and
+        # no sort (measured: tools/scale_rehearsal_anyjoin.py).  The
+        # pick is arbitrary, exactly CH's documented ANY contract.
+        dedup = (f"(SELECT __any_s.* FROM (SELECT any_value(struct(*)) "
+                 f"AS __any_s FROM {table} GROUP BY {keys}))")
         repl = (f"{jtype} JOIN {dedup} {alias}"
                 f" USING ({m.group(5)})")
         sql = sql[: m.start()] + repl + sql[m.end():]
