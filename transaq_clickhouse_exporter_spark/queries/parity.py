@@ -4314,16 +4314,8 @@ _TAIL_NAMES = (
     # round-7 displacements: ALL green in CORRECTNESS_r06; each class
     # keeps an in-window representative (named) or has its evidence
     # externally banked by the r06 row.
-    "db10_imoex_volume_by_interval_buy",  # broadcast join+tumbling stays via
-                                      # db01/db07; anti-join via db03/db17
-    "in02_parse_ref_timestamps",      # dd.MM.yyyy parse also runs inside
-                                      # in01/in05; r06 row banked
-    "an05_rolling_channel",           # rolling min/max window: r06 row banked;
-                                      # window class stays via an07/an08/an11
     "an06_ema",                       # bit-exact recurrence: r06 row banked;
                                       # an09 (TWAP integral) keeps ordered-scan
-    "ev04_topk_per_group",            # exact topK: r06 row banked; sketch topK
-                                      # enters via ev13 (Space-Saving)
     "ev05_pivot",                     # pivot ≡ conditional-agg family (db07
                                       # signed volume, ev06 stays in-window)
     "ev07_cohort_retention",          # retention class enters via ev12
@@ -4339,8 +4331,6 @@ _TAIL_NAMES = (
                                       # scan stays via dp02/dp14
     "dp19_repetition_profile",        # posexplode+lead: r06 row banked; dp28
                                       # (bigram LM) keeps the class in-window
-    "dp21_decontaminate",             # broadcast shingle probe: r06 row banked;
-                                      # shingle family stays via dp05/dp17/dp23
     "dp22_passage_dedup",             # cross-doc passage dedup: r06 row banked;
                                       # passage class keeps dp23 (within-doc)
     "dp24_model_scores",              # Arrow scoring seam: r06 row banked +
@@ -4348,8 +4338,6 @@ _TAIL_NAMES = (
     "ann02_lsh_topk",                 # bucketed-ANN class evidence moves to
                                       # dp32 (LSH retrieval, in-window)
     "ann05_pq_adc",                   # compressed-ANN class keeps ann04 (SQ)
-    "mm02_frame_sample",              # 1-row value check: r06 row banked;
-                                      # multimodal plumbing pytest-gated
     # ROUND-8 ROTATION (executes VERDICT r7 item 2): the five round-7
     # additions (ev14/ev15/ev16/op08/db19) move INTO the window —
     # after this, every oracle-able catalog entry has held an external
@@ -4392,17 +4380,40 @@ _TAIL_NAMES = (
                                       # dp32 (LSH-bucketed search)
     "ann04_sq_topk",                  # compressed-ANN class: int8 SQ r08 row
                                       # banked; ann03 (IVF) stays in-window
-    # round-9 additions start in the tail; they earn rows next round.
-    "op09_asof_left_bridge",          # ASOF LEFT JOIN bridge (null right side
-                                      # on no-match) vs DuckDB ASOF LEFT
-    "ev19_with_totals_sql",           # WITH TOTALS → GROUPING SETS bridge vs
-                                      # DuckDB native GROUPING SETS
-    "ev20_text_hash_profile_sql",     # round-9c surface (byte length, MD5
-                                      # digest bytes, arraySum lambda,
-                                      # arrayFirstIndex) vs DuckDB list/strlen
-    "ev21_combinator_profile_sql",    # round-9e combinators (avgWeighted,
-                                      # uniqExactIf, 2-arg countIf,
-                                      # groupBitOr, sumDistinct) vs ANSI twins
+    # ROUND-10 ROTATION (executes VERDICT r9 items 1+3): the four
+    # round-9 additions (op09/ev19/ev20/ev21) move INTO the window —
+    # restoring the invariant that every catalog entry has held an
+    # external driver row — plus six r07-stale classes re-earn per the
+    # ~3-round staleness cadence (NOTES.md standing policy): db10,
+    # in02, an05, ev04, dp21, mm02.  The ten displacements below ALL
+    # hold green rows in CORRECTNESS_r09 and each leaves an in-window
+    # class representative, named per entry.
+    "db01_volume_by_interval_buy",    # tumbling+broadcast-join+IN-literals:
+                                      # db07/db19 stay; db10 re-enters the
+                                      # identical shape plus anti-join
+    "in01_securities_filter_project", # projection/cast/validity runs inside
+                                      # every ingest entry; in02 re-enters the
+                                      # parse path; in04/in05 stay in-window
+    "an02_cumulative_volume",         # cumulative window: r09 row banked;
+                                      # window class keeps an08/an11 + an05
+                                      # (rolling channel) re-entering
+    "an07_trailing_time_stats",       # trailing range-between window: r09 row
+                                      # banked; an05 re-enters rolling windows
+    "ev01_tumbling_agg",              # tumbling agg: r09 row banked; tumbling
+                                      # stays via db07/db19 + db10 re-entering
+    "ev16_topk_weighted_sql",         # weighted topK pre-agg: r09 row banked;
+                                      # ev17 stays; ev04 re-enters exact topK
+    "op08_asof_sql_bridge",           # ASOF INNER bridge: r09 row banked;
+                                      # op09 (LEFT, strictly harder) enters;
+                                      # op05 range join stays
+    "dp02_text_profile",              # text profile: r09 row banked; ev20
+                                      # enters the text-hash class; dp14 stays
+    "dp03_ngram_jaccard",             # shingle Jaccard: r09 row banked;
+                                      # dp05/dp17/dp23 stay + dp21 re-enters
+                                      # the broadcast shingle probe
+    "mm01_feature_extract",           # multimodal features: r09 row banked
+                                      # (sha256 oracle); mm02 re-enters the
+                                      # frame-sample class
 )
 
 
