@@ -1431,3 +1431,43 @@ def test_review_r9f_fixes_are_pinned(spark):
                 "toUnixTimestamp64Micro(now64(), 'UTC')"):
         with pytest.raises(UnsupportedChSql, match="session timezone"):
             translate_ch_sql(f"SELECT {bad}")
+
+
+def test_advice_r10_fixes_are_pinned(spark):
+    """Round-10 ADVICE findings: arrayZip rebuilds colN-named structs
+    (tupleElement positional access resolves; unequal sizes raise like
+    CH), range() raises on non-positive literal steps instead of a
+    silent [], and multi-splice array templates bind their argument
+    ONCE so nondeterministic expressions can't mispair."""
+    # arrayZip + tupleElement composition (was FIELD_NOT_FOUND)
+    r = _one(spark, "SELECT tupleElement(arrayZip([1, 2], ['a', 'b'])[1],"
+                    " 2) AS v")
+    assert r.v == "a"
+    r = _one(spark, "SELECT arrayZip([1, 2], [3, 4], [5, 6]) AS z")
+    assert [tuple(s) for s in r.z] == [(1, 3, 5), (2, 4, 6)]
+    assert r.z[0].__fields__ == ["col1", "col2", "col3"]
+    r = _one(spark, "SELECT arrayZip([7, 8]) AS z")
+    assert [tuple(s) for s in r.z] == [(7,), (8,)]
+    # unequal sizes raise (CH contract; arrays_zip would NULL-pad)
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(spark, "SELECT arrayZip([1, 2], ['a']) AS z").collect()
+    # range(): positive literal step bridges, non-positive raises
+    assert _one(spark, "SELECT range(1, 10, 3) AS r").r == [1, 4, 7]
+    for bad in ("range(5, 0, -1)", "range(0, 5, 0)"):
+        with pytest.raises(UnsupportedChSql, match="step"):
+            translate_ch_sql(f"SELECT {bad}")
+    # bind-once: a nondeterministic array argument evaluates once, so
+    # arrayCompact over a shuffled 5-distinct-element array keeps all
+    # 5 (double-splice would compare against a DIFFERENT shuffle and
+    # drop/keep elements at random)
+    for _ in range(5):
+        r = _one(spark, "SELECT arrayCompact(arraySort(x -> rand(),"
+                        " range(0, 5))) AS c")
+        assert sorted(r.c) == [0, 1, 2, 3, 4]
+    # multi-splice template values unchanged after the bind-once wrap
+    assert _one(spark, "SELECT arrayAvg([1, 2, 3, 4]) AS a").a == 2.5
+    assert _one(spark, "SELECT arrayCumSum([1, 2, 3]) AS a").a == [1.0, 3.0, 6.0]
+    assert _one(spark, "SELECT arrayPopBack([1, 2, 3]) AS a").a == [1, 2]
+    # nested wrappers (unique bind names, no lambda shadowing)
+    assert _one(spark, "SELECT arrayCompact(arraySort(x -> -x,"
+                       " [3, 1, 3, 2])) AS c").c == [3, 2, 1]

@@ -206,6 +206,17 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT arrayReduce('sum', [1, 2, 3]) AS s", (6.0,)),
     ("SELECT arraySort(x -> -x, [1, 3, 2]) AS s", ([3, 2, 1],)),
     ("SELECT arrayReverseSort([1, 3, 2]) AS s", ([3, 2, 1],)),
+    # arrayZip composes with tupleElement's positional access
+    # (ADVICE r9: arrays_zip field names broke .colN) — subscripts
+    # are 1-based like CH
+    ("SELECT tupleElement(arrayZip([1, 2], ['a', 'b'])[1], 2) AS v",
+     ("a",)),
+    ("SELECT tupleElement(arrayZip([1, 2], [3, 4], [5, 6])[2], 3) AS v",
+     (6,)),
+    # range() with an explicit positive step; negative literal step
+    # must clean-raise (CH counts down — silent [] was ADVICE r9)
+    ("SELECT range(1, 10, 3) AS r", ([1, 4, 7],)),
+    ("SELECT range(5, 0, -1) AS r", None),
     ("SELECT arrayMin(x -> -x, [1, 3, 2]) AS s", (-3,)),
     # CH dictionary transform (the 2-arg lambda spelling stays Spark's)
     ("SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS t", ("b",)),

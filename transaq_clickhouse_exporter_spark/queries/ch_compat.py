@@ -81,8 +81,9 @@ Documented deviations from ClickHouse (each also noted at its shim):
 - ``medianExact``/``quantileExact`` map to Spark ``median``/
   ``percentile``, which interpolate on even counts where CH is
   nearest-rank.
-- ``arrayZip`` pads to the longest input where CH errors on unequal
-  lengths.
+- ``range()`` bridges positive steps only: a non-positive LITERAL
+  step raises (CH counts down for step<0, throws for step=0); a
+  non-literal step expression passes through on the caller's word.
 - ``round`` keeps Spark's HALF_UP at the .5 midpoint where CH uses
   banker's rounding (HALF_EVEN) for floats; spell ``bround`` for
   CH-exact midpoints.
@@ -133,8 +134,9 @@ Round-9 everyday additions (hash/random/array/date/URL families):
   returns the element type's default) — same rule as subscripts.
 - ``arraySort/arrayReverseSort(lambda, arr)`` break key ties by
   element value (CH keeps input order).
-- ``arrayZip`` → ``arrays_zip``: struct fields are named '0','1',…
-  (CH: unnamed tuples); ``tupleElement(t, N)`` access lines up.
+- ``arrayZip`` rebuilds colN-named structs (like ``tuple()``), so
+  ``tupleElement(t, N)`` positional access resolves; unequal array
+  sizes raise like CH.  Unnamed-tuple display differs.
 - ``parseDateTimeBestEffort`` recognizes the common interchange
   formats (ISO, dd/MM day-first like CH, dd.MM.yyyy, compact, 9-10
   digit epochs) and returns NULL on an unparseable string (CH
@@ -184,6 +186,7 @@ Template variables: ``substitute(sql, params)`` fills Grafana-style
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from collections.abc import Mapping
@@ -960,10 +963,10 @@ _RENAMES = {
     "roundBankers": "bround",           # banker's rounding exactly
     "generateUUIDv4": "uuid",
     "base64Encode": "base64",
-    # DEVIATION: arrays_zip yields structs with positional field
-    # names '0','1',… where CH yields unnamed tuples — positional
-    # access via tupleElement(t, N) still lines up
-    "arrayZip": "arrays_zip",
+    # (arrayZip is structural: arrays_zip's struct field names vary
+    # with the argument shape ('0','1' for expressions, source column
+    # names for plain columns), which breaks tupleElement's positional
+    # .colN access — _rewrite_calls rebuilds colN-named structs)
     # round-9d batch (probe pass 3)
     "mapKeys": "map_keys",
     "mapValues": "map_values",
@@ -3088,6 +3091,29 @@ _DIGESTS = {"md5": "unhex(md5({x}))", "sha1": "unhex(sha1({x}))",
 #: array coerces to (integers stay exact through 2^53).  CH's
 #: arrayAvg/arrayProduct return Float64 natively, so those two are
 #: value-exact.
+#: Monotone suffix for generated lambda-variable names, so nested
+#: bind-once wrappers never shadow each other.  Names carry no
+#: semantics; the counter only guarantees uniqueness within a process.
+_BIND_SEQ = itertools.count(1)
+
+
+def _bind_once(arr: str, body: "callable") -> str:
+    """Splice a (possibly nondeterministic) array argument exactly ONCE.
+
+    Templates that reference their array several times (size + sum,
+    filter + element_at, zip_with over transform) would re-evaluate a
+    nondeterministic argument — e.g. one containing rand() — at every
+    splice, mispairing keys with values (ADVICE r9).  Binding the
+    expression as a lambda variable through a single-element transform
+    makes every reference read the SAME evaluated value; the extra
+    transform-over-array(1) node is negligible and whole-stage
+    codegen'd.  ``body`` maps the bound variable name to the template
+    text.
+    """
+    var = f"__ab{next(_BIND_SEQ)}"
+    return f"(transform(array({arr}), {var} -> {body(var)}))[0]"
+
+
 _ARR_SUM = ("aggregate({a}, CAST(0 AS DOUBLE), "
             "(__acc, __x) -> __acc + CAST(__x AS DOUBLE))")
 _ARR_SINGLE = {
@@ -3515,6 +3541,41 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"named_struct({items})")
             i = close + 1
             continue
+        if name == "arrayZip":
+            # structural (NOT arrays_zip, whose struct field names vary
+            # with argument shape): rebuild colN-named structs so
+            # tupleElement(t, N) positional access resolves, exactly
+            # like tuple() above.  All arrays bind ONCE through a
+            # named_struct envelope (nondeterministic args evaluate
+            # once); unequal sizes raise like CH (arrays_zip would
+            # silently pad with NULLs).
+            parts = _split_args(inner)
+            if not parts or not parts[0].strip():
+                raise UnsupportedChSql("arrayZip needs at least one array")
+            if len(parts) == 1:
+                out.append(
+                    f"transform({parts[0]}, "
+                    f"__x -> named_struct('col1', __x))")
+                i = close + 1
+                continue
+            var = f"__zb{next(_BIND_SEQ)}"
+            binds = ", ".join(
+                f"'a{ix}', {p}" for ix, p in enumerate(parts, 1))
+            fields = ", ".join(
+                ["'col1', __x"]
+                + [f"'col{ix}', {var}.a{ix}[__i]"
+                   for ix in range(2, len(parts) + 1)])
+            guard = " OR ".join(
+                f"size({var}.a{ix}) <> size({var}.a1)"
+                for ix in range(2, len(parts) + 1))
+            out.append(
+                f"(transform(array(named_struct({binds})), {var} -> "
+                f"CASE WHEN {guard} THEN raise_error("
+                f"'arrayZip: arrays must have equal sizes') "
+                f"ELSE transform({var}.a1, (__x, __i) -> "
+                f"named_struct({fields})) END))[0]")
+            i = close + 1
+            continue
         if name == "length":
             # CH length(String) counts BYTES (lengthUTF8 is the
             # code-point form) — Spark length() counts characters, a
@@ -3542,6 +3603,18 @@ def _rewrite_calls(sql: str) -> str:
                 s_, e_, st_ = parts[0], parts[1], "1"
             elif len(parts) == 3:
                 s_, e_, st_ = parts
+                # positive-step-only contract: CH range(5, 0, -1)
+                # counts DOWN and step=0 throws — the empty-range
+                # guard below would silently return [] for both.
+                # Literal non-positive steps raise here; non-literal
+                # step expressions are passed through on the caller's
+                # word that they are positive (ADVICE r9).
+                st_lit = st_.strip()
+                if re.fullmatch(r"-?\d+", st_lit) and int(st_lit) <= 0:
+                    raise UnsupportedChSql(
+                        "range() with a non-positive literal step — "
+                        "CH counts down for step<0 and throws for "
+                        "step=0; only positive steps are bridged")
             else:
                 raise UnsupportedChSql("range() expects 1-3 arguments")
             out.append(
@@ -3913,7 +3986,14 @@ def _rewrite_calls(sql: str) -> str:
                 raise UnsupportedChSql(
                     f"{name} expects one array"
                     + (" (or a lambda + one array)" if takes_lambda else ""))
-            out.append(f"({_ARR_SINGLE[name].format(a=arr)})")
+            tpl = _ARR_SINGLE[name]
+            if tpl.count("{a}") > 1:
+                # multi-splice template: bind the array once so a
+                # nondeterministic argument isn't re-evaluated per
+                # reference (ADVICE r9)
+                out.append(_bind_once(arr, lambda v: f"({tpl.format(a=v)})"))
+            else:
+                out.append(f"({tpl.format(a=arr)})")
             i = close + 1
             continue
         if name in _ARR_LAMBDA:
@@ -3928,7 +4008,13 @@ def _rewrite_calls(sql: str) -> str:
             desc = name == "arrayReverseSort"
             if len(parts) == 2 and _is_lambda_arg(parts[0]):
                 tpl = _ARR_SORT_LAMBDA_DESC if desc else _ARR_SORT_LAMBDA
-                out.append(tpl.format(a=parts[1], L=parts[0]))
+                # the decorate-sort-undecorate template splices the
+                # array twice (key transform + value side of zip_with):
+                # bind it once so nondeterministic arguments can't
+                # mispair keys with values (ADVICE r9)
+                lam = parts[0]
+                out.append(
+                    _bind_once(parts[1], lambda v: tpl.format(a=v, L=lam)))
             elif len(parts) == 1 and desc:
                 out.append(_ARR_SORT_DESC.format(a=parts[0]))
             else:
