@@ -486,3 +486,86 @@ def test_array_join_zip_alias_rewrite_scoped_to_block(spark):
         "SELECT k, v FROM ajz_scope ARRAY JOIN ks AS k, vs AS v",
     ).collect()
     assert sorted((r.k, r.v) for r in rows) == [("a", 10), ("b", 20), ("x", 0)]
+
+
+def test_with_fill_bridged_value_pinned_vs_duckdb(spark):
+    """VERDICT r9 item 4: ``ORDER BY col WITH FILL [FROM/TO/STEP]`` is
+    bridged through run_ch_sql (spine + anti-join + union, CH default
+    values in generated rows) instead of raising.  Values pinned
+    against DuckDB spelling the fill as generate_series + left join +
+    coalesce."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (3, 30.0, "c"), (7, 70.0, "g")],
+        "n int, v double, s string",
+    ).createOrReplaceTempView("wfill_t")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE wfill_t AS SELECT * FROM (VALUES"
+        " (1, 10.0, 'a'), (3, 30.0, 'c'), (7, 70.0, 'g'))"
+        " t(n, v, s)")
+
+    # plain fill: observed min..max, step 1, CH type defaults (0, '')
+    got = [
+        (r.n, r.v, r.s)
+        for r in run_ch_sql(
+            spark, "SELECT n, v, s FROM wfill_t ORDER BY n WITH FILL"
+        ).collect()
+    ]
+    want = con.execute(
+        "SELECT g.n, coalesce(t.v, 0) AS v, coalesce(t.s, '') AS s"
+        " FROM (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS n)"
+        " g LEFT JOIN wfill_t t USING (n) ORDER BY n"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    # FROM/TO/STEP: grid 0,2,4,6,8 (TO exclusive) + off-grid originals
+    got = [
+        (r.n, r.v)
+        for r in run_ch_sql(
+            spark,
+            "SELECT n, v FROM wfill_t ORDER BY n"
+            " WITH FILL FROM 0 TO 9 STEP 2",
+        ).collect()
+    ]
+    want = con.execute(
+        "SELECT n, coalesce(v, 0) AS v FROM (SELECT CAST("
+        "unnest(generate_series(0, 8, 2)) AS INT) AS n UNION"
+        " SELECT n FROM wfill_t) g LEFT JOIN wfill_t t USING (n)"
+        " ORDER BY n"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    # timestamp axis, numeric step = seconds (CH DateTime rule)
+    spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' AS t, 1 AS v"
+        " UNION ALL SELECT timestamp'2024-01-01 00:03:00', 2"
+    ).createOrReplaceTempView("wfill_ts")
+    got = [
+        (str(r.t), r.v)
+        for r in run_ch_sql(
+            spark,
+            "SELECT t, v FROM wfill_ts ORDER BY t WITH FILL STEP 60",
+        ).collect()
+    ]
+    assert got == [
+        ("2024-01-01 00:00:00", 1), ("2024-01-01 00:01:00", 0),
+        ("2024-01-01 00:02:00", 0), ("2024-01-01 00:03:00", 2),
+    ]
+
+    # unbridged forms raise naming the richer operator
+    for bad in (
+        "SELECT n, v FROM wfill_t ORDER BY n DESC WITH FILL",
+        "SELECT n, v FROM wfill_t ORDER BY n WITH FILL"
+        " INTERPOLATE (v AS v)",
+        "SELECT n, v FROM wfill_t ORDER BY n WITH FILL, v WITH FILL",
+        "SELECT n, v FROM wfill_t ORDER BY n WITH FILL STALENESS 3",
+        "SELECT * FROM (SELECT n FROM wfill_t ORDER BY n WITH FILL)",
+        "SELECT s, v FROM wfill_t ORDER BY s WITH FILL",
+    ):
+        with pytest.raises(UnsupportedChSql):
+            run_ch_sql(spark, bad).collect()
+    # translate-only callers still get the loud raise
+    with pytest.raises(UnsupportedChSql, match="run_ch_sql"):
+        translate_ch_sql("SELECT n FROM wfill_t ORDER BY n WITH FILL")

@@ -139,6 +139,14 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT uniqExact(sec_code) AS u FROM trades", None),
     ("SELECT board, count() AS c FROM trades GROUP BY board WITH TOTALS",
      None),
+    # WITH FILL bridged through run_ch_sql (r10): the Grafana
+    # gap-free time-series shape; INTERPOLATE stays a clean raise
+    ("SELECT toStartOfMinute(time) AS m, sum(quantity) AS q FROM"
+     " trades GROUP BY m ORDER BY m WITH FILL STEP 60", None),
+    ("SELECT number AS n, count() AS c FROM numbers(3) GROUP BY n"
+     " ORDER BY n WITH FILL FROM 0 TO 5", None),
+    ("SELECT time, price FROM trades ORDER BY time WITH FILL"
+     " INTERPOLATE (price AS price)", None),
     ("SELECT quantile(0.5)(price) AS q FROM trades", None),
     ("SELECT quantiles(0.25, 0.75)(price) AS qs FROM trades", None),
     ("SELECT argMax(sec_code, price) AS m FROM trades", None),

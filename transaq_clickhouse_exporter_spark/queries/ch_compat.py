@@ -1595,16 +1595,20 @@ def _with_totals(sql: str) -> str:
     totals row's key columns are NULL (grouping-sets semantics) where
     CH renders the type's default values in its separate totals block;
     ``WITH ROLLUP``/``WITH CUBE`` pass through (native Spark).
-    ``ORDER BY … WITH FILL`` raises: gap materialization is a
-    sequence join, not an expression — use
-    ``queries/analytics.gap_fill`` (the ``an08`` operator)."""
+    ``ORDER BY … WITH FILL`` raises HERE (translate-only callers):
+    gap materialization is a sequence join, not an expression —
+    :func:`run_ch_sql` bridges the single-column form by extracting
+    the clause BEFORE translation and applying
+    :func:`_with_fill_apply` to the result DataFrame; richer forms
+    live in ``functions/fill.fill_gaps`` (the ``an08`` operator)."""
     import re
 
     if re.search(r"(?i)\bWITH\s+FILL\b", _mask_literals(sql)):
         raise UnsupportedChSql(
             "ORDER BY … WITH FILL: gap materialization needs a "
-            "generated time/number spine join — use "
-            "queries/analytics.gap_fill"
+            "generated time/number spine join — run the query through "
+            "run_ch_sql (which bridges the single-column form) or use "
+            "functions/fill.fill_gaps"
         )
     while True:
         sh = _mask_literals(sql)
@@ -4323,6 +4327,153 @@ def _bridge_asof_join(
     return "".join(out), name
 
 
+def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
+    """Split a top-level ``ORDER BY col WITH FILL [FROM a] [TO b]
+    [STEP s]`` off the query (VERDICT r9 item 4).
+
+    The bridged form is the one Grafana time-series panels emit: a
+    single bare ascending sort column.  Everything else raises naming
+    the richer operator (:func:`functions.fill.fill_gaps`, the oracled
+    ``an08`` gap-fill): INTERPOLATE (needs LOCF, a window op),
+    multi-column fill, STALENESS, DESC, expression sort keys, and
+    subquery placement.  Returns (sql with the whole ORDER BY clause
+    removed — ordering is reapplied DataFrame-side — and the spec).
+    """
+    sh = _mask_literals(sql)
+    m = re.search(r"(?i)\bWITH\s+FILL\b", sh)
+    if m is None:
+        return sql, None
+    dx = _depth_map(sh)
+    if dx[m.start()] != 0:
+        raise UnsupportedChSql(
+            "WITH FILL inside a subquery is not bridged — apply it to "
+            "the outermost ORDER BY")
+    if re.search(r"(?i)\bWITH\s+FILL\b", sh[m.end():]):
+        raise UnsupportedChSql(
+            "multi-column WITH FILL is not bridged — fill a single "
+            "sort column, or use functions/fill.fill_gaps with keys")
+    if re.search(r"(?i)\bINTERPOLATE\b", sh):
+        raise UnsupportedChSql(
+            "WITH FILL INTERPOLATE is not bridged — use "
+            "functions/fill.fill_gaps(fill={col: 'ffill'}) (the an08 "
+            "gap-fill operator)")
+    ob = None
+    for mo in re.finditer(r"(?i)\bORDER\s+BY\b", sh[: m.start()]):
+        if dx[mo.start()] == 0:
+            ob = mo
+    if ob is None:
+        raise UnsupportedChSql("WITH FILL without a same-level ORDER BY")
+    key = sql[ob.end(): m.start()].strip()
+    km = re.fullmatch(r"(?is)([A-Za-z_]\w*)(?:\s+ASC)?", key)
+    if km is None:
+        raise UnsupportedChSql(
+            "WITH FILL is bridged for a single bare ascending sort "
+            f"column only (got: ORDER BY {key} WITH FILL) — spell "
+            "expression keys / DESC / multi-key sorts via "
+            "functions/fill.fill_gaps")
+    spec: dict = {"col": km.group(1), "from": None, "to": None,
+                  "step": None}
+    tail, tail_sh = sql[m.end():], sh[m.end():]
+    kwre = re.compile(r"(?i)\s*\b(FROM|TO|STEP|STALENESS)\b")
+    pos = 0
+    while pos < len(tail_sh):
+        mt = kwre.match(tail_sh, pos)
+        if mt is None:
+            if tail_sh[pos:].strip():
+                raise UnsupportedChSql(
+                    "unsupported tokens after WITH FILL: "
+                    + tail[pos:].strip()[:40])
+            break
+        kw = mt.group(1).lower()
+        if kw == "staleness":
+            raise UnsupportedChSql("WITH FILL STALENESS is not bridged")
+        nxt = kwre.search(tail_sh, mt.end())
+        end = nxt.start() if nxt else len(tail_sh)
+        val = tail[mt.end(): end].strip()
+        if not val or spec[kw] is not None:
+            raise UnsupportedChSql(
+                f"WITH FILL {kw.upper()} needs exactly one value")
+        spec[kw] = val
+        pos = end
+    return sql[: ob.start()].rstrip(), spec
+
+
+def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
+    """Materialize the missing grid points of the sort column
+    (``functions/fill.fill_gaps``'s spine step, driven from SQL).
+
+    CH semantics reproduced: originals (even off-grid values) are
+    kept; grid rows are inserted for absent values from FROM (or the
+    observed min) to TO exclusive (or the observed max); filled rows
+    carry the column type's DEFAULT value (0 for numbers, '' for
+    strings, false for booleans) like ClickHouse, not NULL; the
+    result sorts ascending by the fill column.  Scale shape: one
+    single-row min/max aggregate builds the spine (grid size = chart
+    axis, not input rows), one left-anti join on the distinct sort
+    values, one union — no per-row Python.
+    """
+    from pyspark.sql import functions as F
+
+    c = spec["col"]
+    dtypes = dict(df.dtypes)
+    if c not in dtypes:
+        raise UnsupportedChSql(
+            f"WITH FILL column `{c}` is not in the SELECT list")
+    dt = dtypes[c]
+    integral = dt in ("tinyint", "smallint", "int", "bigint")
+    is_date, is_ts = dt == "date", dt.startswith("timestamp")
+    if not (integral or is_date or is_ts):
+        raise UnsupportedChSql(
+            "WITH FILL is bridged for integral, date, and timestamp "
+            f"sort columns only (got {dt}) — use "
+            "functions/fill.fill_gaps for other axes")
+    step = (spec.get("step") or "").strip()
+    if step and re.fullmatch(r"\d+", step) and int(step) > 0:
+        n = int(step)
+        step_sql = (f"INTERVAL {n} DAY" if is_date
+                    else f"INTERVAL {n} SECOND" if is_ts else str(n))
+    elif step and (is_date or is_ts) and re.fullmatch(
+            r"(?is)INTERVAL\s+'?\d+'?\s+\w+", step):
+        step_sql = step
+    elif not step:
+        # CH defaults: 1 for numbers, 1 day for Date, 1 second for
+        # DateTime
+        step_sql = ("INTERVAL 1 DAY" if is_date
+                    else "INTERVAL 1 SECOND" if is_ts else "1")
+    else:
+        raise UnsupportedChSql(
+            "WITH FILL STEP must be a positive integer literal or an "
+            f"INTERVAL literal (got: {step})")
+    frm = _rewrite_calls(spec["from"]) if spec.get("from") else None
+    to = _rewrite_calls(spec["to"]) if spec.get("to") else None
+    start = f"CAST(({frm}) AS {dt})" if frm else "__mn"
+    stop = f"CAST(({to}) AS {dt})" if to else "__mx"
+    bounds = df.agg(F.min(c).alias("__mn"), F.max(c).alias("__mx"))
+    grid = bounds.select(F.explode(F.expr(
+        f"CASE WHEN ({start}) IS NULL OR ({stop}) IS NULL "
+        f"OR ({start}) > ({stop}) THEN CAST(array() AS ARRAY<{dt}>) "
+        f"ELSE sequence({start}, {stop}, {step_sql}) END")).alias(c))
+    if to:
+        # CH's TO bound is exclusive; sequence() is inclusive
+        grid = grid.filter(F.col(c) < F.expr(f"CAST(({to}) AS {dt})"))
+    missing = grid.join(df.select(c).distinct(), [c], "left_anti")
+    filled = [F.col(c)]
+    for name, dtp in df.dtypes:
+        if name == c:
+            continue
+        base = dtp.split("(")[0]
+        if base in ("tinyint", "smallint", "int", "bigint", "float",
+                    "double", "decimal"):
+            filled.append(F.lit(0).cast(dtp).alias(name))
+        elif base == "string":
+            filled.append(F.lit("").alias(name))
+        elif base == "boolean":
+            filled.append(F.lit(False).alias(name))
+        else:
+            filled.append(F.lit(None).cast(dtp).alias(name))
+    return df.unionByName(missing.select(*filled)).orderBy(c)
+
+
 def run_ch_sql(
     spark: SparkSession,
     sql: str,
@@ -4339,6 +4490,7 @@ def run_ch_sql(
         sql = substitute(sql, params)
     register_ch_functions(spark)
     sql = _normalize_escapes(sql)  # before the bridge scans literals
+    sql, fill_spec = _extract_with_fill(sql)
     sql, asof_view = _bridge_asof_join(spark, sql, table_map)
     try:
         text = translate_ch_sql(sql, table_map, strict_scale=strict_scale)
@@ -4351,7 +4503,8 @@ def run_ch_sql(
 
         for _ in range(5):
             try:
-                return spark.sql(text)
+                out = spark.sql(text)
+                return _with_fill_apply(out, fill_spec) if fill_spec else out
             except Exception as e:
                 m = re.search(r"Reference `([^`]+)` is ambiguous", str(e))
                 lm = re.search(r"(?is)\bFROM\s+([a-z_]\w*)\b", text)
@@ -4365,7 +4518,8 @@ def run_ch_sql(
                 if fixed == text:
                     raise
                 text = fixed
-        return spark.sql(text)
+        out = spark.sql(text)
+        return _with_fill_apply(out, fill_spec) if fill_spec else out
     finally:
         # spark.sql analyzes eagerly, inlining the view into the
         # returned DataFrame's plan — safe to drop here even though
