@@ -713,7 +713,9 @@ def test_with_totals_bridges_to_grouping_sets(spark):
 
 
 def test_with_fill_raises_with_gap_fill_pointer(spark):
-    with pytest.raises(UnsupportedChSql, match="gap_fill"):
+    # translate-only callers still get the loud raise pointing at the
+    # run_ch_sql bridge (r10) and the fill_gaps operator
+    with pytest.raises(UnsupportedChSql, match="fill_gaps"):
         translate_ch_sql("SELECT x FROM t ORDER BY x WITH FILL")
 
 
@@ -1471,3 +1473,50 @@ def test_advice_r10_fixes_are_pinned(spark):
     # nested wrappers (unique bind names, no lambda shadowing)
     assert _one(spark, "SELECT arrayCompact(arraySort(x -> -x,"
                        " [3, 1, 3, 2])) AS c").c == [3, 2, 1]
+
+
+def test_review_r10_fixes_are_pinned(spark):
+    """Round-10 review findings on the join/subquery batch: the
+    tuple-IN expansion must not swallow function-call argument lists
+    (`greatest(a, b) IN (…)` stays scalar IN) while bridging both
+    tuple() spellings; scalar WITH and LIMIT BY apply inside subquery
+    bodies (including WITH-prefixed ones); the ANY-dedup assembly is
+    shared by the table and subquery forms."""
+    one = lambda sql: run_ch_sql(spark, sql).collect()[0][0]  # noqa: E731
+    # function-call left side: scalar IN semantics preserved
+    assert one("SELECT count() AS c FROM numbers(10) WHERE"
+               " greatest(number, 3) IN (3, 5)") == 5
+    # CH's canonical tuple() spelling on either side
+    assert one("SELECT count() AS c FROM numbers(10) WHERE"
+               " tuple(number, number + 1) IN ((1, 2), (5, 6))") == 2
+    assert one("SELECT count() AS c FROM numbers(10) WHERE (number,"
+               " number + 1) IN (tuple(1, 2), tuple(5, 6))") == 2
+    # NOT IN three-valued expansion
+    assert one("SELECT count() AS c FROM numbers(10) WHERE (number,"
+               " number) NOT IN ((1, 1), (2, 2))") == 8
+    # arity mismatch raises instead of silently comparing
+    with pytest.raises(UnsupportedChSql, match="arity"):
+        translate_ch_sql(
+            "SELECT 1 FROM t WHERE (a, b) IN ((1, 2, 3))")
+    # LIMIT BY inside a WITH-prefixed subquery body
+    assert one("SELECT count() AS c FROM (WITH 2 AS k SELECT number"
+               " % 3 AS g, number FROM numbers(9) ORDER BY g, number"
+               " LIMIT 2 BY g)") == 6
+    # scalar WITH nested in a subquery (and at both levels at once)
+    assert one("WITH 10 AS m SELECT count() AS c FROM (WITH 3 AS k"
+               " SELECT number FROM numbers(10) WHERE number < k)"
+               " WHERE m > 0") == 3
+    # ANY JOIN subquery right side: left multiplicity preserved,
+    # no-alias form allowed, RIGHT direction still raises
+    assert one("SELECT count() AS c FROM numbers(10) AS a ANY LEFT"
+               " JOIN (SELECT number % 3 AS number, number AS v FROM"
+               " numbers(9)) AS b USING (number)") == 10
+    assert one("SELECT count() AS c FROM numbers(10) AS a ANY INNER"
+               " JOIN (SELECT number % 3 AS number FROM numbers(9))"
+               " USING (number)") == 3
+    with pytest.raises(UnsupportedChSql, match="RIGHT ANY"):
+        translate_ch_sql(
+            "SELECT 1 FROM a RIGHT ANY JOIN (SELECT 1 AS k) USING (k)")
+    # numbers() resolves in join and comma positions
+    assert one("SELECT count() AS c FROM numbers(4) AS a CROSS JOIN"
+               " numbers(3) AS b") == 12

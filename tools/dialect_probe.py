@@ -352,6 +352,108 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT CAST(toDate32('2024-03-05') AS STRING) AS d",
      ("2024-03-05",)),
     ("SELECT replaceRegexpOne('a1a2', '[0-9]', 'X') AS r", None),  # raise
+    # --- round-10 batch: join/subquery corners (VERDICT r9 item 5) --
+    # deterministic value checks ride numbers(): left keys 0..9, a
+    # 3-key right side {0,1,2} with 3 duplicate rows per key
+    # ANY JOIN with alias-qualified USING keys, both alias spellings
+    ("SELECT count() AS c FROM numbers(10) AS a ANY LEFT JOIN (SELECT"
+     " number % 3 AS number, number AS v FROM numbers(9)) AS b"
+     " USING (number)", (10,)),
+    ("SELECT count() AS c FROM numbers(10) a ANY INNER JOIN (SELECT"
+     " number % 3 AS number FROM numbers(9)) b USING (number)", (3,)),
+    # ALL multiplicity twin: 3 matched keys x 3 dup rows + 7 unmatched
+    ("SELECT count() AS c FROM numbers(10) AS a ALL LEFT JOIN (SELECT"
+     " number % 3 AS number FROM numbers(9)) AS b USING (number)",
+     (16,)),
+    # two-key USING
+    ("SELECT count() AS c FROM (SELECT number, number % 2 AS p FROM"
+     " numbers(6)) AS a INNER JOIN (SELECT number, number % 2 AS p"
+     " FROM numbers(4)) AS b USING (number, p)", (4,)),
+    # CTE + USING interaction (CH WITH name AS (subquery) form)
+    ("WITH dim AS (SELECT number, number * 2 AS d FROM numbers(5))"
+     " SELECT count() AS c FROM numbers(10) AS a INNER JOIN dim"
+     " USING (number)", (5,)),
+    ("WITH dim AS (SELECT number % 3 AS number FROM numbers(9))"
+     " SELECT count() AS c FROM numbers(10) AS a ANY LEFT JOIN dim"
+     " USING (number)", (10,)),
+    # CH scalar-WITH + join in one query
+    ("WITH 3 AS k SELECT count() AS c FROM numbers(10) AS a INNER"
+     " JOIN (SELECT number FROM numbers(5)) AS b USING (number)"
+     " WHERE a.number < k", (3,)),
+    # semi/anti joins (CH and Spark share the spelling)
+    ("SELECT count() AS c FROM numbers(10) AS a LEFT SEMI JOIN (SELECT"
+     " number % 3 AS number FROM numbers(9)) AS b USING (number)",
+     (3,)),
+    ("SELECT count() AS c FROM numbers(10) AS a LEFT ANTI JOIN (SELECT"
+     " number % 3 AS number FROM numbers(9)) AS b USING (number)",
+     (7,)),
+    # cross join, both spellings
+    ("SELECT count() AS c FROM numbers(4) AS a CROSS JOIN numbers(3)"
+     " AS b", (12,)),
+    ("SELECT a.x + b.y AS s FROM (SELECT 1 AS x) AS a, (SELECT 2 AS y)"
+     " AS b", (3,)),
+    # GLOBAL hints strip (CH distributed-subquery keyword)
+    ("SELECT count() AS c FROM numbers(10) AS a GLOBAL ANY LEFT JOIN"
+     " (SELECT number % 3 AS number FROM numbers(9)) AS b"
+     " USING (number)", (10,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number GLOBAL IN"
+     " (SELECT number FROM numbers(3))", (3,)),
+    # IN / NOT IN subqueries, incl. the empty-set edge
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT"
+     " number FROM numbers(3))", (3,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number NOT IN (SELECT"
+     " number FROM numbers(3))", (7,)),
+    ("SELECT count() AS c FROM numbers(3) WHERE number NOT IN (SELECT"
+     " number FROM numbers(10) WHERE number > 90)", (3,)),
+    # tuple IN literals and tuple IN subquery
+    ("SELECT count() AS c FROM numbers(10) WHERE (number, number + 1)"
+     " IN ((1, 2), (5, 9))", (1,)),
+    ("SELECT count() AS c FROM (SELECT number, number % 2 AS p FROM"
+     " numbers(6)) WHERE (number, p) IN (SELECT number, number % 2"
+     " AS p FROM numbers(4))", (4,)),
+    # correlated IN / EXISTS (CH rejects correlation pre-24.x; running
+    # them is superset behavior — run-probe only, never a value claim)
+    ("SELECT count() AS c FROM trades WHERE sec_code IN (SELECT"
+     " seccode FROM securities WHERE board = trades.board)", None),
+    ("SELECT count() AS c FROM numbers(3) WHERE EXISTS (SELECT 1 FROM"
+     " numbers(1))", (3,)),
+    # scalar subqueries in SELECT and WHERE
+    ("SELECT (SELECT max(number) FROM numbers(3)) AS m", (2,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number < (SELECT"
+     " avg(number) FROM numbers(10))", (5,)),
+    # nested FROM subqueries
+    ("SELECT count() AS c FROM (SELECT * FROM (SELECT number FROM"
+     " numbers(5)) WHERE number > 1)", (3,)),
+    # UNION forms re-aggregated
+    ("SELECT count() AS c FROM (SELECT number FROM numbers(3) UNION"
+     " ALL SELECT number FROM numbers(3))", (6,)),
+    ("SELECT count() AS c FROM (SELECT number FROM numbers(3) UNION"
+     " DISTINCT SELECT number FROM numbers(5))", (5,)),
+    # LIMIT BY (CH top-n-per-group clause) + PREWHERE + FINAL riders
+    ("SELECT count() AS c FROM (SELECT number % 3 AS g, number FROM"
+     " numbers(9) ORDER BY g, number LIMIT 2 BY g)", (6,)),
+    ("SELECT count() AS c FROM trades PREWHERE price > 0", None),
+    ("SELECT count() AS c FROM quotes_dup FINAL", None),
+    # ON-form equi-join with an expression key
+    ("SELECT count() AS c FROM numbers(5) AS a INNER JOIN numbers(5)"
+     " AS b ON a.number = b.number + 1", (4,)),
+    # review-r10 pins: tuple() IN spellings, function-call left sides
+    # stay scalar IN, scalar WITH + LIMIT BY nested in subqueries
+    ("SELECT count() AS c FROM numbers(10) WHERE tuple(number,"
+     " number + 1) IN ((1, 2), (5, 6))", (2,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE (number, number + 1)"
+     " IN (tuple(1, 2), tuple(5, 6))", (2,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE greatest(number, 3)"
+     " IN (3, 5)", (5,)),
+    ("SELECT count() AS c FROM (WITH 2 AS k SELECT number % 3 AS g,"
+     " number FROM numbers(9) ORDER BY g, number LIMIT 2 BY g)", (6,)),
+    ("WITH 10 AS m SELECT count() AS c FROM (WITH 3 AS k SELECT"
+     " number FROM numbers(10) WHERE number < k) WHERE m > 0", (3,)),
+    # join + aggregate + HAVING through the dialect in one shape
+    ("SELECT b.number AS k, count() AS c FROM numbers(10) AS a INNER"
+     " JOIN (SELECT number % 3 AS number FROM numbers(9)) AS b ON"
+     " a.number = b.number GROUP BY k HAVING count() >= 3 ORDER BY k"
+     " LIMIT 1", (0, 3)),
 ]
 
 

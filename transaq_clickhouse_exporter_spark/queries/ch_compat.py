@@ -1241,16 +1241,19 @@ def translate_ch_sql(
     sql = _dquotes_to_backticks(sql)
     sql = _bracket_expressions(sql)  # after dquotes: `q ident`[1] bases
     # numbers(N) / numbers(M, N) table function → range(); the column
-    # is named `number` in CH, `id` in Spark
+    # is named `number` in CH, `id` in Spark.  Matched in every
+    # relation position — FROM, any JOIN spelling, and comma joins —
+    # not just the first FROM (probe r10: `a CROSS JOIN numbers(3)`)
     sh_n = _mask_literals(sql)
     parts_n, last_n = [], 0
     for m in re.finditer(
-        r"(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", sh_n
+        r"(?i)(\bFROM\b|\bJOIN\b|,)\s*numbers\s*"
+        r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", sh_n
     ):
-        a, b = m.group(1), m.group(2)
+        kw, a, b = m.group(1), m.group(2), m.group(3)
         rng = f"range({a}, {int(a) + int(b)})" if b else f"range({a})"
         parts_n.append(sql[last_n : m.start()])
-        parts_n.append(f"FROM (SELECT id AS number FROM {rng})")
+        parts_n.append(f"{kw} (SELECT id AS number FROM {rng})")
         last_n = m.end()
     parts_n.append(sql[last_n:])
     sql = "".join(parts_n)
@@ -1266,7 +1269,8 @@ def translate_ch_sql(
     parts.append(sql[last:])
     sql = "".join(parts)
     sql = _with_totals(sql)  # before _scalar_with: TOTALS is not a CTE
-    sql = _scalar_with(sql)
+    # scalar WITH items appear inside subqueries too (review r10)
+    sql = _recurse_select_blocks(sql, _scalar_with)
     sql = _strip_trailing_clauses(sql)
     sql = _prewhere_to_where(sql)
     if _scan_toplevel(sql, r"\bSAMPLE\s+[\d.]"):
@@ -1290,8 +1294,11 @@ def translate_ch_sql(
     # CH join multiplicity: ALL (the default, noise word) strips; ANY
     # (one arbitrary right row per key) dedups the right side
     sql = _rewrite_any_join(sql)
+    # tuple-IN over literal lists: Spark's struct IN demands exact
+    # struct type equality; the expansion coerces per element
+    sql = _tuple_in_literals(sql)
     sql = _preaggregate_topk(sql, strict_scale=strict_scale)
-    return _limit_by(_inline_where_aliases(_rewrite_calls(sql)))
+    return _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql)))
 
 
 def _sub_masked(rx: "re.Pattern[str]", repl: str, sql: str) -> str:
@@ -1399,6 +1406,40 @@ def _strip_global_hints(sql: str) -> str:
     return "".join(out)
 
 
+def _any_join_guard(sh: str, start: int, g1: str | None,
+                    g2: str | None) -> None:
+    """A bare ``ANY JOIN`` match preceded by RIGHT/FULL [OUTER] is
+    really a ``RIGHT ANY JOIN`` — unsupported direction; rewriting
+    just the tail would splice INNER after RIGHT."""
+    import re
+
+    pre = re.search(r"(?i)\b(RIGHT|FULL)\s+(?:OUTER\s+)?$", sh[:start])
+    if pre is not None and g1 is None and g2 is None:
+        raise UnsupportedChSql(
+            f"{pre.group(1).upper()} ANY JOIN not supported — "
+            "pre-deduplicate the many side yourself (row_number "
+            "OVER the key = 1)")
+
+
+def _any_dedup_repl(jtype: str, rel: str, alias: str,
+                    using_text: str) -> str:
+    """Assemble the ANY-dedup join replacement shared by the table
+    and subquery forms: ``any_value(struct(*)) GROUP BY keys``, a
+    hash aggregate with MAP-SIDE PARTIALS, so the dedup exchange
+    carries one row per (partition, key) instead of every duplicate —
+    1/dup_factor of the shuffle a row_number window needs, and no
+    sort (measured: tools/scale_rehearsal_anyjoin.py).  The pick is
+    arbitrary, exactly CH's documented ANY contract."""
+    cols = [c.strip().strip("`") for c in using_text.split(",")
+            if c.strip()]
+    if not cols:
+        raise UnsupportedChSql("ANY JOIN USING () needs columns")
+    keys = ", ".join(f"`{c}`" for c in cols)
+    dedup = (f"(SELECT __any_s.* FROM (SELECT any_value(struct(*)) "
+             f"AS __any_s FROM {rel} GROUP BY {keys}))")
+    return f"{jtype} JOIN {dedup} {alias} USING ({using_text})"
+
+
 def _rewrite_any_join(sql: str) -> str:
     """CH join multiplicity keywords.
 
@@ -1412,10 +1453,11 @@ def _rewrite_any_join(sql: str) -> str:
     map-side partials; a row_number window would shuffle every
     duplicate then sort).  The pick is ARBITRARY, exactly CH's
     contract — CH documents ANY's row choice as nondeterministic,
-    and so is this one across shuffles.  ANY forms this cannot express (ON
+    and so is this one across shuffles.  Subquery right sides take
+    the same dedup (r10).  ANY forms this cannot express (ON
     conditions — the dedup key set is not syntactically recoverable
-    from an arbitrary predicate — RIGHT/FULL direction, subquery
-    right sides) raise naming the USING workaround.
+    from an arbitrary predicate — and the RIGHT/FULL direction)
+    raise naming the USING workaround.
     Quantified-comparison ``ANY (SELECT …)`` is never followed by
     JOIN and stays untouched."""
     import re
@@ -1438,37 +1480,50 @@ def _rewrite_any_join(sql: str) -> str:
         m = any_rx.search(sh)
         if m is None:
             break
-        # a bare `ANY JOIN` match preceded by RIGHT/FULL [OUTER] is
-        # really a `RIGHT ANY JOIN` — unsupported direction, and
-        # rewriting just the tail would splice INNER after RIGHT
-        pre = re.search(r"(?i)\b(RIGHT|FULL)\s+(?:OUTER\s+)?$",
-                        sh[: m.start()])
-        if pre is not None and m.group(1) is None and m.group(2) is None:
-            raise UnsupportedChSql(
-                f"{pre.group(1).upper()} ANY JOIN not supported — "
-                "pre-deduplicate the many side yourself (row_number "
-                "OVER the key = 1)")
+        _any_join_guard(sh, m.start(), m.group(1), m.group(2))
         jtype = (m.group(1) or m.group(2) or "INNER").upper()
         table, alias = m.group(3), m.group(4) or ""
         if not alias:
             # a qualified db.tbl name cannot serve as its own alias
             alias = f"`{table.split('.')[-1]}`"
-        cols = [c.strip().strip("`") for c in m.group(5).split(",")
-                if c.strip()]
-        if not cols:
-            raise UnsupportedChSql("ANY JOIN USING () needs columns")
-        keys = ", ".join(f"`{c}`" for c in cols)
-        # any_value(struct(*)) GROUP BY keys, not a row_number window:
-        # the aggregate gets MAP-SIDE PARTIALS, so the dedup exchange
-        # carries one row per (partition, key) instead of every
-        # duplicate — 1/dup_factor of the shuffle a window needs, and
-        # no sort (measured: tools/scale_rehearsal_anyjoin.py).  The
-        # pick is arbitrary, exactly CH's documented ANY contract.
-        dedup = (f"(SELECT __any_s.* FROM (SELECT any_value(struct(*)) "
-                 f"AS __any_s FROM {table} GROUP BY {keys}))")
-        repl = (f"{jtype} JOIN {dedup} {alias}"
-                f" USING ({m.group(5)})")
+        repl = _any_dedup_repl(jtype, table, alias, m.group(5))
         sql = sql[: m.start()] + repl + sql[m.end():]
+    # subquery right side: `ANY [LEFT|INNER] JOIN (SELECT …) [AS] a
+    # USING (cols)` — same hash-aggregate dedup over the derived
+    # relation (probe r10: everyday Grafana shape)
+    any_sub_rx = re.compile(
+        r"(?i)\b(?:ANY\s+(?:(LEFT|INNER)\s+(?:OUTER\s+)?)?"
+        r"|(LEFT|INNER)\s+(?:OUTER\s+)?ANY\s+)JOIN\s*\(")
+    while True:
+        sh = _mask_literals(sql)
+        m = any_sub_rx.search(sh)
+        if m is None:
+            break
+        _any_join_guard(sh, m.start(), m.group(1), m.group(2))
+        jtype = (m.group(1) or m.group(2) or "INNER").upper()
+        open_p, depth = m.end() - 1, 0
+        close_p = -1
+        for i in range(open_p, len(sh)):
+            if sh[i] == "(":
+                depth += 1
+            elif sh[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_p = i
+                    break
+        if close_p < 0:
+            raise UnsupportedChSql("unbalanced parens in ANY JOIN")
+        tm = re.match(
+            r"(?is)\s*(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*)?\s*"
+            r"USING\s*\(([^()]*)\)", sh[close_p + 1:])
+        if tm is None:
+            break  # ON-form or other tail: the leftover scan raises
+        subq = sql[open_p: close_p + 1]
+        alias = tm.group(1) or "__any_j"
+        repl = _any_dedup_repl(jtype, f"{subq} __any_r", alias,
+                               tm.group(2))
+        sql = (sql[: m.start()] + repl
+               + sql[close_p + 1 + tm.end():])
     sh = _mask_literals(sql)
     left = re.search(
         r"(?i)\b(?:ANY\s+(?:(?:LEFT|RIGHT|INNER|FULL)\s+)?(?:OUTER\s+)?"
@@ -1482,6 +1537,117 @@ def _rewrite_any_join(sql: str) -> str:
             "joins, pre-deduplicate the side yourself (row_number "
             "OVER the key = 1)")
     return sql
+
+
+def _tuple_in_literals(sql: str) -> str:
+    """``(a, b) [NOT] IN ((1, 2), (3, 4))`` → OR-of-conjunctions.
+
+    Spark's struct IN requires EXACT struct type equality — a bigint
+    column tuple never matches int literal tuples
+    (DATA_DIFF_TYPES; probe r10) — while CH coerces per element.  The
+    expansion ``((a)=(1) AND (b)=(2)) OR …`` rides ordinary binary
+    comparison coercion and keeps IN's three-valued NULL semantics
+    (NOT wraps the whole disjunction).  Only literal tuple lists with
+    a multi-element left tuple rewrite; subquery right sides and
+    scalar parenthesized left expressions stay untouched (Spark
+    handles both).
+    """
+    import re
+
+    while True:
+        sh = _mask_literals(sql)
+        done = True
+        for m in re.finditer(r"(?i)\b(NOT\s+)?IN\s*\(", sh):
+            j = m.start() - 1
+            while j >= 0 and sh[j] in " \t\n":
+                j -= 1
+            if j < 0 or sh[j] != ")":
+                continue
+            # left tuple: balanced backward scan to its '('
+            depth, lo = 0, -1
+            for i in range(j, -1, -1):
+                if sh[i] == ")":
+                    depth += 1
+                elif sh[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        lo = i
+                        break
+            if lo < 0:
+                continue
+            # a preceding identifier makes this a FUNCTION CALL's
+            # argument list, not a bare tuple (review r10:
+            # `greatest(a, b) IN (…)` must stay scalar IN) — except
+            # CH's canonical `tuple(a, b) IN (…)` spelling, whose
+            # args ARE the tuple (consume the word too), and SQL
+            # clause keywords (`WHERE (a, b) IN …`), which just
+            # precede a bare tuple
+            k = lo - 1
+            while k >= 0 and sh[k] in " \t\n":
+                k -= 1
+            lo_full = lo
+            if k >= 0 and (sh[k].isalnum() or sh[k] in "_`"):
+                wm = re.search(r"([A-Za-z_]\w*)$", sh[: k + 1])
+                word = wm.group(1).lower() if wm else ""
+                if word == "tuple":
+                    lo_full = wm.start()
+                elif word not in (
+                    "where", "and", "or", "not", "on", "when", "then",
+                    "else", "in", "select", "by", "having", "from",
+                    "using", "union", "all", "distinct", "over",
+                    "case", "end", "is", "between", "prewhere",
+                ):
+                    continue  # function call — leave scalar IN alone
+            left_elems = _split_args(sql[lo + 1: j])
+            if len(left_elems) < 2:
+                continue  # parenthesized scalar — not a tuple
+            # IN list: balanced forward scan; skip subqueries
+            inner_start = m.end()
+            if re.match(r"(?is)\s*SELECT\b", sh[inner_start:]):
+                continue
+            depth, hi = 1, -1
+            for i in range(inner_start, len(sh)):
+                if sh[i] == "(":
+                    depth += 1
+                elif sh[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        hi = i
+                        break
+            if hi < 0:
+                continue
+            parts = _split_args(sql[inner_start: hi])
+            tuples = []
+            ok = True
+            for p in parts:
+                p = p.strip()
+                # accept both `(1, 2)` and CH's `tuple(1, 2)` entries
+                pm = re.match(r"(?is)^tuple\s*\((.*)\)$", p)
+                if pm is not None:
+                    p = "(" + pm.group(1) + ")"
+                if not (p.startswith("(") and p.endswith(")")):
+                    ok = False
+                    break
+                elems = _split_args(p[1:-1])
+                if len(elems) != len(left_elems):
+                    raise UnsupportedChSql(
+                        f"tuple IN arity mismatch: left has "
+                        f"{len(left_elems)} elements, list entry {p} "
+                        f"has {len(elems)}")
+                tuples.append(elems)
+            if not ok or not tuples:
+                continue
+            conds = " OR ".join(
+                "(" + " AND ".join(
+                    f"({le}) = ({re_})"
+                    for le, re_ in zip(left_elems, elems)) + ")"
+                for elems in tuples)
+            expr = f"(NOT ({conds}))" if m.group(1) else f"({conds})"
+            sql = sql[:lo_full] + expr + sql[hi + 1:]
+            done = False
+            break
+        if done:
+            return sql
 
 
 def _array_join_clause(sql: str) -> str:
@@ -1713,11 +1879,49 @@ def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
     return None
 
 
+def _recurse_select_blocks(sql: str, fn) -> str:
+    """Apply a statement-level rewrite ``fn`` to every SELECT block:
+    parenthesized subquery bodies first (innermost via recursion,
+    WITH-prefixed bodies included — review r10), then the whole
+    statement.  Lets single-level passes (:func:`_limit_by`,
+    :func:`_scalar_with`) cover CH's any-nesting-depth placement."""
+    import re
+
+    sh = _mask_literals(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        if sh[i] == "(":
+            depth, j = 0, i
+            for j in range(i, len(sh)):
+                if sh[j] == "(":
+                    depth += 1
+                elif sh[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            inner = sql[i + 1: j]
+            if re.match(r"(?is)\s*(SELECT|WITH)\b", _mask_literals(inner)):
+                inner = _recurse_select_blocks(inner, fn)
+            out.append("(" + inner + ")")
+            i = j + 1
+        else:
+            out.append(sql[i])
+            i += 1
+    return fn("".join(out))
+
+
+def _limit_by_recursive(sql: str) -> str:
+    """CH allows ``LIMIT n BY`` at any nesting depth (probe r10)."""
+    return _recurse_select_blocks(sql, _limit_by)
+
+
 def _limit_by(sql: str) -> str:
     """CH ``ORDER BY … LIMIT [k,] n BY cols [LIMIT m]`` (top-n rows
-    per group) → a ``row_number`` wrapper.  Top level of the statement
-    only; ORDER BY is required — CH's LIMIT BY without it keeps rows
-    in storage order, which no deterministic engine should mimic."""
+    per group) → a ``row_number`` wrapper.  One level of the statement
+    (:func:`_limit_by_recursive` drives subquery bodies); ORDER BY is
+    required — CH's LIMIT BY without it keeps rows in storage order,
+    which no deterministic engine should mimic."""
     m = _scan_toplevel(sql, r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+)\s*)?BY\b")
     if m is None:
         return sql
@@ -2386,9 +2590,9 @@ def _scalar_with(sql: str) -> str:
     word-bounded); genuine CTE items (``name AS (SELECT …)``) stay in
     the WITH list.  A reference that is itself a complete SELECT-list
     item (``SELECT k FROM …``) inlines as ``(expr) AS k`` so the
-    output column keeps the WITH-item name, matching CH.
-    Statement-leading WITH only; a scalar WITH nested in a subquery
-    raises its own (loud) Spark parse error."""
+    output column keeps the WITH-item name, matching CH.  One
+    statement level; :func:`_recurse_select_blocks` drives subquery
+    bodies (r10)."""
     import re
 
     sh = _mask_literals(sql)
@@ -4448,6 +4652,12 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
     to = _rewrite_calls(spec["to"]) if spec.get("to") else None
     start = f"CAST(({frm}) AS {dt})" if frm else "__mn"
     stop = f"CAST(({to}) AS {dt})" if to else "__mx"
+    # the source plan feeds three legs (bounds, distinct anti-join,
+    # union): truncate lineage so it computes once, not 3× (review
+    # r10).  localCheckpoint persists the partitions and is cleaned
+    # up by the ContextCleaner when the result goes out of scope —
+    # no explicit unpersist obligation on the caller.
+    df = df.localCheckpoint(eager=False)
     bounds = df.agg(F.min(c).alias("__mn"), F.max(c).alias("__mx"))
     grid = bounds.select(F.explode(F.expr(
         f"CASE WHEN ({start}) IS NULL OR ({stop}) IS NULL "
