@@ -45,3 +45,64 @@ def test_stream_read_offsets_and_candles(spark, tmp_path):
     assert {r["sec_code"] for r in rows} == {f"TICK{i:03d}" for i in (1, 3, 4, 5, 6, 7, 8)}
     assert all(r["period"] == 1 for r in rows)
     assert all(r["date"] == "2024-12-20 10:01:00" for r in rows)
+
+
+def test_stream_kill_restart_resumes_exactly(spark, tmp_path):
+    """VERDICT r9 item 7: the exact streaming candle path runs E2E
+    through the custom DataSource (not the replay adapter) across a
+    kill/restart.  Phase 1 consumes one minute of ticks (no candle
+    boundary crossed — all state, no output), the query stops, and a
+    NEW reader instance resumes from the checkpoint; phase 2 crosses
+    the 10:01:00 boundary.  The emitted candles must equal the exact
+    batch fold over the full tick range — state survived the restart
+    with no duplicate or lost ticks."""
+    from transaq_clickhouse_exporter_spark.ingest.candles import (
+        quotation_candles_batch,
+        quotation_candles_stream,
+    )
+
+    tx_source.register(spark)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run(max_ticks: int) -> None:
+        stream = (
+            spark.readStream.format("transaq_ticks")
+            .option("ticksPerBatch", 160)
+            .option("maxTicks", max_ticks)
+            .option("progressPath", str(tmp_path / "hwm"))
+            .load()
+        )
+        q = (
+            quotation_candles_stream(stream, "2024-12-20")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(480)  # phase 1: ticks 0..479 — state only, nothing emitted
+    import os
+
+    phase1 = (
+        spark.read.parquet(out).count()
+        if any(f.endswith(".parquet") for f in os.listdir(out))
+        else 0
+    )
+    assert phase1 == 0
+    run(960)  # restart: ticks 480..959 cross the minute boundary
+    got = {
+        (r.sec_code, r.date, r.open, r.close, r.high, r.low, r.volume)
+        for r in spark.read.parquet(out).collect()
+    }
+    # oracle: the exact batch fold over the SAME 960 ticks
+    batch = (
+        spark.read.format("transaq_ticks").option("n", 960)
+        .option("numPartitions", 4).load()
+    )
+    want = {
+        (r.sec_code, r.date, r.open, r.close, r.high, r.low, r.volume)
+        for r in quotation_candles_batch(batch, "2024-12-20").collect()
+        if r.date == "2024-12-20 10:01:00"
+    }
+    assert got == want and len(got) == 7

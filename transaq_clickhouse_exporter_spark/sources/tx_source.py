@@ -12,14 +12,18 @@ client while keeping every offset/partition mechanic.
 - batch: ``spark.read.format("transaq_ticks").option("n", ...)``
 - stream: ``spark.readStream.format("transaq_ticks")`` — micro-batches
   advance a monotonically increasing tick offset; exactly-once via
-  offset ranges in the checkpoint (commit is a no-op because the
-  generator is deterministic — the reference's feed, by contrast, is
-  fire-and-forget and unreplayable).
+  offset ranges in the checkpoint.  ``latestOffset`` persists the
+  reader's pace counter to ``progressPath`` (driver-side file) so a
+  RESTARTED query resumes pacing from where it stopped — see the
+  ``TickStreamReader`` docstring for the restart contract (the
+  reference's feed, by contrast, is fire-and-forget and
+  unreplayable).
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -71,26 +75,62 @@ class TickBatchReader(DataSourceReader):
 
 
 class TickStreamReader(DataSourceStreamReader):
+    """Offset pacing for the synthetic feed.
+
+    RESTART CONTRACT (r10): a fresh reader instance starts its pace
+    counter at 0, but Spark restores the query's start offset from
+    the checkpoint — if ``latestOffset`` then reports a SMALLER
+    offset, the offset log rewinds and already-folded ticks are
+    re-read into streaming state (measured: candle volume
+    double-counts while idempotent OHLC hides it).  With
+    ``progressPath`` set the reader persists its pace counter on
+    every ``latestOffset`` and resumes from it on construction.
+    Restarting WITHOUT ``progressPath`` (and without a fresh
+    checkpoint) is refused by ``partitions`` the moment it would
+    rewind, rather than silently corrupting state."""
+
     def __init__(self, options):
         self.batch = int(options.get("ticksPerBatch", 100))
         self.max = int(options.get("maxTicks", 10**9))
+        self._progress = options.get("progressPath")
         self._latest = 0
+        if self._progress and os.path.exists(self._progress):
+            with open(self._progress) as f:
+                self._latest = int(f.read().strip() or 0)
 
     def initialOffset(self):
         return {"i": 0}
 
     def latestOffset(self):
         self._latest = min(self._latest + self.batch, self.max)
+        # persist the PACE COUNTER eagerly (not in commit, which can
+        # lag a batch behind at stop time and stall the resumed query
+        # at "caught up"): replay correctness never depends on it —
+        # partitions(start, end) serves whatever range the offset log
+        # replays — the counter only stops latestOffset from REWINDING
+        # below the checkpoint after a restart
+        if self._progress:
+            tmp = f"{self._progress}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(self._latest))
+            os.replace(tmp, self._progress)
         return {"i": self._latest}
 
     def partitions(self, start, end):
+        if end["i"] < start["i"]:
+            raise RuntimeError(
+                "tx_source restarted behind the checkpoint offset "
+                f"({end['i']} < {start['i']}): set .option('progressPath',"
+                " <file>) so the reader resumes its pace from the "
+                "persisted high-water mark instead of re-reading "
+                "folded ticks")
         return [_Range(start["i"], end["i"])]
 
     def read(self, partition):
         return _read_range(partition)
 
     def commit(self, end):
-        pass  # deterministic generator → nothing to ack
+        pass  # deterministic generator → nothing to ack upstream
 
     def stop(self):
         pass
