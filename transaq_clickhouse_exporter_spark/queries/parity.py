@@ -1740,6 +1740,99 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "text", "digest", "ch-sql"),
         )
     )
+
+    # Round-10 WITH FILL bridge under external oracle: the Grafana
+    # gap-free time-series shape (`ORDER BY m WITH FILL STEP 60`)
+    # runs through run_ch_sql — spine from a single-row min/max agg,
+    # left-anti insert of absent grid points with CH default values
+    # (0 for the BIGINT vol).  Oracle spells the fill as DuckDB
+    # generate_series + left join + coalesce.  FUT board at
+    # quantity >= 45 leaves ~88 of 520 minutes absent — real gaps.
+    def _with_fill_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT intDiv(time_s, 60) * 60 AS m,
+                   CAST(sum(quantity) AS BIGINT) AS vol
+            FROM trades WHERE board = 'FUT' AND quantity >= 45
+            GROUP BY m
+            ORDER BY m WITH FILL STEP 60
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev22_with_fill_sql",
+            _with_fill_sql,
+            """
+            , wf22 AS (SELECT (time_s // 60) * 60 AS m,
+                              CAST(sum(quantity) AS BIGINT) AS vol
+                       FROM trades
+                       WHERE board = 'FUT' AND quantity >= 45
+                       GROUP BY 1),
+            wfs22 AS (SELECT CAST(unnest(generate_series(
+                                 (SELECT min(m) FROM wf22),
+                                 (SELECT max(m) FROM wf22), 60))
+                             AS BIGINT) AS m)
+            SELECT s.m AS m, CAST(COALESCE(w.vol, 0) AS BIGINT) AS vol
+            FROM wfs22 s LEFT JOIN wf22 w USING (m)
+            """,
+            tags=("events", "with-fill", "ch-sql"),
+        )
+    )
+
+    # Round-10 join/subquery batch under external oracle: LIMIT n BY
+    # (CH's top-n-per-group clause → one row_number window), tuple IN
+    # over a literal list (→ coercing OR-expansion), and the ANY LEFT
+    # JOIN subquery dedup (hash aggregate, left multiplicity kept) in
+    # one query.  Ties broken by sec_code in the ORDER BY, so the
+    # per-group pick is deterministic on both engines.
+    def _per_group_topn_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT board, sec_code,
+                   CAST(sum(quantity) AS BIGINT) AS vol,
+                   any(b.kind) AS kind
+            FROM trades ANY LEFT JOIN (
+                SELECT 'TQBR' AS board, 'equity' AS kind
+                UNION ALL SELECT 'TQBR', 'equity'
+                UNION ALL SELECT 'FUT', 'deriv'
+            ) AS b USING (board)
+            WHERE (buy_sell, period) IN (('B', 'N'), ('S', 'N'))
+            GROUP BY board, sec_code
+            ORDER BY board, vol DESC, sec_code LIMIT 3 BY board
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev23_per_group_topn_sql",
+            _per_group_topn_sql,
+            """
+            , pg23 AS (SELECT board, sec_code,
+                              CAST(sum(quantity) AS BIGINT) AS vol
+                       FROM trades
+                       WHERE (buy_sell = 'B' AND period = 'N')
+                          OR (buy_sell = 'S' AND period = 'N')
+                       GROUP BY 1, 2),
+            rk23 AS (SELECT board, sec_code, vol,
+                            row_number() OVER (PARTITION BY board
+                                ORDER BY vol DESC, sec_code) AS rn
+                     FROM pg23)
+            SELECT r.board AS board, r.sec_code AS sec_code,
+                   r.vol AS vol,
+                   CASE WHEN r.board = 'TQBR' THEN 'equity'
+                        WHEN r.board = 'FUT' THEN 'deriv' END AS kind
+            FROM rk23 r WHERE rn <= 3
+            """,
+            tags=("events", "limit-by", "tuple-in", "any-join", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4414,6 +4507,13 @@ _TAIL_NAMES = (
     "mm01_feature_extract",           # multimodal features: r09 row banked
                                       # (sha256 oracle); mm02 re-enters the
                                       # frame-sample class
+    # round-10 additions start in the tail; they earn rows next round.
+    "ev22_with_fill_sql",             # WITH FILL bridge (spine + anti-join
+                                      # insert, CH default values) vs DuckDB
+                                      # generate_series + left join
+    "ev23_per_group_topn_sql",        # LIMIT n BY + tuple IN + ANY-subquery
+                                      # dedup in one query vs DuckDB
+                                      # row_number + expanded predicates
 )
 
 
