@@ -65,6 +65,8 @@ PICKS = {
     "dp33_diversity_sample": "diversity sample: BLAS cell assignment (zero-shuffle), one ~n_cells-key exchange for the per-cell quota rank",
     "ev20_text_hash_profile_sql": "round-9c dialect surface: one partial->final hash aggregate over a 3-column pruned scan; digests/split/HOFs all codegen expressions, zero Python",
     "ev21_combinator_profile_sql": "round-9e combinators: single partial->final aggregate, two count(DISTINCT) expands share the exchange; all CASE/bitwise expressions codegen",
+    "ev22_with_fill_sql": "WITH FILL bridge: base agg computes ONCE (localCheckpoint), single-row min/max spine, left-anti grid insert, union — grid size = chart axis, never input rows",
+    "ev23_per_group_topn_sql": "LIMIT BY + tuple IN + ANY-subquery dedup: hash-agg dedup under a broadcast join, tuple IN as codegen OR-expansion, one WindowGroupLimit-pruned row_number exchange",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
