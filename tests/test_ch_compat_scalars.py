@@ -1520,3 +1520,87 @@ def test_review_r10_fixes_are_pinned(spark):
     # numbers() resolves in join and comma positions
     assert one("SELECT count() AS c FROM numbers(4) AS a CROSS JOIN"
                " numbers(3) AS b") == 12
+
+
+def test_r10b_window_lag_array_combinators_divide(spark):
+    """Round-10b batch: lagInFrame/leadInFrame bridge to lag/lead with
+    the CH full-frame idiom stripped (CH has no plain lag/lead — this
+    IS how CH users spell window lag); -Array combinators decompose to
+    plain aggregates; divide() carries CH's float semantics (inf/nan
+    on zero divisors where ANSI `/` raises)."""
+    one = lambda sql: run_ch_sql(spark, sql).collect()  # noqa: E731
+    rows = one(
+        "SELECT number AS n, lagInFrame(number) OVER (ORDER BY number"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        " AS l FROM numbers(3) ORDER BY n")
+    assert [(r.n, r.l) for r in rows] == [(0, None), (1, 0), (2, 1)]
+    rows = one(
+        "SELECT number AS n, leadInFrame(number, 1, 99) OVER (ORDER BY"
+        " number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+        " FOLLOWING) AS l FROM numbers(3) ORDER BY n")
+    assert [(r.n, r.l) for r in rows] == [(0, 1), (1, 2), (2, 99)]
+    # frameless lagInFrame == lag (CH default frame covers the lag);
+    # frameless leadInFrame would silently return the default — raise
+    rows = one("SELECT lagInFrame(number) OVER (ORDER BY number) AS l"
+               " FROM numbers(3) ORDER BY l")
+    assert [r.l for r in rows] == [None, 0, 1]
+    for bad in (
+        "SELECT leadInFrame(number) OVER (ORDER BY number) FROM"
+        " numbers(3)",
+        "SELECT lagInFrame(number) OVER (ORDER BY number ROWS BETWEEN"
+        " 1 PRECEDING AND CURRENT ROW) FROM numbers(3)",
+    ):
+        with pytest.raises(UnsupportedChSql, match="frame"):
+            run_ch_sql(spark, bad).collect()
+    # divide(): values + zero-divisor family, operands bound once
+    import math
+
+    r = one("SELECT divide(7, 2) AS a, divide(1, 0) AS b,"
+            " divide(-1, 0) AS c, divide(0, 0) AS d")[0]
+    assert r.a == 3.5 and math.isinf(r.b) and r.b > 0
+    assert math.isinf(r.c) and r.c < 0 and math.isnan(r.d)
+    # -Array combinators: plain-aggregate decomposition
+    r = one("SELECT sumArray(a) AS s, countArray(a) AS c,"
+            " avgArray(a) AS av, minArray(a) AS mn, maxArray(a) AS mx"
+            " FROM (SELECT [number, number + 10] AS a"
+            " FROM numbers(3))")[0]
+    assert (r.s, r.c, r.av, r.mn, r.mx) == (36.0, 6, 6.0, 0, 12)
+    r = one("SELECT arraySort(x -> x, groupArrayArray(a)) AS g FROM"
+            " (SELECT [number] AS a FROM numbers(3))")[0]
+    assert r.g == [0, 1, 2]
+    with pytest.raises(UnsupportedChSql, match="uniqArray"):
+        translate_ch_sql("SELECT uniqArray(a) FROM t")
+
+
+def test_review_r10b_fixes_are_pinned(spark):
+    """Round-10b review findings: divide() propagates NULL operands
+    (was -Infinity for NULL/0); countArray/sumArray/avgArray follow
+    the bridge's empty-set discipline (0/0/nan, not NULL); lag
+    frame shorthands with an unbounded lower bound strip (they cover
+    every lag offset) while offset-bounded frames clean-raise."""
+    r = run_ch_sql(
+        spark,
+        "SELECT divide(NULL, 0) AS a, divide(nullIf(number, 0), 0)"
+        " AS b, divide(1, NULL) AS c FROM numbers(1)").collect()[0]
+    assert (r.a, r.b, r.c) == (None, None, None)
+    r = run_ch_sql(
+        spark,
+        "SELECT countArray(a) AS c, sumArray(a) AS s,"
+        " isNaN(avgArray(a)) AS av FROM (SELECT array(number) AS a"
+        " FROM numbers(3) WHERE number > 100)").collect()[0]
+    assert (r.c, r.s, r.av) == (0, 0.0, True)
+    for frame in ("ROWS UNBOUNDED PRECEDING",
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"):
+        rows = run_ch_sql(
+            spark,
+            f"SELECT lagInFrame(number) OVER (ORDER BY number {frame})"
+            " AS l FROM numbers(3) ORDER BY l").collect()
+        assert [x.l for x in rows] == [None, 0, 1]
+    for bad in (
+        "SELECT lagInFrame(number) OVER (ORDER BY number ROWS 1"
+        " PRECEDING) FROM numbers(3)",
+        "SELECT leadInFrame(number) OVER (ORDER BY number ROWS"
+        " UNBOUNDED PRECEDING) FROM numbers(3)",
+    ):
+        with pytest.raises(UnsupportedChSql, match="frame"):
+            run_ch_sql(spark, bad).collect()

@@ -437,6 +437,42 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # ON-form equi-join with an expression key
     ("SELECT count() AS c FROM numbers(5) AS a INNER JOIN numbers(5)"
      " AS b ON a.number = b.number + 1", (4,)),
+    # --- round-10b batch: window lag/lead, -Array combinators,
+    # divide() zero semantics ---
+    # CH has no plain lag/lead; lagInFrame over the full frame IS the
+    # CH idiom — bridged to lag/lead with the frame stripped
+    ("SELECT sum(l) AS s FROM (SELECT lagInFrame(number) OVER (ORDER"
+     " BY number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+     " FOLLOWING) AS l FROM numbers(4))", (3,)),
+    ("SELECT sum(l) AS s FROM (SELECT leadInFrame(number, 1, 99) OVER"
+     " (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+     " FOLLOWING) AS l FROM numbers(3))", (102,)),
+    # frameless lagInFrame equals lag under CH's default frame;
+    # frameless leadInFrame does NOT and clean-raises
+    ("SELECT sum(l) AS s FROM (SELECT lagInFrame(number) OVER (ORDER"
+     " BY number) AS l FROM numbers(4))", (3,)),
+    ("SELECT leadInFrame(number) OVER (ORDER BY number) AS l FROM"
+     " numbers(3)", None),
+    # divide(): CH float division, inf/nan on zero divisors (Spark's
+    # ANSI `/` raises — the named function carries CH semantics)
+    ("SELECT divide(7, 2) AS d", (3.5,)),
+    ("SELECT isInfinite(divide(1, 0)) AS a, isNaN(divide(0, 0)) AS b,"
+     " divide(-1, 0) < 0 AS c", (True, True, True)),
+    # -Array combinators decompose to plain aggregates (no explode)
+    ("SELECT sumArray(a) AS s, countArray(a) AS c, avgArray(a) AS av,"
+     " minArray(a) AS mn, maxArray(a) AS mx FROM (SELECT"
+     " [number, number + 10] AS a FROM numbers(3))",
+     (36.0, 6, 6.0, 0, 12)),
+    ("SELECT arraySort(x -> x, groupArrayArray(a)) AS g FROM (SELECT"
+     " [number] AS a FROM numbers(3))", ([0, 1, 2],)),
+    ("SELECT divide(NULL, 0) IS NULL AS n", (True,)),
+    ("SELECT countArray(a) AS c, sumArray(a) AS s FROM (SELECT"
+     " [number] AS a FROM numbers(3) WHERE number > 90)", (0, 0.0)),
+    ("SELECT sum(l) AS s FROM (SELECT lagInFrame(number) OVER (ORDER"
+     " BY number ROWS UNBOUNDED PRECEDING) AS l FROM numbers(4))",
+     (3,)),
+    ("SELECT uniqArray(a) FROM t", None),  # clean-raise
+    ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
     # review-r10 pins: tuple() IN spellings, function-call left sides
     # stay scalar IN, scalar WITH + LIMIT BY nested in subqueries
     ("SELECT count() AS c FROM numbers(10) WHERE tuple(number,"

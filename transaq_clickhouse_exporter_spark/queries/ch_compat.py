@@ -1124,6 +1124,17 @@ _UNSUPPORTED_MSG = {
         "entropy() needs a two-level aggregation here — GROUP BY the "
         "value to get counts, then -sum(p * log2(p)) over them"
     ),
+    "uniqArray": (
+        "uniqArray() counts distinct elements ACROSS rows — explode "
+        "the array (ARRAY JOIN) and uniqExact the elements, or "
+        "size(array_distinct(flatten(groupArrayArray(a)))) if the "
+        "collected size is bounded"
+    ),
+    "bar": (
+        "bar() is a CLI rendering helper (fractional Unicode blocks) "
+        "— spell repeat('█', CAST(round(width * (x - mn) / (mx - mn)) "
+        "AS INT)) for a plain-block band"
+    ),
 }
 
 #: CH's -State / -Merge / -SimpleState combinators carry partial
@@ -3850,15 +3861,124 @@ def _rewrite_calls(sql: str) -> str:
                     "literal")
             i = close + 1
             continue
-        if name in ("plus", "minus", "multiply", "divide"):
+        if name in ("plus", "minus", "multiply"):
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(f"{name}(a, b) expects 2 arguments")
-            op = {"plus": "+", "minus": "-",
-                  "multiply": "*", "divide": "/"}[name]
-            # Spark int/int `/` is already float division, like CH divide
+            op = {"plus": "+", "minus": "-", "multiply": "*"}[name]
             out.append(f"(({parts[0]}) {op} ({parts[1]}))")
             i = close + 1
+            continue
+        if name == "divide":
+            # CH divide() is ALWAYS float division and returns
+            # inf/-inf/nan on a zero divisor where Spark's ANSI `/`
+            # raises DIVIDE_BY_ZERO (r10b).  Both operands bind once
+            # (nondeterministic args evaluate once); -0.0 divisors
+            # take the +0.0 sign (documented edge).  Bare `/` keeps
+            # Spark's loud ANSI error — rewriting every operator
+            # would churn all plans for a corner literal case.
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("divide(a, b) expects 2 arguments")
+            out.append(_bind_once(
+                f"named_struct('a', CAST(({parts[0]}) AS DOUBLE), "
+                f"'b', CAST(({parts[1]}) AS DOUBLE))",
+                lambda v: (
+                    f"CASE WHEN {v}.a IS NULL OR {v}.b IS NULL "
+                    f"THEN CAST(NULL AS DOUBLE) "
+                    f"WHEN isnan({v}.a) OR isnan({v}.b) "
+                    f"THEN CAST('NaN' AS DOUBLE) "
+                    f"WHEN {v}.b = 0 THEN CASE "
+                    f"WHEN {v}.a = 0 THEN CAST('NaN' AS DOUBLE) "
+                    f"WHEN {v}.a > 0 THEN CAST('Infinity' AS DOUBLE) "
+                    f"ELSE CAST('-Infinity' AS DOUBLE) END "
+                    f"ELSE {v}.a / {v}.b END")))
+            i = close + 1
+            continue
+        if name in ("sumArray", "countArray", "avgArray",
+                    "minArray", "maxArray", "groupArrayArray"):
+            # -Array combinator family: aggregate over every ELEMENT
+            # of the array column across rows (r10b).  Decomposable
+            # forms ride plain aggregates of per-row reductions —
+            # partial/final map-side combine preserved, no explode.
+            # sumArray/avgArray share arraySum's documented DOUBLE
+            # accumulation contract.
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(f"{name}(arr) expects 1 argument")
+            a = parts[0]
+            # empty input SET follows the bridge's count/sum
+            # discipline: CH returns 0/0/nan, Spark's bare aggregates
+            # return NULL (review r10b)
+            if name == "sumArray":
+                out.append(f"coalesce(sum({_ARR_SUM.format(a=a)}), "
+                           f"CAST(0 AS DOUBLE))")
+            elif name == "countArray":
+                out.append(
+                    f"CAST(coalesce(sum(size({a})), 0) AS BIGINT)")
+            elif name == "avgArray":
+                # CH avgArray over zero elements (or zero rows) → nan
+                out.append(
+                    f"(CASE WHEN coalesce(sum(size({a})), 0) = 0 "
+                    f"THEN CAST('NaN' AS DOUBLE) "
+                    f"ELSE sum({_ARR_SUM.format(a=a)}) / sum(size({a})) "
+                    f"END)")
+            elif name == "minArray":
+                out.append(f"min(array_min({a}))")
+            elif name == "maxArray":
+                out.append(f"max(array_max({a}))")
+            else:  # groupArrayArray: concatenation, order arbitrary
+                # in BOTH engines (CH documents the order as undefined)
+                out.append(f"flatten(collect_list({a}))")
+            i = close + 1
+            continue
+        if name in ("lagInFrame", "leadInFrame"):
+            # CH has NO plain lag/lead — lagInFrame/leadInFrame over
+            # the explicit full frame IS the CH spelling of ANSI
+            # lag()/lead() (CH window-functions docs' own idiom).
+            # Spark's lag/lead forbid an explicit frame, so the full
+            # frame is stripped from the OVER clause.  Other frames
+            # are frame-dependent in CH (the function reads within
+            # the frame) and raise; frameless lagInFrame equals lag
+            # under CH's default frame, frameless leadInFrame does
+            # NOT equal lead (the default frame ends at the current
+            # row) and raises.
+            base = "lag" if name == "lagInFrame" else "lead"
+            k3 = close + 1
+            while k3 < n and sql[k3] in " \t\n":
+                k3 += 1
+            om = re.match(r"(?is)OVER\s*\(", sql[k3:])
+            if om is None:
+                raise UnsupportedChSql(
+                    f"{name} needs an inline OVER (...) clause — named "
+                    "WINDOW references are not bridged")
+            oopen = k3 + om.end() - 1
+            oclose = _find_close(sql, oopen)
+            over = sql[oopen + 1: oclose]
+            stripped = re.sub(
+                r"(?is)\s*ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND"
+                r"\s+UNBOUNDED\s+FOLLOWING\s*$", "", over)
+            if stripped == over and name == "lagInFrame":
+                # frames whose LOWER bound is unbounded still cover
+                # every lag offset — the shorthand `ROWS UNBOUNDED
+                # PRECEDING` and the `BETWEEN UNBOUNDED PRECEDING AND
+                # CURRENT ROW` form are lag-equivalent (review r10b)
+                stripped = re.sub(
+                    r"(?is)\s*(?:ROWS|RANGE|GROUPS)\s+(?:BETWEEN\s+)?"
+                    r"UNBOUNDED\s+PRECEDING"
+                    r"(?:\s+AND\s+CURRENT\s+ROW)?\s*$", "", over)
+            if stripped == over:
+                if re.search(r"(?is)\b(ROWS|RANGE|GROUPS)\b", over) \
+                        or name == "leadInFrame":
+                    raise UnsupportedChSql(
+                        f"{name} with a frame that does not cover the "
+                        "offset reads within that frame in CH and has "
+                        "no Spark lag/lead equivalent — use ROWS "
+                        "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                        "FOLLOWING")
+            out.append(
+                f"{base}({inner}) OVER ({_rewrite_calls(stripped)})")
+            i = oclose + 1
             continue
         if name == "extract":
             # CH extract(haystack, 'regexp') = first match (or the
