@@ -1604,3 +1604,21 @@ def test_review_r10b_fixes_are_pinned(spark):
     ):
         with pytest.raises(UnsupportedChSql, match="frame"):
             run_ch_sql(spark, bad).collect()
+
+
+def test_r10c_join_use_nulls_contract(spark):
+    """Outer-join NULL semantics are a DOCUMENTED deviation from CH's
+    default: this bridge always behaves as join_use_nulls = 1 (ANSI
+    NULLs).  A query explicitly asking for CH's type-default fill
+    (join_use_nulls = 0) raises naming the coalesce workaround; = 1
+    strips like any other SETTINGS knob."""
+    rows = run_ch_sql(
+        spark,
+        "SELECT count(b.number) AS c FROM numbers(3) AS a LEFT JOIN"
+        " (SELECT number FROM numbers(1)) AS b USING (number)"
+        " SETTINGS join_use_nulls = 1").collect()
+    assert rows[0].c == 1
+    with pytest.raises(UnsupportedChSql, match="join_use_nulls"):
+        translate_ch_sql(
+            "SELECT 1 FROM a LEFT JOIN b USING (k)"
+            " SETTINGS join_use_nulls = 0")

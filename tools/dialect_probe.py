@@ -473,6 +473,24 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3,)),
     ("SELECT uniqArray(a) FROM t", None),  # clean-raise
     ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
+    # join_use_nulls: =1 matches this bridge's (SQL-standard NULL)
+    # semantics and strips; CH's default =0 (type-default fill for
+    # non-matched outer-join columns) is a documented clean raise
+    ("SELECT count(b.number) AS c FROM numbers(3) AS a LEFT JOIN"
+     " (SELECT number FROM numbers(1)) AS b USING (number)"
+     " SETTINGS join_use_nulls = 1", (1,)),
+    ("SELECT 1 FROM a LEFT JOIN b USING (k) SETTINGS"
+     " join_use_nulls = 0", None),  # clean-raise
+    # ANSI window functions CH shares verbatim — parity values
+    ("SELECT sum(t) AS s FROM (SELECT ntile(2) OVER (ORDER BY number)"
+     " AS t FROM numbers(4))", (6,)),
+    ("SELECT max(r) AS m FROM (SELECT dense_rank() OVER (ORDER BY"
+     " number % 2) AS r FROM numbers(4))", (2,)),
+    ("SELECT first_value(number) OVER (ORDER BY number DESC ROWS"
+     " BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f"
+     " FROM numbers(3) LIMIT 1", (2,)),
+    ("SELECT count() AS c FROM (SELECT number, rank() OVER (ORDER BY"
+     " number % 2) AS r FROM numbers(4)) WHERE r = 1", (2,)),
     # review-r10 pins: tuple() IN spellings, function-call left sides
     # stay scalar IN, scalar WITH + LIMIT BY nested in subqueries
     ("SELECT count() AS c FROM numbers(10) WHERE tuple(number,"

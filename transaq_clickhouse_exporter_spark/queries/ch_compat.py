@@ -137,6 +137,10 @@ Round-9 everyday additions (hash/random/array/date/URL families):
 - ``arrayZip`` rebuilds colN-named structs (like ``tuple()``), so
   ``tupleElement(t, N)`` positional access resolves; unequal array
   sizes raise like CH.  Unnamed-tuple display differs.
+- Outer joins follow ``join_use_nulls = 1`` (SQL-standard NULLs for
+  non-matched columns).  ClickHouse's DEFAULT ``join_use_nulls = 0``
+  fills them with type defaults (0, '') instead — not emulated; a
+  query spelling ``SETTINGS join_use_nulls = 0`` raises.
 - ``parseDateTimeBestEffort`` recognizes the common interchange
   formats (ISO, dd/MM day-first like CH, dd.MM.yyyy, compact, 9-10
   digit epochs) and returns NULL on an unparseable string (CH
@@ -1834,7 +1838,24 @@ def _with_totals(sql: str) -> str:
 def _strip_trailing_clauses(sql: str) -> str:
     """Drop CH's execution-hint tails: a top-level ``SETTINGS k=v, …``
     and/or ``FORMAT Name`` suffix (the engine's execution knobs and
-    wire format mean nothing to Spark; the query itself is unchanged)."""
+    wire format mean nothing to Spark; the query itself is unchanged).
+
+    One SETTINGS knob is VALUE-BEARING and checked before the strip:
+    ``join_use_nulls``.  This bridge always produces NULL for
+    non-matched outer-join columns (``join_use_nulls = 1``, the
+    SQL-standard behavior); ClickHouse's DEFAULT ``join_use_nulls =
+    0`` fills them with the column type's default (0, '') instead —
+    a query that explicitly asks for that raises rather than silently
+    returning NULLs where CH would return zeros (r10c; also in the
+    module docstring's deviations list)."""
+    m0 = _scan_toplevel(sql, r"\bjoin_use_nulls\s*=\s*0\b")
+    if m0 is not None:
+        raise UnsupportedChSql(
+            "SETTINGS join_use_nulls = 0 (CH's type-default fill for "
+            "non-matched outer-join columns) is not emulated — this "
+            "bridge always produces SQL-standard NULLs "
+            "(join_use_nulls = 1); coalesce() the right columns to "
+            "their defaults if you need CH's default rendering")
     for pat in (r"\bSETTINGS\s+\w+\s*=", r"\bFORMAT\s+\w+\s*$"):
         m = _scan_toplevel(sql, pat)
         if m is not None:
