@@ -48,6 +48,7 @@ PICKS = [
     "dp33_diversity_sample",
     "op09_asof_left_bridge", "ev19_with_totals_sql",
     "ev20_text_hash_profile_sql", "ev21_combinator_profile_sql",
+    "ev22_with_fill_sql", "ev23_per_group_topn_sql",
 ]
 
 
