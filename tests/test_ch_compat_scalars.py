@@ -1622,3 +1622,31 @@ def test_r10c_join_use_nulls_contract(spark):
         translate_ch_sql(
             "SELECT 1 FROM a LEFT JOIN b USING (k)"
             " SETTINGS join_use_nulls = 0")
+
+
+def test_r10d_tokenization_and_array_fold(spark):
+    """Round-10d batch: tokens() with CH's non-alphanumeric-ASCII
+    separator rule (non-ASCII characters stay inside tokens),
+    splitByWhitespace, code-point ngrams (documented byte deviation,
+    empty on short strings — sequence(1, 0) would count down),
+    arrayFold with CH (lambda, arr, init) order, 1-arg truthy
+    arrayCount, and 3-arg arrayResize (2-arg raises naming the
+    type-default pad)."""
+    one = lambda sql: run_ch_sql(spark, sql).collect()[0][0]  # noqa: E731
+    assert one("SELECT tokens('Hello, world! 42') AS t") == \
+        ["Hello", "world", "42"]
+    assert one("SELECT tokens('a_b c—d') AS t") == \
+        ["a", "b", "c—d"]
+    assert one("SELECT splitByWhitespace('a  b\tc') AS s") == \
+        ["a", "b", "c"]
+    assert one("SELECT ngrams('abcd', 2) AS n") == ["ab", "bc", "cd"]
+    assert one("SELECT ngrams('a', 3) AS n") == []
+    assert one("SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3],"
+               " CAST(100 AS Int64)) AS a") == 106
+    assert one("SELECT arrayCount([0, 1, 0, 2]) AS a") == 2
+    assert one("SELECT arrayCount(x -> x > 1, [1, 2, 3]) AS a") == 2
+    assert one("SELECT arrayResize([1, 2], 4, 0) AS r") == [1, 2, 0, 0]
+    assert one("SELECT arrayResize([1, 2, 3], 2, 0) AS r") == [1, 2]
+    assert one("SELECT arrayResize([1, 2], 0, 9) AS r") == []
+    with pytest.raises(UnsupportedChSql, match="extender"):
+        translate_ch_sql("SELECT arrayResize([1, 2], 4)")

@@ -473,6 +473,20 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3,)),
     ("SELECT uniqArray(a) FROM t", None),  # clean-raise
     ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
+    # --- round-10d batch: text tokenization + array fold/resize ---
+    ("SELECT tokens('Hello, world! 42') AS t", (["Hello", "world", "42"],)),
+    # non-ASCII stays inside tokens (CH: separators are
+    # non-alphanumeric ASCII only)
+    ("SELECT tokens('a_b c') AS t", (["a", "b", "c"],)),
+    ("SELECT splitByWhitespace('a  b c') AS s", (["a", "b", "c"],)),
+    ("SELECT ngrams('abcd', 2) AS n", (["ab", "bc", "cd"],)),
+    ("SELECT ngrams('a', 3) AS n", ([],)),
+    ("SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3],"
+     " CAST(100 AS Int64)) AS a", (106,)),
+    ("SELECT arrayCount([0, 1, 0, 2]) AS a", (2,)),
+    ("SELECT arrayResize([1, 2], 4, 0) AS r", ([1, 2, 0, 0],)),
+    ("SELECT arrayResize([1, 2, 3], 2, 0) AS r", ([1, 2],)),
+    ("SELECT arrayResize([1, 2], 4) AS r", None),  # clean-raise
     # join_use_nulls: =1 matches this bridge's (SQL-standard NULL)
     # semantics and strips; CH's default =0 (type-default fill for
     # non-matched outer-join columns) is a documented clean raise

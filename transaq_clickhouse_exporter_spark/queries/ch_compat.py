@@ -4057,9 +4057,94 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "arrayCount":
             parts = _split_args(inner)
+            if len(parts) == 1:
+                # 1-arg form counts TRUTHY elements (non-zero,
+                # non-NULL) like every CH higher-order default (r10d)
+                out.append(
+                    f"size(filter({parts[0]}, "
+                    f"__x -> __x IS NOT NULL AND __x != 0))")
+                i = close + 1
+                continue
             if len(parts) != 2:
                 raise UnsupportedChSql("arrayCount(lambda, arr) expects 2 args")
             out.append(f"size(filter({parts[1]}, {parts[0]}))")
+            i = close + 1
+            continue
+        if name == "arrayFold":
+            # CH arrayFold(lambda, arr, init) ≡ Spark aggregate(arr,
+            # init, lambda) — both lambdas are (acc, x) (r10d)
+            parts = _split_args(inner)
+            if len(parts) != 3 or not _is_lambda_arg(parts[0]):
+                raise UnsupportedChSql(
+                    "arrayFold(lambda, arr, init) with exactly one "
+                    "array is supported")
+            out.append(
+                f"aggregate({parts[1]}, {parts[2]}, {parts[0]})")
+            i = close + 1
+            continue
+        if name == "arrayResize":
+            # 3-arg form (explicit extender) is exact; the 2-arg form
+            # pads with the element TYPE's default, which SQL text
+            # cannot know — raise naming the workaround (r10d)
+            parts = _split_args(inner)
+            if len(parts) == 3:
+                a, sz, ext = parts
+                out.append(_bind_once(
+                    f"named_struct('a', {a}, 'n', CAST(({sz}) AS INT))",
+                    lambda v: (
+                        f"CASE WHEN {v}.n <= 0 THEN slice({v}.a, 1, 0) "
+                        f"WHEN {v}.n <= size({v}.a) "
+                        f"THEN slice({v}.a, 1, {v}.n) "
+                        f"ELSE concat({v}.a, array_repeat(({ext}), "
+                        f"{v}.n - size({v}.a))) END")))
+                i = close + 1
+                continue
+            raise UnsupportedChSql(
+                "arrayResize(arr, size) pads with the element type's "
+                "default — spell the 3-arg form with an explicit "
+                "extender (arrayResize(arr, size, 0))")
+        if name == "tokens":
+            # CH tokens() default tokenizer: NON-ALPHANUMERIC ASCII
+            # characters are the separators — non-ASCII bytes
+            # (Cyrillic letters, unicode punctuation) stay inside
+            # tokens, so the split class is the explicit ASCII
+            # non-alnum ranges, not \\P{Alnum} (r10d)
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(
+                    "tokens(s) 1-arg default tokenizer only")
+            out.append(
+                f"filter(split({parts[0]}, "
+                f"'[\\\\x00-\\\\x2f\\\\x3a-\\\\x40\\\\x5b-\\\\x60"
+                f"\\\\x7b-\\\\x7f]+'), __x -> __x != '')")
+            i = close + 1
+            continue
+        if name == "splitByWhitespace":
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql("splitByWhitespace(s) expects 1 arg")
+            out.append(
+                f"filter(split({parts[0]}, '\\\\s+'), __x -> __x != '')")
+            i = close + 1
+            continue
+        if name == "ngrams":
+            # character n-grams; CH operates on BYTES — identical for
+            # ASCII, code-point-based here (same family of documented
+            # UTF-8 deviations as substring/length) (r10d)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("ngrams(s, n) expects 2 args")
+            out.append(_bind_once(
+                f"named_struct('s', ({parts[0]}), "
+                f"'n', CAST(({parts[1]}) AS INT))",
+                lambda v: (
+                    # sequence(1, 0) would count DOWN — guard short
+                    # strings to an empty array instead
+                    f"CASE WHEN length({v}.s) < {v}.n "
+                    f"THEN CAST(array() AS ARRAY<STRING>) "
+                    f"ELSE transform(sequence(1, "
+                    f"length({v}.s) - {v}.n + 1), "
+                    f"__i -> substring({v}.s, __i, {v}.n)) END")))
             i = close + 1
             continue
         if name in ("argMaxIf", "argMinIf"):
