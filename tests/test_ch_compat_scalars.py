@@ -1650,3 +1650,41 @@ def test_r10d_tokenization_and_array_fold(spark):
     assert one("SELECT arrayResize([1, 2], 0, 9) AS r") == []
     with pytest.raises(UnsupportedChSql, match="extender"):
         translate_ch_sql("SELECT arrayResize([1, 2], 4)")
+
+
+def test_r10e_format_and_everyday_renames(spark):
+    """Round-10e batch: format() with CH {} / {N} placeholders (brace
+    escapes, %-escaping for format_string, NULL arguments propagate
+    NULL like CH string functions, mixed auto/manual indexing raises),
+    concatWithSeparator/max2/min2 renames, Int-typed sign(), CH no-op
+    wrappers, and the toIntervalX family."""
+    one = lambda sql: run_ch_sql(spark, sql).collect()[0][0]  # noqa: E731
+    assert one("SELECT format('{}-{}', 'a', 'b') AS f") == "a-b"
+    assert one("SELECT format('{1} {0}', 'a', 'b') AS f") == "b a"
+    assert one("SELECT format('x{{y}}z 100% {}', 1) AS f") == \
+        "x{y}z 100% 1"
+    assert one("SELECT format('{}', NULL) AS f") is None
+    # an UNREFERENCED NULL argument must not null the result
+    assert one("SELECT format('{0} {0}', 'a', NULL) AS f") == "a a"
+    for bad, why in (
+        ("SELECT format('{} {0}', 'a', 'b')", "mix"),
+        ("SELECT format('{3}', 'a')", "index"),
+    ):
+        with pytest.raises(UnsupportedChSql, match=why):
+            translate_ch_sql(bad)
+    assert one("SELECT concatWithSeparator('-', 'a', 'b') AS c") == \
+        "a-b"
+    assert one("SELECT max2(1, 2) AS a") == 2
+    assert one("SELECT min2(3, 2) AS a") == 2
+    r = run_ch_sql(spark, "SELECT sign(-5) AS s").collect()[0]
+    assert r.s == -1 and isinstance(r.s, int)  # CH returns Int8
+    assert one("SELECT materialize(5) AS m") == 5
+    assert one("SELECT CAST(toIntervalMonth(2) + toDate('2024-01-01')"
+               " AS STRING) AS d") == "2024-03-01"
+    assert one("SELECT CAST(toDateTime('2024-01-01 00:00:00') +"
+               " toIntervalMinute(90) AS STRING) AS d") == \
+        "2024-01-01 01:30:00"
+    assert one("SELECT CAST(toIntervalWeek(1) + toDate('2024-01-01')"
+               " AS STRING) AS d") == "2024-01-08 00:00:00"
+    with pytest.raises(UnsupportedChSql, match="sleep"):
+        translate_ch_sql("SELECT sleep(1)")

@@ -473,6 +473,21 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3,)),
     ("SELECT uniqArray(a) FROM t", None),  # clean-raise
     ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
+    # --- round-10e batch: format(), everyday renames, intervals ---
+    ("SELECT format('{}-{}', 'a', 'b') AS f", ("a-b",)),
+    ("SELECT format('{1} {0}', 'a', 'b') AS f", ("b a",)),
+    ("SELECT format('x{{y}} 100% {}', 1) AS f", ("x{y} 100% 1",)),
+    ("SELECT format('{}', NULL) IS NULL AS n", (True,)),  # CH NULLs
+    ("SELECT concatWithSeparator('-', 'a', 'b') AS c", ("a-b",)),
+    ("SELECT max2(1, 2) AS a, min2(3, 2) AS b", (2, 2)),
+    ("SELECT sign(-5) AS s, sign(0) AS z", (-1, 0)),  # Int8 in CH
+    ("SELECT materialize(5) AS m, identity(7) AS i, toNullable(1)"
+     " AS n", (5, 7, 1)),
+    ("SELECT CAST(toIntervalMonth(2) + toDate('2024-01-01') AS STRING)"
+     " AS d", ("2024-03-01",)),
+    ("SELECT CAST(toDateTime('2024-01-01 00:00:00') +"
+     " toIntervalMinute(90) AS STRING) AS d", ("2024-01-01 01:30:00",)),
+    ("SELECT sleep(1) AS s", None),  # clean-raise
     # --- round-10d batch: text tokenization + array fold/resize ---
     ("SELECT tokens('Hello, world! 42') AS t", (["Hello", "world", "42"],)),
     # non-ASCII stays inside tokens (CH: separators are

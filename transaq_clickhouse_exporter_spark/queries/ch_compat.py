@@ -929,6 +929,12 @@ _RENAMES = {
     "trimLeft": "ltrim",
     "trimRight": "rtrim",
     "trimBoth": "trim",
+    # round-10e everyday surface (same arity + arg order + values;
+    # max2/min2 are CH's 2-arg float forms — greatest/least keep the
+    # argument type instead of forcing Float64, numerically equal)
+    "concatWithSeparator": "concat_ws",
+    "max2": "greatest",
+    "min2": "least",
     "startsWith": "startswith",
     "endsWith": "endswith",
     "substringUTF8": "substring",
@@ -1138,6 +1144,14 @@ _UNSUPPORTED_MSG = {
         "bar() is a CLI rendering helper (fractional Unicode blocks) "
         "— spell repeat('█', CAST(round(width * (x - mn) / (mx - mn)) "
         "AS INT)) for a plain-block band"
+    ),
+    "sleep": (
+        "sleep() is a CH load-testing hook that blocks the executing "
+        "thread per block — meaningless under Spark's execution model"
+    ),
+    "sleepEachRow": (
+        "sleepEachRow() is a CH load-testing hook — meaningless under "
+        "Spark's execution model"
     ),
 }
 
@@ -4103,6 +4117,101 @@ def _rewrite_calls(sql: str) -> str:
                 "arrayResize(arr, size) pads with the element type's "
                 "default — spell the 3-arg form with an explicit "
                 "extender (arrayResize(arr, size, 0))")
+        if name == "format" and inner.strip().startswith("'"):
+            # CH format('{}-{}', a, b) / format('{1} {0}', a, b) →
+            # format_string('%s-%s', args[, reordered]) (r10e).  Only
+            # the literal-pattern form rewrites; CH forbids mixing
+            # auto {} and manual {N} indexing, and so does this.
+            parts = _split_args(inner)
+            pat = parts[0].strip()
+            if not (pat.startswith("'") and pat.endswith("'")):
+                raise UnsupportedChSql(
+                    "format() needs a literal pattern string")
+            body = pat[1:-1]
+            args = parts[1:]
+            toks = re.split(r"(\{\{|\}\}|\{\d*\})", body)
+            auto = manual = 0
+            order: list[int] = []
+            new_body = []
+            for t in toks:
+                if t == "{{":
+                    new_body.append("{")
+                elif t == "}}":
+                    new_body.append("}")
+                elif re.fullmatch(r"\{\d+\}", t or ""):
+                    manual += 1
+                    order.append(int(t[1:-1]))
+                    new_body.append("%s")
+                elif t == "{}":
+                    auto += 1
+                    order.append(auto - 1)
+                    new_body.append("%s")
+                else:
+                    new_body.append(t.replace("%", "%%"))
+            if auto and manual:
+                raise UnsupportedChSql(
+                    "format() cannot mix automatic {} and manual {N} "
+                    "indexing (the CH rule)")
+            if any(ix >= len(args) for ix in order):
+                raise UnsupportedChSql(
+                    "format() placeholder index exceeds the argument "
+                    "list")
+            fmt = "".join(new_body).replace("'", "''")
+            if not order:
+                out.append(f"'{fmt}'")
+                i = close + 1
+                continue
+            # NULL arguments propagate NULL like CH string functions
+            # (format_string would render the text \"null\"); args
+            # bind once through the usual envelope
+            binds = ", ".join(
+                f"'a{ix}', CAST(({a}) AS STRING)"
+                for ix, a in enumerate(args, 1))
+            out.append(_bind_once(
+                f"named_struct({binds})",
+                lambda v: (
+                    "CASE WHEN "
+                    + " OR ".join(f"{v}.a{ix + 1} IS NULL"
+                                  for ix in sorted(set(order)))
+                    + " THEN CAST(NULL AS STRING) ELSE format_string('"
+                    + fmt + "'"
+                    + "".join(f", {v}.a{ix + 1}" for ix in order)
+                    + ") END")))
+            i = close + 1
+            continue
+        if name in ("materialize", "identity", "toNullable"):
+            # CH engine hints / type-nullability wrappers: relational
+            # no-ops here (every Spark column is nullable; the
+            # assumeNotNull twin is handled above) (r10e)
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(f"{name}(x) expects 1 argument")
+            out.append(f"({parts[0]})")
+            i = close + 1
+            continue
+        if name == "sign":
+            # CH sign() returns Int8 (-1/0/1); Spark's returns DOUBLE
+            # — numerically equal but a silent TYPE diff in rendered
+            # results (r10e)
+            out.append(f"CAST(sign({inner}) AS INT)")
+            i = close + 1
+            continue
+        if name.startswith("toInterval") and name[10:] in (
+                "Second", "Minute", "Hour", "Day", "Week",
+                "Month", "Quarter", "Year"):
+            # CH toIntervalX(n) → n * INTERVAL 1 X.  DEVIATION: Spark
+            # types date + day-time-interval as TIMESTAMP where CH
+            # keeps Date; year-month intervals keep DATE on both.
+            unit = name[10:].upper()
+            if unit == "WEEK":
+                expr = f"(({inner}) * INTERVAL '7' DAY)"
+            elif unit == "QUARTER":
+                expr = f"(({inner}) * INTERVAL '3' MONTH)"
+            else:
+                expr = f"(({inner}) * INTERVAL '1' {unit})"
+            out.append(expr)
+            i = close + 1
+            continue
         if name == "tokens":
             # CH tokens() default tokenizer: NON-ALPHANUMERIC ASCII
             # characters are the separators — non-ASCII bytes
