@@ -1688,3 +1688,49 @@ def test_r10e_format_and_everyday_renames(spark):
                " AS STRING) AS d") == "2024-01-08 00:00:00"
     with pytest.raises(UnsupportedChSql, match="sleep"):
         translate_ch_sql("SELECT sleep(1)")
+
+
+def test_r10f_star_modifiers_and_finite_guards(spark):
+    """Round-10f batch: SELECT * [EXCEPT] REPLACE rewrites to
+    * EXCEPT + re-appended expressions (replaced columns move to the
+    END — documented position deviation; values identical);
+    multiplication by the string replace() function is NOT the
+    modifier; APPLY/COLUMNS raise naming the column-list problem;
+    ifNotFinite/isZeroOrNull with bound-once arguments."""
+    spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView(
+        "star_t")
+    rows = run_ch_sql(
+        spark, "SELECT * REPLACE (a * 10 AS a) FROM star_t").collect()
+    assert [tuple(r) for r in rows] == [(2, 3, 10)]
+    assert rows[0].__fields__ == ["b", "c", "a"]
+    rows = run_ch_sql(
+        spark,
+        "SELECT * EXCEPT (c) REPLACE (b + 1 AS b) FROM star_t"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 3)]
+    rows = run_ch_sql(
+        spark, "SELECT t.* REPLACE (a + 1 AS a) FROM star_t t"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, 3, 2)]
+    # multiplication form untouched (string replace survives)
+    assert run_ch_sql(
+        spark, "SELECT 2 * length(replace('aba', 'b', 'c')) AS m"
+    ).collect()[0].m == 6
+    for bad, why in (
+        ("SELECT * APPLY (max) FROM star_t", "APPLY"),
+        ("SELECT COLUMNS('a') FROM star_t", "COLUMNS"),
+        ("SELECT * REPLACE (a * 10) FROM star_t", "AS"),
+    ):
+        with pytest.raises(UnsupportedChSql, match=why):
+            run_ch_sql(spark, bad).collect()
+    r = run_ch_sql(
+        spark,
+        "SELECT ifNotFinite(divide(1, 0), 99) AS a,"
+        " ifNotFinite(2.5, 9) AS b, ifNotFinite(divide(0, 0), -1)"
+        " AS c, ifNotFinite(NULL, 7) AS d").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (99.0, 2.5, -1.0, None)
+    r = run_ch_sql(
+        spark,
+        "SELECT isZeroOrNull(0) AS a, isZeroOrNull(NULL) AS b,"
+        " isZeroOrNull(5) AS c").collect()[0]
+    assert (r.a, r.b, r.c) == (True, True, False)

@@ -473,6 +473,21 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3,)),
     ("SELECT uniqArray(a) FROM t", None),  # clean-raise
     ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
+    # --- round-10f batch: SELECT-star modifiers + finite guards ---
+    # replaced columns move to the END (documented position deviation)
+    ("SELECT * REPLACE (number * 10 AS number) FROM numbers(2)",
+     None),
+    ("SELECT count() AS c FROM (SELECT * EXCEPT (v) REPLACE (g + 1"
+     " AS g) FROM (SELECT number % 3 AS g, number AS v FROM"
+     " numbers(9)))", (9,)),
+    # multiplication by the string function stays untouched
+    ("SELECT 2 * length(replace('aba', 'b', 'c')) AS m", (6,)),
+    ("SELECT * APPLY (max) FROM trades", None),     # clean-raise
+    ("SELECT COLUMNS('sec') FROM trades", None),    # clean-raise
+    ("SELECT ifNotFinite(divide(1, 0), 99) AS a, ifNotFinite(2.5, 9)"
+     " AS b", (99.0, 2.5)),
+    ("SELECT isZeroOrNull(0) AS a, isZeroOrNull(NULL) AS b,"
+     " isZeroOrNull(5) AS c", (True, True, False)),
     # --- round-10e batch: format(), everyday renames, intervals ---
     ("SELECT format('{}-{}', 'a', 'b') AS f", ("a-b",)),
     ("SELECT format('{1} {0}', 'a', 'b') AS f", ("b a",)),

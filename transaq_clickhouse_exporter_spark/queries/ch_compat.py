@@ -1153,6 +1153,11 @@ _UNSUPPORTED_MSG = {
         "sleepEachRow() is a CH load-testing hook — meaningless under "
         "Spark's execution model"
     ),
+    "COLUMNS": (
+        "COLUMNS('regex') needs the table's column list, which a SQL "
+        "rewrite cannot know — spell the columns, or use "
+        "df.select([c for c in df.columns if re.search(...)])"
+    ),
 }
 
 #: CH's -State / -Merge / -SimpleState combinators carry partial
@@ -1326,6 +1331,9 @@ def translate_ch_sql(
     # tuple-IN over literal lists: Spark's struct IN demands exact
     # struct type equality; the expansion coerces per element
     sql = _tuple_in_literals(sql)
+    # SELECT * [EXCEPT] REPLACE modifier → * EXCEPT + re-appended
+    # expressions (APPLY/COLUMNS raise inside)
+    sql = _select_star_modifiers(sql)
     sql = _preaggregate_topk(sql, strict_scale=strict_scale)
     return _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql)))
 
@@ -1566,6 +1574,76 @@ def _rewrite_any_join(sql: str) -> str:
             "joins, pre-deduplicate the side yourself (row_number "
             "OVER the key = 1)")
     return sql
+
+
+def _select_star_modifiers(sql: str) -> str:
+    """CH's ``SELECT * [EXCEPT (…)] REPLACE (expr AS col, …)``
+    modifier → ``* EXCEPT (cols…), expr AS col, …`` (r10f).
+
+    Spark has ``* EXCEPT`` natively but not ``REPLACE``; the rewrite
+    drops the replaced columns from the star and re-appends the
+    replacement expressions.  DEVIATION (documented): replaced
+    columns move to the END of the projection — CH keeps their
+    original position; the VALUES are identical.  ``* APPLY (fn)``
+    and ``COLUMNS('re')`` need the column list, which SQL text does
+    not carry — they raise naming the workaround.
+    """
+    import re
+
+    if re.search(r"(?i)\*\s*(?:EXCEPT\s*\([^()]*\)\s*)?APPLY\s*\(",
+                 _mask_literals(sql)):
+        raise UnsupportedChSql(
+            "SELECT * APPLY (fn) needs the table's column list, which "
+            "a SQL rewrite cannot know — spell the aggregates "
+            "explicitly or use df.select([fn(c) for c in df.columns])")
+    pos = 0
+    while True:
+        sh = _mask_literals(sql)
+        m = re.compile(
+            r"(?i)\*\s*(?:EXCEPT\s*\(([^()]*)\)\s*)?REPLACE\s*\("
+        ).search(sh, pos)
+        if m is None:
+            return sql
+        # `a * replace('x', …)` is MULTIPLICATION by the string
+        # function — only a projection star (preceded by SELECT, a
+        # comma, `(`, or a `.` qualifier) is the modifier form
+        k = m.start() - 1
+        while k >= 0 and sh[k] in " \t\n":
+            k -= 1
+        if k >= 0 and (sh[k].isalnum() or sh[k] in "_`')]"):
+            prev_word = re.search(r"([A-Za-z_]\w*)$", sh[: k + 1])
+            if prev_word is None or prev_word.group(1).upper() not in (
+                    "SELECT", "DISTINCT"):
+                pos = m.end()
+                continue
+        open_p, depth, close_p = m.end() - 1, 0, -1
+        for i in range(open_p, len(sh)):
+            if sh[i] == "(":
+                depth += 1
+            elif sh[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_p = i
+                    break
+        if close_p < 0:
+            raise UnsupportedChSql("unbalanced parens in * REPLACE")
+        items = []
+        for it in _split_args(sql[open_p + 1: close_p]):
+            am = _ALIAS_RE.match(it.strip())
+            if am is None:
+                raise UnsupportedChSql(
+                    "* REPLACE items must be `expr AS column`")
+            items.append((am.group(1), am.group(2).strip("`")))
+        if not items:
+            raise UnsupportedChSql("* REPLACE () needs items")
+        except_cols = [c.strip() for c in (m.group(1) or "").split(",")
+                       if c.strip()]
+        all_except = ", ".join(
+            [*except_cols, *(f"`{c}`" for _, c in items)])
+        repl = ("* EXCEPT (" + all_except + "), "
+                + ", ".join(f"{e} AS `{c}`" for e, c in items))
+        sql = sql[: m.start()] + repl + sql[close_p + 1:]
+        pos = 0  # consumed — rescan from the top
 
 
 def _tuple_in_literals(sql: str) -> str:
@@ -3928,6 +4006,31 @@ def _rewrite_calls(sql: str) -> str:
                     f"WHEN {v}.a > 0 THEN CAST('Infinity' AS DOUBLE) "
                     f"ELSE CAST('-Infinity' AS DOUBLE) END "
                     f"ELSE {v}.a / {v}.b END")))
+            i = close + 1
+            continue
+        if name == "ifNotFinite":
+            # ifNotFinite(x, alt): x when finite, else alt (r10f) —
+            # x binds once (it may be nondeterministic or expensive)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("ifNotFinite(x, alt) expects 2 args")
+            alt = parts[1]
+            out.append(_bind_once(
+                f"CAST(({parts[0]}) AS DOUBLE)",
+                lambda v: (
+                    f"CASE WHEN {v} IS NULL THEN CAST(NULL AS DOUBLE) "
+                    f"WHEN isnan({v}) OR {v} = CAST('Infinity' AS "
+                    f"DOUBLE) OR {v} = CAST('-Infinity' AS DOUBLE) "
+                    f"THEN CAST(({alt}) AS DOUBLE) ELSE {v} END")))
+            i = close + 1
+            continue
+        if name == "isZeroOrNull":
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql("isZeroOrNull(x) expects 1 arg")
+            out.append(_bind_once(
+                f"({parts[0]})",
+                lambda v: f"({v} IS NULL OR {v} = 0)"))
             i = close + 1
             continue
         if name in ("sumArray", "countArray", "avgArray",
