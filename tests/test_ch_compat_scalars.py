@@ -1734,3 +1734,15 @@ def test_r10f_star_modifiers_and_finite_guards(spark):
         "SELECT isZeroOrNull(0) AS a, isZeroOrNull(NULL) AS b,"
         " isZeroOrNull(5) AS c").collect()[0]
     assert (r.a, r.b, r.c) == (True, True, False)
+
+
+def test_review_r10f_fixes_are_pinned(spark):
+    """Round-10f review findings: format()'s pattern body is already
+    SQL-escaped inside the literal (re-escaping corrupted it''s ->
+    it''''s), and the zero-placeholder path must not carry the
+    %%-escaping format_string would need."""
+    one = lambda sql: run_ch_sql(spark, sql).collect()[0][0]  # noqa: E731
+    assert one("SELECT format('it''s {}', 'x') AS f") == "it's x"
+    assert one("SELECT format('100%') AS f") == "100%"
+    assert one("SELECT format('x{{y}}z') AS f") == "x{y}z"
+    assert one("SELECT format('it''s') AS f") == "it's"

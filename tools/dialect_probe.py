@@ -488,6 +488,8 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " AS b", (99.0, 2.5)),
     ("SELECT isZeroOrNull(0) AS a, isZeroOrNull(NULL) AS b,"
      " isZeroOrNull(5) AS c", (True, True, False)),
+    ("SELECT format('it''s {}', 'x') AS f", ("it's x",)),
+    ("SELECT format('100%') AS f", ("100%",)),
     # --- round-10e batch: format(), everyday renames, intervals ---
     ("SELECT format('{}-{}', 'a', 'b') AS f", ("a-b",)),
     ("SELECT format('{1} {0}', 'a', 'b') AS f", ("b a",)),

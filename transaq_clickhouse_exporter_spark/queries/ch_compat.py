@@ -4235,12 +4235,15 @@ def _rewrite_calls(sql: str) -> str:
             toks = re.split(r"(\{\{|\}\}|\{\d*\})", body)
             auto = manual = 0
             order: list[int] = []
-            new_body = []
+            new_body = []    # %-escaped, for format_string
+            plain_body = []  # unescaped, for the zero-placeholder path
             for t in toks:
                 if t == "{{":
                     new_body.append("{")
+                    plain_body.append("{")
                 elif t == "}}":
                     new_body.append("}")
+                    plain_body.append("}")
                 elif re.fullmatch(r"\{\d+\}", t or ""):
                     manual += 1
                     order.append(int(t[1:-1]))
@@ -4251,6 +4254,7 @@ def _rewrite_calls(sql: str) -> str:
                     new_body.append("%s")
                 else:
                     new_body.append(t.replace("%", "%%"))
+                    plain_body.append(t)
             if auto and manual:
                 raise UnsupportedChSql(
                     "format() cannot mix automatic {} and manual {N} "
@@ -4259,9 +4263,14 @@ def _rewrite_calls(sql: str) -> str:
                 raise UnsupportedChSql(
                     "format() placeholder index exceeds the argument "
                     "list")
-            fmt = "".join(new_body).replace("'", "''")
+            # the body slice is ALREADY in SQL-escaped form ('' for a
+            # quote inside the original literal) — re-escaping would
+            # corrupt the value (review r10f)
+            fmt = "".join(new_body)
             if not order:
-                out.append(f"'{fmt}'")
+                # no placeholders: a plain literal, WITHOUT the
+                # %-escaping format_string would need (review r10f)
+                out.append(f"'{''.join(plain_body)}'")
                 i = close + 1
                 continue
             # NULL arguments propagate NULL like CH string functions
