@@ -1746,3 +1746,43 @@ def test_review_r10f_fixes_are_pinned(spark):
     assert one("SELECT format('100%') AS f") == "100%"
     assert one("SELECT format('x{{y}}z') AS f") == "x{y}z"
     assert one("SELECT format('it''s') AS f") == "it's"
+
+
+def test_r10g_distinct_on_maps_diff_aliases(spark):
+    """Round-10g batch: DISTINCT ON (cols) rewrites to LIMIT 1 BY cols
+    (the CH-documented equivalence) inheriting the ORDER-BY-required
+    determinism contract and composing with a trailing LIMIT;
+    mapContains/mapFromArrays renames; timestamp_diff/date_diff
+    aliases (bare-identifier units quoted) share dateDiff's
+    boundary-crossing expression; sumCount returns a colN tuple;
+    COLLATE raises (stripping would silently change string order)."""
+    one = lambda sql: [tuple(r) for r in  # noqa: E731
+                       run_ch_sql(spark, sql).collect()]
+    base = ("(SELECT number % 3 AS g, number AS v FROM numbers(9))")
+    assert one(f"SELECT DISTINCT ON (g) g, v FROM {base}"
+               " ORDER BY g, v") == [(0, 0), (1, 1), (2, 2)]
+    assert one(f"SELECT DISTINCT ON (g) g, v FROM {base}"
+               " ORDER BY g, v DESC") == [(0, 6), (1, 7), (2, 8)]
+    assert one(f"SELECT DISTINCT ON (g) g, v FROM {base}"
+               " ORDER BY g, v LIMIT 2") == [(0, 0), (1, 1)]
+    with pytest.raises(UnsupportedChSql, match="ORDER BY"):
+        run_ch_sql(spark,
+                   f"SELECT DISTINCT ON (g) g FROM {base}").collect()
+    assert one("SELECT mapContains(map('a', 1), 'a') AS c,"
+               " mapContains(map('a', 1), 'z') AS d") == \
+        [(True, False)]
+    assert one("SELECT mapFromArrays(['a'], [1])['a'] AS v") == [(1,)]
+    assert one("SELECT timestamp_diff(DAY, toDate('2024-01-01'),"
+               " toDate('2024-01-05')) AS d") == [(4,)]
+    assert one("SELECT date_diff('day', toDate('2024-01-01'),"
+               " toDate('2024-01-05')) AS d") == [(4,)]
+    assert one("SELECT tupleElement(sumCount(number), 1) AS s,"
+               " tupleElement(sumCount(number), 2) AS c"
+               " FROM numbers(5)") == [(10, 5)]
+    for bad, why in (
+        ("SELECT number FROM numbers(3) ORDER BY number COLLATE 'en'",
+         "COLLATE"),
+        ("SELECT untuple(tuple(1, 2)) AS u", "untuple"),
+    ):
+        with pytest.raises(UnsupportedChSql, match=why):
+            run_ch_sql(spark, bad).collect()

@@ -473,6 +473,28 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3,)),
     ("SELECT uniqArray(a) FROM t", None),  # clean-raise
     ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
+    # --- round-10g batch: DISTINCT ON, map fns, diff aliases ---
+    # DISTINCT ON (cols) == LIMIT 1 BY cols (the CH-documented
+    # equivalence); rides the row_number rewrite + its ORDER BY rule
+    ("SELECT count() AS c FROM (SELECT DISTINCT ON (g) g, v FROM"
+     " (SELECT number % 3 AS g, number AS v FROM numbers(9))"
+     " ORDER BY g, v)", (3,)),
+    ("SELECT sum(v) AS s FROM (SELECT DISTINCT ON (g) g, v FROM"
+     " (SELECT number % 3 AS g, number AS v FROM numbers(9))"
+     " ORDER BY g, v DESC)", (21,)),
+    ("SELECT mapContains(map('a', 1), 'a') AS c,"
+     " mapContains(map('a', 1), 'z') AS d", (True, False)),
+    ("SELECT mapFromArrays(['a'], [1])['a'] AS v", (1,)),
+    ("SELECT timestamp_diff(DAY, toDate('2024-01-01'),"
+     " toDate('2024-01-05')) AS d", (4,)),
+    ("SELECT date_diff('day', toDate('2024-01-01'),"
+     " toDate('2024-01-05')) AS d", (4,)),
+    ("SELECT tupleElement(sumCount(number), 1) AS s,"
+     " tupleElement(sumCount(number), 2) AS c FROM numbers(5)",
+     (10, 5)),
+    ("SELECT number FROM numbers(3) ORDER BY number COLLATE 'en'",
+     None),  # clean-raise (stripping would change string order)
+    ("SELECT untuple(tuple(1, 2)) AS u", None),  # clean-raise
     # --- round-10f batch: SELECT-star modifiers + finite guards ---
     # replaced columns move to the END (documented position deviation)
     ("SELECT * REPLACE (number * 10 AS number) FROM numbers(2)",

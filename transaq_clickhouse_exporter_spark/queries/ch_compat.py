@@ -935,6 +935,9 @@ _RENAMES = {
     "concatWithSeparator": "concat_ws",
     "max2": "greatest",
     "min2": "least",
+    # round-10g map surface (same arity + arg order + values)
+    "mapContains": "map_contains_key",
+    "mapFromArrays": "map_from_arrays",
     "startsWith": "startswith",
     "endsWith": "endswith",
     "substringUTF8": "substring",
@@ -1158,6 +1161,11 @@ _UNSUPPORTED_MSG = {
         "rewrite cannot know — spell the columns, or use "
         "df.select([c for c in df.columns if re.search(...)])"
     ),
+    "untuple": (
+        "untuple(t) expands to one output column per tuple field — "
+        "spell t.* (Spark's struct expansion) or tupleElement(t, N) "
+        "per field"
+    ),
 }
 
 #: CH's -State / -Merge / -SimpleState combinators carry partial
@@ -1312,6 +1320,13 @@ def translate_ch_sql(
             "SAMPLE clause: CH samples deterministically by the table's "
             "sampling key, Spark TABLESAMPLE does not — use "
             "datapipe.sampling.hash_sample for a reproducible sample"
+        )
+    if re.search(r"(?i)\bCOLLATE\s+'", _mask_literals(sql)):
+        raise UnsupportedChSql(
+            "ORDER BY … COLLATE: locale collation cannot be honored "
+            "(Spark sorts by binary/UTF8 order) — stripping it would "
+            "silently change string ordering; sort a locale-folded "
+            "key expression instead"
         )
     sql = _array_join_clause(sql)
     if _scan_toplevel(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
@@ -2035,9 +2050,48 @@ def _recurse_select_blocks(sql: str, fn) -> str:
     return fn("".join(out))
 
 
+def _distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (cols) …`` ≡ ``… LIMIT 1 BY cols`` (the
+    equivalence ClickHouse's own docs state) — rewrite to the LIMIT BY
+    spelling and let :func:`_limit_by` do the row_number work, which
+    also inherits its ORDER-BY-required determinism contract (r10g).
+    The ``LIMIT 1 BY cols`` lands BEFORE any trailing ``LIMIT n`` so
+    the existing ``LIMIT k BY cols [LIMIT m]`` grammar parses it."""
+    import re
+
+    sh = _mask_literals(sql)
+    m = re.search(r"(?i)\bSELECT\s+DISTINCT\s+ON\s*\(", sh)
+    if m is None:
+        return sql
+    open_p, depth, close_p = m.end() - 1, 0, -1
+    for i in range(open_p, len(sh)):
+        if sh[i] == "(":
+            depth += 1
+        elif sh[i] == ")":
+            depth -= 1
+            if depth == 0:
+                close_p = i
+                break
+    if close_p < 0:
+        raise UnsupportedChSql("unbalanced parens in DISTINCT ON")
+    cols = sql[open_p + 1: close_p].strip()
+    if not cols:
+        raise UnsupportedChSql("DISTINCT ON () needs columns")
+    rest = sql[close_p + 1:]
+    lim = _scan_toplevel(rest, r"\bLIMIT\s+\d+\b")
+    if lim is not None:
+        rest = (rest[: lim.start()] + f" LIMIT 1 BY {cols} "
+                + rest[lim.start():])
+    else:
+        rest = rest + f" LIMIT 1 BY {cols}"
+    head = sql[: m.start()] + "SELECT"
+    return head + rest
+
+
 def _limit_by_recursive(sql: str) -> str:
-    """CH allows ``LIMIT n BY`` at any nesting depth (probe r10)."""
-    return _recurse_select_blocks(sql, _limit_by)
+    """CH allows ``LIMIT n BY`` and ``DISTINCT ON`` at any nesting
+    depth (probe r10)."""
+    return _recurse_select_blocks(sql, lambda s: _limit_by(_distinct_on(s)))
 
 
 def _limit_by(sql: str) -> str:
@@ -4154,8 +4208,27 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"timestampadd({unit}, {n_expr}, {parts[0]})")
             i = close + 1
             continue
-        if name == "dateDiff":
-            out.append(_datediff_expr(_split_args(inner)))
+        if name in ("dateDiff", "date_diff", "timestamp_diff",
+                    "timestampDiff"):
+            # the alias spellings accept a BARE identifier unit
+            # (timestamp_diff(DAY, a, b)) — quote it for the shared
+            # boundary-crossing expression (r10g)
+            parts = _split_args(inner)
+            if parts and re.fullmatch(r"[A-Za-z]+", parts[0].strip()):
+                parts[0] = f"'{parts[0].strip().lower()}'"
+            out.append(_datediff_expr(parts))
+            i = close + 1
+            continue
+        if name == "sumCount":
+            # CH sumCount(x) → tuple (sum, count) — two sibling
+            # aggregates in a colN-named struct so tupleElement
+            # positional access resolves (r10g)
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql("sumCount(x) expects 1 argument")
+            out.append(
+                f"named_struct('col1', sum({parts[0]}), "
+                f"'col2', count({parts[0]}))")
             i = close + 1
             continue
         if name == "formatDateTime":
