@@ -1786,3 +1786,33 @@ def test_r10g_distinct_on_maps_diff_aliases(spark):
     ):
         with pytest.raises(UnsupportedChSql, match=why):
             run_ch_sql(spark, bad).collect()
+
+
+def test_review_r10g_fixes_are_pinned(spark):
+    """Round-10g review findings: LIMIT BY's trailing clause keeps
+    OFFSET (the digit-only capture dropped it) and rewrites CH's
+    comma form; TIMESTAMPDIFF-family aliases match case-insensitively
+    (CH's one exception to case-sensitive names — exact-case matching
+    let Spark's complete-interval builtin answer); DISTINCT ON scans
+    depth-0 only, raises on unparenthesized set operators, and
+    paren-wrapped subquery blocks recurse."""
+    base = "(SELECT number % 3 AS g, number AS v FROM numbers(9))"
+    one = lambda sql: [tuple(r) for r in  # noqa: E731
+                       run_ch_sql(spark, sql).collect()]
+    assert one(f"SELECT DISTINCT ON (g) g, v FROM {base}"
+               " ORDER BY g, v LIMIT 2 OFFSET 1") == [(1, 1), (2, 2)]
+    assert one(f"SELECT g, v FROM {base} ORDER BY g, v LIMIT 1 BY g"
+               " LIMIT 1, 2") == [(1, 1), (2, 2)]
+    # boundary-crossing semantics under every alias case
+    for spelling in ("TIMESTAMPDIFF", "timestampdiff",
+                     "timestamp_diff", "DATE_DIFF"):
+        assert one(
+            f"SELECT {spelling}(day, toDateTime('2024-01-01"
+            " 23:00:00'), toDateTime('2024-01-02 01:00:00')) AS d"
+        ) == [(1,)]
+    assert one(f"SELECT count(*) AS c FROM ((SELECT DISTINCT ON (g) g"
+               f" FROM {base} ORDER BY g)) z") == [(3,)]
+    with pytest.raises(UnsupportedChSql, match="set operator"):
+        translate_ch_sql(
+            f"SELECT DISTINCT ON (g) g FROM {base} ORDER BY g"
+            " UNION ALL SELECT 1")

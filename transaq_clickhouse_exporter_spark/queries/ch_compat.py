@@ -2040,7 +2040,11 @@ def _recurse_select_blocks(sql: str, fn) -> str:
                     if depth == 0:
                         break
             inner = sql[i + 1: j]
-            if re.match(r"(?is)\s*(SELECT|WITH)\b", _mask_literals(inner)):
+            # paren-wrapped blocks (`((SELECT …))`) recurse too —
+            # review r10g: the guard previously stopped at the outer
+            # parens and left the inner SELECT untouched
+            if re.match(r"(?is)\s*(SELECT\b|WITH\b|\()",
+                        _mask_literals(inner)):
                 inner = _recurse_select_blocks(inner, fn)
             out.append("(" + inner + ")")
             i = j + 1
@@ -2057,27 +2061,25 @@ def _distinct_on(sql: str) -> str:
     also inherits its ORDER-BY-required determinism contract (r10g).
     The ``LIMIT 1 BY cols`` lands BEFORE any trailing ``LIMIT n`` so
     the existing ``LIMIT k BY cols [LIMIT m]`` grammar parses it."""
-    import re
-
-    sh = _mask_literals(sql)
-    m = re.search(r"(?i)\bSELECT\s+DISTINCT\s+ON\s*\(", sh)
+    # depth-0 scan only: a DISTINCT ON inside parens this recursion
+    # did not enter (double-parenthesized subquery) must not be
+    # rewritten with statement-spanning scope (review r10g)
+    m = _scan_toplevel(sql, r"\bSELECT\s+DISTINCT\s+ON\s*\(")
     if m is None:
         return sql
-    open_p, depth, close_p = m.end() - 1, 0, -1
-    for i in range(open_p, len(sh)):
-        if sh[i] == "(":
-            depth += 1
-        elif sh[i] == ")":
-            depth -= 1
-            if depth == 0:
-                close_p = i
-                break
-    if close_p < 0:
-        raise UnsupportedChSql("unbalanced parens in DISTINCT ON")
+    open_p = sql.index("(", m.end() - 1)
+    close_p = _find_close(sql, open_p)
     cols = sql[open_p + 1: close_p].strip()
     if not cols:
         raise UnsupportedChSql("DISTINCT ON () needs columns")
     rest = sql[close_p + 1:]
+    if _scan_toplevel(rest, r"\b(UNION|INTERSECT|EXCEPT)\b"):
+        # the LIMIT BY would land after the whole set operation and
+        # wrap BOTH branches — CH scopes DISTINCT ON to its own
+        # SELECT (review r10g)
+        raise UnsupportedChSql(
+            "DISTINCT ON combined with a set operator needs "
+            "parentheses around its SELECT")
     lim = _scan_toplevel(rest, r"\bLIMIT\s+\d+\b")
     if lim is not None:
         rest = (rest[: lim.start()] + f" LIMIT 1 BY {cols} "
@@ -2109,7 +2111,17 @@ def _limit_by(sql: str) -> str:
     # BY column list runs to a top-level LIMIT or the end
     tail_m = _scan_toplevel(rest, r"\bLIMIT\s+(\d+)\b")
     cols = (rest[: tail_m.start()] if tail_m else rest).strip()
-    final_limit = f" LIMIT {tail_m.group(1)}" if tail_m else ""
+    # the trailing clause is kept WHOLE (LIMIT n [OFFSET m] survives —
+    # review r10g found the digit-only capture dropped the offset);
+    # CH's comma form `LIMIT o, n` rewrites to the OFFSET spelling
+    # Spark parses
+    final_limit = ""
+    if tail_m:
+        tail_text = rest[tail_m.start():].strip()
+        cm = re.match(r"(?is)LIMIT\s+(\d+)\s*,\s*(\d+)\s*$", tail_text)
+        if cm:
+            tail_text = f"LIMIT {cm.group(2)} OFFSET {cm.group(1)}"
+        final_limit = " " + tail_text
     if not cols:
         raise UnsupportedChSql("LIMIT BY needs at least one column")
     # last top-level ORDER BY in the body
@@ -4208,11 +4220,16 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"timestampadd({unit}, {n_expr}, {parts[0]})")
             i = close + 1
             continue
-        if name in ("dateDiff", "date_diff", "timestamp_diff",
-                    "timestampDiff"):
-            # the alias spellings accept a BARE identifier unit
-            # (timestamp_diff(DAY, a, b)) — quote it for the shared
-            # boundary-crossing expression (r10g)
+        if name.lower() in ("datediff", "date_diff", "timestamp_diff",
+                            "timestampdiff"):
+            # CH registers these aliases CASE-INSENSITIVELY (its one
+            # exception to case-sensitive function names) — matching
+            # exact spellings only would let TIMESTAMPDIFF fall
+            # through to Spark's complete-interval builtin, the
+            # silent mistranslation _datediff_expr exists to prevent
+            # (review r10g).  The alias spellings accept a BARE
+            # identifier unit (timestamp_diff(DAY, a, b)) — quote it
+            # for the shared boundary-crossing expression.
             parts = _split_args(inner)
             if parts and re.fullmatch(r"[A-Za-z]+", parts[0].strip()):
                 parts[0] = f"'{parts[0].strip().lower()}'"
