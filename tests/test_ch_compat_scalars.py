@@ -1816,3 +1816,48 @@ def test_review_r10g_fixes_are_pinned(spark):
         translate_ch_sql(
             f"SELECT DISTINCT ON (g) g FROM {base} ORDER BY g"
             " UNION ALL SELECT 1")
+
+
+def test_r10h_vector_distance_family(spark):
+    """Round-10h batch: CH's vector-distance expression family —
+    dotProduct/L1/L2/L2Squared/Linf distances, cosineDistance, and
+    the norm family — as pure codegen zip_with/aggregate folds in
+    DOUBLE, arrays bound once, unequal sizes raising like CH.  The
+    expression form of the embedding-search surface the ANN operators
+    implement at scale."""
+    import math
+
+    one = lambda sql: run_ch_sql(spark, sql).collect()[0][0]  # noqa: E731
+    assert one("SELECT dotProduct([1, 2, 3], [4, 5, 6]) AS d") == 32.0
+    assert one("SELECT arrayDotProduct([1, 2], [3, 4]) AS d") == 11.0
+    assert one("SELECT L1Distance([1, 2], [4, 6]) AS d") == 7.0
+    assert one("SELECT L2Distance([3, 0], [0, 4]) AS d") == 5.0
+    assert one("SELECT L2SquaredDistance([3, 0], [0, 4]) AS d") == 25.0
+    assert one("SELECT LinfDistance([1, 2], [4, 6]) AS d") == 4.0
+    assert one("SELECT cosineDistance([1, 0], [0, 1]) AS d") == 1.0
+    assert abs(one("SELECT cosineDistance([1, 1], [1, 1]) AS d")) < 1e-12
+    assert one("SELECT L1Norm([1, -2, 3]) AS n") == 6.0
+    assert one("SELECT L2Norm([3, 4]) AS n") == 5.0
+    assert one("SELECT L2SquaredNorm([3, 4]) AS n") == 25.0
+    assert one("SELECT LinfNorm([1, -7, 3]) AS n") == 7.0
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(spark, "SELECT L2Distance([1], [1, 2])").collect()
+    # the NN idiom: a scalar-subquery argument raises naming the
+    # CROSS JOIN hoist (Spark forbids subqueries inside HOFs); the
+    # hoisted spelling runs and ranks the query vector itself first
+    from transaq_clickhouse_exporter_spark.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    with pytest.raises(UnsupportedChSql, match="CROSS JOIN"):
+        run_ch_sql(
+            spark,
+            "SELECT vec_id FROM embeddings ORDER BY"
+            " cosineDistance(embedding, (SELECT embedding FROM"
+            " embeddings WHERE vec_id = 1)) LIMIT 3").collect()
+    got = [r.vec_id for r in run_ch_sql(
+        spark,
+        "SELECT e.vec_id FROM embeddings e CROSS JOIN (SELECT"
+        " embedding AS q FROM embeddings WHERE vec_id = 1) qt"
+        " ORDER BY cosineDistance(e.embedding, qt.q), e.vec_id"
+        " LIMIT 3").collect()]
+    assert got[0] == 1 and len(got) == 3  # self-distance 0 ranks first

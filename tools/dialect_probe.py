@@ -473,6 +473,25 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3,)),
     ("SELECT uniqArray(a) FROM t", None),  # clean-raise
     ("SELECT bar(5, 0, 10, 10) AS b", None),  # clean-raise
+    # --- round-10h batch: vector-distance family (the expression
+    # form of the embedding-search surface datapipe/similarity.py
+    # implements at scale) ---
+    ("SELECT dotProduct([1, 2, 3], [4, 5, 6]) AS d", (32.0,)),
+    ("SELECT L1Distance([1, 2], [4, 6]) AS a, L2Distance([3, 0],"
+     " [0, 4]) AS b, LinfDistance([1, 2], [4, 6]) AS c",
+     (7.0, 5.0, 4.0)),
+    ("SELECT cosineDistance([1, 0], [0, 1]) AS d", (1.0,)),
+    ("SELECT L1Norm([1, -2, 3]) AS a, L2Norm([3, 4]) AS b,"
+     " LinfNorm([1, -7, 3]) AS c", (6.0, 5.0, 7.0)),
+    # over the real embeddings table: nearest-neighbor ORDER BY shape
+    # NN idiom: the scalar-subquery argument raises (Spark forbids
+    # subqueries in HOFs); the CROSS JOIN hoist is the working shape
+    ("SELECT vec_id FROM embeddings ORDER BY cosineDistance(embedding,"
+     " (SELECT embedding FROM embeddings WHERE vec_id = 1)) LIMIT 3",
+     None),  # clean-raise
+    ("SELECT e.vec_id FROM embeddings e CROSS JOIN (SELECT embedding"
+     " AS q FROM embeddings WHERE vec_id = 1) qt ORDER BY"
+     " cosineDistance(e.embedding, qt.q), e.vec_id LIMIT 3", None),
     # --- round-10g batch: DISTINCT ON, map fns, diff aliases ---
     # DISTINCT ON (cols) == LIMIT 1 BY cols (the CH-documented
     # equivalence); rides the row_number rewrite + its ORDER BY rule

@@ -4074,6 +4074,96 @@ def _rewrite_calls(sql: str) -> str:
                     f"ELSE {v}.a / {v}.b END")))
             i = close + 1
             continue
+        if name in ("dotProduct", "arrayDotProduct", "L1Distance",
+                    "L2Distance", "L2SquaredDistance", "LinfDistance",
+                    "cosineDistance"):
+            # CH vector-distance family over array columns (r10h) —
+            # the expression form of the embedding-search surface the
+            # ANN operators (datapipe/similarity.py) implement at
+            # scale.  Pure codegen zip_with/aggregate folds in DOUBLE
+            # (CH computes Float64 for Float64 inputs); both arrays
+            # bind ONCE; unequal sizes raise like CH.
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(a, b) expects 2 arrays")
+
+            def _fold(pair_expr: str) -> str:
+                return (f"aggregate({pair_expr}, CAST(0 AS DOUBLE), "
+                        f"(__acc, __v) -> __acc + __v)")
+
+            def _vec(a: str, b: str) -> str:
+                guard = (f"CASE WHEN size({a}) <> size({b}) THEN "
+                         f"raise_error('{name}: arrays must have "
+                         f"equal sizes') ")
+                if name in ("dotProduct", "arrayDotProduct"):
+                    body = _fold(
+                        f"zip_with({a}, {b}, (__x, __y) -> "
+                        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE))")
+                elif name == "L1Distance":
+                    body = _fold(
+                        f"zip_with({a}, {b}, (__x, __y) -> "
+                        f"abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)))")
+                elif name in ("L2Distance", "L2SquaredDistance"):
+                    sq = _fold(
+                        f"zip_with({a}, {b}, (__x, __y) -> "
+                        f"(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)) "
+                        f"* (CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)))")
+                    body = f"sqrt({sq})" if name == "L2Distance" else sq
+                elif name == "LinfDistance":
+                    body = (f"array_max(zip_with({a}, {b}, "
+                            f"(__x, __y) -> abs(CAST(__x AS DOUBLE) - "
+                            f"CAST(__y AS DOUBLE))))")
+                else:  # cosineDistance = 1 - dot / (|a| * |b|)
+                    dot = _fold(
+                        f"zip_with({a}, {b}, (__x, __y) -> "
+                        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE))")
+                    na = _fold(f"transform({a}, __x -> "
+                               f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))")
+                    nb = _fold(f"transform({b}, __x -> "
+                               f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))")
+                    body = f"(1.0 - ({dot}) / (sqrt({na}) * sqrt({nb})))"
+                return guard + f"ELSE {body} END"
+
+            # a SUBQUERY argument — the nearest-neighbor idiom
+            # `cosineDistance(vec, (SELECT vec FROM … WHERE id=1))` —
+            # cannot live inside a higher-order function at ALL in
+            # Spark (UNSUPPORTED_SUBQUERY_EXPRESSION; SQL UDFs are
+            # equally blocked in Sort), so it raises naming the hoist
+            # that works: CROSS JOIN the query vector as a column
+            if re.search(r"(?is)\bSELECT\b",
+                         _mask_literals(parts[0] + " " + parts[1])):
+                raise UnsupportedChSql(
+                    f"{name} with a scalar-subquery argument: Spark "
+                    "forbids subqueries inside higher-order functions "
+                    "— hoist it (`… FROM t CROSS JOIN (SELECT vec AS "
+                    "q FROM … WHERE id=1) ORDER BY "
+                    f"{name}(t.vec, q)`) or use datapipe/similarity")
+            out.append(_bind_once(
+                f"named_struct('a', ({parts[0]}), "
+                f"'b', ({parts[1]}))",
+                lambda v: _vec(f"{v}.a", f"{v}.b")))
+            i = close + 1
+            continue
+        if name in ("L1Norm", "L2Norm", "LinfNorm", "L2SquaredNorm"):
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(f"{name}(a) expects 1 array")
+            a = parts[0]
+            if name == "L1Norm":
+                out.append(
+                    f"aggregate({a}, CAST(0 AS DOUBLE), (__acc, __x) ->"
+                    f" __acc + abs(CAST(__x AS DOUBLE)))")
+            elif name == "LinfNorm":
+                out.append(
+                    f"array_max(transform({a}, __x -> "
+                    f"abs(CAST(__x AS DOUBLE))))")
+            else:
+                sq = (f"aggregate({a}, CAST(0 AS DOUBLE), (__acc, __x)"
+                      f" -> __acc + CAST(__x AS DOUBLE) * "
+                      f"CAST(__x AS DOUBLE))")
+                out.append(f"sqrt({sq})" if name == "L2Norm" else sq)
+            i = close + 1
+            continue
         if name == "ifNotFinite":
             # ifNotFinite(x, alt): x when finite, else alt (r10f) —
             # x binds once (it may be nondeterministic or expensive)
