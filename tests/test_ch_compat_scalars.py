@@ -1861,3 +1861,18 @@ def test_r10h_vector_distance_family(spark):
         " ORDER BY cosineDistance(e.embedding, qt.q), e.vec_id"
         " LIMIT 3").collect()]
     assert got[0] == 1 and len(got) == 3  # self-distance 0 ranks first
+
+
+def test_r10i_indexof_null_and_monthname(spark):
+    """Final round-10 probe findings, both silent value diffs: CH's
+    indexOf treats NULL elements as normal values (array_position is
+    null-strict — indexOf([..., NULL], NULL) answered NULL instead of
+    the position), and CH monthName returns the FULL month name where
+    Spark 4's monthname builtin silently answered 'Mar'."""
+    one = lambda sql: run_ch_sql(spark, sql).collect()[0][0]  # noqa: E731
+    assert one("SELECT indexOf([10, 20, 30], 20) AS i") == 2
+    assert one("SELECT indexOf([10, 20, 30], 99) AS i") == 0
+    assert one("SELECT indexOf(['a', NULL], NULL) AS i") == 2
+    assert one("SELECT indexOf([NULL, 'b'], 'b') AS i") == 2
+    assert one("SELECT monthName(toDate('2024-03-05')) AS m") == \
+        "March"

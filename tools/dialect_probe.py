@@ -52,6 +52,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT locate('o', 'Hello') AS p", None),  # CH22.8+: (needle, hay)
     ("SELECT indexOf([10, 20, 30], 20) AS i", (2,)),
     ("SELECT indexOf([10, 20, 30], 99) AS i", (0,)),
+    # NULL elements are normal values in CH's array functions
+    # (probe r10i: array_position is null-strict and answered NULL)
+    ("SELECT indexOf(['a', NULL], NULL) AS i", (2,)),
+    # CH monthName is the FULL name; Spark 4's monthname builtin
+    # silently answered the abbreviation (probe r10i)
+    ("SELECT monthName(toDate('2024-03-05')) AS m", ("March",)),
     ("SELECT has([1, 2, 3], 2) AS h, has([1, 2, 3], 9) AS h2", (True, False)),
     ("SELECT length('hello') AS l", (5,)),
     # CH length(String) counts BYTES (12 for 6 Cyrillic chars);

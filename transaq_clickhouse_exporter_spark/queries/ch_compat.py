@@ -909,7 +909,9 @@ _RENAMES = {
     "arrayJoin": "explode",
     # array/scalar everyday functions (same arity + arg order)
     "has": "array_contains",
-    "indexOf": "array_position",
+    # (indexOf is structural: CH finds NULL elements — "NULL is
+    # handled as a normal value" — where array_position is
+    # null-strict; see _rewrite_calls)
     "arrayElement": "element_at",
     "arrayStringConcat": "array_join",
     "arrayDistinct": "array_distinct",
@@ -4178,6 +4180,29 @@ def _rewrite_calls(sql: str) -> str:
                     f"WHEN isnan({v}) OR {v} = CAST('Infinity' AS "
                     f"DOUBLE) OR {v} = CAST('-Infinity' AS DOUBLE) "
                     f"THEN CAST(({alt}) AS DOUBLE) ELSE {v} END")))
+            i = close + 1
+            continue
+        if name == "indexOf":
+            # CH indexOf finds NULL elements ("NULL is handled as a
+            # normal value", the same rule as hasAll/hasAny) where
+            # array_position is null-strict — probe r10i caught
+            # indexOf([…, NULL], NULL) returning NULL instead of the
+            # position.  The <=> comparison finds both; 0 on miss
+            # like CH.  Both args bind once.
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("indexOf(arr, x) expects 2 args")
+            out.append(_bind_once(
+                f"named_struct('a', ({parts[0]}), 'x', ({parts[1]}))",
+                lambda v: (f"array_position(transform({v}.a, "
+                           f"__e -> __e <=> {v}.x), true)")))
+            i = close + 1
+            continue
+        if name == "monthName":
+            # CH returns the FULL month name ('March'); Spark 4's
+            # monthname() builtin silently answered with the
+            # abbreviation ('Mar') — probe r10i
+            out.append(f"date_format({inner}, 'MMMM')")
             i = close + 1
             continue
         if name == "isZeroOrNull":
