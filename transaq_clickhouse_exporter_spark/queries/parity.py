@@ -4407,17 +4407,6 @@ _TAIL_NAMES = (
     # round-7 displacements: ALL green in CORRECTNESS_r06; each class
     # keeps an in-window representative (named) or has its evidence
     # externally banked by the r06 row.
-    "an06_ema",                       # bit-exact recurrence: r06 row banked;
-                                      # an09 (TWAP integral) keeps ordered-scan
-    "ev05_pivot",                     # pivot ≡ conditional-agg family (db07
-                                      # signed volume, ev06 stays in-window)
-    "ev07_cohort_retention",          # retention class enters via ev12
-    "ev09_quantile_sketch",           # mergeable-histogram class: r06 row
-                                      # banked; quantile class stays via an10
-    "tp05_rollup_grouping",           # ROLLUP r06 row banked; tp06/tp07 keep
-                                      # the TPC-H family in-window
-    "dp12_split_assign",              # hash-range family stays via dp27 +
-                                      # dp10's bucketing (in-window)
     "dp15_corpus_report",             # curation class keeps dp14 in-window
     "dp16_dup_clusters",              # cluster/incremental pair keeps dp17
     "dp18_pii_scrub",                 # regex-scan class: r06 row banked; text
@@ -4507,13 +4496,31 @@ _TAIL_NAMES = (
     "mm01_feature_extract",           # multimodal features: r09 row banked
                                       # (sha256 oracle); mm02 re-enters the
                                       # frame-sample class
-    # round-10 additions start in the tail; they earn rows next round.
-    "ev22_with_fill_sql",             # WITH FILL bridge (spine + anti-join
-                                      # insert, CH default values) vs DuckDB
-                                      # generate_series + left join
-    "ev23_per_group_topn_sql",        # LIMIT n BY + tuple IN + ANY-subquery
-                                      # dedup in one query vs DuckDB
-                                      # row_number + expanded predicates
+    # ROUND-11 ROTATION (executes VERDICT r10 item 1): the two round-10
+    # additions (ev22/ev23) move INTO the window — restoring the
+    # invariant that every catalog entry has held an external driver
+    # row — plus six r07-stale classes re-earn per the ~3-round
+    # staleness cadence (an06, ev05, ev07, ev09, tp05, dp12).  The
+    # eight displacements below ALL hold green rows in CORRECTNESS_r10
+    # and each leaves an in-window class representative, named per
+    # entry.
+    "ev19_with_totals_sql",           # dialect-SQL class: r10 row banked;
+                                      # ev17/ev18/ev20 stay + ev22/ev23 enter
+    "ev21_combinator_profile_sql",    # combinator dialect class: r10 row
+                                      # banked; ev17/ev20 stay in-window
+    "db10_imoex_volume_by_interval_buy",  # tumbling+broadcast+IN+anti-join:
+                                      # r10 row banked; db07/db19 keep the
+                                      # shape; db03 keeps the anti-join
+    "an05_rolling_channel",           # rolling window: r10 row banked;
+                                      # an08/an10/an11 keep the window class
+    "in02_parse_ref_timestamps",      # dd.MM.yyyy parse: r10 row banked;
+                                      # in04/in05 keep the ingest family
+    "ev04_topk_per_group",            # exact per-group topK: r10 row banked;
+                                      # ev17 stays + ev23 (LIMIT BY) enters
+    "dp21_decontaminate",             # broadcast shingle probe: r10 row
+                                      # banked; dp05/dp17 keep near-dup class
+    "dp20_mixture_weights",           # mixture weights: r10 row banked;
+                                      # dp33 keeps the sampling class
 )
 
 
