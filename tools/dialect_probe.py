@@ -89,8 +89,10 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT intDiv(7, 2) AS d, modulo(7, 3) AS m", (3, 1)),
     ("SELECT plus(1, 2) AS p, minus(5, 3) AS m, multiply(2, 3) AS x,"
      " divide(7, 2) AS d", (3, 2, 6, 3.5)),
+    # round(2.5): CH round() is BANKER'S for floats (2, not Spark
+    # half-up's 3) — bridged by the r11a typeof dispatch
     ("SELECT abs(-2) AS a, floor(1.7) AS f, ceil(1.2) AS c, round(2.5) AS r",
-     None),  # round: CH banker's vs Spark half-up — probe only
+     (2, 1, 2, 2.0)),
     ("SELECT greatest(1, 2) AS g, least(1, 2) AS l", (2, 1)),
     ("SELECT pow(2, 10) AS p, sqrt(9.0) AS s", (1024.0, 3.0)),
     ("SELECT log(exp(1)) AS l", (1.0,)),  # CH log = natural log
@@ -601,6 +603,36 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " JOIN (SELECT number % 3 AS number FROM numbers(9)) AS b ON"
      " a.number = b.number GROUP BY k HAVING count() >= 3 ORDER BY k"
      " LIMIT 1", (0, 3)),
+    # --- collision-sweep batch r11a (VERDICT r10 item 2): CH names a
+    # Spark builtin would otherwise capture with different semantics
+    ("SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,"
+     " round(2.567, 2) AS d", (2.0, 4.0, -2.0, 2.57)),
+    ("SELECT trunc(23.98) AS a, trunc(-23.98) AS b,"
+     " truncate(1.77, 1) AS c", (23.0, -23.0, 1.7)),
+    ("SELECT dayName(toDate('2024-05-17')) AS d,"
+     " monthName(toDate('2024-03-01')) AS m", ("Friday", "March")),
+    ("SELECT DAYOFWEEK(toDate('2024-05-17')) AS f,"
+     " dayOfWeek(toDate('2024-05-19')) AS s", (5, 7)),
+    ("SELECT left('hello', -2) AS a, right('hello', -2) AS b,"
+     " left('hello', 3) AS c, right('hello', 99) AS d",
+     ("hel", "llo", "hel", "hello")),
+    ("SELECT leftUTF8('привет', 4) AS a, rightUTF8('привет', -1) AS b,"
+     " reverseUTF8('привет') AS c", ("прив", "ривет", "тевирп")),
+    ("SELECT greatest(1, NULL) AS a, least(NULL, 3) AS b,"
+     " max2(1, NULL) AS c, min2(NULL, 2) AS d", (None, None, None, None)),
+    ("SELECT concatWithSeparator('-', 'a', NULL) AS a,"
+     " concat_ws('-', 'x', 'y') AS b", (None, "x-y")),
+    ("SELECT isNaN(NULL) AS a, isNaN(divide(0, 0)) AS b,"
+     " isNaN(1.5) AS c", (None, True, False)),
+    ("SELECT hex('abc') AS a, unhex('303132') AS b", ("616263", "012")),
+    ("SELECT hex(10) AS h", None),      # runtime raise — loud-error
+    ("SELECT bin(10) AS b", None),      # clean-raise (width unknowable)
+    ("SELECT rand() AS r", None),       # clean-raise (UInt32 vs [0,1))
+    ("SELECT toDate(date_add(YEAR, 3, toDate('2018-01-01'))) AS a,"
+     " toDate(date_sub(DAY, 2, toDate('2018-01-03'))) AS b",
+     None),  # ok-run: DATE values pinned in test_builtin_collisions
+    ("SELECT extract('hello123world', '[0-9]+') AS a,"
+     " extract('key=val', 'key=([a-z]+)') AS b", ("123", "val")),
 ]
 
 

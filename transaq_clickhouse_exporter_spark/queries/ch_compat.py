@@ -931,12 +931,16 @@ _RENAMES = {
     "trimLeft": "ltrim",
     "trimRight": "rtrim",
     "trimBoth": "trim",
-    # round-10e everyday surface (same arity + arg order + values;
-    # max2/min2 are CH's 2-arg float forms — greatest/least keep the
-    # argument type instead of forcing Float64, numerically equal)
-    "concatWithSeparator": "concat_ws",
-    "max2": "greatest",
-    "min2": "least",
+    # UTF8 string spellings: Spark strings are UTF-8 and its builtins
+    # count CODEPOINTS — exactly the CH *UTF8 contracts (r11a)
+    "reverseUTF8": "reverse",
+    "leftPadUTF8": "lpad",
+    "rightPadUTF8": "rpad",
+    # (max2/min2/concatWithSeparator/greatest/least/concat_ws are
+    # structural — CH propagates NULL where Spark's greatest/least/
+    # concat_ws SKIP null arguments (ADVICE r10); see _rewrite_calls.
+    # rand/rand64/randCanonical are structural too: CH rand() is a
+    # uniform UInt32 draw, bridged exactly.)
     # round-10g map surface (same arity + arg order + values)
     "mapContains": "map_contains_key",
     "mapFromArrays": "map_from_arrays",
@@ -1111,6 +1115,13 @@ _UNSUPPORTED_MSG = {
     "randConstant": (
         "randConstant() is block-constant randomness with no Spark "
         "equivalent — use rand() per row or a literal seed"
+    ),
+    "bin": (
+        "CH bin() pads integers to the SOURCE TYPE's width (bin(10) "
+        "over UInt8 is '00001010'), which Spark's BIGINT-only bin "
+        "cannot know (it answers '1010') — use Spark bin() for "
+        "minimal-width or lpad(bin(x), bytes*8, '0') with an explicit "
+        "width (collision sweep r11a)"
     ),
     "dictGet": (
         "dictGet(): external dictionaries don't exist here — JOIN the "
@@ -4205,6 +4216,190 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"date_format({inner}, 'MMMM')")
             i = close + 1
             continue
+        # ---- collision-sweep batch r11a (VERDICT r10 item 2): CH
+        # names a Spark builtin captures with DIFFERENT semantics.
+        # Each rewrite below neutralizes one silent capture found by
+        # tools/collision_sweep.py; tests/test_builtin_collisions.py
+        # pins the values and the sweep's clean classification.
+        if name == "dayName":
+            # same bug class as monthName: Spark 4 dayname() answers
+            # 'Fri'; CH returns 'Friday'
+            out.append(f"date_format({inner}, 'EEEE')")
+            i = close + 1
+            continue
+        if name.upper() == "DAYOFWEEK":
+            # CH DAYOFWEEK (case-insensitive SQL-standard alias of
+            # toDayOfWeek): Monday=1..Sunday=7; Spark dayofweek:
+            # Sunday=1..Saturday=7 — a silent off-by-shift
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(
+                    "DAYOFWEEK(x) maps 1-arg only (toDayOfWeek mode/"
+                    "timezone arguments are not bridged)")
+            out.append(f"(((dayofweek({parts[0]}) + 5) % 7) + 1)")
+            i = close + 1
+            continue
+        if name == "round":
+            # CH round() uses BANKER'S rounding for Float inputs
+            # (round(2.5) = 2) and half-away-from-zero for Decimal;
+            # Spark round() is HALF_UP everywhere — typeof() constant-
+            # folds per input type, so the dispatch costs nothing
+            parts = _split_args(inner)
+            if len(parts) not in (1, 2):
+                raise UnsupportedChSql("round(x[, n]) expects 1-2 args")
+            nd = parts[1] if len(parts) == 2 else "0"
+            arg = parts[0].strip()
+            if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?",
+                            arg) and ("." in arg or "e" in arg.lower()):
+                # CH types a dot/exponent literal as Float64 where
+                # Spark parses DECIMAL — round(2.5) must take the
+                # banker's branch like CH, not decimal HALF_UP
+                arg = f"CAST({arg} AS DOUBLE)"
+            out.append(_bind_once(
+                f"({arg})",
+                lambda v: (
+                    f"CASE WHEN typeof({v}) IN ('double', 'float') "
+                    f"THEN bround({v}, {nd}) "
+                    f"ELSE round({v}, {nd}) END")))
+            i = close + 1
+            continue
+        if name in ("trunc", "truncate"):
+            # CH trunc(x[, n]) is NUMERIC truncation toward zero;
+            # Spark trunc(date, fmt) is DATE truncation — a CH call
+            # passed through would ANSI-crash or NULL.  floor/ceil
+            # dispatch on sign reproduces toward-zero exactly; result
+            # is DOUBLE like CH's Float64 return.
+            parts = _split_args(inner)
+            if len(parts) not in (1, 2):
+                raise UnsupportedChSql(f"{name}(x[, n]) expects 1-2 args")
+            nd = parts[1] if len(parts) == 2 else "0"
+            out.append(_bind_once(
+                f"CAST(({parts[0]}) AS DOUBLE)",
+                lambda v: (
+                    f"CASE WHEN {v} >= 0 "
+                    f"THEN floor({v} * pow(10, {nd})) / pow(10, {nd}) "
+                    f"ELSE ceil({v} * pow(10, {nd})) / pow(10, {nd}) "
+                    f"END")))
+            i = close + 1
+            continue
+        if name in ("left", "right", "leftUTF8", "rightUTF8"):
+            # CH left/right accept NEGATIVE lengths (left(s, -n) trims
+            # the last n chars; right(s, -n) trims the first n) where
+            # Spark's builtins return '' — both args bind once.  The
+            # non-UTF8 spellings count BYTES in CH; Spark strings are
+            # UTF-8/codepoint-based, and a byte-split multi-byte char
+            # is not representable as a Spark string — ASCII-equal,
+            # codepoint semantics (≡ the UTF8 forms) beyond that.
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(s, n) expects 2 args")
+            fn = "left" if name.startswith("left") else "right"
+            if fn == "left":
+                neg = ("substr({v}.s, 1, "
+                       "greatest(length({v}.s) + {v}.n, 0))")
+            else:
+                neg = "substr({v}.s, 1 - {v}.n)"
+            out.append(_bind_once(
+                f"named_struct('s', ({parts[0]}), 'n', ({parts[1]}))",
+                lambda v: (
+                    f"CASE WHEN {v}.n >= 0 THEN {fn}({v}.s, {v}.n) "
+                    f"ELSE {neg.format(v=v)} END")))
+            i = close + 1
+            continue
+        if name in ("greatest", "least", "max2", "min2",
+                    "concatWithSeparator", "concat_ws"):
+            # CH propagates NULL through all three families ("returns
+            # NULL if any argument is NULL"); Spark's greatest/least/
+            # concat_ws SKIP null arguments — greatest(1, NULL) is 1
+            # in Spark, NULL in CH (ADVICE r10).  Bind-once struct +
+            # any-arg-NULL guard, same envelope as divide()/format().
+            parts = _split_args(inner)
+            minarg = 2 if name != "concat_ws" else 1
+            if name in ("max2", "min2") and len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(a, b) expects 2 args")
+            if len(parts) < minarg:
+                raise UnsupportedChSql(
+                    f"{name} expects at least {minarg} arguments")
+            fn = {"max2": "greatest", "min2": "least",
+                  "concatWithSeparator": "concat_ws"}.get(name, name)
+            fields = ", ".join(
+                f"'a{ix}', ({p})" for ix, p in enumerate(parts))
+            out.append(_bind_once(
+                f"named_struct({fields})",
+                lambda v: (
+                    "CASE WHEN "
+                    + " OR ".join(f"{v}.a{ix} IS NULL"
+                                  for ix in range(len(parts)))
+                    + " THEN NULL ELSE "
+                    + fn + "("
+                    + ", ".join(f"{v}.a{ix}" for ix in range(len(parts)))
+                    + ") END")))
+            i = close + 1
+            continue
+        if name == "isNaN":
+            # CH isNaN(NULL) is NULL (ordinary NULL propagation);
+            # Spark isnan(NULL) is false — silent on nullable columns
+            out.append(_bind_once(
+                f"({inner})",
+                lambda v: (f"CASE WHEN {v} IS NULL THEN NULL "
+                           f"ELSE isnan({v}) END")))
+            i = close + 1
+            continue
+        if name == "hex":
+            # CH hex() of an INTEGER pads to the source type's byte
+            # width (hex(10) = '0A'); Spark answers the minimal 'A'.
+            # String/binary inputs are byte-identical on both engines
+            # — typeof() dispatch keeps them and turns the integer
+            # path into a RUNTIME raise (loud, never silent).
+            out.append(_bind_once(
+                f"({inner})",
+                lambda v: (
+                    f"CASE WHEN typeof({v}) IN ('string', 'binary') "
+                    f"THEN hex({v}) ELSE raise_error(concat("
+                    f"'hex() over ', typeof({v}), ': CH pads to the "
+                    f"source integer WIDTH, unknowable from Spark''s "
+                    f"BIGINT — use Spark hex() for minimal-width')) "
+                    f"END")))
+            i = close + 1
+            continue
+        if name == "unhex":
+            # CH unhex returns String (raw bytes); Spark returns
+            # BINARY — CAST bridges (byte-identical for valid UTF-8;
+            # CH strings holding non-UTF8 bytes are not representable)
+            out.append(f"CAST(unhex({inner}) AS STRING)")
+            i = close + 1
+            continue
+        if name in ("dateAdd", "date_add", "dateSub", "date_sub",
+                    "timestampSub", "timestamp_sub"):
+            # CH 3-arg form date_add(unit, n, ts) == Spark
+            # timestampadd's argument order (the timestampAdd rename
+            # above); Spark's captured date_add(date, days) has the
+            # ARGUMENTS REVERSED, so a passthrough would crash or
+            # silently mis-add.  The 2-arg INTERVAL form maps to
+            # type-preserving +/- arithmetic.  A 2-arg non-INTERVAL
+            # call is not valid CH — it falls through as Spark's own
+            # date_add(date, days).
+            parts = _split_args(inner)
+            neg = "sub" in name.lower()
+            units = {"YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+                     "HOUR", "MINUTE", "SECOND"}
+            if len(parts) == 3:
+                unit = parts[0].strip().strip("'\"").upper()
+                if unit not in units:
+                    raise UnsupportedChSql(
+                        f"{name}: unit {parts[0].strip()!r} not in "
+                        f"{sorted(units)}")
+                n_expr = f"-({parts[1]})" if neg else parts[1]
+                out.append(f"timestampadd({unit}, {n_expr}, {parts[2]})")
+                i = close + 1
+                continue
+            if len(parts) == 2 and re.match(r"(?is)^\s*INTERVAL\b",
+                                            parts[1]):
+                op = "-" if neg else "+"
+                out.append(f"(({parts[0]}) {op} ({parts[1]}))")
+                i = close + 1
+                continue
+            # fall through to the generic append (Spark-native shape)
         if name == "isZeroOrNull":
             parts = _split_args(inner)
             if len(parts) != 1:
@@ -4312,6 +4507,18 @@ def _rewrite_calls(sql: str) -> str:
                 out.append(f"regexp_extract({parts[0]}, {pat}, {group})")
                 i = close + 1
                 continue
+            if len(parts) == 2:
+                # a comma form with a NON-literal pattern: the group
+                # index (whole match vs first subpattern) depends on
+                # the pattern's text — raise instead of guessing, and
+                # instead of letting Spark's extract() capture it
+                # (collision sweep r11a)
+                raise UnsupportedChSql(
+                    "extract(haystack, re) needs a LITERAL pattern — "
+                    "CH returns the first capture group when the "
+                    "pattern has one, the whole match otherwise, "
+                    "which a rewrite cannot decide for a runtime "
+                    "pattern; spell regexp_extract(h, p, group)")
             out.append(f"extract({inner})")
             i = close + 1
             continue
@@ -4800,11 +5007,12 @@ def _rewrite_calls(sql: str) -> str:
             out.append(_DIGESTS[name.lower()].format(x=parts[0]))
             i = close + 1
             continue
-        if name == "rand":
-            # CH rand() is a uniform UInt32 draw, NOT Spark's [0, 1)
-            # double — `rand() % 100 < 5` would silently select every
-            # row under the bare mapping.  An optional argument is a
-            # CSE-blocking tag in CH: accepted and ignored.
+        if name in ("rand", "rand32"):
+            # CH rand() (alias rand32) is a uniform UInt32 draw, NOT
+            # Spark's [0, 1) double — `rand() % 100 < 5` would
+            # silently select every row under the bare mapping.  An
+            # optional argument is a CSE-blocking tag in CH: accepted
+            # and ignored.
             out.append("CAST(floor(rand() * 4294967296) AS BIGINT)")
             i = close + 1
             continue
