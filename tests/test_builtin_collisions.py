@@ -57,6 +57,10 @@ def test_sweep_is_clean(spark):
         "unaudited Spark-builtin captures of CH names:\n  "
         + "\n  ".join(report["UNAUDITED"])
     )
+    assert report["TRANSLATE-CRASH"] == [], (
+        "translator crashed (non-UnsupportedChSql) on simple call "
+        "shapes:\n  " + "\n  ".join(report["TRANSLATE-CRASH"])
+    )
     # the universe + audit lists only grow; a shrink is a red flag
     assert len(CH_FUNCTIONS) >= 600
     assert len(COLLISION_ALLOWLIST) >= 90
@@ -176,6 +180,49 @@ def test_extract_nonliteral_pattern_raises(spark):
     with pytest.raises(UnsupportedChSql, match="LITERAL pattern"):
         run_ch_sql(spark, "SELECT extract(c, p) AS r FROM "
                           "(SELECT 'a1' AS c, '[0-9]' AS p)")
+
+
+def test_review_r11a_case_insensitive_and_null_length(spark):
+    """Review r11a findings: CH registers the MySQL/SQL-standard
+    members of the batch CASE-INSENSITIVELY, so uppercase spellings
+    must hit the same bridges (ROUND(2.5) is valid CH and answers 2);
+    a NULL length NULL-propagates through left/right (Spark's
+    greatest() in the negative branch would have swallowed it); and
+    float-literal EXPRESSIONS take the banker's branch like CH's
+    float-contaminated typing, not just bare literals."""
+    assert _one(spark, "SELECT ROUND(2.5) AS r") == 2.0
+    assert _one(spark, "SELECT round((2.5)) AS r") == 2.0
+    assert _one(spark, "SELECT round(2.5 + 0) AS r") == 2.0
+    assert _one(spark, "SELECT round(0.5 * 5) AS r") == 2.0
+    assert _one(spark, "SELECT TRUNC(-1.77, 1) AS r") == -1.7
+    assert _one(spark, "SELECT LEFT('hello', -2) AS r") == "hel"
+    assert _one(spark, "SELECT RIGHT('hello', -2) AS r") == "llo"
+    assert _one(spark, "SELECT GREATEST(1, NULL) AS r") is None
+    assert _one(spark, "SELECT LEAST(NULL, 2) AS r") is None
+    assert _one(spark, "SELECT CONCAT_WS('-', 'a', NULL) AS r") is None
+    assert _one(spark, "SELECT HEX('ab') AS r") == "6162"
+    assert _one(spark, "SELECT UNHEX('6162') AS r") == "ab"
+    assert _one(spark, "SELECT MONTHNAME(toDate('2024-03-01')) AS r") \
+        == "March"
+    assert _one(spark, "SELECT DAYNAME(toDate('2024-05-17')) AS r") \
+        == "Friday"
+    assert _one(spark, "SELECT POSITION('Hello, world!', 'o') AS r") == 5
+    assert _one(spark, "SELECT ISNAN(NULL) AS r") is None
+    assert 0 <= _one(spark, "SELECT RAND() AS r") < 2**32
+    with pytest.raises(UnsupportedChSql, match="bin"):
+        run_ch_sql(spark, "SELECT BIN(10) AS r")
+    assert str(_one(
+        spark,
+        "SELECT toDate(DATE_ADD(YEAR, 3, toDate('2018-01-01'))) AS r",
+    )) == "2021-01-01"
+    # NULL length propagates (both directions)
+    assert _one(spark,
+                "SELECT left('hello', CAST(NULL AS Int32)) AS r") is None
+    assert _one(spark,
+                "SELECT right('hello', CAST(NULL AS Int32)) AS r") is None
+    # NULL string propagates through the negative branch too
+    assert _one(spark,
+                "SELECT left(CAST(NULL AS String), -2) AS r") is None
 
 
 def test_dateadd_family_unit_first_and_interval_forms(spark):

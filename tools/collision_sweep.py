@@ -489,7 +489,7 @@ def classify(spark) -> dict[str, list[str]]:
     shims = {n.lower() for n in _SCALAR_SHIMS}
     out: dict[str, list[str]] = {
         "handled": [], "loud": [], "collision-allowed": [],
-        "collision-fixed": [], "UNAUDITED": [],
+        "collision-fixed": [], "UNAUDITED": [], "TRANSLATE-CRASH": [],
     }
     # per-name probe shapes where the generic 2-arg call is not the
     # CH spelling (the dateAdd family's 2-arg non-INTERVAL form is
@@ -517,8 +517,12 @@ def classify(spark) -> dict[str, list[str]]:
         except UnsupportedChSql:
             out[bucket].append(name)  # named raise IS handling
             continue
-        except Exception:
-            out[bucket].append(name)  # structural arity raise
+        except Exception as e:
+            # a non-UnsupportedChSql exception from the TRANSLATOR on
+            # a simple call shape is a rewriter bug, not handling —
+            # bucket separately so the test fails on it (review r11a)
+            out["TRANSLATE-CRASH"].append(f"{name}: {type(e).__name__}:"
+                                          f" {str(e)[:80]}")
             continue
         # intercepted = the translator changed the call's text at all
         # (rename, structural rewrite, wrapper); a silent capture
@@ -553,11 +557,20 @@ def main() -> int:
     report = classify(spark)
     for k in ("handled", "loud", "collision-allowed", "collision-fixed"):
         print(f"{k}: {len(report[k])}")
+    bad = False
+    if report["TRANSLATE-CRASH"]:
+        bad = True
+        print("\nTRANSLATE-CRASH (rewriter bug on a simple call "
+              "shape, not handling):")
+        for n in report["TRANSLATE-CRASH"]:
+            print("  -", n)
     if report["UNAUDITED"]:
+        bad = True
         print("\nUNAUDITED collisions (Spark builtin captures a CH "
               "name with unreviewed semantics):")
         for n in report["UNAUDITED"]:
             print("  -", n)
+    if bad:
         return 1
     print("clean: every pass-through collision is audited")
     return 0

@@ -627,7 +627,15 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT hex('abc') AS a, unhex('303132') AS b", ("616263", "012")),
     ("SELECT hex(10) AS h", None),      # runtime raise — loud-error
     ("SELECT bin(10) AS b", None),      # clean-raise (width unknowable)
-    ("SELECT rand() AS r", None),       # clean-raise (UInt32 vs [0,1))
+    ("SELECT rand() % 100 < 200 AS r", (True,)),  # UInt32 draw bridge
+    # CH registers the MySQL/SQL-standard members case-INSENSITIVELY —
+    # uppercase spellings must hit the same bridges (review r11a)
+    ("SELECT ROUND(2.5) AS a, TRUNC(-1.77, 1) AS b, LEFT('hello', -2)"
+     " AS c, GREATEST(1, NULL) AS d, HEX('ab') AS e,"
+     " MONTHNAME(toDate('2024-03-01')) AS f",
+     (2.0, -1.7, "hel", None, "6162", "March")),
+    ("SELECT POSITION('Hello, world!', 'o') AS p", (5,)),
+    ("SELECT left('hello', CAST(NULL AS Int32)) AS n", (None,)),
     ("SELECT toDate(date_add(YEAR, 3, toDate('2018-01-01'))) AS a,"
      " toDate(date_sub(DAY, 2, toDate('2018-01-03'))) AS b",
      None),  # ok-run: DATE values pinned in test_builtin_collisions

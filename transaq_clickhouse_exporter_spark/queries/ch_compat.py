@@ -3883,16 +3883,21 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"CASE {whens} ELSE {parts[-1]} END")
             i = close + 1
             continue
-        if name == "count" and not inner.strip():
+        if name.lower() == "count" and not inner.strip():
             out.append("count(*)")  # CH zero-arg count() = row count
             i = close + 1
             continue
-        if name in ("position", "positionUTF8", "positionCaseInsensitive",
-                    "positionCaseInsensitiveUTF8"):
+        if name in ("positionUTF8", "positionCaseInsensitive",
+                    "positionCaseInsensitiveUTF8") \
+                or name.lower() == "position":
             # CH position(haystack, needle[, start]) vs Spark's
             # locate(needle, haystack[, start]) — the bare name would
             # resolve to Spark's builtin with SWAPPED argument roles
-            # and silently return 0 (dialect probe, round 9).  CH's
+            # and silently return 0 (dialect probe, round 9).  The
+            # bare spelling is one of CH's CASE-INSENSITIVE (SQL-
+            # standard) registrations, so POSITION(...) must be
+            # intercepted too (review r11a); the CH-specific *UTF8 /
+            # *CaseInsensitive spellings stay exact-case.  CH's
             # non-UTF8 spellings return BYTE offsets (5 for the 'в' in
             # 'привет'); Spark locate() is character-based, so the
             # byte forms re-measure the prefix with octet_length —
@@ -4209,7 +4214,7 @@ def _rewrite_calls(sql: str) -> str:
                            f"__e -> __e <=> {v}.x), true)")))
             i = close + 1
             continue
-        if name == "monthName":
+        if name.lower() == "monthname":
             # CH returns the FULL month name ('March'); Spark 4's
             # monthname() builtin silently answered with the
             # abbreviation ('Mar') — probe r10i
@@ -4221,7 +4226,11 @@ def _rewrite_calls(sql: str) -> str:
         # Each rewrite below neutralizes one silent capture found by
         # tools/collision_sweep.py; tests/test_builtin_collisions.py
         # pins the values and the sweep's clean classification.
-        if name == "dayName":
+        # MySQL/SQL-standard names in this batch are among CH's
+        # CASE-INSENSITIVE registrations, so they dispatch on
+        # name.lower() — ROUND(2.5) is valid CH and must not bypass
+        # the bridge into the Spark builtin (review r11a).
+        if name.lower() == "dayname":
             # same bug class as monthName: Spark 4 dayname() answers
             # 'Fri'; CH returns 'Friday'
             out.append(f"date_format({inner}, 'EEEE')")
@@ -4239,7 +4248,7 @@ def _rewrite_calls(sql: str) -> str:
             out.append(f"(((dayofweek({parts[0]}) + 5) % 7) + 1)")
             i = close + 1
             continue
-        if name == "round":
+        if name.lower() == "round":
             # CH round() uses BANKER'S rounding for Float inputs
             # (round(2.5) = 2) and half-away-from-zero for Decimal;
             # Spark round() is HALF_UP everywhere — typeof() constant-
@@ -4249,12 +4258,15 @@ def _rewrite_calls(sql: str) -> str:
                 raise UnsupportedChSql("round(x[, n]) expects 1-2 args")
             nd = parts[1] if len(parts) == 2 else "0"
             arg = parts[0].strip()
-            if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?",
-                            arg) and ("." in arg or "e" in arg.lower()):
-                # CH types a dot/exponent literal as Float64 where
-                # Spark parses DECIMAL — round(2.5) must take the
-                # banker's branch like CH, not decimal HALF_UP
-                arg = f"CAST({arg} AS DOUBLE)"
+            if re.search(r"(?<![\w.])(\d+\.\d*|\.\d+|\d+[eE][+-]?\d+|"
+                         r"\d+\.\d*[eE][+-]?\d+)(?![\w.])",
+                         _mask_literals(arg)):
+                # CH types a dot/exponent literal as Float64 — and
+                # float contaminates any expression containing one —
+                # where Spark parses DECIMAL: round(2.5), round((2.5))
+                # and round(2.5 + 0) must all take the banker's branch
+                # like CH, not decimal HALF_UP (review r11a)
+                arg = f"CAST(({arg}) AS DOUBLE)"
             out.append(_bind_once(
                 f"({arg})",
                 lambda v: (
@@ -4263,12 +4275,16 @@ def _rewrite_calls(sql: str) -> str:
                     f"ELSE round({v}, {nd}) END")))
             i = close + 1
             continue
-        if name in ("trunc", "truncate"):
+        if name.lower() in ("trunc", "truncate"):
             # CH trunc(x[, n]) is NUMERIC truncation toward zero;
             # Spark trunc(date, fmt) is DATE truncation — a CH call
             # passed through would ANSI-crash or NULL.  floor/ceil
             # dispatch on sign reproduces toward-zero exactly; result
-            # is DOUBLE like CH's Float64 return.
+            # is DOUBLE like CH's Float64 return for float input.
+            # Documented deviations: CH returns the INPUT type, so
+            # integers/decimals beyond 2^53 lose low digits through
+            # the DOUBLE path, and |x·10^n| beyond the BIGINT range
+            # hits floor()'s ANSI overflow (loud, never silent).
             parts = _split_args(inner)
             if len(parts) not in (1, 2):
                 raise UnsupportedChSql(f"{name}(x[, n]) expects 1-2 args")
@@ -4282,18 +4298,22 @@ def _rewrite_calls(sql: str) -> str:
                     f"END")))
             i = close + 1
             continue
-        if name in ("left", "right", "leftUTF8", "rightUTF8"):
+        if name in ("leftUTF8", "rightUTF8") \
+                or name.lower() in ("left", "right"):
             # CH left/right accept NEGATIVE lengths (left(s, -n) trims
             # the last n chars; right(s, -n) trims the first n) where
-            # Spark's builtins return '' — both args bind once.  The
-            # non-UTF8 spellings count BYTES in CH; Spark strings are
-            # UTF-8/codepoint-based, and a byte-split multi-byte char
-            # is not representable as a Spark string — ASCII-equal,
-            # codepoint semantics (≡ the UTF8 forms) beyond that.
+            # Spark's builtins return '' — both args bind once, and a
+            # NULL length propagates NULL like every ordinary CH
+            # function (review r11a: Spark's greatest() would have
+            # swallowed it).  The non-UTF8 spellings count BYTES in
+            # CH; Spark strings are UTF-8/codepoint-based, and a
+            # byte-split multi-byte char is not representable as a
+            # Spark string — ASCII-equal, codepoint semantics (≡ the
+            # UTF8 forms) beyond that.
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(f"{name}(s, n) expects 2 args")
-            fn = "left" if name.startswith("left") else "right"
+            fn = "left" if name.lower().startswith("left") else "right"
             if fn == "left":
                 neg = ("substr({v}.s, 1, "
                        "greatest(length({v}.s) + {v}.n, 0))")
@@ -4302,26 +4322,29 @@ def _rewrite_calls(sql: str) -> str:
             out.append(_bind_once(
                 f"named_struct('s', ({parts[0]}), 'n', ({parts[1]}))",
                 lambda v: (
-                    f"CASE WHEN {v}.n >= 0 THEN {fn}({v}.s, {v}.n) "
+                    f"CASE WHEN {v}.n IS NULL THEN NULL "
+                    f"WHEN {v}.n >= 0 THEN {fn}({v}.s, {v}.n) "
                     f"ELSE {neg.format(v=v)} END")))
             i = close + 1
             continue
-        if name in ("greatest", "least", "max2", "min2",
-                    "concatWithSeparator", "concat_ws"):
+        if name == "concatWithSeparator" \
+                or name.lower() in ("greatest", "least", "max2",
+                                    "min2", "concat_ws"):
             # CH propagates NULL through all three families ("returns
             # NULL if any argument is NULL"); Spark's greatest/least/
             # concat_ws SKIP null arguments — greatest(1, NULL) is 1
             # in Spark, NULL in CH (ADVICE r10).  Bind-once struct +
             # any-arg-NULL guard, same envelope as divide()/format().
             parts = _split_args(inner)
-            minarg = 2 if name != "concat_ws" else 1
-            if name in ("max2", "min2") and len(parts) != 2:
+            minarg = 2 if name.lower() != "concat_ws" else 1
+            if name.lower() in ("max2", "min2") and len(parts) != 2:
                 raise UnsupportedChSql(f"{name}(a, b) expects 2 args")
             if len(parts) < minarg:
                 raise UnsupportedChSql(
                     f"{name} expects at least {minarg} arguments")
             fn = {"max2": "greatest", "min2": "least",
-                  "concatWithSeparator": "concat_ws"}.get(name, name)
+                  "concatwithseparator": "concat_ws"}.get(
+                      name.lower(), name.lower())
             fields = ", ".join(
                 f"'a{ix}', ({p})" for ix, p in enumerate(parts))
             out.append(_bind_once(
@@ -4336,7 +4359,7 @@ def _rewrite_calls(sql: str) -> str:
                     + ") END")))
             i = close + 1
             continue
-        if name == "isNaN":
+        if name.lower() == "isnan":
             # CH isNaN(NULL) is NULL (ordinary NULL propagation);
             # Spark isnan(NULL) is false — silent on nullable columns
             out.append(_bind_once(
@@ -4345,7 +4368,11 @@ def _rewrite_calls(sql: str) -> str:
                            f"ELSE isnan({v}) END")))
             i = close + 1
             continue
-        if name == "hex":
+        if name.lower() == "bin":
+            # any casing (CH registers bin case-insensitively); the
+            # exact-case spelling already hit _UNSUPPORTED_MSG above
+            raise UnsupportedChSql(_UNSUPPORTED_MSG["bin"])
+        if name.lower() == "hex":
             # CH hex() of an INTEGER pads to the source type's byte
             # width (hex(10) = '0A'); Spark answers the minimal 'A'.
             # String/binary inputs are byte-identical on both engines
@@ -4362,22 +4389,26 @@ def _rewrite_calls(sql: str) -> str:
                     f"END")))
             i = close + 1
             continue
-        if name == "unhex":
+        if name.lower() == "unhex":
             # CH unhex returns String (raw bytes); Spark returns
             # BINARY — CAST bridges (byte-identical for valid UTF-8;
             # CH strings holding non-UTF8 bytes are not representable)
             out.append(f"CAST(unhex({inner}) AS STRING)")
             i = close + 1
             continue
-        if name in ("dateAdd", "date_add", "dateSub", "date_sub",
-                    "timestampSub", "timestamp_sub"):
+        if name.lower() in ("dateadd", "date_add", "datesub",
+                            "date_sub", "timestampsub",
+                            "timestamp_sub"):
             # CH 3-arg form date_add(unit, n, ts) == Spark
             # timestampadd's argument order (the timestampAdd rename
             # above); Spark's captured date_add(date, days) has the
             # ARGUMENTS REVERSED, so a passthrough would crash or
-            # silently mis-add.  The 2-arg INTERVAL form maps to
-            # type-preserving +/- arithmetic.  A 2-arg non-INTERVAL
-            # call is not valid CH — it falls through as Spark's own
+            # silently mis-add.  Documented deviation: timestampadd
+            # always returns TIMESTAMP where CH date_add over a Date
+            # returns Date — wrap in toDate() to keep a date.  The
+            # 2-arg INTERVAL form maps to type-PRESERVING +/-
+            # arithmetic instead.  A 2-arg non-INTERVAL call is not
+            # valid CH — it falls through as Spark's own
             # date_add(date, days).
             parts = _split_args(inner)
             neg = "sub" in name.lower()
@@ -4494,10 +4525,11 @@ def _rewrite_calls(sql: str) -> str:
                 f"{base}({inner}) OVER ({_rewrite_calls(stripped)})")
             i = oclose + 1
             continue
-        if name == "extract":
+        if name.lower() == "extract":
             # CH extract(haystack, 'regexp') = first match (or the
-            # first capture group if the pattern has one).  Only the
-            # comma form with a LITERAL pattern rewrites — `EXTRACT(
+            # first capture group if the pattern has one); the name
+            # is a CASE-INSENSITIVE CH registration.  Only the comma
+            # form with a LITERAL pattern rewrites — `EXTRACT(
             # field FROM ts)` has no top-level comma and passes
             # through to Spark's builtin untouched.
             parts = _split_args(inner)
@@ -5007,12 +5039,12 @@ def _rewrite_calls(sql: str) -> str:
             out.append(_DIGESTS[name.lower()].format(x=parts[0]))
             i = close + 1
             continue
-        if name in ("rand", "rand32"):
-            # CH rand() (alias rand32) is a uniform UInt32 draw, NOT
-            # Spark's [0, 1) double — `rand() % 100 < 5` would
-            # silently select every row under the bare mapping.  An
-            # optional argument is a CSE-blocking tag in CH: accepted
-            # and ignored.
+        if name.lower() in ("rand", "rand32"):
+            # CH rand() (alias rand32; case-insensitive, MySQL
+            # compat) is a uniform UInt32 draw, NOT Spark's [0, 1)
+            # double — `rand() % 100 < 5` would silently select every
+            # row under the bare mapping.  An optional argument is a
+            # CSE-blocking tag in CH: accepted and ignored.
             out.append("CAST(floor(rand() * 4294967296) AS BIGINT)")
             i = close + 1
             continue

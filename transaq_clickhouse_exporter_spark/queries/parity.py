@@ -1679,7 +1679,9 @@ def _events_specs() -> list[QuerySpec]:
     # the -If combinator's DISTINCT form, 2-arg countIf, the bitwise
     # aggregate family, and the -Distinct combinator — DuckDB twins
     # spell each one ANSI-style (FILTER-less CASE forms, bit_or,
-    # sum(DISTINCT ...)).
+    # sum(DISTINCT ...)).  The oracle rounds with round_even(): CH
+    # round() over Float64 is banker's (bridged to bround, r11a), so
+    # DuckDB's half-away round() would diverge on an exact tie.
     def _combinator_profile_sql(s: SparkSession) -> DataFrame:
         from .ch_compat import run_ch_sql
 
@@ -1705,7 +1707,7 @@ def _events_specs() -> list[QuerySpec]:
             _combinator_profile_sql,
             """
             SELECT board,
-                   round(sum(price * quantity) / sum(quantity), 6)
+                   round_even(sum(price * quantity) / sum(quantity), 6)
                         AS w_price,
                    CAST(count(DISTINCT CASE WHEN buy_sell = 'B'
                         THEN sec_code END) AS BIGINT) AS buy_secs,
