@@ -225,6 +225,52 @@ def test_review_r11a_case_insensitive_and_null_length(spark):
                 "SELECT left(CAST(NULL AS String), -2) AS r") is None
 
 
+def test_r11b_star_apply_and_columns_resolve_from_catalog(spark):
+    """VERDICT r10 item 3: `* [EXCEPT] APPLY (fn)` and `COLUMNS('re')
+    [APPLY]` expand from the session catalog when the FROM is a plain
+    registered table/view; unresolvable sources keep the named raise.
+    Output columns carry CH's names (`sum(a)`); APPLY chains compose
+    left-to-right; COLUMNS matches by regex SEARCH like CH's re2."""
+    spark.sql(
+        "SELECT 1 AS a, 2 AS b, 'x' AS name, CAST(3.5 AS DOUBLE) AS "
+        "price UNION ALL SELECT 4, 5, 'y', CAST(4.5 AS DOUBLE)"
+    ).createOrReplaceTempView("tv_r11b")
+    df = run_ch_sql(spark, "SELECT * EXCEPT (name) APPLY(sum) FROM tv_r11b")
+    assert df.columns == ["sum(a)", "sum(b)", "sum(price)"]
+    assert [tuple(r) for r in df.collect()] == [(5, 7, 8.0)]
+    # APPLY chain composes left-to-right with nested CH names
+    df = run_ch_sql(spark, "SELECT * EXCEPT (name, price) APPLY(sum)"
+                           " APPLY(toString) FROM tv_r11b")
+    assert df.columns == ["toString(sum(a))", "toString(sum(b))"]
+    assert [tuple(r) for r in df.collect()] == [("5", "7")]
+    # COLUMNS: regex SEARCH, bare and with APPLY
+    df = run_ch_sql(spark,
+                    "SELECT COLUMNS('^[ab]$') FROM tv_r11b ORDER BY a")
+    assert df.columns == ["a", "b"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2), (4, 5)]
+    df = run_ch_sql(spark, "SELECT COLUMNS('^pr') APPLY(avg) FROM tv_r11b")
+    assert df.columns == ["avg(price)"]
+    assert [tuple(r) for r in df.collect()] == [(4.0,)]
+    # nested block + outer WHERE-subquery don't confuse the FROM scan
+    df = run_ch_sql(spark, "SELECT x FROM (SELECT * EXCEPT (name, "
+                           "price) APPLY(max) FROM tv_r11b) AS s(x, y)")
+    assert [tuple(r) for r in df.collect()] == [(4,)]
+    # unresolvable sources keep the NAMED raise
+    for bad in (
+        "SELECT * APPLY(sum) FROM tv_r11b a JOIN tv_r11b b ON a.a = b.a",
+        "SELECT * APPLY(sum) FROM (SELECT 1 AS z)",
+        "SELECT COLUMNS('a') FROM (SELECT 1 AS a)",
+    ):
+        with pytest.raises(UnsupportedChSql):
+            run_ch_sql(spark, bad)
+    # lambda APPLY raises by name; no-match COLUMNS raises by name
+    with pytest.raises(UnsupportedChSql, match="plain aggregate"):
+        run_ch_sql(spark, "SELECT * APPLY(x -> x + 1) FROM tv_r11b")
+    with pytest.raises(UnsupportedChSql, match="matches no column"):
+        run_ch_sql(spark, "SELECT COLUMNS('zzz') FROM tv_r11b")
+    spark.catalog.dropTempView("tv_r11b")
+
+
 def test_dateadd_family_unit_first_and_interval_forms(spark):
     # CH date_add(unit, n, ts): Spark's captured date_add(date, days)
     # has the argument roles REVERSED — must route to timestampadd

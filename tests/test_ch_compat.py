@@ -555,10 +555,13 @@ def test_with_fill_bridged_value_pinned_vs_duckdb(spark):
     ]
 
     # unbridged forms raise naming the richer operator
+    # (INTERPOLATE's LOCF form is bridged since r11c — see
+    # test_r11c_with_fill_interpolate_and_tails; the non-LOCF
+    # expression form still raises)
     for bad in (
         "SELECT n, v FROM wfill_t ORDER BY n DESC WITH FILL",
         "SELECT n, v FROM wfill_t ORDER BY n WITH FILL"
-        " INTERPOLATE (v AS v)",
+        " INTERPOLATE (v AS v + 1)",
         "SELECT n, v FROM wfill_t ORDER BY n WITH FILL, v WITH FILL",
         "SELECT n, v FROM wfill_t ORDER BY n WITH FILL STALENESS 3",
         "SELECT * FROM (SELECT n FROM wfill_t ORDER BY n WITH FILL)",
@@ -569,3 +572,91 @@ def test_with_fill_bridged_value_pinned_vs_duckdb(spark):
     # translate-only callers still get the loud raise
     with pytest.raises(UnsupportedChSql, match="run_ch_sql"):
         translate_ch_sql("SELECT n FROM wfill_t ORDER BY n WITH FILL")
+
+
+def test_r11c_with_fill_interpolate_and_tails(spark):
+    """VERDICT r10 item 4 + ADVICE r10: ``WITH FILL … INTERPOLATE``
+    (LOCF form) bridges to a struct-wrapped last(ignorenulls) window;
+    SETTINGS/FORMAT execution tails after the fill spec strip instead
+    of corrupting the STEP value; a trailing ``LIMIT n`` applies to
+    the FILLED result; the fill column resolves case-insensitively;
+    and a FROM/TO/STEP implying an axis beyond the grid cap raises at
+    runtime by name instead of materializing the grid."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (4, 40.0, "d")], "n int, v double, s string"
+    ).createOrReplaceTempView("wfill_i")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wfill_i AS SELECT * FROM (VALUES"
+                " (1, 10.0, 'a'), (4, 40.0, 'd')) t(n, v, s)")
+
+    # INTERPOLATE (v): LOCF carry for v, CH default '' for s; the
+    # leading inserted row (n=0, no previous real row) takes the
+    # column DEFAULT like the plain fill.  DuckDB spells the same
+    # thing as generate_series + last_value IGNORE NULLS carry.
+    got = [(r.n, r.v, r.s) for r in run_ch_sql(
+        spark,
+        "SELECT n, v, s FROM wfill_i ORDER BY n WITH FILL"
+        " FROM 0 TO 6 INTERPOLATE (v)",
+    ).collect()]
+    want = con.execute(
+        "SELECT g.n,"
+        " coalesce(last_value(t.v IGNORE NULLS) OVER"
+        "   (ORDER BY g.n ROWS UNBOUNDED PRECEDING), 0) AS v,"
+        " coalesce(t.s, '') AS s"
+        " FROM (SELECT CAST(unnest(generate_series(0, 5)) AS INT)"
+        " AS n) g LEFT JOIN wfill_i t USING (n) ORDER BY n"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert got == [(0, 0.0, ""), (1, 10.0, "a"), (2, 10.0, ""),
+                   (3, 10.0, ""), (4, 40.0, "d"), (5, 40.0, "")]
+
+    # bare INTERPOLATE carries EVERY non-sort column
+    got = [(r.n, r.v, r.s) for r in run_ch_sql(
+        spark,
+        "SELECT n, v, s FROM wfill_i ORDER BY n WITH FILL INTERPOLATE",
+    ).collect()]
+    assert got == [(1, 10.0, "a"), (2, 10.0, "a"), (3, 10.0, "a"),
+                   (4, 40.0, "d")]
+
+    # a REAL NULL is carried as NULL (not skipped to an older value)
+    spark.createDataFrame(
+        [(1, 10.0), (3, None), (6, 60.0)], "n int, v double"
+    ).createOrReplaceTempView("wfill_nul")
+    got = [(r.n, r.v) for r in run_ch_sql(
+        spark,
+        "SELECT n, v FROM wfill_nul ORDER BY n WITH FILL INTERPOLATE (v)",
+    ).collect()]
+    assert got == [(1, 10.0), (2, 10.0), (3, None), (4, None),
+                   (5, None), (6, 60.0)]
+
+    # SETTINGS / FORMAT tails strip; LIMIT applies post-fill;
+    # case-insensitive fill column (ADVICE r10)
+    got = [r.n for r in run_ch_sql(
+        spark,
+        "SELECT n FROM wfill_i ORDER BY n WITH FILL STEP 1"
+        " SETTINGS max_threads = 2",
+    ).collect()]
+    assert got == [1, 2, 3, 4]
+    got = [r.n for r in run_ch_sql(
+        spark,
+        "SELECT n FROM wfill_i ORDER BY N WITH FILL LIMIT 2 FORMAT"
+        " JSONEachRow",
+    ).collect()]
+    assert got == [1, 2]
+
+    # grid cap guard: loud runtime raise, never a billion-row grid
+    with pytest.raises(Exception, match="grid would hold"):
+        run_ch_sql(
+            spark,
+            "SELECT n FROM wfill_i ORDER BY n WITH FILL"
+            " FROM 0 TO 2000000000 STEP 1",
+        ).collect()
+    # non-LOCF INTERPOLATE expressions keep a named raise
+    with pytest.raises(UnsupportedChSql, match="LOCF"):
+        run_ch_sql(spark, "SELECT n, v FROM wfill_i ORDER BY n"
+                          " WITH FILL INTERPOLATE (v AS v * 2)")
+    with pytest.raises(UnsupportedChSql, match="integer"):
+        run_ch_sql(spark, "SELECT n FROM wfill_i ORDER BY n"
+                          " WITH FILL LIMIT 2 OFFSET 1")

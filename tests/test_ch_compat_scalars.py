@@ -1716,13 +1716,13 @@ def test_r10f_star_modifiers_and_finite_guards(spark):
     assert run_ch_sql(
         spark, "SELECT 2 * length(replace('aba', 'b', 'c')) AS m"
     ).collect()[0].m == 6
-    for bad, why in (
-        ("SELECT * APPLY (max) FROM star_t", "APPLY"),
-        ("SELECT COLUMNS('a') FROM star_t", "COLUMNS"),
-        ("SELECT * REPLACE (a * 10) FROM star_t", "AS"),
-    ):
-        with pytest.raises(UnsupportedChSql, match=why):
-            run_ch_sql(spark, bad).collect()
+    # APPLY/COLUMNS over a registered view resolve from the session
+    # catalog since r11b (test_builtin_collisions pins values); the
+    # raises remain for unresolvable sources, checked there too
+    rows = run_ch_sql(spark, "SELECT * APPLY (max) FROM star_t").collect()
+    assert [tuple(r) for r in rows] == [(1, 2, 3)]
+    with pytest.raises(UnsupportedChSql, match="AS"):
+        run_ch_sql(spark, "SELECT * REPLACE (a * 10) FROM star_t").collect()
     r = run_ch_sql(
         spark,
         "SELECT ifNotFinite(divide(1, 0), 99) AS a,"

@@ -641,6 +641,26 @@ CORPUS: list[tuple[str, tuple | None]] = [
      None),  # ok-run: DATE values pinned in test_builtin_collisions
     ("SELECT extract('hello123world', '[0-9]+') AS a,"
      " extract('key=val', 'key=([a-z]+)') AS b", ("123", "val")),
+    # --- r11b: * APPLY / COLUMNS resolved from the session catalog
+    # (plain-FROM blocks only; joins/subqueries keep the named raise)
+    ("SELECT * EXCEPT (sec_code, board) APPLY(count) FROM"
+     " (SELECT * FROM securities) AS s", None),  # clean-raise: subquery
+    ("SELECT COLUMNS('^(price|quantity)$') APPLY(max) FROM trades",
+     None),  # ok-run (values are testdata-dependent)
+    ("SELECT count() AS c FROM (SELECT COLUMNS('^sec_code$') FROM"
+     " securities)", None),  # ok-run: COLUMNS inside a subquery block
+    # --- r11c: WITH FILL INTERPOLATE (LOCF) + execution tails
+    ("SELECT number AS m, number * 10 AS v FROM numbers(6) WHERE"
+     " number IN (1, 4) ORDER BY m WITH FILL FROM 0 TO 6"
+     " INTERPOLATE (v)", None),  # ok-run; values pinned in pytest
+    ("SELECT number AS m FROM numbers(3) WHERE number != 1 ORDER BY m"
+     " WITH FILL STEP 1 SETTINGS max_threads = 2", None),
+    ("SELECT number AS m FROM numbers(9) WHERE number IN (0, 8)"
+     " ORDER BY m WITH FILL LIMIT 3", None),
+    ("SELECT number AS m FROM numbers(3) ORDER BY m WITH FILL"
+     " FROM 0 TO 2000000000 STEP 1", None),   # loud grid-cap raise
+    ("SELECT number AS m, number AS v FROM numbers(3) ORDER BY m"
+     " WITH FILL INTERPOLATE (v AS v + 1)", None),  # clean-raise
 ]
 
 

@@ -1170,8 +1170,10 @@ _UNSUPPORTED_MSG = {
         "Spark's execution model"
     ),
     "COLUMNS": (
-        "COLUMNS('regex') needs the table's column list, which a SQL "
-        "rewrite cannot know — spell the columns, or use "
+        "COLUMNS('regex') needs the table's column list — run_ch_sql "
+        "resolves it from the session catalog when the FROM is a "
+        "plain registered table/view (r11b); for joins/subqueries/"
+        "table functions spell the columns, or use "
         "df.select([c for c in df.columns if re.search(...)])"
     ),
     "untuple": (
@@ -1621,8 +1623,10 @@ def _select_star_modifiers(sql: str) -> str:
     if re.search(r"(?i)\*\s*(?:EXCEPT\s*\([^()]*\)\s*)?APPLY\s*\(",
                  _mask_literals(sql)):
         raise UnsupportedChSql(
-            "SELECT * APPLY (fn) needs the table's column list, which "
-            "a SQL rewrite cannot know — spell the aggregates "
+            "SELECT * APPLY (fn) needs the table's column list — "
+            "run_ch_sql resolves it from the session catalog when the "
+            "FROM is a plain registered table/view (r11b); for joins/"
+            "subqueries/table functions spell the aggregates "
             "explicitly or use df.select([fn(c) for c in df.columns])")
     pos = 0
     while True:
@@ -5423,17 +5427,30 @@ def _bridge_asof_join(
     return "".join(out), name
 
 
+#: WITH FILL grid guard: an axis bigger than this is a FROM/TO/STEP
+#: mistake (a chart axis holds thousands of points), and sequence()
+#: would materialize it as ONE in-memory array on the bounds row —
+#: raise by name instead (VERDICT r10 item 4).
+_FILL_GRID_CAP = 10_000_000
+
+
 def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
     """Split a top-level ``ORDER BY col WITH FILL [FROM a] [TO b]
     [STEP s]`` off the query (VERDICT r9 item 4).
 
     The bridged form is the one Grafana time-series panels emit: a
-    single bare ascending sort column.  Everything else raises naming
-    the richer operator (:func:`functions.fill.fill_gaps`, the oracled
-    ``an08`` gap-fill): INTERPOLATE (needs LOCF, a window op),
-    multi-column fill, STALENESS, DESC, expression sort keys, and
-    subquery placement.  Returns (sql with the whole ORDER BY clause
-    removed — ordering is reapplied DataFrame-side — and the spec).
+    single bare ascending sort column, optionally followed by
+    ``INTERPOLATE [(col [AS col], …)]`` in its LOCF form (r11c; the
+    expression must be the column itself — CH's default — because an
+    arbitrary ``AS expr`` iterates per inserted row, which a window
+    cannot express), a trailing ``LIMIT n``, and ``SETTINGS`` /
+    ``FORMAT`` execution tails (stripped like everywhere else —
+    ADVICE r10).  Everything else raises naming the richer operator
+    (:func:`functions.fill.fill_gaps`, the oracled ``an08``
+    gap-fill): multi-column fill, STALENESS, DESC, expression sort
+    keys, subquery placement, non-LOCF INTERPOLATE expressions.
+    Returns (sql with the whole ORDER BY clause removed — ordering is
+    reapplied DataFrame-side — and the spec).
     """
     sh = _mask_literals(sql)
     m = re.search(r"(?i)\bWITH\s+FILL\b", sh)
@@ -5448,11 +5465,6 @@ def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
         raise UnsupportedChSql(
             "multi-column WITH FILL is not bridged — fill a single "
             "sort column, or use functions/fill.fill_gaps with keys")
-    if re.search(r"(?i)\bINTERPOLATE\b", sh):
-        raise UnsupportedChSql(
-            "WITH FILL INTERPOLATE is not bridged — use "
-            "functions/fill.fill_gaps(fill={col: 'ffill'}) (the an08 "
-            "gap-fill operator)")
     ob = None
     for mo in re.finditer(r"(?i)\bORDER\s+BY\b", sh[: m.start()]):
         if dx[mo.start()] == 0:
@@ -5468,9 +5480,10 @@ def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
             "expression keys / DESC / multi-key sorts via "
             "functions/fill.fill_gaps")
     spec: dict = {"col": km.group(1), "from": None, "to": None,
-                  "step": None}
+                  "step": None, "interpolate": None, "limit": None}
     tail, tail_sh = sql[m.end():], sh[m.end():]
-    kwre = re.compile(r"(?i)\s*\b(FROM|TO|STEP|STALENESS)\b")
+    kwre = re.compile(r"(?i)\s*\b(FROM|TO|STEP|STALENESS|INTERPOLATE|"
+                      r"LIMIT|SETTINGS|FORMAT)\b")
     pos = 0
     while pos < len(tail_sh):
         mt = kwre.match(tail_sh, pos)
@@ -5483,6 +5496,50 @@ def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
         kw = mt.group(1).lower()
         if kw == "staleness":
             raise UnsupportedChSql("WITH FILL STALENESS is not bridged")
+        if kw in ("settings", "format"):
+            break  # execution tail — stripped like _strip_trailing_clauses
+        if kw == "interpolate":
+            rest = tail_sh[mt.end():].lstrip()
+            off = mt.end() + (len(tail_sh) - mt.end()
+                              - len(rest))
+            if rest.startswith("("):
+                close = _find_close(tail_sh, off)
+                items = []
+                for it in _split_args(tail[off + 1: close]):
+                    am = re.fullmatch(
+                        r"(?is)([A-Za-z_]\w*)(?:\s+AS\s+(.*))?",
+                        it.strip())
+                    if am is None:
+                        raise UnsupportedChSql(
+                            f"INTERPOLATE item {it.strip()!r}: expected "
+                            "`col` or `col AS expr`")
+                    col, expr = am.group(1), (am.group(2) or "").strip()
+                    if expr and expr.strip("`").lower() != col.lower():
+                        raise UnsupportedChSql(
+                            f"INTERPOLATE ({col} AS {expr}): only the "
+                            "LOCF form (expr = the column itself, CH's "
+                            "default) is bridged — an arbitrary "
+                            "expression iterates per inserted row; use "
+                            "functions/fill.fill_gaps")
+                    items.append(col)
+                spec["interpolate"] = items
+                pos = close + 1
+            else:
+                spec["interpolate"] = []  # bare: all non-sort columns
+                pos = mt.end()
+            continue
+        if kw == "limit":
+            nxt = kwre.search(tail_sh, mt.end())
+            end = nxt.start() if nxt else len(tail_sh)
+            val = tail[mt.end(): end].strip()
+            if not re.fullmatch(r"\d+", val):
+                raise UnsupportedChSql(
+                    "LIMIT after WITH FILL: only a plain integer is "
+                    f"bridged (got: {val[:40]}) — LIMIT applies to the "
+                    "FILLED result like CH")
+            spec["limit"] = int(val)
+            pos = end
+            continue
         nxt = kwre.search(tail_sh, mt.end())
         end = nxt.start() if nxt else len(tail_sh)
         val = tail[mt.end(): end].strip()
@@ -5510,11 +5567,16 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    c = spec["col"]
-    dtypes = dict(df.dtypes)
-    if c not in dtypes:
+    # Spark and CH resolve identifiers case-insensitively — match the
+    # fill column the same way (ADVICE r10: `ORDER BY M WITH FILL`
+    # over a column selected as `m` must resolve)
+    by_lower = {name.lower(): name for name in df.columns}
+    c = by_lower.get(spec["col"].lower())
+    if c is None:
         raise UnsupportedChSql(
-            f"WITH FILL column `{c}` is not in the SELECT list")
+            f"WITH FILL column `{spec['col']}` is not in the SELECT "
+            "list")
+    dtypes = dict(df.dtypes)
     dt = dtypes[c]
     integral = dt in ("tinyint", "smallint", "int", "bigint")
     is_date, is_ts = dt == "date", dt.startswith("timestamp")
@@ -5551,21 +5613,67 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
     # no explicit unpersist obligation on the caller.
     df = df.localCheckpoint(eager=False)
     bounds = df.agg(F.min(c).alias("__mn"), F.max(c).alias("__mx"))
+    # grid-cardinality guard (review/VERDICT r10 item 4): estimate the
+    # axis size ARITHMETICALLY before sequence() materializes the
+    # array — a typo'd STEP against a wide FROM/TO must raise by name,
+    # not OOM the driver building a billion-element array.  The
+    # estimate divides the span by the step's lower-bound width
+    # (months count 28 days), so it can only over-trigger by a hair
+    # on calendar steps — never under-protect.
+    if integral:
+        span = f"(CAST(({stop}) AS DOUBLE) - CAST(({start}) AS DOUBLE))"
+        step_w = step_sql if not step_sql.upper().startswith("INTERVAL") \
+            else "1"
+        est = f"({span} / ({step_w}))"
+    else:
+        span = (f"(unix_timestamp(CAST(({stop}) AS TIMESTAMP)) - "
+                f"unix_timestamp(CAST(({start}) AS TIMESTAMP)))")
+        im = re.match(r"(?is)INTERVAL\s+'?(\d+)'?\s+(\w+)", step_sql)
+        n_i, unit = (int(im.group(1)), im.group(2).lower()) if im \
+            else (1, "second")
+        unit_s = {"second": 1, "minute": 60, "hour": 3600,
+                  "day": 86400, "week": 604800,
+                  "month": 28 * 86400, "quarter": 84 * 86400,
+                  "year": 365 * 86400}.get(unit.rstrip("s"), 1)
+        est = f"({span} / {n_i * unit_s})"
+    # the raise rides the sequence's START argument (a NullType guard
+    # expression would be constant-folded away by NullPropagation —
+    # observed: the raise vanished and sequence OOM'd anyway)
+    start_guarded = (
+        f"CASE WHEN {est} > {_FILL_GRID_CAP} THEN "
+        f"CAST(raise_error(concat('WITH FILL grid would hold ', "
+        f"CAST(CAST({est} AS BIGINT) AS STRING), ' points "
+        f"(cap {_FILL_GRID_CAP}) — check FROM/TO/STEP')) AS {dt}) "
+        f"ELSE ({start}) END")
     grid = bounds.select(F.explode(F.expr(
         f"CASE WHEN ({start}) IS NULL OR ({stop}) IS NULL "
         f"OR ({start}) > ({stop}) THEN CAST(array() AS ARRAY<{dt}>) "
-        f"ELSE sequence({start}, {stop}, {step_sql}) END")).alias(c))
+        f"ELSE sequence({start_guarded}, {stop}, {step_sql}) "
+        f"END")).alias(c))
     if to:
         # CH's TO bound is exclusive; sequence() is inclusive
         grid = grid.filter(F.col(c) < F.expr(f"CAST(({to}) AS {dt})"))
     missing = grid.join(df.select(c).distinct(), [c], "left_anti")
+    interp = spec.get("interpolate")
+    if interp == []:  # bare INTERPOLATE: every non-sort column
+        interp = [name for name in df.columns if name != c]
+    elif interp:
+        interp = [by_lower.get(x.lower()) or x for x in interp]
+        missing_cols = [x for x in interp if x not in dtypes]
+        if missing_cols:
+            raise UnsupportedChSql(
+                "INTERPOLATE names columns not in the SELECT list: "
+                + ", ".join(missing_cols))
     filled = [F.col(c)]
     for name, dtp in df.dtypes:
         if name == c:
             continue
         base = dtp.split("(")[0]
-        if base in ("tinyint", "smallint", "int", "bigint", "float",
-                    "double", "decimal"):
+        if interp and name in interp:
+            # LOCF seam: NULL here, resolved by the window below
+            filled.append(F.lit(None).cast(dtp).alias(name))
+        elif base in ("tinyint", "smallint", "int", "bigint", "float",
+                      "double", "decimal"):
             filled.append(F.lit(0).cast(dtp).alias(name))
         elif base == "string":
             filled.append(F.lit("").alias(name))
@@ -5573,7 +5681,201 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
             filled.append(F.lit(False).alias(name))
         else:
             filled.append(F.lit(None).cast(dtp).alias(name))
-    return df.unionByName(missing.select(*filled)).orderBy(c)
+    if not interp:
+        out = df.unionByName(missing.select(*filled)).orderBy(c)
+        return out.limit(spec["limit"]) if spec.get("limit") else out
+    # INTERPOLATE (LOCF): carry the previous REAL row's value into
+    # inserted rows — a struct-wrapped last(ignorenulls) window so a
+    # genuine NULL in a real row is carried as NULL, not skipped.
+    # Scale shape: one unpartitioned ordered window over input+grid
+    # rows — WITH FILL is a single-series (chart-axis) construct in
+    # CH too; keyed series at scale use functions/fill.fill_gaps.
+    from pyspark.sql import Window
+
+    real = df.withColumn("__fill", F.lit(False))
+    ins = missing.select(*filled).withColumn("__fill", F.lit(True))
+    u = real.unionByName(ins)
+    w = (Window.orderBy(c)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cols = []
+    for name, dtp in df.dtypes:
+        if name == c or name not in interp:
+            cols.append(F.col(name))
+            continue
+        carried = F.last(
+            F.when(~F.col("__fill"), F.struct(F.col(name).alias("v"))),
+            ignorenulls=True,
+        ).over(w)
+        base = dtp.split("(")[0]
+        default = (F.lit(0).cast(dtp) if base in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal") else F.lit("") if base == "string"
+            else F.lit(False) if base == "boolean"
+            else F.lit(None).cast(dtp))
+        # leading inserted rows (no previous real row at all → the
+        # carried STRUCT is null) take the CH column default; a
+        # previous real row holding a genuine NULL carries NULL (the
+        # struct wrapper keeps the two cases distinct)
+        cols.append(
+            F.when(F.col("__fill"),
+                   F.when(carried.isNull(), default)
+                   .otherwise(carried["v"]))
+            .otherwise(F.col(name)).alias(name))
+    out = u.select(*cols, F.col("__fill")).orderBy(c).drop("__fill")
+    return out.limit(spec["limit"]) if spec.get("limit") else out
+
+
+def _star_apply_columns(
+    spark: SparkSession,
+    sql: str,
+    table_map: Mapping[str, str] | None,
+) -> str:
+    """Expand ``SELECT * [EXCEPT (…)] APPLY (fn) [APPLY (g)…]`` and
+    ``COLUMNS('re') [APPLY (fn)…]`` from the SESSION CATALOG
+    (VERDICT r10 item 3).
+
+    The pure-text translator raises on both (the column list is not
+    in the SQL text), but when the enclosing block's FROM is a plain
+    registered table/view the list IS knowable — resolve it here, at
+    run_ch_sql time, and expand to explicit projections with CH's
+    output names (```sum(price)```).  Anything unresolvable — joins,
+    subqueries, table functions, lambda/parameterized APPLY — falls
+    through untouched so the translator's NAMED raise still fires.
+
+    CH contract points (docs: SELECT modifiers / COLUMNS expression):
+    APPLY chains compose left-to-right (`* APPLY(f) APPLY(g)` →
+    ``g(f(col))``); COLUMNS matches by re2 SEARCH (not fullmatch)
+    against the source column names.
+    """
+    import re
+
+    fn_rx = re.compile(r"^[A-Za-z_]\w*$")
+
+    def _from_columns(sh: str, depths: list[int], pos: int) -> list[str] | None:
+        # scan FORWARD from the modifier for the block's own FROM —
+        # _block_end would stop AT the `* EXCEPT (…)` modifier itself
+        # (EXCEPT doubles as a set operator there)
+        d0 = depths[pos]
+        fm = None
+        for m0 in re.compile(r"(?i)\bFROM\b").finditer(sh, pos):
+            if depths[m0.start()] == d0:
+                fm = m0
+                break
+        if fm is None:
+            return None
+        f1 = fm.end()
+        # FROM segment ends at the next same-depth clause keyword /
+        # set operator (a real one: EXCEPT after FROM is never the
+        # modifier) / the block's closing paren / end of string
+        seg_end = len(sh)
+        kw = re.compile(r"(?i)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|"
+                        r"LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
+                        r"SETTINGS|FORMAT)\b")
+        for k in range(f1, len(sh)):
+            if sh[k] == ")" and depths[k] == d0 - 1:
+                seg_end = k
+                break
+            if depths[k] == d0:
+                m1 = kw.match(sh, k)
+                if m1 and not (k > 0 and (sh[k - 1].isalnum()
+                                          or sh[k - 1] in "_`")):
+                    seg_end = k
+                    break
+        seg = sh[f1:seg_end]
+        # plain relation only: no joins, comma joins, or subqueries
+        if ("(" in seg or "," in seg
+                or re.search(r"(?i)\bJOIN\b", seg)):
+            return None
+        m = re.match(r"\s*(`[^`]+`|[A-Za-z_][\w.]*)", sql[f1:seg_end])
+        if m is None:
+            return None
+        rel = m.group(1).strip("`")
+        mapped = dict(table_map or {}).get(rel, rel)
+        try:
+            return list(spark.table(mapped).columns)
+        except Exception:
+            return None
+
+    def _apply_chain(sh: str, after: int) -> tuple[list[str], int] | None:
+        """Parse `APPLY (fn) [APPLY (fn)…]` at `after`; returns
+        (fn_names, end_offset) or None if absent/unsupported."""
+        fns: list[str] = []
+        pos = after
+        while True:
+            m = re.compile(r"(?i)\s*APPLY\s*\(").match(sh, pos)
+            if m is None:
+                return (fns, pos) if fns else None
+            close = _find_close(sh, m.end() - 1)
+            fn = sql[m.end(): close].strip()
+            if not fn_rx.match(fn):
+                raise UnsupportedChSql(
+                    f"* APPLY ({fn!r}): only a plain aggregate/"
+                    "function NAME is expanded — lambdas and "
+                    "parameterized forms need explicit projections")
+            fns.append(fn)
+            pos = close + 1
+
+    def _wrap(col: str, fns: list[str]) -> str:
+        expr, label = f"`{col}`", col
+        for fn in fns:
+            expr, label = f"{fn}({expr})", f"{fn}({label})"
+        return f"{expr} AS `{label}`"
+
+    # --- COLUMNS('re') [APPLY …] --------------------------------
+    guard = 0
+    while guard < 32:
+        guard += 1
+        sh = _mask_literals(sql)
+        m = re.compile(r"(?i)(?<![\w`])COLUMNS\s*\(").search(sh)
+        if m is None:
+            break
+        close = _find_close(sh, m.end() - 1)
+        pat_lit = sql[m.end(): close].strip()
+        if not (pat_lit.startswith("'") and pat_lit.endswith("'")):
+            break  # translator's named raise handles it
+        depths = _depth_map(sh)
+        cols = _from_columns(sh, depths, m.start())
+        if cols is None:
+            break
+        pat = re.compile(pat_lit[1:-1])
+        matched = [c for c in cols if pat.search(c)]
+        if not matched:
+            raise UnsupportedChSql(
+                f"COLUMNS({pat_lit}) matches no column of the FROM "
+                f"relation (columns: {', '.join(cols)})")
+        chain = _apply_chain(sh, close + 1)
+        fns, end = chain if chain else ([], close + 1)
+        repl = ", ".join(_wrap(c, fns) if fns else f"`{c}`"
+                         for c in matched)
+        sql = sql[: m.start()] + repl + sql[end:]
+
+    # --- * [EXCEPT (…)] APPLY (…) --------------------------------
+    guard = 0
+    while guard < 32:
+        guard += 1
+        sh = _mask_literals(sql)
+        m = re.compile(
+            r"(?i)\*\s*(?:EXCEPT\s*\(([^()]*)\)\s*)?(?=APPLY\s*\()"
+        ).search(sh)
+        if m is None:
+            break
+        depths = _depth_map(sh)
+        cols = _from_columns(sh, depths, m.start())
+        if cols is None:
+            break
+        chain = _apply_chain(sh, m.end())
+        if chain is None:
+            break
+        fns, end = chain
+        except_cols = {c.strip().strip("`")
+                       for c in (m.group(1) or "").split(",") if c.strip()}
+        kept = [c for c in cols if c not in except_cols]
+        if not kept:
+            raise UnsupportedChSql(
+                "* EXCEPT(...) APPLY: every column was excepted")
+        repl = ", ".join(_wrap(c, fns) for c in kept)
+        sql = sql[: m.start()] + repl + sql[end:]
+    return sql
 
 
 def run_ch_sql(
@@ -5592,6 +5894,7 @@ def run_ch_sql(
         sql = substitute(sql, params)
     register_ch_functions(spark)
     sql = _normalize_escapes(sql)  # before the bridge scans literals
+    sql = _star_apply_columns(spark, sql, table_map)
     sql, fill_spec = _extract_with_fill(sql)
     sql, asof_view = _bridge_asof_join(spark, sql, table_map)
     try:
