@@ -660,3 +660,33 @@ def test_r11c_with_fill_interpolate_and_tails(spark):
     with pytest.raises(UnsupportedChSql, match="integer"):
         run_ch_sql(spark, "SELECT n FROM wfill_i ORDER BY n"
                           " WITH FILL LIMIT 2 OFFSET 1")
+
+
+def test_review_r11c_fixes_are_pinned(spark):
+    """Review r11c findings: qualified `t.* APPLY` keeps the named
+    raise (consuming only the `*` glued the qualifier to the first
+    expansion); `* EXCEPT` matches case-insensitively like every
+    other identifier; WITH FILL LIMIT 0 returns zero rows (falsy-zero
+    check); invalid COLUMNS patterns raise by name; duplicate
+    INTERPOLATE/LIMIT clauses raise instead of last-one-wins."""
+    spark.sql("SELECT 1 AS a, 2 AS b, 'x' AS name"
+              ).createOrReplaceTempView("star_r11")
+    with pytest.raises(UnsupportedChSql, match="APPLY"):
+        run_ch_sql(spark, "SELECT t.* APPLY (max) FROM star_r11 t")
+    rows = run_ch_sql(
+        spark, "SELECT * EXCEPT (Name, B) APPLY(max) FROM star_r11"
+    ).collect()
+    assert rows[0].__fields__ == ["max(a)"]
+    with pytest.raises(UnsupportedChSql, match="invalid pattern"):
+        run_ch_sql(spark, "SELECT COLUMNS('[') FROM star_r11")
+    spark.createDataFrame([(1,), (4,)], "n int"
+                          ).createOrReplaceTempView("wfill_r11")
+    assert run_ch_sql(
+        spark, "SELECT n FROM wfill_r11 ORDER BY n WITH FILL LIMIT 0"
+    ).count() == 0
+    with pytest.raises(UnsupportedChSql, match="twice"):
+        run_ch_sql(spark, "SELECT n FROM wfill_r11 ORDER BY n"
+                          " WITH FILL LIMIT 2 LIMIT 3")
+    with pytest.raises(UnsupportedChSql, match="twice"):
+        run_ch_sql(spark, "SELECT n, n AS v FROM wfill_r11 ORDER BY n"
+                          " WITH FILL INTERPOLATE (v) INTERPOLATE (v)")

@@ -5499,6 +5499,9 @@ def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
         if kw in ("settings", "format"):
             break  # execution tail — stripped like _strip_trailing_clauses
         if kw == "interpolate":
+            if spec["interpolate"] is not None:
+                raise UnsupportedChSql(
+                    "WITH FILL: INTERPOLATE given twice")
             rest = tail_sh[mt.end():].lstrip()
             off = mt.end() + (len(tail_sh) - mt.end()
                               - len(rest))
@@ -5529,6 +5532,8 @@ def _extract_with_fill(sql: str) -> tuple[str, dict | None]:
                 pos = mt.end()
             continue
         if kw == "limit":
+            if spec["limit"] is not None:
+                raise UnsupportedChSql("WITH FILL: LIMIT given twice")
             nxt = kwre.search(tail_sh, mt.end())
             end = nxt.start() if nxt else len(tail_sh)
             val = tail[mt.end(): end].strip()
@@ -5683,7 +5688,8 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
             filled.append(F.lit(None).cast(dtp).alias(name))
     if not interp:
         out = df.unionByName(missing.select(*filled)).orderBy(c)
-        return out.limit(spec["limit"]) if spec.get("limit") else out
+        return (out.limit(spec["limit"])
+                if spec.get("limit") is not None else out)
     # INTERPOLATE (LOCF): carry the previous REAL row's value into
     # inserted rows — a struct-wrapped last(ignorenulls) window so a
     # genuine NULL in a real row is carried as NULL, not skipped.
@@ -5722,7 +5728,8 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
                    .otherwise(carried["v"]))
             .otherwise(F.col(name)).alias(name))
     out = u.select(*cols, F.col("__fill")).orderBy(c).drop("__fill")
-    return out.limit(spec["limit"]) if spec.get("limit") else out
+    return (out.limit(spec["limit"])
+            if spec.get("limit") is not None else out)
 
 
 def _star_apply_columns(
@@ -5826,7 +5833,9 @@ def _star_apply_columns(
     while guard < 32:
         guard += 1
         sh = _mask_literals(sql)
-        m = re.compile(r"(?i)(?<![\w`])COLUMNS\s*\(").search(sh)
+        # `.` in the lookbehind: a qualified `t.COLUMNS(...)` is not
+        # the modifier (review r11c)
+        m = re.compile(r"(?i)(?<![\w`.])COLUMNS\s*\(").search(sh)
         if m is None:
             break
         close = _find_close(sh, m.end() - 1)
@@ -5837,7 +5846,11 @@ def _star_apply_columns(
         cols = _from_columns(sh, depths, m.start())
         if cols is None:
             break
-        pat = re.compile(pat_lit[1:-1])
+        try:
+            pat = re.compile(pat_lit[1:-1])
+        except re.error as exc:
+            raise UnsupportedChSql(
+                f"COLUMNS({pat_lit}): invalid pattern ({exc})") from exc
         matched = [c for c in cols if pat.search(c)]
         if not matched:
             raise UnsupportedChSql(
@@ -5850,31 +5863,40 @@ def _star_apply_columns(
         sql = sql[: m.start()] + repl + sql[end:]
 
     # --- * [EXCEPT (…)] APPLY (…) --------------------------------
-    guard = 0
+    guard, scan = 0, 0
     while guard < 32:
         guard += 1
         sh = _mask_literals(sql)
         m = re.compile(
             r"(?i)\*\s*(?:EXCEPT\s*\(([^()]*)\)\s*)?(?=APPLY\s*\()"
-        ).search(sh)
+        ).search(sh, scan)
         if m is None:
             break
+        # a QUALIFIED star (`t.* APPLY`) is not expanded — consuming
+        # only the `*` would leave the `t.` qualifier glued to the
+        # first expansion (review r11c); skip it so the translator's
+        # named raise fires instead
+        k = m.start() - 1
+        while k >= 0 and sh[k] in " \t\n":
+            k -= 1
+        if k >= 0 and sh[k] == ".":
+            scan = m.end() + 1
+            continue
         depths = _depth_map(sh)
         cols = _from_columns(sh, depths, m.start())
         if cols is None:
             break
-        chain = _apply_chain(sh, m.end())
-        if chain is None:
-            break
-        fns, end = chain
-        except_cols = {c.strip().strip("`")
-                       for c in (m.group(1) or "").split(",") if c.strip()}
-        kept = [c for c in cols if c not in except_cols]
+        fns, end = _apply_chain(sh, m.end())
+        # EXCEPT matches identifiers case-insensitively like Spark/CH
+        except_l = {c.strip().strip("`").lower()
+                    for c in (m.group(1) or "").split(",") if c.strip()}
+        kept = [c for c in cols if c.lower() not in except_l]
         if not kept:
             raise UnsupportedChSql(
                 "* EXCEPT(...) APPLY: every column was excepted")
         repl = ", ".join(_wrap(c, fns) for c in kept)
         sql = sql[: m.start()] + repl + sql[end:]
+        scan = 0
     return sql
 
 
