@@ -131,8 +131,8 @@ def test_window_funnel_strict_increase_mode(spark):
     }
     assert default == {1: 2, 2: 3, 3: 3}
     # unsupported modes raise instead of mistranslating
-    with pytest.raises(cc.UnsupportedChSql):
-        cc.translate_ch_sql(q.format(mode="'strict_order'"))
+    # (strict_order is bridged since r11d — tests/
+    # test_funnel_strict_order.py pins it vs the CH scan reference)
     with pytest.raises(cc.UnsupportedChSql):
         cc.translate_ch_sql(q.format(mode="'strict_deduplication'"))
 

@@ -661,6 +661,19 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " FROM 0 TO 2000000000 STEP 1", None),   # loud grid-cap raise
     ("SELECT number AS m, number AS v FROM numbers(3) ORDER BY m"
      " WITH FILL INTERPOLATE (v AS v + 1)", None),  # clean-raise
+    # --- r11d: windowFunnel strict_order (CH docs example: the D
+    # interloper stops A->B->C at level 2; default mode ignores it)
+    ("SELECT windowFunnel(100, 'strict_order')(toDateTime(ts), e = 'A',"
+     " e = 'B', e = 'C') AS lvl FROM (SELECT 10 AS ts, 'A' AS e UNION"
+     " ALL SELECT 20, 'B' UNION ALL SELECT 30, 'D' UNION ALL SELECT"
+     " 40, 'C')", (2,)),
+    ("SELECT windowFunnel(100)(toDateTime(ts), e = 'A', e = 'B',"
+     " e = 'C') AS lvl FROM (SELECT 10 AS ts, 'A' AS e UNION ALL"
+     " SELECT 20, 'B' UNION ALL SELECT 30, 'D' UNION ALL SELECT"
+     " 40, 'C')", (3,)),
+    ("SELECT windowFunnel(100, 'strict_deduplication')(toDateTime(ts),"
+     " e = 'A', e = 'B') AS lvl FROM (SELECT 1 AS ts, 'A' AS e)",
+     None),  # clean-raise
 ]
 
 

@@ -3262,52 +3262,102 @@ def _funnel_expr(params: str, args: list[str]) -> str:
     w = parts[0].strip() if parts else ""
     if not w:
         raise UnsupportedChSql("windowFunnel expects a window parameter")
-    strict_increase = False
+    strict_increase = strict_order = False
     for p in parts[1:]:
         mode = p.strip().strip("'")
         if mode == "strict_increase":
             strict_increase = True
+        elif mode == "strict_order":
+            # r11d (VERDICT r10 item 5): CH's strict_order scan is
+            # sequential-with-early-termination — expressible in this
+            # sorted fold by also materializing NON-matching events
+            # (they interrupt a started chain) and a termination slot
+            strict_order = True
         else:
-            # 'strict_order' / 'strict_deduplication' depend on
-            # non-chain events interleaving — not expressible in this
-            # per-matched-condition fold; raise rather than mistranslate
+            # 'strict_deduplication' early-RETURNS the matched level
+            # the moment a condition repeats (an exit value, not a
+            # state update) — raise rather than mistranslate
             raise UnsupportedChSql(
                 f"windowFunnel mode {mode!r} is not supported "
-                "(default and 'strict_increase' are)"
+                "(default, 'strict_increase' and 'strict_order' are)"
             )
     ts, conds = args[0], args[1:]
     n = len(conds)
     t_expr = f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
-    per_row = (
-        "filter(array("
-        + ", ".join(
-            f"struct({t_expr} AS t, {i + 1} AS i, ({c}) AS m)"
-            for i, c in enumerate(conds)
-        )
-        + "), x -> x.m AND x.t IS NOT NULL)"
-    )
+    elems = [
+        f"struct({t_expr} AS t, {i + 1} AS i, ({c}) AS m)"
+        for i, c in enumerate(conds)
+    ]
+    if strict_order:
+        # CH stores an (ts, 0) entry for an event matching NO
+        # condition (AggregateFunctionWindowFunnel.h add(): only in
+        # strict_order mode) — it interrupts a started chain.  i = 0
+        # sorts before the condition elements at an equal timestamp,
+        # inside CH's own insertion-order tie envelope.
+        none_m = " OR ".join(f"({c})" for c in conds)
+        elems.append(
+            f"struct({t_expr} AS t, 0 AS i, "
+            f"NOT coalesce({none_m}, false) AS m)")
+    per_row = ("filter(array(" + ", ".join(elems)
+               + "), x -> x.m AND x.t IS NOT NULL)")
     evs = f"array_sort(flatten(collect_list({per_row})))"
     # state slot per level: (a = chain anchor ts, l = that level's own
     # event ts).  Default mode only reads a; strict_increase adds CH's
     # `timestamp > previous stage's event` check on l (CH keeps the
     # same single greedy slot per level in strict mode — mirrored).
+    # strict_order adds slot n as the TERMINATION flag (CH's `break`
+    # out of the scan loop): once set, every later element is inert.
     null_slot = "named_struct('a', CAST(NULL AS DOUBLE), 'l', CAST(NULL AS DOUBLE))"
-    init = f"array({', '.join([null_slot] * n)})"
+    init = f"array({', '.join([null_slot] * (n + (1 if strict_order else 0)))})"
+    dead = f"acc[{n}].a IS NOT NULL AND " if strict_order else ""
     upd = [
+        f"CASE WHEN {dead}true THEN acc[0] "
+        "WHEN e.i = 1 THEN named_struct('a', e.t, 'l', e.t) "
+        "ELSE acc[0] END"
+        if strict_order else
         "CASE WHEN e.i = 1 THEN named_struct('a', e.t, 'l', e.t) "
         "ELSE acc[0] END"
     ]
     for i in range(1, n):
         strict = f"AND e.t > acc[{i - 1}].l " if strict_increase else ""
         upd.append(
+            f"CASE WHEN {dead}e.i >= 0 THEN acc[{i}] "
+            f"WHEN e.i = {i + 1} AND acc[{i - 1}].a IS NOT NULL "
+            f"AND e.t <= acc[{i - 1}].a + ({w}) {strict}"
+            f"THEN named_struct('a', acc[{i - 1}].a, 'l', e.t) "
+            f"ELSE acc[{i}] END"
+            if strict_order else
             f"CASE WHEN e.i = {i + 1} AND acc[{i - 1}].a IS NOT NULL "
             f"AND e.t <= acc[{i - 1}].a + ({w}) {strict}"
             f"THEN named_struct('a', acc[{i - 1}].a, 'l', e.t) "
             f"ELSE acc[{i}] END"
         )
+    if strict_order:
+        # termination (CH scan loop, in its branch order): a stored
+        # non-match entry (e.i = 0) breaks once the chain has started
+        # (first_event == slot 0 held); a chain event whose
+        # PREDECESSOR slot is still empty early-returns the current
+        # level — same thing as terminating, since the result is the
+        # filled-prefix length either way.  A time-window miss does
+        # NOT terminate (it skips) — mirrored by requiring the
+        # predecessor slot to be EMPTY here.
+        started = "acc[0].a IS NOT NULL"
+        pred_empty = (" OR ".join(
+            f"(e.i = {k + 1} AND acc[{k - 1}].a IS NULL)"
+            for k in range(1, n)) or "false")
+        upd.append(
+            f"CASE WHEN acc[{n}].a IS NOT NULL THEN acc[{n}] "
+            f"WHEN {started} AND (e.i = 0 OR ({pred_empty})) "
+            f"THEN named_struct('a', CAST(0 AS DOUBLE), "
+            f"'l', CAST(0 AS DOUBLE)) "
+            f"ELSE acc[{n}] END")
+    finish = (
+        f"size(filter(slice(acc, 1, {n}), x -> x.a IS NOT NULL))"
+        if strict_order else
+        "size(filter(acc, x -> x.a IS NOT NULL))")
     return (
         f"aggregate({evs}, {init}, (acc, e) -> array({', '.join(upd)}), "
-        f"acc -> size(filter(acc, x -> x.a IS NOT NULL)))"
+        f"acc -> {finish})"
     )
 
 
