@@ -106,3 +106,57 @@ def test_stream_kill_restart_resumes_exactly(spark, tmp_path):
         if r.date == "2024-12-20 10:01:00"
     }
     assert got == want and len(got) == 7
+
+
+def test_progress_identity_guards(tmp_path):
+    """ADVICE r10 hazards, both now guarded (unit level — the reader
+    API is plain Python): a stale progress file + fresh checkpoint is
+    REFUSED by name when batch 0 would span the stale HWM
+    (initialOffset may be called after the first latestOffset poll,
+    so it cannot reset the pace in place — observed live); a second
+    query writing the same progressPath is detected by the owner
+    token and refused by name.  The pre-r11 plain-int file format
+    still loads."""
+    p = tmp_path / "hwm"
+
+    # legacy plain-int format resumes
+    p.write_text("720")
+    r = tx_source.TickStreamReader(
+        {"ticksPerBatch": "100", "progressPath": str(p)})
+    assert r.latestOffset() == {"i": 820}
+
+    # stale file + fresh checkpoint: batch 0 spanning the stale HWM
+    # is refused loudly instead of served as one giant micro-batch
+    p.write_text("99999")
+    r = tx_source.TickStreamReader(
+        {"ticksPerBatch": "100", "progressPath": str(p)})
+    assert r.latestOffset() == {"i": 100099}  # polled before initial
+    assert r.initialOffset() == {"i": 0}      # engine may call late
+    try:
+        r.partitions({"i": 0}, {"i": 100099})
+        raise AssertionError("stale-seed giant batch was not refused")
+    except RuntimeError as e:
+        assert "fresh" in str(e)
+    # a resumed checkpoint (no initialOffset call) replays normally
+    r = tx_source.TickStreamReader(
+        {"ticksPerBatch": "100", "progressPath": str(p)})
+    parts = r.partitions({"i": 99900}, {"i": 99999})
+    assert (parts[0].start, parts[0].end) == (99900, 99999)
+
+    # restart WITHOUT a fresh checkpoint resumes from the HWM (the
+    # r10 contract): construction reads the persisted counter
+    p.write_text("100")
+    r2 = tx_source.TickStreamReader(
+        {"ticksPerBatch": "100", "progressPath": str(p)})
+    assert r2.latestOffset() == {"i": 200}
+
+    # two queries sharing one progressPath: the foreign owner token
+    # is detected on the next pace bump and refused by name
+    r3 = tx_source.TickStreamReader(
+        {"ticksPerBatch": "100", "progressPath": str(p)})
+    r3.latestOffset()          # r3 stamps its own token
+    try:
+        r2.latestOffset()      # r2 had written before: foreign token
+        raise AssertionError("shared progressPath was not refused")
+    except RuntimeError as e:
+        assert "another query" in str(e)

@@ -182,6 +182,22 @@ Round-9 everyday additions (hash/random/array/date/URL families):
   on zero total weight, both like CH.
 - ``toUnixTimestamp64Nano`` reports microsecond precision × 1000
   (Spark timestamps carry no nanoseconds).
+- ``IN`` with a NULL on either side (scalar and the tuple-IN
+  expansion alike) keeps ANSI three-valued logic — ``(a, b) IN
+  ((1, NULL))`` and ``1 IN (2, NULL)`` render NULL where ClickHouse
+  IN returns 0 (CH documents NULL-involving IN comparisons as 0).
+  Inside WHERE the ROWS selected are identical (NULL filters like
+  false); only a projected bare IN renders differently (ADVICE r10).
+- r11a collision-fix notes: ``trunc``/``truncate`` compute through
+  DOUBLE (CH returns the input type — integers/decimals beyond 2^53
+  lose low digits; |x·10^n| beyond Int64 hits floor's ANSI overflow,
+  loudly); 3-arg ``date_add``/``date_sub`` return TIMESTAMP where CH
+  keeps Date for Date input (the 2-arg INTERVAL form is
+  type-preserving); ``reverse``/``left``/``right`` on strings use
+  codepoint semantics (≡ the *UTF8 forms — CH's byte-wise forms
+  produce invalid UTF-8 on multi-byte input, unrepresentable as a
+  Spark string value); ``unhex`` returns STRING like CH via CAST
+  (non-UTF8 byte output is unrepresentable).
 
 Template variables: ``substitute(sql, params)`` fills Grafana-style
 ``$var`` / ``${var}`` through the same quoting discipline as

@@ -87,22 +87,63 @@ class TickStreamReader(DataSourceStreamReader):
     every ``latestOffset`` and resumes from it on construction.
     Restarting WITHOUT ``progressPath`` (and without a fresh
     checkpoint) is refused by ``partitions`` the moment it would
-    rewind, rather than silently corrupting state."""
+    rewind, rather than silently corrupting state.
+
+    PROGRESS-FILE IDENTITY (r11, ADVICE r10): ``initialOffset`` is
+    only called when the CHECKPOINT is fresh, but the engine may call
+    it AFTER the first ``latestOffset`` poll (observed), so it cannot
+    mutate the pace — instead it marks the query fresh, and
+    ``partitions`` REFUSES by name when batch 0 would span a stale
+    persisted HWM (a fresh checkpoint paired with an old progress
+    file otherwise serves one giant 0..old-HWM first batch).  Each
+    reader also stamps the file with an owner token; finding a
+    FOREIGN token after having written means two running queries
+    share one progressPath — refused by name (their interleaved
+    bumps corrupt both queries' pacing)."""
 
     def __init__(self, options):
+        import uuid
+
         self.batch = int(options.get("ticksPerBatch", 100))
         self.max = int(options.get("maxTicks", 10**9))
         self._progress = options.get("progressPath")
+        self._token = uuid.uuid4().hex
+        self._wrote = False
+        self._saw_initial = False
         self._latest = 0
         if self._progress and os.path.exists(self._progress):
-            with open(self._progress) as f:
-                self._latest = int(f.read().strip() or 0)
+            self._latest = self._read_progress()[0]
+        self._seed = self._latest  # ctor-time persisted HWM
+
+    def _read_progress(self) -> tuple[int, str | None]:
+        with open(self._progress) as f:
+            raw = f.read().strip()
+        if raw.startswith("{"):
+            import json
+
+            d = json.loads(raw)
+            return int(d.get("i", 0)), d.get("owner")
+        return int(raw or 0), None  # pre-r11 plain-int format
+
+    def _persist(self) -> None:
+        import json
+
+        tmp = f"{self._progress}.tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"i": self._latest, "owner": self._token}))
+        os.replace(tmp, self._progress)
 
     def initialOffset(self):
+        # Spark calls this ONLY when the checkpoint has no offset log
+        # — a genuinely fresh query — but possibly AFTER the first
+        # latestOffset poll, so it must be PURE (an in-place pace
+        # reset here capped latestOffset below an already-reported
+        # offset and the query drained one batch early; observed).
+        # It records freshness for the partitions() stale-seed guard.
+        self._saw_initial = True
         return {"i": 0}
 
     def latestOffset(self):
-        self._latest = min(self._latest + self.batch, self.max)
         # persist the PACE COUNTER eagerly (not in commit, which can
         # lag a batch behind at stop time and stall the resumed query
         # at "caught up"): replay correctness never depends on it —
@@ -110,13 +151,32 @@ class TickStreamReader(DataSourceStreamReader):
         # replays — the counter only stops latestOffset from REWINDING
         # below the checkpoint after a restart
         if self._progress:
-            tmp = f"{self._progress}.tmp"
-            with open(tmp, "w") as f:
-                f.write(str(self._latest))
-            os.replace(tmp, self._progress)
+            if self._wrote and os.path.exists(self._progress):
+                _, owner = self._read_progress()
+                if owner is not None and owner != self._token:
+                    raise RuntimeError(
+                        "tx_source progressPath is being written by "
+                        "another query (owner token changed under us) "
+                        "— give each streaming query its own "
+                        "progressPath file; sharing one corrupts both "
+                        "queries' pacing")
+            self._latest = min(self._latest + self.batch, self.max)
+            self._persist()
+            self._wrote = True
+        else:
+            self._latest = min(self._latest + self.batch, self.max)
         return {"i": self._latest}
 
     def partitions(self, start, end):
+        if (self._saw_initial and start["i"] == 0 and self._seed > 0
+                and end["i"] >= self._seed):
+            raise RuntimeError(
+                "tx_source progressPath holds a persisted high-water "
+                f"mark of {self._seed} but the CHECKPOINT is fresh — "
+                "batch 0 would replay the whole stale range in one "
+                "giant micro-batch.  Delete the stale progress file "
+                "(or point progressPath somewhere new) when starting "
+                "a fresh checkpoint")
         if end["i"] < start["i"]:
             raise RuntimeError(
                 "tx_source restarted behind the checkpoint offset "
