@@ -66,3 +66,62 @@ def test_asof_single_shuffle_plan(spark):
     # no join node at all — union + window; exactly one exchange on the key
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_four_comparators_vs_duckdb(spark):
+    """r11e (VERDICT r10 item 8): CH's four ASOF comparators —
+    ``>=`` (closest at-or-before), ``>`` (strictly before), ``<=``
+    (closest at-or-after), ``<`` (strictly after) — through BOTH the
+    operator (direction/strict) and the SQL bridge, value-pinned
+    against DuckDB's own ASOF JOIN on randomized data with
+    deliberate equal-timestamp collisions."""
+    import random
+
+    import duckdb
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+    rng = random.Random(0xA50F)
+    lrows = [(k, rng.randint(0, 40), i)
+             for i, k in enumerate(rng.choices(range(5), k=60))]
+    rrows = [(k, rng.randint(0, 40), f"v{j}")
+             for j, k in enumerate(rng.choices(range(5), k=40))]
+    # dedup right (k, ts) so the pick is deterministic on both engines
+    seen, rdedup = set(), []
+    for k, ts, v in rrows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rdedup.append((k, ts, v))
+    spark.createDataFrame(lrows, "k int, ts int, lid int"
+                          ).createOrReplaceTempView("asof_l")
+    spark.createDataFrame(rdedup, "k int, ts int, v string"
+                          ).createOrReplaceTempView("asof_r")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE asof_l(k int, ts int, lid int)")
+    con.executemany("INSERT INTO asof_l VALUES (?, ?, ?)", lrows)
+    con.execute("CREATE TABLE asof_r(k int, ts int, v varchar)")
+    con.executemany("INSERT INTO asof_r VALUES (?, ?, ?)", rdedup)
+
+    for op in (">=", ">", "<=", "<"):
+        for kw, dj in (("", "ASOF JOIN"), ("LEFT ", "ASOF LEFT JOIN")):
+            got = sorted(map(tuple, run_ch_sql(
+                spark,
+                f"SELECT l.lid AS lid, l.ts AS lts, v FROM asof_l AS l"
+                f" ASOF {kw}JOIN asof_r AS r"
+                f" ON l.k = r.k AND l.ts {op} r.ts",
+            ).select("lid", "lts", "v").collect()), key=repr)
+            want = sorted(map(tuple, con.execute(
+                f"SELECT l.lid, l.ts, r.v FROM asof_l l {dj} asof_r r"
+                f" ON l.k = r.k AND l.ts {op} r.ts"
+            ).fetchall()), key=repr)
+            assert got == want, (op, kw)
+    # mirrored spelling (r.ts OP l.ts) normalizes to the same join
+    got = sorted(map(tuple, run_ch_sql(
+        spark,
+        "SELECT l.lid AS lid, v FROM asof_l AS l ASOF JOIN asof_r AS r"
+        " ON l.k = r.k AND r.ts < l.ts",
+    ).select("lid", "v").collect()), key=repr)
+    want = sorted(map(tuple, con.execute(
+        "SELECT l.lid, r.v FROM asof_l l ASOF JOIN asof_r r"
+        " ON l.k = r.k AND l.ts > r.ts").fetchall()), key=repr)
+    assert got == want

@@ -674,6 +674,21 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT windowFunnel(100, 'strict_deduplication')(toDateTime(ts),"
      " e = 'A', e = 'B') AS lvl FROM (SELECT 1 AS ts, 'A' AS e)",
      None),  # clean-raise
+    # --- r11e: the four ASOF comparators through the SQL bridge
+    # (trades_core ⋈ sess_windows derived views; values pinned in
+    # test_asof.py vs DuckDB's own ASOF JOIN — these are run-probes)
+    ("SELECT count() AS c FROM trades_core AS t ASOF JOIN sess_windows"
+     " AS w ON t.sec_code = w.sec_code AND t.time_s > w.win_start",
+     None),
+    ("SELECT count() AS c FROM trades_core AS t ASOF LEFT JOIN"
+     " sess_windows AS w ON t.sec_code = w.sec_code AND"
+     " t.time_s <= w.win_start", None),
+    ("SELECT count() AS c FROM trades_core AS t ASOF JOIN sess_windows"
+     " AS w ON t.sec_code = w.sec_code AND t.time_s < w.win_start",
+     None),
+    ("SELECT count() AS c FROM trades_core AS t ASOF JOIN sess_windows"
+     " AS w ON t.sec_code = w.sec_code AND w.win_start <= t.time_s",
+     None),
 ]
 
 

@@ -37,13 +37,27 @@ def asof_join(
     right_ts: str = "time",
     tolerance_seconds: int | None = None,
     right_ts_out: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
 ) -> DataFrame:
     """Left as-of join.  Right payload columns (everything except
     ``by`` + ``right_ts``) appear on the output with their own names;
     left rows with no prior right row get NULLs.  ``right_ts_out``
     additionally emits the MATCHED right row's timestamp under that
     name (NULL = no match) — the match indicator ClickHouse's inner
-    ``ASOF JOIN`` semantics need."""
+    ``ASOF JOIN`` semantics need.
+
+    ``direction``/``strict`` span ClickHouse's four ASOF comparators
+    (r11e): ``backward`` picks the closest right row at-or-before the
+    left timestamp (CH ``l.ts >= r.ts``; ``strict`` excludes the
+    equal timestamp — CH ``>``), ``forward`` the closest at-or-after
+    (CH ``<=``; ``strict`` → ``<``).  All four ride the SAME plan —
+    union + one keyed running window, single shuffle: direction flips
+    the window's time order, strictness flips which side wins the
+    equal-timestamp tie (left-before-right hides same-ts right rows).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by = list(by)
     if left_ts in by or right_ts in by:
         raise ValueError("timestamp column must not be a key column")
@@ -72,9 +86,17 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
     )
     u = l_tag.unionByName(r_tag)
+    # time order: ascending for backward (last seen = closest BELOW),
+    # descending for forward (last seen = closest ABOVE).  Tie order:
+    # right rows (side 0) before left rows for inclusive matches;
+    # left first under strict, so same-timestamp right rows are not
+    # yet visible when the left row is evaluated.
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    side_ord = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_ord, side_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -90,10 +112,9 @@ def asof_join(
     if tolerance_seconds is not None:
         is_ts = right.schema[right_ts].dataType.typeName().startswith("timestamp")
         as_s = (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: F.col(c) if isinstance(c, str) else c)
-        stale = (
-            F.col("__rts").isNull()
-            | (as_s("__ts") - as_s("__rts") > tolerance_seconds)
-        )
+        gap = (as_s("__ts") - as_s("__rts") if direction == "backward"
+               else as_s("__rts") - as_s("__ts"))
+        stale = F.col("__rts").isNull() | (gap > tolerance_seconds)
         out = out.select(
             *by, left_ts, *l_cols,
             *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload],

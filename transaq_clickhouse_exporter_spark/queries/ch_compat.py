@@ -5395,7 +5395,9 @@ def _bridge_asof_join(
     right_names = {n for n in (t2, a2) if n}
     keys: list[tuple[str, str]] = []
     lts = rts = None
-    part_re = re.compile(r"^\s*(\w+)\.(\w+)\s*(>=|<=|=)\s*(\w+)\.(\w+)\s*$")
+    direction, strict = "backward", False
+    part_re = re.compile(
+        r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)\s*$")
     for part in re.split(r"(?i)\bAND\b", sql[m.end():cond_end]):
         pm = part_re.match(part)
         if not pm:
@@ -5415,15 +5417,21 @@ def _bridge_asof_join(
         else:
             if lts is not None:
                 raise UnsupportedChSql("ASOF JOIN needs exactly one inequality")
-            if op == ">=" and q1 in left_names and q2 in right_names:
+            # normalize to left-side-first: r.ts OP l.ts mirrors to
+            # l.ts OP' r.ts.  CH's four comparators (r11e): >= / >
+            # pick the closest right row at-or-before / strictly
+            # before; <= / < at-or-after / strictly after.
+            mirror = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+            if q1 in left_names and q2 in right_names:
                 lts, rts = c1, c2
-            elif op == "<=" and q1 in right_names and q2 in left_names:
-                lts, rts = c2, c1
+            elif q1 in right_names and q2 in left_names:
+                lts, rts, op = c2, c1, mirror[op]
             else:
                 raise UnsupportedChSql(
-                    f"ASOF inequality {part.strip()!r} must be "
-                    "`left.ts >= right.ts` (or the mirrored <=)"
-                )
+                    f"ASOF inequality {part.strip()!r} must relate "
+                    "the two join sides")
+            direction = "backward" if op in (">=", ">") else "forward"
+            strict = op in (">", "<")
     if not keys or lts is None:
         raise UnsupportedChSql(
             "ASOF JOIN needs at least one equality and exactly one "
@@ -5442,6 +5450,7 @@ def _bridge_asof_join(
         joined = asof_join(
             ldf, rdf, by=[lk for lk, _ in keys],
             left_ts=lts, right_ts=rts, right_ts_out="__asof_rts",
+            direction=direction, strict=strict,
         )
     except ValueError as e:
         raise UnsupportedChSql(
