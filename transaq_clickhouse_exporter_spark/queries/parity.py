@@ -1835,6 +1835,80 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "limit-by", "tuple-in", "any-join", "ch-sql"),
         )
     )
+
+    # Round-11 catalog additions (start in the tail per policy; they
+    # earn external rows next round).  ev24: the `COLUMNS('re')
+    # APPLY(fn)` star modifier resolved from the session catalog
+    # (r11b) — output columns carry CH's names (`max(price)`), which
+    # the oracle mirrors as quoted aliases.
+    def _columns_apply_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT COLUMNS('^(price|quantity|time_s)$') APPLY(max)
+            FROM trades
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev24_columns_apply_sql",
+            _columns_apply_sql,
+            """
+            SELECT CAST(max(time_s) AS BIGINT) AS "max(time_s)",
+                   max(price) AS "max(price)",
+                   CAST(max(quantity) AS BIGINT) AS "max(quantity)"
+            FROM trades
+            """,
+            tags=("events", "star-apply", "ch-sql"),
+        )
+    )
+
+    # ev25: WITH FILL … INTERPOLATE in its LOCF form (r11c) — filled
+    # minutes carry the previous REAL minute's volume instead of the
+    # type default.  Oracle spells the carry as DuckDB last_value
+    # IGNORE NULLS over the generate_series spine.
+    def _fill_interpolate_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT intDiv(time_s, 60) * 60 AS m,
+                   CAST(sum(quantity) AS BIGINT) AS vol
+            FROM trades WHERE board = 'FUT' AND quantity >= 45
+            GROUP BY m
+            ORDER BY m WITH FILL STEP 60 INTERPOLATE (vol)
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev25_fill_interpolate_sql",
+            _fill_interpolate_sql,
+            """
+            , fi25 AS (SELECT (time_s // 60) * 60 AS m,
+                              CAST(sum(quantity) AS BIGINT) AS vol
+                       FROM trades
+                       WHERE board = 'FUT' AND quantity >= 45
+                       GROUP BY 1),
+            fis25 AS (SELECT CAST(unnest(generate_series(
+                                 (SELECT min(m) FROM fi25),
+                                 (SELECT max(m) FROM fi25), 60))
+                             AS BIGINT) AS m)
+            SELECT s.m AS m,
+                   CAST(coalesce(w.vol,
+                                 last_value(w.vol IGNORE NULLS) OVER (
+                                     ORDER BY s.m ROWS BETWEEN
+                                     UNBOUNDED PRECEDING AND CURRENT
+                                     ROW), 0) AS BIGINT) AS vol
+            FROM fis25 s LEFT JOIN fi25 w USING (m)
+            """,
+            tags=("events", "with-fill", "interpolate", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -3882,6 +3956,44 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join", "ch-sql"),
         )
     )
+
+    # Round-11 (r11e): a FORWARD-STRICT ASOF bridge — `t.time_s <
+    # w.win_start` picks the closest session window strictly AFTER
+    # each trade (the next-session lookup).  Aggregates only the
+    # matched TIMESTAMP (win_start), which stays deterministic even
+    # where sess_windows holds duplicate (sec_code, win_start) rows;
+    # the oracle is DuckDB's native ASOF JOIN with the same
+    # comparator.
+    def _asof_forward_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT t.sec_code AS sec_code,
+                   count() AS n,
+                   CAST(sum(w.win_start) AS BIGINT) AS ws
+            FROM trades_core AS t ASOF JOIN sess_windows AS w
+              ON t.sec_code = w.sec_code AND t.time_s < w.win_start
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "op10_asof_forward_sql",
+            _asof_forward_sql,
+            """
+            SELECT t.sec_code AS sec_code,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(w.win_start) AS BIGINT) AS ws
+            FROM trades_core t ASOF JOIN sess_windows w
+              ON t.sec_code = w.sec_code AND t.time_s < w.win_start
+            GROUP BY t.sec_code ORDER BY t.sec_code
+            """,
+            tags=("operator", "asof-join", "forward", "ch-sql"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -4523,6 +4635,14 @@ _TAIL_NAMES = (
                                       # banked; dp05/dp17 keep near-dup class
     "dp20_mixture_weights",           # mixture weights: r10 row banked;
                                       # dp33 keeps the sampling class
+    # round-11 additions start in the tail; they earn rows next round.
+    "ev24_columns_apply_sql",         # COLUMNS('re') APPLY resolved
+                                      # from the session catalog (r11b)
+    "ev25_fill_interpolate_sql",      # WITH FILL INTERPOLATE LOCF
+                                      # bridge (r11c) vs DuckDB
+                                      # last_value IGNORE NULLS
+    "op10_asof_forward_sql",          # forward-strict ASOF (< compara-
+                                      # tor, r11e) vs DuckDB ASOF JOIN
 )
 
 
