@@ -368,9 +368,9 @@ def test_asof_join_bridge_rejects_unsupported_forms(spark):
         _bridge_asof_join,
     )
 
+    # (strict `>` and the mirrored/forward comparators are bridged
+    # since r11e — tests/test_asof.py pins all four vs DuckDB)
     for bad in (
-        # strict inequality
-        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.sec = b.qsec AND a.t_tr > b.t_q",
         # no equality
         "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.t_tr >= b.t_q",
         # two inequalities
@@ -378,8 +378,8 @@ def test_asof_join_bridge_rejects_unsupported_forms(spark):
         "AND a.t_tr >= b.t_q AND a.t_tr <= b.t_q",
         # unqualified column
         "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON sec = qsec AND a.t_tr >= b.t_q",
-        # inequality pointing the wrong way
-        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.sec = b.qsec AND b.t_q >= a.t_tr",
+        # same-side inequality (relates one table to itself)
+        "SELECT 1 FROM asof_tr a ASOF JOIN asof_q b ON a.sec = b.qsec AND a.t_tr >= a.t_tr",
     ):
         with pytest.raises(UnsupportedChSql):
             _bridge_asof_join(spark, bad, None)
@@ -690,3 +690,62 @@ def test_review_r11c_fixes_are_pinned(spark):
     with pytest.raises(UnsupportedChSql, match="twice"):
         run_ch_sql(spark, "SELECT n, n AS v FROM wfill_r11 ORDER BY n"
                           " WITH FILL INTERPOLATE (v) INTERPOLATE (v)")
+
+
+def test_r11f_regression_ties_base64_setops(spark):
+    """r11f batch: simpleLinearRegression → regr_slope/intercept
+    (dependent-variable argument swap, colN tuple); LIMIT n WITH TIES
+    → rank() wrapper (first n rows PLUS every row tied with the n-th,
+    CH's documented contract); tryBase64Decode ('' on garbage, NULL
+    propagates); bare INTERSECT/EXCEPT raise by name (CH keeps left
+    duplicates — a membership filter — where Spark's bare forms
+    deduplicate and ALL is bag subtraction); the DISTINCT spellings
+    are value-equal and pass."""
+    r = run_ch_sql(
+        spark,
+        "SELECT tupleElement(simpleLinearRegression(number,"
+        " number * 2 + 1), 1) AS k, tupleElement("
+        "simpleLinearRegression(number, number * 2 + 1), 2) AS b"
+        " FROM numbers(10)").collect()[0]
+    assert (r.k, r.b) == (2.0, 1.0)
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT number % 2 AS v, number AS i FROM numbers(5)"
+        " ORDER BY v, i LIMIT 2 WITH TIES").collect()
+    # ORDER BY v, i: no ties on the full key → plain top-2
+    assert [(r.v, r.i) for r in rows] == [(0, 0), (0, 2)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT number % 2 AS v FROM numbers(5)"
+        " ORDER BY v LIMIT 2 WITH TIES").collect()
+    # [0,0,0,1,1]: the third 0 ties with the 2nd row and survives
+    assert [r.v for r in rows] == [0, 0, 0]
+    for bad in (
+        "SELECT count() AS c FROM (SELECT number % 2 AS v FROM"
+        " numbers(5) ORDER BY v LIMIT 2 WITH TIES)",
+        "SELECT number AS v FROM numbers(5) LIMIT 2 WITH TIES",
+    ):
+        with pytest.raises(UnsupportedChSql, match="TIES"):
+            run_ch_sql(spark, bad)
+
+    r = run_ch_sql(
+        spark,
+        "SELECT tryBase64Decode('YWJj') AS a, tryBase64Decode('###')"
+        " AS b, tryBase64Decode(NULL) AS c").collect()[0]
+    assert (r.a, r.b, r.c) == ("abc", "", None)
+
+    assert run_ch_sql(
+        spark, "SELECT number FROM numbers(6) INTERSECT DISTINCT"
+               " SELECT number FROM numbers(4)").count() == 4
+    assert run_ch_sql(
+        spark, "SELECT number FROM numbers(6) EXCEPT DISTINCT"
+               " SELECT number FROM numbers(4)").count() == 2
+    for op in ("INTERSECT", "EXCEPT"):
+        with pytest.raises(UnsupportedChSql, match="duplicates"):
+            run_ch_sql(spark, f"SELECT number FROM numbers(6) {op}"
+                              " SELECT number FROM numbers(4)")
+    # the star modifier spelling of EXCEPT is untouched by the guard
+    assert run_ch_sql(
+        spark, "SELECT count() AS c FROM (SELECT * EXCEPT (board)"
+               " APPLY(count) FROM trades)").count() == 1

@@ -689,6 +689,36 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT count() AS c FROM trades_core AS t ASOF JOIN sess_windows"
      " AS w ON t.sec_code = w.sec_code AND w.win_start <= t.time_s",
      None),
+    # --- r11f: regression pair, ties, base64, set-op discipline
+    # y = 2x + 1 exactly → (k, b) = (2, 1)
+    ("SELECT tupleElement(simpleLinearRegression(number,"
+     " number * 2 + 1), 1) AS k, tupleElement(simpleLinearRegression("
+     "number, number * 2 + 1), 2) AS b FROM numbers(10)", (2.0, 1.0)),
+    ("SELECT tryBase64Decode('YWJj') AS a, tryBase64Decode('###') AS b,"
+     " base64Decode(base64Encode('xy')) AS c", ("abc", "", "xy")),
+    # WITH TIES: [0,0,0,1,1] LIMIT 2 keeps all three tied zeros —
+    # top-level-only bridge (the row-count pin lives in pytest);
+    # the nested spelling raises by name
+    ("SELECT number % 2 AS v FROM numbers(5) ORDER BY v"
+     " LIMIT 2 WITH TIES", None),
+    ("SELECT count() AS c FROM (SELECT number % 2 AS v FROM numbers(5)"
+     " ORDER BY v LIMIT 2 WITH TIES)", None),  # clean-raise: nested
+    ("SELECT count() AS c FROM (SELECT number FROM numbers(6)"
+     " INTERSECT DISTINCT SELECT number FROM numbers(4))", (4,)),
+    ("SELECT count() AS c FROM (SELECT number FROM numbers(6)"
+     " EXCEPT DISTINCT SELECT number FROM numbers(4))", (2,)),
+    # bare INTERSECT/EXCEPT keep left duplicates in CH (membership
+    # filter) — neither Spark's bare (dedup) nor ALL (bag subtract):
+    # clean-raise by name
+    ("SELECT number FROM numbers(6) INTERSECT SELECT number FROM"
+     " numbers(4)", None),
+    ("SELECT number FROM numbers(6) EXCEPT SELECT number FROM"
+     " numbers(4)", None),
+    # WITH ROLLUP passes through: subtotal key columns are NULL here
+    # vs CH's type defaults — the documented WITH TOTALS deviation
+    # (run-probe; the pin lives in test_ch_compat)
+    ("SELECT number % 2 AS g, count() AS c FROM numbers(6)"
+     " GROUP BY g WITH ROLLUP", None),
 ]
 
 

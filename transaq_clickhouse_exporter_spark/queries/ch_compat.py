@@ -652,6 +652,13 @@ _SCALAR_SHIMS.update({
     "base64Decode": (
         "(x STRING) RETURNS STRING RETURN CAST(unbase64(x) AS STRING)"
     ),
+    # CH tryBase64Decode returns '' (not NULL) on invalid input;
+    # NULL propagates (r11f)
+    "tryBase64Decode": (
+        "(x STRING) RETURNS STRING RETURN CASE WHEN x IS NULL THEN "
+        "NULL ELSE coalesce(CAST(try_to_binary(x, 'base64') AS "
+        "STRING), '') END"
+    ),
     "formatReadableQuantity": (
         "(x DOUBLE) RETURNS STRING RETURN "
         "CASE WHEN abs(x) >= 1e15 "
@@ -1313,6 +1320,25 @@ def translate_ch_sql(
     sql = _brackets_to_parens(sql)
     sql = _dquotes_to_backticks(sql)
     sql = _bracket_expressions(sql)  # after dquotes: `q ident`[1] bases
+    # bare INTERSECT / EXCEPT set operators: ClickHouse KEEPS the left
+    # side's duplicate rows (a semi/anti membership filter — "the
+    # result can contain duplicate rows", and a row present anywhere
+    # in the right side removes ALL its left copies, which is neither
+    # Spark's bare form (deduplicates) nor Spark's ALL form (bag
+    # subtraction).  A passthrough would silently deduplicate — raise
+    # by name; the explicit DISTINCT spellings are value-equal on
+    # both engines and pass through (r11f).
+    sh_so = _mask_literals(sql)
+    for m in re.finditer(r"(?i)\b(INTERSECT|EXCEPT)\b(?!\s+(?:ALL|"
+                         r"DISTINCT)\b)\s*(\(\s*)*(SELECT|WITH)\b",
+                         sh_so):
+        raise UnsupportedChSql(
+            f"bare {m.group(1).upper()} keeps the left side's "
+            "duplicates in ClickHouse (membership filter) — Spark's "
+            f"bare {m.group(1).upper()} deduplicates and its ALL form "
+            "is bag subtraction, both silently different.  Spell "
+            f"{m.group(1).upper()} DISTINCT for the deduplicating "
+            "form, or a LEFT SEMI/ANTI JOIN for CH's default")
     # numbers(N) / numbers(M, N) table function → range(); the column
     # is named `number` in CH, `id` in Spark.  Matched in every
     # relation position — FROM, any JOIN spelling, and comma joins —
@@ -1381,7 +1407,8 @@ def translate_ch_sql(
     # expressions (APPLY/COLUMNS raise inside)
     sql = _select_star_modifiers(sql)
     sql = _preaggregate_topk(sql, strict_scale=strict_scale)
-    return _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql)))
+    return _limit_with_ties(
+        _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql))))
 
 
 def _sub_masked(rx: "re.Pattern[str]", repl: str, sql: str) -> str:
@@ -1915,7 +1942,9 @@ def _with_totals(sql: str) -> str:
     ``totals_mode`` computes totals before HAVING.  Deviation: the
     totals row's key columns are NULL (grouping-sets semantics) where
     CH renders the type's default values in its separate totals block;
-    ``WITH ROLLUP``/``WITH CUBE`` pass through (native Spark).
+    ``WITH ROLLUP``/``WITH CUBE`` pass through (native Spark) and
+    carry the SAME documented deviation — subtotal rows' key columns
+    are NULL here, type defaults (0, '') in CH (r11f probe pin).
     ``ORDER BY … WITH FILL`` raises HERE (translate-only callers):
     gap materialization is a sequence join, not an expression —
     :func:`run_ch_sql` bridges the single-column form by extracting
@@ -2121,6 +2150,53 @@ def _distinct_on(sql: str) -> str:
         rest = rest + f" LIMIT 1 BY {cols}"
     head = sql[: m.start()] + "SELECT"
     return head + rest
+
+
+def _limit_with_ties(sql: str) -> str:
+    """``ORDER BY keys LIMIT n WITH TIES`` (top level of the
+    statement) → a ``rank()`` wrapper: WITH TIES returns the first n
+    rows PLUS every row tied with the n-th on the sort keys, which is
+    exactly ``rank() <= n`` (rank repeats on ties, then skips) —
+    verified against CH's documented examples (r11f).  Nested /
+    offset / expression-qualified spellings raise by name.  Plan
+    cost: one unpartitioned rank window over the sorted block — the
+    same sort the LIMIT already needed."""
+    sh = _mask_literals(sql)
+    m = re.search(r"(?is)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$", sh)
+    if m is None:
+        if re.search(r"(?is)\bWITH\s+TIES\b", sh):
+            raise UnsupportedChSql(
+                "LIMIT … WITH TIES is bridged at the TOP level of the "
+                "statement with a plain integer limit only — move it "
+                "to the outer query, or spell the rank() window "
+                "directly")
+        return sql
+    depths = _depth_map(sh)
+    if depths[m.start()] != 0:
+        raise UnsupportedChSql(
+            "LIMIT … WITH TIES inside a subquery is not bridged — "
+            "apply it to the outermost query")
+    ob = None
+    for mo in re.finditer(r"(?i)\bORDER\s+BY\b", sh[: m.start()]):
+        if depths[mo.start()] == 0:
+            ob = mo
+    if ob is None:
+        raise UnsupportedChSql(
+            "LIMIT … WITH TIES needs a same-level ORDER BY (ties are "
+            "defined by the sort keys)")
+    keys = sql[ob.end(): m.start()].strip()
+    if "." in _mask_literals(keys):
+        raise UnsupportedChSql(
+            "LIMIT … WITH TIES with table-qualified sort keys is not "
+            "bridged (the rank() wrapper flattens qualifiers) — alias "
+            "the keys in the SELECT list")
+    body = sql[: ob.start()].rstrip()
+    n = m.group(1)
+    return (
+        f"SELECT * EXCEPT (__wt) FROM (SELECT __wtin.*, rank() OVER "
+        f"(ORDER BY {keys}) AS __wt FROM ({body}) AS __wtin) "
+        f"WHERE __wt <= {n} ORDER BY {keys}"
+    )
 
 
 def _limit_by_recursive(sql: str) -> str:
@@ -4427,6 +4503,22 @@ def _rewrite_calls(sql: str) -> str:
                     + fn + "("
                     + ", ".join(f"{v}.a{ix}" for ix in range(len(parts)))
                     + ") END")))
+            i = close + 1
+            continue
+        if name == "simpleLinearRegression":
+            # CH simpleLinearRegression(x, y) fits y ≈ k·x + b and
+            # returns the tuple (k, b) — exactly Spark's OLS pair
+            # regr_slope/regr_intercept with the DEPENDENT variable
+            # first (the argument roles swap); colN field names keep
+            # tupleElement positional access working (r11f)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    "simpleLinearRegression(x, y) expects 2 arguments")
+            x = f"CAST(({parts[0]}) AS DOUBLE)"
+            y = f"CAST(({parts[1]}) AS DOUBLE)"
+            out.append(f"named_struct('col1', regr_slope({y}, {x}), "
+                       f"'col2', regr_intercept({y}, {x}))")
             i = close + 1
             continue
         if name.lower() == "isnan":
