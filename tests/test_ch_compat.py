@@ -749,3 +749,34 @@ def test_r11f_regression_ties_base64_setops(spark):
     assert run_ch_sql(
         spark, "SELECT count() AS c FROM (SELECT * EXCEPT (board)"
                " APPLY(count) FROM trades)").count() == 1
+
+
+def test_review_r11f_fixes_are_pinned(spark):
+    """Review r11f findings: INTERSECT/EXCEPT **ALL** raise too (CH's
+    ALL is its membership-filter default, not Spark's bag form); a
+    CTE literally named `ties` doesn't trip the WITH TIES raise;
+    decimal literals in sort-key expressions don't false-trip the
+    qualified-keys guard; positional sort keys raise by name (a bare
+    integer is a CONSTANT inside the rank window — every row would
+    tie); simpleLinearRegression answers (nan, nan) like CH on
+    degenerate groups instead of regr_*'s NULLs."""
+    for op in ("INTERSECT ALL", "EXCEPT ALL"):
+        with pytest.raises(UnsupportedChSql, match="duplicates"):
+            run_ch_sql(spark, f"SELECT number FROM numbers(6) {op}"
+                              " SELECT number FROM numbers(4)")
+    assert run_ch_sql(
+        spark, "WITH ties AS (SELECT 1 AS x) SELECT x FROM ties"
+    ).collect()[0].x == 1
+    rows = run_ch_sql(
+        spark,
+        "SELECT number AS v FROM numbers(5)"
+        " ORDER BY round(v * 0.5) * 2, v LIMIT 2 WITH TIES").collect()
+    assert [r.v for r in rows] == [0, 1]
+    with pytest.raises(UnsupportedChSql, match="POSITIONAL"):
+        run_ch_sql(spark, "SELECT number AS v FROM numbers(5)"
+                          " ORDER BY 1 LIMIT 2 WITH TIES")
+    r = run_ch_sql(
+        spark,
+        "SELECT isNaN(tupleElement(simpleLinearRegression(number,"
+        " number), 1)) AS d FROM numbers(1)").collect()[0]
+    assert bool(r.d) is True

@@ -1320,23 +1320,25 @@ def translate_ch_sql(
     sql = _brackets_to_parens(sql)
     sql = _dquotes_to_backticks(sql)
     sql = _bracket_expressions(sql)  # after dquotes: `q ident`[1] bases
-    # bare INTERSECT / EXCEPT set operators: ClickHouse KEEPS the left
-    # side's duplicate rows (a semi/anti membership filter — "the
-    # result can contain duplicate rows", and a row present anywhere
-    # in the right side removes ALL its left copies, which is neither
-    # Spark's bare form (deduplicates) nor Spark's ALL form (bag
-    # subtraction).  A passthrough would silently deduplicate — raise
-    # by name; the explicit DISTINCT spellings are value-equal on
-    # both engines and pass through (r11f).
+    # bare and ALL INTERSECT / EXCEPT set operators: ClickHouse KEEPS
+    # the left side's duplicate rows (a semi/anti membership filter —
+    # "the result can contain duplicate rows", and a row present
+    # anywhere in the right side removes ALL its left copies).  That
+    # is neither Spark's bare form (deduplicates) nor Spark's ALL
+    # form (BAG subtraction: left [1,1] EXCEPT ALL right [1] keeps
+    # one 1 in Spark, none in CH — review r11f), so BOTH spellings
+    # raise by name; only the explicit DISTINCT spellings are
+    # value-equal on the two engines and pass through.
     sh_so = _mask_literals(sql)
-    for m in re.finditer(r"(?i)\b(INTERSECT|EXCEPT)\b(?!\s+(?:ALL|"
-                         r"DISTINCT)\b)\s*(\(\s*)*(SELECT|WITH)\b",
+    for m in re.finditer(r"(?i)\b(INTERSECT|EXCEPT)\b(\s+ALL\b)?"
+                         r"(?!\s+DISTINCT\b)\s*(\(\s*)*(SELECT|WITH)\b",
                          sh_so):
         raise UnsupportedChSql(
-            f"bare {m.group(1).upper()} keeps the left side's "
-            "duplicates in ClickHouse (membership filter) — Spark's "
-            f"bare {m.group(1).upper()} deduplicates and its ALL form "
-            "is bag subtraction, both silently different.  Spell "
+            f"{m.group(1).upper()}{' ALL' if m.group(2) else ''} keeps "
+            "the left side's duplicates in ClickHouse (a membership "
+            "filter: one right match removes EVERY left copy) — "
+            "Spark's bare form deduplicates and its ALL form is bag "
+            "subtraction, both silently different.  Spell "
             f"{m.group(1).upper()} DISTINCT for the deduplicating "
             "form, or a LEFT SEMI/ANTI JOIN for CH's default")
     # numbers(N) / numbers(M, N) table function → range(); the column
@@ -2158,13 +2160,22 @@ def _limit_with_ties(sql: str) -> str:
     rows PLUS every row tied with the n-th on the sort keys, which is
     exactly ``rank() <= n`` (rank repeats on ties, then skips) —
     verified against CH's documented examples (r11f).  Nested /
-    offset / expression-qualified spellings raise by name.  Plan
+    offset / positional / expression-qualified spellings raise by
+    name; sort keys that are not projected columns of the SELECT list
+    fail LOUDLY at analysis (UNRESOLVED_COLUMN in the rank wrapper —
+    the module's acceptable-loud category), never silently.  Plan
     cost: one unpartitioned rank window over the sorted block — the
     same sort the LIMIT already needed."""
     sh = _mask_literals(sql)
+    # the end-of-string anchor also enforces top-level-only: a nested
+    # `… LIMIT n WITH TIES)` cannot match it and lands on the generic
+    # raise below (review r11f: the old explicit depth check after a
+    # $-anchored match was unreachable)
     m = re.search(r"(?is)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$", sh)
     if m is None:
-        if re.search(r"(?is)\bWITH\s+TIES\b", sh):
+        # only the LIMIT-adjacent spelling raises — a CTE or alias
+        # literally named `ties` must not trip this (review r11f)
+        if re.search(r"(?is)\bLIMIT\b[\s\d,]{1,40}?\bWITH\s+TIES\b", sh):
             raise UnsupportedChSql(
                 "LIMIT … WITH TIES is bridged at the TOP level of the "
                 "statement with a plain integer limit only — move it "
@@ -2172,10 +2183,6 @@ def _limit_with_ties(sql: str) -> str:
                 "directly")
         return sql
     depths = _depth_map(sh)
-    if depths[m.start()] != 0:
-        raise UnsupportedChSql(
-            "LIMIT … WITH TIES inside a subquery is not bridged — "
-            "apply it to the outermost query")
     ob = None
     for mo in re.finditer(r"(?i)\bORDER\s+BY\b", sh[: m.start()]):
         if depths[mo.start()] == 0:
@@ -2185,11 +2192,25 @@ def _limit_with_ties(sql: str) -> str:
             "LIMIT … WITH TIES needs a same-level ORDER BY (ties are "
             "defined by the sort keys)")
     keys = sql[ob.end(): m.start()].strip()
-    if "." in _mask_literals(keys):
+    keys_sh = _mask_literals(keys)
+    # a '.' outside numeric literals means table-qualified keys, which
+    # the wrapper's subquery would flatten (decimal literals like 0.5
+    # inside key expressions are fine — review r11f)
+    if "." in re.sub(r"\d+\.\d*|\.\d+", "", keys_sh):
         raise UnsupportedChSql(
             "LIMIT … WITH TIES with table-qualified sort keys is not "
             "bridged (the rank() wrapper flattens qualifiers) — alias "
             "the keys in the SELECT list")
+    # positional keys (ORDER BY 1): a bare integer inside the rank
+    # window is a CONSTANT sort in Spark — every row would tie
+    # (review r11f); raise rather than return all rows
+    for part in _split_args(keys_sh):
+        if re.fullmatch(r"(?is)\s*\d+\s*(ASC|DESC)?\s*", part):
+            raise UnsupportedChSql(
+                "LIMIT … WITH TIES with a POSITIONAL sort key "
+                "(ORDER BY <ordinal>) is not bridged — a bare integer "
+                "is a constant inside the rank() window; name the "
+                "column")
     body = sql[: ob.start()].rstrip()
     n = m.group(1)
     return (
@@ -4517,8 +4538,16 @@ def _rewrite_calls(sql: str) -> str:
                     "simpleLinearRegression(x, y) expects 2 arguments")
             x = f"CAST(({parts[0]}) AS DOUBLE)"
             y = f"CAST(({parts[1]}) AS DOUBLE)"
-            out.append(f"named_struct('col1', regr_slope({y}, {x}), "
-                       f"'col2', regr_intercept({y}, {x}))")
+            # degenerate groups (a single point, zero x-variance, or
+            # no valid pairs): CH answers (nan, nan) where
+            # regr_slope/intercept answer NULL — coalesce to NaN so
+            # downstream isNaN()/comparison logic branches like CH
+            # (review r11f)
+            nan = "CAST('NaN' AS DOUBLE)"
+            out.append(
+                f"named_struct("
+                f"'col1', coalesce(regr_slope({y}, {x}), {nan}), "
+                f"'col2', coalesce(regr_intercept({y}, {x}), {nan}))")
             i = close + 1
             continue
         if name.lower() == "isnan":
