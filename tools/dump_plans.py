@@ -67,6 +67,9 @@ PICKS = {
     "ev21_combinator_profile_sql": "round-9e combinators: single partial->final aggregate, two count(DISTINCT) expands share the exchange; all CASE/bitwise expressions codegen",
     "ev22_with_fill_sql": "WITH FILL bridge: base agg computes ONCE (localCheckpoint), single-row min/max spine, left-anti grid insert, union — grid size = chart axis, never input rows",
     "ev23_per_group_topn_sql": "LIMIT BY + tuple IN + ANY-subquery dedup: hash-agg dedup under a broadcast join, tuple IN as codegen OR-expansion, one WindowGroupLimit-pruned row_number exchange",
+    "ev24_columns_apply_sql": "COLUMNS APPLY from the session catalog (r11b): plain two-level hash agg over the pruned scan — the star expansion is translate-time, zero plan cost",
+    "ev25_fill_interpolate_sql": "WITH FILL INTERPOLATE (r11c): ev22's axis-sized fill legs + ONE unpartitioned LOCF window over the chart-sized union — input scanned once",
+    "op10_asof_forward_sql": "forward-strict ASOF (r11e): same union + keyed running window as op04/op08/op09, zero Join nodes, single exchange on sec_code — direction/strictness are sort-order flips",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
