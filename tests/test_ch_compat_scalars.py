@@ -1876,3 +1876,35 @@ def test_r10i_indexof_null_and_monthname(spark):
     assert one("SELECT indexOf([NULL, 'b'], 'b') AS i") == 2
     assert one("SELECT monthName(toDate('2024-03-05')) AS m") == \
         "March"
+
+
+def test_r11g_interval_slope_and_url_labels(spark):
+    """r11g: boundingRatio (slope between the group's leftmost and
+    rightmost points by x — min/max_by aggregates),
+    intervalLengthSum (union length via a sorted merge fold;
+    touching segments count once, gaps don't), the URL label family
+    (topLevelDomain / firstSignificantSubdomain /
+    cutToFirstSignificantSubdomain — CH docs examples), and overlay
+    (CH added it for standard compat; Spark's builtin captures it
+    value-equal, pinned in the sweep allowlist)."""
+    r = _one(spark, "SELECT boundingRatio(number, number * 3) AS r"
+                    " FROM numbers(10)")
+    assert r.r == 3.0
+    # unsorted input, duplicate coverage, gap
+    spark.sql("SELECT * FROM VALUES (7, 8), (0, 3), (2, 5), (2, 4)"
+              " AS t(s, e)").createOrReplaceTempView("ils_t")
+    assert _one(spark, "SELECT intervalLengthSum(s, e) AS l"
+                       " FROM ils_t").l == 6.0
+    assert _one(spark, "SELECT intervalLengthSum(s, e) AS l FROM"
+                       " (SELECT 1 AS s, 3 AS e UNION ALL"
+                       " SELECT 3, 5)").l == 4.0
+    row = spark.sql(
+        "SELECT topLevelDomain('svn.hutmegs.co.uk') AS a,"
+        " firstSignificantSubdomain('https://news.clickhouse.com.tr/')"
+        " AS b, cutToFirstSignificantSubdomain("
+        "'https://news.clickhouse.com.tr/') AS c,"
+        " firstSignificantSubdomain('https://dev.mysite.io/p') AS d,"
+        " topLevelDomain('localhost') AS e").collect()[0]
+    assert (row.a, row.b, row.c) == ("uk", "clickhouse",
+                                     "clickhouse.com.tr")
+    assert (row.d, row.e) == ("mysite", "")

@@ -125,6 +125,10 @@ CH_FUNCTIONS: tuple[str, ...] = (
     "ascii", "format", "translate", "translateUTF8", "initcap",
     "initcapUTF8", "soundex", "char", "CHAR", "chr",
     "firstLine", "normalizeQuery", "normalizedQueryHash",
+    "overlay", "overlayUTF8", "byteSwap", "punycodeEncode",
+    "punycodeDecode", "idnaEncode", "idnaDecode", "sqidEncode",
+    "sqidDecode", "arrayShingles", "seriesDecomposeSTL",
+    "seriesOutliersDetectTukey", "seriesPeriodDetectFFT",
     # -- string search / replace / split
     "position", "positionUTF8", "positionCaseInsensitive",
     "positionCaseInsensitiveUTF8", "locate", "multiSearchAny",
@@ -355,6 +359,9 @@ COLLISION_ALLOWLIST: dict[str, str] = {
                      " (Java regex both; CH uses re2 — common shapes "
                      "agree, exotic syntax differs loudly not silently)",
     "soundex": "4-char Soundex code, same algorithm",
+    "overlay": "overlay(input, replace, offset[, length]) — CH added "
+               "the function FOR standard compatibility (24.x): "
+               "1-based offset, same truncation rules as Spark's",
     # dates (value-equal members; DAYOFWEEK deviates — structural)
     "YEAR": "extract year", "QUARTER": "1-4", "MONTH": "1-12",
     "DAY": "day of month", "DAYOFMONTH": "day of month",

@@ -719,6 +719,29 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # (run-probe; the pin lives in test_ch_compat)
     ("SELECT number % 2 AS g, count() AS c FROM numbers(6)"
      " GROUP BY g WITH ROLLUP", None),
+    # --- r11g: interval/slope aggregates + URL label family
+    # boundingRatio: slope between leftmost and rightmost points —
+    # points (0,0)..(9,27) with y = 3x → 3
+    ("SELECT boundingRatio(number, number * 3) AS r FROM numbers(10)",
+     (3.0,)),
+    # union length: [0,3] ∪ [2,5] ∪ [7,8] = 5 + 1 = 6
+    ("SELECT intervalLengthSum(s, e) AS l FROM (SELECT 0 AS s, 3 AS e"
+     " UNION ALL SELECT 2, 5 UNION ALL SELECT 7, 8)", (6.0,)),
+    # touching segments count once, gaps don't count
+    ("SELECT intervalLengthSum(s, e) AS l FROM (SELECT 1 AS s, 3 AS e"
+     " UNION ALL SELECT 3, 5)", (4.0,)),
+    # CH docs examples: topLevelDomain('svn.hutmegs.co.uk') = 'uk';
+    # firstSignificantSubdomain: news.clickhouse.com.tr → clickhouse
+    ("SELECT topLevelDomain('svn.hutmegs.co.uk') AS a,"
+     " topLevelDomain('https://news.clickhouse.com/') AS b,"
+     " topLevelDomain('localhost') AS c", ("uk", "com", "")),
+    ("SELECT firstSignificantSubdomain('https://news.clickhouse.com.tr/')"
+     " AS a, firstSignificantSubdomain('https://news.clickhouse.com/')"
+     " AS b, cutToFirstSignificantSubdomain("
+     "'https://news.clickhouse.com.tr/') AS c",
+     ("clickhouse", "clickhouse", "clickhouse.com.tr")),
+    # overlay: CH added it for standard compat — same 1-based contract
+    ("SELECT overlay('Spark SQL', 'CORE', 7) AS o", ("Spark CORE",)),
 ]
 
 

@@ -694,6 +694,37 @@ _SCALAR_SHIMS.update({
         "'^[A-Za-z][A-Za-z0-9+.\\\\-]*://', ''), "
         "'^(?:[^/@?#]*@)?([^/:?#]+)', 1)"
     ),
+    # r11g URL family: label arithmetic over domain().  CH contracts
+    # (docs, URL functions): topLevelDomain = the last dot label ('',
+    # if the host has no dot or is empty); firstSignificantSubdomain
+    # = the second-level label UNLESS that label is one of
+    # com/net/org/co/biz (then the third-level);
+    # cutToFirstSignificantSubdomain = the suffix from it onward.
+    "topLevelDomain": (
+        "(u STRING) RETURNS STRING RETURN "
+        "CASE WHEN domain(u) LIKE '%.%' "
+        "THEN regexp_extract(domain(u), '([^.]+)$', 1) ELSE '' END"
+    ),
+    "firstSignificantSubdomain": (
+        "(u STRING) RETURNS STRING RETURN "
+        "CASE WHEN domain(u) NOT LIKE '%.%' THEN '' "
+        "WHEN element_at(split(domain(u), '\\\\.'), -2) IN "
+        "('com', 'net', 'org', 'co', 'biz') "
+        "AND size(split(domain(u), '\\\\.')) >= 3 "
+        "THEN element_at(split(domain(u), '\\\\.'), -3) "
+        "ELSE element_at(split(domain(u), '\\\\.'), -2) END"
+    ),
+    "cutToFirstSignificantSubdomain": (
+        "(u STRING) RETURNS STRING RETURN "
+        "CASE WHEN domain(u) NOT LIKE '%.%' THEN '' "
+        "WHEN element_at(split(domain(u), '\\\\.'), -2) IN "
+        "('com', 'net', 'org', 'co', 'biz') "
+        "AND size(split(domain(u), '\\\\.')) >= 3 "
+        "THEN concat_ws('.', slice(split(domain(u), '\\\\.'), "
+        "size(split(domain(u), '\\\\.')) - 2, 3)) "
+        "ELSE concat_ws('.', slice(split(domain(u), '\\\\.'), "
+        "greatest(size(split(domain(u), '\\\\.')) - 1, 1), 2)) END"
+    ),
     "domainWithoutWWW": (
         "(u STRING) RETURNS STRING RETURN "
         "regexp_replace(regexp_extract(regexp_replace(u, "
@@ -4524,6 +4555,54 @@ def _rewrite_calls(sql: str) -> str:
                     + fn + "("
                     + ", ".join(f"{v}.a{ix}" for ix in range(len(parts)))
                     + ") END")))
+            i = close + 1
+            continue
+        if name == "boundingRatio":
+            # CH boundingRatio(x, y): the slope between the LEFTMOST
+            # and RIGHTMOST points of the group by x — (y at max x −
+            # y at min x) / (max x − min x).  Pure min/max_by
+            # aggregates (one hash agg, map-side partials); duplicate
+            # extreme x values pick an arbitrary y, CH's own envelope
+            # (r11g)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql("boundingRatio(x, y) expects 2 args")
+            x = f"CAST(({parts[0]}) AS DOUBLE)"
+            y = f"CAST(({parts[1]}) AS DOUBLE)"
+            out.append(
+                f"((max_by({y}, {x}) - min_by({y}, {x})) / "
+                f"(max({x}) - min({x})))")
+            i = close + 1
+            continue
+        if name == "intervalLengthSum":
+            # CH intervalLengthSum(start, end): total length of the
+            # UNION of the group's segments — overlaps merge, gaps
+            # don't count.  Sorted fold over the collected (s, e)
+            # pairs (the windowFunnel fold pattern): state = (cover
+            # end so far, total); a segment past the cover adds its
+            # whole length, an overlapping one adds only the
+            # extension.  Tie-safe by construction: the MEASURE of a
+            # boundary point is 0, so closed-vs-open touching
+            # segments sum identically (r11g).
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    "intervalLengthSum(start, end) expects 2 args")
+            s0 = f"CAST(({parts[0]}) AS DOUBLE)"
+            e0 = f"CAST(({parts[1]}) AS DOUBLE)"
+            evs = (f"array_sort(collect_list(CASE WHEN {s0} IS NOT "
+                   f"NULL AND {e0} IS NOT NULL THEN "
+                   f"named_struct('s', {s0}, 'e', {e0}) END))")
+            out.append(
+                f"aggregate({evs}, "
+                f"named_struct('c', CAST('-Infinity' AS DOUBLE), "
+                f"'t', CAST(0 AS DOUBLE)), "
+                f"(acc, iv) -> named_struct("
+                f"'c', greatest(acc.c, iv.e), "
+                f"'t', acc.t + CASE WHEN iv.e <= acc.c THEN 0.0 "
+                f"WHEN iv.s >= acc.c THEN iv.e - iv.s "
+                f"ELSE iv.e - acc.c END), "
+                f"acc -> acc.t)")
             i = close + 1
             continue
         if name == "simpleLinearRegression":
