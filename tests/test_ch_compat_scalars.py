@@ -1898,13 +1898,40 @@ def test_r11g_interval_slope_and_url_labels(spark):
     assert _one(spark, "SELECT intervalLengthSum(s, e) AS l FROM"
                        " (SELECT 1 AS s, 3 AS e UNION ALL"
                        " SELECT 3, 5)").l == 4.0
-    row = spark.sql(
+    row = _one(
+        spark,
         "SELECT topLevelDomain('svn.hutmegs.co.uk') AS a,"
         " firstSignificantSubdomain('https://news.clickhouse.com.tr/')"
         " AS b, cutToFirstSignificantSubdomain("
         "'https://news.clickhouse.com.tr/') AS c,"
         " firstSignificantSubdomain('https://dev.mysite.io/p') AS d,"
-        " topLevelDomain('localhost') AS e").collect()[0]
+        " topLevelDomain('localhost') AS e")
     assert (row.a, row.b, row.c) == ("uk", "clickhouse",
                                      "clickhouse.com.tr")
     assert (row.d, row.e) == ("mysite", "")
+    # review r11g: IP-literal hosts return '' (CH excludes numeric
+    # TLDs); NULL propagates on all three; overlay handles CH's
+    # negative from-the-end offsets; degenerate boundingRatio groups
+    # answer nan/inf (not ANSI DIVIDE_BY_ZERO), NULL-argument rows
+    # are skipped like CH aggregates
+    row = _one(
+        spark,
+        "SELECT topLevelDomain('http://127.0.0.1/x') AS a,"
+        " firstSignificantSubdomain('http://127.0.0.1/x') AS b,"
+        " cutToFirstSignificantSubdomain('http://127.0.0.1/x') AS c,"
+        " topLevelDomain(NULL) AS d, firstSignificantSubdomain(NULL)"
+        " AS e, cutToFirstSignificantSubdomain(NULL) AS f")
+    assert (row.a, row.b, row.c) == ("", "", "")
+    assert (row.d, row.e, row.f) == (None, None, None)
+    row = _one(spark, "SELECT overlay('Spark SQL', 'CORE', -3) AS a,"
+                      " overlay('Spark SQL', 'ANSI ', 7, 0) AS b")
+    assert row.a == "Spark CORE"
+    assert row.b == "Spark ANSI SQL"
+    row = _one(spark, "SELECT isNaN(boundingRatio(x, y)) AS one_pt"
+                      " FROM (SELECT 1 AS x, 5 AS y)")
+    assert bool(row.one_pt) is True
+    row = _one(spark,
+               "SELECT boundingRatio(x, y) AS r FROM (SELECT 0 AS x,"
+               " 0 AS y UNION ALL SELECT 5, 10 UNION ALL"
+               " SELECT 10, NULL)")
+    assert row.r == 2.0

@@ -359,9 +359,6 @@ COLLISION_ALLOWLIST: dict[str, str] = {
                      " (Java regex both; CH uses re2 — common shapes "
                      "agree, exotic syntax differs loudly not silently)",
     "soundex": "4-char Soundex code, same algorithm",
-    "overlay": "overlay(input, replace, offset[, length]) — CH added "
-               "the function FOR standard compatibility (24.x): "
-               "1-based offset, same truncation rules as Spark's",
     # dates (value-equal members; DAYOFWEEK deviates — structural)
     "YEAR": "extract year", "QUARTER": "1-4", "MONTH": "1-12",
     "DAY": "day of month", "DAYOFMONTH": "day of month",
@@ -478,6 +475,11 @@ COLLISION_FIXES: dict[str, str] = {
                "2-arg INTERVAL form → type-preserving +/- (r11a)",
     "date_add": "see dateAdd",
     "date_sub": "see dateAdd (negated)",
+    "overlay": "CH overlay (24.x, standard-compat) ALSO accepts "
+               "NEGATIVE offsets counted from the end, which Spark's "
+               "captured builtin does not → structural rewrite: "
+               "positive passes, negative maps to length+offset+1, "
+               "offset 0 raises at runtime (r11g review)",
 }
 
 

@@ -740,8 +740,16 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " AS b, cutToFirstSignificantSubdomain("
      "'https://news.clickhouse.com.tr/') AS c",
      ("clickhouse", "clickhouse", "clickhouse.com.tr")),
-    # overlay: CH added it for standard compat — same 1-based contract
-    ("SELECT overlay('Spark SQL', 'CORE', 7) AS o", ("Spark CORE",)),
+    # overlay: CH added it for standard compat; NEGATIVE offsets count
+    # from the end (-3 on a 9-char string = position 7) — bridged
+    ("SELECT overlay('Spark SQL', 'CORE', 7) AS a,"
+     " overlay('Spark SQL', 'CORE', -3) AS b",
+     ("Spark CORE", "Spark CORE")),
+    # IP-literal hosts: numeric TLD excluded like CH ('' on all three)
+    ("SELECT topLevelDomain('http://127.0.0.1/x') AS a,"
+     " firstSignificantSubdomain('http://127.0.0.1/x') AS b,"
+     " cutToFirstSignificantSubdomain('http://127.0.0.1/x') AS c",
+     ("", "", "")),
 ]
 
 

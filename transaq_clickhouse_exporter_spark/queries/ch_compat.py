@@ -696,18 +696,28 @@ _SCALAR_SHIMS.update({
     ),
     # r11g URL family: label arithmetic over domain().  CH contracts
     # (docs, URL functions): topLevelDomain = the last dot label ('',
-    # if the host has no dot or is empty); firstSignificantSubdomain
-    # = the second-level label UNLESS that label is one of
-    # com/net/org/co/biz (then the third-level);
+    # if the host has no dot, is empty, or is an IPv4 literal — CH's
+    # ExtractTopLevelDomain excludes numeric TLDs);
+    # firstSignificantSubdomain = the second-level label UNLESS that
+    # label is one of com/net/org/co/biz (then the third-level);
     # cutToFirstSignificantSubdomain = the suffix from it onward.
+    # NULL input → NULL on all three (Nullable propagation, review
+    # r11g); IP-literal hosts (digit-leading last label) → '' on all
+    # three, same review.
     "topLevelDomain": (
         "(u STRING) RETURNS STRING RETURN "
-        "CASE WHEN domain(u) LIKE '%.%' "
+        "CASE WHEN u IS NULL THEN NULL "
+        "WHEN domain(u) LIKE '%.%' "
+        "AND regexp_extract(domain(u), '([^.]+)$', 1) "
+        "NOT RLIKE '^[0-9]' "
         "THEN regexp_extract(domain(u), '([^.]+)$', 1) ELSE '' END"
     ),
     "firstSignificantSubdomain": (
         "(u STRING) RETURNS STRING RETURN "
-        "CASE WHEN domain(u) NOT LIKE '%.%' THEN '' "
+        "CASE WHEN u IS NULL THEN NULL "
+        "WHEN domain(u) NOT LIKE '%.%' "
+        "OR regexp_extract(domain(u), '([^.]+)$', 1) RLIKE '^[0-9]' "
+        "THEN '' "
         "WHEN element_at(split(domain(u), '\\\\.'), -2) IN "
         "('com', 'net', 'org', 'co', 'biz') "
         "AND size(split(domain(u), '\\\\.')) >= 3 "
@@ -716,7 +726,10 @@ _SCALAR_SHIMS.update({
     ),
     "cutToFirstSignificantSubdomain": (
         "(u STRING) RETURNS STRING RETURN "
-        "CASE WHEN domain(u) NOT LIKE '%.%' THEN '' "
+        "CASE WHEN u IS NULL THEN NULL "
+        "WHEN domain(u) NOT LIKE '%.%' "
+        "OR regexp_extract(domain(u), '([^.]+)$', 1) RLIKE '^[0-9]' "
+        "THEN '' "
         "WHEN element_at(split(domain(u), '\\\\.'), -2) IN "
         "('com', 'net', 'org', 'co', 'biz') "
         "AND size(split(domain(u), '\\\\.')) >= 3 "
@@ -4557,21 +4570,65 @@ def _rewrite_calls(sql: str) -> str:
                     + ") END")))
             i = close + 1
             continue
+        if name.lower() in ("overlay", "overlayutf8"):
+            # CH overlay(s, replace, offset[, length]) (24.x, added
+            # for standard compat) ALSO accepts NEGATIVE offsets
+            # counted from the end of s — Spark's captured builtin
+            # does not (review r11g).  offset -1 = the last
+            # character: position = length(s) + offset + 1.  The
+            # UTF8 spelling is the same function here (Spark strings
+            # are codepoint-based).
+            parts = _split_args(inner)
+            if len(parts) not in (3, 4):
+                raise UnsupportedChSql(
+                    f"{name}(s, replace, offset[, length]) expects "
+                    "3-4 args")
+            ln = f", {parts[3]}" if len(parts) == 4 else ""
+            out.append(_bind_once(
+                f"named_struct('s', ({parts[0]}), 'r', ({parts[1]}), "
+                f"'o', CAST(({parts[2]}) AS INT))",
+                lambda v: (
+                    f"CASE WHEN {v}.o >= 1 THEN "
+                    f"overlay({v}.s, {v}.r, {v}.o{ln}) "
+                    f"WHEN {v}.o <= -1 THEN overlay({v}.s, {v}.r, "
+                    f"greatest(length({v}.s) + {v}.o + 1, 1){ln}) "
+                    f"ELSE raise_error('overlay() offset 0: "
+                    f"ClickHouse offsets are 1-based or negative-"
+                    f"from-the-end — 0 has no documented meaning') "
+                    f"END")))
+            i = close + 1
+            continue
         if name == "boundingRatio":
             # CH boundingRatio(x, y): the slope between the LEFTMOST
             # and RIGHTMOST points of the group by x — (y at max x −
             # y at min x) / (max x − min x).  Pure min/max_by
             # aggregates (one hash agg, map-side partials); duplicate
-            # extreme x values pick an arbitrary y, CH's own envelope
-            # (r11g)
+            # extreme x values pick an arbitrary y, CH's own
+            # envelope.  Rows where EITHER argument is NULL are
+            # skipped like CH's aggregate-NULL rule (the filtered x
+            # doubles as the max_by/min_by key, which ignores NULL
+            # keys), and a zero x-span answers nan/±inf through the
+            # divide() float envelope instead of Spark's ANSI
+            # DIVIDE_BY_ZERO (review r11g)
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql("boundingRatio(x, y) expects 2 args")
-            x = f"CAST(({parts[0]}) AS DOUBLE)"
-            y = f"CAST(({parts[1]}) AS DOUBLE)"
-            out.append(
-                f"((max_by({y}, {x}) - min_by({y}, {x})) / "
-                f"(max({x}) - min({x})))")
+            x0 = f"CAST(({parts[0]}) AS DOUBLE)"
+            y0 = f"CAST(({parts[1]}) AS DOUBLE)"
+            ok = f"(({x0}) IS NOT NULL AND ({y0}) IS NOT NULL)"
+            xf = f"CASE WHEN {ok} THEN {x0} END"
+            yf = f"CASE WHEN {ok} THEN {y0} END"
+            dy = f"(max_by({yf}, {xf}) - min_by({yf}, {xf}))"
+            dx = f"(max({xf}) - min({xf}))"
+            out.append(_bind_once(
+                f"named_struct('dy', {dy}, 'dx', {dx})",
+                lambda v: (
+                    f"CASE WHEN {v}.dx IS NULL THEN CAST(NULL AS "
+                    f"DOUBLE) WHEN {v}.dx = 0 THEN CASE "
+                    f"WHEN {v}.dy = 0 THEN CAST('NaN' AS DOUBLE) "
+                    f"WHEN {v}.dy > 0 THEN CAST('Infinity' AS DOUBLE) "
+                    f"ELSE CAST('-Infinity' AS DOUBLE) END "
+                    f"ELSE {v}.dy / {v}.dx END")))
             i = close + 1
             continue
         if name == "intervalLengthSum":
@@ -4583,7 +4640,9 @@ def _rewrite_calls(sql: str) -> str:
             # whole length, an overlapping one adds only the
             # extension.  Tie-safe by construction: the MEASURE of a
             # boundary point is 0, so closed-vs-open touching
-            # segments sum identically (r11g).
+            # segments sum identically (r11g).  Computes in DOUBLE
+            # (CH returns the integer type for integer bounds —
+            # exact through 2^53, the module's standard envelope).
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(
