@@ -1909,6 +1909,59 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "with-fill", "interpolate", "ch-sql"),
         )
     )
+
+    # ev26 (r11g): interval-union length + bounding slope per key —
+    # intervalLengthSum as the sorted merge fold, boundingRatio over
+    # the UNIQUE win_id axis (duplicate win_start values would make
+    # the extreme-point pick engine-dependent).  Oracle spells the
+    # union length as a running-max window and the slope as
+    # arg_max/arg_min arithmetic.
+    def _interval_profile_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code,
+                   intervalLengthSum(win_start, win_end) AS covered,
+                   boundingRatio(win_id, win_start) AS slope
+            FROM sess_windows GROUP BY sec_code ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev26_interval_profile_sql",
+            _interval_profile_sql,
+            """
+            , iv26 AS (SELECT sec_code, win_start AS s, win_end AS e,
+                              max(win_end) OVER (PARTITION BY sec_code
+                                  ORDER BY win_start, win_end
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS cover
+                       FROM sess_windows),
+            cov26 AS (SELECT sec_code,
+                             CAST(sum(CASE WHEN cover IS NULL
+                                           OR s >= cover THEN e - s
+                                           WHEN e > cover
+                                           THEN e - cover
+                                           ELSE 0 END) AS DOUBLE)
+                             AS covered
+                      FROM iv26 GROUP BY sec_code),
+            sl26 AS (SELECT sec_code,
+                            CAST(arg_max(win_start, win_id)
+                                 - arg_min(win_start, win_id)
+                                 AS DOUBLE)
+                            / (max(win_id) - min(win_id)) AS slope
+                     FROM sess_windows GROUP BY sec_code)
+            SELECT c.sec_code AS sec_code, c.covered AS covered,
+                   s.slope AS slope
+            FROM cov26 c JOIN sl26 s USING (sec_code)
+            ORDER BY sec_code
+            """,
+            tags=("events", "interval-sum", "bounding-ratio", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4643,6 +4696,9 @@ _TAIL_NAMES = (
                                       # last_value IGNORE NULLS
     "op10_asof_forward_sql",          # forward-strict ASOF (< compara-
                                       # tor, r11e) vs DuckDB ASOF JOIN
+    "ev26_interval_profile_sql",      # intervalLengthSum merge fold +
+                                      # boundingRatio (r11g) vs DuckDB
+                                      # running-max window + arg_max
 )
 
 
