@@ -1949,10 +1949,13 @@ def _events_specs() -> list[QuerySpec]:
                              AS covered
                       FROM iv26 GROUP BY sec_code),
             sl26 AS (SELECT sec_code,
-                            CAST(arg_max(win_start, win_id)
-                                 - arg_min(win_start, win_id)
-                                 AS DOUBLE)
-                            / (max(win_id) - min(win_id)) AS slope
+                            CASE WHEN max(win_id) = min(win_id)
+                                 THEN CAST('NaN' AS DOUBLE)
+                                 ELSE CAST(arg_max(win_start, win_id)
+                                      - arg_min(win_start, win_id)
+                                      AS DOUBLE)
+                                      / (max(win_id) - min(win_id))
+                            END AS slope
                      FROM sess_windows GROUP BY sec_code)
             SELECT c.sec_code AS sec_code, c.covered AS covered,
                    s.slope AS slope
