@@ -750,6 +750,39 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " firstSignificantSubdomain('http://127.0.0.1/x') AS b,"
      " cutToFirstSignificantSubdomain('http://127.0.0.1/x') AS c",
      ("", "", "")),
+    # --- r11h: COMPOSITION shapes — bridges interacting with each
+    # other and with the pre-existing rewrites (interactions are
+    # where the review passes keep finding silent bugs)
+    # round() inside an -If combinator and under GROUP BY
+    ("SELECT sumIf(round(number + 0.5), number % 2 = 0) AS s"
+     " FROM numbers(4)", (2.0,)),  # round(0.5)=0, round(2.5)=2
+    # DAYOFWEEK composed with the 3-arg date_add bridge, under ORDER BY
+    ("SELECT DAYOFWEEK(date_add(DAY, number, toDate('2024-05-13')))"
+     " AS d FROM numbers(3) ORDER BY d", (1,)),
+    # dateAdd 3-arg feeding toStartOfInterval (nested structural)
+    ("SELECT CAST(toStartOfInterval(date_add(HOUR, 3,"
+     " toDateTime('2024-01-01 00:10:00')), INTERVAL 1 HOUR)"
+     " AS STRING) AS t", ("2024-01-01 03:00:00",)),
+    # greatest/least wrappers nested in each other and in ORDER BY
+    ("SELECT greatest(least(number, 3), 1) AS g FROM numbers(6)"
+     " ORDER BY greatest(number, 2) DESC LIMIT 1", (3,)),
+    # overlay nested in concat + left/right composition
+    ("SELECT concat(left('abcdef', -3), overlay('xyz', 'Z', -1)) AS c",
+     ("abcxyZ",)),
+    # intervalLengthSum skips NULL-bound rows (CH aggregate-NULL rule)
+    ("SELECT intervalLengthSum(s, e) AS l FROM (SELECT 1 AS s, 3 AS e"
+     " UNION ALL SELECT NULL, 9 UNION ALL SELECT 5, NULL)", (2.0,)),
+    # trunc under CAST + isNaN(divide) in one projection
+    ("SELECT CAST(trunc(2.99) AS Int64) AS t,"
+     " isNaN(divide(0, 0)) AS n", (2, True)),
+    # COLUMNS APPLY under a WHERE + alias-in-WHERE inlining
+    ("SELECT count() AS c FROM (SELECT COLUMNS('^price$') APPLY(max)"
+     " FROM trades)", (1,)),
+    # WITH FILL over a LIMIT BY subquery result (fill extraction sees
+    # only the OUTER order by; the inner LIMIT BY translates inside)
+    ("SELECT count() AS c FROM (SELECT m FROM (SELECT number % 5 AS g,"
+     " intDiv(number, 5) AS m FROM numbers(40) ORDER BY g, m"
+     " LIMIT 1 BY g) ORDER BY m)", (5,)),
 ]
 
 
