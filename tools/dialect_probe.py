@@ -783,6 +783,15 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT count() AS c FROM (SELECT m FROM (SELECT number % 5 AS g,"
      " intDiv(number, 5) AS m FROM numbers(40) ORDER BY g, m"
      " LIMIT 1 BY g) ORDER BY m)", (5,)),
+    # the classic aggregates are CH's CASE-INSENSITIVE registrations:
+    # ANY(x) is the CH pick-a-value aggregate even on a BOOLEAN
+    # column (Spark's boolean any() must not capture it), and the
+    # quantified comparison keeps working in any case
+    ("SELECT ANY(b) AS v FROM (SELECT true AS b UNION ALL"
+     " SELECT true)", (True,)),
+    ("SELECT Any(number) AS v FROM numbers(1)", (0,)),
+    ("SELECT count() AS c FROM numbers(5) WHERE number > ANY"
+     " (SELECT number FROM numbers(3))", (4,)),
 ]
 
 

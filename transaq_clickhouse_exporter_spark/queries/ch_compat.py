@@ -4135,7 +4135,7 @@ def _rewrite_calls(sql: str) -> str:
                 out.append(f"ch_position_bytes({hay}, {needle})")
             i = close + 1
             continue
-        if name == "any":
+        if name.lower() == "any":
             # CH any(x) = an arbitrary value (Spark any_value) — but
             # the SAME spelling is ANSI's quantified comparison
             # (`price > ANY (SELECT …)`), and Spark's own any() is a
@@ -4143,14 +4143,22 @@ def _rewrite_calls(sql: str) -> str:
             # preceding comparison operator AND a subquery argument —
             # `max(f) = any(f)` on a boolean column is still the CH
             # aggregate (a char-only check silently rebound it to
-            # bool_or; review r9b).
+            # bool_or; review r9b).  Case-insensitive dispatch: the
+            # classic aggregates (count/sum/min/max/avg/any) are
+            # CH's case-insensitive registrations, so `ANY(col)` is
+            # the CH aggregate too (probe r11h — the exact-case check
+            # let Spark's boolean any() capture it on bool columns).
             pprev = i - 1
             while pprev >= 0 and sql[pprev] in " \t\n":
                 pprev -= 1
             is_subq = re.match(
                 r"(?i)\s*SELECT\b", _mask_literals(inner)) is not None
             if pprev >= 0 and sql[pprev] in "=<>!" and is_subq:
-                out.append(f"any({inner})")
+                # quantified comparison: keep the ORIGINAL spelling
+                # and spacing (`> ANY (SELECT …)`) — re-emitting it
+                # as a call (`any(SELECT …)`) fails Spark's parser
+                # (probe r11h)
+                out.append(f"{name}{sql[j:k]}({inner})")
             else:
                 out.append(f"any_value({inner})")
             i = close + 1
