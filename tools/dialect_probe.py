@@ -790,8 +790,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT ANY(b) AS v FROM (SELECT true AS b UNION ALL"
      " SELECT true)", (True,)),
     ("SELECT Any(number) AS v FROM numbers(1)", (0,)),
+    # quantified subquery comparisons don't exist in Spark SQL at all
+    # — the translator passes the spelling through VERBATIM (pinned
+    # in test_translate_final_and_literals) and Spark's parser
+    # rejects it loudly; spell `> (SELECT max(...))` instead
     ("SELECT count() AS c FROM numbers(5) WHERE number > ANY"
-     " (SELECT number FROM numbers(3))", (4,)),
+     " (SELECT number FROM numbers(3))", None),  # loud-error
 ]
 
 
