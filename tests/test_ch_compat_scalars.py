@@ -1935,3 +1935,44 @@ def test_r11g_interval_slope_and_url_labels(spark):
                " 0 AS y UNION ALL SELECT 5, 10 UNION ALL"
                " SELECT 10, NULL)")
     assert row.r == 2.0
+
+
+def test_r11i_enumeration_multisearch_tokens_json(spark):
+    """r11i batch pins (values as CH documents them):
+    arrayEnumerateUniq (occurrence index among equal values, <=> for
+    NULL elements), arrayEnumerateDense (first-occurrence rank),
+    variadic arrayIntersect (order engine-native — CH documents
+    none), multiSearchAny, hasToken/hasTokenOrNull (tokens()-rule
+    membership; a separator-bearing needle throws like CH / answers
+    NULL), extractGroups (first match's groups, [] on miss, group
+    count from the literal pattern), JSONExtractKeys/JSONLength,
+    countSubstringsCaseInsensitive, startsWith/endsWithUTF8."""
+    r = _one(spark, "SELECT arrayEnumerateUniq([10, NULL, 10, NULL])"
+                    " AS a, arrayEnumerateDense([10, NULL, 10]) AS d")
+    assert (r.a, r.d) == ([1, 1, 2, 2], [1, 2, 1])
+    r = _one(spark,
+             "SELECT arrayIntersect([1, 2, 3], [3, 1], [1, 3, 5]) AS a")
+    assert sorted(r.a) == [1, 3]
+    r = _one(spark, "SELECT multiSearchAny('Hello, World!',"
+                    " ['orld', 'zzz']) AS y")
+    assert bool(r.y) is True
+    r = _one(spark, "SELECT hasToken('Hello World foo', 'World') AS y,"
+                    " hasToken('HelloWorld foo', 'World') AS n,"
+                    " hasTokenOrNull('a b', 'a b') AS z")
+    assert (bool(r.y), bool(r.n), r.z) == (True, False, None)
+    with pytest.raises(UnsupportedChSql, match="separator"):
+        run_ch_sql(spark, "SELECT hasToken('a b c', 'a b') AS h")
+    r = _one(spark, "SELECT extractGroups('key=val, n=7',"
+                    " 'key=([a-z]+), n=([0-9]+)') AS g,"
+                    " extractGroups('miss', 'k=([a-z]+)') AS m")
+    assert (r.g, r.m) == (["val", "7"], [])
+    with pytest.raises(UnsupportedChSql, match="capture"):
+        run_ch_sql(spark, "SELECT extractGroups('x', 'nogroups') AS g")
+    r = _one(spark, "SELECT JSONLength('[1,2,3]') AS a,"
+                    " JSONLength('{\"x\":1}') AS b, JSONLength('5')"
+                    " AS c, JSONLength(NULL) AS d,"
+                    " JSONExtractKeys('{\"a\":1,\"b\":2}') AS k")
+    assert (r.a, r.b, r.c, r.d, r.k) == (3, 1, 0, None, ["a", "b"])
+    r = _one(spark, "SELECT countSubstringsCaseInsensitive('AbaBa',"
+                    " 'ba') AS c, startsWithUTF8('привет', 'при') AS s")
+    assert (r.c, bool(r.s)) == (2, True)

@@ -796,6 +796,27 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # rejects it loudly; spell `> (SELECT max(...))` instead
     ("SELECT count() AS c FROM numbers(5) WHERE number > ANY"
      " (SELECT number FROM numbers(3))", None),  # loud-error
+    # --- r11i: array enumeration, multi-search, tokens, JSON shape
+    ("SELECT arrayEnumerateUniq([10, 20, 10, 30, 10]) AS a,"
+     " arrayEnumerateDense([10, 20, 10]) AS d", ([1, 1, 2, 1, 3],
+                                                 [1, 2, 1])),
+    ("SELECT arrayIntersect([1, 2, 3], [3, 1], [1, 3, 5]) AS a",
+     ([1, 3],)),
+    ("SELECT multiSearchAny('Hello, World!', ['orld', 'zzz']) AS y,"
+     " multiSearchAny('Hello', ['x']) AS n", (True, False)),
+    ("SELECT hasToken('Hello World foo', 'World') AS y,"
+     " hasToken('HelloWorld foo', 'World') AS n,"
+     " hasTokenOrNull('a b', 'a b') AS z", (True, False, None)),
+    ("SELECT hasToken('a b c', 'a b') AS h", None),  # clean-raise
+    ("SELECT extractGroups('key=val, n=7', 'key=([a-z]+), n=([0-9]+)')"
+     " AS g, extractGroups('miss', 'k=([a-z]+)') AS m",
+     (["val", "7"], [])),
+    ("SELECT JSONExtractKeys('{\"a\": 1, \"b\": 2}') AS k,"
+     " JSONLength('[1,2,3]') AS la, JSONLength('{\"x\":1}') AS lo,"
+     " JSONLength('5') AS ls", (["a", "b"], 3, 1, 0)),
+    ("SELECT countSubstringsCaseInsensitive('AbaBa', 'ba') AS c,"
+     " startsWithUTF8('привет', 'при') AS s,"
+     " endsWithUTF8('привет', 'вет') AS e", (2, True, True)),
 ]
 
 

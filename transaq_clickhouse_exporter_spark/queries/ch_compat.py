@@ -652,6 +652,25 @@ _SCALAR_SHIMS.update({
     "base64Decode": (
         "(x STRING) RETURNS STRING RETURN CAST(unbase64(x) AS STRING)"
     ),
+    # CH JSONLength: element count of a JSON array or object, 0 for
+    # scalars/invalid JSON, NULL propagates (r11i; size(NULL) is NULL
+    # under the non-legacy default, so the coalesce ends at 0)
+    "JSONLength": (
+        "(x STRING) RETURNS BIGINT RETURN CASE WHEN x IS NULL THEN "
+        "NULL ELSE coalesce(CAST(json_array_length(x) AS BIGINT), "
+        "CAST(size(json_object_keys(x)) AS BIGINT), 0) END"
+    ),
+    # case-insensitive twin of countSubstrings — the body is INLINED
+    # (both sides lowered) rather than calling the sibling shim: SQL
+    # UDF bodies resolve at CREATE time and registration runs in
+    # dict order (r11i)
+    "countSubstringsCaseInsensitive": (
+        "(h STRING, n STRING) RETURNS INT RETURN "
+        "CASE WHEN octet_length(n) = 0 THEN 0 "
+        "ELSE CAST((octet_length(lower(h)) - octet_length(replace("
+        "lower(h), lower(n), ''))) DIV octet_length(lower(n)) AS INT) "
+        "END"
+    ),
     # CH tryBase64Decode returns '' (not NULL) on invalid input;
     # NULL propagates (r11f)
     "tryBase64Decode": (
@@ -1013,6 +1032,13 @@ _RENAMES = {
     "mapFromArrays": "map_from_arrays",
     "startsWith": "startswith",
     "endsWith": "endswith",
+    # the UTF8 spellings are the same codepoint semantics here (r11i)
+    "startsWithUTF8": "startswith",
+    "endsWithUTF8": "endswith",
+    # CH JSONExtractKeys(json) = outermost object keys — exactly
+    # Spark's json_object_keys (1-arg; the indices_or_keys walk
+    # stays with the JSONExtract* shims) (r11i)
+    "JSONExtractKeys": "json_object_keys",
     "substringUTF8": "substring",
     "lengthUTF8": "length",      # both count CODEPOINTS (bare CH
                                  # length counts BYTES — rewritten to
@@ -4576,6 +4602,138 @@ def _rewrite_calls(sql: str) -> str:
                     + fn + "("
                     + ", ".join(f"{v}.a{ix}" for ix in range(len(parts)))
                     + ") END")))
+            i = close + 1
+            continue
+        if name == "arrayEnumerateUniq":
+            # CH: per element, its occurrence index among EQUAL
+            # values so far ([10,20,10] → [1,1,2]); NULL elements
+            # count as normal values (the hasAll/indexOf rule), hence
+            # <=> .  O(n²) per array — array scale, not row scale
+            # (r11i)
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(
+                    "arrayEnumerateUniq(arr) 1-array form only")
+            out.append(_bind_once(
+                f"({parts[0]})",
+                lambda v: (f"transform({v}, (__x, __i) -> 1 + "
+                           f"size(filter(slice({v}, 1, __i), "
+                           f"__y -> __y <=> __x)))")))
+            i = close + 1
+            continue
+        if name == "arrayEnumerateDense":
+            # CH: rank of each element's FIRST occurrence
+            # ([10,20,10] → [1,2,1]) — position in the distinct
+            # array, NULL-safe via the indexOf pattern (r11i)
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(
+                    "arrayEnumerateDense(arr) expects 1 array")
+            out.append(_bind_once(
+                f"({parts[0]})",
+                lambda v: (f"transform({v}, __x -> CAST(array_position("
+                           f"transform(array_distinct({v}), "
+                           f"__e -> __e <=> __x), true) AS INT))")))
+            i = close + 1
+            continue
+        if name == "arrayIntersect":
+            # CH: distinct elements present in ALL argument arrays;
+            # CH documents no result ORDER — Spark's array_intersect
+            # keeps first-array order, inside that contract.  The
+            # variadic form folds the binary builtin (r11i)
+            parts = _split_args(inner)
+            if len(parts) < 2:
+                raise UnsupportedChSql(
+                    "arrayIntersect(a, b, …) expects 2+ arrays")
+            expr = f"({parts[0]})"
+            for p in parts[1:]:
+                expr = f"array_intersect({expr}, ({p}))"
+            out.append(expr)
+            i = close + 1
+            continue
+        if name == "multiSearchAny":
+            # CH multiSearchAny(h, [n1, n2, …]): 1 iff ANY needle is
+            # a substring (byte/char-blind for a boolean) (r11i)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    "multiSearchAny(haystack, needles) expects 2 args")
+            out.append(_bind_once(
+                f"named_struct('h', ({parts[0]}), 'a', ({parts[1]}))",
+                lambda v: (f"exists({v}.a, __n -> "
+                           f"contains({v}.h, __n))")))
+            i = close + 1
+            continue
+        if name in ("hasToken", "hasTokenOrNull"):
+            # CH hasToken: the needle appears as a WHOLE token under
+            # tokens()'s rule (non-alphanumeric-ASCII separators) —
+            # expressed as membership in the same split the tokens()
+            # bridge emits, so the two stay rule-identical.  CH
+            # THROWS when the needle itself contains a separator
+            # (OrNull answers NULL) — checked at translate time for
+            # literals, at runtime otherwise (r11i).
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(haystack, token) expects 2 args")
+            tok = parts[1].strip()
+            sep_cls = ("[\\\\x00-\\\\x2f\\\\x3a-\\\\x40\\\\x5b-\\\\x60"
+                       "\\\\x7b-\\\\x7f]")
+            if (tok.startswith("'") and tok.endswith("'")
+                    and re.search("[^A-Za-z0-9\x80-￿]",
+                                  tok[1:-1].replace("''", "'"))):
+                if name == "hasToken":
+                    raise UnsupportedChSql(
+                        f"hasToken: needle {tok} contains tokenizer "
+                        "separators — ClickHouse throws here; use "
+                        "hasTokenOrNull or position()")
+                out.append("CAST(NULL AS BOOLEAN)")
+                i = close + 1
+                continue
+            bad = (f"rlike({{v}}.t, '{sep_cls}')")
+            body = (f"array_contains(filter(split({{v}}.h, "
+                    f"'{sep_cls}+'), __x -> __x != ''), {{v}}.t)")
+            onbad = ("CAST(NULL AS BOOLEAN)" if name == "hasTokenOrNull"
+                     else "raise_error('hasToken: the token contains "
+                          "tokenizer separator characters — ClickHouse "
+                          "throws; use hasTokenOrNull')")
+            out.append(_bind_once(
+                f"named_struct('h', ({parts[0]}), 't', ({parts[1]}))",
+                lambda v: (f"CASE WHEN {bad.format(v=v)} THEN {onbad} "
+                           f"ELSE {body.format(v=v)} END")))
+            i = close + 1
+            continue
+        if name == "extractGroups":
+            # CH extractGroups(h, 'pattern'): the capture groups of
+            # the FIRST match as an array; [] when nothing matches.
+            # The group COUNT comes from compiling the literal
+            # pattern at translate time (r11i)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    "extractGroups(haystack, pattern) expects 2 args")
+            pat = parts[1].strip()
+            if not (pat.startswith("'") and pat.endswith("'")):
+                raise UnsupportedChSql(
+                    "extractGroups needs a LITERAL pattern (the group "
+                    "count shapes the result array)")
+            try:
+                ngroups = re.compile(
+                    pat[1:-1].replace("''", "'")).groups
+            except re.error as exc:
+                raise UnsupportedChSql(
+                    f"extractGroups({pat}): invalid pattern ({exc})"
+                ) from exc
+            if ngroups == 0:
+                raise UnsupportedChSql(
+                    "extractGroups pattern has no capture groups")
+            groups = ", ".join(
+                f"regexp_extract({{v}}, {pat}, {g})"
+                for g in range(1, ngroups + 1))
+            out.append(_bind_once(
+                f"({parts[0]})",
+                lambda v: (f"CASE WHEN {v} RLIKE {pat} THEN "
+                           f"array({groups.format(v=v)}) "
+                           f"ELSE array() END")))
             i = close + 1
             continue
         if name.lower() in ("overlay", "overlayutf8"):
