@@ -1976,3 +1976,39 @@ def test_r11i_enumeration_multisearch_tokens_json(spark):
     r = _one(spark, "SELECT countSubstringsCaseInsensitive('AbaBa',"
                     " 'ba') AS c, startsWithUTF8('привет', 'при') AS s")
     assert (r.c, bool(r.s)) == (2, True)
+
+
+def test_review_r11i_fixes_are_pinned(spark):
+    """Review r11i findings: extractGroups survives brace quantifiers
+    (the str.format splice ate '{4}') and counts groups on the
+    UNESCAPED body with Java group semantics; hasToken literal
+    detection doesn't fire on concat expressions, treats ≥0x80 (incl.
+    astral) as token chars, and rejects EMPTY needles like CH;
+    JSONExtractKeys answers [] on invalid/non-object JSON and the
+    variadic walk raises by name; countSubstringsCaseInsensitive
+    folds ASCII only (CH's non-UTF8 contract)."""
+    r = _one(spark, "SELECT extractGroups('year 2024!', "
+                    "'([0-9]{4})') AS g")
+    assert r.g == ["2024"]
+    r = _one(spark, "SELECT extractGroups('(abc)', "
+                    "'\\\\(([a-z]+)\\\\)') AS g")
+    assert r.g == ["abc"]
+    r = _one(spark, "SELECT hasToken('x', concat('Wor', 'ld')) AS a,"
+                    " hasToken('Hello World', concat('Wor', 'ld'))"
+                    " AS b")
+    assert (bool(r.a), bool(r.b)) == (False, True)
+    with pytest.raises(UnsupportedChSql, match="empty"):
+        run_ch_sql(spark, "SELECT hasToken('a b', '') AS h")
+    assert _one(spark, "SELECT hasTokenOrNull('a b', '') AS h"
+                ).h is None
+    r = _one(spark, "SELECT JSONExtractKeys('5') AS a,"
+                    " JSONExtractKeys('garbage') AS b,"
+                    " JSONExtractKeys(NULL) AS c")
+    assert (r.a, r.b, r.c) == ([], [], None)
+    with pytest.raises(UnsupportedChSql, match="1-arg"):
+        run_ch_sql(spark, "SELECT JSONExtractKeys('{}', 'a') AS k")
+    # CH non-UTF8 CaseInsensitive folds ASCII only: 'Ä' != 'ä' there
+    r = _one(spark, "SELECT countSubstringsCaseInsensitive('Ää', 'ä')"
+                    " AS c, countSubstringsCaseInsensitive('AbaBa',"
+                    " 'BA') AS d")
+    assert (r.c, r.d) == (1, 2)

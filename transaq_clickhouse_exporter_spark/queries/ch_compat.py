@@ -661,15 +661,20 @@ _SCALAR_SHIMS.update({
         "CAST(size(json_object_keys(x)) AS BIGINT), 0) END"
     ),
     # case-insensitive twin of countSubstrings — the body is INLINED
-    # (both sides lowered) rather than calling the sibling shim: SQL
-    # UDF bodies resolve at CREATE time and registration runs in
-    # dict order (r11i)
+    # rather than calling the sibling shim (SQL UDF bodies resolve at
+    # CREATE time and registration runs in dict order), and folds
+    # ASCII ONLY via translate(): CH's non-UTF8 CaseInsensitive
+    # functions don't fold Unicode (that's the UTF8 variant —
+    # review r11i)
     "countSubstringsCaseInsensitive": (
         "(h STRING, n STRING) RETURNS INT RETURN "
         "CASE WHEN octet_length(n) = 0 THEN 0 "
-        "ELSE CAST((octet_length(lower(h)) - octet_length(replace("
-        "lower(h), lower(n), ''))) DIV octet_length(lower(n)) AS INT) "
-        "END"
+        "ELSE CAST((octet_length(h) - octet_length(replace("
+        "translate(h, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'abcdefghijklmnopqrstuvwxyz'), "
+        "translate(n, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'abcdefghijklmnopqrstuvwxyz'), ''))) "
+        "DIV octet_length(n) AS INT) END"
     ),
     # CH tryBase64Decode returns '' (not NULL) on invalid input;
     # NULL propagates (r11f)
@@ -1035,10 +1040,10 @@ _RENAMES = {
     # the UTF8 spellings are the same codepoint semantics here (r11i)
     "startsWithUTF8": "startswith",
     "endsWithUTF8": "endswith",
-    # CH JSONExtractKeys(json) = outermost object keys — exactly
-    # Spark's json_object_keys (1-arg; the indices_or_keys walk
-    # stays with the JSONExtract* shims) (r11i)
-    "JSONExtractKeys": "json_object_keys",
+    # (JSONExtractKeys is structural: CH answers [] for invalid JSON
+    # or a non-object where json_object_keys answers NULL, and the
+    # variadic indices_or_keys walk raises by name — see
+    # _rewrite_calls, review r11i)
     "substringUTF8": "substring",
     "lengthUTF8": "length",      # both count CODEPOINTS (bare CH
                                  # length counts BYTES — rewritten to
@@ -4604,6 +4609,25 @@ def _rewrite_calls(sql: str) -> str:
                     + ") END")))
             i = close + 1
             continue
+        if name == "JSONExtractKeys":
+            # CH: outermost object keys; [] for invalid JSON or a
+            # non-object (the JSONExtract-family default) where
+            # Spark's json_object_keys answers NULL; NULL input
+            # propagates.  The variadic indices_or_keys walk raises
+            # by name (review r11i).
+            parts = _split_args(inner)
+            if len(parts) != 1:
+                raise UnsupportedChSql(
+                    "JSONExtractKeys(json) is bridged 1-arg only — "
+                    "the indices_or_keys walk is not; extract the "
+                    "nested object with get_json_object first")
+            out.append(_bind_once(
+                f"({parts[0]})",
+                lambda v: (f"CASE WHEN {v} IS NULL THEN NULL ELSE "
+                           f"coalesce(json_object_keys({v}), "
+                           f"array()) END")))
+            i = close + 1
+            continue
         if name == "arrayEnumerateUniq":
             # CH: per element, its occurrence index among EQUAL
             # values so far ([10,20,10] → [1,1,2]); NULL elements
@@ -4624,16 +4648,20 @@ def _rewrite_calls(sql: str) -> str:
         if name == "arrayEnumerateDense":
             # CH: rank of each element's FIRST occurrence
             # ([10,20,10] → [1,2,1]) — position in the distinct
-            # array, NULL-safe via the indexOf pattern (r11i)
+            # array, NULL-safe via the indexOf pattern; the distinct
+            # array binds ONCE in the struct, not per element
+            # (review r11i) (r11i)
             parts = _split_args(inner)
             if len(parts) != 1:
                 raise UnsupportedChSql(
                     "arrayEnumerateDense(arr) expects 1 array")
             out.append(_bind_once(
                 f"({parts[0]})",
-                lambda v: (f"transform({v}, __x -> CAST(array_position("
-                           f"transform(array_distinct({v}), "
-                           f"__e -> __e <=> __x), true) AS INT))")))
+                lambda v: _bind_once(
+                    f"array_distinct({v})",
+                    lambda d: (f"transform({v}, __x -> CAST("
+                               f"array_position(transform({d}, "
+                               f"__e -> __e <=> __x), true) AS INT))"))))
             i = close + 1
             continue
         if name == "arrayIntersect":
@@ -4678,24 +4706,36 @@ def _rewrite_calls(sql: str) -> str:
             tok = parts[1].strip()
             sep_cls = ("[\\\\x00-\\\\x2f\\\\x3a-\\\\x40\\\\x5b-\\\\x60"
                        "\\\\x7b-\\\\x7f]")
-            if (tok.startswith("'") and tok.endswith("'")
-                    and re.search("[^A-Za-z0-9\x80-￿]",
-                                  tok[1:-1].replace("''", "'"))):
-                if name == "hasToken":
-                    raise UnsupportedChSql(
-                        f"hasToken: needle {tok} contains tokenizer "
-                        "separators — ClickHouse throws here; use "
-                        "hasTokenOrNull or position()")
-                out.append("CAST(NULL AS BOOLEAN)")
-                i = close + 1
-                continue
-            bad = (f"rlike({{v}}.t, '{sep_cls}')")
+            # a TRUE literal only (review r11i: `'a' || 'b'` also
+            # starts and ends with a quote); the separator test is
+            # the ASCII class itself — bytes ≥ 0x80 (and astral
+            # chars) are token characters in CH
+            is_lit = (tok.startswith("'") and tok.endswith("'")
+                      and len(tok) >= 2
+                      and "'" not in tok[1:-1].replace("''", ""))
+            if is_lit:
+                interior = tok[1:-1].replace("''", "'")
+                if interior == "" or re.search(
+                        "[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]",
+                        interior):
+                    why = ("is empty" if interior == ""
+                           else "contains tokenizer separators")
+                    if name == "hasToken":
+                        raise UnsupportedChSql(
+                            f"hasToken: needle {tok} {why} — "
+                            "ClickHouse throws here; use "
+                            "hasTokenOrNull or position()")
+                    out.append("CAST(NULL AS BOOLEAN)")
+                    i = close + 1
+                    continue
+            bad = (f"rlike({{v}}.t, '{sep_cls}') "
+                   f"OR length({{v}}.t) = 0")
             body = (f"array_contains(filter(split({{v}}.h, "
                     f"'{sep_cls}+'), __x -> __x != ''), {{v}}.t)")
             onbad = ("CAST(NULL AS BOOLEAN)" if name == "hasTokenOrNull"
-                     else "raise_error('hasToken: the token contains "
-                          "tokenizer separator characters — ClickHouse "
-                          "throws; use hasTokenOrNull')")
+                     else "raise_error('hasToken: the token is empty "
+                          "or contains tokenizer separator characters "
+                          "— ClickHouse throws; use hasTokenOrNull')")
             out.append(_bind_once(
                 f"named_struct('h', ({parts[0]}), 't', ({parts[1]}))",
                 lambda v: (f"CASE WHEN {bad.format(v=v)} THEN {onbad} "
@@ -4712,28 +4752,48 @@ def _rewrite_calls(sql: str) -> str:
                 raise UnsupportedChSql(
                     "extractGroups(haystack, pattern) expects 2 args")
             pat = parts[1].strip()
-            if not (pat.startswith("'") and pat.endswith("'")):
+            if not (pat.startswith("'") and pat.endswith("'")
+                    and "'" not in pat[1:-1].replace("''", "")):
                 raise UnsupportedChSql(
                     "extractGroups needs a LITERAL pattern (the group "
                     "count shapes the result array)")
-            try:
-                ngroups = re.compile(
-                    pat[1:-1].replace("''", "'")).groups
-            except re.error as exc:
-                raise UnsupportedChSql(
-                    f"extractGroups({pat}): invalid pattern ({exc})"
-                ) from exc
+            # count CAPTURING groups on the UNESCAPED regex body with
+            # a Java-semantics scanner (review r11i: Python
+            # re.compile over the still-SQL-escaped text miscounted
+            # '\\\\(' shapes, and Python-only syntax like (?P<…>)
+            # passed validation Java then rejects) — '(' counts
+            # unless it opens a (?…) construct, except Java's named
+            # (?<name>…) which IS capturing
+            body_re = (pat[1:-1].replace("''", "'")
+                       .replace("\\\\", "\\"))
+            ngroups, k, in_cls = 0, 0, False
+            while k < len(body_re):
+                ch = body_re[k]
+                if ch == "\\":
+                    k += 2
+                    continue
+                if in_cls:
+                    in_cls = ch != "]"
+                elif ch == "[":
+                    in_cls = True
+                elif ch == "(":
+                    nxt = body_re[k + 1: k + 2]
+                    nxt2 = body_re[k + 2: k + 3]
+                    if nxt != "?" or (nxt2 == "<"
+                                      and body_re[k + 3: k + 4]
+                                      not in ("=", "!")):
+                        ngroups += 1
+                k += 1
             if ngroups == 0:
                 raise UnsupportedChSql(
                     "extractGroups pattern has no capture groups")
-            groups = ", ".join(
-                f"regexp_extract({{v}}, {pat}, {g})"
-                for g in range(1, ngroups + 1))
             out.append(_bind_once(
                 f"({parts[0]})",
-                lambda v: (f"CASE WHEN {v} RLIKE {pat} THEN "
-                           f"array({groups.format(v=v)}) "
-                           f"ELSE array() END")))
+                lambda v: (f"CASE WHEN {v} RLIKE {pat} THEN array("
+                           + ", ".join(
+                               f"regexp_extract({v}, {pat}, {g})"
+                               for g in range(1, ngroups + 1))
+                           + ") ELSE array() END")))
             i = close + 1
             continue
         if name.lower() in ("overlay", "overlayutf8"):
