@@ -817,6 +817,29 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT countSubstringsCaseInsensitive('AbaBa', 'ba') AS c,"
      " startsWithUTF8('привет', 'при') AS s,"
      " endsWithUTF8('привет', 'вет') AS e", (2, True, True)),
+    # --- r11j: edit distance + a second composition round
+    ("SELECT editDistance('clickhouse', 'mouse') AS a,"
+     " levenshteinDistance('kitten', 'sitting') AS b,"
+     " editDistanceUTF8('привет', 'привет!') AS c", (6, 3, 1)),
+    # hasToken referenced from WHERE via a SELECT alias (inlining)
+    ("SELECT count() AS c FROM (SELECT 'a b c' AS s FROM numbers(3))"
+     " WHERE hasToken(s, 'b')", (3,)),
+    # extractGroups + arrayElement subscript + tupleElement-free path
+    ("SELECT extractGroups('k=v', '([a-z])=([a-z])')[2] AS x", ("v",)),
+    # JSONLength over a nested object (outer keys only)
+    ("SELECT JSONLength('{\"a\": {\"b\": 1, \"c\": 2}}') AS n,"
+     " JSONLength('{\"a\": [1, 2, 3]}') AS m", (1, 1)),
+    # arrayEnumerateUniq fed by arrayFilter (nested HOF rewrites):
+    # [2, 2, 3] -> occurrence indexes [1, 2, 1]
+    ("SELECT arrayEnumerateUniq(arrayFilter(x -> x > 1,"
+     " [1, 2, 2, 3])) AS a", ([1, 2, 1],)),
+    # multiSearchAny over tokens() output via arrayStringConcat
+    ("SELECT multiSearchAny(arrayStringConcat(tokens('a-b c'), ' '),"
+     " ['b c']) AS m", (True,)),
+    # intervalLengthSum in HAVING (agg expression positions)
+    ("SELECT g FROM (SELECT number % 2 AS g, number AS s,"
+     " number + 2 AS e FROM numbers(6)) GROUP BY g"
+     " HAVING intervalLengthSum(s, e) > 5 ORDER BY g", (0,)),
 ]
 
 

@@ -1040,6 +1040,14 @@ _RENAMES = {
     # the UTF8 spellings are the same codepoint semantics here (r11i)
     "startsWithUTF8": "startswith",
     "endsWithUTF8": "endswith",
+    # CH editDistance/levenshteinDistance == Spark levenshtein (same
+    # unit-cost Levenshtein; Spark counts codepoints, which is the
+    # UTF8 variant's contract and ASCII-identical to the byte one)
+    # (r11j)
+    "editDistance": "levenshtein",
+    "editDistanceUTF8": "levenshtein",
+    "levenshteinDistance": "levenshtein",
+    "levenshteinDistanceUTF8": "levenshtein",
     # (JSONExtractKeys is structural: CH answers [] for invalid JSON
     # or a non-object where json_object_keys answers NULL, and the
     # variadic indices_or_keys walk raises by name — see
