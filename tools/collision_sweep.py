@@ -125,6 +125,11 @@ CH_FUNCTIONS: tuple[str, ...] = (
     "ascii", "format", "translate", "translateUTF8", "initcap",
     "initcapUTF8", "soundex", "char", "CHAR", "chr",
     "firstLine", "normalizeQuery", "normalizedQueryHash",
+    "editDistance", "editDistanceUTF8", "levenshteinDistance",
+    "levenshteinDistanceUTF8", "stringJaccardIndex",
+    "stringJaccardIndexUTF8", "byteHammingDistance",
+    "damerauLevenshteinDistance", "jaroSimilarity",
+    "jaroWinklerSimilarity", "hasSubsequenceCaseInsensitive",
     "overlay", "overlayUTF8", "byteSwap", "punycodeEncode",
     "punycodeDecode", "idnaEncode", "idnaDecode", "sqidEncode",
     "sqidDecode", "arrayShingles", "seriesDecomposeSTL",
