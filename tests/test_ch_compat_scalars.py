@@ -2012,3 +2012,24 @@ def test_review_r11i_fixes_are_pinned(spark):
                     " AS c, countSubstringsCaseInsensitive('AbaBa',"
                     " 'BA') AS d")
     assert (r.c, r.d) == (1, 2)
+
+
+def test_r11j_edit_distance_is_byte_guarded(spark):
+    """r11j + its review: the UTF8 edit-distance spellings map to
+    Spark levenshtein exactly (codepoint unit-cost); the BYTE
+    spellings pass for ASCII (bytes == codepoints) and raise at
+    RUNTIME on multi-byte input naming the UTF8 spelling — CH counts
+    byte edits there and a codepoint answer would be silently
+    smaller (editDistance('привет', 'x') is 12 in CH, 6 in
+    codepoints)."""
+    r = _one(spark, "SELECT editDistance('clickhouse', 'mouse') AS a,"
+                    " levenshteinDistance('kitten', 'sitting') AS b,"
+                    " editDistanceUTF8('привет', 'x') AS c,"
+                    " levenshteinDistanceUTF8('ц', 'x') AS d")
+    assert (r.a, r.b, r.c, r.d) == (6, 3, 6, 1)
+    with pytest.raises(Exception, match="BYTE edits"):
+        run_ch_sql(spark, "SELECT editDistance('ц', 'x') AS d"
+                   ).collect()
+    with pytest.raises(Exception, match="BYTE edits"):
+        run_ch_sql(spark, "SELECT levenshteinDistance('a', 'ц') AS d"
+                   ).collect()

@@ -820,10 +820,18 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # --- r11j: edit distance + a second composition round
     ("SELECT editDistance('clickhouse', 'mouse') AS a,"
      " levenshteinDistance('kitten', 'sitting') AS b,"
-     " editDistanceUTF8('привет', 'привет!') AS c", (6, 3, 1)),
-    # hasToken referenced from WHERE via a SELECT alias (inlining)
+     " editDistanceUTF8('привет', 'привет!') AS c,"
+     " editDistanceUTF8('ц', 'x') AS d", (6, 3, 1, 1)),
+    # BYTE edit distance over multi-byte input: runtime raise naming
+    # the UTF8 spelling (a codepoint answer would be silently half)
+    ("SELECT editDistance('ц', 'x') AS d", None),  # loud-error
+    # hasToken over a subquery output column in WHERE
     ("SELECT count() AS c FROM (SELECT 'a b c' AS s FROM numbers(3))"
      " WHERE hasToken(s, 'b')", (3,)),
+    # hasToken on a SAME-LEVEL SELECT alias referenced from WHERE
+    # (legal in CH, needs the alias-inlining bridge in Spark)
+    ("SELECT count() AS c FROM (SELECT concat('a ', 'b') AS s"
+     " FROM numbers(2) WHERE hasToken(s, 'b'))", (2,)),
     # extractGroups + arrayElement subscript + tupleElement-free path
     ("SELECT extractGroups('k=v', '([a-z])=([a-z])')[2] AS x", ("v",)),
     # JSONLength over a nested object (outer keys only)
@@ -836,10 +844,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # multiSearchAny over tokens() output via arrayStringConcat
     ("SELECT multiSearchAny(arrayStringConcat(tokens('a-b c'), ' '),"
      " ['b c']) AS m", (True,)),
-    # intervalLengthSum in HAVING (agg expression positions)
+    # intervalLengthSum in HAVING, SELECTIVE between groups: g=0
+    # holds disjoint unit intervals (union 3), g=1 overlapping
+    # 2-wide ones (union 6) — only g=1 passes
     ("SELECT g FROM (SELECT number % 2 AS g, number AS s,"
-     " number + 2 AS e FROM numbers(6)) GROUP BY g"
-     " HAVING intervalLengthSum(s, e) > 5 ORDER BY g", (0,)),
+     " number + 1 + number % 2 AS e FROM numbers(6)) GROUP BY g"
+     " HAVING intervalLengthSum(s, e) > 5", (1,)),
 ]
 
 

@@ -1040,13 +1040,14 @@ _RENAMES = {
     # the UTF8 spellings are the same codepoint semantics here (r11i)
     "startsWithUTF8": "startswith",
     "endsWithUTF8": "endswith",
-    # CH editDistance/levenshteinDistance == Spark levenshtein (same
-    # unit-cost Levenshtein; Spark counts codepoints, which is the
-    # UTF8 variant's contract and ASCII-identical to the byte one)
-    # (r11j)
-    "editDistance": "levenshtein",
+    # CH's UTF8 edit-distance spellings == Spark levenshtein exactly
+    # (codepoint unit-cost).  The BYTE spellings (editDistance/
+    # levenshteinDistance) are structural: ASCII inputs are
+    # byte==codepoint and pass; multi-byte inputs raise at RUNTIME
+    # naming the UTF8 spelling — a codepoint answer would be a
+    # SILENT integer diff (review r11j: editDistance('привет','x')
+    # is 12 in CH, 6 in codepoints).
     "editDistanceUTF8": "levenshtein",
-    "levenshteinDistance": "levenshtein",
     "levenshteinDistanceUTF8": "levenshtein",
     # (JSONExtractKeys is structural: CH answers [] for invalid JSON
     # or a non-object where json_object_keys answers NULL, and the
@@ -4615,6 +4616,27 @@ def _rewrite_calls(sql: str) -> str:
                     + fn + "("
                     + ", ".join(f"{v}.a{ix}" for ix in range(len(parts)))
                     + ") END")))
+            i = close + 1
+            continue
+        if name in ("editDistance", "levenshteinDistance"):
+            # CH's byte-string Levenshtein: exact for ASCII (where
+            # bytes == codepoints); multi-byte input raises at
+            # RUNTIME naming the codepoint spelling — Spark has no
+            # byte-level levenshtein and a codepoint answer would be
+            # silently smaller (review r11j)
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(f"{name}(a, b) expects 2 args")
+            out.append(_bind_once(
+                f"named_struct('a', ({parts[0]}), 'b', ({parts[1]}))",
+                lambda v: (
+                    f"CASE WHEN octet_length({v}.a) = length({v}.a) "
+                    f"AND octet_length({v}.b) = length({v}.b) "
+                    f"THEN levenshtein({v}.a, {v}.b) "
+                    f"ELSE raise_error('{name}: CH counts BYTE edits "
+                    f"and the input holds multi-byte characters — "
+                    f"use editDistanceUTF8 for codepoint distance') "
+                    f"END")))
             i = close + 1
             continue
         if name == "JSONExtractKeys":
