@@ -1288,6 +1288,55 @@ _UNSUPPORTED_MSG = {
         "spell t.* (Spark's struct expansion) or tupleElement(t, N) "
         "per field"
     ),
+    # r11k: named raises with pointers for the remaining statistical /
+    # time-series aggregates a migrating user could plausibly hit
+    # (previously raw unresolved-function louds)
+    "studentTTest": (
+        "studentTTest() returns a (t, p) pair whose p-value needs the "
+        "incomplete beta function — compute the t statistic from "
+        "avg/var_samp/count per group and look p up client-side "
+        "(scipy.stats.t.sf)"
+    ),
+    "welchTTest": (
+        "welchTTest() returns a (t, p) pair whose p-value needs the "
+        "incomplete beta function — compute the Welch t from "
+        "avg/var_samp/count per group and look p up client-side"
+    ),
+    "mannWhitneyUTest": (
+        "mannWhitneyUTest() needs a rank pass + a normal-CDF p-value "
+        "— rank() OVER the pooled sample gives U; look p up "
+        "client-side"
+    ),
+    "exponentialMovingAverage": (
+        "exponentialMovingAverage() folds in CH block order over "
+        "(value, time) with a half-life decay — use an ordered window "
+        "(sum(v * pow(0.5, (t_max - t) / x)) spellings) or "
+        "functions/analytics for the deterministic per-key scan"
+    ),
+    "exponentialTimeDecayedAvg": (
+        "exponentialTimeDecayedAvg(): see exponentialMovingAverage — "
+        "spell the decay explicitly over an ordered window"
+    ),
+    "largestTriangleThreeBuckets": (
+        "largestTriangleThreeBuckets() is LTTB chart downsampling — "
+        "an order-dependent scan; bucket by ntile() and pick "
+        "max_by(point, area) per bucket, or downsample client-side"
+    ),
+    "sparkbar": (
+        "sparkbar() is a CLI rendering helper — bucket with "
+        "width_bucket() + repeat('█', n) like bar()"
+    ),
+    "maxIntersections": (
+        "maxIntersections(): CH's boundary tie rule (whether touching "
+        "segments intersect) is not pinned by its docs — spell the "
+        "sweep explicitly: explode (start,+1),(end,-1), running "
+        "sum() OVER (ORDER BY point), max.  intervalLengthSum IS "
+        "bridged (tie-safe: boundary points have measure zero)"
+    ),
+    "maxIntersectionsPosition": (
+        "maxIntersectionsPosition(): see maxIntersections — the same "
+        "explicit sweep's argmax"
+    ),
 }
 
 #: CH's -State / -Merge / -SimpleState combinators carry partial
