@@ -4948,6 +4948,12 @@ def _rewrite_calls(sql: str) -> str:
             # segments sum identically (r11g).  Computes in DOUBLE
             # (CH returns the integer type for integer bounds —
             # exact through 2^53, the module's standard envelope).
+            # SCALE: the collected state is O(intervals per group) —
+            # the topK-fallback shape; grafana-panel groups are fine,
+            # a million-interval group wants the window spelling
+            # instead (sum over max(e) OVER (PARTITION BY key
+            # ORDER BY s, e ROWS … 1 PRECEDING) — the ev26 oracle's
+            # form; rehearsed in tools/scale_rehearsal_round11.py).
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(
