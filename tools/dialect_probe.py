@@ -850,6 +850,14 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT g FROM (SELECT number % 2 AS g, number AS s,"
      " number + 1 + number % 2 AS e FROM numbers(6)) GROUP BY g"
      " HAVING intervalLengthSum(s, e) > 5", (1,)),
+    # --- r11k: named raises for sampling / client output / stats
+    ("SELECT number FROM numbers(10) SAMPLE 1/2", None),  # clean-raise
+    ("SELECT number FROM numbers(3) INTO OUTFILE 'x.csv'", None),
+    ("SELECT studentTTest(number, number % 2) FROM numbers(8)", None),
+    ("SELECT exponentialMovingAverage(5)(number, number)"
+     " FROM numbers(8)", None),
+    ("SELECT maxIntersections(number, number + 2) FROM numbers(5)",
+     None),  # all clean-raise with pointers
 ]
 
 

@@ -2160,6 +2160,23 @@ def _strip_trailing_clauses(sql: str) -> str:
             "bridge always produces SQL-standard NULLs "
             "(join_use_nulls = 1); coalesce() the right columns to "
             "their defaults if you need CH's default rendering")
+    # r11k named raises (previously raw Spark parse errors): the
+    # SAMPLE clause depends on CH's sampling-key data layout — Spark
+    # TABLESAMPLE draws a DIFFERENT (non-deterministic) row subset,
+    # a silent sample change; INTO OUTFILE is client-side output.
+    m = _scan_toplevel(sql, r"(?i)\bSAMPLE\s+[\d./]")
+    if m is not None:
+        raise UnsupportedChSql(
+            "FROM … SAMPLE n: ClickHouse samples deterministically by "
+            "the table's SAMPLE BY key — Spark TABLESAMPLE draws a "
+            "different, non-reproducible subset.  Use a content-stable "
+            "predicate instead (e.g. xxhash64(key) % 10 = 0, the "
+            "datapipe/sampling.py discipline)")
+    m = _scan_toplevel(sql, r"(?i)\bINTO\s+OUTFILE\b")
+    if m is not None:
+        raise UnsupportedChSql(
+            "INTO OUTFILE is ClickHouse client-side output — use "
+            "df.write.csv/parquet(...) on the returned DataFrame")
     for pat in (r"\bSETTINGS\s+\w+\s*=", r"\bFORMAT\s+\w+\s*$"):
         m = _scan_toplevel(sql, pat)
         if m is not None:
