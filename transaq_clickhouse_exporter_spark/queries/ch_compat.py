@@ -2160,18 +2160,9 @@ def _strip_trailing_clauses(sql: str) -> str:
             "bridge always produces SQL-standard NULLs "
             "(join_use_nulls = 1); coalesce() the right columns to "
             "their defaults if you need CH's default rendering")
-    # r11k named raises (previously raw Spark parse errors): the
-    # SAMPLE clause depends on CH's sampling-key data layout — Spark
-    # TABLESAMPLE draws a DIFFERENT (non-deterministic) row subset,
-    # a silent sample change; INTO OUTFILE is client-side output.
-    m = _scan_toplevel(sql, r"(?i)\bSAMPLE\s+[\d./]")
-    if m is not None:
-        raise UnsupportedChSql(
-            "FROM … SAMPLE n: ClickHouse samples deterministically by "
-            "the table's SAMPLE BY key — Spark TABLESAMPLE draws a "
-            "different, non-reproducible subset.  Use a content-stable "
-            "predicate instead (e.g. xxhash64(key) % 10 = 0, the "
-            "datapipe/sampling.py discipline)")
+    # r11k named raise (previously a raw Spark parse error); the
+    # SAMPLE clause already has its own raise in translate_ch_sql
+    # (datapipe.sampling.hash_sample pointer)
     m = _scan_toplevel(sql, r"(?i)\bINTO\s+OUTFILE\b")
     if m is not None:
         raise UnsupportedChSql(
