@@ -780,3 +780,29 @@ def test_review_r11f_fixes_are_pinned(spark):
         "SELECT isNaN(tupleElement(simpleLinearRegression(number,"
         " number), 1)) AS d FROM numbers(1)").collect()[0]
     assert bool(r.d) is True
+
+
+def test_r11l_array_join_at_any_nesting_depth(spark):
+    """Probe r11l found the ARRAY JOIN bridge only fired at the TOP
+    level: inside a subquery the clause survived to Spark's parser,
+    which reads `ARRAY JOIN arr AS x` as a plain join against a
+    relation named `arr` — LOUD when no such table exists, SILENT
+    when one does.  The bridge now applies per SELECT block at any
+    depth; the decoy table here proves the silent path is gone."""
+    rows = run_ch_sql(
+        spark,
+        "SELECT sum(u) AS s FROM (SELECT u FROM (SELECT"
+        " arrayEnumerateUniq([7, 7, 8]) AS a FROM numbers(1))"
+        " ARRAY JOIN a AS u)").collect()
+    assert rows[0].s == 4  # [1, 2, 1]
+    # decoy: a registered table named like the array column — before
+    # the fix Spark would silently JOIN it
+    spark.createDataFrame([(99,)], "z int"
+                          ).createOrReplaceTempView("decoy_arr")
+    rows = run_ch_sql(
+        spark,
+        "SELECT count() AS c FROM (SELECT x FROM (SELECT"
+        " array(1, 2, 3) AS decoy_arr FROM numbers(1))"
+        " ARRAY JOIN decoy_arr AS x)").collect()
+    assert rows[0].c == 3  # exploded elements, NOT a join with decoy
+    spark.catalog.dropTempView("decoy_arr")

@@ -858,6 +858,34 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " FROM numbers(8)", None),
     ("SELECT maxIntersections(number, number + 2) FROM numbers(5)",
      None),  # all clean-raise with pointers
+    # --- r11l: third composition round (older machinery × r11)
+    # WITH TOTALS over a bridged round() aggregate projection
+    ("SELECT number % 2 AS g, round(sum(number + 0.25), 1) AS s"
+     " FROM numbers(4) GROUP BY g WITH TOTALS ORDER BY g NULLS LAST",
+     None),  # ok-run: totals row key is NULL (documented deviation)
+    # ARRAY JOIN feeding arrayEnumerateUniq's output
+    ("SELECT sum(u) AS s FROM (SELECT u FROM (SELECT"
+     " arrayEnumerateUniq([7, 7, 8]) AS a FROM numbers(1))"
+     " ARRAY JOIN a AS u)", (4,)),
+    # scalar WITH constant inside boundingRatio arguments
+    ("WITH 3 AS k SELECT boundingRatio(number, number * k) AS r"
+     " FROM numbers(10)", (3.0,)),
+    # DISTINCT ON + trunc in the sort key
+    ("SELECT count() AS c FROM (SELECT DISTINCT ON (g) g, v FROM"
+     " (SELECT trunc(number / 3) AS g, number AS v FROM numbers(9))"
+     " ORDER BY g, v)", (3,)),
+    # format() placeholder filled by overlay()
+    ("SELECT format('[{}]', overlay('abc', 'Z', 2)) AS f", ("[aZc]",)),
+    # LIMIT BY ordered by editDistanceUTF8 (expression sort key)
+    ("SELECT g, w FROM (SELECT number % 2 AS g, CASE number % 3"
+     " WHEN 0 THEN 'cat' WHEN 1 THEN 'cart' ELSE 'dog' END AS w"
+     " FROM numbers(6)) ORDER BY g, editDistanceUTF8(w, 'cat'), w"
+     " LIMIT 1 BY g", None),  # ok-run (per-group nearest word)
+    # hasToken under an ANY LEFT JOIN's USING dedup
+    ("SELECT count() AS c FROM (SELECT number % 2 AS k FROM"
+     " numbers(4)) AS a ANY LEFT JOIN (SELECT 0 AS k, 'x y' AS s"
+     " UNION ALL SELECT 0, 'x y') AS b USING (k)"
+     " WHERE hasToken(coalesce(s, ''), 'y')", (2,)),
 ]
 
 

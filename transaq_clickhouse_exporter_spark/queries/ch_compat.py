@@ -1520,7 +1520,11 @@ def translate_ch_sql(
             "silently change string ordering; sort a locale-folded "
             "key expression instead"
         )
-    sql = _array_join_clause(sql)
+    # any nesting depth: a SUBQUERY's ARRAY JOIN left untranslated
+    # parses in Spark as a plain join against a relation named like
+    # the array — loud if no such table exists, SILENT if one does
+    # (probe r11l caught the nested shape)
+    sql = _recurse_select_blocks(sql, _array_join_clause)
     if _scan_toplevel(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
         raise UnsupportedChSql(
             "ASOF JOIN has no Spark SQL equivalent — run_ch_sql bridges "
