@@ -886,6 +886,20 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " numbers(4)) AS a ANY LEFT JOIN (SELECT 0 AS k, 'x y' AS s"
      " UNION ALL SELECT 0, 'x y') AS b USING (k)"
      " WHERE hasToken(coalesce(s, ''), 'y')", (2,)),
+    # NESTED grammar bridges (probe r11l found ARRAY JOIN only fired
+    # top-level — and a subquery ARRAY JOIN that Spark parses as a
+    # join against a same-named TABLE would be SILENT): PREWHERE,
+    # SETTINGS tails, and ARRAY JOIN now apply per SELECT block
+    ("SELECT sum(v) AS s FROM (SELECT number AS v FROM numbers(10)"
+     " PREWHERE number > 5)", (30,)),
+    ("SELECT count() AS c FROM (SELECT number FROM numbers(5)"
+     " SETTINGS max_threads = 1)", (5,)),
+    ("SELECT sum(u) AS s FROM (SELECT u FROM (SELECT"
+     " arrayEnumerateUniq([7, 7, 8]) AS a FROM numbers(1))"
+     " ARRAY JOIN a AS u)", (4,)),
+    ("SELECT count() AS c FROM (SELECT k FROM (SELECT 0 AS k) AS a"
+     " ANY LEFT JOIN (SELECT 0 AS k UNION ALL SELECT 0) AS b"
+     " USING (k))", (1,)),
 ]
 
 

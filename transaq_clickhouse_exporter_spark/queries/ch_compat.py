@@ -935,7 +935,13 @@ def register_ch_functions(spark: SparkSession) -> None:
             "legacy-mode session would silently wrap/null instead) — "
             "set it on this session before run_ch_sql"
         )
-    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+    except Exception:
+        # Spark 4 VALIDATES the fallback value ('' is not a zone) on
+        # sessions where the key was never set explicitly — treat
+        # that as "JVM default zone" rather than crashing (r11l)
+        tz = ""
     token = format(
         zlib.crc32(
             ("\x00".join(n + b for n, b in sorted(_SCALAR_SHIMS.items()))
@@ -1505,8 +1511,12 @@ def translate_ch_sql(
     sql = _with_totals(sql)  # before _scalar_with: TOTALS is not a CTE
     # scalar WITH items appear inside subqueries too (review r10)
     sql = _recurse_select_blocks(sql, _scalar_with)
-    sql = _strip_trailing_clauses(sql)
-    sql = _prewhere_to_where(sql)
+    # any depth: CH allows per-subquery SETTINGS tails and PREWHERE
+    # (probe r11l); the FORMAT end-anchor binds to each block's own
+    # text under the recursion, and the join_use_nulls=0 raise fires
+    # at any depth
+    sql = _recurse_select_blocks(sql, _strip_trailing_clauses)
+    sql = _recurse_select_blocks(sql, _prewhere_to_where)
     if _scan_toplevel(sql, r"\bSAMPLE\s+[\d.]"):
         raise UnsupportedChSql(
             "SAMPLE clause: CH samples deterministically by the table's "
