@@ -799,10 +799,12 @@ def test_r11l_array_join_at_any_nesting_depth(spark):
     # the fix Spark would silently JOIN it
     spark.createDataFrame([(99,)], "z int"
                           ).createOrReplaceTempView("decoy_arr")
-    rows = run_ch_sql(
-        spark,
-        "SELECT count() AS c FROM (SELECT x FROM (SELECT"
-        " array(1, 2, 3) AS decoy_arr FROM numbers(1))"
-        " ARRAY JOIN decoy_arr AS x)").collect()
-    assert rows[0].c == 3  # exploded elements, NOT a join with decoy
-    spark.catalog.dropTempView("decoy_arr")
+    try:
+        rows = run_ch_sql(
+            spark,
+            "SELECT count() AS c FROM (SELECT x FROM (SELECT"
+            " array(1, 2, 3) AS decoy_arr FROM numbers(1))"
+            " ARRAY JOIN decoy_arr AS x)").collect()
+        assert rows[0].c == 3  # exploded elements, NOT a decoy join
+    finally:
+        spark.catalog.dropTempView("decoy_arr")

@@ -863,10 +863,6 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT number % 2 AS g, round(sum(number + 0.25), 1) AS s"
      " FROM numbers(4) GROUP BY g WITH TOTALS ORDER BY g NULLS LAST",
      None),  # ok-run: totals row key is NULL (documented deviation)
-    # ARRAY JOIN feeding arrayEnumerateUniq's output
-    ("SELECT sum(u) AS s FROM (SELECT u FROM (SELECT"
-     " arrayEnumerateUniq([7, 7, 8]) AS a FROM numbers(1))"
-     " ARRAY JOIN a AS u)", (4,)),
     # scalar WITH constant inside boundingRatio arguments
     ("WITH 3 AS k SELECT boundingRatio(number, number * k) AS r"
      " FROM numbers(10)", (3.0,)),
@@ -900,6 +896,14 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT count() AS c FROM (SELECT k FROM (SELECT 0 AS k) AS a"
      " ANY LEFT JOIN (SELECT 0 AS k UNION ALL SELECT 0) AS b"
      " USING (k))", (1,)),
+    # per-branch SETTINGS must NOT eat the following UNION branch
+    # (review r11l: the strip cut to end-of-block — silent data loss)
+    ("SELECT sum(x) AS s FROM (SELECT 1 AS x SETTINGS max_threads = 1"
+     " UNION ALL SELECT 2 AS x)", (3,)),
+    # one PREWHERE per UNION branch at the same depth
+    ("SELECT sum(x) AS s FROM (SELECT number AS x FROM numbers(4)"
+     " PREWHERE number > 2 UNION ALL SELECT number FROM numbers(4)"
+     " PREWHERE number > 1)", (8,)),
 ]
 
 

@@ -936,11 +936,12 @@ def register_ch_functions(spark: SparkSession) -> None:
             "set it on this session before run_ch_sql"
         )
     try:
-        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        # no-default get returns the EFFECTIVE zone (JVM default
+        # included) — passing '' as a fallback trips Spark 4's
+        # fallback-value validation on sessions where the key was
+        # never set (r11l)
+        tz = spark.conf.get("spark.sql.session.timeZone")
     except Exception:
-        # Spark 4 VALIDATES the fallback value ('' is not a zone) on
-        # sessions where the key was never set explicitly — treat
-        # that as "JVM default zone" rather than crashing (r11l)
         tz = ""
     token = format(
         zlib.crc32(
@@ -1511,13 +1512,13 @@ def translate_ch_sql(
     sql = _with_totals(sql)  # before _scalar_with: TOTALS is not a CTE
     # scalar WITH items appear inside subqueries too (review r10)
     sql = _recurse_select_blocks(sql, _scalar_with)
-    # any depth: CH allows per-subquery SETTINGS tails and PREWHERE
-    # (probe r11l); the FORMAT end-anchor binds to each block's own
-    # text under the recursion, and the join_use_nulls=0 raise fires
-    # at any depth
-    sql = _recurse_select_blocks(sql, _strip_trailing_clauses)
-    sql = _recurse_select_blocks(sql, _prewhere_to_where)
-    if _scan_toplevel(sql, r"\bSAMPLE\s+[\d.]"):
+    # any depth, ONE walk: CH allows per-subquery SETTINGS tails and
+    # PREWHERE (probe r11l); the FORMAT end-anchor binds to each
+    # block's own text under the recursion, and the join_use_nulls=0
+    # raise fires at any depth
+    sql = _recurse_select_blocks(
+        sql, lambda s: _prewhere_to_where(_strip_trailing_clauses(s)))
+    if re.search(r"(?i)\bSAMPLE\s+[\d.]", _mask_literals(sql)):
         raise UnsupportedChSql(
             "SAMPLE clause: CH samples deterministically by the table's "
             "sampling key, Spark TABLESAMPLE does not — use "
@@ -1535,7 +1536,12 @@ def translate_ch_sql(
     # the array — loud if no such table exists, SILENT if one does
     # (probe r11l caught the nested shape)
     sql = _recurse_select_blocks(sql, _array_join_clause)
-    if _scan_toplevel(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
+    # ANY depth (review r11l): for translate-only callers a NESTED
+    # ASOF JOIN would otherwise reach Spark's parser, which reads
+    # ASOF as a table alias and runs an ordinary inner join on the
+    # >= condition — row multiplication, silently (run_ch_sql's
+    # bridge consumes the supported form before translate)
+    if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", _mask_literals(sql)):
         raise UnsupportedChSql(
             "ASOF JOIN has no Spark SQL equivalent — run_ch_sql bridges "
             "the simple-table form through operators/asof.asof_join "
@@ -2182,17 +2188,46 @@ def _strip_trailing_clauses(sql: str) -> str:
         raise UnsupportedChSql(
             "INTO OUTFILE is ClickHouse client-side output — use "
             "df.write.csv/parquet(...) on the returned DataFrame")
-    for pat in (r"\bSETTINGS\s+\w+\s*=", r"\bFORMAT\s+\w+\s*$"):
-        m = _scan_toplevel(sql, pat)
-        if m is not None:
+    # a SETTINGS tail ends at the next same-depth set operator — CH
+    # allows per-branch SETTINGS in a UNION chain, and cutting to the
+    # end of the block would SILENTLY DROP the following branches
+    # (review r11l)
+    guard = 0
+    while guard < 32:
+        guard += 1
+        m = _scan_toplevel(sql, r"\bSETTINGS\s+\w+\s*=")
+        if m is None:
+            break
+        nxt = _scan_toplevel(sql[m.end():],
+                             r"\b(UNION|EXCEPT|INTERSECT)\b")
+        if nxt is None:
             sql = sql[: m.start()].rstrip()
+        else:
+            sql = (sql[: m.start()].rstrip() + " "
+                   + sql[m.end() + nxt.start():])
+    m = _scan_toplevel(sql, r"\bFORMAT\s+\w+\s*$")
+    if m is not None:
+        sql = sql[: m.start()].rstrip()
     return sql
 
 
 def _prewhere_to_where(sql: str) -> str:
     """``PREWHERE`` is CH's manual pushdown stage; relationally it is
     the same filter — merge into WHERE (Catalyst does its own
-    pushdown).  ``PREWHERE a WHERE b`` → ``WHERE (a) AND (b)``."""
+    pushdown).  ``PREWHERE a WHERE b`` → ``WHERE (a) AND (b)``.
+    Loops: a UNION chain holds one PREWHERE per branch at the same
+    depth (review r11l)."""
+    guard = 0
+    while guard < 32:
+        guard += 1
+        nxt = _prewhere_to_where_once(sql)
+        if nxt == sql:
+            return sql
+        sql = nxt
+    return sql
+
+
+def _prewhere_to_where_once(sql: str) -> str:
     m = _scan_toplevel(sql, r"\bPREWHERE\b")
     if m is None:
         return sql
