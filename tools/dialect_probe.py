@@ -904,6 +904,15 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT sum(x) AS s FROM (SELECT number AS x FROM numbers(4)"
      " PREWHERE number > 2 UNION ALL SELECT number FROM numbers(4)"
      " PREWHERE number > 1)", (8,)),
+    # WITH TOTALS inside a subquery (the totals row's NULL key rides
+    # into the outer count — _with_totals scans at any depth)
+    ("SELECT count() AS c FROM (SELECT number % 2 AS g,"
+     " sum(number) AS s FROM numbers(4) GROUP BY g WITH TOTALS)",
+     (3,)),
+    # UNION DISTINCT: the explicit spelling both engines share
+    ("SELECT count() AS c FROM (SELECT number % 2 AS v FROM"
+     " numbers(4) UNION DISTINCT SELECT number % 3 FROM numbers(6))",
+     (3,)),
 ]
 
 
