@@ -4538,14 +4538,9 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
-    "db02_volume_by_interval_sell",   # twin of db01 (buy)
-    "db05_netto_union_sell_top10",    # twin of db04 (buy)
-    "db09_imoex_diff_by_interval",    # twin of db07 (all-board diff)
-    "db11_imoex_volume_by_interval_sell",  # twin of db10 (buy)
     "db12_etf_volume_by_interval_buy",     # twin of db10 (dim filter differs)
     "db13_imoex_volume_by_time",      # by-time family still covered by db15
     "db14_lots_by_time_sell",         # twin of db13/db15 time-series family
-    "db16_distinct_sec_codes",        # DISTINCT+LIMIT evidence stays via db17
     "ev02_json_extract",              # locally gated; scalar surface ubiquitous
     "in03_candles_windowed",          # candle evidence stays via in05 (exact fold)
     "dp08_stratified_sample",         # sampling evidence stays via dp27 (weighted)
@@ -4691,17 +4686,34 @@ _TAIL_NAMES = (
                                       # banked; dp05/dp17 keep near-dup class
     "dp20_mixture_weights",           # mixture weights: r10 row banked;
                                       # dp33 keeps the sampling class
-    # round-11 additions start in the tail; they earn rows next round.
-    "ev24_columns_apply_sql",         # COLUMNS('re') APPLY resolved
-                                      # from the session catalog (r11b)
-    "ev25_fill_interpolate_sql",      # WITH FILL INTERPOLATE LOCF
-                                      # bridge (r11c) vs DuckDB
-                                      # last_value IGNORE NULLS
-    "op10_asof_forward_sql",          # forward-strict ASOF (< compara-
-                                      # tor, r11e) vs DuckDB ASOF JOIN
-    "ev26_interval_profile_sql",      # intervalLengthSum merge fold +
-                                      # boundingRatio (r11g) vs DuckDB
-                                      # running-max window + arg_max
+    # ROUND-12 ROTATION (executes VERDICT r11 item 1): the four
+    # round-11 additions (ev24/ev25/op10/ev26) move INTO the window —
+    # restoring the invariant that every catalog entry has held an
+    # external driver row — plus the five longest-stale dashboard
+    # entries re-earn (db16 tail since r04; db02/db05/db09/db11 tail
+    # since r01, the oldest cohort in the catalog).  The nine
+    # displacements below ALL hold green rows in CORRECTNESS_r11 and
+    # each leaves an in-window class representative, named per entry.
+    "op09_asof_left_bridge",          # ASOF LEFT bridge: r11 row banked;
+                                      # op10 (forward-strict) enters the
+                                      # bridge class; op05 range join stays
+    "an06_ema",                       # recursive EMA fold: r11 row banked;
+                                      # window class keeps an08/an10/an11
+    "ev05_pivot",                     # pivot: r11 row banked; wide-agg
+                                      # shape stays via tp01/db04
+    "ev09_quantile_sketch",           # quantile sketch: r11 row banked;
+                                      # quantile class keeps an10 (weighted)
+    "tp05_rollup_grouping",           # ROLLUP grouping sets: r11 row
+                                      # banked; agg class keeps tp01/tp06
+    "dp12_split_assign",              # split assignment: r11 row banked;
+                                      # sampling class keeps dp33 + dp10
+    "ev18_scalar_with_sql",           # scalar-WITH dialect: r11 row banked;
+                                      # dialect-SQL class keeps ev17/ev22/
+                                      # ev23 + ev24/ev25/ev26 entering
+    "ev20_text_hash_profile_sql",     # text-hash dialect: r11 row banked;
+                                      # text class keeps dp28/dp14 in-window
+    "ev14_window_funnel_ch",          # CH-exact funnel: r11 row banked;
+                                      # funnel class keeps ev08 in-window
 )
 
 
