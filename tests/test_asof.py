@@ -68,6 +68,44 @@ def test_asof_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_matched_row_travels_whole(spark):
+    """ADVICE r11 #1: when the MATCHED right row holds a NULL in one
+    payload column, that NULL must survive — per-column ignorenulls
+    windows would silently pull the column from an OLDER right row,
+    mixing two right rows into one output row (CH ASOF JOIN returns
+    the matched row whole, incl. its NULLs).  Pinned across all four
+    direction/strict modes, multi-column payload, and tolerance."""
+    trades = spark.createDataFrame(
+        [("SBER", 150, 1)], "sec string, ts long, trade_no long")
+    quotes = spark.createDataFrame(
+        [("SBER", 95, 10.0, 100.0), ("SBER", 140, None, 200.0),
+         ("SBER", 160, 12.0, None), ("SBER", 210, None, 400.0)],
+        "sec string, ts long, bid double, ask double",
+    )
+    # backward: match is quote@140 → bid NULL (not 10.0 from @95), ask 200
+    row = asof_join(trades, quotes, by=["sec"], left_ts="ts", right_ts="ts",
+                    right_ts_out="qts").collect()[0]
+    assert (row["bid"], row["ask"], row["qts"]) == (None, 200.0, 140)
+    # forward: match is quote@160 → ask NULL (not 400.0 from @210), bid 12
+    row = asof_join(trades, quotes, by=["sec"], left_ts="ts", right_ts="ts",
+                    right_ts_out="qts", direction="forward").collect()[0]
+    assert (row["bid"], row["ask"], row["qts"]) == (12.0, None, 160)
+    # strict modes pick the same rows here (no ts collision) — same pins
+    row = asof_join(trades, quotes, by=["sec"], left_ts="ts", right_ts="ts",
+                    right_ts_out="qts", strict=True).collect()[0]
+    assert (row["bid"], row["ask"], row["qts"]) == (None, 200.0, 140)
+    row = asof_join(trades, quotes, by=["sec"], left_ts="ts", right_ts="ts",
+                    right_ts_out="qts", direction="forward", strict=True).collect()[0]
+    assert (row["bid"], row["ask"], row["qts"]) == (12.0, None, 160)
+    # tolerance rides the matched row's own timestamp: gap 150-140=10
+    row = asof_join(trades, quotes, by=["sec"], left_ts="ts", right_ts="ts",
+                    right_ts_out="qts", tolerance_seconds=10).collect()[0]
+    assert (row["bid"], row["ask"], row["qts"]) == (None, 200.0, 140)
+    row = asof_join(trades, quotes, by=["sec"], left_ts="ts", right_ts="ts",
+                    right_ts_out="qts", tolerance_seconds=5).collect()[0]
+    assert (row["bid"], row["ask"], row["qts"]) == (None, None, None)
+
+
 def test_asof_four_comparators_vs_duckdb(spark):
     """r11e (VERDICT r10 item 8): CH's four ASOF comparators —
     ``>=`` (closest at-or-before), ``>`` (strictly before), ``<=``

@@ -808,3 +808,31 @@ def test_r11l_array_join_at_any_nesting_depth(spark):
         assert rows[0].c == 3  # exploded elements, NOT a decoy join
     finally:
         spark.catalog.dropTempView("decoy_arr")
+
+
+def test_advice_r12_position_ansi_alias_and_ties_rewritten_keys(spark):
+    """ADVICE r11 #3/#4: CH's ANSI alias ``position(needle IN
+    haystack)`` (one arg, no top-level comma) must keep working
+    through the case-insensitive interception — it maps to the same
+    byte-based position as position(haystack, needle); and a LIMIT …
+    WITH TIES sort key whose REWRITE emits bound-struct field access
+    (greatest → __abN.field) must not trip the table-qualified-key
+    guard."""
+    r = run_ch_sql(
+        spark,
+        "SELECT position('c' IN 'abcd') AS p1,"
+        " POSITION('x' IN 'abcd') AS p0,"
+        " position('в' IN 'привет') AS pb,"
+        " position(upper('c') IN upper('abcd')) AS pe"
+        " FROM numbers(1)").collect()[0]
+    # byte offsets, like CH's position: 'в' is the 4th char but byte 7
+    assert (r.p1, r.p0, r.pb, r.pe) == (3, 0, 7, 3)
+    # two-arg form still haystack-first
+    r = run_ch_sql(spark, "SELECT position('abcd', 'c') AS p"
+                          " FROM numbers(1)").collect()[0]
+    assert r.p == 3
+    rows = run_ch_sql(
+        spark,
+        "SELECT number AS a, number % 3 AS b FROM numbers(6)"
+        " ORDER BY greatest(b, 0), a LIMIT 2 WITH TIES").collect()
+    assert [(r.a, r.b) for r in rows] == [(0, 0), (3, 0)]

@@ -137,6 +137,21 @@ def test_progress_identity_guards(tmp_path):
         raise AssertionError("stale-seed giant batch was not refused")
     except RuntimeError as e:
         assert "fresh" in str(e)
+        assert "checkpoint directory" in str(e)  # ADVICE r11 #2: the
+        # offset log already WALed the range — progress file alone
+        # is not enough to delete
+    # ADVICE r11 #2: a maxTicks cap BELOW the stale HWM must not
+    # bypass the guard — batch 0..max still replays stale ticks
+    r = tx_source.TickStreamReader(
+        {"ticksPerBatch": "100", "progressPath": str(p),
+         "maxTicks": "500"})
+    assert r.latestOffset() == {"i": 500}  # capped below HWM 99999
+    assert r.initialOffset() == {"i": 0}
+    try:
+        r.partitions({"i": 0}, {"i": 500})
+        raise AssertionError("capped stale-seed batch was not refused")
+    except RuntimeError as e:
+        assert "fresh" in str(e)
     # a resumed checkpoint (no initialOffset call) replays normally
     r = tx_source.TickStreamReader(
         {"ticksPerBatch": "100", "progressPath": str(p)})

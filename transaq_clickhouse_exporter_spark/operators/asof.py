@@ -7,14 +7,15 @@ positions-merge pattern (O-11) to two-sided streams.
 Implementation is the **union + last-ignorenulls window** trick, not a
 per-group ``pd.merge_asof`` UDF:
 
-1. tag right rows side=0 carrying their payload, left rows side=1 with
-   NULL payload;
+1. tag right rows side=0 carrying their payload as ONE struct (so the
+   matched row travels whole — per-column fills would mix rows when a
+   payload column is NULL), left rows side=1 with a NULL struct;
 2. union; one window per key ordered by (ts, side) — at equal
    timestamps the right row sorts first, giving the standard
    ``left.ts >= right.ts`` inclusive semantics;
-3. ``last(payload, ignorenulls=True)`` over the unbounded-preceding
-   frame pulls the latest right payload onto every left row;
-4. keep side=1.
+3. ``last(struct, ignorenulls=True)`` over the unbounded-preceding
+   frame pulls the latest right ROW onto every left row;
+4. keep side=1, expand the struct fields.
 
 Scale shape: ONE shuffle (the window partition on the key), no
 row-pairing blowup, no Python.  Skewed keys behave like any windowed
@@ -27,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -67,14 +69,24 @@ def asof_join(
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
 
+    # The whole right payload rides ONE struct (plus the matched
+    # timestamp) so a single last(ignorenulls) window pulls the matched
+    # right row WHOLE — per-column windows would silently mix columns
+    # from different right rows whenever the matched row holds a NULL
+    # in one payload column (CH ASOF JOIN returns the row incl. its
+    # NULLs).  The struct itself is non-null on right rows even when
+    # every payload field is NULL, so it is an exact row marker.
+    pay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+        + [T.StructField("__rts", right.schema[right_ts].dataType)]
+    )
     l_tag = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.col(left_ts),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        F.lit(None).cast(pay_type).alias("__pay"),
     )
     r_tag = right.select(
         *by,
@@ -82,8 +94,10 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        *[F.col(c) for c in payload],
-        F.col(right_ts).alias("__rts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in payload],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__pay"),
     )
     u = l_tag.unionByName(r_tag)
     # time order: ascending for backward (last seen = closest BELOW),
@@ -105,28 +119,29 @@ def asof_join(
         "__side",
         left_ts,
         *l_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
+        F.last("__pay", ignorenulls=True).over(w).alias("__pay"),
     )
     out = filled.filter(F.col("__side") == 1)
+    rts = F.col("__pay.__rts")
     if tolerance_seconds is not None:
         is_ts = right.schema[right_ts].dataType.typeName().startswith("timestamp")
-        as_s = (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: F.col(c) if isinstance(c, str) else c)
-        gap = (as_s("__ts") - as_s("__rts") if direction == "backward"
-               else as_s("__rts") - as_s("__ts"))
-        stale = F.col("__rts").isNull() | (gap > tolerance_seconds)
+        as_s = (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: c)
+        gap = (as_s(F.col("__ts")) - as_s(rts) if direction == "backward"
+               else as_s(rts) - as_s(F.col("__ts")))
+        stale = F.col("__pay").isNull() | (gap > tolerance_seconds)
         out = out.select(
             *by, left_ts, *l_cols,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload],
+            *[F.when(stale, F.lit(None)).otherwise(F.col(f"__pay.{c}")).alias(c) for c in payload],
             *(
-                [F.when(stale, F.lit(None)).otherwise(F.col("__rts")).alias(right_ts_out)]
+                [F.when(stale, F.lit(None)).otherwise(rts).alias(right_ts_out)]
                 if right_ts_out
                 else []
             ),
         )
     else:
         out = out.select(
-            *by, left_ts, *l_cols, *payload,
-            *([F.col("__rts").alias(right_ts_out)] if right_ts_out else []),
+            *by, left_ts, *l_cols,
+            *[F.col(f"__pay.{c}").alias(c) for c in payload],
+            *([rts.alias(right_ts_out)] if right_ts_out else []),
         )
     return out

@@ -2385,8 +2385,14 @@ def _limit_with_ties(sql: str) -> str:
     keys_sh = _mask_literals(keys)
     # a '.' outside numeric literals means table-qualified keys, which
     # the wrapper's subquery would flatten (decimal literals like 0.5
-    # inside key expressions are fine — review r11f)
-    if "." in re.sub(r"\d+\.\d*|\.\d+", "", keys_sh):
+    # inside key expressions are fine — review r11f).  The dialect's
+    # OWN rewrite artifacts are exempt: _bind_once struct access
+    # (__abN.field) and the wrapper's __wtin qualifier are not user
+    # table qualifiers (ADVICE r11 #4 — ORDER BY greatest(a,b) keys
+    # rewrite into bound-struct dots and raised spuriously).
+    scan = re.sub(r"__ab\d+\.\w+|\b__wtin\.", "",
+                  re.sub(r"\d+\.\d*|\.\d+", "", keys_sh))
+    if "." in scan:
         raise UnsupportedChSql(
             "LIMIT … WITH TIES with table-qualified sort keys is not "
             "bridged (the rank() wrapper flattens qualifiers) — alias "
@@ -4255,11 +4261,28 @@ def _rewrite_calls(sql: str) -> str:
             # standard) registrations, so POSITION(...) must be
             # intercepted too (review r11a); the CH-specific *UTF8 /
             # *CaseInsensitive spellings stay exact-case.  CH's
-            # non-UTF8 spellings return BYTE offsets (5 for the 'в' in
-            # 'привет'); Spark locate() is character-based, so the
+            # non-UTF8 spellings return BYTE offsets (the 'в' in
+            # 'привет' is at byte 7); Spark locate() is character-based, so the
             # byte forms re-measure the prefix with octet_length —
             # identical on ASCII, CH-exact on multi-byte (review r9).
             parts = _split_args(inner)
+            if len(parts) == 1 and name.lower() == "position":
+                # ANSI alias position(needle IN haystack) — one arg,
+                # no top-level comma (ADVICE r11 #3: the now case-
+                # insensitive interception must not break it).  CH
+                # documents the alias as equivalent to
+                # position(haystack, needle), i.e. byte-based — swap
+                # to haystack-first and fall through.
+                masked = _mask_literals(parts[0])
+                hit = next(
+                    (m for m in re.finditer(r"(?i)\bIN\b", masked)
+                     if masked.count("(", 0, m.start())
+                     == masked.count(")", 0, m.start())),
+                    None,
+                )
+                if hit is not None:
+                    parts = [parts[0][hit.end():].strip(),
+                             parts[0][:hit.start()].strip()]
             if len(parts) not in (2, 3):
                 raise UnsupportedChSql(
                     f"{name}(haystack, needle[, start]) expects 2-3 args")

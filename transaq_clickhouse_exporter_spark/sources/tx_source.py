@@ -168,15 +168,24 @@ class TickStreamReader(DataSourceStreamReader):
         return {"i": self._latest}
 
     def partitions(self, start, end):
-        if (self._saw_initial and start["i"] == 0 and self._seed > 0
-                and end["i"] >= self._seed):
+        if self._saw_initial and start["i"] == 0 and self._seed > 0:
+            # No end >= seed conjunct: a maxTicks cap below the stale
+            # HWM would otherwise serve the giant 0..max batch anyway
+            # (ADVICE r11 #2).  And the engine WALs this offset range
+            # BEFORE partitions() raises, so deleting only the progress
+            # file would silently replay it on restart (initialOffset
+            # is no longer called once the offset log exists) — the
+            # checkpoint must go too.
             raise RuntimeError(
                 "tx_source progressPath holds a persisted high-water "
                 f"mark of {self._seed} but the CHECKPOINT is fresh — "
-                "batch 0 would replay the whole stale range in one "
-                "giant micro-batch.  Delete the stale progress file "
-                "(or point progressPath somewhere new) when starting "
-                "a fresh checkpoint")
+                "batch 0 would replay the stale range in one giant "
+                "micro-batch.  Delete BOTH the stale progress file "
+                "(or point progressPath somewhere new) AND this "
+                "query's checkpoint directory before restarting: the "
+                "checkpoint's offset log has already recorded the "
+                "stale range, so keeping it replays that batch "
+                "silently on restart")
         if end["i"] < start["i"]:
             raise RuntimeError(
                 "tx_source restarted behind the checkpoint offset "
