@@ -836,3 +836,82 @@ def test_advice_r12_position_ansi_alias_and_ties_rewritten_keys(spark):
         "SELECT number AS a, number % 3 AS b FROM numbers(6)"
         " ORDER BY greatest(b, 0), a LIMIT 2 WITH TIES").collect()
     assert [(r.a, r.b) for r in rows] == [(0, 0), (3, 0)]
+
+
+def test_r12_interval_length_sum_plans_stateless_window(spark):
+    """VERDICT r11 item 3: intervalLengthSum plans the STATELESS
+    window spelling by default — the source is wrapped to compute a
+    per-row merge contribution (running max(end) cover within the
+    GROUP BY keys) and the call becomes sum() over it, so no task
+    ever collects O(intervals-per-group) structs.  Value-pinned
+    against the fold across grouped/ungrouped/sibling-aggregate/
+    qualified shapes incl. NULL intervals; declined shapes (joined
+    FROM) keep the fold and warn by name."""
+    import random
+    import warnings
+
+    from transaq_clickhouse_exporter_spark.queries import ch_compat
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        IlsFoldWarning)
+
+    rng = random.Random(42)
+    rows = [(k, rng.randint(0, 100), rng.randint(0, 100))
+            for k in range(6) for _ in range(50)]
+    rows += [(0, None, 5), (1, 7, None), (7, None, None)]
+    spark.createDataFrame(rows, "k int, s int, e int"
+                          ).createOrReplaceTempView("ils_t")
+    spark.createDataFrame(rows, "k int, s int, e int"
+                          ).createOrReplaceGlobalTempView("ils_g")
+
+    orig = ch_compat._preaggregate_ils
+
+    def both(sql):
+        got = [tuple(r) for r in run_ch_sql(spark, sql).collect()]
+        ch_compat._preaggregate_ils = lambda s: s
+        try:
+            fold = [tuple(r) for r in run_ch_sql(spark, sql).collect()]
+        finally:
+            ch_compat._preaggregate_ils = orig
+        return got, fold
+
+    for sql in (
+        "SELECT k, intervalLengthSum(s, e) AS c FROM ils_t"
+        " GROUP BY k ORDER BY k",
+        "SELECT intervalLengthSum(s, e) AS c FROM ils_t",
+        "SELECT k % 2 AS kk, count(*) AS n,"
+        " intervalLengthSum(s, e + 1) AS c, sum(e) AS se FROM ils_t"
+        " WHERE k < 5 GROUP BY kk"
+        " HAVING intervalLengthSum(s, e + 1) > 0 ORDER BY kk",
+        "SELECT max(c) AS m FROM (SELECT k, intervalLengthSum(s, e)"
+        " AS c FROM ils_t GROUP BY k)",
+        "SELECT t.k AS k, intervalLengthSum(t.s, t.e) AS c"
+        " FROM ils_t AS t GROUP BY t.k ORDER BY k",
+        # review r12a: the CH alias-in-WHERE idiom must survive the
+        # wrap (the statement-level inliner runs after the rewrite
+        # and can no longer see this block's SELECT list)
+        "SELECT k % 2 AS kk, intervalLengthSum(s, e) AS c FROM ils_t"
+        " WHERE kk = 1 GROUP BY kk",
+        # review r12a: a bare schema-qualified table keeps its last
+        # name component as the wrap alias, so qualified refs resolve
+        "SELECT ils_g.k AS k, intervalLengthSum(ils_g.s, ils_g.e)"
+        " AS c FROM global_temp.ils_g GROUP BY ils_g.k ORDER BY k",
+    ):
+        got, fold = both(sql)
+        assert got == fold, sql
+
+    df = run_ch_sql(spark, "SELECT k, intervalLengthSum(s, e) AS c"
+                           " FROM ils_t GROUP BY k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "Window" in plan
+
+    spark.createDataFrame([(0,), (1,)], "k int"
+                          ).createOrReplaceTempView("ils_k")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = run_ch_sql(
+            spark,
+            "SELECT t.k AS k, intervalLengthSum(t.s, t.e) AS c"
+            " FROM ils_t AS t INNER JOIN ils_k AS j ON t.k = j.k"
+            " GROUP BY t.k ORDER BY k").collect()
+    assert any(issubclass(x.category, IlsFoldWarning) for x in w)
+    assert len(out) == 2
