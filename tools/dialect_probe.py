@@ -913,6 +913,136 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT count() AS c FROM (SELECT number % 2 AS v FROM"
      " numbers(4) UNION DISTINCT SELECT number % 3 FROM numbers(6))",
      (3,)),
+    # --- r12a: SYSTEMATIC bridge x nesting grid (VERDICT r11 item 2).
+    # Every statement-level bridge (LIMIT BY, DISTINCT ON, ARRAY JOIN,
+    # scalar WITH, PREWHERE, SETTINGS, WITH FILL, WITH TOTALS) crossed
+    # with {depth-2 subquery, UNION branch, CTE body, IN-subquery},
+    # one value-asserted cell each — the r11 late finds (nested ARRAY
+    # JOIN, SETTINGS eating a UNION branch, nested PREWHERE) came from
+    # this product discovered ad hoc; this enumerates it deliberately.
+    # LIMIT BY x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (SELECT g, v FROM (SELECT number % 2 AS g,"
+     " number AS v FROM numbers(6)) ORDER BY g, v LIMIT 1 BY g)", (1,)),
+    ("SELECT sum(v) AS s FROM ((SELECT v FROM (SELECT g, v FROM (SELECT"
+     " number % 2 AS g, number AS v FROM numbers(6)) ORDER BY g, v"
+     " LIMIT 1 BY g)) UNION ALL SELECT 100 AS v)", (101,)),
+    ("WITH cg1 AS (SELECT g, v FROM (SELECT number % 2 AS g, number AS v"
+     " FROM numbers(6)) ORDER BY g, v LIMIT 1 BY g)"
+     " SELECT sum(v) AS s FROM cg1", (1,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT v FROM"
+     " (SELECT g, v FROM (SELECT number % 2 AS g, number AS v FROM"
+     " numbers(6)) ORDER BY g, v LIMIT 1 BY g))", (2,)),
+    # DISTINCT ON x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (SELECT DISTINCT ON (g) g, v FROM (SELECT"
+     " number % 3 AS g, number AS v FROM numbers(9)) ORDER BY g, v)", (3,)),
+    ("SELECT sum(v) AS s FROM ((SELECT v FROM (SELECT DISTINCT ON (g) g,"
+     " v FROM (SELECT number % 3 AS g, number AS v FROM numbers(9))"
+     " ORDER BY g, v)) UNION ALL SELECT 100 AS v)", (103,)),
+    ("WITH cg2 AS (SELECT DISTINCT ON (g) g, v FROM (SELECT number % 3"
+     " AS g, number AS v FROM numbers(9)) ORDER BY g, v)"
+     " SELECT sum(v) AS s FROM cg2", (3,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT v FROM"
+     " (SELECT DISTINCT ON (g) g, v FROM (SELECT number % 3 AS g, number"
+     " AS v FROM numbers(9)) ORDER BY g, v))", (3,)),
+    # ARRAY JOIN x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (SELECT u AS v FROM (SELECT [1, 2, 3] AS a"
+     " FROM numbers(1)) ARRAY JOIN a AS u)", (6,)),
+    ("SELECT sum(v) AS s FROM ((SELECT u AS v FROM (SELECT [1, 2, 3] AS a"
+     " FROM numbers(1)) ARRAY JOIN a AS u) UNION ALL SELECT 100 AS v)",
+     (106,)),
+    ("WITH cg3 AS (SELECT u AS v FROM (SELECT [1, 2, 3] AS a FROM"
+     " numbers(1)) ARRAY JOIN a AS u) SELECT sum(v) AS s FROM cg3", (6,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT u AS v"
+     " FROM (SELECT [1, 2, 3] AS a FROM numbers(1)) ARRAY JOIN a AS u)",
+     (3,)),
+    # scalar WITH x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (WITH 5 AS k SELECT number * k AS v"
+     " FROM numbers(3))", (15,)),
+    ("SELECT sum(v) AS s FROM ((WITH 5 AS k SELECT number * k AS v"
+     " FROM numbers(3)) UNION ALL SELECT 100 AS v)", (115,)),
+    ("WITH cg4 AS (WITH 5 AS k SELECT number * k AS v FROM numbers(3))"
+     " SELECT sum(v) AS s FROM cg4", (15,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (WITH 5 AS k"
+     " SELECT number * k AS v FROM numbers(3))", (2,)),
+    # PREWHERE x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (SELECT v FROM (SELECT number AS v FROM"
+     " numbers(10) PREWHERE number > 5))", (30,)),
+    ("SELECT sum(v) AS s FROM ((SELECT number AS v FROM numbers(10)"
+     " PREWHERE number > 5) UNION ALL SELECT 100 AS v)", (130,)),
+    ("WITH cg5 AS (SELECT number AS v FROM numbers(10) PREWHERE"
+     " number > 5) SELECT sum(v) AS s FROM cg5", (30,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT number"
+     " AS v FROM numbers(10) PREWHERE number > 5)", (4,)),
+    # SETTINGS x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (SELECT v FROM (SELECT number AS v FROM"
+     " numbers(5) SETTINGS max_threads = 1))", (10,)),
+    ("SELECT sum(v) AS s FROM ((SELECT number AS v FROM numbers(5)"
+     " SETTINGS max_threads = 1) UNION ALL SELECT 100 AS v)", (110,)),
+    ("WITH cg6 AS (SELECT number AS v FROM numbers(5) SETTINGS"
+     " max_threads = 1) SELECT sum(v) AS s FROM cg6", (10,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT number"
+     " AS v FROM numbers(5) SETTINGS max_threads = 1)", (5,)),
+    # WITH FILL x {depth2, union, cte, in}: the outermost-only contract
+    # raises by name in every nested position (clean-raise cells)
+    ("SELECT sum(v) AS s FROM (SELECT v FROM (SELECT number * 2 AS v FROM"
+     " numbers(3)) ORDER BY v WITH FILL FROM 0 TO 5)", None),
+    ("SELECT sum(v) AS s FROM ((SELECT v FROM (SELECT number * 2 AS v"
+     " FROM numbers(3)) ORDER BY v WITH FILL FROM 0 TO 5)"
+     " UNION ALL SELECT 100 AS v)", None),
+    ("WITH cg7 AS (SELECT v FROM (SELECT number * 2 AS v FROM numbers(3))"
+     " ORDER BY v WITH FILL FROM 0 TO 5) SELECT sum(v) AS s FROM cg7",
+     None),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT v FROM"
+     " (SELECT number * 2 AS v FROM numbers(3)) ORDER BY v WITH FILL"
+     " FROM 0 TO 5)", None),
+    # WITH TOTALS x {depth2, union, cte, in}
+    ("SELECT sum(v) AS s FROM (SELECT g, sum(x) AS v FROM (SELECT"
+     " number % 2 AS g, number AS x FROM numbers(4)) GROUP BY g"
+     " WITH TOTALS)", (12,)),
+    ("SELECT sum(v) AS s FROM ((SELECT g, sum(x) AS v FROM (SELECT"
+     " number % 2 AS g, number AS x FROM numbers(4)) GROUP BY g"
+     " WITH TOTALS) UNION ALL SELECT 9 AS g, 100 AS v)", (112,)),
+    ("WITH cg8 AS (SELECT g, sum(x) AS v FROM (SELECT number % 2 AS g,"
+     " number AS x FROM numbers(4)) GROUP BY g WITH TOTALS)"
+     " SELECT sum(v) AS s FROM cg8", (12,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN (SELECT v FROM"
+     " (SELECT g, sum(x) AS v FROM (SELECT number % 2 AS g, number AS x"
+     " FROM numbers(4)) GROUP BY g WITH TOTALS))", (3,)),
+    # --- r12a second tier: PAIRWISE bridge combos in one block ---
+    ("SELECT sum(v) AS s FROM (SELECT number AS v FROM numbers(10)"
+     " PREWHERE number > 5 SETTINGS max_threads = 1)", (30,)),
+    ("SELECT sum(u) AS s FROM (SELECT u FROM (SELECT number AS n, [1, 2]"
+     " AS a FROM numbers(4)) ARRAY JOIN a AS u PREWHERE n > 1)", (6,)),
+    ("SELECT sum(u) AS s FROM (SELECT u FROM (SELECT [1, 2, 3] AS a"
+     " FROM numbers(1)) ARRAY JOIN a AS u SETTINGS max_threads = 1)",
+     (6,)),
+    ("SELECT sum(v) AS s FROM (SELECT g, v FROM (SELECT number % 2 AS g,"
+     " number AS v FROM numbers(6)) ORDER BY g, v LIMIT 1 BY g"
+     " SETTINGS max_threads = 1)", (1,)),
+    ("SELECT sum(v) AS s FROM (SELECT DISTINCT ON (g) g, v FROM (SELECT"
+     " number % 3 AS g, number AS v FROM numbers(9)) PREWHERE v > 2"
+     " ORDER BY g, v)", (12,)),
+    ("SELECT sum(v) AS s FROM (WITH 5 AS k SELECT number * k AS v"
+     " FROM numbers(4) PREWHERE number > 1)", (25,)),
+    ("SELECT sum(v) AS s FROM (SELECT g, sum(x) AS v FROM (SELECT"
+     " number % 2 AS g, number AS x FROM numbers(4)) GROUP BY g"
+     " WITH TOTALS SETTINGS max_threads = 1)", (12,)),
+    ("SELECT sum(v) AS s FROM (SELECT g, v FROM (SELECT number % 2 AS g,"
+     " number AS v FROM numbers(8)) PREWHERE v > 3 ORDER BY g, v"
+     " LIMIT 1 BY g)", (9,)),
+    ("SELECT sum(v) AS s FROM (WITH 2 AS k SELECT number % 2 AS g,"
+     " number * k AS v FROM numbers(6) ORDER BY g, v LIMIT 1 BY g)",
+     (2,)),
+    ("WITH cg9 AS (SELECT number AS v FROM numbers(4) PREWHERE number > 2"
+     " UNION ALL SELECT u FROM (SELECT [5, 6] AS a FROM numbers(1))"
+     " ARRAY JOIN a AS u) SELECT sum(v) AS s FROM cg9", (14,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number IN"
+     " (WITH 2 AS k SELECT number * k AS v FROM numbers(4)"
+     " PREWHERE number > 0)", (3,)),
+    ("SELECT sum(v) AS s FROM ((SELECT g, sum(x) AS v FROM (SELECT"
+     " number % 2 AS g, number AS x FROM numbers(4)) GROUP BY g"
+     " WITH TOTALS SETTINGS max_threads = 1) UNION ALL"
+     " SELECT 9, 100)", (112,)),
 ]
 
 
