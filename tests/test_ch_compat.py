@@ -915,3 +915,54 @@ def test_r12_interval_length_sum_plans_stateless_window(spark):
             " GROUP BY t.k ORDER BY k").collect()
     assert any(issubclass(x.category, IlsFoldWarning) for x in w)
     assert len(out) == 2
+
+
+def test_r12b_quantified_subquery_comparisons_vs_duckdb(spark):
+    """VERDICT r11 item 6: ANSI quantified comparisons (`x > ANY
+    (SELECT …)`, `<= ALL`, `= ANY`, `!= ALL`, …) — CH parses them,
+    Spark 4 does not.  Bridged to a NULL-exact CASE over min/max/
+    membership scalar subqueries; pinned against DuckDB's native
+    quantifiers across every op x quantifier x {plain, empty,
+    NULL-bearing, all-NULL} set x NULL left operand.  Spark's own
+    IN/NOT IN were NOT reused: their projection-context ListQuery
+    answers FALSE where ANSI answers NULL.  Compound left operands
+    raise by name (parenthesizing fixes them); the any() AGGREGATE
+    (no comparison op / non-subquery arg) is untouched."""
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    sets = {
+        "plain": "SELECT x FROM (VALUES (3), (5), (8)) AS t(x)",
+        "empty": "SELECT x FROM (VALUES (1)) AS t(x) WHERE x > 99",
+        "withnull": "SELECT x FROM (VALUES (3), (NULL), (8)) AS t(x)",
+        "allnull": "SELECT x FROM (VALUES (CAST(NULL AS INT))) AS t(x)",
+    }
+    for (sname, sset), lhs, op, q in itertools.product(
+            sets.items(), ["1", "5", "9", "8", "CAST(NULL AS INT)"],
+            [">", ">=", "<", "<=", "=", "!=", "<>"], ["ANY", "ALL"]):
+        sql = f"SELECT {lhs} {op} {q} ({sset}) AS r"
+        want = con.execute(sql).fetchone()[0]
+        got = run_ch_sql(spark, sql).collect()[0].r
+        assert got == want, (sql, got, want)
+    # compound left operand: loud named raise, never a misparse
+    with pytest.raises(UnsupportedChSql, match="left"):
+        run_ch_sql(spark, "SELECT 1 + 2 > ANY (SELECT 1) AS r")
+    # nondeterministic left operand raises (the rewrite splices it
+    # into several CASE branches — review r12b: rand64/rand32 bypassed
+    # the first guard)
+    for nd in ("rand()", "rand64()"):
+        with pytest.raises(UnsupportedChSql, match="nondeterministic"):
+            run_ch_sql(spark, f"SELECT {nd} > ANY (SELECT 1) AS r")
+    assert run_ch_sql(
+        spark, "SELECT (1 + 2) > ANY (SELECT 1) AS r").collect()[0].r
+    # function-call and paren left operands work
+    assert run_ch_sql(
+        spark, "SELECT abs(-5) >= ALL (SELECT number FROM"
+               " numbers(5)) AS r").collect()[0].r
+    # the CH any() aggregate keeps working, incl. the scalar-subquery
+    # argument shape ANY((SELECT …)) — extra parens = aggregate
+    assert run_ch_sql(
+        spark, "SELECT max(number) = any(number) AS r"
+               " FROM numbers(1)").collect()[0].r

@@ -757,11 +757,12 @@ def test_any_maps_to_any_value_but_quantified_form_survives(spark):
         .createOrReplaceTempView("any_t")
     r = _one(spark, "SELECT any(g) AS a, anyLast(g) AS b FROM any_t")
     assert (r.a, r.b) == ("v", "v")
-    # quantified spelling (comparison op + SUBQUERY argument) passes
-    # through untouched (Spark then raises its own loud error — never
-    # a silent boolean-aggregate rebind)
-    assert "any(SELECT" in translate_ch_sql(
-        "SELECT x FROM t WHERE x > any(SELECT 2)")
+    # quantified spelling (comparison op + SUBQUERY argument) is now
+    # BRIDGED (r12b): rewritten to the NULL-exact CASE over min/max
+    # scalar subqueries — never a silent boolean-aggregate rebind
+    t_q = translate_ch_sql("SELECT x FROM t WHERE x > any(SELECT 2)")
+    assert "min(__qv)" in t_q and "any(" not in t_q.lower().replace(
+        "any_value(", "")
     # …but a comparison op with a NON-subquery argument is still the
     # CH aggregate: `max(f) = any(f)` on a boolean column must not
     # silently become Spark's bool_or (review r9b)
@@ -1330,9 +1331,9 @@ def test_any_join_keeps_one_right_row_per_key(spark):
     with pytest.raises(UnsupportedChSql, match="USING"):
         translate_ch_sql(
             "SELECT 1 FROM a ANY LEFT JOIN b ON a.k = b.k")
-    # quantified-comparison ANY text is untouched (never a join)
+    # quantified-comparison ANY is bridged (r12b), never a join
     t = translate_ch_sql("SELECT x FROM t WHERE x > ANY (SELECT 1)")
-    assert "ANY (SELECT 1)" in t
+    assert "min(__qv)" in t and "ANY (SELECT 1)" not in t
     # UNION ALL is untouched by the ALL noise-word strip
     t = translate_ch_sql("SELECT 1 UNION ALL SELECT 2")
     assert "UNION ALL" in t

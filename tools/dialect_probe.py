@@ -790,12 +790,20 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT ANY(b) AS v FROM (SELECT true AS b UNION ALL"
      " SELECT true)", (True,)),
     ("SELECT Any(number) AS v FROM numbers(1)", (0,)),
-    # quantified subquery comparisons don't exist in Spark SQL at all
-    # — the translator passes the spelling through VERBATIM (pinned
-    # in test_translate_final_and_literals) and Spark's parser
-    # rejects it loudly; spell `> (SELECT max(...))` instead
+    # quantified subquery comparisons (r12b): bridged to the
+    # NULL-exact CASE over min/max scalar subqueries, value-pinned
+    # vs DuckDB in test_ch_compat.py incl. empty/NULL-set cases
     ("SELECT count() AS c FROM numbers(5) WHERE number > ANY"
-     " (SELECT number FROM numbers(3))", None),  # loud-error
+     " (SELECT number FROM numbers(3))", (4,)),
+    ("SELECT count() AS c FROM numbers(5) WHERE number >= ALL"
+     " (SELECT number FROM numbers(3))", (3,)),
+    ("SELECT count() AS c FROM numbers(5) WHERE number = ANY"
+     " (SELECT number * 2 FROM numbers(3))", (3,)),
+    ("SELECT count() AS c FROM numbers(5) WHERE number != ALL"
+     " (SELECT number * 2 FROM numbers(2))", (3,)),
+    ("SELECT 3 < ANY (SELECT number FROM numbers(5)) AS r", (True,)),
+    ("SELECT 9 > ALL (SELECT number FROM numbers(5) WHERE"
+     " number > 99) AS r", (True,)),  # empty set: ALL is vacuously true
     # --- r11i: array enumeration, multi-search, tokens, JSON shape
     ("SELECT arrayEnumerateUniq([10, 20, 10, 30, 10]) AS a,"
      " arrayEnumerateDense([10, 20, 10]) AS d", ([1, 1, 2, 1, 3],

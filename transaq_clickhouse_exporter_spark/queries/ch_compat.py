@@ -1572,6 +1572,9 @@ def translate_ch_sql(
     # SELECT * [EXCEPT] REPLACE modifier → * EXCEPT + re-appended
     # expressions (APPLY/COLUMNS raise inside)
     sql = _select_star_modifiers(sql)
+    # ANSI quantified comparisons (x > ANY (SELECT …)) — CH parses
+    # them, Spark 4 does not; exact rewrite incl. empty/NULL cases
+    sql = _quantified_subqueries(sql)
     sql = _preaggregate_topk(sql, strict_scale=strict_scale)
     # intervalLengthSum plans the stateless window spelling by default
     # (VERDICT r11 item 3); declined shapes keep the fold + warning.
@@ -3071,6 +3074,169 @@ def _topk_fallback_notice(
     if strict_scale:
         raise UnsupportedChSql(msg)
     warnings.warn(msg, TopkFallbackWarning, stacklevel=6)
+
+
+def _quantified_lhs_span(sh: str, end: int) -> tuple[int, int] | None:
+    """Span of the comparison's LEFT operand ending at ``end``
+    (exclusive): a qualified identifier, number, masked literal,
+    function call, or balanced-paren expression.  None when the
+    operand shape is not one of those."""
+    i = end - 1
+    while i >= 0 and sh[i] in " \t\n":
+        i -= 1
+    if i < 0:
+        return None
+    if sh[i] == ")":
+        depth, j = 0, i
+        while j >= 0:
+            if sh[j] == ")":
+                depth += 1
+            elif sh[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        k = j - 1
+        while k >= 0 and (sh[k].isalnum() or sh[k] in "_."):
+            k -= 1
+        return (k + 1, i + 1)
+    if sh[i] == "'":
+        j = sh.rfind("'", 0, i)
+        return None if j < 0 else (j, i + 1)
+    k = i
+    while k >= 0 and (sh[k].isalnum() or sh[k] in "_."):
+        k -= 1
+    return None if k == i else (k + 1, i + 1)
+
+
+_QUANT_BOUNDARY_WORDS = {
+    "select", "where", "and", "or", "not", "when", "then", "else",
+    "on", "having", "by", "in", "all", "distinct", "as", "case",
+}
+
+
+def _quantified_subqueries(sql: str) -> str:
+    """ANSI quantified comparisons — ``x > ANY (SELECT …)``, ``x <=
+    ALL (SELECT …)`` — which ClickHouse accepts but Spark 4 does not
+    parse (VERDICT r11 item 6).  Rewritten exactly, including the
+    ANSI empty-set and NULL cases (pinned vs DuckDB):
+
+    - every form becomes a CASE over scalar subqueries: empty set →
+      FALSE (ANY) / TRUE (ALL); NULL left operand → NULL; decided by
+      the extreme non-NULL value (min for ``> ANY``/``< ALL`` sides,
+      max for the duals) or, for ``= ANY``/``!= ALL``, a MEMBERSHIP
+      count (deliberately NOT Spark's IN/NOT IN — their
+      projection-context ListQuery answers FALSE where ANSI answers
+      NULL); undecided with NULLs in the set → NULL; else the
+      quantifier's default;
+    - ``= ALL`` / ``!= ANY`` ride the same CASE with a compound
+      min/max equality test.
+
+    The subquery is spliced into up to three scalar subqueries —
+    fine for the filter-style sets these appear over; a left operand
+    that is not a simple column/literal/call/paren expression raises
+    by name (parenthesize it) rather than risking a precedence
+    misparse."""
+    import re
+
+    for _ in range(64):
+        sh = _mask_literals(sql)
+        matches = list(re.finditer(
+            r"(>=|<=|<>|!=|=|>|<)\s*(?i:(ANY|ALL))\s*\(", sh))
+        hit = None
+        for m in reversed(matches):
+            inner_start = m.end()
+            close = _find_close(sh, m.end() - 1)
+            if close < 0:
+                continue
+            # direct SELECT/WITH only: ANY((SELECT …)) — extra parens
+            # — is CH's any() AGGREGATE over a scalar subquery, not
+            # the quantifier
+            if re.match(r"(?is)\s*(SELECT|WITH)\b",
+                        sh[inner_start:close]):
+                hit = (m, close)
+                break
+        if hit is None:
+            return sql
+        m, close = hit
+        op = m.group(1)
+        quant = m.group(2).upper()
+        sub = sql[m.end(): close]
+        lhs = _quantified_lhs_span(sh, m.start())
+        if lhs is None:
+            raise UnsupportedChSql(
+                f"{op} {quant} (SELECT …): the left operand shape is "
+                "not recognized — parenthesize it, e.g. "
+                f"(expr) {op} {quant} (…)")
+        ls, le = lhs
+        # the operand must be a whole comparison side: reject when an
+        # arithmetic/concat operator directly precedes it (a + b >
+        # ANY(…) would otherwise silently rebind to a + (b > ANY(…)))
+        p = ls - 1
+        while p >= 0 and sh[p] in " \t\n":
+            p -= 1
+        if p >= 0 and (sh[p] in "+-*/%|&^:" or sh[p] in "=<>!"):
+            raise UnsupportedChSql(
+                f"{op} {quant} (SELECT …) with a compound left "
+                "operand — parenthesize the whole left side: "
+                f"(a + b) {op} {quant} (…)")
+        if p >= 0 and (sh[p].isalnum() or sh[p] == "_"):
+            k = p
+            while k >= 0 and (sh[k].isalnum() or sh[k] == "_"):
+                k -= 1
+            if sh[k + 1: p + 1].lower() not in _QUANT_BOUNDARY_WORDS:
+                raise UnsupportedChSql(
+                    f"{op} {quant} (SELECT …) with a compound left "
+                    "operand — parenthesize the whole left side")
+        L = f"({sql[ls:le]})"
+        if re.search(r"(?i)\b(rand\w*|generateUUIDv4)\s*\(",
+                     sql[ls:le]):
+            raise UnsupportedChSql(
+                f"{op} {quant} (SELECT …) with a nondeterministic "
+                "left operand: the rewrite references it twice")
+        cnt = f"(SELECT count(*) FROM ({sub}) AS __qc)"
+        nulls = (f"(SELECT count(*) - count(__qv) FROM ({sub})"
+                 f" AS __qn(__qv))")
+        if op in ("=", "!=", "<>"):
+            # NOT mapped to Spark's IN/NOT IN: its projection-context
+            # ListQuery answers FALSE where ANSI answers NULL
+            # (5 IN (SELECT NULL) -> False; pinned vs DuckDB instead).
+            # = ANY / != ALL are decided TRUE/FALSE by MEMBERSHIP of
+            # L; = ALL / != ANY by some non-NULL value differing from
+            # L, i.e. NOT(min = L = max).
+            if (op == "=") == (quant == "ANY"):
+                decided = (f"(SELECT count(*) FROM ({sub}) AS "
+                           f"__qm(__qv) WHERE __qv = {L}) > 0")
+            else:
+                decided = (
+                    f"NOT ({L} = (SELECT min(__qv) FROM ({sub})"
+                    f" AS __qa(__qv)) AND {L} = (SELECT max(__qv)"
+                    f" FROM ({sub}) AS __qb(__qv)))")
+            hit_val = "TRUE" if quant == "ANY" else "FALSE"
+        else:
+            agg = ("min" if (op in (">", ">=")) == (quant == "ANY")
+                   else "max")
+            ext = f"(SELECT {agg}(__qv) FROM ({sub}) AS __qa(__qv))"
+            if quant == "ANY":
+                decided = f"{L} {op} {ext}"
+                hit_val = "TRUE"
+            else:
+                decided = f"NOT ({L} {op} {ext})"
+                hit_val = "FALSE"
+        # empty set and the undecided tail share the quantifier's
+        # default: FALSE for ANY (no witness), TRUE for ALL (vacuous)
+        default_val = "FALSE" if quant == "ANY" else "TRUE"
+        repl = (
+            f"(CASE WHEN {cnt} = 0 THEN {default_val} "
+            f"WHEN {L} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {decided} THEN {hit_val} "
+            f"WHEN {nulls} > 0 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {default_val} END)"
+        )
+        sql = sql[:ls] + repl + sql[close + 1:]
+    return sql
 
 
 def _preagg_driver(sql: str, call_rx: str, rewrite_block,
