@@ -2015,22 +2015,39 @@ def test_review_r11i_fixes_are_pinned(spark):
     assert (r.c, r.d) == (1, 2)
 
 
-def test_r11j_edit_distance_is_byte_guarded(spark):
-    """r11j + its review: the UTF8 edit-distance spellings map to
-    Spark levenshtein exactly (codepoint unit-cost); the BYTE
-    spellings pass for ASCII (bytes == codepoints) and raise at
-    RUNTIME on multi-byte input naming the UTF8 spelling — CH counts
-    byte edits there and a codepoint answer would be silently
-    smaller (editDistance('привет', 'x') is 12 in CH, 6 in
-    codepoints)."""
+def test_r11j_edit_distance_is_byte_exact(spark):
+    """r11j introduced the byte/codepoint split; r12c (VERDICT r11
+    item 8) completed it: the UTF8 spellings map to Spark levenshtein
+    exactly (codepoint unit-cost); the BYTE spellings
+    (editDistance/levenshteinDistance) are now EXACT on any input —
+    ASCII rides Spark's codegen levenshtein (bytes == codepoints),
+    multi-byte rows dispatch to a Wagner-Fischer fold over the UTF-8
+    byte arrays (ch_levenshtein_bytes) — the r11j runtime raise is
+    gone.  Expected values computed with a reference byte-DP
+    (editDistance('привет', 'x') is 12 in CH, 6 in codepoints)."""
     r = _one(spark, "SELECT editDistance('clickhouse', 'mouse') AS a,"
                     " levenshteinDistance('kitten', 'sitting') AS b,"
                     " editDistanceUTF8('привет', 'x') AS c,"
                     " levenshteinDistanceUTF8('ц', 'x') AS d")
     assert (r.a, r.b, r.c, r.d) == (6, 3, 6, 1)
-    with pytest.raises(Exception, match="BYTE edits"):
-        run_ch_sql(spark, "SELECT editDistance('ц', 'x') AS d"
-                   ).collect()
-    with pytest.raises(Exception, match="BYTE edits"):
-        run_ch_sql(spark, "SELECT levenshteinDistance('a', 'ц') AS d"
-                   ).collect()
+
+    def lev_bytes(a, b):
+        xs, ys = a.encode(), b.encode()
+        prev = list(range(len(ys) + 1))
+        for i, ca in enumerate(xs, 1):
+            cur = [i]
+            for j, cb in enumerate(ys, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cases = [("ц", "x"), ("привет", "x"), ("кот", "кит"),
+             ("привет", "privet"), ("", "мир"), ("naïve", "naive"),
+             ("日本語", "日本"), ("mixedация", "mixedatsiya")]
+    for a, b in cases:
+        r = _one(spark, f"SELECT editDistance('{a}', '{b}') AS d,"
+                        f" levenshteinDistance('{a}', '{b}') AS e")
+        assert (r.d, r.e) == (lev_bytes(a, b),) * 2, (a, b)
+    # NULL propagates; column (non-literal) inputs run the same path
+    assert _one(spark, "SELECT editDistance(NULL, 'x') AS d").d is None

@@ -830,9 +830,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " levenshteinDistance('kitten', 'sitting') AS b,"
      " editDistanceUTF8('привет', 'привет!') AS c,"
      " editDistanceUTF8('ц', 'x') AS d", (6, 3, 1, 1)),
-    # BYTE edit distance over multi-byte input: runtime raise naming
-    # the UTF8 spelling (a codepoint answer would be silently half)
-    ("SELECT editDistance('ц', 'x') AS d", None),  # loud-error
+    # BYTE edit distance over multi-byte input (r12c): exact now —
+    # the Wagner-Fischer byte fold replaced the r11j runtime raise.
+    # 'ц' is 2 bytes vs 1 ASCII byte: substitute + delete = 2 edits
+    ("SELECT editDistance('ц', 'x') AS d,"
+     " levenshteinDistance('кот', 'кит') AS e,"
+     " editDistance('привет', 'privet') AS f", (2, 1, 12)),
     # hasToken over a subquery output column in WHERE
     ("SELECT count() AS c FROM (SELECT 'a b c' AS s FROM numbers(3))"
      " WHERE hasToken(s, 'b')", (3,)),

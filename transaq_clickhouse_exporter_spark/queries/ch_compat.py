@@ -457,6 +457,36 @@ _SCALAR_SHIMS: dict[str, str] = {
         "CASE WHEN locate(n, h) = 0 THEN 0 "
         "ELSE octet_length(substring(h, 1, locate(n, h) - 1)) + 1 END"
     ),
+    # CH's BYTE-level Levenshtein (editDistance/levenshteinDistance
+    # count byte edits, r12c — the multi-byte raise is gone):
+    # Wagner–Fischer over the UTF-8 byte arrays as a nested fold —
+    # outer aggregate walks a's bytes carrying the previous DP row,
+    # the inner fold builds the next row left-to-right (new[j]
+    # depends on new[j-1]).  O(len(a)·len(b)) array steps — these
+    # run on short strings (words, codes); both engines agree with
+    # plain levenshtein() on pure-ASCII input, which the dispatch
+    # keeps on the fast codegen path.
+    "ch_levenshtein_bytes": (
+        "(a STRING, b STRING) RETURNS INT RETURN "
+        "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+        "WHEN octet_length(a) = 0 THEN octet_length(b) "
+        "WHEN octet_length(b) = 0 THEN octet_length(a) "
+        "WHEN octet_length(a) = length(a) AND "
+        "octet_length(b) = length(b) THEN levenshtein(a, b) "
+        "ELSE CAST(element_at(aggregate("
+        "transform(sequence(1, octet_length(a)), "
+        "i -> substring(encode(a, 'UTF-8'), i, 1)), "
+        "sequence(CAST(0 AS BIGINT), octet_length(b)), "
+        "(prev, ca) -> aggregate("
+        "sequence(1, octet_length(b)), "
+        "array(element_at(prev, 1) + 1), "
+        "(acc, j) -> array_append(acc, least("
+        "element_at(prev, CAST(j AS INT) + 1) + 1, "
+        "element_at(acc, CAST(j AS INT)) + 1, "
+        "element_at(prev, CAST(j AS INT)) + "
+        "IF(ca = substring(encode(b, 'UTF-8'), CAST(j AS INT), 1), "
+        "0, 1))))), octet_length(b) + 1) AS INT) END"
+    ),
     # bitwise ops in CH's function spelling (operator forms on Spark).
     # Deviation: 64-bit signed arithmetic throughout — CH infers the
     # narrowest argument type, so e.g. CH bitNot(5) is 250 (UInt8)
@@ -1060,11 +1090,11 @@ _RENAMES = {
     "endsWithUTF8": "endswith",
     # CH's UTF8 edit-distance spellings == Spark levenshtein exactly
     # (codepoint unit-cost).  The BYTE spellings (editDistance/
-    # levenshteinDistance) are structural: ASCII inputs are
-    # byte==codepoint and pass; multi-byte inputs raise at RUNTIME
-    # naming the UTF8 spelling — a codepoint answer would be a
-    # SILENT integer diff (review r11j: editDistance('привет','x')
-    # is 12 in CH, 6 in codepoints).
+    # levenshteinDistance) are byte-exact too (r12c): ASCII rides
+    # Spark's codegen levenshtein, multi-byte dispatches to the
+    # ch_levenshtein_bytes Wagner-Fischer fold (a codepoint answer
+    # would be a SILENT integer diff — editDistance('привет','x')
+    # is 12 in CH, 6 in codepoints; review r11j).
     "editDistanceUTF8": "levenshtein",
     "levenshteinDistanceUTF8": "levenshtein",
     # (JSONExtractKeys is structural: CH answers [] for invalid JSON
@@ -5126,24 +5156,20 @@ def _rewrite_calls(sql: str) -> str:
             i = close + 1
             continue
         if name in ("editDistance", "levenshteinDistance"):
-            # CH's byte-string Levenshtein: exact for ASCII (where
-            # bytes == codepoints); multi-byte input raises at
-            # RUNTIME naming the codepoint spelling — Spark has no
-            # byte-level levenshtein and a codepoint answer would be
-            # silently smaller (review r11j)
+            # CH's byte-string Levenshtein, exact on ANY input
+            # (r12c — the r11j multi-byte runtime raise is gone):
+            # ASCII stays on Spark's codegen levenshtein (bytes ==
+            # codepoints there); multi-byte rows dispatch to the
+            # ch_levenshtein_bytes fold shim per row
             parts = _split_args(inner)
             if len(parts) != 2:
                 raise UnsupportedChSql(f"{name}(a, b) expects 2 args")
-            out.append(_bind_once(
-                f"named_struct('a', ({parts[0]}), 'b', ({parts[1]}))",
-                lambda v: (
-                    f"CASE WHEN octet_length({v}.a) = length({v}.a) "
-                    f"AND octet_length({v}.b) = length({v}.b) "
-                    f"THEN levenshtein({v}.a, {v}.b) "
-                    f"ELSE raise_error('{name}: CH counts BYTE edits "
-                    f"and the input holds multi-byte characters — "
-                    f"use editDistanceUTF8 for codepoint distance') "
-                    f"END")))
+            # the UDF binds each argument once and carries the ASCII
+            # fast path (plain levenshtein) inside — a lambda-var
+            # _bind_once envelope cannot call a SQL UDF (its inlined
+            # subplan cannot see the lambda variable)
+            out.append(
+                f"ch_levenshtein_bytes(({parts[0]}), ({parts[1]}))")
             i = close + 1
             continue
         if name == "JSONExtractKeys":
