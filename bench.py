@@ -220,13 +220,16 @@ def main() -> None:
     # standard best-of-N treatment for a throughput metric; the cold
     # number stays a strict single first pass.
     steady = None
+    steady_min: dict[str, float] = {}
     for _ in range(2):
         dfs_steady = [(n, spec.build(spark)) for n, spec in ordered]  # untimed rebuild
         t_ss = time.perf_counter()
         with ThreadPoolExecutor(CONCURRENCY) as ex:
-            list(ex.map(run, dfs_steady))
+            pass_times = dict(ex.map(run, dfs_steady))
         one = round(time.perf_counter() - t_ss, 3)
         steady = one if steady is None else min(steady, one)
+        for n, t in pass_times.items():
+            steady_min[n] = min(steady_min.get(n, t), t)
 
     # Output contract: the driver captures only the LAST few hundred
     # bytes of stdout, so the final line must stay short (round 2's
@@ -235,7 +238,18 @@ def main() -> None:
     # the final headline line keeps a bounded "queries" map (the
     # HEAVY_FIRST head, the queries worth watching) so the parsed
     # object still satisfies the metric/value/unit/queries/sf contract.
-    detail = {"detail": "per_query_pool_wall_sec", "queries": per_query}
+    # queries_steady_min: per-query MIN over the two steady passes —
+    # the noise-robust statistic for round-over-round per-query
+    # comparison (VERDICT r11 item 7: single cold pool walls swing up
+    # to 1.75x from 16-way scheduling convoys on this host; min-of-2
+    # hot passes is stable).  The cold per-query walls stay under
+    # "queries" for the conservative headline.
+    detail = {
+        "detail": "per_query_pool_wall_sec",
+        "queries": per_query,
+        "queries_steady_min": {n: round(t, 3)
+                               for n, t in sorted(steady_min.items())},
+    }
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
