@@ -4538,37 +4538,10 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
-    "db12_etf_volume_by_interval_buy",     # twin of db10 (dim filter differs)
-    "db13_imoex_volume_by_time",      # by-time family still covered by db15
-    "db14_lots_by_time_sell",         # twin of db13/db15 time-series family
-    "ev02_json_extract",              # locally gated; scalar surface ubiquitous
-    "in03_candles_windowed",          # candle evidence stays via in05 (exact fold)
-    "dp08_stratified_sample",         # sampling evidence stays via dp27 (weighted)
-    "op02_quotes_final",              # dedup_last_write_wins evidence stays via
-                                      # op01 (same operator, 6-key trades table)
     "tp02_top_revenue_orders",        # top-K evidence stays via db03/db04 +
                                       # the TakeOrderedAndProject plan assertion
-    "an03_minute_returns",            # lag evidence stays via ev03 (sessionize
-                                      # gap-lag); bar series via in05
-    "an04_price_percentiles",         # quantile evidence stays via an10
-                                      # (weighted quantiles, now in-window)
-    "db06_icebergs",                  # HAVING stays via db03; topK via
-                                      # ev16/ev17 (ev13 now tail)
-    "tp03_semi_anti_counts",          # semi/anti-join stays via db03/db17
     "tp04_supplier_stats_by_nation",  # multi-join agg stays via db broadcast
                                       # joins + tp06 (correlated)
-    "op03_book_depth",                # dedup→agg composition: op01 keeps dedup,
-                                      # aggregation shape ubiquitous in-window
-    "in06_candles_rollup",            # exact candle fold stays via in05; ROLLUP
-                                      # grouping-sets: tp05 r06-green, now tail
-    "dp07_hash_sample",               # content-stable hash sampling stays via
-                                      # dp27 (same md5-range mechanism)
-    "dp09_term_stats",                # explicit two-level agg stays via
-                                      # db03/db07/db08
-    "dp11_rolling_fingerprint",       # rolling-hash class keeps dp02's
-                                      # fingerprint column in-window
-    "dp13_incremental_dedup",         # incremental-vs-history class stays via
-                                      # dp17 (incremental near-dup, in-window)
     # round-7 displacements: ALL green in CORRECTNESS_r06; each class
     # keeps an in-window representative (named) or has its evidence
     # externally banked by the r06 row.
@@ -4714,6 +4687,49 @@ _TAIL_NAMES = (
                                       # text class keeps dp28/dp14 in-window
     "ev14_window_funnel_ch",          # CH-exact funnel: r11 row banked;
                                       # funnel class keeps ev08 in-window
+    # ROUND-12 EXPANDED ROTATION (executes VERDICT r11 item 4): the
+    # staleness drain — the whole r05-stale cohort (minus tp02/tp04,
+    # queued r13) plus the three remaining r01-stale dashboard twins
+    # re-earn NOW instead of trickling 4-6 per round.  The seventeen
+    # displacements below ALL hold green rows in CORRECTNESS_r11 and
+    # each leaves an in-window class representative — often the very
+    # stale entry re-entering its class (op01->op02/op03,
+    # in05->in03/in06, dp33->dp07/dp08, db03-anti-join->tp03).
+    "an01_vwap",                      # window class keeps an08/an10 +
+                                      # an03 (minute returns) re-enters
+    "an11_max_drawdown",              # running-extreme window: an08/an10
+                                      # stay in-window
+    "ev03_sessionize",                # gap-lag sessionize: ev11 session
+                                      # windows stays
+    "ev07_cohort_retention",          # cohort class keeps ev12 retention
+    "tp01_pricing_summary",           # pricing agg: tp06 stays + tp03
+                                      # re-enters the tpch family
+    "tp07_hll_distinct",              # HLL class: op07 (HLL state merge)
+                                      # stays in-window
+    "dp01_exact_dedup",               # exact-dedup class: dp13
+                                      # (incremental exact) re-enters;
+                                      # dp05/dp17 stay
+    "dp04_embedding_near_dups",       # near-dup class keeps dp05/dp17
+    "dp25_bm25_topk",                 # ranked-search class keeps dp32
+    "dp30_chunk_documents",           # chunking evidence stays via dp32
+                                      # (chunk retrieval)
+    "dp33_diversity_sample",          # sampling class: dp07/dp08
+                                      # re-enter; dp10 bucketing stays
+    "in05_candle_builder_exact",      # candle class: in03 (windowed) +
+                                      # in06 (rollup) re-enter the fold
+    "op01_dedup_last_write_wins",     # ReplacingMergeTree dedup: op02
+                                      # (quotes FINAL) + op03 (book
+                                      # depth) re-enter the operator
+    "db03_netto_buy_top10",           # anti-join: tp03 re-enters;
+                                      # HAVING+topK: db06 re-enters;
+                                      # broadcast+IN: db02/db09/db11
+                                      # entered this round
+    "db04_netto_union_buy_top10",     # UNION+re-agg: db05 (sell twin)
+                                      # entered this round
+    "db07_volume_diff_by_interval",   # tumbling diff: db09 (imoex twin)
+                                      # entered; db19 keeps tumbling+DST
+    "ev22_with_fill_sql",             # WITH FILL class: ev25
+                                      # (INTERPOLATE) entered this round
 )
 
 
