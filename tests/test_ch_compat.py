@@ -54,9 +54,10 @@ def test_translate_final_and_literals():
     assert translate_ch_sql("SELECT final, 'uniq(a) FINAL' FROM t") == (
         "SELECT final, 'uniq(a) FINAL' FROM t"
     )
-    # ANSI quantified ANY is untouched
+    # ANSI quantified ANY is bridged (r12b) to the NULL-exact CASE
     s = "SELECT * FROM t WHERE x > ANY (SELECT y FROM u)"
-    assert translate_ch_sql(s) == s
+    out = translate_ch_sql(s)
+    assert "min(__qv)" in out and "ANY (SELECT" not in out
 
 
 def test_unsupported_raises():
