@@ -1965,6 +1965,49 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "interval-sum", "bounding-ratio", "ch-sql"),
         )
     )
+
+    # ev27 (r12b): ANSI quantified subquery comparisons through the
+    # dialect bridge — `> ANY` decided by the set's min, `!= ALL` by
+    # membership (both multi-row sets); DuckDB runs its NATIVE
+    # quantifiers as the oracle.
+    def _quantified_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code,
+                   count() AS n,
+                   CAST(sum(quantity) AS BIGINT) AS vol
+            FROM trades
+            WHERE price > ANY (SELECT price * 1.9 FROM trades
+                               WHERE sec_code = 'SEC001')
+              AND quantity != ALL (SELECT quantity FROM trades
+                                   WHERE sec_code = 'SEC033'
+                                     AND quantity > 48)
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev27_quantified_sql",
+            _quantified_sql,
+            """
+            SELECT sec_code,
+                   count(*) AS n,
+                   CAST(sum(quantity) AS BIGINT) AS vol
+            FROM trades
+            WHERE price > ANY (SELECT price * 1.9 FROM trades
+                               WHERE sec_code = 'SEC001')
+              AND quantity != ALL (SELECT quantity FROM trades
+                                   WHERE sec_code = 'SEC033'
+                                     AND quantity > 48)
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+            tags=("events", "quantified-subquery", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4730,6 +4773,11 @@ _TAIL_NAMES = (
                                       # entered; db19 keeps tumbling+DST
     "ev22_with_fill_sql",             # WITH FILL class: ev25
                                       # (INTERPOLATE) entered this round
+    # round-12 addition starts in the tail; it earns a row next round.
+    "ev27_quantified_sql",            # ANSI quantified subquery
+                                      # comparisons (> ANY / != ALL,
+                                      # r12b) vs DuckDB's native
+                                      # quantifiers
 )
 
 
