@@ -967,3 +967,42 @@ def test_r12b_quantified_subquery_comparisons_vs_duckdb(spark):
     assert run_ch_sql(
         spark, "SELECT max(number) = any(number) AS r"
                " FROM numbers(1)").collect()[0].r
+
+
+def test_r12c_bridges_reach_subqueries_under_case_parens(spark):
+    """Review r12b follow-up: _recurse_select_blocks refused to
+    descend into paren groups not starting with SELECT/WITH/( — so a
+    subquery nested under a CASE arm (or any function-argument paren)
+    was invisible to EVERY per-block bridge (LIMIT BY, SETTINGS,
+    PREWHERE, ARRAY JOIN).  The walker now traverses all paren groups
+    and applies block rewrites only at select-block levels."""
+    # SETTINGS tail inside a CASE-paren scalar subquery
+    r = run_ch_sql(
+        spark,
+        "SELECT CASE WHEN (SELECT count() FROM (SELECT number FROM"
+        " numbers(3) SETTINGS max_threads = 1)) > 2 THEN 7 ELSE 0 END"
+        " AS x").collect()[0]
+    assert r.x == 7
+    # PREWHERE inside a CASE-paren subquery two levels down
+    r = run_ch_sql(
+        spark,
+        "SELECT sum(u) AS s FROM (SELECT CASE WHEN 1 = 1 THEN (SELECT"
+        " sum(x) FROM (SELECT number AS x FROM numbers(4) PREWHERE"
+        " number > 1)) ELSE 0 END AS u FROM numbers(2))").collect()[0]
+    assert r.s == 10
+    # LIMIT BY inside a quantified-comparison splice (the shape that
+    # exposed the gap: the rewrite wraps the subquery in CASE arms)
+    r = run_ch_sql(
+        spark,
+        "SELECT count() AS c FROM numbers(10) WHERE number = ANY"
+        " (SELECT v FROM (SELECT g, v FROM (SELECT number % 2 AS g,"
+        " number AS v FROM numbers(6)) ORDER BY g, v LIMIT 1 BY g))"
+        ).collect()[0]
+    assert r.c == 2
+    # ARRAY JOIN under a CASE-paren subquery (the SILENT decoy class)
+    r = run_ch_sql(
+        spark,
+        "SELECT CASE WHEN (SELECT sum(u) FROM (SELECT [1, 2, 3] AS a"
+        " FROM numbers(1)) ARRAY JOIN a AS u) = 6 THEN 1 ELSE 0 END"
+        " AS ok").collect()[0]
+    assert r.ok == 1

@@ -1054,6 +1054,37 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " number % 2 AS g, number AS x FROM numbers(4)) GROUP BY g"
      " WITH TOTALS SETTINGS max_threads = 1) UNION ALL"
      " SELECT 9, 100)", (112,)),
+    # --- r12c: quantified x nesting compositions + the CASE-paren
+    # walker fix (review r12b found LIMIT BY inside `CASE WHEN
+    # (SELECT ...)` was invisible to every per-block bridge — the
+    # recursion now WALKS non-SELECT paren groups without applying
+    # block rewrites at their own level)
+    ("SELECT sum(v) AS s FROM (SELECT number AS v FROM numbers(10)"
+     " WHERE number > ANY (SELECT number + 5 FROM numbers(3)))", (30,)),
+    ("SELECT sum(v) AS s FROM ((SELECT number AS v FROM numbers(6)"
+     " WHERE number >= ALL (SELECT number FROM numbers(4)))"
+     " UNION ALL SELECT 100 AS v)", (112,)),
+    ("WITH cq AS (SELECT number AS v FROM numbers(8)"
+     " WHERE number = ANY (SELECT number * 2 FROM numbers(4)))"
+     " SELECT sum(v) AS s FROM cq", (12,)),
+    ("SELECT count() AS c FROM (SELECT number % 2 AS g, sum(number) AS s"
+     " FROM numbers(6) GROUP BY g HAVING sum(number) > ANY"
+     " (SELECT number FROM numbers(5)))", (2,)),
+    ("SELECT sum(CAST(number < ANY (SELECT number FROM numbers(3))"
+     " AS INT)) AS s FROM numbers(5)", (2,)),
+    ("SELECT sum(v) AS s FROM (SELECT number AS v FROM numbers(10)"
+     " PREWHERE number > 2) WHERE v <= ALL (SELECT 9)", (42,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number > ANY (SELECT 2)"
+     " AND number < ALL (SELECT number + 8 FROM numbers(2))", (5,)),
+    ("SELECT count() AS c FROM numbers(10) WHERE number = ANY (SELECT v"
+     " FROM (SELECT g, v FROM (SELECT number % 2 AS g, number AS v FROM"
+     " numbers(6)) ORDER BY g, v LIMIT 1 BY g))", (2,)),
+    ("SELECT CASE WHEN (SELECT count() FROM (SELECT number FROM"
+     " numbers(3) SETTINGS max_threads = 1)) > 2 THEN 7 ELSE 0 END"
+     " AS x", (7,)),
+    ("SELECT sum(u) AS s FROM (SELECT CASE WHEN 1 = 1 THEN (SELECT"
+     " sum(x) FROM (SELECT number AS x FROM numbers(4) PREWHERE"
+     " number > 1)) ELSE 0 END AS u FROM numbers(2))", (10,)),
 ]
 
 

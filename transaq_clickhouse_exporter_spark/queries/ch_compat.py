@@ -2325,12 +2325,18 @@ def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
     return None
 
 
-def _recurse_select_blocks(sql: str, fn) -> str:
+def _recurse_select_blocks(sql: str, fn, _apply: bool = True) -> str:
     """Apply a statement-level rewrite ``fn`` to every SELECT block:
     parenthesized subquery bodies first (innermost via recursion,
     WITH-prefixed bodies included — review r10), then the whole
     statement.  Lets single-level passes (:func:`_limit_by`,
-    :func:`_scalar_with`) cover CH's any-nesting-depth placement."""
+    :func:`_scalar_with`) cover CH's any-nesting-depth placement.
+
+    Paren groups whose content is NOT itself a SELECT block (CASE
+    arms, function arguments, …) are still WALKED for nested
+    subqueries — ``fn`` just isn't applied to their own level (r12b:
+    a `LIMIT BY` inside `CASE WHEN (SELECT …)` was invisible to every
+    per-block bridge because the old guard refused to descend)."""
     import re
 
     sh = _mask_literals(sql)
@@ -2350,15 +2356,16 @@ def _recurse_select_blocks(sql: str, fn) -> str:
             # paren-wrapped blocks (`((SELECT …))`) recurse too —
             # review r10g: the guard previously stopped at the outer
             # parens and left the inner SELECT untouched
-            if re.match(r"(?is)\s*(SELECT\b|WITH\b|\()",
-                        _mask_literals(inner)):
-                inner = _recurse_select_blocks(inner, fn)
+            is_block = re.match(r"(?is)\s*(SELECT\b|WITH\b|\()",
+                                _mask_literals(inner)) is not None
+            inner = _recurse_select_blocks(inner, fn, _apply=is_block)
             out.append("(" + inner + ")")
             i = j + 1
         else:
             out.append(sql[i])
             i += 1
-    return fn("".join(out))
+    joined = "".join(out)
+    return fn(joined) if _apply else joined
 
 
 def _distinct_on(sql: str) -> str:
