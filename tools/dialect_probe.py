@@ -864,7 +864,15 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # --- r11k: named raises for sampling / client output / stats
     ("SELECT number FROM numbers(10) SAMPLE 1/2", None),  # clean-raise
     ("SELECT number FROM numbers(3) INTO OUTFILE 'x.csv'", None),
-    ("SELECT studentTTest(number, number % 2) FROM numbers(8)", None),
+    # studentTTest/welchTTest are EXACT now (r12d): t from conditional
+    # aggregates, two-sided p via the inline regularized incomplete
+    # beta (Lanczos lgamma + bounded Lentz fold).  numbers(8) % 2:
+    # m0=3 m1=4, pooled var 20/3, t = -1/sqrt(10/3), df = 6.
+    ("SELECT round(tupleElement(studentTTest(number, number % 2), 1),"
+     " 10) AS t, round(tupleElement(studentTTest(number, number % 2),"
+     " 2), 6) AS p FROM numbers(8)", (-0.5477225575, 0.603645)),
+    ("SELECT round(tupleElement(welchTTest(number, number % 2), 1),"
+     " 10) AS t FROM numbers(8)", (-0.5477225575,)),
     ("SELECT exponentialMovingAverage(5)(number, number)"
      " FROM numbers(8)", None),
     ("SELECT maxIntersections(number, number + 2) FROM numbers(5)",

@@ -216,6 +216,90 @@ from pyspark.sql import DataFrame, SparkSession
 from .sql import _lit
 
 #: scalar CH functions as native SQL UDFs (name → CREATE body).
+def _lgamma_text(x: str) -> str:
+    """Inline log-gamma via the Lanczos approximation (g=7, n=9 —
+    ~15 significant digits for positive reals).  ``x`` is spliced
+    textually several times: callers pass a bound variable or a
+    deterministic scalar."""
+    return (
+        f"(0.9189385332046727 + ({x} - 0.5) * ln({x} + 6.5)"
+        f" - ({x} + 6.5) + ln(0.99999999999980993"
+        f" + 676.5203681218851 / ({x})"
+        f" - 1259.1392167224028 / ({x} + 1)"
+        f" + 771.32342877765313 / ({x} + 2)"
+        f" - 176.61502916214059 / ({x} + 3)"
+        f" + 12.507343278686905 / ({x} + 4)"
+        f" - 0.13857109526572012 / ({x} + 5)"
+        f" + 0.0000099843695780195716 / ({x} + 6)"
+        f" + 0.00000015056327351493116 / ({x} + 7)))"
+    )
+
+
+def _betacf_text(a: str, b: str, x: str) -> str:
+    """Inline incomplete-beta continued fraction (Lentz's method, the
+    Numerical Recipes betacf recurrence) as a BOUNDED fold — 150
+    double-step iterations carried through ``aggregate()`` state
+    {c, d, h}.  Convergence for the t-test arguments (a = df/2,
+    b = 1/2, x kept under the symmetry point by the ibeta wrapper)
+    takes far fewer steps; once the per-step delta reaches 1 the
+    extra iterations multiply h by exactly 1.  Each Lentz half-step
+    is bound through a one-element transform so its clamped c/d
+    factors are written once (the aa coefficients repeat textually;
+    Catalyst dedups them)."""
+    clamp = "(CASE WHEN abs({v}) < 1e-300 THEN 1e-300 ELSE {v} END)"
+    aa1 = (f"(CAST(m AS DOUBLE) * ({b} - m) * {x}"
+           f" / (({a} - 1 + 2 * m) * ({a} + 2 * m)))")
+    aa2 = (f"(-({a} + m) * ({a} + {b} + m) * {x}"
+           f" / (({a} + 2 * m) * ({a} + 1 + 2 * m)))")
+    c1 = clamp.format(v=f"1 + {aa1} / st.c")
+    d1 = "(1 / " + clamp.format(v=f"1 + {aa1} * st.d") + ")"
+    c2 = clamp.format(v=f"1 + {aa2} / s1.c")
+    d2 = "(1 / " + clamp.format(v=f"1 + {aa2} * s1.d") + ")"
+    d0 = "(1 / " + clamp.format(
+        v=f"1 - ({a} + {b}) * {x} / ({a} + 1)") + ")"
+    step = (
+        f"(transform(array(named_struct("
+        f"'c', {c1}, 'd', {d1}, 'h', st.h * {d1} * {c1})), "
+        f"s1 -> named_struct("
+        f"'c', {c2}, 'd', {d2}, 'h', s1.h * {d2} * {c2})))[0]"
+    )
+    return (
+        "aggregate(sequence(1, 150), "
+        f"named_struct('c', CAST(1 AS DOUBLE), 'd', {d0}, 'h', {d0}), "
+        f"(st, m) -> {step}, st -> st.h)"
+    )
+
+
+def _ibeta_text(a: str, b: str, x: str) -> str:
+    """Inline regularized incomplete beta I_x(a, b) — the symmetry
+    branch keeps the continued fraction in its fast-converging
+    region.  Operands are spliced many times: callers bind them to
+    lambda variables or UDF parameters first."""
+    front = (f"exp({a} * ln({x}) + {b} * ln(1 - {x})"
+             f" - ({_lgamma_text(a)} + {_lgamma_text(b)}"
+             f" - {_lgamma_text(f'({a} + {b})')}))")
+    return (
+        f"(CASE WHEN isnan({x}) OR isnan({a}) OR isnan({b})"
+        f" THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN {x} <= 0 THEN CAST(0 AS DOUBLE)"
+        f" WHEN {x} >= 1 THEN CAST(1 AS DOUBLE)"
+        f" WHEN {x} < ({a} + 1) / ({a} + {b} + 2)"
+        f" THEN {front} * {_betacf_text(a, b, x)} / {a}"
+        f" ELSE 1 - {front} * {_betacf_text(b, a, f'(1 - {x})')}"
+        f" / {b} END)"
+    )
+
+
+def _t_pvalue_text(t: str, df: str) -> str:
+    """Inline two-sided Student-t p-value:
+    p = I_{df/(df+t^2)}(df/2, 1/2)."""
+    return (
+        f"(CASE WHEN isnan({t}) OR {df} IS NULL OR {t} IS NULL"
+        f" OR {df} <= 0 THEN CAST('NaN' AS DOUBLE)"
+        f" ELSE {_ibeta_text(f'({df} / 2)', 'CAST(0.5 AS DOUBLE)', f'({df} / ({df} + {t} * {t}))')} END)"
+    )
+
+
 _SCALAR_SHIMS: dict[str, str] = {
     # bucket a timestamp to interval starts — the dashboard's core
     # primitive (GDJ: every time-series panel).  CAST(day-time
@@ -487,6 +571,22 @@ _SCALAR_SHIMS: dict[str, str] = {
         "IF(ca = substring(encode(b, 'UTF-8'), CAST(j AS INT), 1), "
         "0, 1))))), octet_length(b) + 1) AS INT) END"
     ),
+    # log-gamma / incomplete beta / t p-value as standalone shims —
+    # bodies generated by the same builders the studentTTest/
+    # welchTTest aggregate handler splices inline (a SQL UDF cannot
+    # be extracted from a struct that also carries aggregates:
+    # Spark's UDF inlining + SimplifyExtractValueOps leaves an
+    # unevaluable attribute, found r12d)
+    "ch_lgamma": "(x DOUBLE) RETURNS DOUBLE RETURN "
+    + _lgamma_text("x"),
+    "ch_betacf": "(a DOUBLE, b DOUBLE, x DOUBLE) RETURNS DOUBLE"
+    " RETURN " + _betacf_text("a", "b", "x"),
+    # regularized incomplete beta I_x(a, b) — the symmetry branch
+    # keeps the continued fraction in its fast-converging region
+    "ch_ibeta": "(a DOUBLE, b DOUBLE, x DOUBLE) RETURNS DOUBLE"
+    " RETURN " + _ibeta_text("a", "b", "x"),
+    "ch_t_pvalue": "(t DOUBLE, df DOUBLE) RETURNS DOUBLE RETURN "
+    + _t_pvalue_text("t", "df"),
     # bitwise ops in CH's function spelling (operator forms on Spark).
     # Deviation: 64-bit signed arithmetic throughout — CH infers the
     # narrowest argument type, so e.g. CH bitNot(5) is 250 (UInt8)
@@ -1339,17 +1439,6 @@ _UNSUPPORTED_MSG = {
     # r11k: named raises with pointers for the remaining statistical /
     # time-series aggregates a migrating user could plausibly hit
     # (previously raw unresolved-function louds)
-    "studentTTest": (
-        "studentTTest() returns a (t, p) pair whose p-value needs the "
-        "incomplete beta function — compute the t statistic from "
-        "avg/var_samp/count per group and look p up client-side "
-        "(scipy.stats.t.sf)"
-    ),
-    "welchTTest": (
-        "welchTTest() returns a (t, p) pair whose p-value needs the "
-        "incomplete beta function — compute the Welch t from "
-        "avg/var_samp/count per group and look p up client-side"
-    ),
     "mannWhitneyUTest": (
         "mannWhitneyUTest() needs a rank pass + a normal-CDF p-value "
         "— rank() OVER the pooled sample gives U; look p up "
@@ -5464,6 +5553,64 @@ def _rewrite_calls(sql: str) -> str:
                 f"WHEN iv.s >= acc.c THEN iv.e - iv.s "
                 f"ELSE iv.e - acc.c END), "
                 f"acc -> acc.t)")
+            i = close + 1
+            continue
+        if name in ("studentTTest", "welchTTest"):
+            # CH studentTTest/welchTTest(sample_data, sample_index):
+            # two-sample t-test over index 0 vs 1, returning the
+            # (t, p) tuple (r12d — the r11k raise is gone).  The t
+            # statistic and degrees of freedom are plain conditional
+            # aggregates; the two-sided p-value is the regularized
+            # incomplete beta I_{df/(df+t^2)}(df/2, 1/2) via the
+            # ch_t_pvalue shim (Lanczos lgamma + a bounded Lentz
+            # continued-fraction fold — pure JVM, no Python).
+            # Degenerate inputs (an empty side, a single point, zero
+            # pooled variance) answer (NaN, NaN) — CH's float NaNs;
+            # nullif guards keep ANSI mode from raising DIVIDE_BY_ZERO.
+            parts = _split_args(inner)
+            if len(parts) != 2:
+                raise UnsupportedChSql(
+                    f"{name}(sample_data, sample_index) expects 2 args"
+                    " — the parameterized confidence-interval form is"
+                    " not bridged")
+            xv = f"CAST(({parts[0]}) AS DOUBLE)"
+            ix = f"({parts[1]})"
+
+            def _agg(fn: str, side: int) -> str:
+                return f"{fn}(CASE WHEN {ix} = {side} THEN {xv} END)"
+
+            n0 = f"nullif(CAST({_agg('count', 0)} AS DOUBLE), 0)"
+            n1 = f"nullif(CAST({_agg('count', 1)} AS DOUBLE), 0)"
+            m0, m1 = _agg("avg", 0), _agg("avg", 1)
+            v0, v1 = _agg("var_samp", 0), _agg("var_samp", 1)
+            if name == "studentTTest":
+                df = f"nullif({n0} + {n1} - 2, 0)"
+                sp2 = (f"((({n0} - 1) * {v0} + ({n1} - 1) * {v1})"
+                       f" / {df})")
+                tstat = (f"(({m0} - {m1}) / nullif(sqrt({sp2} *"
+                         f" (1 / {n0} + 1 / {n1})), 0))")
+            else:
+                se0 = f"({v0} / {n0})"
+                se1 = f"({v1} / {n1})"
+                se2 = f"({se0} + {se1})"
+                tstat = f"(({m0} - {m1}) / nullif(sqrt({se2}), 0))"
+                df = (f"({se2} * {se2} / nullif("
+                      f"{se0} * {se0} / nullif({n0} - 1, 0) +"
+                      f" {se1} * {se1} / nullif({n1} - 1, 0), 0))")
+            nan = "CAST('NaN' AS DOUBLE)"
+            # bind (t, df) ONCE through a one-element transform and
+            # splice the p-value INLINE from the same builders as the
+            # ch_t_pvalue shim — calling the SQL UDF here would break:
+            # extracting a field from a struct that carries both
+            # aggregates and an inlined UDF is unevaluable in Spark
+            # (UDF inlining x SimplifyExtractValueOps, r12d)
+            out.append(
+                f"(transform(array(named_struct("
+                f"'t', {tstat}, 'df', {df})), "
+                f"__ts -> named_struct("
+                f"'col1', coalesce(__ts.t, {nan}), "
+                f"'col2', coalesce("
+                f"{_t_pvalue_text('__ts.t', '__ts.df')}, {nan}))))[0]")
             i = close + 1
             continue
         if name == "simpleLinearRegression":
