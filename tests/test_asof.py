@@ -163,3 +163,51 @@ def test_asof_four_comparators_vs_duckdb(spark):
         "SELECT l.lid, r.v FROM asof_l l ASOF JOIN asof_r r"
         " ON l.k = r.k AND l.ts > r.ts").fetchall()), key=repr)
     assert got == want
+
+
+def test_asof_randomized_null_payload_vs_duckdb(spark):
+    """ADVICE r11 #1 follow-up: randomized multi-column payload WITH
+    NULLs across all four comparators and both join kinds, pinned
+    against DuckDB's native ASOF JOIN (which returns the matched row
+    whole, incl. its NULLs) — the fixed pins cover the mechanism,
+    this covers the space."""
+    import random
+
+    import duckdb
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+    rng = random.Random(0xBEEF)
+    lrows = [(k, rng.randint(0, 30), i)
+             for i, k in enumerate(rng.choices(range(4), k=50))]
+    rrows, seen = [], set()
+    for j, k in enumerate(rng.choices(range(4), k=40)):
+        ts = rng.randint(0, 30)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rrows.append((k, ts,
+                      None if rng.random() < 0.4 else float(j),
+                      None if rng.random() < 0.4 else j * 10))
+    spark.createDataFrame(lrows, "k int, ts int, lid int"
+                          ).createOrReplaceTempView("asofn_l")
+    spark.createDataFrame(rrows, "k int, ts int, bid double, ask int"
+                          ).createOrReplaceTempView("asofn_r")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE asofn_l(k int, ts int, lid int)")
+    con.executemany("INSERT INTO asofn_l VALUES (?, ?, ?)", lrows)
+    con.execute("CREATE TABLE asofn_r(k int, ts int, bid double, ask int)")
+    con.executemany("INSERT INTO asofn_r VALUES (?, ?, ?, ?)", rrows)
+    for op in (">=", ">", "<=", "<"):
+        for kw, dj in (("", "ASOF JOIN"), ("LEFT ", "ASOF LEFT JOIN")):
+            got = sorted(map(tuple, run_ch_sql(
+                spark,
+                f"SELECT l.lid AS lid, bid, ask FROM asofn_l AS l"
+                f" ASOF {kw}JOIN asofn_r AS r"
+                f" ON l.k = r.k AND l.ts {op} r.ts",
+            ).select("lid", "bid", "ask").collect()), key=repr)
+            want = sorted(map(tuple, con.execute(
+                f"SELECT l.lid, r.bid, r.ask FROM asofn_l l {dj} asofn_r r"
+                f" ON l.k = r.k AND l.ts {op} r.ts"
+            ).fetchall()), key=repr)
+            assert got == want, (op, kw)

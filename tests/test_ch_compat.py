@@ -1006,3 +1006,39 @@ def test_r12c_bridges_reach_subqueries_under_case_parens(spark):
         " FROM numbers(1)) ARRAY JOIN a AS u) = 6 THEN 1 ELSE 0 END"
         " AS ok").collect()[0]
     assert r.ok == 1
+
+
+def test_r12_ils_window_equals_fold_randomized(spark):
+    """Property pin for the r12 default flip: on randomized interval
+    data (overlaps, containment, duplicates, negative-length
+    intervals, NULL endpoints, hot and singleton groups) the
+    stateless window plan and the sorted fold answer bit-equal
+    per-group totals."""
+    import random
+
+    from transaq_clickhouse_exporter_spark.queries import ch_compat
+
+    rng = random.Random(0x115)
+    rows = []
+    for k in range(8):
+        for _ in range(rng.randint(1, 60)):
+            s = rng.randint(-20, 100)
+            e = s + rng.randint(-5, 40)  # some negative-length
+            if rng.random() < 0.07:
+                s = None
+            if rng.random() < 0.07:
+                e = None
+            rows.append((k, s, e))
+    rows.append((9, None, None))  # all-NULL group
+    spark.createDataFrame(rows, "k int, s int, e int"
+                          ).createOrReplaceTempView("ils_rand")
+    sql = ("SELECT k, intervalLengthSum(s, e) AS c FROM ils_rand"
+           " GROUP BY k ORDER BY k")
+    got = [tuple(r) for r in run_ch_sql(spark, sql).collect()]
+    orig = ch_compat._preaggregate_ils
+    ch_compat._preaggregate_ils = lambda q: q
+    try:
+        fold = [tuple(r) for r in run_ch_sql(spark, sql).collect()]
+    finally:
+        ch_compat._preaggregate_ils = orig
+    assert got == fold
