@@ -1093,6 +1093,18 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT sum(u) AS s FROM (SELECT CASE WHEN 1 = 1 THEN (SELECT"
      " sum(x) FROM (SELECT number AS x FROM numbers(4) PREWHERE"
      " number > 1)) ELSE 0 END AS u FROM numbers(2))", (10,)),
+    # --- r12e: CH window-function spellings + named-raise tail
+    ("SELECT number AS n, lagInFrame(number, 1, 99) OVER (ORDER BY"
+     " number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+     " FOLLOWING) AS l FROM numbers(3) ORDER BY n LIMIT 1", (0, 99)),
+    ("SELECT leadInFrame(number) OVER (ORDER BY number ROWS BETWEEN"
+     " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM"
+     " numbers(2) ORDER BY l NULLS LAST LIMIT 1", (1,)),
+    # previously raw-loud; now named raises with window spellings
+    ("SELECT exponentialTimeDecayedSum(10)(number, number)"
+     " OVER (ORDER BY number) AS d FROM numbers(4)", None),
+    ("SELECT nonNegativeDerivative(number, now())"
+     " OVER (ORDER BY number) AS d FROM numbers(2)", None),
 ]
 
 

@@ -1454,6 +1454,26 @@ _UNSUPPORTED_MSG = {
         "exponentialTimeDecayedAvg(): see exponentialMovingAverage — "
         "spell the decay explicitly over an ordered window"
     ),
+    "exponentialTimeDecayedSum": (
+        "exponentialTimeDecayedSum(): see exponentialMovingAverage — "
+        "the closed form sum(v * exp((t - t_row) / x)) overflows for "
+        "epoch-scale timestamps; spell the decay over an ordered "
+        "window anchored at the row's own time"
+    ),
+    "exponentialTimeDecayedMax": (
+        "exponentialTimeDecayedMax(): see exponentialMovingAverage — "
+        "spell max(v * exp(-(t_row - t) / x)) over an ordered window"
+    ),
+    "exponentialTimeDecayedCount": (
+        "exponentialTimeDecayedCount(): see exponentialMovingAverage "
+        "— spell sum(exp(-(t_row - t) / x)) over an ordered window"
+    ),
+    "nonNegativeDerivative": (
+        "nonNegativeDerivative(v, t[, interval]) is a window "
+        "function over consecutive rows — spell greatest(0, "
+        "(v - lagInFrame(v, 1) OVER w) / (t - lagInFrame(t, 1) "
+        "OVER w)) with your frame; lagInFrame is bridged"
+    ),
     "largestTriangleThreeBuckets": (
         "largestTriangleThreeBuckets() is LTTB chart downsampling — "
         "an order-dependent scan; bucket by ntile() and pick "
