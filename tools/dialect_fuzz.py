@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""Generative differential fuzzer for the CH dialect layer (r12f).
+
+The curated probe corpus (tools/dialect_probe.py) enumerates known
+shapes; this generates RANDOM compositions — nested subqueries, UNION
+branches, CTEs, bridge tails (PREWHERE / SETTINGS / LIMIT BY /
+WITH TOTALS / ARRAY JOIN), quantified subquery comparisons — as
+(ClickHouse SQL, DuckDB SQL) MIRROR PAIRS built from constructs whose
+translation is value-pinned, then asserts the engines agree on every
+generated query.  Seeded and deterministic: a failing seed reproduces
+exactly; pytest runs a fixed batch (tests/test_dialect_fuzz.py), this
+CLI runs any count.
+
+Mirrors used (each individually value-pinned in the probe corpus):
+  numbers(k)            -> (SELECT range AS number FROM range(k))
+  PREWHERE p            -> WHERE p            (block has no WHERE)
+  SETTINGS ...          -> (dropped)
+  ORDER BY o LIMIT n BY g -> QUALIFY row_number() OVER (PARTITION BY
+                           g ORDER BY o) <= n  (DuckDB QUALIFY)
+  GROUP BY g WITH TOTALS -> GROUP BY ROLLUP(g) (single-key rollup)
+  ARRAY JOIN a AS u     -> CROSS JOIN UNNEST(a) AS __un(u)
+  x OP ANY/ALL (SELECT ...) -> same text (DuckDB native quantifiers)
+
+Run: python tools/dialect_fuzz.py [N_QUERIES] [SEED]
+Exit 1 on any mismatch; prints the reproducing (seed, index, SQL).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class Gen:
+    """One generated query: parallel CH / DuckDB texts."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.n = 0  # fresh-name counter
+
+    def name(self, p: str) -> str:
+        self.n += 1
+        return f"{p}{self.n}"
+
+    # ---- leaf sources ------------------------------------------------
+    def leaf(self) -> tuple[str, str, list[str]]:
+        """Returns (ch, duck, columns).  Columns: g (small group key),
+        v (value)."""
+        k = self.rng.randint(3, 12)
+        m = self.rng.randint(2, 4)
+        ch = (f"(SELECT number % {m} AS g, number AS v"
+              f" FROM numbers({k}))")
+        duck = (f"(SELECT number % {m} AS g, number AS v FROM"
+                f" (SELECT range AS number FROM range({k})))")
+        return ch, duck, ["g", "v"]
+
+    # ---- block: SELECT over a source with optional bridges ----------
+    def block(self, depth: int) -> tuple[str, str]:
+        """Returns (ch, duck) for a parenthesized relation producing
+        columns (g, v)."""
+        if depth <= 0 or self.rng.random() < 0.25:
+            ch, duck, _ = self.leaf()
+            return ch, duck
+        kind = self.rng.choice(
+            ["plain", "plain", "union", "cte", "limit_by", "totals",
+             "array_join", "quantified", "prewhere_settings"])
+        if kind == "union":
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            return (f"(SELECT g, v FROM {c1} UNION ALL"
+                    f" SELECT g, v FROM {c2})",
+                    f"(SELECT g, v FROM {d1} UNION ALL"
+                    f" SELECT g, v FROM {d2})")
+        if kind == "cte":
+            nm = self.name("c")
+            c1, d1 = self.block(depth - 1)
+            # CTE at relation position via a parenthesized WITH body
+            return (f"(WITH {nm} AS (SELECT g, v FROM {c1})"
+                    f" SELECT g, v FROM {nm})",
+                    f"(WITH {nm} AS (SELECT g, v FROM {d1})"
+                    f" SELECT g, v FROM {nm})")
+        if kind == "limit_by":
+            c1, d1 = self.block(depth - 1)
+            n = self.rng.randint(1, 2)
+            return (f"(SELECT g, v FROM {c1} ORDER BY g, v"
+                    f" LIMIT {n} BY g)",
+                    f"(SELECT g, v FROM {d1} QUALIFY row_number()"
+                    f" OVER (PARTITION BY g ORDER BY g, v) <= {n})")
+        if kind == "totals":
+            c1, d1 = self.block(depth - 1)
+            # TOTALS row carries NULL g; coalesce keys to keep the
+            # outer aggregation NULL-free and deterministic.  The
+            # HAVING count(*) > 0 guard mirrors the bridge's
+            # documented empty-input contract: NO totals row over an
+            # empty input (Spark grouping-sets semantics) — first
+            # fuzz run caught the ROLLUP mirror emitting the
+            # grand-total row there
+            return (f"(SELECT coalesce(g, -1) AS g,"
+                    f" coalesce(sv, 0) AS v FROM (SELECT g,"
+                    f" sum(v) AS sv FROM {c1} GROUP BY g WITH TOTALS))",
+                    f"(SELECT coalesce(g, -1) AS g,"
+                    f" coalesce(sv, 0) AS v FROM (SELECT g,"
+                    f" sum(v) AS sv FROM {d1} GROUP BY ROLLUP(g)"
+                    f" HAVING count(*) > 0))")
+        if kind == "array_join":
+            c1, d1 = self.block(depth - 1)
+            return (f"(SELECT g, u AS v FROM (SELECT g,"
+                    f" [v, v + 1] AS a FROM {c1}) ARRAY JOIN a AS u)",
+                    f"(SELECT g, u AS v FROM (SELECT g,"
+                    f" [v, v + 1] AS a FROM {d1}) AS __aj"
+                    f" CROSS JOIN UNNEST(a) AS __un(u))")
+        if kind == "quantified":
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            op = self.rng.choice([">", ">=", "<", "<=", "=", "!="])
+            q = self.rng.choice(["ANY", "ALL"])
+            if (op, q) in ((" =", "ALL"),):
+                op = ">"
+            return (f"(SELECT g, v FROM {c1} WHERE v {op} {q}"
+                    f" (SELECT v + 2 FROM {c2}))",
+                    f"(SELECT g, v FROM {d1} WHERE v {op} {q}"
+                    f" (SELECT v + 2 FROM {d2}))")
+        # prewhere_settings
+        c1, d1 = self.block(depth - 1)
+        thr = self.rng.randint(0, 6)
+        settings = (" SETTINGS max_threads = 1"
+                    if self.rng.random() < 0.5 else "")
+        return (f"(SELECT g, v FROM {c1} PREWHERE v > {thr}{settings})",
+                f"(SELECT g, v FROM {d1} WHERE v > {thr})")
+
+    def query(self) -> tuple[str, str]:
+        depth = self.rng.randint(1, 3)
+        c, d = self.block(depth)
+        agg = self.rng.choice([
+            ("CAST(sum(v) AS BIGINT) AS s, count() AS c",
+             "CAST(sum(v) AS BIGINT) AS s, count(*) AS c"),
+            ("CAST(sum(v * g) AS BIGINT) AS s, count() AS c",
+             "CAST(sum(v * g) AS BIGINT) AS s, count(*) AS c"),
+            ("CAST(max(v) AS BIGINT) AS s, CAST(min(v) AS BIGINT) AS c",
+             "CAST(max(v) AS BIGINT) AS s, CAST(min(v) AS BIGINT) AS c"),
+        ])
+        return (f"SELECT {agg[0]} FROM {c}",
+                f"SELECT {agg[1]} FROM {d}")
+
+
+def run_fuzz(n_queries: int, seed: int, spark=None) -> list[str]:
+    """Returns a list of failure descriptions (empty = all agree)."""
+    import warnings
+
+    import duckdb
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        run_ch_sql)
+    if spark is None:
+        from transaq_clickhouse_exporter_spark.session import get_spark
+        spark = get_spark(app="tce-dialect-fuzz")
+        spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    failures: list[str] = []
+    for i in range(n_queries):
+        rng = random.Random((seed << 20) | i)
+        ch, duck = Gen(rng).query()
+        try:
+            want = con.execute(duck).fetchall()
+        except Exception as e:  # mirror invalid on duck — generator bug
+            failures.append(f"[{seed}/{i}] DUCK-ERR {duck} -> {e}")
+            continue
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                got = [tuple(r) for r in run_ch_sql(spark, ch).collect()]
+        except Exception as e:
+            failures.append(
+                f"[{seed}/{i}] CH-ERR {ch} -> "
+                f"{str(e).splitlines()[0][:120]}")
+            continue
+        if sorted(got, key=repr) != sorted(
+                [tuple(r) for r in want], key=repr):
+            failures.append(
+                f"[{seed}/{i}] DIFF got={got} want={want}\n  ch: {ch}")
+    return failures
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    fails = run_fuzz(n, seed)
+    for f in fails:
+        print(f)
+    print(f"fuzz: {n} queries, seed {seed}, failures {len(fails)}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

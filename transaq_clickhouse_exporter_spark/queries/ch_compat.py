@@ -101,6 +101,12 @@ Documented deviations from ClickHouse (each also noted at its shim):
   values in its separate totals block.
 - ``toFixedString(s, n)`` truncates when s is longer than n (rpad
   contract) where CH throws.
+- aggregates over an EMPTY set follow ANSI/Spark — ``sum`` answers
+  NULL and an ungrouped aggregate emits one NULL row — where CH
+  answers the type's DEFAULT (``sum() FROM empty`` is 0 in CH).
+  Consequently ``GROUP BY … WITH TOTALS`` over an empty input emits
+  NO rows at all (Spark grouping-sets semantics; r12f fuzzer pin)
+  where CH renders a totals block of aggregate defaults.
 - ``toTypeName`` returns Spark's type spellings ('bigint'), not CH's
   ('Int64') — introspection is intentionally engine-native.
 - ``bitAnd``/``bitOr``/``bitXor``/``bitNot``/shifts run in 64-bit
