@@ -20,6 +20,9 @@ Mirrors used (each individually value-pinned in the probe corpus):
   GROUP BY g WITH TOTALS -> GROUP BY ROLLUP(g) (single-key rollup)
   ARRAY JOIN a AS u     -> CROSS JOIN UNNEST(a) AS __un(u)
   x OP ANY/ALL (SELECT ...) -> same text (DuckDB native quantifiers)
+  DISTINCT ON (g) ... ORDER BY o -> QUALIFY row_number() = 1
+  WITH k AS name SELECT ... name -> inlined constant
+  position(hay, needle)          -> position(needle IN hay) (ASCII)
 
 Run: python tools/dialect_fuzz.py [N_QUERIES] [SEED]
 Exit 1 on any mismatch; prints the reproducing (seed, index, SQL).
@@ -66,7 +69,8 @@ class Gen:
             return ch, duck
         kind = self.rng.choice(
             ["plain", "plain", "union", "cte", "limit_by", "totals",
-             "array_join", "quantified", "prewhere_settings"])
+             "array_join", "quantified", "prewhere_settings",
+             "distinct_on", "scalar_with", "grouped", "scalar_wrap"])
         if kind == "union":
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
@@ -123,6 +127,41 @@ class Gen:
                     f" (SELECT v + 2 FROM {c2}))",
                     f"(SELECT g, v FROM {d1} WHERE v {op} {q}"
                     f" (SELECT v + 2 FROM {d2}))")
+        if kind == "distinct_on":
+            c1, d1 = self.block(depth - 1)
+            return (f"(SELECT DISTINCT ON (g) g, v FROM {c1}"
+                    f" ORDER BY g, v)",
+                    f"(SELECT g, v FROM {d1} QUALIFY row_number()"
+                    f" OVER (PARTITION BY g ORDER BY g, v) = 1)")
+        if kind == "scalar_with":
+            c1, d1 = self.block(depth - 1)
+            k = self.rng.randint(2, 5)
+            return (f"(WITH {k} AS __fk SELECT g, v * __fk AS v"
+                    f" FROM {c1})",
+                    f"(SELECT g, v * {k} AS v FROM {d1})")
+        if kind == "grouped":
+            c1, d1 = self.block(depth - 1)
+            having_t = self.rng.randint(0, 8)
+            hv = (f" HAVING sum(v) > {having_t}"
+                  if self.rng.random() < 0.5 else "")
+            # inner aliases MUST NOT shadow the source columns: CH
+            # resolves aliases over columns (prefer_column_name_to_
+            # alias = 0), so `sum(v) AS v ... HAVING sum(v)` nests
+            # the aggregate and errors on BOTH engines' semantics —
+            # the dialect reproduces CH's alias-wins rule (first
+            # extended-fuzz run caught the shadowed spelling)
+            ch = (f"(SELECT g2 AS g, v2 AS v FROM (SELECT g % 2 AS"
+                  f" g2, CAST(sum(v) AS BIGINT) AS v2 FROM {c1}"
+                  f" GROUP BY g % 2{hv}))")
+            return ch, ch.replace(c1, d1)
+        if kind == "scalar_wrap":
+            c1, d1 = self.block(depth - 1)
+            # CH position(haystack, needle) is byte-based == DuckDB's
+            # ANSI position on ASCII digit strings
+            return (f"(SELECT g, v + position(toString(v), '1') AS v"
+                    f" FROM {c1})",
+                    f"(SELECT g, v + position('1' IN"
+                    f" CAST(v AS VARCHAR)) AS v FROM {d1})")
         # prewhere_settings
         c1, d1 = self.block(depth - 1)
         thr = self.rng.randint(0, 6)
