@@ -1105,6 +1105,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " OVER (ORDER BY number) AS d FROM numbers(4)", None),
     ("SELECT nonNegativeDerivative(number, now())"
      " OVER (ORDER BY number) AS d FROM numbers(2)", None),
+    # CH resolves ALIASES over source columns (prefer_column_name_to_
+    # alias = 0): the alias v (= v*10) wins in WHERE, so v*10 > 25
+    # keeps 7 of 10 rows — ANSI column-wins engines would keep 0.
+    # The inliner reproduces CH's rule (r12f fuzz follow-up pin).
+    ("SELECT count() AS c FROM (SELECT v * 10 AS v FROM"
+     " (SELECT number AS v FROM numbers(10)) WHERE v > 25)", (7,)),
 ]
 
 
