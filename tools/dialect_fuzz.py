@@ -173,6 +173,21 @@ class Gen:
     def query(self) -> tuple[str, str]:
         depth = self.rng.randint(1, 3)
         c, d = self.block(depth)
+        if self.rng.random() < 0.2:
+            # intervalLengthSum over (v, v + g + 2): the r12 stateless
+            # window plan vs DuckDB's running-max cover spelling (the
+            # ev26 oracle form); intervals here are always forward so
+            # the fold's negative-length branch is irrelevant
+            return (
+                f"SELECT CAST(intervalLengthSum(v, v + g + 2)"
+                f" AS BIGINT) AS s, count() AS c FROM {c}",
+                f"SELECT CAST(sum(CASE WHEN cover IS NULL OR"
+                f" s0 >= cover THEN e0 - s0 WHEN e0 > cover"
+                f" THEN e0 - cover ELSE 0 END) AS BIGINT) AS s,"
+                f" count(*) AS c FROM (SELECT v AS s0,"
+                f" v + g + 2 AS e0, max(v + g + 2) OVER (ORDER BY v,"
+                f" v + g + 2 ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                f" 1 PRECEDING) AS cover FROM {d})")
         agg = self.rng.choice([
             ("CAST(sum(v) AS BIGINT) AS s, count() AS c",
              "CAST(sum(v) AS BIGINT) AS s, count(*) AS c"),
