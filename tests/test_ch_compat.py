@@ -160,16 +160,19 @@ def test_limit_by_translation():
     out = translate_ch_sql(
         "SELECT a, b FROM t ORDER BY b DESC LIMIT 2 BY a"
     )
-    assert "row_number() OVER (PARTITION BY a ORDER BY b DESC)" in out
-    assert "__rn <= 2" in out and out.rstrip().endswith("ORDER BY b DESC")
+    assert ("row_number() OVER (PARTITION BY a ORDER BY b DESC"
+            " NULLS LAST)" in out)  # CH default NULL placement (r12g)
+    assert "__rn <= 2" in out
+    assert out.rstrip().endswith("ORDER BY b DESC NULLS LAST")
     # offset form + trailing global LIMIT
     out2 = translate_ch_sql("SELECT a, b FROM t ORDER BY b LIMIT 1, 2 BY a LIMIT 10")
     assert "__rn > 1 AND __rn <= 3" in out2 and out2.rstrip().endswith("LIMIT 10")
     with pytest.raises(UnsupportedChSql):  # storage-order nondeterminism
         translate_ch_sql("SELECT a FROM t LIMIT 2 BY a")
-    # plain LIMIT untouched
+    # plain LIMIT untouched (sort key gains CH's NULLS LAST default)
     s = "SELECT a FROM t ORDER BY a LIMIT 5"
-    assert translate_ch_sql(s) == s
+    assert translate_ch_sql(s) == (
+        "SELECT a FROM t ORDER BY a NULLS LAST LIMIT 5")
 
 
 def test_limit_by_runs(spark):
@@ -193,8 +196,8 @@ def test_prewhere_settings_format_and_plural_quantiles(spark):
     )
     assert out == "SELECT a FROM t WHERE (x > 1) AND (y < 2) GROUP BY a"
     assert translate_ch_sql("SELECT a FROM t PREWHERE x > 1 ORDER BY a") == (
-        "SELECT a FROM t WHERE x > 1 ORDER BY a"
-    )
+        "SELECT a FROM t WHERE x > 1 ORDER BY a NULLS LAST"
+    )  # NULLS LAST: CH's default NULL placement (r12g)
     assert translate_ch_sql("SELECT a FROM t FORMAT JSON") == "SELECT a FROM t"
     # a nested SETTINGS-looking literal survives
     s = "SELECT 'SETTINGS x=1' FROM t"
@@ -1042,3 +1045,70 @@ def test_r12_ils_window_equals_fold_randomized(spark):
     finally:
         ch_compat._preaggregate_ils = orig
     assert got == fold
+
+
+def test_r12g_null_ordering_follows_ch(spark):
+    """r12g: CH sorts NULLs LAST by default in BOTH directions
+    (`ORDER BY ... [ASC|DESC]` without a NULLS modifier), Spark's ASC
+    default is NULLS FIRST — a silent-value difference for every
+    ORDER-BY-driven pick over a NULL-bearing key.  The normalization
+    pass appends NULLS LAST to every unmodified sort key (statement
+    level AND inside OVER clauses); explicit NULLS FIRST/LAST pass
+    through; a bare ordinal stays positional for the LIMIT BY / WITH
+    TIES guards (the first draft's appended modifier bypassed them —
+    every row would tie on the constant)."""
+    spark.sql("SELECT * FROM VALUES (0, 5), (0, NULL), (1, NULL),"
+              " (1, 7) AS t(g, v)").createOrReplaceTempView("no_t")
+    rows = run_ch_sql(spark, "SELECT v FROM no_t ORDER BY v").collect()
+    assert [r.v for r in rows] == [5, 7, None, None]
+    rows = run_ch_sql(spark,
+                      "SELECT v FROM no_t ORDER BY v DESC").collect()
+    assert [r.v for r in rows] == [7, 5, None, None]
+    rows = run_ch_sql(spark, "SELECT v FROM no_t ORDER BY v"
+                             " NULLS FIRST").collect()
+    assert [r.v for r in rows] == [None, None, 5, 7]
+    # ORDER-BY-driven picks choose the non-NULL values like CH
+    rows = run_ch_sql(spark, "SELECT g, v FROM no_t ORDER BY g, v"
+                             " LIMIT 1 BY g").collect()
+    assert sorted([(r.g, r.v) for r in rows]) == [(0, 5), (1, 7)]
+    rows = run_ch_sql(spark, "SELECT DISTINCT ON (g) g, v FROM no_t"
+                             " ORDER BY g, v").collect()
+    assert sorted([(r.g, r.v) for r in rows]) == [(0, 5), (1, 7)]
+    rows = run_ch_sql(spark, "SELECT v FROM no_t ORDER BY v"
+                             " LIMIT 2 WITH TIES").collect()
+    assert [r.v for r in rows] == [5, 7]
+    # OVER-clause ORDER BY gets the modifier too
+    r = run_ch_sql(
+        spark,
+        "SELECT max(lv) AS m FROM (SELECT last_value(v) OVER ("
+        "PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND UNBOUNDED FOLLOWING) AS lv FROM no_t)").collect()[0]
+    assert r.m is None  # NULL is the LAST value under CH ordering
+    # positional guards survive the appended modifier
+    with pytest.raises(UnsupportedChSql, match="POSITIONAL"):
+        run_ch_sql(spark, "SELECT v FROM no_t ORDER BY 1"
+                          " LIMIT 2 WITH TIES")
+    with pytest.raises(UnsupportedChSql, match="POSITIONAL"):
+        run_ch_sql(spark, "SELECT g, v FROM no_t ORDER BY 1, 2"
+                          " LIMIT 1 BY g")
+    # review r12g: backtick-quoted sort keys whose NAME contains a
+    # terminator keyword stay whole; a bare COLUMN named like a frame
+    # keyword is a sort key (frame starters need their grammar)
+    out = translate_ch_sql(
+        'SELECT "limit price" AS p FROM t ORDER BY "limit price"')
+    assert out.endswith("ORDER BY `limit price` NULLS LAST")
+    out = translate_ch_sql("SELECT 1 FROM t ORDER BY rows")
+    assert out.endswith("ORDER BY rows NULLS LAST")
+    spark.sql("SELECT * FROM VALUES (1, 5), (2, NULL) AS t(rows, v)"
+              ).createOrReplaceTempView("no_kw")
+    r = run_ch_sql(spark, "SELECT v FROM no_kw ORDER BY rows DESC"
+                          " LIMIT 1").collect()[0]
+    assert r.v is None  # rows=2 sorts first under DESC
+    # the WITH FILL DataFrame path honors the same contract: a NULL
+    # axis row presents LAST, not first
+    spark.sql("SELECT * FROM VALUES (1, 10), (3, 30),"
+              " (CAST(NULL AS INT), 99) AS t(m, val)"
+              ).createOrReplaceTempView("no_fill")
+    rows = run_ch_sql(spark, "SELECT m, val FROM no_fill"
+                             " ORDER BY m WITH FILL").collect()
+    assert [r.m for r in rows] == [1, 2, 3, None]

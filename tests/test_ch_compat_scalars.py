@@ -1544,7 +1544,8 @@ def test_r10b_window_lag_array_combinators_divide(spark):
     # frameless leadInFrame would silently return the default — raise
     rows = one("SELECT lagInFrame(number) OVER (ORDER BY number) AS l"
                " FROM numbers(3) ORDER BY l")
-    assert [r.l for r in rows] == [None, 0, 1]
+    # presentation order is CH's: NULLs sort LAST by default (r12g)
+    assert [r.l for r in rows] == [0, 1, None]
     for bad in (
         "SELECT leadInFrame(number) OVER (ORDER BY number) FROM"
         " numbers(3)",
@@ -1596,7 +1597,8 @@ def test_review_r10b_fixes_are_pinned(spark):
             spark,
             f"SELECT lagInFrame(number) OVER (ORDER BY number {frame})"
             " AS l FROM numbers(3) ORDER BY l").collect()
-        assert [x.l for x in rows] == [None, 0, 1]
+        # CH default NULL placement: last (r12g)
+        assert [x.l for x in rows] == [0, 1, None]
     for bad in (
         "SELECT lagInFrame(number) OVER (ORDER BY number ROWS 1"
         " PRECEDING) FROM numbers(3)",

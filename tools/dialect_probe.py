@@ -1111,6 +1111,19 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # The inliner reproduces CH's rule (r12f fuzz follow-up pin).
     ("SELECT count() AS c FROM (SELECT v * 10 AS v FROM"
      " (SELECT number AS v FROM numbers(10)) WHERE v > 25)", (7,)),
+    # r12g: CH sorts NULLs LAST by default in BOTH directions —
+    # Spark's ASC default is NULLS FIRST, a silent-value diff for
+    # every ORDER-BY-driven pick over a NULL-bearing key.  min/skip
+    # shapes assert the PICK, not just presentation order.
+    ("SELECT v FROM (SELECT CASE WHEN number = 0 THEN NULL ELSE"
+     " number END AS v FROM numbers(3)) ORDER BY v LIMIT 1", (1,)),
+    ("SELECT v FROM (SELECT CASE WHEN number = 2 THEN NULL ELSE"
+     " number END AS v FROM numbers(3)) ORDER BY v DESC LIMIT 1",
+     (1,)),
+    ("SELECT count() AS c FROM (SELECT g, v FROM (SELECT number % 2"
+     " AS g, CASE WHEN number < 2 THEN NULL ELSE number END AS v"
+     " FROM numbers(6)) ORDER BY g, v LIMIT 1 BY g) WHERE v IS NOT"
+     " NULL", (2,)),
 ]
 
 

@@ -101,6 +101,11 @@ Documented deviations from ClickHouse (each also noted at its shim):
   values in its separate totals block.
 - ``toFixedString(s, n)`` truncates when s is longer than n (rpad
   contract) where CH throws.
+- ``ORDER BY`` without a NULLS modifier sorts NULLs LAST like CH
+  (normalized; Spark's ASC default is NULLS FIRST).  NaN nuance: CH
+  presents values → NaN → NULL in both directions; Spark sorts NaN
+  as the greatest value, so a DESC float sort presents NaN first
+  here (ASC is CH-exact).
 - aggregates over an EMPTY set follow ANSI/Spark — ``sum`` answers
   NULL and an ungrouped aggregate emits one NULL row — where CH
   answers the type's DEFAULT (``sum() FROM empty`` is 0 in CH).
@@ -1692,6 +1697,13 @@ def translate_ch_sql(
     # the array — loud if no such table exists, SILENT if one does
     # (probe r11l caught the nested shape)
     sql = _recurse_select_blocks(sql, _array_join_clause)
+    # CH sorts NULLs LAST by default in BOTH directions; Spark's ASC
+    # default is NULLS FIRST — a silent-value diff for every ORDER-BY-
+    # driven pick (LIMIT / LIMIT BY / DISTINCT ON / WITH TIES) over a
+    # NULL-bearing key (r12g fuzz lead).  Runs BEFORE the bridges that
+    # splice the user's ORDER BY text into their window rewrites, so
+    # the modifier rides along.
+    sql = _order_by_nulls_last(sql)
     # ANY depth (review r11l): for translate-only callers a NESTED
     # ASOF JOIN would otherwise reach Spark's parser, which reads
     # ASOF as a table alias and runs an ordinary inner join on the
@@ -2576,7 +2588,13 @@ def _limit_with_ties(sql: str) -> str:
     # window is a CONSTANT sort in Spark — every row would tie
     # (review r11f); raise rather than return all rows
     for part in _split_args(keys_sh):
-        if re.fullmatch(r"(?is)\s*\d+\s*(ASC|DESC)?\s*", part):
+        # the NULLS-LAST normalization pass may have appended a
+        # modifier — a bare ordinal is still positional under it
+        # (review r12g: the tail bypassed this guard and every row
+        # tied on the constant)
+        if re.fullmatch(
+                r"(?is)\s*\d+\s*(ASC|DESC)?\s*"
+                r"(NULLS\s+(FIRST|LAST))?\s*", part):
             raise UnsupportedChSql(
                 "LIMIT … WITH TIES with a POSITIONAL sort key "
                 "(ORDER BY <ordinal>) is not bridged — a bare integer "
@@ -2640,6 +2658,18 @@ def _limit_by(sql: str) -> str:
             "ORDER BY to make the per-group selection deterministic"
         )
     order = body[ob[1]:].strip()
+    # a bare ordinal is a CONSTANT inside the row_number window —
+    # every row in the group would tie and the per-group pick turns
+    # arbitrary, silently (same guard as WITH TIES; found r12g while
+    # auditing the NULLS-LAST pass)
+    for part in _split_args(_mask_literals(order)):
+        if re.fullmatch(r"(?is)\s*\d+\s*(ASC|DESC)?\s*"
+                        r"(NULLS\s+(FIRST|LAST))?\s*", part):
+            raise UnsupportedChSql(
+                "LIMIT BY / DISTINCT ON with a POSITIONAL sort key "
+                "(ORDER BY <ordinal>) is not bridged — a bare integer "
+                "is a constant inside the row_number() window; name "
+                "the column")
     inner = body[: ob[0]].rstrip()
     guard = f"__rn <= {n}" if off == 0 else f"__rn > {off} AND __rn <= {off + n}"
     return (
@@ -3226,6 +3256,87 @@ def _topk_fallback_notice(
     if strict_scale:
         raise UnsupportedChSql(msg)
     warnings.warn(msg, TopkFallbackWarning, stacklevel=6)
+
+
+#: tokens that end an ORDER BY key list at the clause's own depth.
+#: Frame starters (ROWS/RANGE/GROUPS) and WINDOW only terminate with
+#: their grammar lookahead — a COLUMN named `rows` after ORDER BY is
+#: a sort key, not a frame (review r12g)
+_ORDER_END_RX = (r"(?i)\b(?:(?:LIMIT|SETTINGS|FORMAT|INTERPOLATE|"
+                 r"UNION|EXCEPT|INTERSECT|INTO)\b"
+                 r"|(?:ROWS|RANGE|GROUPS)\s+(?:BETWEEN|UNBOUNDED|"
+                 r"CURRENT|\d)"
+                 r"|WINDOW\s+[A-Za-z_]\w*\s+AS\b)")
+
+
+def _order_by_nulls_last(sql: str) -> str:
+    """Append ``NULLS LAST`` to every ORDER BY sort key (statement
+    level AND inside OVER clauses) that doesn't carry an explicit
+    NULLS modifier: ClickHouse's default places NULLs last in both
+    sort directions where Spark's ASC default is NULLS FIRST — a
+    silent-value difference for every ORDER-BY-driven pick over a
+    NULL-bearing key.  NaN deviation (documented in the module
+    docstring): CH presents values → NaN → NULL in BOTH directions;
+    Spark treats NaN as the greatest value, so this pass aligns ASC
+    exactly but a DESC float key presents NaN FIRST here."""
+    import re
+
+    out: list[str] = []
+    pos = 0
+    sh = _mask_literals(sql)
+    depths = _depth_map(sh)
+    end_rx = re.compile(_ORDER_END_RX)
+    for m in re.finditer(r"(?i)\bORDER\s+BY\b", sh):
+        if m.start() < pos:
+            continue  # inside a previously processed key list
+        d0 = depths[m.end() - 1]
+        # key list runs to the first same-depth terminator keyword, a
+        # paren closing BELOW the clause's depth, or end of string
+        j = m.end()
+        end = len(sql)
+        while j < len(sh):
+            if sh[j] == "`":  # backtick identifiers are not masked —
+                nx = sh.find("`", j + 1)  # a quoted name may contain
+                j = (nx if nx >= 0 else len(sh) - 1) + 1  # keywords
+                continue
+            if sh[j] == ")" and depths[j] < d0:
+                end = j
+                break
+            if depths[j] == d0:
+                km = end_rx.match(sh, j)
+                if km and (j == 0 or not (sh[j - 1].isalnum()
+                                          or sh[j - 1] in "_`")):
+                    end = j
+                    break
+            j += 1
+        keys_sh = sh[m.end(): end]
+        # split on same-depth commas (relative depth 0 within the list)
+        parts, last = [], 0
+        for k, ch in enumerate(keys_sh):
+            if ch == "," and depths[m.end() + k] == d0:
+                parts.append((last, k))
+                last = k + 1
+        parts.append((last, len(keys_sh)))
+        new_keys = []
+        for a, b in parts:
+            key_sql = sql[m.end() + a: m.end() + b]
+            key_sh = keys_sh[a:b]
+            if re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$",
+                         key_sh.rstrip()):
+                new_keys.append(key_sql)
+            elif not key_sql.strip():
+                new_keys.append(key_sql)  # malformed; leave for Spark
+            else:
+                trail = len(key_sql) - len(key_sql.rstrip())
+                body = key_sql.rstrip()
+                new_keys.append(
+                    body + " NULLS LAST" + (key_sql[len(body):]
+                                            if trail else ""))
+        out.append(sql[pos: m.end()])
+        out.append(",".join(new_keys))
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _quantified_lhs_span(sh: str, end: int) -> tuple[int, int] | None:
@@ -6996,7 +7107,10 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
         else:
             filled.append(F.lit(None).cast(dtp).alias(name))
     if not interp:
-        out = df.unionByName(missing.select(*filled)).orderBy(c)
+        # nulls_last: the r12g ordering contract (CH presents NULL
+        # axis rows last) — Spark's bare orderBy is NULLS FIRST
+        out = df.unionByName(missing.select(*filled)).orderBy(
+            F.col(c).asc_nulls_last())
         return (out.limit(spec["limit"])
                 if spec.get("limit") is not None else out)
     # INTERPOLATE (LOCF): carry the previous REAL row's value into
@@ -7010,7 +7124,7 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
     real = df.withColumn("__fill", F.lit(False))
     ins = missing.select(*filled).withColumn("__fill", F.lit(True))
     u = real.unionByName(ins)
-    w = (Window.orderBy(c)
+    w = (Window.orderBy(F.col(c).asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cols = []
     for name, dtp in df.dtypes:
@@ -7036,7 +7150,8 @@ def _with_fill_apply(df: DataFrame, spec: Mapping[str, str]) -> DataFrame:
                    F.when(carried.isNull(), default)
                    .otherwise(carried["v"]))
             .otherwise(F.col(name)).alias(name))
-    out = u.select(*cols, F.col("__fill")).orderBy(c).drop("__fill")
+    out = u.select(*cols, F.col("__fill")).orderBy(
+        F.col(c).asc_nulls_last()).drop("__fill")
     return (out.limit(spec["limit"])
             if spec.get("limit") is not None else out)
 
