@@ -51,12 +51,18 @@ class Gen:
     # ---- leaf sources ------------------------------------------------
     def leaf(self) -> tuple[str, str, list[str]]:
         """Returns (ch, duck, columns).  Columns: g (small group key),
-        v (value)."""
+        v (value, sometimes NULL-bearing — NULL ordering now follows
+        CH's NULLS LAST default on the engine side, r12g)."""
         k = self.rng.randint(3, 12)
         m = self.rng.randint(2, 4)
-        ch = (f"(SELECT number % {m} AS g, number AS v"
+        vexpr = "number"
+        if self.rng.random() < 0.4:
+            nulls_at = self.rng.randint(0, 6)
+            vexpr = (f"CASE WHEN number % 7 = {nulls_at} THEN NULL"
+                     f" ELSE number END")
+        ch = (f"(SELECT number % {m} AS g, {vexpr} AS v"
               f" FROM numbers({k}))")
-        duck = (f"(SELECT number % {m} AS g, number AS v FROM"
+        duck = (f"(SELECT number % {m} AS g, {vexpr} AS v FROM"
                 f" (SELECT range AS number FROM range({k})))")
         return ch, duck, ["g", "v"]
 
