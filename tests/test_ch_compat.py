@@ -1112,3 +1112,113 @@ def test_r12g_null_ordering_follows_ch(spark):
     rows = run_ch_sql(spark, "SELECT m, val FROM no_fill"
                              " ORDER BY m WITH FILL").collect()
     assert [r.m for r in rows] == [1, 2, 3, None]
+
+
+def test_r12h_asof_join_cte_sides(spark):
+    """r12h: ASOF JOIN sides named by a LEADING statement-level WITH
+    clause resolve through the dialect recursively (CH scoping — the
+    CTE shadows a catalog table of the same name); previously they
+    died with Spark's raw TABLE_OR_VIEW_NOT_FOUND.  When the right-ts
+    name is unique to the right side, the bridge keeps CH's OWN
+    column name on the matched-timestamp output, so a BARE reference
+    (`SELECT rv`) resolves like CH's matched-right-row rule; chained
+    CTEs (the right side built FROM the left) and scalar WITH entries
+    ride the recursive prefix; the rewrites skip the WITH region so
+    entry bodies keep their own scope."""
+    rows = run_ch_sql(spark, """
+        WITH lhs AS (SELECT 1 AS g, 5 AS v UNION ALL
+                     SELECT 1 AS g, 2 AS v),
+             rhs AS (SELECT 1 AS g, 3 AS rv UNION ALL
+                     SELECT 1 AS g, 4 AS rv)
+        SELECT g, v, rv FROM lhs
+        ASOF JOIN rhs ON lhs.g = rhs.g AND lhs.v >= rhs.rv
+        ORDER BY v""").collect()
+    assert [(r.g, r.v, r.rv) for r in rows] == [(1, 5, 4)]
+    assert rows[0].__fields__ == ["g", "v", "rv"]  # CH's own name
+
+    # LEFT keeps unmatched rows; a QUALIFIED right-ts reference
+    # resolves to the matched value under an alias
+    rows = run_ch_sql(spark, """
+        WITH lhs AS (SELECT 1 AS g, 5 AS v UNION ALL
+                     SELECT 1 AS g, 2 AS v UNION ALL
+                     SELECT 1 AS g, 1 AS v),
+             rhs AS (SELECT 1 AS g, 3 AS rv UNION ALL
+                     SELECT 1 AS g, 4 AS rv)
+        SELECT g, v, rhs.rv AS mrv FROM lhs
+        ASOF LEFT JOIN rhs ON lhs.g = rhs.g AND lhs.v >= rhs.rv
+        ORDER BY v""").collect()
+    assert [(r.v, r.mrv) for r in rows] == [(1, None), (2, None), (5, 4)]
+
+    # chained CTEs + a scalar WITH entry feeding both bodies
+    rows = run_ch_sql(spark, """
+        WITH 10 AS base,
+             lhs AS (SELECT 1 AS g, base + 5 AS v),
+             rhs AS (SELECT g, v - 2 AS rv FROM lhs)
+        SELECT g, v, rv FROM lhs
+        ASOF JOIN rhs ON lhs.g = rhs.g AND lhs.v >= rhs.rv""").collect()
+    assert [(r.g, r.v, r.rv) for r in rows] == [(1, 15, 13)]
+
+
+def test_r12h_asof_cte_oracle_duckdb(spark):
+    """Randomized CTE-sided ASOF LEFT JOIN vs DuckDB's native ASOF
+    JOIN on identical inline relations (both engines parse the same
+    text modulo the mirror)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1207)
+    for trial in range(4):
+        lrows = sorted(
+            {(rng.randint(0, 2), rng.randint(0, 30))
+             for _ in range(rng.randint(3, 10))})
+        rrows = sorted(
+            {(rng.randint(0, 2), rng.randint(0, 30))
+             for _ in range(rng.randint(2, 8))})
+        lsql = " UNION ALL ".join(
+            f"SELECT {g} AS g, {v} AS v" for g, v in lrows)
+        rsql = " UNION ALL ".join(
+            f"SELECT {g} AS g, {v} AS rv" for g, v in rrows)
+        q = (f"WITH lhs AS ({lsql}), rhs AS ({rsql}) "
+             f"SELECT lhs.g AS g, v, rv FROM lhs ASOF LEFT JOIN rhs "
+             f"ON lhs.g = rhs.g AND lhs.v >= rhs.rv")
+        got = sorted(tuple(r) for r in run_ch_sql(spark, q).collect())
+        want = sorted(
+            tuple(r) for r in duckdb.connect().execute(q).fetchall())
+        assert got == want, f"trial {trial}: {got} != {want}\n{q}"
+
+
+def test_r12h_asof_inside_cte_body(spark):
+    """Fuzz seed 61803's find, pinned: an ASOF JOIN whose OWN local
+    WITH clause sits inside an OUTER CTE's body.  The outer clause
+    ENCLOSES the ASOF select, so its end must not bound the rewrite
+    region (taking it shielded the side-qualifier strip and left
+    `al.g` dangling); only clauses ending BEFORE the ASOF FROM
+    protect their entry bodies."""
+    rows = run_ch_sql(spark, """
+        SELECT CAST(sum(v) AS BIGINT) AS s FROM (
+          WITH c1 AS (
+            SELECT g, v FROM (
+              WITH al AS (SELECT number % 3 AS g, number AS v
+                          FROM numbers(9)),
+                   ar AS (SELECT number % 2 AS g, number + 1 AS rv
+                          FROM numbers(7))
+              SELECT al.g AS g, v + coalesce(rv, 0) AS v
+              FROM al ASOF LEFT JOIN ar
+              ON al.g = ar.g AND al.v >= ar.rv))
+          SELECT g, v FROM c1)""").collect()
+    import duckdb
+
+    want = duckdb.connect().execute("""
+        SELECT CAST(sum(v) AS BIGINT) AS s FROM (
+          WITH c1 AS (
+            SELECT g, v FROM (
+              WITH al AS (SELECT number % 3 AS g, number AS v
+                          FROM (SELECT range AS number FROM range(9))),
+                   ar AS (SELECT number % 2 AS g, number + 1 AS rv
+                          FROM (SELECT range AS number FROM range(7)))
+              SELECT al.g AS g, v + coalesce(rv, 0) AS v
+              FROM al ASOF LEFT JOIN ar
+              ON al.g = ar.g AND al.v >= ar.rv))
+          SELECT g, v FROM c1)""").fetchone()
+    assert rows[0].s == want[0]

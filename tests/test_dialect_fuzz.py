@@ -41,3 +41,11 @@ def test_with_totals_empty_input_contract(spark):
         ).collect()
     assert sorted([(r.g, r.sv) for r in rows], key=repr) == sorted(
         [(0, 2), (1, 4), (None, 6)], key=repr)
+
+
+def test_fuzz_batch_seed_5150(spark):
+    """Third pinned batch, added with the r12h vocabulary growth
+    (windowed / joined / IN-subquery / array-HOF wraps / DISTINCT
+    set ops / CTE-sided ASOF LEFT JOIN mirrored to DuckDB's native
+    ASOF) so the new kinds hold a standing seed of their own."""
+    assert run_fuzz(60, 5150, spark) == []

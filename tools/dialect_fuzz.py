@@ -43,6 +43,7 @@ class Gen:
     def __init__(self, rng: random.Random):
         self.rng = rng
         self.n = 0  # fresh-name counter
+        self.asof_used = False  # bridge supports ONE ASOF per statement
 
     def name(self, p: str) -> str:
         self.n += 1
@@ -76,7 +77,11 @@ class Gen:
         kind = self.rng.choice(
             ["plain", "plain", "union", "cte", "limit_by", "totals",
              "array_join", "quantified", "prewhere_settings",
-             "distinct_on", "scalar_with", "grouped", "scalar_wrap"])
+             "distinct_on", "scalar_with", "grouped", "scalar_wrap",
+             "windowed", "joined", "in_subquery", "arr_wrap",
+             "set_op_distinct", "asof"])
+        if kind == "asof" and self.asof_used:
+            kind = "joined"  # one ASOF per statement (bridge subset)
         if kind == "union":
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
@@ -168,6 +173,93 @@ class Gen:
                     f" FROM {c1})",
                     f"(SELECT g, v + position('1' IN"
                     f" CAST(v AS VARCHAR)) AS v FROM {d1})")
+        if kind == "windowed":
+            c1, d1 = self.block(depth - 1)
+            # Running sum over ORDER BY v inside g: ties in v within a
+            # partition can only come from IDENTICAL (g, v) rows (the
+            # block schema is exactly g, v), so any tie order yields
+            # the same output MULTISET — and the comparison sorts.
+            # NULL placement: the r12g contract appends NULLS LAST
+            # inside OVER on the CH side; DuckDB's default null order
+            # is NULLS LAST in both directions, so the mirror needs no
+            # explicit modifier.  NULL v rows contribute 0 (sum skips
+            # NULL) and land last on both engines.
+            win = self.rng.choice(["run_sum", "dense_rank"])
+            if win == "run_sum":
+                expr = ("CAST(sum(v) OVER (PARTITION BY g ORDER BY v"
+                        " ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                        " CURRENT ROW) AS BIGINT)")
+                return (f"(SELECT g, {expr} AS v FROM {c1})",
+                        f"(SELECT g, {expr} AS v FROM {d1})")
+            expr = ("CAST(dense_rank() OVER (PARTITION BY g"
+                    " ORDER BY v) AS BIGINT)")
+            return (f"(SELECT g, {expr} AS v FROM {c1})",
+                    f"(SELECT g, {expr} AS v FROM {d1})")
+        if kind == "joined":
+            # INNER equi-join on g: identical ANSI semantics on both
+            # engines (CH's default-fill divergence is LEFT-only).
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            t1, t2 = self.name("j"), self.name("j")
+            sel = f"SELECT {t1}.g AS g, {t1}.v + {t2}.v AS v FROM"
+            on = f"ON {t1}.g = {t2}.g"
+            return (f"({sel} {c1} AS {t1} INNER JOIN {c2} AS {t2} {on})",
+                    f"({sel} {d1} AS {t1} INNER JOIN {d2} AS {t2} {on})")
+        if kind == "in_subquery":
+            # Positive IN only: in WHERE (filter context) CH's
+            # NULL-IN-is-0 rule and ANSI's NULL both reject the row,
+            # so the engines agree; NOT IN with a NULL-bearing set
+            # genuinely diverges (CH keeps, ANSI drops) and is pinned
+            # in the probe corpus, not fuzzed.
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            return (f"(SELECT g, v FROM {c1} WHERE v IN"
+                    f" (SELECT v + 1 FROM {c2}))",
+                    f"(SELECT g, v FROM {d1} WHERE v IN"
+                    f" (SELECT v + 1 FROM {d2}))")
+        if kind == "arr_wrap":
+            # Array HOF composition over NULL-free inputs (g is never
+            # NULL): arrayMap -> transform, arraySum -> the aggregate
+            # shim.  Result is 2g + 4, kept integral via the CAST.
+            c1, d1 = self.block(depth - 1)
+            return (f"(SELECT g, v + CAST(arraySum(arrayMap("
+                    f"x -> x + 1, [g, g + 2])) AS BIGINT) AS v"
+                    f" FROM {c1})",
+                    f"(SELECT g, v + CAST(list_sum(list_transform("
+                    f"[g, g + 2], x -> x + 1)) AS BIGINT) AS v"
+                    f" FROM {d1})")
+        if kind == "set_op_distinct":
+            # CH's explicit DISTINCT set-op spellings are the only
+            # value-equal pass-throughs (bare/ALL raise by name: CH
+            # keeps left duplicates); DuckDB's bare forms ARE the
+            # DISTINCT forms
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            op = self.rng.choice(["INTERSECT", "EXCEPT"])
+            return (f"(SELECT g, v FROM {c1} {op} DISTINCT"
+                    f" SELECT g, v FROM {c2})",
+                    f"(SELECT g, v FROM {d1} {op}"
+                    f" SELECT g, v FROM {d2})")
+        if kind == "asof":
+            # CTE-sided ASOF LEFT JOIN (r12h): both sides coalesced
+            # NULL-free (CH disallows Nullable ASOF columns), right
+            # ts shifted +1 so matches are non-trivial; DuckDB's
+            # native ASOF JOIN is the mirror verbatim.  Duplicate
+            # (g, rv) right rows are harmless: the matched payload is
+            # rv itself, so any tie pick yields the same value.
+            self.asof_used = True
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            al, ar = self.name("al"), self.name("ar")
+            tpl = (f"(WITH {al} AS (SELECT g, coalesce(v, 0) AS v"
+                   f" FROM {{src1}}),"
+                   f" {ar} AS (SELECT g, coalesce(v, 0) + 1 AS rv"
+                   f" FROM {{src2}})"
+                   f" SELECT {al}.g AS g, v + coalesce(rv, 0) AS v"
+                   f" FROM {al} ASOF LEFT JOIN {ar}"
+                   f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            return (tpl.format(src1=c1, src2=c2),
+                    tpl.format(src1=d1, src2=d2))
         # prewhere_settings
         c1, d1 = self.block(depth - 1)
         thr = self.rng.randint(0, 6)
@@ -201,6 +293,19 @@ class Gen:
              "CAST(sum(v * g) AS BIGINT) AS s, count(*) AS c"),
             ("CAST(max(v) AS BIGINT) AS s, CAST(min(v) AS BIGINT) AS c",
              "CAST(max(v) AS BIGINT) AS s, CAST(min(v) AS BIGINT) AS c"),
+            # -If combinators -> FILTER / CASE mirrors.  CH's sumIf
+            # answers 0 (not NULL) when no row matches — the bridge
+            # coalesces (ch_compat sumIf handler), so the mirror must
+            # too; first extended-vocabulary fuzz run caught the bare
+            # FILTER spelling answering NULL over an empty match set.
+            ("CAST(sumIf(v, g = 1) AS BIGINT) AS s,"
+             " CAST(countIf(v > 3) AS BIGINT) AS c",
+             "CAST(coalesce(sum(v) FILTER (WHERE g = 1), 0)"
+             " AS BIGINT) AS s,"
+             " CAST(count(*) FILTER (WHERE v > 3) AS BIGINT) AS c"),
+            # uniqExact -> COUNT(DISTINCT): NULL excluded on both
+            ("CAST(uniqExact(v) AS BIGINT) AS s, count() AS c",
+             "CAST(count(DISTINCT v) AS BIGINT) AS s, count(*) AS c"),
         ])
         return (f"SELECT {agg[0]} FROM {c}",
                 f"SELECT {agg[1]} FROM {d}")

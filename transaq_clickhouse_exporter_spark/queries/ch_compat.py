@@ -6683,6 +6683,68 @@ def substitute(sql: str, params: Mapping[str, object]) -> str:
     return re.sub(r"\$\{(\w+)\}|\$(\w+)", repl, sql)
 
 
+def _statement_ctes(sql: str) -> tuple[dict[str, str], int]:
+    """Map each name defined by a LEADING statement-level ``WITH``
+    clause to a self-contained CH-SQL text that evaluates it, plus
+    the offset where the clause ends (0 when there is none) so
+    callers can scope rewrites to the main statement body.  Scalar
+    WITH entries (``WITH 2 AS x``) are carried verbatim into later
+    entries' prefixes but define no relation; ``WITH RECURSIVE`` never
+    matches the entry shape and yields ``({}, 0)``.  Entries may
+    reference earlier entries: entry k's text is ``WITH e1, …, e(k-1)
+    SELECT * FROM (body_k)`` so the chain resolves on re-entry."""
+    import re
+
+    sh = _mask_literals(sql)
+    m = re.match(r"\s*WITH\b", sh, re.IGNORECASE)
+    if not m:
+        return {}, 0
+    depths = _depth_map(sh)
+    out: dict[str, str] = {}
+    prev: list[str] = []  # raw entry texts, in order
+    i = m.end()
+    base = depths[m.end() - 1]
+    while True:
+        em = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", sh[i:])
+        if em:
+            # parenthesized CTE body: find its matching close paren
+            open_at = i + em.end() - 1
+            j = open_at + 1
+            while j < len(sh) and depths[j] > depths[open_at]:
+                j += 1
+            if j >= len(sh):
+                return {}, 0  # unbalanced; let the main pass raise
+            name = em.group(1)
+            body = sql[open_at + 1: j]
+            out[name] = (
+                f"WITH {', '.join(prev)} SELECT * FROM ({body})"
+                if prev else body
+            )
+            prev.append(sql[i + em.start(1): j + 1])
+            i = j + 1
+        else:
+            # scalar/expression entry: runs to the next same-depth
+            # comma (or the clause ends at SELECT)
+            start = i
+            while i < len(sh):
+                if sh[i] == "," and depths[i] == base:
+                    break
+                if (depths[i] == base
+                        and re.match(r"(?i)SELECT\b", sh[i:])
+                        and not (i > 0 and (sh[i - 1].isalnum()
+                                            or sh[i - 1] in "_`"))):
+                    return out, i
+                i += 1
+            if i >= len(sh):
+                return out, i
+            prev.append(sql[start:i].strip())
+        # after an entry: a comma continues the clause, else it ends
+        cm = re.match(r"\s*,", sh[i:])
+        if not cm:
+            return out, i
+        i += cm.end()
+
+
 def _bridge_asof_join(
     spark: SparkSession, sql: str, table_map: Mapping[str, str] | None
 ) -> tuple[str, str | None]:
@@ -6784,17 +6846,65 @@ def _bridge_asof_join(
         )
     rts_as_written = rts  # name used for `q.<rts>` references in the body
     tmap = dict(table_map or {})
-    ldf = spark.table(tmap.get(t1, t1))
-    rdf = spark.table(tmap.get(t2, t2))
+    # a side named by an ENCLOSING CTE resolves through the dialect
+    # recursively (CH scoping: the CTE shadows any table of the same
+    # name).  Candidate clauses: the statement-leading WITH plus any
+    # parenthesized select block's leading WITH whose extent encloses
+    # the ASOF FROM; an inner clause's names shadow an outer's (an
+    # entry body referencing an OUTER clause's name stays out of the
+    # subset — the recursive call fails loudly with TABLE_NOT_FOUND).
+    # Plain names resolve from the session catalog.
+    ctes: dict[str, str] = {}
+    with_end = 0
+    depths_all = _depth_map(sh)
+    for wm in re.finditer(r"(?i)(?:\A|\()\s*WITH\b", sh):
+        wtok = wm.end() - 4  # offset of the WITH token itself
+        if wtok >= m.start():
+            continue
+        if wm.group(0)[0] == "(":
+            # paren-prefixed: extent is the enclosing paren group
+            j = wm.start() + 1
+            while j < len(sh) and depths_all[j] > depths_all[wm.start()]:
+                j += 1
+            if not (wm.start() < m.start() < j):
+                continue
+        inner, rel_end = _statement_ctes(sql[wtok:])
+        if inner:
+            ctes.update(inner)  # ascending starts → inner shadows
+            # only a clause that ends BEFORE the ASOF FROM bounds the
+            # rewrite region: an ENCLOSING clause's end lies past the
+            # ASOF's own select body (its entry body contains it), and
+            # taking that end would shield the very references the
+            # strip must rewrite (fuzz seed 61803: ASOF inside a CTE)
+            if wtok + rel_end <= m.start():
+                with_end = max(with_end, wtok + rel_end)
+
+    def _side(name: str) -> DataFrame:
+        if name in ctes:
+            return run_ch_sql(spark, ctes[name], table_map=table_map)
+        return spark.table(tmap.get(name, name))
+
+    ldf = _side(t1)
+    rdf = _side(t2)
     for lk, rk in keys:
         if rk != lk:
             if rts == rk:
                 rts = lk
             rdf = rdf.withColumnRenamed(rk, lk)
+    # when the right-ts name is unique to the right side (no left
+    # column or join-key collision, no key-driven rename), keep CH's
+    # OWN column name on the matched-timestamp output: bare references
+    # (`SELECT rv`) then resolve naturally and qualified ones reduce
+    # to it via the qualifier strip below — exactly CH's resolution
+    # of the matched right row's timestamp
+    natural = (rts == rts_as_written
+               and rts_as_written not in ldf.columns
+               and all(rts_as_written != lk for lk, _ in keys))
+    out_col = rts_as_written if natural else "__asof_rts"
     try:
         joined = asof_join(
             ldf, rdf, by=[lk for lk, _ in keys],
-            left_ts=lts, right_ts=rts, right_ts_out="__asof_rts",
+            left_ts=lts, right_ts=rts, right_ts_out=out_col,
             direction=direction, strict=strict,
         )
     except ValueError as e:
@@ -6805,7 +6915,7 @@ def _bridge_asof_join(
     from pyspark.sql import functions as F
 
     if not left_kw:  # CH bare ASOF JOIN is INNER
-        joined = joined.filter(F.col("__asof_rts").isNotNull())
+        joined = joined.filter(F.col(out_col).isNotNull())
     import uuid
 
     name = f"__ch_asof_{uuid.uuid4().hex[:12]}"
@@ -6823,14 +6933,21 @@ def _bridge_asof_join(
     )
     sh2 = _mask_literals(new_sql)
     out, last, n_rref = [], 0, 0
-    for qm in rref.finditer(sh2):
-        out.append(new_sql[last : qm.start()])
-        out.append("__asof_rts")
-        last = qm.end()
-        n_rref += 1
+    if not natural:
+        for qm in rref.finditer(sh2):
+            # CTE bodies in the leading WITH prefix keep their own
+            # scope — a qualified right-ts reference there is the
+            # CTE's business, not this statement body's (with_end is
+            # 0 without a prefix)
+            if qm.start() < with_end:
+                continue
+            out.append(new_sql[last : qm.start()])
+            out.append("__asof_rts")
+            last = qm.end()
+            n_rref += 1
     out.append(new_sql[last:])
     new_sql = "".join(out)
-    if n_rref == 0:
+    if not natural and n_rref == 0:
         joined = joined.drop("__asof_rts")
     joined.createOrReplaceTempView(name)
     # strip now-dangling side qualifiers (a.x / t1.x → x), literals safe
@@ -6841,6 +6958,8 @@ def _bridge_asof_join(
     sh2 = _mask_literals(new_sql)
     out, last = [], 0
     for qm in qre.finditer(sh2):
+        if qm.start() < with_end:
+            continue  # CTE bodies keep their own qualifiers
         out.append(new_sql[last : qm.start()])
         last = qm.end()
     out.append(new_sql[last:])
