@@ -1222,3 +1222,85 @@ def test_r12h_asof_inside_cte_body(spark):
               ON al.g = ar.g AND al.v >= ar.rv))
           SELECT g, v FROM c1)""").fetchone()
     assert rows[0].s == want[0]
+
+
+def test_r12i_asof_subquery_sides_inner_using(spark):
+    """r12i: ASOF JOIN widens to CH's other documented spellings —
+    parenthesized SUBQUERY sides (aliased), the explicit `ASOF INNER
+    JOIN`, and `USING (k…, ts)` where the LAST column is the fixed
+    `>=` inequality.  Subquery sides without aliases raise by name
+    when ON needs qualifiers."""
+    import duckdb
+
+    import pytest as _pytest
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        UnsupportedChSql)
+
+    rows = run_ch_sql(spark, """
+        SELECT a.g AS g, a.v AS v, b.rv AS rv
+        FROM (SELECT 1 AS g, 5 AS v) AS a
+        ASOF INNER JOIN (SELECT 1 AS g, 3 AS rv UNION ALL
+                         SELECT 1 AS g, 4 AS rv) AS b
+        ON a.g = b.g AND a.v >= b.rv""").collect()
+    assert [(r.g, r.v, r.rv) for r in rows] == [(1, 5, 4)]
+
+    # USING: shared names, backward >=, LEFT keeps unmatched; the
+    # bare (unqualified) ts is the LEFT side's value like CH/DuckDB
+    q = """WITH lhs AS (SELECT 1 AS g, 5 AS ts UNION ALL
+                        SELECT 1 AS g, 2 AS ts),
+               rhs AS (SELECT 1 AS g, 3 AS ts UNION ALL
+                       SELECT 1 AS g, 4 AS ts)
+          SELECT g, ts FROM lhs ASOF LEFT JOIN rhs USING (g, ts)
+          ORDER BY ts"""
+    got = [(r.g, r.ts) for r in run_ch_sql(spark, q).collect()]
+    want = duckdb.connect().execute(q).fetchall()
+    assert got == [tuple(r) for r in want] == [(1, 2), (1, 5)]
+
+    # bare USING list (no parens) parses too
+    rows = run_ch_sql(spark, """
+        WITH lhs AS (SELECT 1 AS g, 5 AS ts),
+             rhs AS (SELECT 1 AS g, 4 AS ts)
+        SELECT count() AS n FROM lhs ASOF JOIN rhs USING g, ts
+        """).collect()
+    assert rows[0].n == 1
+
+    # subquery sides + ON need aliases to qualify columns
+    with _pytest.raises(UnsupportedChSql, match="needs aliases"):
+        run_ch_sql(spark, """
+            SELECT 1 FROM (SELECT 1 AS g, 5 AS v)
+            ASOF JOIN (SELECT 1 AS g, 3 AS rv)
+            ON g = g AND v >= rv""")
+
+    # USING rejects expression members by name
+    with _pytest.raises(UnsupportedChSql, match="plain columns"):
+        run_ch_sql(spark, """
+            WITH lhs AS (SELECT 1 AS g, 5 AS ts),
+                 rhs AS (SELECT 1 AS g, 4 AS ts)
+            SELECT 1 FROM lhs ASOF JOIN rhs USING (g + 1, ts)""")
+
+
+def test_r12i_asof_subquery_sides_oracle_duckdb(spark):
+    """Randomized subquery-sided ASOF JOIN (inner + USING) vs DuckDB's
+    native ASOF on the same text."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1208)
+    for trial in range(4):
+        lrows = sorted({(rng.randint(0, 2), rng.randint(0, 30))
+                        for _ in range(rng.randint(3, 10))})
+        rrows = sorted({(rng.randint(0, 2), rng.randint(0, 30))
+                        for _ in range(rng.randint(2, 8))})
+        lsql = " UNION ALL ".join(
+            f"SELECT {g} AS g, {v} AS v" for g, v in lrows)
+        rsql = " UNION ALL ".join(
+            f"SELECT {g} AS g, {v} AS rv" for g, v in rrows)
+        q = (f"SELECT a.g AS g, a.v AS v, rv FROM ({lsql}) AS a "
+             f"ASOF JOIN ({rsql}) AS b "
+             f"ON a.g = b.g AND a.v >= b.rv")
+        got = sorted(tuple(r) for r in run_ch_sql(spark, q).collect())
+        want = sorted(
+            tuple(r) for r in duckdb.connect().execute(q).fetchall())
+        assert got == want, f"trial {trial}: {got} != {want}\n{q}"

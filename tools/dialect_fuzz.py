@@ -251,13 +251,34 @@ class Gen:
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
             al, ar = self.name("al"), self.name("ar")
-            tpl = (f"(WITH {al} AS (SELECT g, coalesce(v, 0) AS v"
-                   f" FROM {{src1}}),"
-                   f" {ar} AS (SELECT g, coalesce(v, 0) + 1 AS rv"
-                   f" FROM {{src2}})"
-                   f" SELECT {al}.g AS g, v + coalesce(rv, 0) AS v"
-                   f" FROM {al} ASOF LEFT JOIN {ar}"
-                   f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            form = self.rng.choice(["cte", "subq", "using"])
+            if form == "cte":
+                tpl = (f"(WITH {al} AS (SELECT g, coalesce(v, 0) AS v"
+                       f" FROM {{src1}}),"
+                       f" {ar} AS (SELECT g, coalesce(v, 0) + 1 AS rv"
+                       f" FROM {{src2}})"
+                       f" SELECT {al}.g AS g, v + coalesce(rv, 0) AS v"
+                       f" FROM {al} ASOF LEFT JOIN {ar}"
+                       f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            elif form == "subq":
+                # parenthesized subquery sides (r12i)
+                tpl = (f"(SELECT {al}.g AS g, {al}.v +"
+                       f" coalesce({ar}.rv, 0) AS v"
+                       f" FROM (SELECT g, coalesce(v, 0) AS v"
+                       f" FROM {{src1}}) AS {al}"
+                       f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                       f" AS rv FROM {{src2}}) AS {ar}"
+                       f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            else:
+                # USING (k, ts): last column is the fixed >= asof key;
+                # bare v in the projection is the LEFT side's value on
+                # both engines, the qualified {ar}.v the matched one
+                tpl = (f"(SELECT {al}.g AS g, {al}.v + {ar}.v AS v"
+                       f" FROM (SELECT g, coalesce(v, 0) AS v"
+                       f" FROM {{src1}}) AS {al}"
+                       f" ASOF JOIN (SELECT g, coalesce(v, 0) AS v"
+                       f" FROM {{src2}}) AS {ar}"
+                       f" USING (g, v))")
             return (tpl.format(src1=c1, src2=c2),
                     tpl.format(src1=d1, src2=d2))
         # prewhere_settings

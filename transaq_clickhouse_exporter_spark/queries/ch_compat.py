@@ -6774,38 +6774,112 @@ def _bridge_asof_join(
     from ..operators.asof import asof_join
 
     sh = _mask_literals(sql)
-    if not re.search(r"(?i)\bASOF\s+(?:LEFT\s+)?JOIN\b", sh):
+    if not re.search(r"(?i)\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b", sh):
         return sql, None
-    pat = re.compile(
-        r"(?is)\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b)([A-Za-z_]\w*))?"
-        r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_]\w*)"
-        r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\s+"
-    )
-    ms = list(pat.finditer(sh))
-    if not ms:
-        raise UnsupportedChSql(
-            "ASOF JOIN form not recognized — supported: FROM t1 [a] "
-            "ASOF [LEFT] JOIN t2 [b] ON equi… AND l.ts >= r.ts"
-        )
-    if len(ms) > 1:
+    depths0 = _depth_map(sh)
+    asof_ms = list(
+        re.finditer(r"(?i)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh))
+    if len(asof_ms) > 1:
         raise UnsupportedChSql("only one ASOF JOIN per statement is supported")
-    m = ms[0]
-    t1, a1, left_kw, t2, a2 = m.groups()
-    rest = sh[m.end():]
+    am = asof_ms[0]
+
+    def _parse_side(pos: int):
+        """``name | (subquery)`` followed by an optional ``[AS] alias``
+        starting at ``pos``; returns (src, alias, end) or None.  src is
+        the bare identifier or the parenthesized text WITH parens."""
+        i = pos + re.match(r"\s*", sh[pos:]).end()
+        if i < len(sh) and sh[i] == "(":
+            j = i + 1
+            while j < len(sh) and depths0[j] > depths0[i]:
+                j += 1
+            if j >= len(sh):
+                return None
+            src, i2 = sql[i: j + 1], j + 1
+        else:
+            nm = re.match(r"[A-Za-z_]\w*", sh[i:])
+            if not nm:
+                return None
+            src, i2 = nm.group(0), i + nm.end()
+        al = re.match(
+            r"(?is)\s+(?:AS\s+)?"
+            r"(?!ASOF\b|ON\b|USING\b|LEFT\b|INNER\b|JOIN\b)"
+            r"([A-Za-z_]\w*)", sh[i2:])
+        alias = None
+        if al:
+            alias, i2 = al.group(1), i2 + al.end()
+        return src, alias, i2
+
+    parsed = None
+    for fm in re.finditer(r"(?i)\bFROM\b", sh):
+        if fm.start() > am.start():
+            break
+        side = _parse_side(fm.end())
+        if side is None:
+            continue
+        src1, a1, p = side
+        jm = re.match(r"(?is)\s*ASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh[p:])
+        if jm is None:
+            continue
+        left_kw = (jm.group(1) or "").strip().upper() == "LEFT" or None
+        side2 = _parse_side(p + jm.end())
+        if side2 is None:
+            continue
+        src2, a2, p3 = side2
+        om = re.match(r"(?i)\s*(ON|USING)\b", sh[p3:])
+        if om is None:
+            continue
+        parsed = (fm.start(), src1, a1, left_kw, src2, a2,
+                  p3 + om.end(), om.group(1).upper())
+        break
+    if parsed is None:
+        raise UnsupportedChSql(
+            "ASOF JOIN form not recognized — supported: FROM t1|(subq) "
+            "[a] ASOF [LEFT|INNER] JOIN t2|(subq) [b] ON equi… AND "
+            "l.ts >= r.ts, or … USING (k…, ts)"
+        )
+    (from_start, t1, a1, left_kw, t2, a2, cond_start, on_kw) = parsed
+    rest = sh[cond_start:]
     stop = re.search(
         r"(?is)\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|"
         r"UNION|WINDOW)\b|\)",
         rest,
     )
-    cond_end = m.end() + (stop.start() if stop else len(rest))
-    left_names = {n for n in (t1, a1) if n}
-    right_names = {n for n in (t2, a2) if n}
+    cond_end = cond_start + (stop.start() if stop else len(rest))
+    # a parenthesized side contributes only its alias as a qualifier
+    left_names = ({a1} if t1.startswith("(") else {t1, a1}) - {None}
+    right_names = ({a2} if t2.startswith("(") else {t2, a2}) - {None}
+    if on_kw == "ON" and (not left_names or not right_names):
+        raise UnsupportedChSql(
+            "ASOF JOIN with subquery sides needs aliases to qualify "
+            "the ON columns — FROM (…) a ASOF JOIN (…) b ON a.k = b.k "
+            "AND a.ts >= b.ts (or spell USING (k…, ts))")
     keys: list[tuple[str, str]] = []
     lts = rts = None
     direction, strict = "backward", False
     part_re = re.compile(
         r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)\s*$")
-    for part in re.split(r"(?i)\bAND\b", sql[m.end():cond_end]):
+    if on_kw == "USING":
+        # CH: USING (k1, …, kn, asof_col) — the LAST column is the
+        # inequality (comparator fixed at >=, CH's only USING form);
+        # both sides must carry the same names, so keys/ts mirror
+        i = cond_start + re.match(r"\s*", sh[cond_start:]).end()
+        if i < len(sh) and sh[i] == "(":
+            j = i + 1
+            while j < len(sh) and depths0[j] > depths0[i]:
+                j += 1
+            ulist, cond_end = sql[i + 1: j], j + 1
+        else:
+            ulist = sql[i:cond_end]
+        cols = [c.strip().strip("`") for c in ulist.split(",")]
+        if len(cols) < 2 or not all(
+                re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+            raise UnsupportedChSql(
+                "ASOF JOIN USING needs plain columns (k…, ts) — the "
+                "last is the >= inequality")
+        keys = [(c, c) for c in cols[:-1]]
+        lts = rts = cols[-1]
+    for part in ([] if on_kw == "USING" else
+                 re.split(r"(?i)\bAND\b", sql[cond_start:cond_end])):
         pm = part_re.match(part)
         if not pm:
             raise UnsupportedChSql(
@@ -6856,17 +6930,16 @@ def _bridge_asof_join(
     # Plain names resolve from the session catalog.
     ctes: dict[str, str] = {}
     with_end = 0
-    depths_all = _depth_map(sh)
     for wm in re.finditer(r"(?i)(?:\A|\()\s*WITH\b", sh):
         wtok = wm.end() - 4  # offset of the WITH token itself
-        if wtok >= m.start():
+        if wtok >= from_start:
             continue
         if wm.group(0)[0] == "(":
             # paren-prefixed: extent is the enclosing paren group
             j = wm.start() + 1
-            while j < len(sh) and depths_all[j] > depths_all[wm.start()]:
+            while j < len(sh) and depths0[j] > depths0[wm.start()]:
                 j += 1
-            if not (wm.start() < m.start() < j):
+            if not (wm.start() < from_start < j):
                 continue
         inner, rel_end = _statement_ctes(sql[wtok:])
         if inner:
@@ -6876,13 +6949,17 @@ def _bridge_asof_join(
             # ASOF's own select body (its entry body contains it), and
             # taking that end would shield the very references the
             # strip must rewrite (fuzz seed 61803: ASOF inside a CTE)
-            if wtok + rel_end <= m.start():
+            if wtok + rel_end <= from_start:
                 with_end = max(with_end, wtok + rel_end)
 
-    def _side(name: str) -> DataFrame:
-        if name in ctes:
-            return run_ch_sql(spark, ctes[name], table_map=table_map)
-        return spark.table(tmap.get(name, name))
+    def _side(spec: str) -> DataFrame:
+        if spec.startswith("("):
+            # parenthesized subquery side: translate its body through
+            # the dialect (it may open with its own WITH clause)
+            return run_ch_sql(spark, spec[1:-1], table_map=table_map)
+        if spec in ctes:
+            return run_ch_sql(spark, ctes[spec], table_map=table_map)
+        return spark.table(tmap.get(spec, spec))
 
     ldf = _side(t1)
     rdf = _side(t2)
@@ -6919,7 +6996,7 @@ def _bridge_asof_join(
     import uuid
 
     name = f"__ch_asof_{uuid.uuid4().hex[:12]}"
-    new_sql = sql[: m.start()] + f"FROM {name} " + sql[cond_end:]
+    new_sql = sql[: from_start] + f"FROM {name} " + sql[cond_end:]
     # CH resolves `<right>.<rts>` in the statement body to the MATCHED
     # right-row timestamp (the left ts would be a silently wrong value
     # when the sides share the name) — point those references at the
