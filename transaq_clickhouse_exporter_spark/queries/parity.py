@@ -4093,6 +4093,50 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join", "forward", "ch-sql"),
         )
     )
+
+    # Round-12 (r12i): the ASOF bridge's WIDENED spellings — a
+    # parenthesized SUBQUERY right side plus the `USING (k…, ts)` form
+    # (CH fixes the comparator at >= and takes the LAST USING column
+    # as the asof key; ch_compat._bridge_asof_join USING branch).  The
+    # qualified `q.time_s` is the MATCHED right timestamp (CH resolves
+    # the right side's asof column to the matched row), aggregated so
+    # duplicate right candidates collapsing to one (sec_code, time_s)
+    # stay deterministic.  Oracle: DuckDB's native ASOF JOIN in the ON
+    # spelling of the same semantics.
+    def _asof_using_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code, count() AS n_trades,
+                   CAST(sum(q.time_s) AS BIGINT) AS sum_matched_ts
+            FROM trades t ASOF JOIN (
+              SELECT sec_code, time_s FROM quotes_dup
+              GROUP BY sec_code, time_s) AS q
+            USING (sec_code, time_s)
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "op11_asof_using_sql",
+            _asof_using_sql,
+            """
+            SELECT sec_code, CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(sum(mts) AS BIGINT) AS sum_matched_ts
+            FROM (
+              SELECT t.sec_code AS sec_code, q.time_s AS mts
+              FROM trades t ASOF JOIN (
+                SELECT sec_code, time_s FROM quotes_dup
+                GROUP BY sec_code, time_s) q
+                ON t.sec_code = q.sec_code AND t.time_s >= q.time_s) j
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+            tags=("operator", "asof-join", "using", "ch-sql"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -4581,6 +4625,11 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
+    # round-12 mid-round displacement: op11_asof_using_sql (the r12i
+    # widened ASOF spellings) takes its window slot for first-time
+    # external evidence; the sampling class keeps dp07 (hash sample)
+    # in-window and dp08 holds a green r11 row.
+    "dp08_stratified_sample",
     "tp02_top_revenue_orders",        # top-K evidence stays via db03/db04 +
                                       # the TakeOrderedAndProject plan assertion
     "tp04_supplier_stats_by_nation",  # multi-join agg stays via db broadcast
