@@ -1304,3 +1304,49 @@ def test_r12i_asof_subquery_sides_oracle_duckdb(spark):
         want = sorted(
             tuple(r) for r in duckdb.connect().execute(q).fetchall())
         assert got == want, f"trial {trial}: {got} != {want}\n{q}"
+
+
+def test_r12j_asof_consumed_cte_entries_excised(spark):
+    """Fuzz seed 880001/72: leftover CTE entries whose only reference
+    the ASOF view replaced must be excised — composed with the view
+    reference and a sibling branch's own WITH they trip a Spark
+    CTE-inlining bug (InlineCTE "key not found" in one session state,
+    a silently wrong row count in another).  The excision runs after
+    the qualifier strip; an entry referenced elsewhere stays."""
+    import duckdb
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        _bridge_asof_join)
+
+    q = ("SELECT CAST(sum(v * g) AS BIGINT) AS s, count() AS c FROM"
+         " (SELECT g, v FROM (WITH al1 AS (SELECT g, coalesce(v, 0)"
+         " AS v FROM (SELECT number % 3 AS g, number AS v FROM"
+         " numbers(6))), ar2 AS (SELECT g, coalesce(v, 0) + 1 AS rv"
+         " FROM (SELECT number % 3 AS g, number AS v FROM numbers(9)))"
+         " SELECT al1.g AS g, v + coalesce(rv, 0) AS v FROM al1"
+         " ASOF LEFT JOIN ar2 ON al1.g = ar2.g AND al1.v >= ar2.rv)"
+         " INTERSECT DISTINCT SELECT g, v FROM (WITH c3 AS (SELECT"
+         " g, v FROM (SELECT number % 4 AS g, CASE WHEN number % 7 = 6"
+         " THEN NULL ELSE number END AS v FROM numbers(5)))"
+         " SELECT g, v FROM c3))")
+    new_sql, view = _bridge_asof_join(spark, q, None)
+    try:
+        assert "al1 AS (" not in new_sql and "ar2 AS (" not in new_sql
+        assert "c3 AS (" in new_sql  # sibling clause untouched
+    finally:
+        spark.catalog.dropTempView(view)
+    got = [tuple(r) for r in run_ch_sql(spark, q).collect()]
+    want = duckdb.connect().execute(
+        q.replace("numbers(6)", "(SELECT range AS number FROM range(6))")
+         .replace("numbers(9)", "(SELECT range AS number FROM range(9))")
+         .replace("numbers(5)", "(SELECT range AS number FROM range(5))")
+         .replace("count()", "count(*)")).fetchall()
+    assert got == [tuple(r) for r in want] == [(5, 4)]
+
+    # an entry with a SURVIVING reference keeps its definition
+    q2 = ("WITH lhs AS (SELECT 1 AS g, 5 AS v),"
+          " rhs AS (SELECT 1 AS g, 4 AS rv)"
+          " SELECT g, v, rv, (SELECT count(*) FROM lhs) AS n_lhs"
+          " FROM lhs ASOF JOIN rhs ON lhs.g = rhs.g AND lhs.v >= rhs.rv")
+    rows = run_ch_sql(spark, q2).collect()
+    assert [(r.g, r.v, r.rv, r.n_lhs) for r in rows] == [(1, 5, 4, 1)]

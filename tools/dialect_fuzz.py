@@ -296,17 +296,24 @@ class Gen:
             # intervalLengthSum over (v, v + g + 2): the r12 stateless
             # window plan vs DuckDB's running-max cover spelling (the
             # ev26 oracle form); intervals here are always forward so
-            # the fold's negative-length branch is irrelevant
+            # the fold's negative-length branch is irrelevant.  CH
+            # SKIPS NULL-argument rows (seed 990001/130: a lone NULL
+            # row answers 0, not NULL), so the mirror filters them
+            # from the cover window but counts them, and preserves
+            # the engine's documented ANSI NULL on a truly EMPTY set.
             return (
                 f"SELECT CAST(intervalLengthSum(v, v + g + 2)"
                 f" AS BIGINT) AS s, count() AS c FROM {c}",
-                f"SELECT CAST(sum(CASE WHEN cover IS NULL OR"
-                f" s0 >= cover THEN e0 - s0 WHEN e0 > cover"
-                f" THEN e0 - cover ELSE 0 END) AS BIGINT) AS s,"
-                f" count(*) AS c FROM (SELECT v AS s0,"
+                f"SELECT CAST(CASE WHEN (SELECT count(*) FROM {d}) = 0"
+                f" THEN NULL ELSE coalesce(sum(CASE WHEN cover IS NULL"
+                f" OR s0 >= cover THEN e0 - s0 WHEN e0 > cover"
+                f" THEN e0 - cover ELSE 0 END), 0) END AS BIGINT) AS s,"
+                f" (SELECT CAST(count(*) AS BIGINT) FROM {d}) AS c"
+                f" FROM (SELECT v AS s0,"
                 f" v + g + 2 AS e0, max(v + g + 2) OVER (ORDER BY v,"
                 f" v + g + 2 ROWS BETWEEN UNBOUNDED PRECEDING AND"
-                f" 1 PRECEDING) AS cover FROM {d})")
+                f" 1 PRECEDING) AS cover"
+                f" FROM {d} WHERE v IS NOT NULL)")
         agg = self.rng.choice([
             ("CAST(sum(v) AS BIGINT) AS s, count() AS c",
              "CAST(sum(v) AS BIGINT) AS s, count(*) AS c"),

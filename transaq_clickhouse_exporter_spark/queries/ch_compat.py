@@ -6683,11 +6683,15 @@ def substitute(sql: str, params: Mapping[str, object]) -> str:
     return re.sub(r"\$\{(\w+)\}|\$(\w+)", repl, sql)
 
 
-def _statement_ctes(sql: str) -> tuple[dict[str, str], int]:
+def _statement_ctes(
+    sql: str,
+) -> tuple[dict[str, str], int, dict[str, tuple[int, int]]]:
     """Map each name defined by a LEADING statement-level ``WITH``
     clause to a self-contained CH-SQL text that evaluates it, plus
     the offset where the clause ends (0 when there is none) so
-    callers can scope rewrites to the main statement body.  Scalar
+    callers can scope rewrites to the main statement body, plus each
+    entry's (start, end) span — name through closing paren — so a
+    consumer that replaces the entry's only reference can excise it.  Scalar
     WITH entries (``WITH 2 AS x``) are carried verbatim into later
     entries' prefixes but define no relation; ``WITH RECURSIVE`` never
     matches the entry shape and yields ``({}, 0)``.  Entries may
@@ -6698,9 +6702,10 @@ def _statement_ctes(sql: str) -> tuple[dict[str, str], int]:
     sh = _mask_literals(sql)
     m = re.match(r"\s*WITH\b", sh, re.IGNORECASE)
     if not m:
-        return {}, 0
+        return {}, 0, {}
     depths = _depth_map(sh)
     out: dict[str, str] = {}
+    spans: dict[str, tuple[int, int]] = {}
     prev: list[str] = []  # raw entry texts, in order
     i = m.end()
     base = depths[m.end() - 1]
@@ -6713,13 +6718,14 @@ def _statement_ctes(sql: str) -> tuple[dict[str, str], int]:
             while j < len(sh) and depths[j] > depths[open_at]:
                 j += 1
             if j >= len(sh):
-                return {}, 0  # unbalanced; let the main pass raise
+                return {}, 0, {}  # unbalanced; let the main pass raise
             name = em.group(1)
             body = sql[open_at + 1: j]
             out[name] = (
                 f"WITH {', '.join(prev)} SELECT * FROM ({body})"
                 if prev else body
             )
+            spans[name] = (i + em.start(1), j + 1)
             prev.append(sql[i + em.start(1): j + 1])
             i = j + 1
         else:
@@ -6733,15 +6739,15 @@ def _statement_ctes(sql: str) -> tuple[dict[str, str], int]:
                         and re.match(r"(?i)SELECT\b", sh[i:])
                         and not (i > 0 and (sh[i - 1].isalnum()
                                             or sh[i - 1] in "_`"))):
-                    return out, i
+                    return out, i, spans
                 i += 1
             if i >= len(sh):
-                return out, i
+                return out, i, spans
             prev.append(sql[start:i].strip())
         # after an entry: a comma continues the clause, else it ends
         cm = re.match(r"\s*,", sh[i:])
         if not cm:
-            return out, i
+            return out, i, spans
         i += cm.end()
 
 
@@ -6929,6 +6935,7 @@ def _bridge_asof_join(
     # subset — the recursive call fails loudly with TABLE_NOT_FOUND).
     # Plain names resolve from the session catalog.
     ctes: dict[str, str] = {}
+    cte_spans: dict[str, tuple[int, int]] = {}
     with_end = 0
     for wm in re.finditer(r"(?i)(?:\A|\()\s*WITH\b", sh):
         wtok = wm.end() - 4  # offset of the WITH token itself
@@ -6941,9 +6948,11 @@ def _bridge_asof_join(
                 j += 1
             if not (wm.start() < from_start < j):
                 continue
-        inner, rel_end = _statement_ctes(sql[wtok:])
+        inner, rel_end, rel_spans = _statement_ctes(sql[wtok:])
         if inner:
             ctes.update(inner)  # ascending starts → inner shadows
+            cte_spans.update({n: (wtok + a, wtok + b)
+                              for n, (a, b) in rel_spans.items()})
             # only a clause that ends BEFORE the ASOF FROM bounds the
             # rewrite region: an ENCLOSING clause's end lies past the
             # ASOF's own select body (its entry body contains it), and
@@ -6952,13 +6961,30 @@ def _bridge_asof_join(
             if wtok + rel_end <= from_start:
                 with_end = max(with_end, wtok + rel_end)
 
+    def _no_cte_defs(df: DataFrame) -> DataFrame:
+        # Spark's InlineCTE can lose a def ("key not found: N" at
+        # optimize time) when an analyzed view plan embedding WithCTE
+        # is composed into a statement carrying its OWN defs — the
+        # failure depends on session id state (fuzz seed 880001/72
+        # fails in-batch, passes standalone).  Truncate such a side's
+        # lineage to a LogicalRDD with a LAZY local checkpoint:
+        # computation still runs at first action, and materializing
+        # the side once mirrors what CH itself does with a join's
+        # right table.  Plans without CTE defs keep full lineage (and
+        # Catalyst fusion) — zero cost on the common paths.
+        if "CTERelationDef" in df._jdf.queryExecution().analyzed().toString():
+            return df.localCheckpoint(eager=False)
+        return df
+
     def _side(spec: str) -> DataFrame:
         if spec.startswith("("):
             # parenthesized subquery side: translate its body through
             # the dialect (it may open with its own WITH clause)
-            return run_ch_sql(spark, spec[1:-1], table_map=table_map)
+            return _no_cte_defs(
+                run_ch_sql(spark, spec[1:-1], table_map=table_map))
         if spec in ctes:
-            return run_ch_sql(spark, ctes[spec], table_map=table_map)
+            return _no_cte_defs(
+                run_ch_sql(spark, ctes[spec], table_map=table_map))
         return spark.table(tmap.get(spec, spec))
 
     ldf = _side(t1)
@@ -7040,7 +7066,48 @@ def _bridge_asof_join(
         out.append(new_sql[last : qm.start()])
         last = qm.end()
     out.append(new_sql[last:])
-    return "".join(out), name
+    new_sql = "".join(out)
+    # Excise CONSUMED CTE entries (the sides the view replaced) when
+    # nothing else references them: leftover unreferenced defs are not
+    # just clutter — composed with the view reference they trip a
+    # Spark CTE-inlining bug (InlineCTE "key not found", with a
+    # silent-wrong-result variant under other id states; fuzz seed
+    # 880001/72).  Runs AFTER the qualifier strip so the replaced
+    # region's `side.col` spellings no longer count as references.
+    # Entry spans precede the ASOF FROM, so the body rewrites above
+    # never move them.  A name still referenced anywhere outside the
+    # candidate spans keeps its entry.
+    cand = [(nm, *cte_spans[nm]) for nm in {t1, t2}
+            if nm in ctes and nm in cte_spans]
+    sh_n = _mask_literals(new_sql)
+    cand_spans = [(a, b) for _, a, b in cand]
+    cut: list[tuple[int, int]] = []
+    for nm, s0, e0 in cand:
+        word = re.compile(rf"(?<![\w.`]){re.escape(nm)}(?![\w`])")
+        if not any(
+                not any(a <= mm.start() < b for a, b in cand_spans)
+                for mm in word.finditer(sh_n)):
+            cut.append((s0, e0))
+    for s0, e0 in sorted(set(cut), reverse=True):
+        a, b = s0, e0
+        k = a - 1
+        while k >= 0 and new_sql[k] in " \t\n":
+            k -= 1
+        if k >= 0 and new_sql[k] == ",":
+            a = k  # absorb the preceding separator
+        else:
+            k2 = b
+            while k2 < len(new_sql) and new_sql[k2] in " \t\n":
+                k2 += 1
+            if k2 < len(new_sql) and new_sql[k2] == ",":
+                b = k2 + 1  # first entry: absorb the following one
+        new_sql = new_sql[:a] + new_sql[b:]
+    if cut:
+        # a clause whose entries were all excised leaves `WITH SELECT`
+        # (never valid SQL otherwise) — drop the dangling keyword
+        new_sql = _sub_masked(
+            re.compile(r"(?i)\bWITH\s+(?=SELECT\b)"), "", new_sql)
+    return new_sql, name
 
 
 #: WITH FILL grid guard: an axis bigger than this is a FROM/TO/STEP
