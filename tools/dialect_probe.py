@@ -689,6 +689,26 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT count() AS c FROM trades_core AS t ASOF JOIN sess_windows"
      " AS w ON t.sec_code = w.sec_code AND w.win_start <= t.time_s",
      None),
+    # --- r12h/r12i: the widened ASOF spellings, value-pinned on
+    # inline relations (CTE sides, subquery sides, INNER keyword,
+    # USING with the fixed >= last-column key, bare right-ts name)
+    ("WITH lhs AS (SELECT 1 AS g, 5 AS v UNION ALL SELECT 1 AS g,"
+     " 2 AS v), rhs AS (SELECT 1 AS g, 3 AS rv UNION ALL SELECT 1"
+     " AS g, 4 AS rv) SELECT CAST(sum(v) AS BIGINT) AS sv,"
+     " CAST(sum(rv) AS BIGINT) AS sr FROM lhs ASOF JOIN rhs"
+     " ON lhs.g = rhs.g AND lhs.v >= rhs.rv", (5, 4)),
+    ("WITH lhs AS (SELECT 1 AS g, 5 AS v UNION ALL SELECT 1 AS g,"
+     " 1 AS v), rhs AS (SELECT 1 AS g, 3 AS rv) SELECT count() AS n,"
+     " count(rv) AS m FROM lhs ASOF LEFT JOIN rhs ON lhs.g = rhs.g"
+     " AND lhs.v >= rhs.rv", (2, 1)),
+    ("SELECT a.v AS v, b.rv AS rv FROM (SELECT 1 AS g, 5 AS v) AS a"
+     " ASOF INNER JOIN (SELECT 1 AS g, 3 AS rv UNION ALL SELECT 1"
+     " AS g, 4 AS rv) AS b ON a.g = b.g AND a.v >= b.rv", (5, 4)),
+    ("WITH lhs AS (SELECT 1 AS g, 5 AS ts), rhs AS (SELECT 1 AS g,"
+     " 3 AS ts UNION ALL SELECT 1 AS g, 4 AS ts) SELECT ts,"
+     " rhs.ts AS mts FROM lhs ASOF JOIN rhs USING (g, ts)", (5, 4)),
+    ("SELECT 1 FROM (SELECT 1 AS g, 5 AS v) ASOF JOIN (SELECT 1 AS g,"
+     " 3 AS rv) ON g = g AND v >= rv", None),  # clean-raise: aliases
     # --- r11f: regression pair, ties, base64, set-op discipline
     # y = 2x + 1 exactly → (k, b) = (2, 1)
     ("SELECT tupleElement(simpleLinearRegression(number,"
