@@ -290,7 +290,17 @@ class Gen:
                 f"(SELECT g, v FROM {d1} WHERE v > {thr})")
 
     def query(self) -> tuple[str, str]:
-        depth = self.rng.randint(1, 3)
+        # mostly depth 1-3; an occasional 4 for deeper nesting strata
+        depth = self.rng.choice([1, 2, 2, 3, 3, 4])
+        if self.rng.random() < 0.15:
+            # grouped final: per-key aggregates over the composition
+            # (the global finals below never exercise group-level
+            # NULL-key handling)
+            c, d = self.block(depth)
+            return (f"SELECT g, CAST(sum(v) AS BIGINT) AS s,"
+                    f" count() AS c FROM {c} GROUP BY g",
+                    f"SELECT g, CAST(sum(v) AS BIGINT) AS s,"
+                    f" count(*) AS c FROM {d} GROUP BY g")
         c, d = self.block(depth)
         if self.rng.random() < 0.2:
             # intervalLengthSum over (v, v + g + 2): the r12 stateless
