@@ -1350,3 +1350,39 @@ def test_r12j_asof_consumed_cte_entries_excised(spark):
           " FROM lhs ASOF JOIN rhs ON lhs.g = rhs.g AND lhs.v >= rhs.rv")
     rows = run_ch_sql(spark, q2).collect()
     assert [(r.g, r.v, r.rv, r.n_lhs) for r in rows] == [(1, 5, 4, 1)]
+
+
+def test_r12k_parallel_asof_joins(spark):
+    """r12k: several ASOF JOINs in PARALLEL branches bridge in one
+    statement (the bridge loops, one per pass); an ASOF inside a
+    subquery SIDE of another ASOF resolves through the recursion;
+    CHAINED ASOF (second join's left side is the first's result)
+    stays a loud named raise."""
+    import duckdb
+
+    q1 = """SELECT CAST(sum(rv) AS BIGINT) AS s FROM (
+      SELECT rv FROM (SELECT 1 AS g, 5 AS v) AS a ASOF JOIN
+        (SELECT 1 AS g, 3 AS rv) AS b ON a.g = b.g AND a.v >= b.rv
+      UNION ALL
+      SELECT rv FROM (SELECT 2 AS g, 9 AS v) AS c ASOF JOIN
+        (SELECT 2 AS g, 7 AS rv) AS d ON c.g = d.g AND c.v >= d.rv)"""
+    assert run_ch_sql(spark, q1).collect()[0].s == 10
+    assert duckdb.connect().execute(q1).fetchone()[0] == 10
+
+    q2 = """SELECT x.g AS g, x.v AS v, y.rv2 AS rv2 FROM
+      (SELECT a.g AS g, a.v AS v FROM (SELECT 1 AS g, 8 AS v) AS a
+       ASOF JOIN (SELECT 1 AS g, 2 AS rv) AS b
+       ON a.g = b.g AND a.v >= b.rv) AS x
+      ASOF JOIN (SELECT 1 AS g, 6 AS rv2) AS y
+      ON x.g = y.g AND x.v >= y.rv2"""
+    got = [tuple(r) for r in run_ch_sql(spark, q2).collect()]
+    want = duckdb.connect().execute(q2).fetchall()
+    assert got == [tuple(r) for r in want] == [(1, 8, 6)]
+
+    with pytest.raises(UnsupportedChSql, match="ASOF ON term"):
+        run_ch_sql(
+            spark,
+            "SELECT 1 FROM (SELECT 1 AS g, 5 AS v) AS a ASOF JOIN"
+            " (SELECT 1 AS g, 3 AS rv) AS b ON a.g = b.g AND"
+            " a.v >= b.rv ASOF JOIN (SELECT 1 AS g, 2 AS r2) AS e"
+            " ON a.g = e.g AND a.v >= e.r2")

@@ -43,7 +43,7 @@ class Gen:
     def __init__(self, rng: random.Random):
         self.rng = rng
         self.n = 0  # fresh-name counter
-        self.asof_used = False  # bridge supports ONE ASOF per statement
+        self.n_asof = 0  # parallel-branch ASOFs; keep statements small
 
     def name(self, p: str) -> str:
         self.n += 1
@@ -80,8 +80,8 @@ class Gen:
              "distinct_on", "scalar_with", "grouped", "scalar_wrap",
              "windowed", "joined", "in_subquery", "arr_wrap",
              "set_op_distinct", "asof"])
-        if kind == "asof" and self.asof_used:
-            kind = "joined"  # one ASOF per statement (bridge subset)
+        if kind == "asof" and self.n_asof >= 2:
+            kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "union":
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
@@ -247,7 +247,7 @@ class Gen:
             # native ASOF JOIN is the mirror verbatim.  Duplicate
             # (g, rv) right rows are harmless: the matched payload is
             # rv itself, so any tie pick yields the same value.
-            self.asof_used = True
+            self.n_asof += 1
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
             al, ar = self.name("al"), self.name("ar")

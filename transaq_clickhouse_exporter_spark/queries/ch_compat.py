@@ -6783,11 +6783,14 @@ def _bridge_asof_join(
     if not re.search(r"(?i)\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b", sh):
         return sql, None
     depths0 = _depth_map(sh)
-    asof_ms = list(
-        re.finditer(r"(?i)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh))
-    if len(asof_ms) > 1:
-        raise UnsupportedChSql("only one ASOF JOIN per statement is supported")
-    am = asof_ms[0]
+    # several ASOF JOINs may coexist in PARALLEL branches (UNION arms,
+    # independent subqueries): this pass bridges the FIRST one and the
+    # caller loops until none remain.  CHAINED ASOF (the second join's
+    # left side is the first's result) stays out of the subset — after
+    # the first rewrite its ON terms no longer qualify against the two
+    # sides, so the next pass raises the ON-term contract loudly.
+    am = next(iter(
+        re.finditer(r"(?i)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh)))
 
     def _parse_side(pos: int):
         """``name | (subquery)`` followed by an optional ``[AS] alias``
@@ -7605,7 +7608,17 @@ def run_ch_sql(
     sql = _normalize_escapes(sql)  # before the bridge scans literals
     sql = _star_apply_columns(spark, sql, table_map)
     sql, fill_spec = _extract_with_fill(sql)
-    sql, asof_view = _bridge_asof_join(spark, sql, table_map)
+    # one ASOF bridged per pass; loop for parallel branches (each pass
+    # consumes its FROM…JOIN…cond region, so the count strictly drops)
+    asof_views: list[str] = []
+    for _ in range(8):
+        sql, asof_view = _bridge_asof_join(spark, sql, table_map)
+        if asof_view is None:
+            break
+        asof_views.append(asof_view)
+    else:
+        raise UnsupportedChSql(
+            "more than 8 ASOF JOINs in one statement — split the query")
     try:
         text = translate_ch_sql(sql, table_map, strict_scale=strict_scale)
         # CH resolves an unqualified column that exists on both join
@@ -7635,11 +7648,11 @@ def run_ch_sql(
         out = spark.sql(text)
         return _with_fill_apply(out, fill_spec) if fill_spec else out
     finally:
-        # spark.sql analyzes eagerly, inlining the view into the
+        # spark.sql analyzes eagerly, inlining the views into the
         # returned DataFrame's plan — safe to drop here even though
         # the caller has not collected yet
-        if asof_view is not None:
-            spark.catalog.dropTempView(asof_view)
+        for v in asof_views:
+            spark.catalog.dropTempView(v)
 
 
 # ---- alias-in-WHERE inlining -------------------------------------------
