@@ -4137,6 +4137,49 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join", "using", "ch-sql"),
         )
     )
+
+    # Round-12 (r12k): TWO parallel ASOF JOINs in one statement (the
+    # bridge loops, consuming one FROM…cond region per pass) — a
+    # backward trades⋈quotes leg UNION ALL a forward-strict
+    # trades⋈sessions leg.  Tail entry: the class keeps op10/op11
+    # in-window; locally oracled on every suite run.
+    def _asof_parallel_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT 'bwd' AS leg, CAST(sum(q.time_s) AS BIGINT) AS s
+            FROM trades t ASOF JOIN (
+              SELECT sec_code, time_s FROM quotes_dup
+              GROUP BY sec_code, time_s) AS q
+            ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+            UNION ALL
+            SELECT 'fwd' AS leg, CAST(sum(w.win_start) AS BIGINT) AS s
+            FROM trades_core t2 ASOF JOIN sess_windows w
+            ON t2.sec_code = w.sec_code AND t2.time_s < w.win_start
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "op12_asof_parallel_sql",
+            _asof_parallel_sql,
+            """
+            SELECT 'bwd' AS leg, CAST(sum(mts) AS BIGINT) AS s FROM (
+              SELECT q.time_s AS mts FROM trades t ASOF JOIN (
+                SELECT sec_code, time_s FROM quotes_dup
+                GROUP BY sec_code, time_s) q
+                ON t.sec_code = q.sec_code AND t.time_s >= q.time_s)
+            UNION ALL
+            SELECT 'fwd' AS leg, CAST(sum(mws) AS BIGINT) AS s FROM (
+              SELECT w.win_start AS mws FROM trades_core t2
+              ASOF JOIN sess_windows w
+                ON t2.sec_code = w.sec_code AND t2.time_s < w.win_start)
+            """,
+            tags=("operator", "asof-join", "parallel", "ch-sql"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -4625,6 +4668,9 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
+    # round-12 additions born in the tail: class evidence stays via
+    # op10/op11 in-window; locally oracled on every suite run.
+    "op12_asof_parallel_sql",
     # round-12 mid-round displacement: op11_asof_using_sql (the r12i
     # widened ASOF spellings) takes its window slot for first-time
     # external evidence; the sampling class keeps dp07 (hash sample)
