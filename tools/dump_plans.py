@@ -70,6 +70,8 @@ PICKS = {
     "ev24_columns_apply_sql": "COLUMNS APPLY from the session catalog (r11b): plain two-level hash agg over the pruned scan — the star expansion is translate-time, zero plan cost",
     "ev25_fill_interpolate_sql": "WITH FILL INTERPOLATE (r11c): ev22's axis-sized fill legs + ONE unpartitioned LOCF window over the chart-sized union — input scanned once",
     "op10_asof_forward_sql": "forward-strict ASOF (r11e): same union + keyed running window as op04/op08/op09, zero Join nodes, single exchange on sec_code — direction/strictness are sort-order flips",
+    "op11_asof_using_sql": "USING-spelled ASOF over a subquery right side (r12i): the side keeps full lineage (no defs, no checkpoint), same union + keyed window above it",
+    "op12_asof_parallel_sql": "two parallel ASOF legs in one statement (r12k): each leg its own union+window subtree beneath the UNION ALL, still zero Join nodes",
     "ev26_interval_profile_sql": "intervalLengthSum (r12 default): the STATELESS window plan — per-row merge contribution under a keyed running-max window, plain sum above; NO collect_list anywhere",
     "ev27_quantified_sql": "quantified subqueries (r12b): the > ANY / != ALL comparison compiles to Subquery (scalar) nodes evaluated once — the fact scan never joins or shuffles for the comparison",
 }
