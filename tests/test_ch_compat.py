@@ -1386,3 +1386,75 @@ def test_r12k_parallel_asof_joins(spark):
             " (SELECT 1 AS g, 3 AS rv) AS b ON a.g = b.g AND"
             " a.v >= b.rv ASOF JOIN (SELECT 1 AS g, 2 AS r2) AS e"
             " ON a.g = e.g AND a.v >= e.r2")
+
+
+def test_r12l_pagination_and_qualify(spark):
+    """r12l: CH's other pagination spellings and QUALIFY bridge —
+    ``LIMIT offset, n`` (MySQL form), ANSI ``OFFSET a ROWS FETCH
+    FIRST b ROWS ONLY|WITH TIES``, bare ``OFFSET a ROWS``, and the
+    post-window ``QUALIFY pred`` filter (projected alongside the
+    select list, filtered in a wrapper, tail relocated).  The ORDER BY
+    NULLS-LAST pass learned OFFSET/FETCH as key-list terminators — a
+    COLUMN literally named `offset` stays a sort key (grammar
+    lookahead on the following count)."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    q = ("SELECT number AS v FROM numbers(10) ORDER BY v LIMIT 2, 3")
+    got = [r.v for r in run_ch_sql(spark, q).collect()]
+    assert got == [2, 3, 4]
+    dq = ("SELECT range AS v FROM range(10) ORDER BY v LIMIT 3 OFFSET 2")
+    assert got == [r[0] for r in con.execute(dq).fetchall()]
+
+    q = ("SELECT number AS v FROM numbers(10) ORDER BY v"
+         " OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY")
+    assert [r.v for r in run_ch_sql(spark, q).collect()] == [2, 3, 4]
+
+    q = ("SELECT v FROM (SELECT number % 3 AS v FROM numbers(9))"
+         " ORDER BY v FETCH FIRST 4 ROWS WITH TIES")
+    assert [r.v for r in run_ch_sql(spark, q).collect()] == [0] * 3 + [1] * 3
+
+    q = "SELECT number AS v FROM numbers(5) ORDER BY v OFFSET 3 ROWS"
+    assert [r.v for r in run_ch_sql(spark, q).collect()] == [3, 4]
+
+    with pytest.raises(UnsupportedChSql, match="no offset seam"):
+        run_ch_sql(spark, "SELECT number AS v FROM numbers(9) ORDER BY"
+                          " v OFFSET 1 ROWS FETCH FIRST 4 ROWS WITH TIES")
+    # the comma in `LIMIT offset, n BY expr` belongs to LIMIT BY's own
+    # grammar (already bridged) — the pagination pass must not eat it
+    rows = run_ch_sql(spark, "SELECT number % 2 AS g, number AS v FROM"
+                             " numbers(6) ORDER BY g, v LIMIT 1, 1 BY g"
+                      ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [(0, 2), (1, 3)]
+
+    # a column named `offset` keeps sorting (lookahead needs a count)
+    q = ("SELECT v AS offset FROM (SELECT number AS v FROM numbers(3))"
+         " ORDER BY offset DESC LIMIT 1")
+    assert run_ch_sql(spark, q).collect()[0][0] == 2
+
+    # QUALIFY: plain, grouped-with-aggregate-window, nested, vs
+    # DuckDB's native QUALIFY on the mirrored text
+    q = ("SELECT g, v FROM (SELECT number % 2 AS g, number AS v FROM"
+         " numbers(6)) QUALIFY row_number() OVER (PARTITION BY g"
+         " ORDER BY v) = 1 ORDER BY g")
+    got = [tuple(r) for r in run_ch_sql(spark, q).collect()]
+    dq = q.replace("numbers(6)", "(SELECT range AS number FROM range(6))")
+    assert got == con.execute(dq).fetchall() == [(0, 0), (1, 1)]
+
+    q = ("SELECT g, CAST(sum(v) AS BIGINT) AS s FROM (SELECT number %"
+         " 3 AS g, number AS v FROM numbers(9)) GROUP BY g QUALIFY"
+         " rank() OVER (ORDER BY sum(v) DESC) <= 2 ORDER BY g")
+    got = [tuple(r) for r in run_ch_sql(spark, q).collect()]
+    dq = q.replace("numbers(9)", "(SELECT range AS number FROM range(9))")
+    assert got == con.execute(dq).fetchall() == [(1, 12), (2, 15)]
+
+    q = ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT g, v FROM"
+         " (SELECT number % 2 AS g, number AS v FROM numbers(8))"
+         " QUALIFY v = max(v) OVER (PARTITION BY g))")
+    assert run_ch_sql(spark, q).collect()[0].s == 13
+
+    with pytest.raises(UnsupportedChSql, match="DISTINCT after the"):
+        run_ch_sql(spark, "SELECT DISTINCT g FROM (SELECT number % 2"
+                          " AS g, number AS v FROM numbers(4)) QUALIFY"
+                          " row_number() OVER (ORDER BY g) = 1")

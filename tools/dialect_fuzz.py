@@ -79,7 +79,7 @@ class Gen:
              "array_join", "quantified", "prewhere_settings",
              "distinct_on", "scalar_with", "grouped", "scalar_wrap",
              "windowed", "joined", "in_subquery", "arr_wrap",
-             "set_op_distinct", "asof"])
+             "set_op_distinct", "asof", "qualify", "paginate"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "union":
@@ -281,6 +281,31 @@ class Gen:
                        f" USING (g, v))")
             return (tpl.format(src1=c1, src2=c2),
                     tpl.format(src1=d1, src2=d2))
+        if kind == "qualify":
+            # post-window filter (r12l): keep each group's max-v row.
+            # DuckDB's native QUALIFY is the mirror verbatim; ties on
+            # (g, v) are identical rows, so rank-free equality filters
+            # stay multiset-deterministic.
+            c1, d1 = self.block(depth - 1)
+            return (f"(SELECT g, v FROM {c1} QUALIFY"
+                    f" v = max(v) OVER (PARTITION BY g))",
+                    f"(SELECT g, v FROM {d1} QUALIFY"
+                    f" v = max(v) OVER (PARTITION BY g))")
+        if kind == "paginate":
+            # CH LIMIT offset, n / ANSI OFFSET-FETCH → LIMIT-OFFSET
+            # mirror.  Total order (g, v) makes the page a multiset
+            # invariant (equal sort keys here are identical rows).
+            c1, d1 = self.block(depth - 1)
+            off = self.rng.randint(0, 3)
+            n = self.rng.randint(1, 4)
+            form = self.rng.choice(["comma", "fetch"])
+            duck = (f"(SELECT g, v FROM {d1} ORDER BY g, v"
+                    f" LIMIT {n} OFFSET {off})")
+            if form == "comma":
+                return (f"(SELECT g, v FROM {c1} ORDER BY g, v"
+                        f" LIMIT {off}, {n})", duck)
+            return (f"(SELECT g, v FROM {c1} ORDER BY g, v OFFSET"
+                    f" {off} ROWS FETCH NEXT {n} ROWS ONLY)", duck)
         # prewhere_settings
         c1, d1 = self.block(depth - 1)
         thr = self.rng.randint(0, 6)

@@ -709,6 +709,23 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " rhs.ts AS mts FROM lhs ASOF JOIN rhs USING (g, ts)", (5, 4)),
     ("SELECT 1 FROM (SELECT 1 AS g, 5 AS v) ASOF JOIN (SELECT 1 AS g,"
      " 3 AS rv) ON g = g AND v >= rv", None),  # clean-raise: aliases
+    # --- r12l: pagination spellings + QUALIFY (CH parses all of
+    # these; Spark none — bridged to LIMIT/OFFSET + wrapper filter)
+    ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT number AS v"
+     " FROM numbers(10) ORDER BY v LIMIT 2, 3)", (9,)),
+    ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT number AS v"
+     " FROM numbers(10) ORDER BY v OFFSET 2 ROWS FETCH FIRST 3 ROWS"
+     " ONLY)", (9,)),
+    ("SELECT count() AS c FROM (SELECT v FROM (SELECT number % 3 AS v"
+     " FROM numbers(9)) ORDER BY v FETCH FIRST 4 ROWS WITH TIES)",
+     (6,)),
+    ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT number AS v"
+     " FROM numbers(5) ORDER BY v OFFSET 3 ROWS)", (7,)),
+    ("SELECT g, v FROM (SELECT number % 2 AS g, number AS v FROM"
+     " numbers(6)) QUALIFY row_number() OVER (PARTITION BY g ORDER BY"
+     " v DESC) = 1 ORDER BY g LIMIT 1", (0, 4)),
+    ("SELECT number AS v FROM numbers(9) ORDER BY v OFFSET 1 ROWS"
+     " FETCH FIRST 4 ROWS WITH TIES", None),  # clean-raise: no seam
     # --- r11f: regression pair, ties, base64, set-op discipline
     # y = 2x + 1 exactly → (k, b) = (2, 1)
     ("SELECT tupleElement(simpleLinearRegression(number,"

@@ -1742,6 +1742,10 @@ def translate_ch_sql(
     if re.search(r"\bintervalLengthSum\s*\(", _mask_literals(sql)):
         sql = _inline_where_aliases(sql)
     sql = _preaggregate_ils(sql)
+    # QUALIFY before the LIMIT/OFFSET respellings: its tail relocation
+    # must see the original clause text; both run per select block
+    sql = _recurse_select_blocks(sql, _qualify_clause)
+    sql = _recurse_select_blocks(sql, _limit_offset_forms)
     return _limit_with_ties(
         _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql))))
 
@@ -2531,6 +2535,104 @@ def _distinct_on(sql: str) -> str:
     return head + rest
 
 
+def _limit_offset_forms(sql: str) -> str:
+    """CH's MySQL-style ``LIMIT offset, n`` and the ANSI ``OFFSET a
+    ROW[S] [FETCH {FIRST|NEXT} b ROW[S] {ONLY|WITH TIES}]`` spellings
+    (both parse in ClickHouse, neither in Spark) → ``LIMIT b OFFSET
+    a``.  ``FETCH … WITH TIES`` re-spells to ``LIMIT b WITH TIES`` and
+    rides that bridge; OFFSET combined with WITH TIES raises (the ties
+    bridge is a top-level window rewrite with no offset seam).
+    Applied per select block via :func:`_recurse_select_blocks`."""
+    # LIMIT offset, n — but NOT the `LIMIT [offset,] n BY expr` form,
+    # whose comma belongs to CH's LIMIT BY grammar and is already
+    # bridged by :func:`_limit_by` (leave it for that pass)
+    scan = 0
+    while True:
+        m = _scan_toplevel(sql[scan:], r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\b")
+        if m is None:
+            break
+        if re.match(r"\s*BY\b", sql[scan + m.end():], re.IGNORECASE):
+            scan += m.end()
+            continue
+        sql = (sql[: scan + m.start()]
+               + f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
+               + sql[scan + m.end():])
+    # OFFSET a ROWS FETCH FIRST|NEXT b ROWS ONLY|WITH TIES
+    while True:
+        m = _scan_toplevel(
+            sql,
+            r"\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+"
+            r"(\d+)\s+ROWS?\s+(ONLY|WITH\s+TIES)\b")
+        if m is None:
+            break
+        if m.group(3).upper() != "ONLY":
+            raise UnsupportedChSql(
+                "OFFSET … FETCH … WITH TIES: the ties bridge has no "
+                "offset seam — spell rank() <= offset+n and filter "
+                "row_number() > offset with a window")
+        sql = (sql[: m.start()]
+               + f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
+               + sql[m.end():])
+    # FETCH FIRST|NEXT b ROWS ONLY|WITH TIES (no OFFSET)
+    while True:
+        m = _scan_toplevel(
+            sql, r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+"
+                 r"(ONLY|WITH\s+TIES)\b")
+        if m is None:
+            break
+        spelled = (f"LIMIT {m.group(1)}"
+                   if m.group(2).upper() == "ONLY"
+                   else f"LIMIT {m.group(1)} WITH TIES")
+        sql = sql[: m.start()] + spelled + sql[m.end():]
+    # bare ANSI OFFSET a ROW[S] → Spark's OFFSET a
+    while True:
+        m = _scan_toplevel(sql, r"\bOFFSET\s+(\d+)\s+ROWS?\b")
+        if m is None:
+            break
+        sql = sql[: m.start()] + f"OFFSET {m.group(1)}" + sql[m.end():]
+    return sql
+
+
+def _qualify_clause(sql: str) -> str:
+    """CH's ``QUALIFY pred`` (post-window filter) → project the
+    predicate alongside the select list and filter in a wrapper:
+    ``SELECT * EXCEPT (__qual) FROM (SELECT <list>, (pred) AS __qual
+    <body>) WHERE __qual <tail>``.  The ORDER BY / LIMIT tail moves to
+    the wrapper (CH evaluates QUALIFY first); set-operator tails glue
+    after the wrapper, preserving CH's per-SELECT scoping.  DISTINCT +
+    QUALIFY raises (CH applies DISTINCT after QUALIFY; the wrapper
+    would invert that silently).  Applied per select block."""
+    m = _scan_toplevel(sql, r"\bQUALIFY\b")
+    if m is None:
+        return sql
+    head_m = _scan_toplevel(sql, r"\bSELECT\b")
+    if head_m is None or head_m.start() > m.start():
+        raise UnsupportedChSql("QUALIFY outside a SELECT block")
+    if _scan_toplevel(sql[: m.start()], r"\bSELECT\s+DISTINCT\b"):
+        raise UnsupportedChSql(
+            "SELECT DISTINCT … QUALIFY: CH applies DISTINCT after the "
+            "QUALIFY filter — wrap the QUALIFY query in a subquery and "
+            "SELECT DISTINCT from it")
+    fm = _scan_toplevel(sql, r"\bFROM\b")
+    if fm is None or fm.start() > m.start():
+        raise UnsupportedChSql("QUALIFY needs a FROM relation")
+    tail_m = _scan_toplevel(
+        sql[m.end():],
+        r"\b(ORDER\s+BY|LIMIT|OFFSET|FETCH|SETTINGS|FORMAT|UNION|"
+        r"INTERSECT|EXCEPT)\b")
+    pred_end = m.end() + (tail_m.start() if tail_m else len(sql) - m.end())
+    pred = sql[m.end(): pred_end].strip()
+    if not pred:
+        raise UnsupportedChSql("QUALIFY with an empty predicate")
+    head = sql[head_m.end(): fm.start()].strip()  # the select list
+    body = sql[fm.start(): m.start()].rstrip()
+    tail = sql[pred_end:]
+    inner = f"SELECT {head}, ({pred}) AS __qual {body}"
+    return (sql[: head_m.start()]
+            + f"SELECT * EXCEPT (__qual) FROM ({inner}) WHERE __qual"
+            + (" " + tail.lstrip() if tail.strip() else ""))
+
+
 def _limit_with_ties(sql: str) -> str:
     """``ORDER BY keys LIMIT n WITH TIES`` (top level of the
     statement) → a ``rank()`` wrapper: WITH TIES returns the first n
@@ -3264,6 +3366,10 @@ def _topk_fallback_notice(
 #: a sort key, not a frame (review r12g)
 _ORDER_END_RX = (r"(?i)\b(?:(?:LIMIT|SETTINGS|FORMAT|INTERPOLATE|"
                  r"UNION|EXCEPT|INTERSECT|INTO)\b"
+                 # ANSI pagination tails terminate the key list too —
+                 # OFFSET/FETCH take a count, so the grammar lookahead
+                 # keeps a COLUMN named `offset` a sort key (r12l)
+                 r"|(?:OFFSET|FETCH\s+(?:FIRST|NEXT))\s+\d"
                  r"|(?:ROWS|RANGE|GROUPS)\s+(?:BETWEEN|UNBOUNDED|"
                  r"CURRENT|\d)"
                  r"|WINDOW\s+[A-Za-z_]\w*\s+AS\b)")
