@@ -1458,3 +1458,47 @@ def test_r12l_pagination_and_qualify(spark):
         run_ch_sql(spark, "SELECT DISTINCT g FROM (SELECT number % 2"
                           " AS g, number AS v FROM numbers(4)) QUALIFY"
                           " row_number() OVER (ORDER BY g) = 1")
+
+
+def test_r12m_ternary_cast_tuple_access(spark):
+    """r12m: three CH expression spellings Spark's parser rejects —
+    the C-style ternary ``cond ? a : b`` (CH's lowest-precedence
+    operator, right-associative; rewritten to ``if()``), the postfix
+    ``expr::Type`` cast (riding the CAST machinery's CH type mapping,
+    so ``300::UInt8`` wraps to 44), and ``(tuple_expr).N`` element
+    access (``tupleElement``); the operand scan keeps a callee
+    identifier with its paren group (``CAST(…)::String``,
+    ``tuple(…).1``)."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = ("SELECT CAST(sum(number % 2 = 0 ? number : -number)"
+         " AS BIGINT) AS s FROM numbers(5)")
+    got = run_ch_sql(spark, q).collect()[0].s
+    dq = ("SELECT CAST(sum(CASE WHEN range % 2 = 0 THEN range ELSE"
+          " -range END) AS BIGINT) AS s FROM range(5)")
+    assert got == con.execute(dq).fetchone()[0] == 2
+
+    # right-associative nesting, and a ternary as a sort key
+    rows = run_ch_sql(
+        spark, "SELECT number = 0 ? 'a' : number = 1 ? 'b' : 'c' AS p"
+               " FROM numbers(3) ORDER BY p").collect()
+    assert [r.p for r in rows] == ["a", "b", "c"]
+    r = run_ch_sql(spark, "SELECT number AS v FROM numbers(3)"
+                          " ORDER BY number = 1 ? -10 : number DESC"
+                          " LIMIT 1").collect()
+    assert r[0].v == 2
+    with pytest.raises(UnsupportedChSql, match="matching ':'"):
+        run_ch_sql(spark, "SELECT 1 ? 2 FROM numbers(1)")
+
+    # :: casts: CH type names, wrap semantics, chains, paren operands
+    r = run_ch_sql(spark, "SELECT 300::UInt8 AS w, '7'::Int64::String"
+                          " AS c, (1 + 2)::String AS p,"
+                          " 'x'::Nullable(String) AS n").collect()[0]
+    assert (r.w, r.c, r.p, r.n) == (44, "7", "3", "x")
+
+    # tuple element access, chained, and composed with the ternary
+    r = run_ch_sql(spark, "SELECT tuple(3, 'x').1 AS a,"
+                          " tuple(tuple(1, 2), 'y').1.2 AS b,"
+                          " 1 = 1 ? tuple(5, 6).2 : 0 AS c").collect()[0]
+    assert (r.a, r.b, r.c) == (3, 2, 6)

@@ -79,7 +79,8 @@ class Gen:
              "array_join", "quantified", "prewhere_settings",
              "distinct_on", "scalar_with", "grouped", "scalar_wrap",
              "windowed", "joined", "in_subquery", "arr_wrap",
-             "set_op_distinct", "asof", "qualify", "paginate"])
+             "set_op_distinct", "asof", "qualify", "paginate",
+             "ternary_cast"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "union":
@@ -306,6 +307,21 @@ class Gen:
                         f" LIMIT {off}, {n})", duck)
             return (f"(SELECT g, v FROM {c1} ORDER BY g, v OFFSET"
                     f" {off} ROWS FETCH NEXT {n} ROWS ONLY)", duck)
+        if kind == "ternary_cast":
+            # C-style ternary + :: cast (r12m): CH's `cond ? a : b`
+            # mirrors to CASE WHEN; `::Int64`/`::String` round-trip
+            # keeps values integral.  NULL cond (v NULL) -> NULL on
+            # both engines (CASE WHEN NULL and if(NULL,..) both take
+            # the else branch... CH's if() treats NULL cond as false,
+            # CASE WHEN NULL falls to ELSE — same branch).
+            c1, d1 = self.block(depth - 1)
+            t = self.rng.randint(2, 5)
+            return (f"(SELECT g, v > {t} ? v + g : v - g AS v"
+                    f" FROM (SELECT g, v::Nullable(Int64)::Int64 AS v"
+                    f" FROM {c1}))",
+                    f"(SELECT g, CASE WHEN v > {t} THEN v + g"
+                    f" ELSE v - g END AS v FROM (SELECT g,"
+                    f" CAST(v AS BIGINT) AS v FROM {d1}))")
         # prewhere_settings
         c1, d1 = self.block(depth - 1)
         thr = self.rng.randint(0, 6)

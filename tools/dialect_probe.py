@@ -726,6 +726,16 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " v DESC) = 1 ORDER BY g LIMIT 1", (0, 4)),
     ("SELECT number AS v FROM numbers(9) ORDER BY v OFFSET 1 ROWS"
      " FETCH FIRST 4 ROWS WITH TIES", None),  # clean-raise: no seam
+    # --- r12m: C-style ternary, :: casts, (tuple).N access
+    ("SELECT number % 2 = 0 ? 'even' : 'odd' AS p FROM numbers(1)",
+     ("even",)),
+    ("SELECT CAST(sum(number % 2 = 0 ? number : -number) AS BIGINT)"
+     " AS s FROM numbers(5)", (2,)),
+    ("SELECT 300::UInt8 AS w, '7'::Int64::String AS c,"
+     " (1 + 2)::String AS p", (44, "7", "3")),
+    ("SELECT tuple(3, 'x').1 AS a, tuple(tuple(1, 2), 'y').1.2 AS b",
+     (3, 2)),
+    ("SELECT 1 ? 2 FROM numbers(1)", None),  # clean-raise: no ':'
     # --- r11f: regression pair, ties, base64, set-op discipline
     # y = 2x + 1 exactly → (k, b) = (2, 1)
     ("SELECT tupleElement(simpleLinearRegression(number,"

@@ -1630,6 +1630,13 @@ def translate_ch_sql(
     # one 1 in Spark, none in CH — review r11f), so BOTH spellings
     # raise by name; only the explicit DISTINCT spellings are
     # value-equal on the two engines and pass through.
+    # CH expression spellings Spark's parser rejects: postfix ``::``
+    # casts (CH type names ride the CAST mapping), ``(tuple).N``
+    # element access, and the C-style ternary — in that order, so the
+    # ternary scan never sees a cast colon (r12m)
+    sql = _cast_colons(sql)
+    sql = _tuple_index_access(sql)
+    sql = _ternary_operator(sql)
     sh_so = _mask_literals(sql)
     for m in re.finditer(r"(?i)\b(INTERSECT|EXCEPT)\b(\s+ALL\b)?"
                          r"(?!\s+DISTINCT\b)\s*(\(\s*)*(SELECT|WITH)\b",
@@ -2430,6 +2437,208 @@ def _prewhere_to_where_once(sql: str) -> str:
     w_cond = (rest if w_end is None else rest[: w_end.start()]).strip()
     tail = "" if w_end is None else " " + rest[w_end.start():]
     return sql[: m.start()] + f"WHERE ({pre_cond}) AND ({w_cond})" + tail
+
+
+def _cast_colons(sql: str) -> str:
+    """CH's postfix cast ``expr::Type`` → ``CAST(expr AS Type)`` so
+    the CAST machinery's CH type mapping (UInt8 wrap, Nullable,
+    LowCardinality, …) applies; Spark's own ``::`` only knows Spark
+    type names.  ``::`` binds tightest, so the operand is the
+    immediately preceding primary: a quoted literal, an identifier /
+    qualified name / number, or a paren or bracket group.  Chained
+    casts resolve over the loop (the rewritten CAST ends in ``)``)."""
+    import re
+
+    while True:
+        sh = _mask_literals(sql)
+        m = re.search(r"::\s*([A-Za-z_]\w*)", sh)
+        if m is None:
+            return sql
+        # the type may carry a parenthesized argument list (possibly
+        # nested: Array(Nullable(String)))
+        tend = m.end()
+        rest = sh[tend:]
+        pm = re.match(r"\s*\(", rest)
+        if pm:
+            j = tend + pm.end() - 1
+            depth = 0
+            while j < len(sh):
+                if sh[j] == "(":
+                    depth += 1
+                elif sh[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            tend = j + 1
+        type_txt = sql[m.start() + 2: tend].strip()
+        # operand: scan back over whitespace, then classify
+        i = m.start() - 1
+        while i >= 0 and sql[i] in " \t\n":
+            i -= 1
+        if i < 0:
+            raise UnsupportedChSql("'::' cast with no operand")
+        if sql[i] in ")]":
+            close, opener = sql[i], "(" if sql[i] == ")" else "["
+            depth, k = 0, i
+            while k >= 0:
+                if sh[k] == close:
+                    depth += 1
+                elif sh[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            # include a callee identifier / array base before the
+            # group (`CAST(…)::String`, `arr[1]::Int64`)
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_`"):
+                k -= 1
+            start = k
+        elif sh[i] == "'":
+            # masked literal: find its opening quote on the shadow
+            k = i - 1
+            while k >= 0 and sh[k] != "'":
+                k -= 1
+            start = k
+        else:
+            k = i
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_.`$"):
+                k -= 1
+            start = k + 1
+            if start > i:
+                raise UnsupportedChSql(
+                    f"'::' cast operand not recognized before "
+                    f"{sql[max(0, i - 20): i + 1]!r}")
+        operand = sql[start: i + 1]
+        sql = (sql[:start] + f"CAST({operand} AS {type_txt})"
+               + sql[tend:])
+
+
+def _tuple_index_access(sql: str) -> str:
+    """CH's ``(tuple_expr).N`` element access → ``tupleElement(…, N)``
+    (already bridged to struct-field access).  Only the after-``)``
+    form rewrites — ``t.1`` on a bare column name is left for Spark
+    to reject loudly rather than guessing between a tuple column and
+    a numeric-named table alias."""
+    import re
+
+    while True:
+        sh = _mask_literals(sql)
+        m = re.search(r"\)\s*\.(\d+)", sh)
+        if m is None:
+            return sql
+        depth, k = 0, m.start()
+        while k >= 0:
+            if sh[k] == ")":
+                depth += 1
+            elif sh[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return sql  # unbalanced; let the main pass raise
+        # a callee identifier before the parens belongs to the
+        # primary (`tuple(3, 'x').1` — the group alone would orphan
+        # the function name)
+        while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_`"):
+            k -= 1
+        group = sql[k: m.start() + 1]
+        sql = (sql[:k] + f"tupleElement({group}, {m.group(1)})"
+               + sql[m.end():])
+
+
+#: expression delimiters bounding a ternary's condition on the left
+_TERNARY_L_RX = (r"(?i)\b(?:SELECT|DISTINCT|WHERE|PREWHERE|HAVING|"
+                 r"WHEN|THEN|ELSE|ON|BY|WITH|RETURN|SET)\s*$")
+#: …and its else-branch on the right (clause keywords; ``AS`` ends a
+#: select item, ASC/DESC/NULLS end a sort key)
+_TERNARY_R_RX = (r"(?i)\b(?:AS|FROM|WHERE|PREWHERE|GROUP|HAVING|"
+                 r"ORDER|LIMIT|OFFSET|FETCH|SETTINGS|FORMAT|UNION|"
+                 r"INTERSECT|EXCEPT|WHEN|THEN|ELSE|END|ASC|DESC|"
+                 r"NULLS|INTERPOLATE)\b")
+
+
+def _ternary_operator(sql: str) -> str:
+    """CH's C-style ``cond ? then : else`` → ``if(cond, then, else)``
+    (CH documents the equivalence).  Ternary is CH's lowest-precedence
+    operator and right-associative: the condition extends left to the
+    nearest same-depth comma / enclosing paren / clause keyword, the
+    else-branch right to the next same-depth comma / closing paren /
+    clause keyword, and the matching ``:`` skips one colon per nested
+    ``?``.  Runs AFTER the ``::`` cast rewrite so cast colons are
+    gone.  Bare (AS-less) aliases directly after a ternary stay out
+    of the subset — the swallowed text fails loudly in Spark."""
+    import re
+
+    while True:
+        sh = _mask_literals(sql)
+        qpos = sh.find("?")
+        if qpos < 0:
+            return sql
+        depths = _depth_map(sh)
+        d0 = depths[qpos]
+        # ---- matching colon (skip nested ternaries) ----
+        pending, cpos = 0, -1
+        j = qpos + 1
+        while j < len(sh):
+            if depths[j] < d0:
+                break
+            if depths[j] == d0:
+                if sh[j] == "?":
+                    pending += 1
+                elif sh[j] == ":":
+                    if pending:
+                        pending -= 1
+                    else:
+                        cpos = j
+                        break
+            j += 1
+        if cpos < 0:
+            raise UnsupportedChSql(
+                "'?' without a matching ':' — the C-style ternary "
+                "needs both branches (cond ? a : b)")
+        # ---- left boundary of the condition ----
+        i = qpos - 1
+        lstart = 0
+        while i >= 0:
+            if depths[i] < d0:
+                lstart = i + 1
+                break
+            if depths[i] == d0 and sql[i] == ",":
+                lstart = i + 1
+                break
+            if depths[i] == d0:
+                km = re.search(_TERNARY_L_RX, sh[: i + 1])
+                if km and km.end() == i + 1:
+                    lstart = i + 1
+                    break
+            i -= 1
+        # ---- right boundary of the else branch ----
+        j = cpos + 1
+        rend = len(sql)
+        while j < len(sh):
+            if depths[j] < d0:
+                rend = j
+                break
+            if depths[j] == d0 and sh[j] == ",":
+                rend = j
+                break
+            if depths[j] == d0:
+                km = re.match(_TERNARY_R_RX, sh[j:])
+                if km and not (j > 0 and (sh[j - 1].isalnum()
+                                          or sh[j - 1] in "_`")):
+                    rend = j
+                    break
+            j += 1
+        cond = sql[lstart:qpos].strip()
+        then = sql[qpos + 1: cpos].strip()
+        other = sql[cpos + 1: rend].strip()
+        if not cond or not then or not other:
+            raise UnsupportedChSql(
+                "ternary with an empty operand (cond ? a : b)")
+        sql = (sql[:lstart] + f" if({cond}, {then}, {other})"
+               + sql[rend:])
 
 
 def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
