@@ -1502,3 +1502,38 @@ def test_r12m_ternary_cast_tuple_access(spark):
                           " tuple(tuple(1, 2), 'y').1.2 AS b,"
                           " 1 = 1 ? tuple(5, 6).2 : 0 AS c").collect()[0]
     assert (r.a, r.b, r.c) == (3, 2, 6)
+
+
+def test_r12n_top_except_col_paste(spark):
+    """r12n: ``SELECT TOP n [WITH TIES]`` (T-SQL style, CH parses it)
+    respells to LIMIT; the parenless ``* EXCEPT col`` single-column
+    modifier gains its parens (keyword guard keeps the EXCEPT set
+    operator out); PASTE JOIN raises by name — Spark would silently
+    read PASTE as a table alias and cartesian-join where CH pairs
+    rows positionally (the 1-row probe case even LOOKED right)."""
+    rows = run_ch_sql(spark, "SELECT TOP 2 number AS v FROM"
+                             " numbers(10) ORDER BY v DESC").collect()
+    assert [r.v for r in rows] == [9, 8]
+    rows = run_ch_sql(spark, "SELECT TOP 4 WITH TIES v FROM (SELECT"
+                             " number % 3 AS v FROM numbers(9))"
+                             " ORDER BY v").collect()
+    assert [r.v for r in rows] == [0, 0, 0, 1, 1, 1]
+    r = run_ch_sql(spark, "SELECT CAST(sum(v) AS BIGINT) AS s FROM"
+                          " (SELECT TOP 3 number AS v FROM numbers(10)"
+                          " ORDER BY v DESC)").collect()[0]
+    assert r.s == 24
+
+    rows = run_ch_sql(spark, "SELECT * EXCEPT v FROM"
+                             " (SELECT 1 AS g, 2 AS v)").collect()
+    assert rows[0].asDict() == {"g": 1}
+    # the set operator spelling stays a set operator
+    rows = run_ch_sql(spark, "SELECT * FROM (SELECT 1 AS a)"
+                             " EXCEPT DISTINCT SELECT 2 AS a").collect()
+    assert [r.a for r in rows] == [1]
+
+    with pytest.raises(UnsupportedChSql, match="PASTE JOIN"):
+        run_ch_sql(spark, "SELECT * FROM (SELECT 1 AS a) PASTE JOIN"
+                          " (SELECT 2 AS b)")
+    with pytest.raises(UnsupportedChSql, match="TOP combined"):
+        run_ch_sql(spark, "SELECT TOP 2 number FROM numbers(3)"
+                          " UNION ALL SELECT 9")

@@ -736,6 +736,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT tuple(3, 'x').1 AS a, tuple(tuple(1, 2), 'y').1.2 AS b",
      (3, 2)),
     ("SELECT 1 ? 2 FROM numbers(1)", None),  # clean-raise: no ':'
+    # --- r12n: SELECT TOP, parenless * EXCEPT col, PASTE JOIN
+    ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT TOP 3 number"
+     " AS v FROM numbers(10) ORDER BY v DESC)", (24,)),
+    ("SELECT * EXCEPT v FROM (SELECT 1 AS g, 2 AS v)", (1,)),
+    ("SELECT * FROM (SELECT 1 AS a) PASTE JOIN (SELECT 2 AS b)",
+     None),  # clean-raise: positional pairing is order-undefined
     # --- r11f: regression pair, ties, base64, set-op discipline
     # y = 2x + 1 exactly → (k, b) = (2, 1)
     ("SELECT tupleElement(simpleLinearRegression(number,"

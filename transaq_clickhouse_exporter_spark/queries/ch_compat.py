@@ -1637,6 +1637,30 @@ def translate_ch_sql(
     sql = _cast_colons(sql)
     sql = _tuple_index_access(sql)
     sql = _ternary_operator(sql)
+    # PASTE JOIN would silently parse as `alias PASTE` + comma-less
+    # JOIN (a cartesian product where CH pairs rows POSITIONALLY) —
+    # and the pairing is block-order-dependent anyway (r12m probe)
+    if re.search(r"(?i)\bPASTE\s+JOIN\b", _mask_literals(sql)):
+        raise UnsupportedChSql(
+            "PASTE JOIN pairs rows by their position in the stream — "
+            "order-undefined on a parallel source; zip explicitly: "
+            "join on row_number() OVER (ORDER BY <key>) from both "
+            "sides")
+    # T-SQL style SELECT TOP n [WITH TIES] (CH parses it) → LIMIT
+    sql = _recurse_select_blocks(sql, _select_top)
+    # `* EXCEPT col` single-column parenless form → `* EXCEPT (col)`
+    # (keyword guard keeps the EXCEPT set operator out of the match)
+    sh_x = _mask_literals(sql)
+    out_x, last_x = [], 0
+    for m in re.finditer(
+            r"(?i)(\*\s+EXCEPT)\s+(?!SELECT\b|ALL\b|DISTINCT\b|"
+            r"STRICT\b|\()([A-Za-z_`][\w`]*)", sh_x):
+        out_x.append(sql[last_x: m.start()])
+        out_x.append(f"{sql[m.start(1): m.end(1)]} "
+                     f"({sql[m.start(2): m.end(2)]})")
+        last_x = m.end()
+    out_x.append(sql[last_x:])
+    sql = "".join(out_x)
     sh_so = _mask_literals(sql)
     for m in re.finditer(r"(?i)\b(INTERSECT|EXCEPT)\b(\s+ALL\b)?"
                          r"(?!\s+DISTINCT\b)\s*(\(\s*)*(SELECT|WITH)\b",
@@ -2437,6 +2461,25 @@ def _prewhere_to_where_once(sql: str) -> str:
     w_cond = (rest if w_end is None else rest[: w_end.start()]).strip()
     tail = "" if w_end is None else " " + rest[w_end.start():]
     return sql[: m.start()] + f"WHERE ({pre_cond}) AND ({w_cond})" + tail
+
+
+def _select_top(sql: str) -> str:
+    """T-SQL style ``SELECT TOP n [WITH TIES] …`` (ClickHouse parses
+    it) → plain SELECT with ``LIMIT n [WITH TIES]`` appended to the
+    block.  CH rejects TOP combined with LIMIT, so a pre-existing
+    LIMIT passes through and fails loudly in Spark."""
+    import re
+
+    m = _scan_toplevel(sql, r"\bSELECT\s+TOP\s+(\d+)"
+                            r"(\s+WITH\s+TIES)?\b")
+    if m is None:
+        return sql
+    if _scan_toplevel(sql, r"\b(?:UNION|INTERSECT|EXCEPT)\b"):
+        raise UnsupportedChSql(
+            "SELECT TOP combined with a set operator — parenthesize "
+            "the TOP SELECT (its LIMIT placement is ambiguous)")
+    tail = " LIMIT " + m.group(1) + (" WITH TIES" if m.group(2) else "")
+    return sql[: m.start()] + "SELECT" + sql[m.end():] + tail
 
 
 def _cast_colons(sql: str) -> str:
