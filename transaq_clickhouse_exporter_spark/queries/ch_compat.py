@@ -62,6 +62,18 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    (``stddevPop`` → ``stddev_pop`` etc.); ``toStartOfFive/Ten/
    FifteenMinutes``, ``today/yesterday/now``, ``intDivOrZero``.
 
+   Statement/expression spellings (round 12 continuation): the
+   C-style ternary ``cond ? a : b`` → ``if()``; postfix ``expr::Type``
+   casts on the CAST type mapping; ``(tuple_expr).N`` element access;
+   ``QUALIFY pred`` (projected-predicate wrapper, DISTINCT raises);
+   ``LIMIT offset, n`` and the ANSI ``OFFSET a ROWS FETCH FIRST b
+   ROWS ONLY|WITH TIES`` pagination family; ``SELECT TOP n [WITH
+   TIES]``; parenless ``* EXCEPT col``; ASOF JOIN over CTE-named and
+   parenthesized-subquery sides, ``ASOF INNER``, ``USING (k…, ts)``,
+   and PARALLEL multi-ASOF statements (one bridge pass per join;
+   chained ASOF raises); ``PASTE JOIN`` raises by name (positional
+   pairing is order-undefined on a parallel source).
+
    Anything it does not recognize passes through untouched, so plain
    ANSI stays intact; CH aggregates with no faithful mapping —
    order-dependent state machines (``runningDifference``,
@@ -98,7 +110,9 @@ Documented deviations from ClickHouse (each also noted at its shim):
   the start in bytes) — ``positionUTF8`` supports all three args.
 - ``WITH TOTALS`` bridges to ``GROUPING SETS ((…), ())``: the totals
   row's key columns are NULL where CH renders the type's default
-  values in its separate totals block.
+  values in its separate totals block.  The same NULL-vs-type-default
+  note applies to the pass-through ``WITH ROLLUP`` / ``WITH CUBE`` /
+  explicit ``GROUPING SETS`` subtotal rows (Spark's ANSI NULL keys).
 - ``toFixedString(s, n)`` truncates when s is longer than n (rpad
   contract) where CH throws.
 - ``ORDER BY`` without a NULLS modifier sorts NULLs LAST like CH
