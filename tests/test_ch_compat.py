@@ -1537,3 +1537,25 @@ def test_r12n_top_except_col_paste(spark):
     with pytest.raises(UnsupportedChSql, match="TOP combined"):
         run_ch_sql(spark, "SELECT TOP 2 number FROM numbers(3)"
                           " UNION ALL SELECT 9")
+
+
+def test_r12o_quoted_names_survive_expression_scanners(spark):
+    """r12o: identifiers whose NAMES contain the new scanners' trigger
+    characters — '?', ':', '.N', clause keywords — must not trip the
+    ternary / cast / tuple-access / pagination rewrites.
+    ``_scan_toplevel`` now skips backtick spans and the expression
+    scanners blank quoted-identifier content (CH double quotes arrive
+    as backticks via _dquotes_to_backticks)."""
+    cases = [
+        ('SELECT "a?b" AS x FROM (SELECT 1 AS "a?b")', 1),
+        ('SELECT "c:d" + 1 AS x FROM (SELECT 5 AS "c:d")', 6),
+        ('SELECT "my col"::String AS x FROM (SELECT 9 AS "my col")',
+         "9"),
+        ('SELECT "v.1" AS x FROM (SELECT 2 AS "v.1")', 2),
+        ('SELECT * EXCEPT "a?b" FROM (SELECT 1 AS "a?b", 3 AS g)', 3),
+        ('SELECT "limit 5" AS x FROM (SELECT 7 AS "limit 5")'
+         ' ORDER BY "limit 5"', 7),
+    ]
+    for q, want in cases:
+        got = run_ch_sql(spark, q).collect()[0][0]
+        assert got == want, f"{q!r} -> {got!r}, want {want!r}"

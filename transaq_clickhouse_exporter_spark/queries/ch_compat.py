@@ -1668,7 +1668,7 @@ def translate_ch_sql(
     out_x, last_x = [], 0
     for m in re.finditer(
             r"(?i)(\*\s+EXCEPT)\s+(?!SELECT\b|ALL\b|DISTINCT\b|"
-            r"STRICT\b|\()([A-Za-z_`][\w`]*)", sh_x):
+            r"STRICT\b|\()(`[^`]*`|[A-Za-z_][\w$]*)", sh_x):
         out_x.append(sql[last_x: m.start()])
         out_x.append(f"{sql[m.start(1): m.end(1)]} "
                      f"({sql[m.start(2): m.end(2)]})")
@@ -2507,7 +2507,7 @@ def _cast_colons(sql: str) -> str:
     import re
 
     while True:
-        sh = _mask_literals(sql)
+        sh = _mask_idents(_mask_literals(sql))
         m = re.search(r"::\s*([A-Za-z_]\w*)", sh)
         if m is None:
             return sql
@@ -2557,6 +2557,15 @@ def _cast_colons(sql: str) -> str:
             while k >= 0 and sh[k] != "'":
                 k -= 1
             start = k
+        elif sh[i] == "`":
+            # backtick-quoted identifier (content may hold spaces)
+            k = i - 1
+            while k >= 0 and sh[k] != "`":
+                k -= 1
+            k -= 1
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_.$"):
+                k -= 1
+            start = k + 1
         else:
             k = i
             while k >= 0 and (sql[k].isalnum() or sql[k] in "_.`$"):
@@ -2580,7 +2589,7 @@ def _tuple_index_access(sql: str) -> str:
     import re
 
     while True:
-        sh = _mask_literals(sql)
+        sh = _mask_idents(_mask_literals(sql))
         m = re.search(r"\)\s*\.(\d+)", sh)
         if m is None:
             return sql
@@ -2629,7 +2638,7 @@ def _ternary_operator(sql: str) -> str:
     import re
 
     while True:
-        sh = _mask_literals(sql)
+        sh = _mask_idents(_mask_literals(sql))
         qpos = sh.find("?")
         if qpos < 0:
             return sql
@@ -2699,7 +2708,9 @@ def _ternary_operator(sql: str) -> str:
 
 
 def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
-    """First regex match at paren depth 0, outside string literals."""
+    """First regex match at paren depth 0, outside string literals
+    AND outside backtick-quoted identifiers (a column named
+    ``` `limit 5` ``` must not look like a clause keyword — r12o)."""
     import re
 
     depth, i, n = 0, 0, len(sql)
@@ -2709,6 +2720,10 @@ def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
         if c == "'":
             i += 1
             while i < n and sql[i] != "'":
+                i += 1
+        elif c == "`":
+            i += 1
+            while i < n and sql[i] != "`":
                 i += 1
         elif c == "(":
             depth += 1
@@ -2720,6 +2735,25 @@ def _scan_toplevel(sql: str, pattern: str) -> "re.Match | None":
                 return m
         i += 1
     return None
+
+
+def _mask_idents(sh: str) -> str:
+    """Blank backtick-quoted identifier CONTENT on an
+    already-literal-masked shadow, for scanners whose trigger chars
+    (``?``, ``:``, ``.N``) may legally appear inside quoted names."""
+    out, i, n = [], 0, len(sh)
+    while i < n:
+        if sh[i] == "`":
+            j = i + 1
+            while j < n and sh[j] != "`":
+                j += 1
+            out.append("`" + " " * max(0, j - i - 1)
+                       + ("`" if j < n else ""))
+            i = j + 1
+        else:
+            out.append(sh[i])
+            i += 1
+    return "".join(out)
 
 
 def _recurse_select_blocks(sql: str, fn, _apply: bool = True) -> str:
