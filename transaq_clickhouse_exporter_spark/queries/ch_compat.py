@@ -2488,7 +2488,15 @@ def _select_top(sql: str) -> str:
                             r"(\s+WITH\s+TIES)?\b")
     if m is None:
         return sql
-    if _scan_toplevel(sql, r"\b(?:UNION|INTERSECT|EXCEPT)\b"):
+    # EXCEPT only counts as a SET OPERATOR when a query follows —
+    # `* EXCEPT (v)` / `* EXCEPT v` star-modifiers must not trip the
+    # guard (advice r13); mirror the keyword lookahead of the
+    # parenless *-EXCEPT rewrite
+    if _scan_toplevel(
+            sql,
+            r"\b(?:UNION|INTERSECT)\b|"
+            r"\bEXCEPT\s*(?:ALL\b|DISTINCT\b|SELECT\b|WITH\b|"
+            r"\(\s*(?:SELECT|WITH)\b)"):
         raise UnsupportedChSql(
             "SELECT TOP combined with a set operator — parenthesize "
             "the TOP SELECT (its LIMIT placement is ambiguous)")
@@ -2575,6 +2583,27 @@ def _cast_colons(sql: str) -> str:
                 raise UnsupportedChSql(
                     f"'::' cast operand not recognized before "
                     f"{sql[max(0, i - 20): i + 1]!r}")
+            if (sql[start] == "." and sql[start + 1: i + 1].isdigit()
+                    and start > 0 and sh[start - 1] == ")"):
+                # `(expr).N::Type` — the operand is the whole tuple
+                # element access, not the bare `.N` (advice r13):
+                # extend back over the paren group + any callee name
+                depth, k = 0, start - 1
+                while k >= 0:
+                    if sh[k] == ")":
+                        depth += 1
+                    elif sh[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                if k < 0:
+                    raise UnsupportedChSql(
+                        "'::' cast on an unbalanced (expr).N operand")
+                while k > 0 and (sql[k - 1].isalnum()
+                                 or sql[k - 1] in "_`"):
+                    k -= 1
+                start = k
         operand = sql[start: i + 1]
         sql = (sql[:start] + f"CAST({operand} AS {type_txt})"
                + sql[tend:])
@@ -2616,13 +2645,14 @@ def _tuple_index_access(sql: str) -> str:
 
 #: expression delimiters bounding a ternary's condition on the left
 _TERNARY_L_RX = (r"(?i)\b(?:SELECT|DISTINCT|WHERE|PREWHERE|HAVING|"
-                 r"WHEN|THEN|ELSE|ON|BY|WITH|RETURN|SET)\s*$")
+                 r"QUALIFY|FROM|WHEN|THEN|ELSE|ON|BY|WITH|RETURN|"
+                 r"SET)\s*$")
 #: …and its else-branch on the right (clause keywords; ``AS`` ends a
 #: select item, ASC/DESC/NULLS end a sort key)
 _TERNARY_R_RX = (r"(?i)\b(?:AS|FROM|WHERE|PREWHERE|GROUP|HAVING|"
-                 r"ORDER|LIMIT|OFFSET|FETCH|SETTINGS|FORMAT|UNION|"
-                 r"INTERSECT|EXCEPT|WHEN|THEN|ELSE|END|ASC|DESC|"
-                 r"NULLS|INTERPOLATE)\b")
+                 r"QUALIFY|ORDER|LIMIT|OFFSET|FETCH|SETTINGS|FORMAT|"
+                 r"UNION|INTERSECT|EXCEPT|WHEN|THEN|ELSE|END|ASC|"
+                 r"DESC|NULLS|INTERPOLATE)\b")
 
 
 def _ternary_operator(sql: str) -> str:
@@ -2671,7 +2701,7 @@ def _ternary_operator(sql: str) -> str:
             if depths[i] < d0:
                 lstart = i + 1
                 break
-            if depths[i] == d0 and sql[i] == ",":
+            if depths[i] == d0 and sh[i] == ",":
                 lstart = i + 1
                 break
             if depths[i] == d0:
@@ -8017,15 +8047,19 @@ def run_ch_sql(
     # one ASOF bridged per pass; loop for parallel branches (each pass
     # consumes its FROM…JOIN…cond region, so the count strictly drops)
     asof_views: list[str] = []
-    for _ in range(8):
-        sql, asof_view = _bridge_asof_join(spark, sql, table_map)
-        if asof_view is None:
-            break
-        asof_views.append(asof_view)
-    else:
-        raise UnsupportedChSql(
-            "more than 8 ASOF JOINs in one statement — split the query")
     try:
+        # inside the try: a raise from a LATER bridge pass (chained-
+        # ASOF contract, unsupported ON term, the >8 cap) must still
+        # drop the views earlier passes registered (advice r13)
+        for _ in range(8):
+            sql, asof_view = _bridge_asof_join(spark, sql, table_map)
+            if asof_view is None:
+                break
+            asof_views.append(asof_view)
+        else:
+            raise UnsupportedChSql(
+                "more than 8 ASOF JOINs in one statement — split the "
+                "query")
         text = translate_ch_sql(sql, table_map, strict_scale=strict_scale)
         # CH resolves an unqualified column that exists on both join
         # sides to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.
