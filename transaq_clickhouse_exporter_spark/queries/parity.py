@@ -4668,34 +4668,45 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
-    # round-12 additions born in the tail: class evidence stays via
-    # op10/op11 in-window; locally oracled on every suite run.
-    "op12_asof_parallel_sql",
-    # round-12 mid-round displacement: op11_asof_using_sql (the r12i
-    # widened ASOF spellings) takes its window slot for first-time
-    # external evidence; the sampling class keeps dp07 (hash sample)
-    # in-window and dp08 holds a green r11 row.
-    "dp08_stratified_sample",
-    "tp02_top_revenue_orders",        # top-K evidence stays via db03/db04 +
-                                      # the TakeOrderedAndProject plan assertion
-    "tp04_supplier_stats_by_nation",  # multi-join agg stays via db broadcast
-                                      # joins + tp06 (correlated)
+    # ROUND-13 ROTATION (executes VERDICT r12 item 1): eleven entries
+    # move INTO the window — the two entries that never held an
+    # external driver row (ev27_quantified_sql, op12_asof_parallel_sql
+    # — both judge-verified green at sf0.01 in r12), the whole
+    # r05-stale cohort (dp08/tp02/tp04, 7 rounds stale), and six of
+    # the eight r06-stale entries (ann02/ann05/dp15/dp16/dp18/dp19;
+    # dp22/dp24 queue for r14 per NOTES.md).  The eleven displacements
+    # below ALL hold green rows in CORRECTNESS_r12 and each leaves an
+    # in-window class representative, named per entry.
+    "db02_volume_by_interval_sell",   # tumbling+IN+signed-volume: db09/
+                                      # db19 keep tumbling; db05/db11
+                                      # keep IN + the signed projection
+    "db12_etf_volume_by_interval_buy",  # broadcast fact⋈dim join keeps
+                                      # db09/db11/db13 in-window
+    "db14_lots_by_time_sell",         # sort+LIMIT series keeps db13/
+                                      # db19; IN-literals keeps db11
+    "an03_minute_returns",            # window-fn class keeps an08 (gap
+                                      # fill) + an10 (weighted quantiles)
+    "an04_price_percentiles",         # quantile class keeps an10
+                                      # (weighted, the harder form)
+    "ev02_json_extract",              # events scan class keeps ev08/
+                                      # ev11/ev12 in-window
+    "ev10_sequence_match",            # sequence class keeps ev08
+                                      # (funnel) + ev11 (session windows)
+    "ev26_interval_profile_sql",      # dialect-SQL class keeps ev17/
+                                      # ev23/ev24/ev25 + ev27 entering
+    "dp09_term_stats",                # text-stats class keeps dp28
+                                      # (bigram LM) + dp14 (curation)
+    "dp11_rolling_fingerprint",       # fingerprint class keeps dp23
+                                      # (self-passage dedup)
+    "dp29_shard_manifest",            # pack/manifest class keeps dp10
+                                      # (sequence pack) in-window
     # round-7 displacements: ALL green in CORRECTNESS_r06; each class
     # keeps an in-window representative (named) or has its evidence
     # externally banked by the r06 row.
-    "dp15_corpus_report",             # curation class keeps dp14 in-window
-    "dp16_dup_clusters",              # cluster/incremental pair keeps dp17
-    "dp18_pii_scrub",                 # regex-scan class: r06 row banked; text
-                                      # scan stays via dp02/dp14
-    "dp19_repetition_profile",        # posexplode+lead: r06 row banked; dp28
-                                      # (bigram LM) keeps the class in-window
     "dp22_passage_dedup",             # cross-doc passage dedup: r06 row banked;
                                       # passage class keeps dp23 (within-doc)
     "dp24_model_scores",              # Arrow scoring seam: r06 row banked +
                                       # file-loaded-model pytest (round 7)
-    "ann02_lsh_topk",                 # bucketed-ANN class evidence moves to
-                                      # dp32 (LSH retrieval, in-window)
-    "ann05_pq_adc",                   # compressed-ANN class keeps ann04 (SQ)
     # ROUND-8 ROTATION (executes VERDICT r7 item 2): the five round-7
     # additions (ev14/ev15/ev16/op08/db19) move INTO the window —
     # after this, every oracle-able catalog entry has held an external
@@ -4868,11 +4879,6 @@ _TAIL_NAMES = (
                                       # entered; db19 keeps tumbling+DST
     "ev22_with_fill_sql",             # WITH FILL class: ev25
                                       # (INTERPOLATE) entered this round
-    # round-12 addition starts in the tail; it earns a row next round.
-    "ev27_quantified_sql",            # ANSI quantified subquery
-                                      # comparisons (> ANY / != ALL,
-                                      # r12b) vs DuckDB's native
-                                      # quantifiers
 )
 
 
