@@ -7187,6 +7187,88 @@ def _statement_ctes(
         i += cm.end()
 
 
+#: session-conf marker caching the InlineCTE probe verdict (string
+#: "buggy"/"clean"; conf survives exactly as long as the session —
+#: no Python-side id-reuse hazard, same pattern as the shim marker)
+_ICTE_MARKER = "spark.__tce_inline_cte_probe"
+
+
+def _spark_inline_cte_bug(spark: SparkSession) -> bool:
+    """Session-cached probe for the Spark InlineCTE landmine (fuzz
+    seed 880001/72; SPARK-level bug present through 4.1.2): a temp
+    view whose ANALYZED plan embeds ``WithCTE`` (a def-bearing side),
+    composed into a statement carrying its OWN (unreferenced) defs
+    plus a sibling branch's CTE, makes InlineCTE lose a def —
+    ``key not found: N`` in one session id state, a SILENTLY WRONG
+    row count in another.
+
+    The probe runs that exact composition on literal rows THREE times
+    (the failure mode rotates with the global CTE id counter: on the
+    broken 4.1.2 build, run 1 returns the wrong count and runs 2+
+    crash — a single run could catch the build on a lucky state) and
+    demands the exact pinned result each time.  Verdict caches in the
+    session conf.  When the build is clean, the ASOF bridge's
+    def-bearing sides keep full lineage (no localCheckpoint
+    materialization) — a future Spark upgrade restores Catalyst
+    fusion with no code change (VERDICT r12 item 4).
+
+    Expected result of the probe statement, derived by hand (pinned
+    in ``tests/test_r13_inline_cte_probe.py`` vs DuckDB): the left
+    branch's distinct (g, v_out) pairs are g=0:{1,4,7,10},
+    g=1:{3,6,9,12}, g=2:{5,8,11,14}; the sibling c3 rows are
+    (0,0),(1,1),(2,2),(3,3),(0,4); the intersection is {(0, 4)}, so
+    ``(sum(v*g), count) = (0, 1)``."""
+    import uuid
+
+    try:
+        cached = spark.conf.get(_ICTE_MARKER)
+        if cached in ("buggy", "clean"):
+            return cached == "buggy"
+    except Exception:
+        pass
+
+    vname = f"__ch_icte_probe_{uuid.uuid4().hex[:12]}"
+    probe = (
+        "SELECT CAST(sum(v * g) AS BIGINT) AS s, count(*) AS c FROM"
+        " (SELECT g, v FROM (WITH al1 AS (SELECT g, coalesce(v, 0)"
+        " AS v FROM (SELECT id % 3 AS g, id AS v FROM range(6))),"
+        " ar2 AS (SELECT g, coalesce(v, 0) + 1 AS rv"
+        " FROM (SELECT id % 3 AS g, id AS v FROM range(9)))"
+        f" SELECT g, v + coalesce(rv, 0) AS v FROM {vname})"
+        " INTERSECT DISTINCT SELECT g, v FROM (WITH c3 AS (SELECT"
+        " id % 4 AS g, CASE WHEN id % 7 = 6"
+        " THEN NULL ELSE id END AS v FROM range(5))"
+        " SELECT g, v FROM c3))"
+    )
+    buggy = False
+    try:
+        ldf = spark.sql(
+            "WITH al1 AS (SELECT g, coalesce(v, 0) AS v FROM"
+            " (SELECT id % 3 AS g, id AS v FROM range(6)))"
+            " SELECT g, v FROM al1")
+        rdf = spark.sql(
+            "WITH ar2 AS (SELECT g, coalesce(v, 0) + 1 AS rv FROM"
+            " (SELECT id % 3 AS g, id AS v FROM range(9)))"
+            " SELECT g, rv FROM ar2")
+        ldf.join(rdf, "g", "left").createOrReplaceTempView(vname)
+        for _ in range(3):
+            if [tuple(r) for r in spark.sql(probe).collect()] != [(0, 1)]:
+                buggy = True
+                break
+    except Exception:
+        buggy = True
+    finally:
+        try:
+            spark.catalog.dropTempView(vname)
+        except Exception:
+            pass
+    try:
+        spark.conf.set(_ICTE_MARKER, "buggy" if buggy else "clean")
+    except Exception:
+        pass
+    return buggy
+
+
 def _bridge_asof_join(
     spark: SparkSession, sql: str, table_map: Mapping[str, str] | None
 ) -> tuple[str, str | None]:
@@ -7410,8 +7492,12 @@ def _bridge_asof_join(
         # computation still runs at first action, and materializing
         # the side once mirrors what CH itself does with a join's
         # right table.  Plans without CTE defs keep full lineage (and
-        # Catalyst fusion) — zero cost on the common paths.
-        if "CTERelationDef" in df._jdf.queryExecution().analyzed().toString():
+        # Catalyst fusion) — zero cost on the common paths.  On a
+        # Spark build where the session probe shows InlineCTE handles
+        # the composition correctly (r13, VERDICT r12 item 4), the
+        # lineage path comes back for free.
+        if ("CTERelationDef" in df._jdf.queryExecution().analyzed().toString()
+                and _spark_inline_cte_bug(spark)):
             return df.localCheckpoint(eager=False)
         return df
 
