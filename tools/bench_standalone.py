@@ -49,6 +49,14 @@ PICKS = [
     "op09_asof_left_bridge", "ev19_with_totals_sql",
     "ev20_text_hash_profile_sql", "ev21_combinator_profile_sql",
     "ev22_with_fill_sql", "ev23_per_group_topn_sql",
+    # r13 (VERDICT r12 item 5): the rest of the ASOF-SQL family and
+    # the r11/r12 dialect additions — covers every query whose r12
+    # pool-wall exceeded 3 s, so future verdicts read steady numbers
+    # directly instead of adjudicating pool-scheduling noise.
+    "op10_asof_forward_sql", "op11_asof_using_sql",
+    "op12_asof_parallel_sql", "ev24_columns_apply_sql",
+    "ev25_fill_interpolate_sql", "ev26_interval_profile_sql",
+    "ev27_quantified_sql",
 ]
 
 

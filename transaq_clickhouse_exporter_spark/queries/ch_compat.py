@@ -3889,6 +3889,29 @@ def _quantified_subqueries(sql: str) -> str:
                 raise UnsupportedChSql(
                     f"{op} {quant} (SELECT …) with a compound left "
                     "operand — parenthesize the whole left side")
+        # a BARE paren group with a top-level comma is a TUPLE operand
+        # ((a, b) = ANY (SELECT x, y)): the rewrite's single-column
+        # subquery aliasing cannot express it and would die with an
+        # arity mismatch; CH's tuple-quantifier NULL semantics are
+        # unpinned here, so raise by name (r13, VERDICT r12 item 6).
+        # A function call (`greatest(a, b)`) starts with its callee
+        # identifier, not "(", and stays in the subset.
+        if sh[ls] == "(":
+            depth_t, tup = 0, False
+            for ch in sh[ls:le]:
+                if ch == "(":
+                    depth_t += 1
+                elif ch == ")":
+                    depth_t -= 1
+                elif ch == "," and depth_t == 1:
+                    tup = True
+                    break
+            if tup:
+                raise UnsupportedChSql(
+                    f"tuple left operand in {op} {quant} (SELECT …) — "
+                    "multi-column quantified comparisons are not "
+                    "bridged; for membership use the tuple-IN form "
+                    "((a, b) IN (SELECT x, y …)), which is supported")
         L = f"({sql[ls:le]})"
         if re.search(r"(?i)\b(rand\w*|generateUUIDv4)\s*\(",
                      sql[ls:le]):
