@@ -49,3 +49,19 @@ def test_fuzz_batch_seed_5150(spark):
     set ops / CTE-sided ASOF LEFT JOIN mirrored to DuckDB's native
     ASOF) so the new kinds hold a standing seed of their own."""
     assert run_fuzz(60, 5150, spark) == []
+
+
+def test_fuzz_batch_seed_1301(spark):
+    """r13 vocabulary batch (VERDICT r12 item 2): quantified under
+    CASE arms and set-op branches, CORRELATED quantifiers, parallel
+    ASOF legs sharing a CTE side, WITH FILL over a UNION body.  Seed
+    1301's first run caught two real bridge bugs (pinned in
+    tests/test_r13_fuzz_finds.py): the alias-in-WHERE inliner
+    descending into subqueries, and the ASOF qualifier strip
+    reaching sibling branches."""
+    assert run_fuzz(60, 1301, spark) == []
+
+
+def test_fuzz_batch_seed_1307(spark):
+    """Second standing r13-vocabulary seed."""
+    assert run_fuzz(60, 1307, spark) == []

@@ -1,0 +1,96 @@
+"""Round-13 fuzz finds (VERDICT r12 item 2: grown vocabulary —
+quantified under CASE arms / set-ops, correlated quantifiers,
+multi-ASOF legs sharing a CTE side, WITH FILL under UNION).  The
+first extended run (seed 1301) caught two REAL bridge bugs, pinned
+here:
+
+1. the alias-in-WHERE inliner descended into nested subqueries in
+   the WHERE segment, corrupting alias-DEFINITION sites of the inner
+   scope (``… AS g`` became ``… AS (t1.g)``) — surfaced by a
+   correlated quantifier under an outer block that aliases its
+   columns;
+2. the ASOF bridge's qualifier strip ran statement-wide, so pass 1
+   stripped the shared side's qualifiers out of a SIBLING branch's
+   own ASOF leg (``l2.g = sh.g`` became ``l2.g = g`` → spurious
+   ON-term raise).  The strip is now scoped to the bridged join's
+   query block (side aliases are block-scoped in SQL).
+"""
+from __future__ import annotations
+
+import duckdb
+
+from transaq_clickhouse_exporter_spark.queries.ch_compat import run_ch_sql
+
+
+def test_alias_inliner_skips_nested_subqueries(spark):
+    """Outer block aliases g/v; the WHERE holds a correlated
+    quantified comparison whose spliced subqueries define their OWN
+    g/v aliases — those inner definition sites must survive."""
+    q = ("SELECT t1.g AS g, t1.v AS v FROM (SELECT number % 4 AS g,"
+         " number AS v FROM numbers(9)) AS t1 WHERE t1.v <= ANY"
+         " (SELECT u2.v + 1 FROM (SELECT number % 4 AS g, number AS v"
+         " FROM numbers(11)) AS u2 WHERE u2.g = t1.g)")
+    got = sorted(tuple(r) for r in run_ch_sql(spark, q).collect())
+    dq = q.replace("numbers(9)",
+                   "(SELECT range AS number FROM range(9))").replace(
+        "numbers(11)", "(SELECT range AS number FROM range(11))")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(dq).fetchall())
+    assert got == want and len(got) == 9
+    # plain alias-in-WHERE keeps working (the reference panels' shape)
+    r = run_ch_sql(
+        spark,
+        "SELECT number * 2 AS d FROM numbers(5) WHERE d >= 6",
+    ).collect()
+    assert sorted(x.d for x in r) == [6, 8]
+    # and an alias referenced from WHERE both bare AND inside a plain
+    # paren group (not a subquery) still inlines
+    r = run_ch_sql(
+        spark,
+        "SELECT number * 2 AS d FROM numbers(5)"
+        " WHERE (d >= 4) AND d <= 6",
+    ).collect()
+    assert sorted(x.d for x in r) == [4, 6]
+
+
+def test_parallel_asof_legs_share_cte_side(spark):
+    """Two ASOF legs in UNION branches consuming the SAME
+    statement-level CTE: pass 1 must leave the sibling leg's
+    qualified ON terms (and the shared def) for pass 2."""
+    q = ("WITH sh AS (SELECT g, coalesce(v, 0) + 1 AS rv FROM"
+         " (SELECT number % 2 AS g, number AS v FROM numbers(4)))"
+         " SELECT g, v FROM (SELECT l1.g AS g, l1.v +"
+         " coalesce(sh.rv, 0) AS v FROM (SELECT g, coalesce(v, 0) AS v"
+         " FROM (SELECT number % 2 AS g, number + 2 AS v FROM"
+         " numbers(3))) AS l1 ASOF LEFT JOIN sh ON l1.g = sh.g"
+         " AND l1.v >= sh.rv)"
+         " UNION ALL"
+         " SELECT g, v FROM (SELECT l2.g AS g, l2.v +"
+         " coalesce(sh.rv, 0) AS v FROM (SELECT g, coalesce(v, 0) AS v"
+         " FROM (SELECT number % 3 AS g, number + 5 AS v FROM"
+         " numbers(4))) AS l2 ASOF LEFT JOIN sh ON l2.g = sh.g"
+         " AND l2.v >= sh.rv)")
+    got = sorted(tuple(r) for r in run_ch_sql(spark, q).collect())
+    dq = q
+    for k in (4, 3):
+        dq = dq.replace(f"numbers({k})",
+                        f"(SELECT range AS number FROM range({k}))")
+    want = sorted(
+        tuple(r) for r in duckdb.connect().execute(dq).fetchall())
+    assert got == want and len(got) == 7
+
+
+def test_asof_strip_respects_top_level_union_boundary(spark):
+    """The parens-free variant: both legs at statement top level,
+    bounded only by the UNION keyword."""
+    q = ("WITH sh AS (SELECT 1 AS g, 4 AS rv)"
+         " SELECT a.g AS g, a.v + coalesce(sh.rv, 0) AS v"
+         " FROM (SELECT 1 AS g, 5 AS v) AS a"
+         " ASOF LEFT JOIN sh ON a.g = sh.g AND a.v >= sh.rv"
+         " UNION ALL"
+         " SELECT b.g AS g, b.v + coalesce(sh.rv, 0) AS v"
+         " FROM (SELECT 1 AS g, 9 AS v) AS b"
+         " ASOF LEFT JOIN sh ON b.g = sh.g AND b.v >= sh.rv")
+    got = sorted(tuple(r) for r in run_ch_sql(spark, q).collect())
+    want = sorted(
+        tuple(r) for r in duckdb.connect().execute(q).fetchall())
+    assert got == want == [(1, 9), (1, 13)]

@@ -80,9 +80,12 @@ class Gen:
              "distinct_on", "scalar_with", "grouped", "scalar_wrap",
              "windowed", "joined", "in_subquery", "arr_wrap",
              "set_op_distinct", "asof", "qualify", "paginate",
-             "ternary_cast"])
+             "ternary_cast", "quantified_case", "quantified_setop",
+             "correlated_quant", "asof_shared_cte"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
+        if kind == "asof_shared_cte" and self.n_asof > 0:
+            kind = "joined"  # the shared-CTE kind spends BOTH slots
         if kind == "union":
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
@@ -282,6 +285,98 @@ class Gen:
                        f" USING (g, v))")
             return (tpl.format(src1=c1, src2=c2),
                     tpl.format(src1=d1, src2=d2))
+        if kind == "quantified_case":
+            # quantified comparison inside a CASE arm (r13, VERDICT
+            # r12 item 2): PROJECTION context, so every operator is
+            # safe — the NULL-exact CASE rewrite matches DuckDB's
+            # projected quantifier answer including the `= ANY` NULL
+            # left operand (tests/test_r13_quantified_hardening pins
+            # DuckDB's own FILTER-position inconsistency there, which
+            # is why filter-context fuzz sticks to ordering ops).
+            # CASE WHEN NULL falls to ELSE on both engines.
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(0)
+            op = self.rng.choice([">", ">=", "<", "<=", "=", "!="])
+            q = self.rng.choice(["ANY", "ALL"])
+            tpl = (f"(SELECT g, CASE WHEN v {op} {q} (SELECT v + 2"
+                   f" FROM {{s2}}) THEN v + 10"
+                   f" ELSE coalesce(v, -1) END AS v FROM {{s1}})")
+            return (tpl.format(s1=c1, s2=c2),
+                    tpl.format(s1=d1, s2=d2))
+        if kind == "quantified_setop":
+            # quantified comparisons in BOTH branches of a set
+            # operator (r13): ordering quantifiers only in filter
+            # position (see quantified_case note).  INTERSECT/EXCEPT
+            # spell DISTINCT on the CH side (the only value-equal
+            # pass-through), bare on DuckDB.
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(0)
+            c3, d3 = self.block(depth - 1)
+            c4, d4 = self.block(0)
+            op1 = self.rng.choice([">", ">=", "<", "<="])
+            op2 = self.rng.choice([">", ">=", "<", "<="])
+            q1 = self.rng.choice(["ANY", "ALL"])
+            q2 = self.rng.choice(["ANY", "ALL"])
+            setop = self.rng.choice(
+                ["UNION ALL", "INTERSECT", "EXCEPT"])
+            ch_setop = (setop if setop == "UNION ALL"
+                        else setop + " DISTINCT")
+            tpl = (f"(SELECT g, v FROM {{s1}} WHERE v {op1} {q1}"
+                   f" (SELECT v + 1 FROM {{s2}})"
+                   f" {{setop}} SELECT g, v FROM {{s3}} WHERE v"
+                   f" {op2} {q2} (SELECT v + 3 FROM {{s4}}))")
+            return (tpl.format(s1=c1, s2=c2, s3=c3, s4=c4,
+                               setop=ch_setop),
+                    tpl.format(s1=d1, s2=d2, s3=d3, s4=d4,
+                               setop=setop))
+        if kind == "correlated_quant":
+            # CORRELATED quantified comparison (r13, VERDICT r12
+            # item 6): the sub references the outer row's g through
+            # an equality predicate — the rewrite splices it into up
+            # to three correlated scalar subqueries, decorrelated by
+            # Spark.  Ordering ops only (filter position); the sub is
+            # a LEAF so the correlation depth stays in Spark's
+            # supported envelope (matching the bridged subset).
+            c1, d1 = self.block(depth - 1)
+            c2, d2, _ = self.leaf()
+            op = self.rng.choice([">", ">=", "<", "<="])
+            q = self.rng.choice(["ANY", "ALL"])
+            t, u = self.name("t"), self.name("u")
+            tpl = (f"(SELECT {t}.g AS g, {t}.v AS v FROM {{s1}}"
+                   f" AS {t} WHERE {t}.v {op} {q} (SELECT {u}.v + 1"
+                   f" FROM {{s2}} AS {u} WHERE {u}.g = {t}.g))")
+            return (tpl.format(s1=c1, s2=c2),
+                    tpl.format(s1=d1, s2=d2))
+        if kind == "asof_shared_cte":
+            # TWO parallel ASOF legs consuming the SAME statement-
+            # level CTE side (r13, VERDICT r12 item 2): pass 1 of the
+            # bridge resolves the shared def for leg 1 and must KEEP
+            # the def (still referenced by leg 2); pass 2 consumes it
+            # and the excision then drops it — the exact hazard zone
+            # of the r12j consumed-entry logic.  DuckDB native ASOF
+            # is the mirror verbatim.
+            self.n_asof += 2
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            c3, d3 = self.block(0)
+            sh_nm = self.name("sh")
+            l1, l2 = self.name("l"), self.name("l")
+            tpl = (
+                f"(WITH {sh_nm} AS (SELECT g, coalesce(v, 0) + 1 AS"
+                f" rv FROM {{s3}})"
+                f" SELECT g, v FROM (SELECT {l1}.g AS g, {l1}.v +"
+                f" coalesce({sh_nm}.rv, 0) AS v FROM (SELECT g,"
+                f" coalesce(v, 0) AS v FROM {{s1}}) AS {l1}"
+                f" ASOF LEFT JOIN {sh_nm} ON {l1}.g = {sh_nm}.g"
+                f" AND {l1}.v >= {sh_nm}.rv)"
+                f" UNION ALL"
+                f" SELECT g, v FROM (SELECT {l2}.g AS g, {l2}.v +"
+                f" coalesce({sh_nm}.rv, 0) AS v FROM (SELECT g,"
+                f" coalesce(v, 0) AS v FROM {{s2}}) AS {l2}"
+                f" ASOF LEFT JOIN {sh_nm} ON {l2}.g = {sh_nm}.g"
+                f" AND {l2}.v >= {sh_nm}.rv))")
+            return (tpl.format(s1=c1, s2=c2, s3=c3),
+                    tpl.format(s1=d1, s2=d2, s3=d3))
         if kind == "qualify":
             # post-window filter (r12l): keep each group's max-v row.
             # DuckDB's native QUALIFY is the mirror verbatim; ties on
@@ -333,6 +428,26 @@ class Gen:
     def query(self) -> tuple[str, str]:
         # mostly depth 1-3; an occasional 4 for deeper nesting strata
         depth = self.rng.choice([1, 2, 2, 3, 3, 4])
+        if self.rng.random() < 0.12:
+            # WITH FILL over a UNION body (r13, VERDICT r12 item 2):
+            # the fill spec applies to the whole union result; filled
+            # rows carry the column-type DEFAULT (g -> 0) per CH, the
+            # grid is FROM..TO-exclusive minus the observed DISTINCT
+            # sort values, originals are all kept.  v is coalesced
+            # NULL-free so the grid subtraction is well-defined.
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            hi = self.rng.randint(4, 9)
+            ch = (f"SELECT g, coalesce(v, 0) AS v FROM {c1}"
+                  f" UNION ALL SELECT g, coalesce(v, 0) AS v FROM {c2}"
+                  f" ORDER BY v WITH FILL FROM 0 TO {hi}")
+            duck = (
+                f"WITH __b AS (SELECT g, coalesce(v, 0) AS v FROM {d1}"
+                f" UNION ALL SELECT g, coalesce(v, 0) AS v FROM {d2})"
+                f" SELECT g, v FROM __b UNION ALL"
+                f" SELECT 0 AS g, x AS v FROM range(0, {hi}) AS __r(x)"
+                f" WHERE x NOT IN (SELECT v FROM __b)")
+            return ch, duck
         if self.rng.random() < 0.15:
             # grouped final: per-key aggregates over the composition
             # (the global finals below never exercise group-level

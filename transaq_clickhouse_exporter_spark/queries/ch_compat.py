@@ -3929,8 +3929,18 @@ def _quantified_subqueries(sql: str) -> str:
             # L; = ALL / != ANY by some non-NULL value differing from
             # L, i.e. NOT(min = L = max).
             if (op == "=") == (quant == "ANY"):
-                decided = (f"(SELECT count(*) FROM ({sub}) AS "
-                           f"__qm(__qv) WHERE __qv = {L}) > 0")
+                # membership via IN, NOT a count-subquery filtered on
+                # L: that spelling turns an UNCORRELATED user subquery
+                # into a correlated one, and Spark's decorrelation
+                # breaks (SCALAR_SUBQUERY_TOO_MANY_ROWS at run time)
+                # when L's defining expression itself carries scalar
+                # subqueries — r13 fuzz seed 1307/28 (nested
+                # quantified splices).  IN's projection-context
+                # NULL→FALSE coercion is immaterial here: the decided
+                # branch only fires on TRUE, and the nulls-count
+                # branch right after answers the ANSI NULL.
+                decided = (f"{L} IN (SELECT __qv FROM ({sub})"
+                           f" AS __qm(__qv))")
             else:
                 decided = (
                     f"NOT ({L} = (SELECT min(__qv) FROM ({sub})"
@@ -7210,6 +7220,44 @@ def _statement_ctes(
         i += cm.end()
 
 
+def _asof_block_span(sh: str, pos: int) -> tuple[int, int]:
+    """Span of the QUERY BLOCK containing ``pos`` on the masked
+    shadow: the innermost balanced paren group enclosing ``pos``
+    (whole string when none), further bounded by same-depth set
+    operators.  Side aliases are block-scoped in SQL, so the ASOF
+    bridge's qualifier strip must not reach a SIBLING branch — a
+    second ASOF leg sharing a CTE side keeps its own qualified ON
+    terms for the next bridge pass (r13 fuzz, asof_shared_cte
+    kind)."""
+    import re
+
+    a, b = 0, len(sh)
+    stack: list[int] = []
+    for i, c in enumerate(sh):
+        if c == "(":
+            stack.append(i)
+        elif c == ")" and stack:
+            o = stack.pop()
+            if o < pos <= i:
+                a, b = o + 1, i
+                break
+    depths = _depth_map(sh)
+    d0 = depths[pos]
+    left, right = a, b
+    for m in re.finditer(
+            r"(?i)\b(?:UNION|INTERSECT|EXCEPT)\b"
+            r"(?:\s+(?:ALL|DISTINCT))?(?=\s*(?:SELECT|WITH|\())",
+            sh[a:b]):
+        s_abs, e_abs = a + m.start(), a + m.end()
+        if depths[s_abs] != d0:
+            continue
+        if e_abs <= pos:
+            left = max(left, e_abs)
+        elif s_abs > pos:
+            right = min(right, s_abs)
+    return left, right
+
+
 #: session-conf marker caching the InlineCTE probe verdict (string
 #: "buggy"/"clean"; conf survives exactly as long as the session —
 #: no Python-side id-reuse hazard, same pattern as the shim marker)
@@ -7583,6 +7631,11 @@ def _bridge_asof_join(
         + rf"(?:{rts_esc}(?![\w`(])|`{rts_esc}`|\"{rts_esc}\")"
     )
     sh2 = _mask_literals(new_sql)
+    # both rewrites below are scoped to the bridged ASOF's own query
+    # block: side aliases are invisible outside it, and a SIBLING
+    # branch may hold another ASOF leg over the same CTE side whose
+    # qualifiers belong to the NEXT bridge pass (r13)
+    blk_a, blk_b = _asof_block_span(sh2, new_sql.find(f"FROM {name}"))
     out, last, n_rref = [], 0, 0
     if not natural:
         for qm in rref.finditer(sh2):
@@ -7591,6 +7644,8 @@ def _bridge_asof_join(
             # CTE's business, not this statement body's (with_end is
             # 0 without a prefix)
             if qm.start() < with_end:
+                continue
+            if not blk_a <= qm.start() < blk_b:
                 continue
             out.append(new_sql[last : qm.start()])
             out.append("__asof_rts")
@@ -7607,10 +7662,15 @@ def _bridge_asof_join(
         r"\b(?:" + "|".join(map(re.escape, quals)) + r")\.(?=[A-Za-z_`\"])"
     )
     sh2 = _mask_literals(new_sql)
+    # recompute the block span: the rref rewrite above may have
+    # shifted offsets inside the block
+    blk_a, blk_b = _asof_block_span(sh2, new_sql.find(f"FROM {name}"))
     out, last = [], 0
     for qm in qre.finditer(sh2):
         if qm.start() < with_end:
             continue  # CTE bodies keep their own qualifiers
+        if not blk_a <= qm.start() < blk_b:
+            continue  # sibling branches keep theirs too (r13)
         out.append(new_sql[last : qm.start()])
         last = qm.end()
     out.append(new_sql[last:])
@@ -8316,12 +8376,46 @@ def _inline_block(s: str) -> str:
     out, pos = [], 0
     for a, b in sorted(spans):
         out.append(s[pos:a])
-        seg = s[a:b]
-        for alias, expr in aliases:
-            seg = _replace_alias_refs(seg, alias, expr)
-        out.append(seg)
+        out.append(_replace_alias_refs_outside_subqueries(
+            s[a:b], aliases))
         pos = b
     out.append(s[pos:])
+    return "".join(out)
+
+
+def _replace_alias_refs_outside_subqueries(
+    seg: str, aliases: list[tuple[str, str]]
+) -> str:
+    """Apply the alias inlining only OUTSIDE nested subqueries in the
+    WHERE/HAVING segment: identifiers inside a ``(SELECT …)`` /
+    ``(WITH …)`` resolve in the SUBQUERY's own scope, and replacing
+    them with the outer block's alias expressions corrupts alias-
+    definition sites (``… AS g`` became ``… AS (t1.g)`` — r13 fuzz,
+    correlated_quant kind over the quantified splice)."""
+    sh = _mask_literals(seg)
+    parts: list[tuple[bool, str]] = []  # (is_subquery, text)
+    i, n, last = 0, len(seg), 0
+    while i < n:
+        if sh[i] == "(":
+            j = i + 1
+            while j < n and sh[j] in " \t\n":
+                j += 1
+            if _re.match(r"(?i)(SELECT|WITH)\b", sh[j:]):
+                close = _find_close(sh, i)
+                if close > 0:
+                    parts.append((False, seg[last:i]))
+                    parts.append((True, seg[i: close + 1]))
+                    last = close + 1
+                    i = close + 1
+                    continue
+        i += 1
+    parts.append((False, seg[last:]))
+    out = []
+    for is_sub, txt in parts:
+        if not is_sub:
+            for alias, expr in aliases:
+                txt = _replace_alias_refs(txt, alias, expr)
+        out.append(txt)
     return "".join(out)
 
 

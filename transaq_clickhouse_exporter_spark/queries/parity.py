@@ -2008,6 +2008,47 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "quantified-subquery", "ch-sql"),
         )
     )
+
+    # ev28 (r13, VERDICT r12 item 6): CORRELATED quantified subquery
+    # comparison — the set is the same security's own high-quantity
+    # prices, so the three spliced scalar subqueries all decorrelate
+    # through Spark; securities with NO qualifying rows exercise the
+    # vacuous-ALL empty-set branch.  DuckDB's native correlated
+    # quantifier is the oracle (ordering op in filter position — the
+    # class where DuckDB's own WHERE-position evaluation is ANSI-
+    # consistent; see tests/test_r13_quantified_hardening.py).
+    def _correlated_quantified_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code, count() AS n,
+                   CAST(sum(quantity) AS BIGINT) AS vol
+            FROM trades t
+            WHERE price >= ALL (SELECT price FROM trades u
+                                WHERE u.sec_code = t.sec_code
+                                  AND u.quantity > 40)
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev28_correlated_quantified_sql",
+            _correlated_quantified_sql,
+            """
+            SELECT sec_code, count(*) AS n,
+                   CAST(sum(quantity) AS BIGINT) AS vol
+            FROM trades t
+            WHERE price >= ALL (SELECT price FROM trades u
+                                WHERE u.sec_code = t.sec_code
+                                  AND u.quantity > 40)
+            GROUP BY sec_code ORDER BY sec_code
+            """,
+            tags=("events", "quantified-subquery", "correlated", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4879,6 +4920,10 @@ _TAIL_NAMES = (
                                       # entered; db19 keeps tumbling+DST
     "ev22_with_fill_sql",             # WITH FILL class: ev25
                                       # (INTERPOLATE) entered this round
+    # round-13 addition starts in the tail; it earns a row in the r14
+    # rotation (class evidence: ev27 in-window this round, plus the
+    # value-pinned correlated suite in test_r13_quantified_hardening)
+    "ev28_correlated_quantified_sql",
 )
 
 
