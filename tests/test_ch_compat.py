@@ -725,13 +725,17 @@ def test_r11f_regression_ties_base64_setops(spark):
         " ORDER BY v LIMIT 2 WITH TIES").collect()
     # [0,0,0,1,1]: the third 0 ties with the 2nd row and survives
     assert [r.v for r in rows] == [0, 0, 0]
-    for bad in (
+    # r13: the NESTED spelling is bridged now (rank wrapper per
+    # SELECT block) — count over the ties page [0,0,0] is 3
+    r = run_ch_sql(
+        spark,
         "SELECT count() AS c FROM (SELECT number % 2 AS v FROM"
-        " numbers(5) ORDER BY v LIMIT 2 WITH TIES)",
-        "SELECT number AS v FROM numbers(5) LIMIT 2 WITH TIES",
-    ):
-        with pytest.raises(UnsupportedChSql, match="TIES"):
-            run_ch_sql(spark, bad)
+        " numbers(5) ORDER BY v LIMIT 2 WITH TIES)").collect()[0]
+    assert r.c == 3
+    # no same-block ORDER BY still raises (ties are undefined)
+    with pytest.raises(UnsupportedChSql, match="TIES"):
+        run_ch_sql(spark,
+                   "SELECT number AS v FROM numbers(5) LIMIT 2 WITH TIES")
 
     r = run_ch_sql(
         spark,

@@ -65,3 +65,11 @@ def test_fuzz_batch_seed_1301(spark):
 def test_fuzz_batch_seed_1307(spark):
     """Second standing r13-vocabulary seed."""
     assert run_fuzz(60, 1307, spark) == []
+
+
+def test_fuzz_batch_seed_2401(spark):
+    """r13 second-wave vocabulary: WITH TIES pagination (incl. nested
+    blocks — its first run caught the top-level-only raise), ternary
+    inside QUALIFY, CORRELATED quantifiers in CASE arms, WITH FILL …
+    INTERPOLATE (LOCF) finals."""
+    assert run_fuzz(60, 2401, spark) == []

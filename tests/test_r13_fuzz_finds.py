@@ -94,3 +94,50 @@ def test_asof_strip_respects_top_level_union_boundary(spark):
     want = sorted(
         tuple(r) for r in duckdb.connect().execute(q).fetchall())
     assert got == want == [(1, 9), (1, 13)]
+
+
+def test_limit_with_ties_in_subquery(spark):
+    """r13 fuzz lead: CH accepts ``LIMIT n WITH TIES`` (and the ANSI
+    ``FETCH FIRST n ROWS WITH TIES``) inside subqueries; the bridge
+    now applies the rank() wrapper per SELECT block instead of
+    raising top-level-only."""
+    q = ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT v FROM"
+         " (SELECT number % 3 AS v FROM numbers(9))"
+         " ORDER BY v FETCH FIRST 4 ROWS WITH TIES)")
+    # keys 0,0,0,1,1,1,2,2,2 -> first 4 + ties on 1 -> 0,0,0,1,1,1
+    assert run_ch_sql(spark, q).collect()[0].s == 3
+    q = ("SELECT a.v AS v, b.v AS w FROM"
+         " (SELECT number AS v FROM numbers(5) ORDER BY v"
+         " LIMIT 2 WITH TIES) AS a"
+         " INNER JOIN (SELECT number AS v FROM numbers(3)) AS b"
+         " ON a.v = b.v ORDER BY v")
+    rows = run_ch_sql(spark, q).collect()
+    assert [(r.v, r.w) for r in rows] == [(0, 0), (1, 1)]
+    # top-level spelling keeps working
+    rows = run_ch_sql(
+        spark,
+        "SELECT v FROM (SELECT number % 3 AS v FROM numbers(9))"
+        " ORDER BY v LIMIT 4 WITH TIES").collect()
+    assert [r.v for r in rows] == [0, 0, 0, 1, 1, 1]
+
+
+def test_spark_push_projection_through_union_limitation(spark):
+    """Documented Spark 4.1.2 limitation (r13 fuzz seed 12/58, found
+    once the correlated-quantifier vocabulary landed): a correlated
+    scalar subquery PROJECTED over a UNION child crashes the
+    optimizer's PushProjectionThroughUnion with ``key not found:
+    <inner attribute>`` — the rule's attribute rewrite descends into
+    the subquery plan's own scope.  Plain Spark SQL, no dialect
+    involvement.  Pinned so a Spark upgrade that fixes it surfaces
+    here (flip to a value assert); the fuzzer keeps correlated
+    sources leaf-shaped meanwhile, and ev28's plain-table source is
+    unaffected."""
+    import pytest
+
+    q = ("SELECT g, coalesce(v, 0) AS v FROM (SELECT g, v FROM"
+         " (SELECT (SELECT max(u.x) FROM (SELECT 1 AS k, 2 AS x) u"
+         " WHERE u.k = t1.g) AS v, g"
+         " FROM (SELECT 1 AS g UNION ALL SELECT 2 AS g) AS t1) AS w)"
+         " UNION ALL SELECT 9 AS g, 9 AS v")
+    with pytest.raises(Exception, match="key not found|INTERNAL"):
+        spark.sql(q).collect()

@@ -298,6 +298,30 @@ class Gen:
             c2, d2 = self.block(0)
             op = self.rng.choice([">", ">=", "<", "<=", "=", "!="])
             q = self.rng.choice(["ANY", "ALL"])
+            if self.rng.random() < 0.35:
+                # correlated variant: projection context is safe for
+                # = / != too (DuckDB's projected correlated
+                # quantifiers are ANSI-consistent; only its FILTER
+                # position diverges — pinned in the r13 hardening
+                # suite).  The outer source must be a LEAF: Spark
+                # 4.1.2's PushProjectionThroughUnion crashes on a
+                # correlated subquery projected over a UNION child
+                # (key not found: <inner attr> — pinned in
+                # test_r13_fuzz_finds as a documented Spark
+                # limitation), so union-bearing sources stay out of
+                # the generated envelope.
+                c1, d1, _ = self.leaf()
+                t, u = self.name("t"), self.name("u")
+                tpl = (f"(SELECT CASE WHEN {t}.v {op} {q}"
+                       f" (SELECT {u}.v + 2 FROM {{s2}} AS {u}"
+                       f" WHERE {u}.g = {t}.g) THEN {t}.v + 10"
+                       f" ELSE coalesce({t}.v, -1) END AS v,"
+                       f" g FROM {{s1}} AS {t})")
+                # re-wrap to the (g, v) column order every block emits
+                return (f"(SELECT g, v FROM {tpl.format(s1=c1, s2=c2)}"
+                        f" AS w)",
+                        f"(SELECT g, v FROM {tpl.format(s1=d1, s2=d2)}"
+                        f" AS w)")
             tpl = (f"(SELECT g, CASE WHEN v {op} {q} (SELECT v + 2"
                    f" FROM {{s2}}) THEN v + 10"
                    f" ELSE coalesce(v, -1) END AS v FROM {{s1}})")
@@ -336,8 +360,10 @@ class Gen:
             # to three correlated scalar subqueries, decorrelated by
             # Spark.  Ordering ops only (filter position); the sub is
             # a LEAF so the correlation depth stays in Spark's
-            # supported envelope (matching the bridged subset).
-            c1, d1 = self.block(depth - 1)
+            # supported envelope (matching the bridged subset); the
+            # outer source is a leaf too (PushProjectionThroughUnion
+            # limitation — see quantified_case).
+            c1, d1, _ = self.leaf()
             c2, d2, _ = self.leaf()
             op = self.rng.choice([">", ">=", "<", "<="])
             q = self.rng.choice(["ANY", "ALL"])
@@ -381,12 +407,18 @@ class Gen:
             # post-window filter (r12l): keep each group's max-v row.
             # DuckDB's native QUALIFY is the mirror verbatim; ties on
             # (g, v) are identical rows, so rank-free equality filters
-            # stay multiset-deterministic.
+            # stay multiset-deterministic.  The ternary variant (r13
+            # advice: QUALIFY joined the ternary boundary keyword
+            # lists) spells the same predicate `cond ? a : b`.
             c1, d1 = self.block(depth - 1)
-            return (f"(SELECT g, v FROM {c1} QUALIFY"
-                    f" v = max(v) OVER (PARTITION BY g))",
-                    f"(SELECT g, v FROM {d1} QUALIFY"
+            duck = (f"(SELECT g, v FROM {d1} QUALIFY"
                     f" v = max(v) OVER (PARTITION BY g))")
+            if self.rng.random() < 0.3:
+                return (f"(SELECT g, v FROM {c1} QUALIFY"
+                        f" v = max(v) OVER (PARTITION BY g)"
+                        f" ? true : false)", duck)
+            return (f"(SELECT g, v FROM {c1} QUALIFY"
+                    f" v = max(v) OVER (PARTITION BY g))", duck)
         if kind == "paginate":
             # CH LIMIT offset, n / ANSI OFFSET-FETCH → LIMIT-OFFSET
             # mirror.  Total order (g, v) makes the page a multiset
@@ -394,12 +426,22 @@ class Gen:
             c1, d1 = self.block(depth - 1)
             off = self.rng.randint(0, 3)
             n = self.rng.randint(1, 4)
-            form = self.rng.choice(["comma", "fetch"])
+            form = self.rng.choice(["comma", "fetch", "ties"])
             duck = (f"(SELECT g, v FROM {d1} ORDER BY g, v"
                     f" LIMIT {n} OFFSET {off})")
             if form == "comma":
                 return (f"(SELECT g, v FROM {c1} ORDER BY g, v"
                         f" LIMIT {off}, {n})", duck)
+            if form == "ties":
+                # WITH TIES over the total order (g, v): tied rows are
+                # IDENTICAL rows, so the extended page is a multiset
+                # invariant.  DuckDB 1.0.0 has no WITH TIES spelling —
+                # the mirror is the standard rank() equivalence
+                # (WITH TIES ≡ rank over the same order ≤ n).
+                return (f"(SELECT g, v FROM {c1} ORDER BY g, v"
+                        f" FETCH FIRST {n} ROWS WITH TIES)",
+                        f"(SELECT g, v FROM {d1} QUALIFY rank()"
+                        f" OVER (ORDER BY g, v) <= {n})")
             return (f"(SELECT g, v FROM {c1} ORDER BY g, v OFFSET"
                     f" {off} ROWS FETCH NEXT {n} ROWS ONLY)", duck)
         if kind == "ternary_cast":
@@ -447,6 +489,31 @@ class Gen:
                 f" SELECT g, v FROM __b UNION ALL"
                 f" SELECT 0 AS g, x AS v FROM range(0, {hi}) AS __r(x)"
                 f" WHERE x NOT IN (SELECT v FROM __b)")
+            return ch, duck
+        if self.rng.random() < 0.08:
+            # WITH FILL … INTERPOLATE (LOCF) over the observed
+            # min..max grid (r13): base aggregated to ONE row per v so
+            # the carry is deterministic; first grid row is always
+            # observed (grid starts at min(v)).  Mirror follows the
+            # ev25 oracle shape: spine LEFT JOIN base + last_value
+            # IGNORE NULLS.  Distinct alias gg avoids shadowing the
+            # source column inside the aggregate.
+            c1, d1 = self.block(depth - 1)
+            ch = (f"SELECT gg, v FROM (SELECT max(g) AS gg,"
+                  f" coalesce(v, 0) AS v FROM {c1} GROUP BY"
+                  f" coalesce(v, 0)) ORDER BY v WITH FILL"
+                  f" INTERPOLATE (gg AS gg)")
+            duck = (
+                f"WITH __b AS (SELECT max(g) AS gg, coalesce(v, 0)"
+                f" AS v FROM {d1} GROUP BY coalesce(v, 0)),"
+                f" __s AS (SELECT CAST(unnest(generate_series("
+                f" CAST((SELECT min(v) FROM __b) AS BIGINT),"
+                f" CAST((SELECT max(v) FROM __b) AS BIGINT),"
+                f" 1)) AS BIGINT) AS v)"
+                f" SELECT coalesce(b.gg, last_value(b.gg IGNORE NULLS)"
+                f" OVER (ORDER BY s.v ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND CURRENT ROW)) AS gg, s.v AS v"
+                f" FROM __s s LEFT JOIN __b b USING (v)")
             return ch, duck
         if self.rng.random() < 0.15:
             # grouped final: per-key aggregates over the composition

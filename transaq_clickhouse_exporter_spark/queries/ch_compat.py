@@ -137,6 +137,14 @@ Documented deviations from ClickHouse (each also noted at its shim):
 - ``topK``/``topKWeighted`` block shapes the pre-aggregation rewrite
   cannot re-plan keep an n-sized ``collect_list`` expansion and emit
   :class:`TopkFallbackWarning` (raise with ``strict_scale=True``).
+- KNOWN SPARK 4.1.2 LIMITATION (r13): a CORRELATED scalar subquery
+  (including the quantified-comparison splices) projected directly
+  over a UNION child crashes Spark's PushProjectionThroughUnion
+  optimizer rule (``key not found: <inner attribute>`` — the rule's
+  attribute rewrite descends into the subquery's own scope).  Loud,
+  not silent; pinned in ``tests/test_r13_fuzz_finds.py`` so a Spark
+  fix surfaces.  Workaround: materialize the union into a temp view
+  first, or correlate against a non-union relation.
 
 Round-9 everyday additions (hash/random/array/date/URL families):
 
@@ -1791,8 +1799,11 @@ def translate_ch_sql(
     # must see the original clause text; both run per select block
     sql = _recurse_select_blocks(sql, _qualify_clause)
     sql = _recurse_select_blocks(sql, _limit_offset_forms)
-    return _limit_with_ties(
-        _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql))))
+    # WITH TIES at ANY nesting depth (r13 fuzz lead: the top-level-
+    # only contract raised on subquery placements CH accepts)
+    return _recurse_select_blocks(
+        _limit_by_recursive(_inline_where_aliases(_rewrite_calls(sql))),
+        _limit_with_ties)
 
 
 def _sub_masked(rx: "re.Pattern[str]", repl: str, sql: str) -> str:
@@ -2964,32 +2975,32 @@ def _qualify_clause(sql: str) -> str:
 
 
 def _limit_with_ties(sql: str) -> str:
-    """``ORDER BY keys LIMIT n WITH TIES`` (top level of the
-    statement) → a ``rank()`` wrapper: WITH TIES returns the first n
-    rows PLUS every row tied with the n-th on the sort keys, which is
-    exactly ``rank() <= n`` (rank repeats on ties, then skips) —
-    verified against CH's documented examples (r11f).  Nested /
-    offset / positional / expression-qualified spellings raise by
+    """``ORDER BY keys LIMIT n WITH TIES`` → a ``rank()`` wrapper:
+    WITH TIES returns the first n rows PLUS every row tied with the
+    n-th on the sort keys, which is exactly ``rank() <= n`` (rank
+    repeats on ties, then skips) — verified against CH's documented
+    examples (r11f).  Applied per SELECT block through
+    :func:`_recurse_select_blocks` (r13: CH accepts the spelling in
+    subqueries too; the old top-level-only contract raised there).
+    Offset / positional / expression-qualified spellings raise by
     name; sort keys that are not projected columns of the SELECT list
     fail LOUDLY at analysis (UNRESOLVED_COLUMN in the rank wrapper —
     the module's acceptable-loud category), never silently.  Plan
     cost: one unpartitioned rank window over the sorted block — the
     same sort the LIMIT already needed."""
     sh = _mask_literals(sql)
-    # the end-of-string anchor also enforces top-level-only: a nested
-    # `… LIMIT n WITH TIES)` cannot match it and lands on the generic
-    # raise below (review r11f: the old explicit depth check after a
-    # $-anchored match was unreachable)
+    # anchored at block end (each recursion level sees its own block
+    # text); a mid-block leftover lands on the generic raise below
     m = re.search(r"(?is)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$", sh)
     if m is None:
         # only the LIMIT-adjacent spelling raises — a CTE or alias
         # literally named `ties` must not trip this (review r11f)
         if re.search(r"(?is)\bLIMIT\b[\s\d,]{1,40}?\bWITH\s+TIES\b", sh):
             raise UnsupportedChSql(
-                "LIMIT … WITH TIES is bridged at the TOP level of the "
-                "statement with a plain integer limit only — move it "
-                "to the outer query, or spell the rank() window "
-                "directly")
+                "LIMIT … WITH TIES is bridged at the end of its query "
+                "block with a plain integer limit only (no OFFSET, no "
+                "LIMIT BY tail) — restructure, or spell the rank() "
+                "window directly")
         return sql
     depths = _depth_map(sh)
     ob = None
