@@ -141,3 +141,26 @@ def test_spark_push_projection_through_union_limitation(spark):
          " UNION ALL SELECT 9 AS g, 9 AS v")
     with pytest.raises(Exception, match="key not found|INTERNAL"):
         spark.sql(q).collect()
+
+
+def test_alias_inliner_splits_on_intersect_except(spark):
+    """r13 probe find: the alias-in-WHERE inliner split blocks on
+    UNION only — under INTERSECT/EXCEPT the first branch's aliases
+    inlined into the SECOND branch's alias-definition sites
+    (``AS v`` became ``AS (number)``).  Now all set operators split;
+    the star-modifier ``* EXCEPT (col)`` spelling must NOT split."""
+    q = ("SELECT count() AS c FROM (SELECT number AS v FROM numbers(5)"
+         " WHERE v > ANY (SELECT 2) INTERSECT DISTINCT"
+         " SELECT number AS v FROM numbers(5) WHERE v >= 3)")
+    assert run_ch_sql(spark, q).collect()[0].c == 2
+    q = ("SELECT count() AS c FROM (SELECT number AS v FROM numbers(6)"
+         " WHERE v >= 2 EXCEPT DISTINCT"
+         " SELECT number AS v FROM numbers(6) WHERE v >= 4)")
+    assert run_ch_sql(spark, q).collect()[0].c == 2
+    # star-modifier EXCEPT in a set-op-free statement still inlines
+    # the WHERE alias of its own block
+    r = run_ch_sql(
+        spark,
+        "SELECT * EXCEPT (w) FROM (SELECT number AS v, number AS w"
+        " FROM numbers(5)) WHERE v >= 3 ORDER BY v").collect()
+    assert [x.v for x in r] == [3, 4]

@@ -1177,6 +1177,48 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " AS g, CASE WHEN number < 2 THEN NULL ELSE number END AS v"
      " FROM numbers(6)) ORDER BY g, v LIMIT 1 BY g) WHERE v IS NOT"
      " NULL", (2,)),
+    # ---- round-13 shapes: advice quintet, quantified hardening,
+    # nested WITH TIES, fill-under-union, block-scoped ASOF strip ----
+    ("SELECT 'x,y' = 'x,y' ? 1 : 0 AS r", (1,)),
+    ("SELECT s = 'x,y' ? 1 : 0 AS r FROM (SELECT 'a,b' AS s)", (0,)),
+    ("SELECT number AS v FROM numbers(3) QUALIFY row_number()"
+     " OVER (ORDER BY number) = 1 ? true : false", (0,)),
+    ("SELECT TOP 1 * EXCEPT (v) FROM (SELECT 1 AS g, 2 AS v)", (1,)),
+    ("SELECT TOP 2 * EXCEPT v FROM (SELECT number % 2 AS g,"
+     " number AS v FROM numbers(4)) ORDER BY g", None),
+    ("SELECT tuple(300, 1).1::UInt8 AS c", (44,)),
+    ("SELECT (tuple(7, 'x')).2::Nullable(String) AS c", ("x",)),
+    ("SELECT CAST(sum(v) AS BIGINT) AS s FROM (SELECT v FROM"
+     " (SELECT number % 3 AS v FROM numbers(9)) ORDER BY v"
+     " FETCH FIRST 4 ROWS WITH TIES)", (3,)),
+    ("SELECT count() AS c FROM (SELECT number AS v FROM numbers(5)"
+     " ORDER BY v LIMIT 2 WITH TIES)", (2,)),
+    # tuple left operand: named raise (multi-column quantifier)
+    ("SELECT (a, b) = ANY (SELECT 1, 2) AS r"
+     " FROM (SELECT 1 AS a, 2 AS b)", None),
+    ("SELECT g AS r FROM (SELECT 1 AS g, 5 AS v) t WHERE v > ANY"
+     " (SELECT rv FROM (SELECT 1 AS g, 3 AS rv) u WHERE u.g = t.g)",
+     (1,)),
+    # = ANY membership rides IN now; ANSI NULL answer preserved
+    ("SELECT 5 = ANY (SELECT CASE WHEN number = 0 THEN NULL ELSE"
+     " number END FROM numbers(3)) AS r", (None,)),
+    ("SELECT CASE WHEN 2 > ANY (SELECT number FROM numbers(3))"
+     " THEN 7 ELSE 0 END AS r", (7,)),
+    ("SELECT count() AS c FROM (SELECT number AS v FROM numbers(5)"
+     " WHERE v > ANY (SELECT 2) INTERSECT DISTINCT"
+     " SELECT number AS v FROM numbers(5) WHERE v >= 3)", (2,)),
+    ("SELECT g, v FROM (SELECT 1 AS g, 1 AS v) UNION ALL"
+     " SELECT 2 AS g, 5 AS v ORDER BY v WITH FILL FROM 0 TO 6",
+     (0, 0)),
+    # two parallel ASOF legs over one shared CTE side (r13 strip fix)
+    ("WITH sh AS (SELECT 1 AS g, 4 AS rv)"
+     " SELECT CAST(sum(v) AS BIGINT) AS s FROM ("
+     " SELECT a.v + coalesce(sh.rv, 0) AS v"
+     " FROM (SELECT 1 AS g, 5 AS v) AS a"
+     " ASOF LEFT JOIN sh ON a.g = sh.g AND a.v >= sh.rv"
+     " UNION ALL SELECT b.v + coalesce(sh.rv, 0) AS v"
+     " FROM (SELECT 1 AS g, 9 AS v) AS b"
+     " ASOF LEFT JOIN sh ON b.g = sh.g AND b.v >= sh.rv)", (22,)),
 ]
 
 

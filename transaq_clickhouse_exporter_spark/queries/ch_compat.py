@@ -8343,13 +8343,26 @@ def _replace_alias_refs(segment: str, alias: str, expr: str) -> str:
 
 def _inline_block(s: str) -> str:
     words = _scan_words(s)
-    # split on depth-0 UNION boundaries; process each side alone
+    # split on depth-0 SET-OPERATOR boundaries; process each side
+    # alone.  INTERSECT/EXCEPT count too (r13 probe: with only UNION
+    # split, the first branch's aliases inlined into the SECOND
+    # branch's alias-definition sites — `AS v` became `AS (number)`).
+    # EXCEPT is dual-use: the star-modifier `* EXCEPT (col)` must not
+    # split, so the set-operator reading requires the usual
+    # ALL/DISTINCT/SELECT/WITH/( SELECT lookahead.
     for w, a, _ in words:
-        if w == "union":
-            left, right = s[:a], s[a:]
-            m = _re.match(r"(?is)^union(\s+all|\s+distinct)?", right)
+        if w in ("union", "intersect", "except"):
+            right = s[a:]
+            if w == "except" and not _re.match(
+                    r"(?is)^except\s+(?:all|distinct|select|with)\b"
+                    r"|^except\s*\(\s*(?:select|with)\b", right):
+                continue
+            m = _re.match(
+                r"(?is)^(?:union|intersect|except)"
+                r"(\s+all|\s+distinct)?", right)
             head = m.group(0)
-            return _inline_block(left) + head + _inline_block(right[len(head):])
+            return (_inline_block(s[:a]) + head
+                    + _inline_block(right[len(head):]))
     sel = nxt = whr = hav = None
     for w, a, b in words:
         if w == "select" and sel is None:
