@@ -1383,13 +1383,17 @@ def test_r12k_parallel_asof_joins(spark):
     want = duckdb.connect().execute(q2).fetchall()
     assert got == [tuple(r) for r in want] == [(1, 8, 6)]
 
-    with pytest.raises(UnsupportedChSql, match="ASOF ON term"):
-        run_ch_sql(
-            spark,
-            "SELECT 1 FROM (SELECT 1 AS g, 5 AS v) AS a ASOF JOIN"
-            " (SELECT 1 AS g, 3 AS rv) AS b ON a.g = b.g AND"
-            " a.v >= b.rv ASOF JOIN (SELECT 1 AS g, 2 AS r2) AS e"
-            " ON a.g = e.g AND a.v >= e.r2")
+    # r13: CHAINED ASOF joined the subset (left-associative, pass
+    # N+1 bridges against pass N's view) — the old ON-term raise is
+    # gone; values pinned vs DuckDB's native chained ASOF
+    q3 = ("SELECT a.v AS v, b.rv AS rv, e.r2 AS r2"
+          " FROM (SELECT 1 AS g, 5 AS v) AS a ASOF JOIN"
+          " (SELECT 1 AS g, 3 AS rv) AS b ON a.g = b.g AND"
+          " a.v >= b.rv ASOF JOIN (SELECT 1 AS g, 2 AS r2) AS e"
+          " ON a.g = e.g AND a.v >= e.r2")
+    got = [tuple(r) for r in run_ch_sql(spark, q3).collect()]
+    want = duckdb.connect().execute(q3).fetchall()
+    assert got == [tuple(r) for r in want] == [(5, 3, 2)]
 
 
 def test_r12l_pagination_and_qualify(spark):

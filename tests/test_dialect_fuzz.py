@@ -73,3 +73,10 @@ def test_fuzz_batch_seed_2401(spark):
     inside QUALIFY, CORRELATED quantifiers in CASE arms, WITH FILL …
     INTERPOLATE (LOCF) finals."""
     assert run_fuzz(60, 2401, spark) == []
+
+
+def test_fuzz_batch_seed_3501(spark):
+    """r13 chained-ASOF vocabulary: the asof kind gained a `chain`
+    form (link 2's left side is link 1's result, DuckDB parses the
+    same text left-associatively)."""
+    assert run_fuzz(60, 3501, spark) == []

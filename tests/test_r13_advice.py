@@ -104,8 +104,10 @@ def test_cast_on_tuple_element_access(spark):
 
 def test_asof_bridge_drops_views_on_later_pass_raise(spark):
     """ADVICE r13: a raise from a LATER ASOF bridge pass (here the
-    chained-ASOF ON-term contract) must still drop the temp views
-    earlier passes registered."""
+    second link's unsupported non-conjunctive ON term) must still
+    drop the temp views earlier passes registered.  (The original
+    trigger — chained ASOF — joined the subset later in r13, so the
+    raise now comes from the bad ON term instead.)"""
     spark.createDataFrame(
         [("S", 100, 1.0)], "sec string, t long, p double"
     ).createOrReplaceTempView("r13_tr")
@@ -118,13 +120,23 @@ def test_asof_bridge_drops_views_on_later_pass_raise(spark):
 
     before = {t.name for t in spark.catalog.listTables()
               if t.name.startswith("__ch_asof_")}
-    with pytest.raises(UnsupportedChSql):
+    with pytest.raises(UnsupportedChSql, match="ASOF ON"):
         run_ch_sql(
             spark,
             "SELECT a.sec FROM r13_tr a"
             " ASOF JOIN r13_q b ON a.sec = b.qsec AND a.t >= b.tq"
-            " ASOF JOIN r13_x c ON a.sec = c.xsec AND a.t >= c.tx",
+            " ASOF JOIN r13_x c ON a.sec != c.xsec AND a.t >= c.tx",
         )
     after = {t.name for t in spark.catalog.listTables()
              if t.name.startswith("__ch_asof_")}
     assert after == before, f"leaked ASOF views: {after - before}"
+
+    # the chained spelling itself now bridges (r13): link 2's left
+    # side is link 1's view, matched values pinned
+    rows = run_ch_sql(
+        spark,
+        "SELECT a.sec AS sec, b.b AS b, c.c AS c FROM r13_tr a"
+        " ASOF JOIN r13_q b ON a.sec = b.qsec AND a.t >= b.tq"
+        " ASOF JOIN r13_x c ON a.sec = c.xsec AND a.t >= c.tx",
+    ).collect()
+    assert [(r.sec, r.b, r.c) for r in rows] == [("S", 2.0, 3.0)]

@@ -57,6 +57,8 @@ PICKS = [
     "op12_asof_parallel_sql", "ev24_columns_apply_sql",
     "ev25_fill_interpolate_sql", "ev26_interval_profile_sql",
     "ev27_quantified_sql",
+    # r13 additions (born-in-tail catalog entries)
+    "ev28_correlated_quantified_sql", "op13_asof_chained_sql",
 ]
 
 

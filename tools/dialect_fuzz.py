@@ -255,7 +255,29 @@ class Gen:
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
             al, ar = self.name("al"), self.name("ar")
-            form = self.rng.choice(["cte", "subq", "using"])
+            form = self.rng.choice(["cte", "subq", "using", "chain"])
+            if form == "chain" and self.n_asof >= 2:
+                form = "subq"  # a chain spends the second slot too
+            if form == "chain":
+                # CHAINED ASOF (r13): link 2's left side is link 1's
+                # result; DuckDB parses the same text left-assoc.
+                # Sides NULL-free; +1/+2 shifts keep matches partial.
+                self.n_asof += 1
+                c3, d3 = self.block(0)
+                ac = self.name("ac")
+                tpl = (
+                    f"(SELECT {al}.g AS g, {al}.v +"
+                    f" coalesce({ar}.rv, 0) + coalesce({ac}.ix, 0)"
+                    f" AS v FROM (SELECT g, coalesce(v, 0) AS v"
+                    f" FROM {{s1}}) AS {al}"
+                    f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                    f" AS rv FROM {{s2}}) AS {ar}"
+                    f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv"
+                    f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 2"
+                    f" AS ix FROM {{s3}}) AS {ac}"
+                    f" ON {al}.g = {ac}.g AND {al}.v >= {ac}.ix)")
+                return (tpl.format(s1=c1, s2=c2, s3=c3),
+                        tpl.format(s1=d1, s2=d2, s3=d3))
             if form == "cte":
                 tpl = (f"(WITH {al} AS (SELECT g, coalesce(v, 0) AS v"
                        f" FROM {{src1}}),"

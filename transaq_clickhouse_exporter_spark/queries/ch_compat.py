@@ -70,9 +70,11 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    ROWS ONLY|WITH TIES`` pagination family; ``SELECT TOP n [WITH
    TIES]``; parenless ``* EXCEPT col``; ASOF JOIN over CTE-named and
    parenthesized-subquery sides, ``ASOF INNER``, ``USING (k…, ts)``,
-   and PARALLEL multi-ASOF statements (one bridge pass per join;
-   chained ASOF raises); ``PASTE JOIN`` raises by name (positional
-   pairing is order-undefined on a parallel source).
+   and PARALLEL multi-ASOF statements (one bridge pass per join);
+   CHAINED ASOF (left-associative — each pass bridges the next link
+   against the previous pass's view, r13); ``PASTE JOIN`` raises by
+   name (positional pairing is order-undefined on a parallel
+   source).
 
    Anything it does not recognize passes through untouched, so plain
    ANSI stays intact; CH aggregates with no faithful mapping —
@@ -7363,8 +7365,10 @@ def _bridge_asof_join(
     uuid-unique per call, so concurrent ``run_ch_sql`` callers never
     collide).
 
-    Supported subset (raise-don't-mistranslate elsewhere): ONE ASOF
-    JOIN of two named tables/views, conjunctive ON with ≥1 equality
+    Supported subset (raise-don't-mistranslate elsewhere): ASOF JOINs
+    of named tables/views/CTEs/subqueries — parallel branches AND
+    left-associative CHAINS (one bridge pass per link, r13) — each
+    link a join of two sides, conjunctive ON with ≥1 equality
     and exactly one inclusive inequality (``l.ts >= r.ts`` or
     ``r.ts <= l.ts``), qualified columns in ON, and no payload column
     collisions between the sides.  CH semantics preserved: bare ASOF
@@ -7384,11 +7388,12 @@ def _bridge_asof_join(
         return sql, None
     depths0 = _depth_map(sh)
     # several ASOF JOINs may coexist in PARALLEL branches (UNION arms,
-    # independent subqueries): this pass bridges the FIRST one and the
-    # caller loops until none remain.  CHAINED ASOF (the second join's
-    # left side is the first's result) stays out of the subset — after
-    # the first rewrite its ON terms no longer qualify against the two
-    # sides, so the next pass raises the ON-term contract loudly.
+    # independent subqueries) or in a CHAIN (left-associative, like
+    # CH): this pass bridges the FIRST one and the caller loops until
+    # none remain.  For a chain, the consumed sides' qualifiers AFTER
+    # the next ASOF keyword rewrite to `<view>.` (not bare), so the
+    # next pass sees fully qualified ON terms whose left side is this
+    # pass's view (r13).
     am = next(iter(
         re.finditer(r"(?i)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh)))
 
@@ -7448,9 +7453,12 @@ def _bridge_asof_join(
         )
     (from_start, t1, a1, left_kw, t2, a2, cond_start, on_kw) = parsed
     rest = sh[cond_start:]
+    # the ON condition also ends at a FOLLOWING ASOF JOIN: CH chains
+    # left-associatively, and pass N+1 bridges the next link against
+    # this pass's view (r13 — chained ASOF joined the subset)
     stop = re.search(
         r"(?is)\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|"
-        r"UNION|WINDOW)\b|\)",
+        r"UNION|WINDOW)\b|\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b|\)",
         rest,
     )
     cond_end = cond_start + (stop.start() if stop else len(rest))
@@ -7645,8 +7653,25 @@ def _bridge_asof_join(
     # both rewrites below are scoped to the bridged ASOF's own query
     # block: side aliases are invisible outside it, and a SIBLING
     # branch may hold another ASOF leg over the same CTE side whose
-    # qualifiers belong to the NEXT bridge pass (r13)
-    blk_a, blk_b = _asof_block_span(sh2, new_sql.find(f"FROM {name}"))
+    # qualifiers belong to the NEXT bridge pass (r13).  Within the
+    # block, references AFTER a remaining (chained) ASOF JOIN are
+    # QUALIFIED with the view name instead of stripped bare — the
+    # next pass's ON-term contract needs `x.col OP y.col` (r13
+    # chained-ASOF support); everything else resolves bare against
+    # the view.
+    def _chain_pos(sh_c: str, fpos: int, a: int, b: int) -> int:
+        depths_c = _depth_map(sh_c)
+        for cm in re.finditer(
+                r"(?is)\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b",
+                sh_c[a:b]):
+            p0 = a + cm.start()
+            if p0 > fpos and depths_c[p0] == depths_c[fpos]:
+                return p0
+        return b
+
+    frompos = new_sql.find(f"FROM {name}")
+    blk_a, blk_b = _asof_block_span(sh2, frompos)
+    chain_at = _chain_pos(sh2, frompos, blk_a, blk_b)
     out, last, n_rref = [], 0, 0
     if not natural:
         for qm in rref.finditer(sh2):
@@ -7659,7 +7684,8 @@ def _bridge_asof_join(
             if not blk_a <= qm.start() < blk_b:
                 continue
             out.append(new_sql[last : qm.start()])
-            out.append("__asof_rts")
+            out.append(f"{name}.__asof_rts" if qm.start() >= chain_at
+                       else "__asof_rts")
             last = qm.end()
             n_rref += 1
     out.append(new_sql[last:])
@@ -7675,7 +7701,9 @@ def _bridge_asof_join(
     sh2 = _mask_literals(new_sql)
     # recompute the block span: the rref rewrite above may have
     # shifted offsets inside the block
-    blk_a, blk_b = _asof_block_span(sh2, new_sql.find(f"FROM {name}"))
+    frompos = new_sql.find(f"FROM {name}")
+    blk_a, blk_b = _asof_block_span(sh2, frompos)
+    chain_at = _chain_pos(sh2, frompos, blk_a, blk_b)
     out, last = [], 0
     for qm in qre.finditer(sh2):
         if qm.start() < with_end:
@@ -7683,6 +7711,8 @@ def _bridge_asof_join(
         if not blk_a <= qm.start() < blk_b:
             continue  # sibling branches keep theirs too (r13)
         out.append(new_sql[last : qm.start()])
+        if qm.start() >= chain_at:
+            out.append(f"{name}.")  # chained-link ON terms (r13)
         last = qm.end()
     out.append(new_sql[last:])
     new_sql = "".join(out)

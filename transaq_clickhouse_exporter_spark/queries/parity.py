@@ -4221,6 +4221,53 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join", "parallel", "ch-sql"),
         )
     )
+
+    # Round-13: CHAINED ASOF — trades align to the latest quote AND
+    # the latest session-window start in one left-associative chain
+    # (link 2 bridges against link 1's view; ch_compat r13).  DuckDB
+    # parses the same chained text with its native ASOF.  Tail entry:
+    # op10/op11 keep the class in-window.
+    def _asof_chained_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT t.sec_code AS sec_code, count() AS n,
+                   CAST(sum(q.time_s) AS BIGINT) AS sum_quote_ts,
+                   CAST(sum(w.win_start) AS BIGINT) AS sum_win_start
+            FROM trades t
+            ASOF JOIN (SELECT sec_code, time_s FROM quotes_dup
+                       GROUP BY sec_code, time_s) AS q
+              ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+            ASOF JOIN sess_windows w
+              ON t.sec_code = w.sec_code AND t.time_s >= w.win_start
+            GROUP BY t.sec_code ORDER BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "op13_asof_chained_sql",
+            _asof_chained_sql,
+            """
+            SELECT sec_code, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(mq) AS BIGINT) AS sum_quote_ts,
+                   CAST(sum(mw) AS BIGINT) AS sum_win_start
+            FROM (
+              SELECT t.sec_code AS sec_code, q.time_s AS mq,
+                     w.win_start AS mw
+              FROM trades t
+              ASOF JOIN (SELECT sec_code, time_s FROM quotes_dup
+                         GROUP BY sec_code, time_s) q
+                ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+              ASOF JOIN sess_windows w
+                ON t.sec_code = w.sec_code AND t.time_s >= w.win_start
+            ) j GROUP BY sec_code ORDER BY sec_code
+            """,
+            tags=("operator", "asof-join", "chained", "ch-sql"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -4920,10 +4967,11 @@ _TAIL_NAMES = (
                                       # entered; db19 keeps tumbling+DST
     "ev22_with_fill_sql",             # WITH FILL class: ev25
                                       # (INTERPOLATE) entered this round
-    # round-13 addition starts in the tail; it earns a row in the r14
-    # rotation (class evidence: ev27 in-window this round, plus the
-    # value-pinned correlated suite in test_r13_quantified_hardening)
+    # round-13 additions start in the tail; they earn rows in the r14
+    # rotation (class evidence: ev27 + op10/op11 in-window this
+    # round, plus the value-pinned r13 suites)
     "ev28_correlated_quantified_sql",
+    "op13_asof_chained_sql",
 )
 
 
