@@ -1210,6 +1210,20 @@ CORPUS: list[tuple[str, tuple | None]] = [
     ("SELECT g, v FROM (SELECT 1 AS g, 1 AS v) UNION ALL"
      " SELECT 2 AS g, 5 AS v ORDER BY v WITH FILL FROM 0 TO 6",
      (0, 0)),
+    # GROUP BY ALL / ORDER BY ALL: CH and Spark 4 agree natively
+    # (pinned so a regression in either engine or a future rewrite
+    # pass surfaces here)
+    ("SELECT number % 2 AS g, CAST(sum(number) AS BIGINT) AS s"
+     " FROM numbers(6) GROUP BY ALL ORDER BY g", (0, 6)),
+    ("SELECT number % 2 AS g, CAST(count(*) AS BIGINT) AS c"
+     " FROM numbers(6) GROUP BY ALL ORDER BY ALL", (0, 3)),
+    # chained ASOF (r13): link 2 bridges against link 1's view
+    ("SELECT a.v AS v, b.rv AS rv, c.ix AS ix"
+     " FROM (SELECT 1 AS g, 10 AS v) AS a"
+     " ASOF JOIN (SELECT 1 AS g, 8 AS rv) AS b"
+     " ON a.g = b.g AND a.v >= b.rv"
+     " ASOF JOIN (SELECT 1 AS g, 9 AS ix) AS c"
+     " ON a.g = c.g AND a.v >= c.ix", (10, 8, 9)),
     # two parallel ASOF legs over one shared CTE side (r13 strip fix)
     ("WITH sh AS (SELECT 1 AS g, 4 AS rv)"
      " SELECT CAST(sum(v) AS BIGINT) AS s FROM ("
