@@ -93,3 +93,25 @@ def test_chained_asof_bad_second_link_still_raises(spark):
             " ON a.g = b.g AND a.v >= b.rv"
             " ASOF JOIN (SELECT 1 AS g, 2 AS r2) AS e"
             " ON a.g != e.g AND a.v >= e.r2")
+
+
+def test_chained_asof_mixed_forms(spark):
+    """USING first link + ON second link, and a CTE-named side inside
+    a chain — the chain mechanics compose with every r12 side form."""
+    q = ("SELECT a.g AS g, a.v AS v, c.ix AS ix"
+         " FROM (SELECT 1 AS g, 10 AS v) AS a"
+         " ASOF JOIN (SELECT 1 AS g, 8 AS v) AS b USING (g, v)"
+         " ASOF JOIN (SELECT 1 AS g, 4 AS ix) AS c"
+         " ON a.g = c.g AND a.v >= c.ix")
+    rows = run_ch_sql(spark, q).collect()
+    assert [(r.g, r.v, r.ix) for r in rows] == [(1, 10, 4)]
+
+    q = ("WITH rr AS (SELECT 1 AS g, 3 AS rv)"
+         " SELECT a.v AS v, rr.rv AS rv, c.ix AS ix"
+         " FROM (SELECT 1 AS g, 10 AS v) AS a"
+         " ASOF JOIN rr ON a.g = rr.g AND a.v >= rr.rv"
+         " ASOF JOIN (SELECT 1 AS g, 6 AS ix) AS c"
+         " ON a.g = c.g AND a.v >= c.ix")
+    got = [tuple(r) for r in run_ch_sql(spark, q).collect()]
+    want = duckdb.connect().execute(q).fetchall()
+    assert got == [tuple(r) for r in want] == [(10, 3, 6)]
