@@ -74,6 +74,8 @@ PICKS = {
     "op12_asof_parallel_sql": "two parallel ASOF legs in one statement (r12k): each leg its own union+window subtree beneath the UNION ALL, still zero Join nodes",
     "ev26_interval_profile_sql": "intervalLengthSum (r12 default): the STATELESS window plan — per-row merge contribution under a keyed running-max window, plain sum above; NO collect_list anywhere",
     "ev27_quantified_sql": "quantified subqueries (r12b): the > ANY / != ALL comparison compiles to Subquery (scalar) nodes evaluated once — the fact scan never joins or shuffles for the comparison",
+    "ev28_correlated_quantified_sql": "CORRELATED quantified comparison (r13): the three spliced scalar subqueries decorrelate to broadcast hash joins on sec_code — no nested loop, no cartesian",
+    "op13_asof_chained_sql": "chained ASOF (r13): link 2 bridges against link 1's view — two sequential union+window subtrees, one keyed exchange per link, zero Join nodes in the ASOF path itself",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
