@@ -2503,13 +2503,13 @@ def _select_top(sql: str) -> str:
         return sql
     # EXCEPT only counts as a SET OPERATOR when a query follows —
     # `* EXCEPT (v)` / `* EXCEPT v` star-modifiers must not trip the
-    # guard (advice r13); mirror the keyword lookahead of the
-    # parenless *-EXCEPT rewrite
+    # guard (advice r13); shared lookahead handles the
+    # arbitrarily-parenthesized `EXCEPT ((SELECT …))` operand too
+    # (r13 review)
     if _scan_toplevel(
             sql,
             r"\b(?:UNION|INTERSECT)\b|"
-            r"\bEXCEPT\s*(?:ALL\b|DISTINCT\b|SELECT\b|WITH\b|"
-            r"\(\s*(?:SELECT|WITH)\b)"):
+            rf"\bEXCEPT\s*(?:{_SETOP_EXCEPT_RX})"):
         raise UnsupportedChSql(
             "SELECT TOP combined with a set operator — parenthesize "
             "the TOP SELECT (its LIMIT placement is ambiguous)")
@@ -7233,6 +7233,17 @@ def _statement_ctes(
         i += cm.end()
 
 
+#: the "EXCEPT is a SET OPERATOR here" lookahead, shared by every
+#: dual-use-EXCEPT site (r13 review: three hand-spelled variants
+#: diverged — one accepted a bare '(' and broke `* EXCEPT (col)`
+#: ASOF statements, two missed the double-parenthesized
+#: `EXCEPT ((SELECT …))` operand).  A set-op EXCEPT is followed by
+#: ALL/DISTINCT/SELECT/WITH or an arbitrarily-parenthesized
+#: SELECT/WITH; anything else (a column list) is the star-modifier.
+_SETOP_EXCEPT_RX = (r"(?:ALL\b|DISTINCT\b|SELECT\b|WITH\b|"
+                    r"(?:\(\s*)+(?:SELECT|WITH)\b)")
+
+
 def _asof_block_span(sh: str, pos: int) -> tuple[int, int]:
     """Span of the QUERY BLOCK containing ``pos`` on the masked
     shadow: the innermost balanced paren group enclosing ``pos``
@@ -7258,8 +7269,9 @@ def _asof_block_span(sh: str, pos: int) -> tuple[int, int]:
     d0 = depths[pos]
     left, right = a, b
     for m in re.finditer(
-            r"(?i)\b(?:UNION|INTERSECT|EXCEPT)\b"
-            r"(?:\s+(?:ALL|DISTINCT))?(?=\s*(?:SELECT|WITH|\())",
+            r"(?i)\b(?:UNION|INTERSECT)\b(?:\s+(?:ALL|DISTINCT))?"
+            r"(?=\s*(?:SELECT|WITH|\())"
+            rf"|\bEXCEPT\s+(?={_SETOP_EXCEPT_RX})",
             sh[a:b]):
         s_abs, e_abs = a + m.start(), a + m.end()
         if depths[s_abs] != d0:
@@ -7458,7 +7470,8 @@ def _bridge_asof_join(
     # this pass's view (r13 — chained ASOF joined the subset)
     stop = re.search(
         r"(?is)\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|"
-        r"UNION|WINDOW)\b|\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b|\)",
+        r"UNION|INTERSECT|EXCEPT|WINDOW)\b"
+        r"|\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b|\)",
         rest,
     )
     cond_end = cond_start + (stop.start() if stop else len(rest))
@@ -7618,7 +7631,14 @@ def _bridge_asof_join(
     natural = (rts == rts_as_written
                and rts_as_written not in ldf.columns
                and all(rts_as_written != lk for lk, _ in keys))
-    out_col = rts_as_written if natural else "__asof_rts"
+    import uuid
+
+    uid = uuid.uuid4().hex[:12]
+    # PER-PASS-UNIQUE synthetic name (r13 review): in a CHAIN, pass
+    # 2's left side is pass 1's view — a shared '__asof_rts' would
+    # collide with the column the view already carries (internal
+    # AMBIGUOUS_REFERENCE on the all-sides-named-`ts` chain)
+    out_col = rts_as_written if natural else f"__asof_rts_{uid}"
     try:
         joined = asof_join(
             ldf, rdf, by=[lk for lk, _ in keys],
@@ -7634,9 +7654,7 @@ def _bridge_asof_join(
 
     if not left_kw:  # CH bare ASOF JOIN is INNER
         joined = joined.filter(F.col(out_col).isNotNull())
-    import uuid
-
-    name = f"__ch_asof_{uuid.uuid4().hex[:12]}"
+    name = f"__ch_asof_{uid}"
     new_sql = sql[: from_start] + f"FROM {name} " + sql[cond_end:]
     # CH resolves `<right>.<rts>` in the statement body to the MATCHED
     # right-row timestamp (the left ts would be a silently wrong value
@@ -7684,14 +7702,14 @@ def _bridge_asof_join(
             if not blk_a <= qm.start() < blk_b:
                 continue
             out.append(new_sql[last : qm.start()])
-            out.append(f"{name}.__asof_rts" if qm.start() >= chain_at
-                       else "__asof_rts")
+            out.append(f"{name}.{out_col}" if qm.start() >= chain_at
+                       else out_col)
             last = qm.end()
             n_rref += 1
     out.append(new_sql[last:])
     new_sql = "".join(out)
     if not natural and n_rref == 0:
-        joined = joined.drop("__asof_rts")
+        joined = joined.drop(out_col)
     joined.createOrReplaceTempView(name)
     # strip now-dangling side qualifiers (a.x / t1.x → x), literals safe
     quals = sorted(left_names | right_names, key=len, reverse=True)
@@ -8384,8 +8402,7 @@ def _inline_block(s: str) -> str:
         if w in ("union", "intersect", "except"):
             right = s[a:]
             if w == "except" and not _re.match(
-                    r"(?is)^except\s+(?:all|distinct|select|with)\b"
-                    r"|^except\s*\(\s*(?:select|with)\b", right):
+                    rf"(?is)^except\s*(?:{_SETOP_EXCEPT_RX})", right):
                 continue
             m = _re.match(
                 r"(?is)^(?:union|intersect|except)"
@@ -8440,12 +8457,18 @@ def _inline_block(s: str) -> str:
 def _replace_alias_refs_outside_subqueries(
     seg: str, aliases: list[tuple[str, str]]
 ) -> str:
-    """Apply the alias inlining only OUTSIDE nested subqueries in the
-    WHERE/HAVING segment: identifiers inside a ``(SELECT …)`` /
-    ``(WITH …)`` resolve in the SUBQUERY's own scope, and replacing
-    them with the outer block's alias expressions corrupts alias-
-    definition sites (``… AS g`` became ``… AS (t1.g)`` — r13 fuzz,
-    correlated_quant kind over the quantified splice)."""
+    """Alias inlining with SUBQUERY scope awareness in the
+    WHERE/HAVING segment (r13 fuzz + review):
+
+    - a nested ``(SELECT …)`` / ``(WITH …)`` that itself SPELLS
+      ``AS <alias>`` anywhere binds that name in its own scope —
+      inlining there corrupts the inner alias-definition sites
+      (``… AS g`` became ``… AS (t1.g)``), so such spans are skipped
+      for that alias;
+    - a span that does NOT rebind the name keeps the pre-r13
+      behavior — CH resolves an outer SELECT alias inside a WHERE
+      subquery (correlated use: ``WHERE d IN (SELECT … WHERE x <= d)``),
+      and skipping wholesale regressed that class (r13 review)."""
     sh = _mask_literals(seg)
     parts: list[tuple[bool, str]] = []  # (is_subquery, text)
     i, n, last = 0, len(seg), 0
@@ -8466,9 +8489,15 @@ def _replace_alias_refs_outside_subqueries(
     parts.append((False, seg[last:]))
     out = []
     for is_sub, txt in parts:
-        if not is_sub:
-            for alias, expr in aliases:
-                txt = _replace_alias_refs(txt, alias, expr)
+        for alias, expr in aliases:
+            if is_sub:
+                bare = alias[1:-1] if alias.startswith("`") else alias
+                if _re.search(
+                        rf"(?is)\bAS\s+(?:`{_re.escape(bare)}`"
+                        rf"|{_re.escape(bare)}\b)",
+                        _mask_literals(txt)):
+                    continue  # span rebinds the name — its scope wins
+            txt = _replace_alias_refs(txt, alias, expr)
         out.append(txt)
     return "".join(out)
 
