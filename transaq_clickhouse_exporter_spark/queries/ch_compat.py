@@ -104,7 +104,11 @@ Documented deviations from ClickHouse (each also noted at its shim):
 - ``JSONExtract*`` supports the single-key form only (variadic key
   paths and array-index arguments stay loud).
 - subscripts ``x[i]`` return NULL on an out-of-range index where CH
-  returns the element type's default value (0 / ``''``).
+  returns the element type's default value (0 / ``''``); the same
+  NULL-vs-type-default note applies to ``LEFT ARRAY JOIN`` over an
+  EMPTY array (CH renders the element default for non-Nullable
+  types; this bridge's Spark columns are Nullable-typed, where CH's
+  default is NULL too).
 - ``toUInt64`` cannot represent values above 2^63-1 or CH's wrapped
   negatives (Spark has no unsigned 64-bit type); ``toUInt8/16/32``
   and ``toInt8/16/32`` wrap CH-exactly.
