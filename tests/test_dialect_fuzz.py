@@ -80,3 +80,9 @@ def test_fuzz_batch_seed_3501(spark):
     form (link 2's left side is link 1's result, DuckDB parses the
     same text left-associatively)."""
     assert run_fuzz(60, 3501, spark) == []
+
+
+def test_fuzz_batch_seed_6001(spark):
+    """r13 third-wave vocabulary: GROUP BY … WITH ROLLUP pass-through
+    and lagInFrame/leadInFrame full-frame windows."""
+    assert run_fuzz(60, 6001, spark) == []

@@ -81,7 +81,8 @@ class Gen:
              "windowed", "joined", "in_subquery", "arr_wrap",
              "set_op_distinct", "asof", "qualify", "paginate",
              "ternary_cast", "quantified_case", "quantified_setop",
-             "correlated_quant", "asof_shared_cte"])
+             "correlated_quant", "asof_shared_cte", "rollup",
+             "lag_lead"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "asof_shared_cte" and self.n_asof > 0:
@@ -307,6 +308,36 @@ class Gen:
                        f" USING (g, v))")
             return (tpl.format(src1=c1, src2=c2),
                     tpl.format(src1=d1, src2=d2))
+        if kind == "rollup":
+            # GROUP BY … WITH ROLLUP passes through (Spark's ANSI
+            # NULL subtotal keys == DuckDB's ROLLUP; CH's
+            # type-default keys are the documented deviation, not
+            # fuzzed).  Keys coalesced so the (g, v) schema stays
+            # NULL-free downstream.
+            c1, d1 = self.block(depth - 1)
+            return (f"(SELECT coalesce(g, -1) AS g,"
+                    f" coalesce(CAST(sum(v) AS BIGINT), -9) AS v"
+                    f" FROM {c1} GROUP BY g WITH ROLLUP)",
+                    f"(SELECT coalesce(g, -1) AS g,"
+                    f" coalesce(CAST(sum(v) AS BIGINT), -9) AS v"
+                    f" FROM {d1} GROUP BY ROLLUP(g))")
+        if kind == "lag_lead":
+            # lagInFrame/leadInFrame → lag/lead with the full-frame
+            # idiom stripped (r11 bridge).  Ties in (g, v) are
+            # identical rows, so the lag/lead value multiset is
+            # order-invariant; NULL v rows sort last on both engines
+            # (r12g NULLS LAST normalization).
+            c1, d1 = self.block(depth - 1)
+            fn = self.rng.choice(["lagInFrame", "leadInFrame"])
+            dfn = "lag" if fn == "lagInFrame" else "lead"
+            ch = (f"(SELECT g, CAST(coalesce({fn}(v) OVER ("
+                  f"PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED"
+                  f" PRECEDING AND UNBOUNDED FOLLOWING), -1)"
+                  f" AS BIGINT) AS v FROM {c1})")
+            duck = (f"(SELECT g, CAST(coalesce({dfn}(v) OVER ("
+                    f"PARTITION BY g ORDER BY v), -1) AS BIGINT)"
+                    f" AS v FROM {d1})")
+            return ch, duck
         if kind == "quantified_case":
             # quantified comparison inside a CASE arm (r13, VERDICT
             # r12 item 2): PROJECTION context, so every operator is
