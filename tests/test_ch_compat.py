@@ -412,8 +412,14 @@ def test_array_join_zip_form(spark):
         "GROUP BY k ORDER BY k",
     )
     assert [tuple(r) for r in agg.collect()] == [("a", 10), ("b", 20), ("c", 30)]
-    with pytest.raises(UnsupportedChSql):
-        translate_ch_sql("SELECT 1 FROM t ARRAY JOIN f(x) AS a, ys AS b")
+    # r13: an EXPRESSION member after a simple FROM now computes into
+    # a wrapped-FROM synthetic column and zips (was a raise)
+    t = translate_ch_sql("SELECT 1 FROM t ARRAY JOIN f(x) AS a, ys AS b")
+    assert "__ajm0" in t and "arrays_zip" in t
+    # a subquery FROM keeps the named raise for expression members
+    with pytest.raises(UnsupportedChSql, match="EXPRESSION"):
+        translate_ch_sql("SELECT 1 FROM (SELECT * FROM t) q"
+                         " ARRAY JOIN f(x) AS a, ys AS b")
 
 
 def test_asof_bridge_right_ts_reference_resolves_to_matched_row(spark):

@@ -97,3 +97,37 @@ def test_outer_alias_inside_where_subquery_inlines(spark):
     want = sorted(
         tuple(r) for r in duckdb.connect().execute(dq).fetchall())
     assert got == want and len(got) == 9
+
+
+def test_multi_array_join_expression_members(spark):
+    """r13: the multi-array ARRAY JOIN zip form accepts EXPRESSION
+    members — `arrayEnumerate(arr) AS i` (CH's positional-index
+    idiom) computes into a wrapped FROM and zips like a column."""
+    spark.createDataFrame(
+        [(1, [1, 2], ["a", "b"]), (2, [3], ["c"]), (3, [], [])],
+        "id long, xs array<int>, ys array<string>",
+    ).createOrReplaceTempView("r13_zt")
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, x, i FROM r13_zt ARRAY JOIN xs AS x,"
+        " arrayEnumerate(xs) AS i").collect()
+    assert sorted(map(tuple, rows)) == [(1, 1, 1), (1, 2, 2), (2, 3, 1)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, x, i FROM r13_zt LEFT ARRAY JOIN xs AS x,"
+        " arrayEnumerate(xs) AS i").collect()
+    assert sorted(map(tuple, rows), key=repr) == sorted(
+        [(1, 1, 1), (1, 2, 2), (2, 3, 1), (3, None, None)], key=repr)
+    # simple-column zip unchanged; subquery FROM with an expression
+    # member keeps the named raise
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, x, y FROM r13_zt ARRAY JOIN xs AS x, ys AS y"
+    ).collect()
+    assert sorted(map(tuple, rows)) == [(1, 1, "a"), (1, 2, "b"),
+                                        (2, 3, "c")]
+    with pytest.raises(UnsupportedChSql, match="EXPRESSION"):
+        run_ch_sql(
+            spark,
+            "SELECT id, x, i FROM (SELECT * FROM r13_zt) t"
+            " ARRAY JOIN xs AS x, arrayEnumerate(xs) AS i")

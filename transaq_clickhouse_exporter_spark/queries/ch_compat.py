@@ -2263,19 +2263,48 @@ def _array_join_clause(sql: str) -> str:
             # Deviation (documented): CH errors on unequal lengths,
             # arrays_zip NULL-pads — identical on every CH-valid input.
             items = []
-            for part in clause.split(","):
+            wraps: list[tuple[str, str]] = []  # (expr, user alias)
+            for part in _split_args(clause):
                 im = re.match(
                     r"(?is)^\s*([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*$", part
                 )
-                if not im:
+                if im:
+                    items.append((im.group(1), im.group(2)))
+                    continue
+                # EXPRESSION member (r13: `arrayEnumerate(arr) AS i`,
+                # CH's standard positional-index idiom): compute it as
+                # a derived array column in a wrapped FROM, then zip
+                # the synthetic column like any other
+                em = re.match(r"(?is)^\s*(.+?)\s+AS\s+([A-Za-z_]\w*)"
+                              r"\s*$", part)
+                if not em:
                     raise UnsupportedChSql(
-                        "multi-array ARRAY JOIN supports only simple "
-                        "aliased columns (`arr AS x, arr2 AS y`)"
-                    )
-                items.append((im.group(1), im.group(2)))
+                        "multi-array ARRAY JOIN members need an AS "
+                        "alias (`arr AS x, expr AS y`)")
+                wraps.append((em.group(1).strip(), em.group(2)))
+            pos0 = m.start()
+            if wraps:
+                head_txt = sql[: m.start()]
+                fm2 = re.search(r"(?is)\bFROM\s+([A-Za-z_][\w.]*)\s*$",
+                                head_txt)
+                if fm2 is None:
+                    raise UnsupportedChSql(
+                        "multi-array ARRAY JOIN with EXPRESSION "
+                        "members is supported directly after FROM "
+                        "<table> — alias the expression as an array "
+                        "column in a subquery otherwise")
+                cols = ", ".join(f"{e} AS __ajm{i}"
+                                 for i, (e, _) in enumerate(wraps))
+                head_new = (head_txt[: fm2.start()]
+                            + f"FROM (SELECT *, {cols} FROM "
+                            + f"{fm2.group(1)}) __ajw")
+                pos0 = m.start() + len(head_new) - len(head_txt)
+                sql = head_new + sql[m.start():]
+                items += [(f"__ajm{i}", al)
+                          for i, (_, al) in enumerate(wraps)]
             zipped = ", ".join(c for c, _ in items)
             sql = (
-                sql[: m.start()]
+                sql[: pos0]
                 + f" LATERAL VIEW {outer}explode(arrays_zip({zipped})) "
                 + "__ajz AS __zr"
                 + tail
@@ -2286,7 +2315,7 @@ def _array_join_clause(sql: str) -> str:
             # legitimately define the same identifier (ADVICE r7)
             sh = _mask_literals(sql)
             depths = _depth_map(sh)
-            bs = _enclosing_select(sh, depths, m.start())
+            bs = _enclosing_select(sh, depths, pos0)
             lo, hi = (0, len(sql)) if bs < 0 else \
                 (bs, _block_end(sh, depths, bs))
             for col, alias in items:
