@@ -127,6 +127,18 @@ class Gen:
                     f" HAVING count(*) > 0))")
         if kind == "array_join":
             c1, d1 = self.block(depth - 1)
+            if self.rng.random() < 0.35:
+                # multi-array LOCKSTEP zip (r13: the widened form) —
+                # both arrays length 2, so the DuckDB mirror indexes
+                # a fixed 1..2 spine (DuckDB lists are 1-indexed)
+                return (
+                    f"(SELECT g, u + w AS v FROM (SELECT g,"
+                    f" [v, v + 1] AS a, [v + 2, v + 3] AS b"
+                    f" FROM {c1}) ARRAY JOIN a AS u, b AS w)",
+                    f"(SELECT g, a[i] + b[i] AS v FROM (SELECT g,"
+                    f" [v, v + 1] AS a, [v + 2, v + 3] AS b"
+                    f" FROM {d1}) AS __mj CROSS JOIN"
+                    f" UNNEST(generate_series(1, 2)) AS __sp(i))")
             return (f"(SELECT g, u AS v FROM (SELECT g,"
                     f" [v, v + 1] AS a FROM {c1}) ARRAY JOIN a AS u)",
                     f"(SELECT g, u AS v FROM (SELECT g,"
