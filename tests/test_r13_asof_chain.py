@@ -115,3 +115,35 @@ def test_chained_asof_mixed_forms(spark):
     got = [tuple(r) for r in run_ch_sql(spark, q).collect()]
     want = duckdb.connect().execute(q).fetchall()
     assert got == [tuple(r) for r in want] == [(10, 3, 6)]
+
+
+def test_chained_asof_three_link_randomized_vs_duckdb(spark):
+    """Randomized 3-link chains (a→b→c→d), multi-key multi-row sides,
+    LEFT and INNER links mixed — vs DuckDB's native chained ASOF."""
+    rng = random.Random(1717)
+    for trial in range(2):
+        mk = lambda n, lo, hi: sorted(
+            {(rng.randint(0, 2), rng.randint(lo, hi))
+             for _ in range(n)})
+        arows = mk(rng.randint(5, 9), 0, 40)
+        brows = mk(rng.randint(3, 6), 0, 35)
+        crows = mk(rng.randint(3, 6), 0, 30)
+        drows = mk(rng.randint(3, 6), 0, 25)
+        mksql = lambda rows, col: " UNION ALL ".join(
+            f"SELECT {g} AS g, {v} AS {col}" for g, v in rows)
+        j2 = "LEFT " if trial % 2 else ""
+        q = (f"SELECT a.g AS g, a.v AS v, b.rv AS rv, c.ix AS ix,"
+             f" d.wz AS wz"
+             f" FROM ({mksql(arows, 'v')}) AS a"
+             f" ASOF JOIN ({mksql(brows, 'rv')}) AS b"
+             f" ON a.g = b.g AND a.v >= b.rv"
+             f" ASOF {j2}JOIN ({mksql(crows, 'ix')}) AS c"
+             f" ON a.g = c.g AND a.v >= c.ix"
+             f" ASOF LEFT JOIN ({mksql(drows, 'wz')}) AS d"
+             f" ON a.g = d.g AND a.v >= d.wz")
+        got = sorted((tuple(r) for r in run_ch_sql(spark, q).collect()),
+                     key=repr)
+        want = sorted(
+            (tuple(r) for r in duckdb.connect().execute(q).fetchall()),
+            key=repr)
+        assert got == want, f"trial {trial}: {got} != {want}\n{q}"
