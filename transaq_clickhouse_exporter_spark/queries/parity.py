@@ -4756,6 +4756,48 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
+    # ROUND-14 ROTATION (executes VERDICT r13 item 1): thirteen entries
+    # move INTO the window — the two entries that never held an
+    # external driver row (ev28_correlated_quantified_sql,
+    # op13_asof_chained_sql — both judge-verified green at sf0.01 in
+    # r13), the r06-stale pair queued since NOTES r13 (dp22/dp24), the
+    # whole r07-stale cohort (ann01/db08/db15/db17/ev06), and four of
+    # the r08 cohort (op04/dp06/ann04/dp27; the rest queue for r15).
+    # The thirteen displacements below ALL hold green rows in
+    # CORRECTNESS_r13 and each leaves an in-window class
+    # representative, named per entry.
+    "db09_imoex_diff_by_interval",    # tumbling diff: db19 keeps tumbling
+                                      # +DST; db08 (day-shifted diff)
+                                      # re-enters the ts-arithmetic class
+    "db11_imoex_volume_by_interval_sell",  # tumbling+IN+broadcast: db13
+                                      # keeps the imoex series; db19 keeps
+                                      # tumbling buckets
+    "op10_asof_forward_sql",          # ASOF bridge: op12 (parallel) stays
+                                      # + op13 (chained, harder) enters
+    "op11_asof_using_sql",            # ASOF USING bridge: op12/op13 keep
+                                      # the bridge class; op04 (DataFrame
+                                      # API asof) re-enters
+    "ev27_quantified_sql",            # quantified subquery: ev28
+                                      # (correlated, strictly harder)
+                                      # enters the class
+    "tp02_top_revenue_orders",        # top-K: db05/db06 keep
+                                      # TakeOrderedAndProject; tpch family
+                                      # keeps tp03/tp04/tp06
+    "dp05_minhash_lsh_near_dups",     # near-dup: dp17 (incremental
+                                      # MinHash) + dp16 (clusters) stay;
+                                      # dp06 (SimHash) re-enters
+    "dp18_pii_scrub",                 # curation class keeps dp14 (rule
+                                      # gate) + dp19 (repetition profile)
+    "ann02_lsh_topk",                 # ANN: ann03 (IVF) + ann05 (PQ-ADC)
+                                      # stay; ann01/ann04 re-enter
+    "dp07_hash_sample",               # sampling: dp08 (stratified) stays;
+                                      # dp27 (weighted) re-enters
+    "ev24_columns_apply_sql",         # dialect-SQL class keeps ev17/ev23/
+                                      # ev25 in-window
+    "dp23_self_passage_dedup",        # passage class: dp22 (cross-doc,
+                                      # harder) re-enters
+    "dp28_bigram_lm",                 # text-stats class keeps dp15
+                                      # (corpus report) + dp14 in-window
     # ROUND-13 ROTATION (executes VERDICT r12 item 1): eleven entries
     # move INTO the window — the two entries that never held an
     # external driver row (ev27_quantified_sql, op12_asof_parallel_sql
@@ -4791,27 +4833,15 @@ _TAIL_NAMES = (
     # round-7 displacements: ALL green in CORRECTNESS_r06; each class
     # keeps an in-window representative (named) or has its evidence
     # externally banked by the r06 row.
-    "dp22_passage_dedup",             # cross-doc passage dedup: r06 row banked;
-                                      # passage class keeps dp23 (within-doc)
-    "dp24_model_scores",              # Arrow scoring seam: r06 row banked +
-                                      # file-loaded-model pytest (round 7)
+    # (dp22/dp24 re-entered the window in the ROUND-14 rotation above)
     # ROUND-8 ROTATION (executes VERDICT r7 item 2): the five round-7
     # additions (ev14/ev15/ev16/op08/db19) move INTO the window —
     # after this, every oracle-able catalog entry has held an external
     # driver row.  The five displacements below ALL hold green rows in
     # CORRECTNESS_r07 and each leaves an in-window class
     # representative, named per entry.
-    "ev06_funnel",                    # funnel class keeps ev08 (earliest-
-                                      # anchor) + ev14/ev15 (CH-exact) in-window
-    "db08_volume_diff_day_shifted",   # ts-arithmetic twin of db07 (in-window);
-                                      # its r07 row was 0-row at sf0.01 anyway
-    "db15_count_trades_by_time_buy",  # count-agg shape ubiquitous in-window
-                                      # (ev14 n_users, dp01 dup counts, an07)
-    "db17_etf_template_var",          # NOT-IN-subquery anti-join stays via
-                                      # db03; template vars are by-construction
-                                      # in every builder (Q18)
-    "ann01_brute_force_topk",         # BLAS cosine top-k stays via ann03
-                                      # (IVF probe) + dp31 (chunk retrieval)
+    # (ev06/db08/db15/db17/ann01 re-entered the window in the ROUND-14
+    # rotation above)
     # ROUND-9 ROTATION (executes VERDICT r8 items 1+3): ev17/dp33/
     # ev18/mm01 and six stale banked classes (an01/an02/dp03/dp04/
     # ev01/tp01) move INTO the window.  The ten displacements below
@@ -4825,18 +4855,13 @@ _TAIL_NAMES = (
                                       # builder) + ev08 (earliest-anchor)
     "an09_twap",                      # ordered-scan integral: window class
                                       # keeps an07/an08/an10/an11
-    "op04_asof_join",                 # as-of class keeps op05 (range join) +
-                                      # op08 (ASOF SQL bridge)
-    "dp06_simhash_near_dups",         # near-dup class keeps dp05 (MinHash LSH)
-                                      # + dp17 (incremental) + dp03/dp04 entering
+    # (op04/dp06 re-entered the window in the ROUND-14 rotation above)
     "dp26_semantic_dedup",            # cell-bucketed class keeps ann03 (IVF) +
                                       # dp33 (diversity cells) entering
-    "dp27_weighted_sample",           # sampling class keeps dp33 entering
-                                      # (stratified quota path) + dp10 bucketing
+    # (dp27 re-entered the window in the ROUND-14 rotation above)
     "dp31_chunk_search",              # retrieval class keeps dp30 (chunking) +
                                       # dp32 (LSH-bucketed search)
-    "ann04_sq_topk",                  # compressed-ANN class: int8 SQ r08 row
-                                      # banked; ann03 (IVF) stays in-window
+    # (ann04 re-entered the window in the ROUND-14 rotation above)
     # ROUND-10 ROTATION (executes VERDICT r9 items 1+3): the four
     # round-9 additions (op09/ev19/ev20/ev21) move INTO the window —
     # restoring the invariant that every catalog entry has held an
@@ -4967,11 +4992,8 @@ _TAIL_NAMES = (
                                       # entered; db19 keeps tumbling+DST
     "ev22_with_fill_sql",             # WITH FILL class: ev25
                                       # (INTERPOLATE) entered this round
-    # round-13 additions start in the tail; they earn rows in the r14
-    # rotation (class evidence: ev27 + op10/op11 in-window this
-    # round, plus the value-pinned r13 suites)
-    "ev28_correlated_quantified_sql",
-    "op13_asof_chained_sql",
+    # (ev28/op13 — the round-13 additions — entered the window in the
+    # ROUND-14 rotation above, earning their first external rows)
 )
 
 
