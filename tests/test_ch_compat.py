@@ -415,7 +415,7 @@ def test_array_join_zip_form(spark):
     # r13: an EXPRESSION member after a simple FROM now computes into
     # a wrapped-FROM synthetic column and zips (was a raise)
     t = translate_ch_sql("SELECT 1 FROM t ARRAY JOIN f(x) AS a, ys AS b")
-    assert "__ajm0" in t and "arrays_zip" in t
+    assert "__ajm0_" in t and "arrays_zip" in t  # uuid-suffixed (advice r13)
     # a subquery FROM keeps the named raise for expression members
     with pytest.raises(UnsupportedChSql, match="EXPRESSION"):
         translate_ch_sql("SELECT 1 FROM (SELECT * FROM t) q"

@@ -2262,6 +2262,14 @@ def _array_join_clause(sql: str) -> str:
             # refs (arrays_zip names fields positionally otherwise).
             # Deviation (documented): CH errors on unequal lengths,
             # arrays_zip NULL-pads — identical on every CH-valid input.
+            import uuid as _uuid
+
+            # uuid-suffixed synthetics (advice r13): a source table
+            # already carrying a `__ajm0`/`__ajw`/`__zr` column would
+            # collide with fixed names (AMBIGUOUS_REFERENCE) — same
+            # reason the ASOF bridge suffixes `__asof_rts_<uid>`
+            uid = _uuid.uuid4().hex[:8]
+            zrow = f"__zr_{uid}"
             items = []
             wraps: list[tuple[str, str]] = []  # (expr, user alias)
             for part in _split_args(clause):
@@ -2293,20 +2301,20 @@ def _array_join_clause(sql: str) -> str:
                         "members is supported directly after FROM "
                         "<table> — alias the expression as an array "
                         "column in a subquery otherwise")
-                cols = ", ".join(f"{e} AS __ajm{i}"
+                cols = ", ".join(f"{e} AS __ajm{i}_{uid}"
                                  for i, (e, _) in enumerate(wraps))
                 head_new = (head_txt[: fm2.start()]
                             + f"FROM (SELECT *, {cols} FROM "
-                            + f"{fm2.group(1)}) __ajw")
+                            + f"{fm2.group(1)}) __ajw_{uid}")
                 pos0 = m.start() + len(head_new) - len(head_txt)
                 sql = head_new + sql[m.start():]
-                items += [(f"__ajm{i}", al)
+                items += [(f"__ajm{i}_{uid}", al)
                           for i, (_, al) in enumerate(wraps)]
             zipped = ", ".join(c for c, _ in items)
             sql = (
                 sql[: pos0]
                 + f" LATERAL VIEW {outer}explode(arrays_zip({zipped})) "
-                + "__ajz AS __zr"
+                + f"__ajz_{uid} AS {zrow}"
                 + tail
             )
             # alias → zipped-struct field, restricted to the SELECT
@@ -2323,7 +2331,7 @@ def _array_join_clause(sql: str) -> str:
                 out, last = [], 0
                 for am2 in pat.finditer(sh, lo, hi):
                     out.append(sql[last : am2.start()])
-                    out.append(f"__zr.{col}")
+                    out.append(f"{zrow}.{col}")
                     last = am2.end()
                 out.append(sql[last:])
                 before = len(sql)
@@ -2550,6 +2558,25 @@ def _select_top(sql: str) -> str:
     return sql[: m.start()] + "SELECT" + sql[m.end():] + tail
 
 
+def _scan_dotted_name_left(sql: str, k: int) -> int:
+    """Extend a leftward scan from ``k`` across a (possibly
+    dot-qualified) identifier: ``db.fn`` scans as one name, so a
+    primary like ``db.fn(1,2)`` keeps its whole callee.  Returns the
+    new start index.  A dot is crossed only when an identifier
+    character follows it on the left (``.5`` stays a numeric/tuple
+    token, not a qualifier)."""
+    while k > 0:
+        c = sql[k - 1]
+        if c.isalnum() or c in "_`":
+            k -= 1
+        elif (c == "." and k > 1
+              and (sql[k - 2].isalnum() or sql[k - 2] in "_`")):
+            k -= 2
+        else:
+            break
+    return k
+
+
 def _cast_colons(sql: str) -> str:
     """CH's postfix cast ``expr::Type`` → ``CAST(expr AS Type)`` so
     the CAST machinery's CH type mapping (UInt8 wrap, Nullable,
@@ -2601,9 +2628,11 @@ def _cast_colons(sql: str) -> str:
                         break
                 k -= 1
             # include a callee identifier / array base before the
-            # group (`CAST(…)::String`, `arr[1]::Int64`)
-            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_`"):
-                k -= 1
+            # group (`CAST(…)::String`, `arr[1]::Int64`); dotted
+            # qualified callees (`db.fn(…)::T`) scan across the dot —
+            # stopping at it would wrap only the tail segment and emit
+            # `db.CAST(fn(…) AS T)` (advice r13)
+            k = _scan_dotted_name_left(sql, k)
             start = k
         elif sh[i] == "'":
             # masked literal: find its opening quote on the shadow
@@ -2646,9 +2675,7 @@ def _cast_colons(sql: str) -> str:
                 if k < 0:
                     raise UnsupportedChSql(
                         "'::' cast on an unbalanced (expr).N operand")
-                while k > 0 and (sql[k - 1].isalnum()
-                                 or sql[k - 1] in "_`"):
-                    k -= 1
+                k = _scan_dotted_name_left(sql, k)
                 start = k
         operand = sql[start: i + 1]
         sql = (sql[:start] + f"CAST({operand} AS {type_txt})"
@@ -2681,9 +2708,9 @@ def _tuple_index_access(sql: str) -> str:
             return sql  # unbalanced; let the main pass raise
         # a callee identifier before the parens belongs to the
         # primary (`tuple(3, 'x').1` — the group alone would orphan
-        # the function name)
-        while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_`"):
-            k -= 1
+        # the function name); dotted qualifiers scan across the dot
+        # (advice r13, same failure as the `::` cast backscan)
+        k = _scan_dotted_name_left(sql, k)
         group = sql[k: m.start() + 1]
         sql = (sql[:k] + f"tupleElement({group}, {m.group(1)})"
                + sql[m.end():])
@@ -7369,8 +7396,8 @@ def _spark_inline_cte_bug(spark: SparkSession) -> bool:
         " THEN NULL ELSE id END AS v FROM range(5))"
         " SELECT g, v FROM c3))"
     )
-    buggy = False
-    try:
+    def _attempt() -> bool:
+        """True iff the pinned result came back on all three runs."""
         ldf = spark.sql(
             "WITH al1 AS (SELECT g, coalesce(v, 0) AS v FROM"
             " (SELECT id % 3 AS g, id AS v FROM range(6)))"
@@ -7382,10 +7409,36 @@ def _spark_inline_cte_bug(spark: SparkSession) -> bool:
         ldf.join(rdf, "g", "left").createOrReplaceTempView(vname)
         for _ in range(3):
             if [tuple(r) for r in spark.sql(probe).collect()] != [(0, 1)]:
+                return False
+        return True
+
+    try:
+        try:
+            buggy = not _attempt()
+        except Exception:
+            # a crash here is the bug's OTHER presentation (`key not
+            # found` on runs 2+ of a broken build) — but it could also
+            # be a transient session hiccup (executor loss, temp-view
+            # race), and caching 'buggy' on a clean build silently
+            # forfeits the lineage path for the whole session.  Retry
+            # once; only a REPEATED crash caches 'buggy', and loudly
+            # (advice r13).
+            try:
+                buggy = not _attempt()
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    "InlineCTE probe crashed twice"
+                    f" ({type(e).__name__}: {e}); caching the 'buggy'"
+                    " verdict — expected on Spark <= 4.1.2 (the crash"
+                    " IS the bug's presentation); if this build is"
+                    " known-clean the crash was environmental and ASOF"
+                    " def-bearing sides lose Catalyst lineage for this"
+                    " session only",
+                    stacklevel=2,
+                )
                 buggy = True
-                break
-    except Exception:
-        buggy = True
     finally:
         try:
             spark.catalog.dropTempView(vname)
