@@ -40,10 +40,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 class Gen:
     """One generated query: parallel CH / DuckDB texts."""
 
-    def __init__(self, rng: random.Random):
+    def __init__(self, rng: random.Random, pptu_clean: bool = False):
         self.rng = rng
         self.n = 0  # fresh-name counter
         self.n_asof = 0  # parallel-branch ASOFs; keep statements small
+        #: True when the running Spark build passed the
+        #: PushProjectionThroughUnion probe (ch_compat.spark_pptu_bug
+        #: is False): correlated kinds may then draw union-bearing
+        #: OUTER sources instead of leaf-only (VERDICT r13 item 4 —
+        #: the envelope widens itself on a fixed Spark, no edit).
+        self.pptu_clean = pptu_clean
+
+    def corr_outer_source(self, depth: int):
+        """Outer source for a correlated-subquery kind: leaf-only on
+        a PPTU-buggy build, any block once the probe says clean."""
+        if self.pptu_clean:
+            c, d = self.block(depth - 1)
+            return c, d
+        c, d, _ = self.leaf()
+        return c, d
 
     def name(self, p: str) -> str:
         self.n += 1
@@ -374,8 +389,9 @@ class Gen:
                 # (key not found: <inner attr> — pinned in
                 # test_r13_fuzz_finds as a documented Spark
                 # limitation), so union-bearing sources stay out of
-                # the generated envelope.
-                c1, d1, _ = self.leaf()
+                # the generated envelope — unless the session probe
+                # (spark_pptu_bug) reports a fixed build (r14).
+                c1, d1 = self.corr_outer_source(depth)
                 t, u = self.name("t"), self.name("u")
                 tpl = (f"(SELECT CASE WHEN {t}.v {op} {q}"
                        f" (SELECT {u}.v + 2 FROM {{s2}} AS {u}"
@@ -427,8 +443,9 @@ class Gen:
             # a LEAF so the correlation depth stays in Spark's
             # supported envelope (matching the bridged subset); the
             # outer source is a leaf too (PushProjectionThroughUnion
-            # limitation — see quantified_case).
-            c1, d1, _ = self.leaf()
+            # limitation — see quantified_case) until the session
+            # probe (spark_pptu_bug) reports a fixed build (r14).
+            c1, d1 = self.corr_outer_source(depth)
             c2, d2, _ = self.leaf()
             op = self.rng.choice([">", ">=", "<", "<="])
             q = self.rng.choice(["ANY", "ALL"])
@@ -644,16 +661,19 @@ def run_fuzz(n_queries: int, seed: int, spark=None) -> list[str]:
     import duckdb
 
     from transaq_clickhouse_exporter_spark.queries.ch_compat import (
-        run_ch_sql)
+        run_ch_sql, spark_pptu_bug)
     if spark is None:
         from transaq_clickhouse_exporter_spark.session import get_spark
         spark = get_spark(app="tce-dialect-fuzz")
         spark.sparkContext.setLogLevel("ERROR")
+    # envelope gate: on a PushProjectionThroughUnion-fixed build the
+    # correlated kinds widen to union-bearing outer sources
+    pptu_clean = not spark_pptu_bug(spark)
     con = duckdb.connect()
     failures: list[str] = []
     for i in range(n_queries):
         rng = random.Random((seed << 20) | i)
-        ch, duck = Gen(rng).query()
+        ch, duck = Gen(rng, pptu_clean=pptu_clean).query()
         try:
             want = con.execute(duck).fetchall()
         except Exception as e:  # mirror invalid on duck — generator bug

@@ -7347,6 +7347,61 @@ def _asof_block_span(sh: str, pos: int) -> tuple[int, int]:
 #: "buggy"/"clean"; conf survives exactly as long as the session —
 #: no Python-side id-reuse hazard, same pattern as the shim marker)
 _ICTE_MARKER = "spark.__tce_inline_cte_probe"
+_PPTU_MARKER = "spark.__tce_pptu_probe"
+
+
+def spark_pptu_bug(spark: SparkSession) -> bool:
+    """Session-cached probe for the second pinned Spark 4.1.2 bug
+    (r13 fuzz seed 12/58; VERDICT r13 item 4): a CORRELATED scalar
+    subquery projected directly over a UNION child crashes the
+    optimizer's PushProjectionThroughUnion rule (``key not found:
+    <inner attribute>`` — the rule's attribute rewrite descends into
+    the subquery plan's own scope).  On a buggy build the probe
+    statement CRASHES (that IS the bug's presentation); on a fixed
+    build it returns the hand-derived rows.  Verdict caches in the
+    session conf; consumers (the dialect fuzzer's correlated kinds)
+    widen their source envelope to union-bearing shapes the moment a
+    Spark upgrade fixes the rule — no code change.
+
+    Expected rows of the probe statement, derived by hand (pinned in
+    ``tests/test_r14_pptu_probe.py`` vs DuckDB): the union child
+    yields g∈{1,2}; the correlated max(u.x) matches only u.k=1=g, so
+    (1, 2) and (2, NULL→0), plus the appended literal (9, 9)."""
+    try:
+        cached = spark.conf.get(_PPTU_MARKER)
+        if cached in ("buggy", "clean"):
+            return cached == "buggy"
+    except Exception:
+        pass
+    probe = (
+        "SELECT g, coalesce(v, 0) AS v FROM (SELECT g, v FROM"
+        " (SELECT (SELECT max(u.x) FROM (SELECT 1 AS k, 2 AS x) u"
+        " WHERE u.k = t1.g) AS v, g"
+        " FROM (SELECT 1 AS g UNION ALL SELECT 2 AS g) AS t1) AS w)"
+        " UNION ALL SELECT 9 AS g, 9 AS v")
+    want = [(1, 2), (2, 0), (9, 9)]
+
+    def _attempt() -> bool:
+        """True iff the pinned correct result came back."""
+        got = sorted(tuple(r) for r in spark.sql(probe).collect())
+        return got == want
+
+    try:
+        buggy = not _attempt()
+    except Exception:
+        # the crash is the expected presentation on <= 4.1.2 — but
+        # retry once so a transient session hiccup on a FIXED build
+        # doesn't cache 'buggy' for the whole session (same contract
+        # as the InlineCTE probe, advice r13)
+        try:
+            buggy = not _attempt()
+        except Exception:
+            buggy = True
+    try:
+        spark.conf.set(_PPTU_MARKER, "buggy" if buggy else "clean")
+    except Exception:
+        pass
+    return buggy
 
 
 def _spark_inline_cte_bug(spark: SparkSession) -> bool:
