@@ -1,0 +1,174 @@
+"""sequenceNextNode('forward', 'head' | 'first_match') through the
+dialect (r14, VERDICT r13 item 5).
+
+Reference semantics: ClickHouse AggregateFunctionSequenceNextNode
+(docs.clickhouse.com parametric-functions#sequencenextnode) — nodes
+sorted by timestamp; 'head' anchors the chain at the group's first
+node (which must satisfy base_cond), 'first_match' at the first node
+satisfying BOTH event1 and base_cond; event_i must hold at consecutive
+nodes; the answer is the event-column value of the node right after
+the chain, else NULL.  Determinism contract: duplicate timestamps in a
+group RAISE at runtime (CH's node order is undefined there).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+    UnsupportedChSql,
+    run_ch_sql,
+    translate_ch_sql,
+)
+
+FLOW_ROWS = [
+    (1, 1, "A"), (1, 2, "B"), (1, 3, "C"), (1, 4, "D"),
+    (2, 1, "B"), (2, 2, "B"), (2, 3, "D"),
+    (3, 1, "A"), (3, 2, "B"),
+]
+
+
+@pytest.fixture()
+def flow(spark):
+    vals = ", ".join(f"({i}, {t}, '{p}')" for i, t, p in FLOW_ROWS)
+    spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(id, dt, page)"
+    ).createOrReplaceTempView("snn_flow")
+    return "snn_flow"
+
+
+def _rows(spark, q):
+    return sorted(tuple(r) for r in run_ch_sql(spark, q).collect())
+
+
+def test_head_docs_example(spark, flow):
+    """The CH docs' canonical A→B flow: the value after the chain."""
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('forward','head')(dt, page,"
+        " page='A', page='A', page='B') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    # id1: head A, then B -> next is C; id2: head is B, base fails;
+    # id3: chain matches but there is no next node
+    assert got == [(1, "C"), (2, None), (3, None)]
+
+
+def test_first_match_anchors_mid_stream(spark, flow):
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('forward','first_match')(dt, page,"
+        " page='B', page='B') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    # id1: first B at t=2 -> next C; id2: first B at t=1 -> next B;
+    # id3: B is the last node -> NULL
+    assert got == [(1, "C"), (2, "B"), (3, None)]
+
+
+def test_first_match_base_condition_gates_the_anchor(spark, flow):
+    # base_cond dt >= 2 skips id2's t=1 'B': anchor moves to t=2
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('forward','first_match')(dt, page,"
+        " dt >= 2, page='B') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    assert got == [(1, "C"), (2, "D"), (3, None)]
+
+
+def test_zero_event_conditions_returns_base(spark, flow):
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('forward','head')(dt, page,"
+        " page='A') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    assert got == [(1, "A"), (2, None), (3, "A")]
+
+
+def test_null_timestamp_rows_drop(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS INT), 'Z'), (1, 1, 'A'),"
+        " (1, 2, 'B') AS t(id, dt, page)"
+    ).createOrReplaceTempView("snn_nullts")
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('forward','head')(dt, page,"
+        " page='A', page='A') AS nxt FROM snn_nullts GROUP BY id"))
+    assert got == [(1, "B")]
+
+
+def test_duplicate_timestamps_raise(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 1, 'A'), (1, 1, 'B')"
+        " AS t(id, dt, page)"
+    ).createOrReplaceTempView("snn_tied")
+    with pytest.raises(Exception, match="duplicate timestamps"):
+        run_ch_sql(spark, (
+            "SELECT id, sequenceNextNode('forward','head')(dt, page,"
+            " page='A', page='A') AS nxt FROM snn_tied GROUP BY id"
+        )).collect()
+
+
+def test_named_raises():
+    for bad, rx in [
+        ("sequenceNextNode('backward','tail')(dt, page, page='A')",
+         "backward"),
+        ("sequenceNextNode('forward','last_match')(dt, page, page='A')",
+         "last_match"),
+        ("sequenceNextNode('forward','first_match')(dt, page, page='A')",
+         "needs at least event1"),
+        ("sequenceNextNode('forward')(dt, page, page='A')",
+         "direction, base"),
+        ("sequenceNextNode('forward','head')(dt)", "expects"),
+    ]:
+        with pytest.raises(UnsupportedChSql, match=rx):
+            translate_ch_sql(f"SELECT {bad} FROM t GROUP BY id")
+
+
+def test_randomized_vs_duckdb_mirror(spark):
+    """Randomized event streams vs a row_number/self-join mirror on
+    DuckDB — both base modes, 1–2 chain conditions, unique ts by
+    construction."""
+    rng = random.Random(1414)
+    con = duckdb.connect()
+    pages = ["A", "B", "C"]
+    for trial in range(6):
+        rows = []
+        for g in range(1, 6):
+            n = rng.randint(0, 7)
+            ts = rng.sample(range(1, 30), n)
+            for t in ts:
+                rows.append((g, t, rng.choice(pages)))
+        if not rows:
+            continue
+        vals = ", ".join(f"({g}, {t}, '{p}')" for g, t, p in rows)
+        spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(id, dt, page)"
+        ).createOrReplaceTempView("snn_rand")
+        con.execute("CREATE OR REPLACE TABLE snn_rand(id INT, dt INT, page VARCHAR)")
+        con.executemany("INSERT INTO snn_rand VALUES (?, ?, ?)", rows)
+        base = rng.choice(["head", "first_match"])
+        n_ev = rng.randint(1, 2)
+        conds = [f"page = '{rng.choice(pages)}'" for _ in range(1 + n_ev)]
+        got = _rows(spark, (
+            f"SELECT id, sequenceNextNode('forward','{base}')(dt, page,"
+            f" {', '.join(conds)}) AS nxt FROM snn_rand GROUP BY id"))
+        if base == "head":
+            b_sql = (f"SELECT id, 1 AS brn FROM o WHERE rn = 1"
+                     f" AND ({conds[0]})")
+        else:
+            b_sql = (f"SELECT id, min(rn) AS brn FROM o WHERE"
+                     f" ({conds[1]}) AND ({conds[0]}) GROUP BY id")
+        chain = " AND ".join(
+            f"({conds[j + 1].replace('page', f'e{j + 1}.page')})"
+            for j in range(n_ev))
+        ejoins = " ".join(
+            f"LEFT JOIN o e{j + 1} ON e{j + 1}.id = og.id"
+            f" AND e{j + 1}.rn = b.brn + {j}"
+            for j in range(n_ev))
+        want = sorted(tuple(r) for r in con.execute(
+            f"WITH o AS (SELECT id, page, row_number() OVER ("
+            f"PARTITION BY id ORDER BY dt) AS rn FROM snn_rand),"
+            f" b AS ({b_sql})"
+            f" SELECT og.id, CASE WHEN {chain} THEN nx.page END AS nxt"
+            f" FROM (SELECT DISTINCT id FROM snn_rand) og"
+            f" LEFT JOIN b ON b.id = og.id {ejoins}"
+            f" LEFT JOIN o nx ON nx.id = og.id AND nx.rn = b.brn + {n_ev}"
+        ).fetchall())
+        assert got == want, f"trial {trial} base={base} conds={conds}"

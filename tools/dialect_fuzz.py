@@ -97,7 +97,7 @@ class Gen:
              "set_op_distinct", "asof", "qualify", "paginate",
              "ternary_cast", "quantified_case", "quantified_setop",
              "correlated_quant", "asof_shared_cte", "rollup",
-             "lag_lead"])
+             "lag_lead", "seq_next_node"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "asof_shared_cte" and self.n_asof > 0:
@@ -364,6 +364,55 @@ class Gen:
             duck = (f"(SELECT g, CAST(coalesce({dfn}(v) OVER ("
                     f"PARTITION BY g ORDER BY v), -1) AS BIGINT)"
                     f" AS v FROM {d1})")
+            return ch, duck
+        if kind == "seq_next_node":
+            # sequenceNextNode (r14, VERDICT r13 item 5): both
+            # supported base modes over a DISTINCT-deduped source —
+            # ts := v must be unique per group because the bridge
+            # RAISES on duplicate timestamps (CH node order is
+            # undefined there); DISTINCT (g, v) guarantees it even
+            # for union-built sources.  Mirror: row_number window +
+            # rn-offset self-joins; NULL v rows drop on both sides
+            # (NULL ts never becomes a node).  The string event
+            # column round-trips CAST(v AS String) → BIGINT exactly.
+            c1, d1 = self.block(depth - 1)
+            base = self.rng.choice(["head", "first_match"])
+            n_ev = self.rng.randint(1, 2)
+            pool = ["{x} % 2 = 0", "{x} % 3 = 1", "{x} % 3 < 2",
+                    "{x} % 5 != 0", "{x} % 4 >= 1"]
+            cnd = [self.rng.choice(pool) for _ in range(1 + n_ev)]
+            src, o, b, og = (self.name("sn"), self.name("sno"),
+                             self.name("snb"), self.name("sng"))
+            ch_conds = ", ".join(c.format(x="v") for c in cnd)
+            ch = (f"(SELECT g, CAST(sequenceNextNode('forward',"
+                  f" '{base}')(v, CAST(v AS String), {ch_conds})"
+                  f" AS Int64) AS v FROM (SELECT DISTINCT g, v"
+                  f" FROM {c1}) AS {src} GROUP BY g)")
+            if base == "head":
+                b_sql = (f"SELECT g, 1 AS brn FROM {o} WHERE rn = 1"
+                         f" AND ({cnd[0].format(x='v')})")
+            else:
+                b_sql = (f"SELECT g, min(rn) AS brn FROM {o}"
+                         f" WHERE ({cnd[1].format(x='v')}) AND"
+                         f" ({cnd[0].format(x='v')}) GROUP BY g")
+            chain = " AND ".join(
+                f"({cnd[j + 1].format(x=f'e{j + 1}.v')})"
+                for j in range(n_ev))
+            ejoins = " ".join(
+                f"LEFT JOIN {o} e{j + 1} ON e{j + 1}.g = {og}.g"
+                f" AND e{j + 1}.rn = {b}.brn + {j}"
+                for j in range(n_ev))
+            duck = (f"(WITH {src} AS (SELECT DISTINCT g, v FROM {d1}),"
+                    f" {o} AS (SELECT g, v, row_number() OVER ("
+                    f"PARTITION BY g ORDER BY v) AS rn FROM {src}"
+                    f" WHERE v IS NOT NULL),"
+                    f" {b} AS ({b_sql})"
+                    f" SELECT {og}.g AS g, CAST(CASE WHEN {chain}"
+                    f" THEN nx.v END AS BIGINT) AS v"
+                    f" FROM (SELECT DISTINCT g FROM {src}) {og}"
+                    f" LEFT JOIN {b} ON {b}.g = {og}.g {ejoins}"
+                    f" LEFT JOIN {o} nx ON nx.g = {og}.g"
+                    f" AND nx.rn = {b}.brn + {n_ev})")
             return ch, duck
         if kind == "quantified_case":
             # quantified comparison inside a CASE arm (r13, VERDICT

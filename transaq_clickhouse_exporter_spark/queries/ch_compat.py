@@ -79,11 +79,14 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    Anything it does not recognize passes through untouched, so plain
    ANSI stays intact; CH aggregates with no faithful mapping —
    order-dependent state machines (``runningDifference``,
-   ``neighbor``, ``deltaSum``, ``groupArrayMoving*``,
-   ``sequenceNextNode``) and the map-merge family (``sumMap``…) —
-   raise ``UnsupportedChSql`` with the offending name rather than
-   mistranslating — use window functions / explode+GROUP BY / the
-   DataFrame operators for those.
+   ``neighbor``, ``deltaSum``, ``groupArrayMoving*``) and the
+   map-merge family (``sumMap``…) — raise ``UnsupportedChSql`` with
+   the offending name rather than mistranslating — use window
+   functions / explode+GROUP BY / the DataFrame operators for those.
+   ``sequenceNextNode`` is exact for ``('forward', 'head')`` and
+   ``('forward', 'first_match')`` (r14) and raises at RUNTIME on
+   groups with duplicate timestamps (CH's node order is undefined
+   there); the backward/tail/last_match mirrors raise by name.
 
 Documented deviations from ClickHouse (each also noted at its shim):
 
@@ -1372,8 +1375,7 @@ _PARAMETERIZED_PLURAL = {
 #: them deprecated in favor of window functions — which Spark SQL has
 #: natively: use lag/lead/sum OVER).  *Map aggregates merge maps
 #: key-wise: express as explode → GROUP BY key → map_from_entries.
-_UNSUPPORTED = {"sequenceNextNode",
-                "groupArrayMovingAvg", "groupArrayMovingSum",
+_UNSUPPORTED = {"groupArrayMovingAvg", "groupArrayMovingSum",
                 "runningDifference", "runningAccumulate", "neighbor",
                 "deltaSum", "deltaSumTimestamp",
                 "sumMap", "minMap", "maxMap", "avgMap"}
@@ -4731,6 +4733,95 @@ def _seq_expr(name: str, params: str, args: list[str]) -> str:
     return f"{fn}({s}, '{regex}')"
 
 
+def _seq_next_node_expr(params: str, args: list[str]) -> str:
+    """``sequenceNextNode(direction, base)(ts, event_col, base_cond,
+    event1…eventN)`` → the event-column value of the node right AFTER
+    the matched chain, NULL when the chain doesn't match (CH
+    AggregateFunctionSequenceNextNode.h; docs.clickhouse.com
+    parametric-functions#sequencenextnode).
+
+    Supported modes (VERDICT r13 item 5): ``('forward', 'head')`` —
+    the chain must start at the group's FIRST node (sorted by
+    timestamp): the head satisfies base_cond, node i satisfies
+    event_i, answer = node N+1's value — and ``('forward',
+    'first_match')`` — the chain starts at the first node satisfying
+    BOTH event1 and base_cond.  The backward/tail/last_match mirrors
+    raise by name (they are order-reversals of these two).
+
+    Determinism contract: CH sorts nodes by timestamp only, so
+    duplicate timestamps within a group leave the node order — and
+    therefore the answer — undefined (insertion-order dependent).
+    This build RAISES at runtime on such a group instead of silently
+    picking an order; pre-deduplicate (e.g. argMin per timestamp) or
+    sharpen the time key.  Construction mirrors the funnel fold:
+    one ``collect_list`` of (t, val, base-flag, match-flags) structs,
+    sorted, then pure array logic — single aggregation, no second
+    shuffle, linear in N."""
+    parts = [p.strip() for p in _split_args(params)]
+    if len(parts) != 2:
+        raise UnsupportedChSql(
+            "sequenceNextNode expects (direction, base) parameters")
+
+    def _lit(p: str) -> str:
+        if len(p) >= 2 and p[0] == "'" and p[-1] == "'":
+            return p[1:-1]
+        raise UnsupportedChSql(
+            "sequenceNextNode direction/base must be string literals")
+
+    direction, base = _lit(parts[0]), _lit(parts[1])
+    if direction != "forward" or base not in ("head", "first_match"):
+        raise UnsupportedChSql(
+            f"sequenceNextNode('{direction}', '{base}') is not "
+            "supported — 'forward' with base 'head' or 'first_match' "
+            "is; the backward/tail/last_match forms are order-"
+            "reversals of those (mirror the sort or the conditions)")
+    if len(args) < 3:
+        raise UnsupportedChSql(
+            "sequenceNextNode expects (timestamp, event_column, "
+            "base_condition, event1…) arguments")
+    ts, ev, bc, conds = args[0], args[1], args[2], args[3:]
+    if base == "first_match" and not conds:
+        raise UnsupportedChSql(
+            "sequenceNextNode base 'first_match' needs at least event1")
+    n = len(conds)
+    t_expr = f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
+
+    def as_flag(c: str) -> str:
+        # CH conditions are truthy UInt8; NULL never matches a bitset
+        return f"coalesce(CAST(({c}) AS BOOLEAN), false)"
+
+    fields = [f"{t_expr} AS t",
+              # CH requires a String event column — faithful cast
+              f"CAST(({ev}) AS STRING) AS val",
+              f"{as_flag(bc)} AS b"]
+    fields += [f"{as_flag(c)} AS m{j + 1}" for j, c in enumerate(conds)]
+    node = "struct(" + ", ".join(fields) + ")"
+    nodes = (f"array_sort(collect_list(CASE WHEN {t_expr} IS NOT NULL"
+             f" THEN {node} END))")
+    if base == "head":
+        base_e = ("IF(coalesce(try_element_at(nodes, 1).b, false),"
+                  " 1, CAST(NULL AS INT))")
+    else:
+        base_e = ("try_element_at(filter(transform(nodes, (x, i) ->"
+                  " IF(x.b AND x.m1, i + 1, CAST(NULL AS INT))),"
+                  " p -> p IS NOT NULL), 1)")
+    chain = " AND ".join(
+        f"coalesce(try_element_at(nodes, base + {j}).m{j + 1}, false)"
+        for j in range(n)) or "true"
+    val = f"try_element_at(nodes, base + {n}).val"
+    body = (f"element_at(transform(array({base_e}), base ->"
+            f" CASE WHEN base IS NOT NULL AND {chain}"
+            f" THEN {val} END), 1)")
+    ties = ("size(nodes) !="
+            " size(array_distinct(transform(nodes, x -> x.t)))")
+    msg = ("sequenceNextNode: duplicate timestamps within a group make"
+           " the ClickHouse node order undefined - deduplicate or"
+           " sharpen the time key (e.g. argMin per timestamp) first")
+    return (f"element_at(transform(array({nodes}), nodes ->"
+            f" CASE WHEN {ties} THEN CAST(raise_error('{msg}') AS"
+            f" STRING) ELSE {body} END), 1)")
+
+
 def _funnel_expr(params: str, args: list[str]) -> str:
     """``windowFunnel(w)(ts, c1…cn)`` → CH DEFAULT-MODE EXACT fold
     (AggregateFunctionWindowFunnel.h; ADVICE r6): the level is the
@@ -5395,7 +5486,8 @@ def _rewrite_calls(sql: str) -> str:
                 "equivalent is operators/aggregating.py (persisted "
                 "per-batch partials, re-merged on read)")
         if name in ("topK", "topKWeighted", "uniqUpTo",
-                    "sequenceMatch", "sequenceCount", "windowFunnel"):
+                    "sequenceMatch", "sequenceCount", "windowFunnel",
+                    "sequenceNextNode"):
             if not has_second:
                 raise UnsupportedChSql(f"{name} expects the (params)(args) form")
             close2 = _find_close(sql, k2)
@@ -5408,6 +5500,8 @@ def _rewrite_calls(sql: str) -> str:
                 out.append(_uniq_upto_expr(inner, args))
             elif name == "windowFunnel":
                 out.append(_funnel_expr(inner, args))
+            elif name == "sequenceNextNode":
+                out.append(_seq_next_node_expr(inner, args))
             else:
                 out.append(_seq_expr(name, inner, args))
             i = close2 + 1

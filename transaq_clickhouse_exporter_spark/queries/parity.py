@@ -2049,6 +2049,78 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "quantified-subquery", "correlated", "ch-sql"),
         )
     )
+
+    # ev29 (r14, VERDICT r13 item 5): sequenceNextNode through the
+    # dialect — BOTH supported base modes in one statement ('head':
+    # signup→view chain anchored at the group's first event;
+    # 'first_match': chain anchored at the first value>10 'view').
+    # The inner argMin pre-dedup per (user, second) dogfoods the
+    # operator's documented tie workaround: the bridge RAISES on
+    # duplicate timestamps (CH's node order is undefined there), and
+    # events.parquet has one (user_id, ts_s) collision at sf0.1.
+    # Oracle: row_number window + offset self-joins (pure ANSI).
+    def _seq_next_node_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT user_id,
+                   sequenceNextNode('forward', 'head')(ts_s, event_type,
+                     event_type = 'signup', event_type = 'signup',
+                     event_type = 'view') AS nxt_head,
+                   sequenceNextNode('forward', 'first_match')(ts_s, event_type,
+                     value > 10, event_type = 'view',
+                     event_type = 'click') AS nxt_fm
+            FROM (SELECT user_id, ts_s,
+                         argMin(event_type, event_id) AS event_type,
+                         argMin(value, event_id) AS value
+                  FROM ev GROUP BY user_id, ts_s) d
+            GROUP BY user_id
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev29_sequence_next_node_sql",
+            _seq_next_node_sql,
+            """
+            , snn_d AS (SELECT user_id, ts_s,
+                             arg_min(event_type, event_id) AS event_type,
+                             arg_min(value, event_id) AS value
+                      FROM ev GROUP BY user_id, ts_s),
+            snn_o AS (SELECT user_id, event_type, value,
+                             row_number() OVER (PARTITION BY user_id
+                                                ORDER BY ts_s) AS rn
+                      FROM snn_d),
+            snn_h AS (SELECT o1.user_id,
+                             CASE WHEN o1.event_type = 'signup'
+                                   AND o1.event_type = 'signup'
+                                   AND o2.event_type = 'view'
+                                  THEN o3.event_type END AS nxt_head
+                      FROM snn_o o1
+                      LEFT JOIN snn_o o2 ON o2.user_id = o1.user_id
+                                        AND o2.rn = 2
+                      LEFT JOIN snn_o o3 ON o3.user_id = o1.user_id
+                                        AND o3.rn = 3
+                      WHERE o1.rn = 1),
+            snn_fmb AS (SELECT user_id, min(rn) AS brn FROM snn_o
+                        WHERE event_type = 'view' AND value > 10
+                        GROUP BY user_id),
+            snn_fm AS (SELECT b.user_id,
+                              CASE WHEN o2.event_type = 'click'
+                                   THEN o3.event_type END AS nxt_fm
+                       FROM snn_fmb b
+                       LEFT JOIN snn_o o2 ON o2.user_id = b.user_id
+                                         AND o2.rn = b.brn + 1
+                       LEFT JOIN snn_o o3 ON o3.user_id = b.user_id
+                                         AND o3.rn = b.brn + 2)
+            SELECT h.user_id, h.nxt_head, fm.nxt_fm
+            FROM snn_h h LEFT JOIN snn_fm fm ON fm.user_id = h.user_id
+            """,
+            tags=("events", "sequence-next-node", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -4994,6 +5066,10 @@ _TAIL_NAMES = (
                                       # (INTERPOLATE) entered this round
     # (ev28/op13 — the round-13 additions — entered the window in the
     # ROUND-14 rotation above, earning their first external rows)
+    # round-14 addition starts in the tail; it earns a row in the r15
+    # rotation (class evidence: ev14/ev15 funnel family in recent
+    # windows, plus the r14 value-pinned suite + fuzz kind)
+    "ev29_sequence_next_node_sql",
 )
 
 
