@@ -86,3 +86,18 @@ def test_fuzz_batch_seed_6001(spark):
     """r13 third-wave vocabulary: GROUP BY … WITH ROLLUP pass-through
     and lagInFrame/leadInFrame full-frame windows."""
     assert run_fuzz(60, 6001, spark) == []
+
+
+def test_fuzz_batch_seed_6101(spark):
+    """r14 vocabulary: sequenceNextNode (head/first_match over
+    DISTINCT-deduped sources, mirrored to a row_number + offset-join
+    DuckDB formulation)."""
+    assert run_fuzz(60, 6101, spark) == []
+
+
+def test_fuzz_batch_seed_7101(spark):
+    """r14 second-wave vocabulary (VERDICT r13 item 2): chained ASOF
+    as a direct set-op branch / with a CTE-head left side, WITH TIES
+    inside parenthesized set-op branches, correlated quantifiers
+    inside QUALIFY, and ARRAY JOIN x ASOF in one statement."""
+    assert run_fuzz(60, 7101, spark) == []

@@ -69,3 +69,50 @@ def test_merge_positions_stream(spark, tmp_path):
     )
     assert final_a["last_seq"] == 3
     assert {k: v for k, v in final_a.items() if k not in ("client", "last_seq")} == EXPECTED_A
+
+
+def test_merge_positions_stream_cross_chunk_order(spark, tmp_path):
+    """r14 10M-rehearsal find: a group's micro-batch arrives as several
+    Arrow chunks in shuffle-split order, NOT seq order — the fold must
+    sort the WHOLE group batch, not each chunk.  Adversarial file
+    order (high seqs first) + maxRecordsPerBatch=2 forces a later-seq
+    chunk to arrive before an earlier-seq one; the merged snapshot
+    must still equal the batch twin (56/100k clients diverged at 10M
+    before the fix)."""
+    from transaq_clickhouse_exporter_spark.sources.replay import (
+        read_replay_stream,
+        write_jsonl_fixture,
+    )
+
+    fields = list(POSITIONS_SNAPSHOT_FIELDS)
+    f0 = fields[0]
+
+    def upd(seq, val):
+        d = {"seq": seq, "client": "A", **{f: None for f in fields}}
+        d[f0] = val
+        return d
+
+    # file row order: seq 4 (value), 3 (null), 1 (stale value), 2 (null)
+    rows = [upd(4, "v4"), upd(3, None), upd(1, "v1"), upd(2, None)]
+    write_jsonl_fixture(str(tmp_path / "pos" / "b0.json"), rows, mtime=1_000)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = read_replay_stream(
+            spark, str(tmp_path / "pos"), RAW_POSITIONS, max_files_per_trigger=1
+        )
+        out = merge_positions_stream(stream, fields)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("pos_chunk_order")
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    final = max(
+        (r.asDict() for r in spark.sql("SELECT * FROM pos_chunk_order").collect()),
+        key=lambda r: r["last_seq"],
+    )
+    assert final["last_seq"] == 4
+    # the seq-4 value must win over the stale seq-1 chunk
+    assert final[f0] == "v4"

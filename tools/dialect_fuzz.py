@@ -97,11 +97,16 @@ class Gen:
              "set_op_distinct", "asof", "qualify", "paginate",
              "ternary_cast", "quantified_case", "quantified_setop",
              "correlated_quant", "asof_shared_cte", "rollup",
-             "lag_lead", "seq_next_node"])
+             "lag_lead", "seq_next_node", "asof_chain_setop",
+             "ties_setop", "quant_qualify", "array_join_asof"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "asof_shared_cte" and self.n_asof > 0:
             kind = "joined"  # the shared-CTE kind spends BOTH slots
+        if kind == "asof_chain_setop" and self.n_asof > 0:
+            kind = "joined"  # the chain spends BOTH slots
+        if kind == "array_join_asof" and self.n_asof >= 2:
+            kind = "joined"
         if kind == "union":
             c1, d1 = self.block(depth - 1)
             c2, d2 = self.block(depth - 1)
@@ -340,14 +345,21 @@ class Gen:
             # NULL subtotal keys == DuckDB's ROLLUP; CH's
             # type-default keys are the documented deviation, not
             # fuzzed).  Keys coalesced so the (g, v) schema stays
-            # NULL-free downstream.
+            # NULL-free downstream.  The HAVING count(*) > 0 guard
+            # mirrors the documented empty-input contract (same as
+            # the totals kind): Spark grouping sets emit NO rows over
+            # an empty input where DuckDB emits the grand-total row —
+            # seed 7106/1 composed an always-false correlated filter
+            # under ROLLUP and exposed the unguarded mirror (engine
+            # deviation already module-documented, not a bridge bug).
             c1, d1 = self.block(depth - 1)
             return (f"(SELECT coalesce(g, -1) AS g,"
                     f" coalesce(CAST(sum(v) AS BIGINT), -9) AS v"
                     f" FROM {c1} GROUP BY g WITH ROLLUP)",
                     f"(SELECT coalesce(g, -1) AS g,"
                     f" coalesce(CAST(sum(v) AS BIGINT), -9) AS v"
-                    f" FROM {d1} GROUP BY ROLLUP(g))")
+                    f" FROM {d1} GROUP BY ROLLUP(g)"
+                    f" HAVING count(*) > 0)")
         if kind == "lag_lead":
             # lagInFrame/leadInFrame → lag/lead with the full-frame
             # idiom stripped (r11 bridge).  Ties in (g, v) are
@@ -413,6 +425,136 @@ class Gen:
                     f" LEFT JOIN {b} ON {b}.g = {og}.g {ejoins}"
                     f" LEFT JOIN {o} nx ON nx.g = {og}.g"
                     f" AND nx.rn = {b}.brn + {n_ev})")
+            return ch, duck
+        if kind == "asof_chain_setop":
+            # chained ASOF composed with set operators / CTE heads
+            # (r14, VERDICT r13 item 2) — the exact hazard zone of the
+            # r13 ON-stop (set-op right after an ASOF ON condition)
+            # and the alias-inliner set-op split.  Two sub-forms:
+            # the chain as a DIRECT set-op branch (ON text followed
+            # by INTERSECT/EXCEPT/UNION), and the chain's left side
+            # as a statement-level CTE head (a def-bearing consumed
+            # side — the InlineCTE probe's territory).  DuckDB parses
+            # the same text left-associatively, natively.
+            self.n_asof += 2
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(0)
+            c3, d3 = self.block(0)
+            al, ar, ac = self.name("al"), self.name("ar"), self.name("ac")
+            if self.rng.random() < 0.5:
+                c4, d4 = self.block(0)
+                setop = self.rng.choice(
+                    ["UNION ALL", "INTERSECT", "EXCEPT"])
+                ch_setop = (setop if setop == "UNION ALL"
+                            else setop + " DISTINCT")
+                tpl = (
+                    f"(SELECT {al}.g AS g, {al}.v +"
+                    f" coalesce({ar}.rv, 0) + coalesce({ac}.ix, 0)"
+                    f" AS v FROM (SELECT g, coalesce(v, 0) AS v"
+                    f" FROM {{s1}}) AS {al}"
+                    f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                    f" AS rv FROM {{s2}}) AS {ar}"
+                    f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv"
+                    f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 2"
+                    f" AS ix FROM {{s3}}) AS {ac}"
+                    f" ON {al}.g = {ac}.g AND {al}.v >= {ac}.ix"
+                    f" {{setop}} SELECT g, coalesce(v, 0) AS v"
+                    f" FROM {{s4}})")
+                return (tpl.format(s1=c1, s2=c2, s3=c3, s4=c4,
+                                   setop=ch_setop),
+                        tpl.format(s1=d1, s2=d2, s3=d3, s4=d4,
+                                   setop=setop))
+            tpl = (
+                f"(WITH {al} AS (SELECT g, coalesce(v, 0) AS v"
+                f" FROM {{s1}})"
+                f" SELECT {al}.g AS g, {al}.v +"
+                f" coalesce({ar}.rv, 0) + coalesce({ac}.ix, 0) AS v"
+                f" FROM {al}"
+                f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                f" AS rv FROM {{s2}}) AS {ar}"
+                f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv"
+                f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 2"
+                f" AS ix FROM {{s3}}) AS {ac}"
+                f" ON {al}.g = {ac}.g AND {al}.v >= {ac}.ix)")
+            return (tpl.format(s1=c1, s2=c2, s3=c3),
+                    tpl.format(s1=d1, s2=d2, s3=d3))
+        if kind == "ties_setop":
+            # LIMIT/FETCH … WITH TIES inside parenthesized set-op
+            # branches (r14, VERDICT r13 item 2): exercises the
+            # per-SELECT-block WITH TIES bridge (r13: any depth) at
+            # the set-op boundary where _select_top/_inline_block had
+            # their r13 bugs.  DuckDB mirror: rank() equivalence per
+            # branch (WITH TIES ≡ rank over the same order ≤ n).
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(0)
+            n1 = self.rng.randint(1, 4)
+            n2 = self.rng.randint(1, 3)
+            setop = self.rng.choice(["UNION ALL", "INTERSECT", "EXCEPT"])
+            ch_setop = (setop if setop == "UNION ALL"
+                        else setop + " DISTINCT")
+            spell1 = self.rng.choice(
+                [f"FETCH FIRST {n1} ROWS WITH TIES",
+                 f"LIMIT {n1} WITH TIES"])
+            return (
+                f"((SELECT g, v FROM {c1} ORDER BY g, v {spell1})"
+                f" {ch_setop} (SELECT g, v FROM {c2}"
+                f" ORDER BY g, v LIMIT {n2} WITH TIES))",
+                f"((SELECT g, v FROM {d1} QUALIFY rank()"
+                f" OVER (ORDER BY g, v) <= {n1})"
+                f" {setop} (SELECT g, v FROM {d2} QUALIFY rank()"
+                f" OVER (ORDER BY g, v) <= {n2}))")
+        if kind == "quant_qualify":
+            # correlated quantified comparison INSIDE QUALIFY (r14,
+            # VERDICT r13 item 2): the quantifier splice runs in the
+            # QUALIFY rewrite's scope.  Ordering ops only (the r13
+            # hardening's filter-position rule); outer source through
+            # corr_outer_source (leaf on a PPTU-buggy build); the
+            # correlated sub is a leaf.  DuckDB mirror: window in a
+            # subquery + WHERE (its QUALIFY disallows correlated
+            # subqueries in some versions — the rewrite is the
+            # documented equivalence).
+            c1, d1 = self.corr_outer_source(depth)
+            c2, d2, _ = self.leaf()
+            op = self.rng.choice([">", ">=", "<", "<="])
+            q = self.rng.choice(["ANY", "ALL"])
+            t, u = self.name("t"), self.name("u")
+            ch = (f"(SELECT {t}.g AS g, {t}.v AS v FROM {c1} AS {t}"
+                  f" QUALIFY {t}.v = max({t}.v) OVER (PARTITION BY"
+                  f" {t}.g) AND {t}.v {op} {q} (SELECT {u}.v + 1"
+                  f" FROM {c2} AS {u} WHERE {u}.g = {t}.g))")
+            duck = (f"(SELECT g, v FROM (SELECT g, v, max(v) OVER"
+                    f" (PARTITION BY g) AS __mx FROM {d1}) {t}"
+                    f" WHERE v = __mx AND v {op} {q} (SELECT {u}.v + 1"
+                    f" FROM {d2} AS {u} WHERE {u}.g = {t}.g))")
+            return ch, duck
+        if kind == "array_join_asof":
+            # ARRAY JOIN × ASOF in ONE statement (r14, VERDICT r13
+            # item 2): the ASOF bridge's left side is itself an ARRAY
+            # JOIN subquery — the bridge must rewrite the FROM clause
+            # around the LATERAL VIEW expansion.  Left values are
+            # NULL-free by construction (CH disallows Nullable ASOF
+            # columns).  DuckDB: UNNEST mirror + native ASOF.
+            self.n_asof += 1
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(0)
+            al, ar = self.name("al"), self.name("ar")
+            ch = (f"(SELECT {al}.g AS g, {al}.v +"
+                  f" coalesce({ar}.rv, 0) AS v"
+                  f" FROM (SELECT g, u AS v FROM (SELECT g,"
+                  f" [coalesce(v, 0), coalesce(v, 0) + 1] AS a"
+                  f" FROM {c1}) ARRAY JOIN a AS u) AS {al}"
+                  f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                  f" AS rv FROM {c2}) AS {ar}"
+                  f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            duck = (f"(SELECT {al}.g AS g, {al}.v +"
+                    f" coalesce({ar}.rv, 0) AS v"
+                    f" FROM (SELECT g, u AS v FROM (SELECT g,"
+                    f" [coalesce(v, 0), coalesce(v, 0) + 1] AS a"
+                    f" FROM {d1}) AS __ajs CROSS JOIN UNNEST(a)"
+                    f" AS __un(u)) AS {al}"
+                    f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                    f" AS rv FROM {d2}) AS {ar}"
+                    f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
             return ch, duck
         if kind == "quantified_case":
             # quantified comparison inside a CASE arm (r13, VERDICT

@@ -60,13 +60,18 @@ def merge_positions_stream(
             last_seq, cur = got[0], got[1:]
         else:
             last_seq, cur = -1, [None] * len(fields)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # column-wise last-non-empty: one vectorized NA scan per
-            # field instead of a per-row Python loop (bounded either
-            # way, but keeps the package iterrows-free)
-            pdf = pdf.sort_values("seq", kind="stable")
+        # a group's micro-batch arrives as SEVERAL Arrow chunks whose
+        # relative order follows shuffle-input split order, NOT seq —
+        # sorting per chunk silently took a stale chunk's value when a
+        # later-seq chunk arrived first (caught by the r14 10M-row
+        # rehearsal: 56/100k clients diverged from the batch twin).
+        # Concat the whole group batch, THEN one stable seq sort; the
+        # column-wise NA scan stays vectorized (no per-row loop).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "seq", kind="stable"
+            )
             last_seq = max(last_seq, int(pdf["seq"].iloc[-1]))
             for i, f in enumerate(fields):
                 idx = pdf[f].last_valid_index()

@@ -2384,7 +2384,10 @@ def _with_totals(sql: str) -> str:
     CH renders the type's default values in its separate totals block;
     ``WITH ROLLUP``/``WITH CUBE`` pass through (native Spark) and
     carry the SAME documented deviation — subtotal rows' key columns
-    are NULL here, type defaults (0, '') in CH (r11f probe pin).
+    are NULL here, type defaults (0, '') in CH (r11f probe pin) —
+    including the empty-input facet: Spark grouping sets emit NO rows
+    over an empty input (no grand-total row) where CH and DuckDB emit
+    one (r12f TOTALS pin; r14 fuzz seed 7106/1 for the ROLLUP form).
     ``ORDER BY … WITH FILL`` raises HERE (translate-only callers):
     gap materialization is a sequence join, not an expression —
     :func:`run_ch_sql` bridges the single-column form by extracting
