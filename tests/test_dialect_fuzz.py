@@ -101,3 +101,26 @@ def test_fuzz_batch_seed_7101(spark):
     inside parenthesized set-op branches, correlated quantifiers
     inside QUALIFY, and ARRAY JOIN x ASOF in one statement."""
     assert run_fuzz(60, 7101, spark) == []
+
+
+def test_rollup_empty_input_contract(spark):
+    """r14 fuzz seed 7106/1: the empty-input grouping-sets deviation
+    extends to native ROLLUP pass-through — Spark emits NO rows over
+    an empty input (no grand-total row) where ClickHouse and DuckDB
+    emit one.  Pinned like the r12f TOTALS twin so an engine change
+    is a conscious decision."""
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        run_ch_sql)
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT coalesce(g, -1) AS g, sum(v) AS sv FROM"
+        " (SELECT number % 2 AS g, number AS v FROM numbers(4))"
+        " WHERE v > 99 GROUP BY g WITH ROLLUP").collect()
+    assert rows == []
+    rows = run_ch_sql(
+        spark,
+        "SELECT coalesce(g, -1) AS g, sum(v) AS sv FROM"
+        " (SELECT number % 2 AS g, number AS v FROM numbers(4))"
+        " GROUP BY g WITH ROLLUP").collect()
+    assert sorted([(r.g, r.sv) for r in rows]) == [(-1, 6), (0, 2), (1, 4)]

@@ -59,6 +59,7 @@ PICKS = [
     "ev27_quantified_sql",
     # r13 additions (born-in-tail catalog entries)
     "ev28_correlated_quantified_sql", "op13_asof_chained_sql",
+    "ev29_sequence_next_node_sql",
 ]
 
 

@@ -76,6 +76,7 @@ PICKS = {
     "ev27_quantified_sql": "quantified subqueries (r12b): the > ANY / != ALL comparison compiles to Subquery (scalar) nodes evaluated once — the fact scan never joins or shuffles for the comparison",
     "ev28_correlated_quantified_sql": "CORRELATED quantified comparison (r13): the three spliced scalar subqueries decorrelate to broadcast hash joins on sec_code — no nested loop, no cartesian",
     "op13_asof_chained_sql": "chained ASOF (r13): link 2 bridges against link 1's view — two sequential union+window subtrees, one keyed exchange per link, zero Join nodes in the ASOF path itself",
+    "ev29_sequence_next_node_sql": "sequenceNextNode (r14): the windowFunnel fold shape — one ObjectHashAggregate (collect_list of (t, val, flags) structs) with map-side partials over the argMin pre-dedup's partial→final pair; pure array logic after, no Python, no extra shuffle",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries
