@@ -1233,6 +1233,54 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " UNION ALL SELECT b.v + coalesce(sh.rv, 0) AS v"
      " FROM (SELECT 1 AS g, 9 AS v) AS b"
      " ASOF LEFT JOIN sh ON b.g = sh.g AND b.v >= sh.rv)", (22,)),
+    # --- round-14 shapes ---
+    # sequenceNextNode: the CH docs' A->B chain from head — the value
+    # AFTER the chain (docs.clickhouse.com parametric-functions)
+    ("SELECT sequenceNextNode('forward', 'head')(dt, page,"
+     " page = 'A', page = 'A', page = 'B') AS n"
+     " FROM (SELECT 1 AS dt, 'A' AS page UNION ALL SELECT 2, 'B'"
+     " UNION ALL SELECT 3, 'C')", ("C",)),
+    # first_match base gated by base_condition (dt >= 2 skips dt=1's B)
+    ("SELECT sequenceNextNode('forward', 'first_match')(dt, page,"
+     " dt >= 2, page = 'B') AS n"
+     " FROM (SELECT 1 AS dt, 'B' AS page UNION ALL SELECT 2, 'B'"
+     " UNION ALL SELECT 3, 'D')", ("D",)),
+    # unsupported base modes raise by name
+    ("SELECT sequenceNextNode('backward', 'tail')(dt, p, p = 'A') AS n"
+     " FROM (SELECT 1 AS dt, 'A' AS p)", None),
+    # dotted-qualified primaries before postfix casts / tuple access
+    # (advice r14): whole qualified name stays inside the operand
+    ("SELECT (t.tup).1::String AS s"
+     " FROM (SELECT tuple(7, 'x') AS tup) AS t", ("7",)),
+    ("SELECT t.arr[2]::Int64 AS v FROM (SELECT [3, 4] AS arr) AS t",
+     (4,)),
+    # multi-array ARRAY JOIN over a source already carrying __ajm0
+    # (advice r14: uuid-suffixed synthetics)
+    ("WITH src AS (SELECT 1 AS k, [10, 20] AS vs, 99 AS __ajm0)"
+     " SELECT sum(i * v2) AS s FROM src ARRAY JOIN"
+     " arrayEnumerate(vs) AS i, vs AS v2", (50,)),
+    # chained ASOF directly followed by a set operator (the r13
+    # ON-stop boundary, now fuzz kind asof_chain_setop)
+    ("SELECT l.v + coalesce(r.rv, 0) + coalesce(c.ix, 0) AS v"
+     " FROM (SELECT 1 AS g, 5 AS v) AS l"
+     " ASOF LEFT JOIN (SELECT 1 AS g, 4 AS rv) AS r"
+     " ON l.g = r.g AND l.v >= r.rv"
+     " ASOF LEFT JOIN (SELECT 1 AS g, 3 AS ix) AS c"
+     " ON l.g = c.g AND l.v >= c.ix"
+     " INTERSECT DISTINCT SELECT 12 AS v", (12,)),
+    # WITH TIES inside a parenthesized set-op branch
+    ("(SELECT number AS v FROM numbers(5) ORDER BY v LIMIT 2 WITH"
+     " TIES) EXCEPT DISTINCT (SELECT 0 AS v)", (1,)),
+    # correlated quantifier inside QUALIFY (sum of per-group maxima)
+    ("SELECT sum(v) AS s FROM (SELECT t.v AS v FROM (SELECT"
+     " number % 2 AS g, number AS v FROM numbers(6)) AS t"
+     " QUALIFY t.v = max(t.v) OVER (PARTITION BY t.g) AND t.v >="
+     " ANY (SELECT u.v FROM (SELECT number % 2 AS g, number AS v"
+     " FROM numbers(6)) AS u WHERE u.g = t.g))", (9,)),
+    # ROLLUP over an empty input: NO rows (documented deviation —
+    # CH/DuckDB emit the grand-total row; pinned r14)
+    ("SELECT coalesce(g, -1) AS g, sum(v) AS s FROM (SELECT 1 AS g,"
+     " 2 AS v WHERE 1 = 0) GROUP BY g WITH ROLLUP", None),
 ]
 
 
