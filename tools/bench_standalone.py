@@ -60,6 +60,7 @@ PICKS = [
     # r13 additions (born-in-tail catalog entries)
     "ev28_correlated_quantified_sql", "op13_asof_chained_sql",
     "ev29_sequence_next_node_sql",
+    "ev30_exponential_moving_average_sql",
 ]
 
 

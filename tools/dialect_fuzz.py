@@ -98,7 +98,8 @@ class Gen:
              "ternary_cast", "quantified_case", "quantified_setop",
              "correlated_quant", "asof_shared_cte", "rollup",
              "lag_lead", "seq_next_node", "asof_chain_setop",
-             "ties_setop", "quant_qualify", "array_join_asof"])
+             "ties_setop", "quant_qualify", "array_join_asof",
+             "ema"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "asof_shared_cte" and self.n_asof > 0:
@@ -376,6 +377,35 @@ class Gen:
             duck = (f"(SELECT g, CAST(coalesce({dfn}(v) OVER ("
                     f"PARTITION BY g ORDER BY v), -1) AS BIGINT)"
                     f" AS v FROM {d1})")
+            return ch, duck
+        if kind == "ema":
+            # exponentialMovingAverage (r14 drain): sorted-(t, v)
+            # fold, h=1 so every exponent is an integer and pow(2, k)
+            # is exact on both engines — the fold doubles are then
+            # bit-identical and floor(x * 4096) re-enters the integer
+            # (g, v) contract.  Time := coalesce(v, 0) (ties add,
+            # like CH merge at equal times); DuckDB mirror replays
+            # the identical fold via list ORDER BY + list_reduce.
+            c1, d1 = self.block(depth - 1)
+            m = self.rng.randint(3, 9)
+            a = self.name("ea")
+            ch = (f"(SELECT g, CAST(floor(exponentialMovingAverage(1)"
+                  f"(CAST(coalesce(v, 0) % {m} AS Float64),"
+                  f" coalesce(v, 0)) * 4096) AS Int64) AS v"
+                  f" FROM {c1} GROUP BY g)")
+            duck = (f"(WITH {a} AS (SELECT g,"
+                    f" list(struct_pack(t := coalesce(v, 0)::DOUBLE,"
+                    f" v := (coalesce(v, 0) % {m})::DOUBLE)"
+                    f" ORDER BY coalesce(v, 0)::DOUBLE,"
+                    f" (coalesce(v, 0) % {m})::DOUBLE) AS arr"
+                    f" FROM {d1} GROUP BY g)"
+                    f" SELECT g, CAST(floor(list_reduce("
+                    f"list_transform(arr, x -> struct_pack(s := x.v,"
+                    f" t := x.t)), (acc, x) -> struct_pack(s := x.s +"
+                    f" acc.s * pow(2.0::DOUBLE, (acc.t - x.t) /"
+                    f" 1.0::DOUBLE), t := x.t)).s * (1.0::DOUBLE -"
+                    f" pow(2.0::DOUBLE, -1.0::DOUBLE)) * 4096)"
+                    f" AS BIGINT) AS v FROM {a})")
             return ch, duck
         if kind == "seq_next_node":
             # sequenceNextNode (r14, VERDICT r13 item 5): both

@@ -1281,6 +1281,12 @@ CORPUS: list[tuple[str, tuple | None]] = [
     # CH/DuckDB emit the grand-total row; pinned r14)
     ("SELECT coalesce(g, -1) AS g, sum(v) AS s FROM (SELECT 1 AS g,"
      " 2 AS v WHERE 1 = 0) GROUP BY g WITH ROLLUP", None),
+    # exponentialMovingAverage: the CH docs table's h=1 all-ones
+    # series (1 - 2^-k); sorted-fold deviation documented at the shim
+    ("SELECT exponentialMovingAverage(1)(v, t) AS e FROM"
+     " (SELECT 1.0 AS v, number AS t FROM numbers(3))", (0.875,)),
+    ("SELECT exponentialTimeDecayedAvg(1)(v, t) AS e FROM"
+     " (SELECT 1.0 AS v, 1 AS t)", None),
 ]
 
 

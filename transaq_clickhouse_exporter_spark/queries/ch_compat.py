@@ -1485,12 +1485,6 @@ _UNSUPPORTED_MSG = {
         "— rank() OVER the pooled sample gives U; look p up "
         "client-side"
     ),
-    "exponentialMovingAverage": (
-        "exponentialMovingAverage() folds in CH block order over "
-        "(value, time) with a half-life decay — use an ordered window "
-        "(sum(v * pow(0.5, (t_max - t) / x)) spellings) or "
-        "functions/analytics for the deterministic per-key scan"
-    ),
     "exponentialTimeDecayedAvg": (
         "exponentialTimeDecayedAvg(): see exponentialMovingAverage — "
         "spell the decay explicitly over an ordered window"
@@ -4736,6 +4730,59 @@ def _seq_expr(name: str, params: str, args: list[str]) -> str:
     return f"{fn}({s}, '{regex}')"
 
 
+def _ema_expr(params: str, args: list[str]) -> str:
+    """``exponentialMovingAverage(x)(value, timeunit)`` → CH's
+    exponentially smoothed weighted average (ClickHouse
+    ``ExponentiallySmoothedAverage``, src/Common/
+    ExponentiallySmoothedCounter.h; docs.clickhouse.com
+    aggregate-functions/reference/exponentialmovingaverage): with
+    T = latest timeunit, result = Σᵢ vᵢ·2^((tᵢ−T)/x) · (1 − 2^(−1/x))
+    — the trailing factor is 1/sumWeights, the infinite-horizon
+    normalizer (h=1 → ×0.5, matching the docs table).
+
+    Determinism deviation (documented): CH folds pairs in block/merge
+    order, so its float result is association-order-dependent in the
+    last ulps; this build folds in SORTED (timeunit, value) order —
+    the same mathematical value, bitwise-reproducible across runs and
+    partitionings.  Equal-time points add (CH merge does the same),
+    so ties need no raise.  NULL value/time pairs drop; empty input
+    answers NULL (module-wide Spark empty-aggregate deviation — CH
+    answers 0).  Single aggregation, no Python, linear fold."""
+    parts = [p.strip() for p in _split_args(params)]
+    if len(parts) != 1 or not parts[0]:
+        raise UnsupportedChSql(
+            "exponentialMovingAverage expects one half-decay parameter")
+    try:
+        float(parts[0])
+    except ValueError:
+        raise UnsupportedChSql(
+            "exponentialMovingAverage half-decay must be a numeric "
+            "literal") from None
+    h = f"CAST({parts[0]} AS DOUBLE)"
+    if len(args) != 2:
+        raise UnsupportedChSql(
+            "exponentialMovingAverage expects (value, timeunit) "
+            "arguments")
+    v, t = args
+    pair = (f"CASE WHEN ({v}) IS NOT NULL AND ({t}) IS NOT NULL THEN"
+            f" struct(CAST(({t}) AS DOUBLE) AS t,"
+            f" CAST(({v}) AS DOUBLE) AS v) END")
+    arr = f"array_sort(collect_list({pair}))"
+    two = "CAST(2.0 AS DOUBLE)"
+    fold = (
+        "aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)),"
+        " named_struct('s', element_at(arr, 1).v,"
+        " 't', element_at(arr, 1).t),"
+        " (acc, x) -> named_struct("
+        f"'s', x.v + acc.s * power({two}, (acc.t - x.t) / {h}),"
+        " 't', x.t),"
+        f" acc -> acc.s * (CAST(1.0 AS DOUBLE)"
+        f" - power({two}, CAST(-1.0 AS DOUBLE) / {h})))")
+    return (f"element_at(transform(array({arr}), arr ->"
+            f" CASE WHEN size(arr) = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE {fold} END), 1)")
+
+
 def _seq_next_node_expr(params: str, args: list[str]) -> str:
     """``sequenceNextNode(direction, base)(ts, event_col, base_cond,
     event1…eventN)`` → the event-column value of the node right AFTER
@@ -5490,7 +5537,7 @@ def _rewrite_calls(sql: str) -> str:
                 "per-batch partials, re-merged on read)")
         if name in ("topK", "topKWeighted", "uniqUpTo",
                     "sequenceMatch", "sequenceCount", "windowFunnel",
-                    "sequenceNextNode"):
+                    "sequenceNextNode", "exponentialMovingAverage"):
             if not has_second:
                 raise UnsupportedChSql(f"{name} expects the (params)(args) form")
             close2 = _find_close(sql, k2)
@@ -5505,6 +5552,8 @@ def _rewrite_calls(sql: str) -> str:
                 out.append(_funnel_expr(inner, args))
             elif name == "sequenceNextNode":
                 out.append(_seq_next_node_expr(inner, args))
+            elif name == "exponentialMovingAverage":
+                out.append(_ema_expr(inner, args))
             else:
                 out.append(_seq_expr(name, inner, args))
             i = close2 + 1

@@ -2121,6 +2121,52 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "sequence-next-node", "ch-sql"),
         )
     )
+
+    # ev30 (r14, second dialect drain): exponentialMovingAverage via
+    # the sorted-fold bridge — per-security EMA of price over minute
+    # buckets, h = 1.  Integer minute diffs keep every pow(2, k)
+    # exact, and the oracle replays the IDENTICAL fold order
+    # (list ORDER BY t, v + list_reduce), so doubles match bit-exact.
+    def _ema_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code,
+                   exponentialMovingAverage(1)(price,
+                     intDiv(time_s, 60)) AS ema
+            FROM trades GROUP BY sec_code
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev30_exponential_moving_average_sql",
+            _ema_sql,
+            """
+            , ema_src AS (SELECT sec_code, CAST(price AS DOUBLE) AS v,
+                               CAST(time_s // 60 AS DOUBLE) AS t
+                        FROM trades),
+            ema_agg AS (SELECT sec_code,
+                               list(struct_pack(t := t, v := v)
+                                    ORDER BY t, v) AS arr
+                        FROM ema_src GROUP BY sec_code)
+            SELECT sec_code,
+                   list_reduce(
+                     list_transform(arr,
+                       x -> struct_pack(s := x.v, t := x.t)),
+                     (acc, x) -> struct_pack(
+                       s := x.s + acc.s * pow(2.0::DOUBLE,
+                              (acc.t - x.t) / 1.0::DOUBLE),
+                       t := x.t)).s
+                   * (1.0::DOUBLE - pow(2.0::DOUBLE, -1.0::DOUBLE))
+                     AS ema
+            FROM ema_agg
+            """,
+            tags=("events", "ema", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -5066,10 +5112,11 @@ _TAIL_NAMES = (
                                       # (INTERPOLATE) entered this round
     # (ev28/op13 — the round-13 additions — entered the window in the
     # ROUND-14 rotation above, earning their first external rows)
-    # round-14 addition starts in the tail; it earns a row in the r15
-    # rotation (class evidence: ev14/ev15 funnel family in recent
-    # windows, plus the r14 value-pinned suite + fuzz kind)
+    # round-14 additions start in the tail; they earn rows in the r15
+    # rotation (class evidence: ev14/ev15 funnel family + an06 EMA in
+    # recent windows, plus the r14 value-pinned suites + fuzz kinds)
     "ev29_sequence_next_node_sql",
+    "ev30_exponential_moving_average_sql",
 )
 
 
