@@ -61,6 +61,7 @@ PICKS = [
     "ev28_correlated_quantified_sql", "op13_asof_chained_sql",
     "ev29_sequence_next_node_sql",
     "ev30_exponential_moving_average_sql",
+    "ev31_max_intersections_sql",
 ]
 
 

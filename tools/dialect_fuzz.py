@@ -99,7 +99,7 @@ class Gen:
              "correlated_quant", "asof_shared_cte", "rollup",
              "lag_lead", "seq_next_node", "asof_chain_setop",
              "ties_setop", "quant_qualify", "array_join_asof",
-             "ema"])
+             "ema", "max_intersections"])
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "asof_shared_cte" and self.n_asof > 0:
@@ -406,6 +406,40 @@ class Gen:
                     f" 1.0::DOUBLE), t := x.t)).s * (1.0::DOUBLE -"
                     f" pow(2.0::DOUBLE, -1.0::DOUBLE)) * 4096)"
                     f" AS BIGINT) AS v FROM {a})")
+            return ch, duck
+        if kind == "max_intersections":
+            # maxIntersections(/Position) (r14 drain): integer sweep
+            # over synthetic [s, s+d) intervals from (g, v); the CH
+            # tie rule (ends before starts at equal positions) is
+            # source-pinned, mirrored by ORDER BY p, w.  Packs both
+            # answers into one integer (mi * 1000 + position) to
+            # re-enter the (g, v) contract.
+            c1, d1 = self.block(depth - 1)
+            m1, m2 = self.rng.randint(5, 15), self.rng.randint(1, 4)
+            pt, rn2, mx2 = self.name("mp"), self.name("mr"), self.name("mm")
+            ch = (f"(SELECT g, CAST(maxIntersections(coalesce(v, 0)"
+                  f" % {m1}, coalesce(v, 0) % {m1} + 1 + coalesce(v,"
+                  f" 0) % {m2}) * 1000 +"
+                  f" maxIntersectionsPosition(coalesce(v, 0) % {m1},"
+                  f" coalesce(v, 0) % {m1} + 1 + coalesce(v, 0) %"
+                  f" {m2}) AS Int64) AS v FROM {c1} GROUP BY g)")
+            duck = (
+                f"(WITH {pt} AS (SELECT g, u.p AS p, u.w AS w FROM"
+                f" (SELECT g, coalesce(v, 0) % {m1} AS s,"
+                f" coalesce(v, 0) % {m1} + 1 + coalesce(v, 0) % {m2}"
+                f" AS e FROM {d1}) AS __mi,"
+                f" UNNEST([struct_pack(p := s::DOUBLE, w := 1),"
+                f" struct_pack(p := e::DOUBLE, w := -1)]) AS t(u)),"
+                f" {rn2} AS (SELECT g, p, w, sum(w) OVER (PARTITION"
+                f" BY g ORDER BY p, w ROWS UNBOUNDED PRECEDING) AS c,"
+                f" row_number() OVER (PARTITION BY g ORDER BY p, w)"
+                f" AS rn FROM {pt}),"
+                f" {mx2} AS (SELECT g, max(c) AS m FROM {rn2}"
+                f" GROUP BY g)"
+                f" SELECT r.g AS g, CAST(x.m * 1000 +"
+                f" arg_min(r.p, r.rn) AS BIGINT) AS v"
+                f" FROM {rn2} r JOIN {mx2} x ON x.g = r.g AND"
+                f" r.c = x.m GROUP BY r.g, x.m)")
             return ch, duck
         if kind == "seq_next_node":
             # sequenceNextNode (r14, VERDICT r13 item 5): both

@@ -1287,6 +1287,14 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " (SELECT 1.0 AS v, number AS t FROM numbers(3))", (0.875,)),
     ("SELECT exponentialTimeDecayedAvg(1)(v, t) AS e FROM"
      " (SELECT 1.0 AS v, 1 AS t)", None),
+    # maxIntersections: the source-pinned tie rule — touching
+    # intervals do NOT intersect (end's -1 sorts before start's +1)
+    ("SELECT maxIntersections(s, e) AS mi,"
+     " maxIntersectionsPosition(s, e) AS mip FROM (SELECT 1 AS s,"
+     " 5 AS e UNION ALL SELECT 2, 6 UNION ALL SELECT 4, 7)",
+     (3, 4.0)),
+    ("SELECT maxIntersections(s, e) AS mi FROM"
+     " (SELECT 1 AS s, 2 AS e UNION ALL SELECT 2, 3)", (1,)),
 ]
 
 

@@ -1518,17 +1518,6 @@ _UNSUPPORTED_MSG = {
         "sparkbar() is a CLI rendering helper — bucket with "
         "width_bucket() + repeat('█', n) like bar()"
     ),
-    "maxIntersections": (
-        "maxIntersections(): CH's boundary tie rule (whether touching "
-        "segments intersect) is not pinned by its docs — spell the "
-        "sweep explicitly: explode (start,+1),(end,-1), running "
-        "sum() OVER (ORDER BY point), max.  intervalLengthSum IS "
-        "bridged (tie-safe: boundary points have measure zero)"
-    ),
-    "maxIntersectionsPosition": (
-        "maxIntersectionsPosition(): see maxIntersections — the same "
-        "explicit sweep's argmax"
-    ),
 }
 
 #: CH's -State / -Merge / -SimpleState combinators carry partial
@@ -4675,6 +4664,49 @@ def _uniq_upto_expr(params: str, args: list[str]) -> str:
     )
 
 
+def _max_intersections_expr(name: str, args: list[str]) -> str:
+    """``maxIntersections(start, end)`` → the maximum number of
+    simultaneously overlapping intervals; ``maxIntersectionsPosition``
+    → the position where that maximum is FIRST reached (ClickHouse
+    AggregateFunctionMaxIntersections.h).  The tie rule IS pinned by
+    the public source: events sort as ``std::pair`` (position, weight)
+    — lexicographic, so at an equal position the ``-1`` end processes
+    before the ``+1`` start ("sort by weight to get deterministic
+    result", per the source comment): touching intervals do NOT
+    intersect (half-open semantics), and the scan is deterministic —
+    no raise needed.
+
+    Construction: one ``collect_list`` of (position, weight) pairs per
+    group, sorted, then a linear ``aggregate()`` fold carrying
+    (current, max, argmax-position) — integer counting, exact.
+    Deviations (documented): positions return as DOUBLE (the fold's
+    sort key; CH returns the argument type); empty input answers NULL
+    (module-wide Spark empty-aggregate deviation — CH answers 0);
+    NULL start/end pairs drop."""
+    if len(args) != 2:
+        raise UnsupportedChSql(f"{name} expects (start, end) arguments")
+    s, e = args
+    pair = (f"CASE WHEN ({s}) IS NOT NULL AND ({e}) IS NOT NULL THEN"
+            f" array(struct(CAST(({s}) AS DOUBLE) AS p, 1 AS w),"
+            f" struct(CAST(({e}) AS DOUBLE) AS p, -1 AS w)) END")
+    arr = f"array_sort(flatten(collect_list({pair})))"
+    res = "acc.m" if name == "maxIntersections" else "acc.p"
+    cast = "CAST({} AS BIGINT)" if name == "maxIntersections" else "{}"
+    fold = (
+        "aggregate(arr,"
+        " named_struct('c', 0, 'm', 0, 'p', CAST(NULL AS DOUBLE)),"
+        " (acc, x) -> named_struct("
+        "'c', acc.c + x.w,"
+        " 'm', IF(acc.c + x.w > acc.m, acc.c + x.w, acc.m),"
+        " 'p', IF(acc.c + x.w > acc.m, x.p, acc.p)),"
+        f" acc -> {cast.format(res)})")
+    null_t = ("CAST(NULL AS BIGINT)" if name == "maxIntersections"
+              else "CAST(NULL AS DOUBLE)")
+    return (f"element_at(transform(array({arr}), arr ->"
+            f" CASE WHEN size(arr) = 0 THEN {null_t}"
+            f" ELSE {fold} END), 1)")
+
+
 def _retention_expr(parts: list[str]) -> str:
     """CH retention state is one held-on-ANY-row flag per condition;
     the result pairs each later flag with the first:
@@ -5560,6 +5592,10 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "retention":
             out.append(_retention_expr(_split_args(inner)))
+            i = close + 1
+            continue
+        if name in ("maxIntersections", "maxIntersectionsPosition"):
+            out.append(_max_intersections_expr(name, _split_args(inner)))
             i = close + 1
             continue
         if name == "multiIf":

@@ -2167,6 +2167,53 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "ema", "ch-sql"),
         )
     )
+
+    # ev31 (r14, third dialect drain): maxIntersections(/Position) —
+    # peak simultaneous open intervals per board (interval = trade
+    # time to time + quantity minutes).  CH's tie rule is pinned by
+    # its source (events sort as (position, weight) pairs: ends
+    # before starts at equal positions — touching intervals do NOT
+    # intersect); oracle = the same sweep via a running-sum window.
+    def _max_intersections_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT board,
+                   maxIntersections(time_s, time_s + quantity * 60)
+                     AS mi,
+                   maxIntersectionsPosition(time_s,
+                     time_s + quantity * 60) AS mip
+            FROM trades GROUP BY board
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev31_max_intersections_sql",
+            _max_intersections_sql,
+            """
+            , mi_pts AS (SELECT board, u.p AS p, u.w AS w FROM trades,
+                       UNNEST([struct_pack(p := time_s::DOUBLE, w := 1),
+                               struct_pack(p := (time_s + quantity * 60)::DOUBLE,
+                                           w := -1)]) AS t(u)),
+            mi_run AS (SELECT board, p, w,
+                              sum(w) OVER (PARTITION BY board
+                                           ORDER BY p, w
+                                           ROWS UNBOUNDED PRECEDING) AS c,
+                              row_number() OVER (PARTITION BY board
+                                                 ORDER BY p, w) AS rn
+                       FROM mi_pts),
+            mi_mx AS (SELECT board, max(c) AS m FROM mi_run GROUP BY board)
+            SELECT r.board, CAST(x.m AS BIGINT) AS mi,
+                   arg_min(r.p, r.rn) AS mip
+            FROM mi_run r JOIN mi_mx x ON x.board = r.board AND r.c = x.m
+            GROUP BY r.board, x.m
+            """,
+            tags=("events", "max-intersections", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -5117,6 +5164,7 @@ _TAIL_NAMES = (
     # recent windows, plus the r14 value-pinned suites + fuzz kinds)
     "ev29_sequence_next_node_sql",
     "ev30_exponential_moving_average_sql",
+    "ev31_max_intersections_sql",
 )
 
 
