@@ -130,11 +130,11 @@ def test_window_funnel_strict_increase_mode(spark):
         ).collect()
     }
     assert default == {1: 2, 2: 3, 3: 3}
-    # unsupported modes raise instead of mistranslating
-    # (strict_order is bridged since r11d — tests/
-    # test_funnel_strict_order.py pins it vs the CH scan reference)
+    # every documented funnel mode is now bridged (strict_order
+    # r11d, strict_deduplication r14 — each pinned vs the CH scan
+    # reference); an unknown mode keeps the named raise
     with pytest.raises(cc.UnsupportedChSql):
-        cc.translate_ch_sql(q.format(mode="'strict_deduplication'"))
+        cc.translate_ch_sql(q.format(mode="'no_such_mode'"))
 
 
 def test_sequence_count_matches_token_strings(spark, events):

@@ -172,8 +172,18 @@ def test_strict_order_randomized_vs_reference(spark):
         assert got == exp, (window, modes)
 
 
-def test_strict_dedup_still_raises():
-    with pytest.raises(UnsupportedChSql, match="strict_deduplication"):
+def test_strict_dedup_supported_since_r14_unknown_mode_raises():
+    # strict_deduplication is EXACT since r14 (tests/
+    # test_r14_funnel_dedup.py); an unknown mode keeps the named raise
+    translate_ch_sql(
+        "SELECT windowFunnel(10, 'strict_deduplication')("
+        "toDateTime(ts), a = 1, a = 2) FROM t")
+    with pytest.raises(UnsupportedChSql, match="no_such_mode"):
         translate_ch_sql(
-            "SELECT windowFunnel(10, 'strict_deduplication')("
+            "SELECT windowFunnel(10, 'no_such_mode')("
             "toDateTime(ts), a = 1, a = 2) FROM t")
+    # the combined strict_order + strict_deduplication raise
+    with pytest.raises(UnsupportedChSql, match="combined"):
+        translate_ch_sql(
+            "SELECT windowFunnel(10, 'strict_order', "
+            "'strict_deduplication')(toDateTime(ts), a = 1, a = 2) FROM t")

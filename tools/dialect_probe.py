@@ -671,9 +671,17 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " e = 'C') AS lvl FROM (SELECT 10 AS ts, 'A' AS e UNION ALL"
      " SELECT 20, 'B' UNION ALL SELECT 30, 'D' UNION ALL SELECT"
      " 40, 'C')", (3,)),
+    # strict_deduplication bridged r14: the repeat's index wins only
+    # before completion; here B repeats after level 2 was reached at
+    # ts=20, but n=2 completed first -> 2
     ("SELECT windowFunnel(100, 'strict_deduplication')(toDateTime(ts),"
-     " e = 'A', e = 'B') AS lvl FROM (SELECT 1 AS ts, 'A' AS e)",
-     None),  # clean-raise
+     " e = 'A', e = 'B') AS lvl FROM (SELECT 10 AS ts, 'A' AS e"
+     " UNION ALL SELECT 20, 'B' UNION ALL SELECT 30, 'B')", (2,)),
+    # repeat BEFORE completion (n=3): B's slot refills at ts=30 -> 2
+    ("SELECT windowFunnel(100, 'strict_deduplication')(toDateTime(ts),"
+     " e = 'A', e = 'B', e = 'C') AS lvl FROM (SELECT 10 AS ts,"
+     " 'A' AS e UNION ALL SELECT 20, 'B' UNION ALL SELECT 30, 'B'"
+     " UNION ALL SELECT 40, 'C')", (2,)),
     # --- r11e: the four ASOF comparators through the SQL bridge
     # (trades_core ⋈ sess_windows derived views; values pinned in
     # test_asof.py vs DuckDB's own ASOF JOIN — these are run-probes)

@@ -4927,7 +4927,7 @@ def _funnel_expr(params: str, args: list[str]) -> str:
     w = parts[0].strip() if parts else ""
     if not w:
         raise UnsupportedChSql("windowFunnel expects a window parameter")
-    strict_increase = strict_order = False
+    strict_increase = strict_order = strict_dedup = False
     for p in parts[1:]:
         mode = p.strip().strip("'")
         if mode == "strict_increase":
@@ -4938,14 +4938,30 @@ def _funnel_expr(params: str, args: list[str]) -> str:
             # sorted fold by also materializing NON-matching events
             # (they interrupt a started chain) and a termination slot
             strict_order = True
+        elif mode == "strict_deduplication":
+            # r14: CH early-RETURNS the repeated condition's 1-based
+            # INDEX the moment an already-filled slot's condition
+            # matches again (AggregateFunctionWindowFunnel.h:
+            # `if (strict_deduplication &&
+            # events_timestamp[event_idx].has_value()) return
+            # events_list[i].second` — note: the REPEAT's index, which
+            # can be LOWER than the level reached; c₁ repeats never
+            # trigger, its branch precedes the check; completing the
+            # top level first ends the scan first).  Expressible with
+            # a termination slot carrying the exit value.
+            strict_dedup = True
         else:
-            # 'strict_deduplication' early-RETURNS the matched level
-            # the moment a condition repeats (an exit value, not a
-            # state update) — raise rather than mistranslate
             raise UnsupportedChSql(
                 f"windowFunnel mode {mode!r} is not supported "
-                "(default, 'strict_increase' and 'strict_order' are)"
+                "(default, 'strict_increase', 'strict_order' and "
+                "'strict_deduplication' are)"
             )
+    if strict_order and strict_dedup:
+        raise UnsupportedChSql(
+            "windowFunnel strict_order + strict_deduplication combined "
+            "is not supported (each mode is, alone or with "
+            "strict_increase) — the two early-exit rules interleave "
+            "per CH's branch order; split the query if you need both")
     ts, conds = args[0], args[1:]
     n = len(conds)
     t_expr = f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
@@ -4973,30 +4989,56 @@ def _funnel_expr(params: str, args: list[str]) -> str:
     # strict_order adds slot n as the TERMINATION flag (CH's `break`
     # out of the scan loop): once set, every later element is inert.
     null_slot = "named_struct('a', CAST(NULL AS DOUBLE), 'l', CAST(NULL AS DOUBLE))"
-    init = f"array({', '.join([null_slot] * (n + (1 if strict_order else 0)))})"
-    dead = f"acc[{n}].a IS NOT NULL AND " if strict_order else ""
+    has_term = strict_order or strict_dedup
+    init = f"array({', '.join([null_slot] * (n + (1 if has_term else 0)))})"
+    if strict_order:
+        dead = f"acc[{n}].a IS NOT NULL AND "
+    elif strict_dedup:
+        # frozen once the exit slot is set OR the top level filled
+        # (CH returns at `event_idx + 1 == events_size` — a later
+        # repeat must not rewrite the answer)
+        dead = (f"(acc[{n}].a IS NOT NULL"
+                f" OR acc[{n - 1}].a IS NOT NULL) AND ")
+    else:
+        dead = ""
     upd = [
         f"CASE WHEN {dead}true THEN acc[0] "
         "WHEN e.i = 1 THEN named_struct('a', e.t, 'l', e.t) "
         "ELSE acc[0] END"
-        if strict_order else
+        if has_term else
         "CASE WHEN e.i = 1 THEN named_struct('a', e.t, 'l', e.t) "
         "ELSE acc[0] END"
     ]
     for i in range(1, n):
         strict = f"AND e.t > acc[{i - 1}].l " if strict_increase else ""
+        # strict_dedup: the repeat check PRECEDES the chain update in
+        # CH's branch order — an element whose own slot is filled
+        # exits and must NOT also refresh the slot's anchor
+        ded_skip = (f"WHEN e.i = {i + 1} AND acc[{i}].a IS NOT NULL "
+                    f"THEN acc[{i}] " if strict_dedup else "")
         upd.append(
             f"CASE WHEN {dead}e.i >= 0 THEN acc[{i}] "
+            f"{ded_skip}"
             f"WHEN e.i = {i + 1} AND acc[{i - 1}].a IS NOT NULL "
             f"AND e.t <= acc[{i - 1}].a + ({w}) {strict}"
             f"THEN named_struct('a', acc[{i - 1}].a, 'l', e.t) "
             f"ELSE acc[{i}] END"
-            if strict_order else
+            if has_term else
             f"CASE WHEN e.i = {i + 1} AND acc[{i - 1}].a IS NOT NULL "
             f"AND e.t <= acc[{i - 1}].a + ({w}) {strict}"
             f"THEN named_struct('a', acc[{i - 1}].a, 'l', e.t) "
             f"ELSE acc[{i}] END"
         )
+    if strict_dedup:
+        # exit slot: the first element repeating an already-filled
+        # condition (c₂…cₙ — the c₁ branch precedes the check in CH)
+        # stores the REPEAT's 1-based index as the funnel's answer
+        upd.append(
+            f"CASE WHEN {dead}e.i >= 0 THEN acc[{n}] "
+            f"WHEN e.i >= 2 AND element_at(acc, e.i).a IS NOT NULL "
+            f"THEN named_struct('a', CAST(e.i AS DOUBLE), "
+            f"'l', CAST(0 AS DOUBLE)) "
+            f"ELSE acc[{n}] END")
     if strict_order:
         # termination (CH scan loop, in its branch order): a stored
         # non-match entry (e.i = 0) breaks once the chain has started
@@ -5016,10 +5058,14 @@ def _funnel_expr(params: str, args: list[str]) -> str:
             f"THEN named_struct('a', CAST(0 AS DOUBLE), "
             f"'l', CAST(0 AS DOUBLE)) "
             f"ELSE acc[{n}] END")
-    finish = (
-        f"size(filter(slice(acc, 1, {n}), x -> x.a IS NOT NULL))"
-        if strict_order else
-        "size(filter(acc, x -> x.a IS NOT NULL))")
+    if strict_dedup:
+        finish = (
+            f"IF(acc[{n}].a IS NOT NULL, CAST(acc[{n}].a AS INT), "
+            f"size(filter(slice(acc, 1, {n}), x -> x.a IS NOT NULL)))")
+    elif strict_order:
+        finish = f"size(filter(slice(acc, 1, {n}), x -> x.a IS NOT NULL))"
+    else:
+        finish = "size(filter(acc, x -> x.a IS NOT NULL))"
     return (
         f"aggregate({evs}, {init}, (acc, e) -> array({', '.join(upd)}), "
         f"acc -> {finish})"
