@@ -97,3 +97,44 @@ def test_arity_raise():
     with pytest.raises(UnsupportedChSql, match="start, end"):
         translate_ch_sql(
             "SELECT maxIntersectionsPosition(s, e, x) FROM t GROUP BY g")
+
+
+def test_window_plan_selected_and_fold_fallback_equal(spark):
+    """r14 second phase: simple shapes plan the stateless window sweep
+    (LATERAL VIEW + running sum — no collect_list); a sibling
+    aggregate declines to the fold with MaxIntersectionsFoldWarning.
+    Both paths produce identical values."""
+    import warnings
+
+    from transaq_clickhouse_exporter_spark.queries.ch_compat import (
+        MaxIntersectionsFoldWarning,
+    )
+
+    t = translate_ch_sql(
+        "SELECT g, maxIntersections(s, e) AS mi FROM t GROUP BY g")
+    assert "LATERAL VIEW" in t and "collect_list" not in t
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t2 = translate_ch_sql(
+            "SELECT g, count() AS c, maxIntersections(s, e) AS mi"
+            " FROM t GROUP BY g")
+    assert "collect_list" in t2
+    assert any(issubclass(x.category, MaxIntersectionsFoldWarning)
+               for x in w)
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 1, 5), (1, 2, 6), (1, 4, 7),"
+        " (2, 1, 2), (2, 2, 3) AS t(g, s, e)"
+    ).createOrReplaceTempView("mi_paths")
+    win = sorted(tuple(r) for r in run_ch_sql(spark, (
+        "SELECT g, maxIntersections(s, e) AS mi,"
+        " maxIntersectionsPosition(s, e) AS mip"
+        " FROM mi_paths GROUP BY g")).collect())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", MaxIntersectionsFoldWarning)
+        fold = sorted(
+            (r[0], r[2], r[3]) for r in run_ch_sql(spark, (
+                "SELECT g, count() AS c, maxIntersections(s, e) AS mi,"
+                " maxIntersectionsPosition(s, e) AS mip"
+                " FROM mi_paths GROUP BY g")).collect())
+    assert win == fold == [(1, 3, 4.0), (2, 1, 1.0)]

@@ -62,6 +62,7 @@ PICKS = [
     "ev29_sequence_next_node_sql",
     "ev30_exponential_moving_average_sql",
     "ev31_max_intersections_sql",
+    "ev32_lttb_downsample_sql",
 ]
 
 

@@ -417,6 +417,27 @@ class Gen:
             c1, d1 = self.block(depth - 1)
             m1, m2 = self.rng.randint(5, 15), self.rng.randint(1, 4)
             pt, rn2, mx2 = self.name("mp"), self.name("mr"), self.name("mm")
+            if self.rng.random() < 0.5:
+                # bare-call select items take the r14 WINDOW-sweep
+                # rewrite; the packed arithmetic form below declines
+                # to the fold — both paths stay fuzzed
+                ch = (f"(SELECT g, maxIntersections(coalesce(v, 0)"
+                      f" % {m1}, coalesce(v, 0) % {m1} + 1 +"
+                      f" coalesce(v, 0) % {m2}) AS v"
+                      f" FROM {c1} GROUP BY g)")
+                duck = (
+                    f"(WITH {pt} AS (SELECT g, u.p AS p, u.w AS w FROM"
+                    f" (SELECT g, coalesce(v, 0) % {m1} AS s,"
+                    f" coalesce(v, 0) % {m1} + 1 + coalesce(v, 0) %"
+                    f" {m2} AS e FROM {d1}) AS __mi,"
+                    f" UNNEST([struct_pack(p := s::DOUBLE, w := 1),"
+                    f" struct_pack(p := e::DOUBLE, w := -1)]) AS t(u)),"
+                    f" {rn2} AS (SELECT g, sum(w) OVER (PARTITION"
+                    f" BY g ORDER BY p, w ROWS UNBOUNDED PRECEDING)"
+                    f" AS c FROM {pt})"
+                    f" SELECT g, CAST(max(c) AS BIGINT) AS v"
+                    f" FROM {rn2} GROUP BY g)")
+                return ch, duck
             ch = (f"(SELECT g, CAST(maxIntersections(coalesce(v, 0)"
                   f" % {m1}, coalesce(v, 0) % {m1} + 1 + coalesce(v,"
                   f" 0) % {m2}) * 1000 +"

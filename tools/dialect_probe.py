@@ -1303,6 +1303,13 @@ CORPUS: list[tuple[str, tuple | None]] = [
      (3, 4.0)),
     ("SELECT maxIntersections(s, e) AS mi FROM"
      " (SELECT 1 AS s, 2 AS e UNION ALL SELECT 2, 3)", (1,)),
+    # LTTB: n <= buckets returns all points sorted by x; the selected
+    # shape is pinned vs the canonical reference in tests/test_r14_lttb
+    ("SELECT size(largestTriangleThreeBuckets(3)(x, y)) AS n FROM"
+     " (SELECT CAST(number AS Float64) AS x,"
+     " CAST(number * 3 % 7 AS Float64) AS y FROM numbers(10))", (3,)),
+    ("SELECT lttb(10)(x, y) AS r FROM (SELECT 2.0 AS x, 1.0 AS y"
+     " UNION ALL SELECT 1.0, 5.0)", None),
 ]
 
 

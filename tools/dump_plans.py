@@ -78,7 +78,8 @@ PICKS = {
     "op13_asof_chained_sql": "chained ASOF (r13): link 2 bridges against link 1's view — two sequential union+window subtrees, one keyed exchange per link, zero Join nodes in the ASOF path itself",
     "ev29_sequence_next_node_sql": "sequenceNextNode (r14): the windowFunnel fold shape — one ObjectHashAggregate (collect_list of (t, val, flags) structs) with map-side partials over the argMin pre-dedup's partial→final pair; pure array logic after, no Python, no extra shuffle",
     "ev30_exponential_moving_average_sql": "exponentialMovingAverage (r14): sorted collect_list fold per sec_code — one partial→final ObjectHashAggregate pair, linear aggregate() fold, integer exponents keep pow exact cross-engine",
-    "ev31_max_intersections_sql": "maxIntersections(/Position) (r14): one partial→final collect of (position, ±1) events per board, sorted linear sweep fold — integer counting, no join, no window exchange",
+    "ev31_max_intersections_sql": "maxIntersections(/Position) (r14): r14 second phase: STATELESS window sweep — LATERAL VIEW event explode + running-sum window per board, max/max_by aggregates; the fold (7 s, whole-group arrays in one task) remains only for declined shapes",
+    "ev32_lttb_downsample_sql": "largestTriangleThreeBuckets (r14): argMin pre-dedup partial→final, then ONE ObjectHashAggregate collect per security and a static O(1)-size selection fold over sequence(0, n-3) — no per-bucket unrolling, no Python",
 }
 
 HEADER = """# PLANS — physical plans of representative catalog queries

@@ -2214,6 +2214,101 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "max-intersections", "ch-sql"),
         )
     )
+
+    # ev32 (r14, fifth dialect drain): largestTriangleThreeBuckets —
+    # per-security LTTB chart downsampling to 12 points over the
+    # (time, argMin-price) series.  The argMin pre-dedup per
+    # (sec_code, time_s) dogfoods the duplicate-x RAISE contract;
+    # areas/averages are plain IEEE mul/sub/div, and the oracle
+    # replays the IDENTICAL selection scan (DuckDB recursive CTE +
+    # list_sort argmax), so doubles match bit-exactly.
+    def _lttb_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        return run_ch_sql(
+            s,
+            """
+            SELECT sec_code, pt.x AS x, pt.y AS y
+            FROM (SELECT sec_code,
+                         explode(largestTriangleThreeBuckets(12)(ts_m,
+                           py)) AS pt
+                  FROM (SELECT sec_code, time_s AS ts_m,
+                               argMin(price, trade_no) AS py
+                        FROM trades GROUP BY sec_code, time_s) d
+                  GROUP BY sec_code) q
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev32_lttb_downsample_sql",
+            _lttb_sql,
+            """
+            , lt_d AS (SELECT sec_code, time_s::DOUBLE AS x,
+                            arg_min(price, trade_no)::DOUBLE AS y
+                     FROM trades GROUP BY sec_code, time_s),
+            lt_g AS (SELECT sec_code,
+                            list(struct_pack(x := x, y := y)
+                                 ORDER BY x, y) AS arr
+                     FROM lt_d GROUP BY sec_code),
+            lt_small AS (SELECT sec_code, u.pt.x AS x, u.pt.y AS y
+                         FROM lt_g, UNNEST(arr) AS u(pt)
+                         WHERE len(arr) <= 12),
+            lt_p AS (SELECT sec_code, arr, len(arr) AS n,
+                            (len(arr) - 2)::DOUBLE / (12 - 2) AS every
+                     FROM lt_g WHERE len(arr) > 12),
+            lt_steps AS (
+              SELECT sec_code, i,
+                list_transform(generate_series(
+                    (floor(i * every))::INT + 2,
+                    (floor((i + 1) * every))::INT + 1),
+                  j -> struct_pack(j := j, x := arr[j].x,
+                                   y := arr[j].y)) AS cand,
+                list_aggregate(list_transform(generate_series(
+                    (floor((i + 1) * every))::INT + 2,
+                    least((floor((i + 2) * every))::INT + 1, n)),
+                  k -> arr[k].x), 'sum')
+                  / (least((floor((i + 2) * every))::INT + 1, n)
+                     - (floor((i + 1) * every))::INT - 1) AS avx,
+                list_aggregate(list_transform(generate_series(
+                    (floor((i + 1) * every))::INT + 2,
+                    least((floor((i + 2) * every))::INT + 1, n)),
+                  k -> arr[k].y), 'sum')
+                  / (least((floor((i + 2) * every))::INT + 1, n)
+                     - (floor((i + 1) * every))::INT - 1) AS avy
+              FROM lt_p, generate_series(0, 12 - 3) s(i)),
+            lt_sel AS (
+              SELECT * FROM (
+                WITH RECURSIVE sel(sec_code, i, px, py) AS (
+                  SELECT sec_code, 0, arr[1].x, arr[1].y FROM lt_p
+                  UNION ALL
+                  SELECT s.sec_code, s.i + 1,
+                    (list_sort(list_transform(st.cand,
+                       c -> struct_pack(
+                         negar := -(abs((s.px - st.avx) * (c.y - s.py)
+                                  - (s.px - c.x) * (st.avy - s.py))
+                                  * 0.5),
+                         j := c.j, x := c.x, y := c.y))))[1].x,
+                    (list_sort(list_transform(st.cand,
+                       c -> struct_pack(
+                         negar := -(abs((s.px - st.avx) * (c.y - s.py)
+                                  - (s.px - c.x) * (st.avy - s.py))
+                                  * 0.5),
+                         j := c.j, x := c.x, y := c.y))))[1].y
+                  FROM sel s JOIN lt_steps st
+                    ON st.sec_code = s.sec_code AND st.i = s.i
+                  WHERE s.i < 12 - 2)
+                SELECT sec_code, i, px, py FROM sel) z),
+            lt_big AS (SELECT sec_code, px AS x, py AS y FROM lt_sel
+                       UNION ALL
+                       SELECT sec_code, arr[n].x AS x, arr[n].y AS y
+                       FROM lt_p)
+            SELECT sec_code, x, y FROM lt_small
+            UNION ALL SELECT sec_code, x, y FROM lt_big
+            """,
+            tags=("events", "lttb", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -5165,6 +5260,7 @@ _TAIL_NAMES = (
     "ev29_sequence_next_node_sql",
     "ev30_exponential_moving_average_sql",
     "ev31_max_intersections_sql",
+    "ev32_lttb_downsample_sql",
 )
 
 
