@@ -1787,7 +1787,8 @@ def translate_ch_sql(
     # the source subquery, out of the later statement-level pass's
     # sight (review r12a) — gated so non-ILS statements keep their
     # exact pass order
-    if re.search(r"\bintervalLengthSum\s*\(", _mask_literals(sql)):
+    if re.search(r"\b(intervalLengthSum|maxIntersections)\w*\s*\(",
+                 _mask_literals(sql)):
         sql = _inline_where_aliases(sql)
     sql = _preaggregate_ils(sql)
     # maxIntersections plans the stateless window sweep by default
