@@ -124,3 +124,11 @@ def test_rollup_empty_input_contract(spark):
         " (SELECT number % 2 AS g, number AS v FROM numbers(4))"
         " GROUP BY g WITH ROLLUP").collect()
     assert sorted([(r.g, r.sv) for r in rows]) == [(-1, 6), (0, 2), (1, 4)]
+
+
+def test_fuzz_batch_seed_8301(spark):
+    """r14 third-wave vocabulary: the ema kind (sorted-fold EMA vs a
+    DuckDB list_reduce mirror, bit-exact integer exponents) and the
+    max_intersections kind's two variants (bare-call -> the window
+    sweep; packed arithmetic -> the fold)."""
+    assert run_fuzz(60, 8301, spark) == []
