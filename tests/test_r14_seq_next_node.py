@@ -106,16 +106,22 @@ def test_duplicate_timestamps_raise(spark):
 
 
 def test_named_raises():
+    # (backward/tail and the *_match mirrors are SUPPORTED since the
+    # r14 second phase — see test_all_six_direction_base_pairs)
     for bad, rx in [
-        ("sequenceNextNode('backward','tail')(dt, page, page='A')",
-         "backward"),
-        ("sequenceNextNode('forward','last_match')(dt, page, page='A')",
-         "last_match"),
+        ("sequenceNextNode('backward','head')(dt, page, page='A')",
+         "rejects"),
+        ("sequenceNextNode('forward','tail')(dt, page, page='A')",
+         "rejects"),
         ("sequenceNextNode('forward','first_match')(dt, page, page='A')",
+         "needs at least event1"),
+        ("sequenceNextNode('backward','last_match')(dt, page, page='A')",
          "needs at least event1"),
         ("sequenceNextNode('forward')(dt, page, page='A')",
          "direction, base"),
         ("sequenceNextNode('forward','head')(dt)", "expects"),
+        ("sequenceNextNode('sideways','head')(dt, p, p='A')",
+         "recognized"),
     ]:
         with pytest.raises(UnsupportedChSql, match=rx):
             translate_ch_sql(f"SELECT {bad} FROM t GROUP BY id")
@@ -172,3 +178,78 @@ def test_randomized_vs_duckdb_mirror(spark):
             f" LEFT JOIN o nx ON nx.id = og.id AND nx.rn = b.brn + {n_ev}"
         ).fetchall())
         assert got == want, f"trial {trial} base={base} conds={conds}"
+
+
+def test_all_six_direction_base_pairs(spark, flow):
+    """r14 second phase: nodes always sort ascending (CH data.sort());
+    direction sets the chain step sign and the answer offset.  CH's
+    factory rejects backward+head and forward+tail."""
+    # backward + tail: anchor the LATEST node, walk back D <- C,
+    # answer = the node one step further back
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('backward','tail')(dt, page,"
+        " page='D', page='D', page='C') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    assert got == [(1, "B"), (2, None), (3, None)]
+    # backward + last_match: anchor the LAST 'B', answer = previous node
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('backward','last_match')(dt, page,"
+        " dt >= 1, page='B') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    assert got == [(1, "A"), (2, "B"), (3, "A")]
+    # forward + last_match: anchor the LAST 'B', answer = next node
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('forward','last_match')(dt, page,"
+        " dt >= 1, page='B') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    assert got == [(1, "C"), (2, "D"), (3, None)]
+    # backward + first_match: anchor the FIRST 'B', walk back
+    got = _rows(spark, (
+        "SELECT id, sequenceNextNode('backward','first_match')(dt, page,"
+        " dt >= 1, page='B') AS nxt"
+        f" FROM {flow} GROUP BY id"))
+    # id1: first B at t=2 -> previous node A; id2: first B at t=1 ->
+    # runs off the front -> NULL; id3: first B at t=2 -> previous A
+    assert got == [(1, "A"), (2, None), (3, "A")]
+    for d, b in [("backward", "head"), ("forward", "tail")]:
+        with pytest.raises(UnsupportedChSql, match="rejects"):
+            translate_ch_sql(
+                f"SELECT sequenceNextNode('{d}','{b}')(dt, p, p='A')"
+                " FROM t GROUP BY g")
+
+
+def test_backward_randomized_vs_duckdb_mirror(spark):
+    """Randomized backward+tail vs a row_number mirror anchored at the
+    per-group maximum rn."""
+    rng = random.Random(1515)
+    con = duckdb.connect()
+    pages = ["A", "B", "C"]
+    for trial in range(5):
+        rows = []
+        for g in range(1, 6):
+            for t in rng.sample(range(1, 25), rng.randint(0, 6)):
+                rows.append((g, t, rng.choice(pages)))
+        if not rows:
+            continue
+        vals = ", ".join(f"({g}, {t}, '{p}')" for g, t, p in rows)
+        spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(id, dt, page)"
+        ).createOrReplaceTempView("snn_bw")
+        con.execute("CREATE OR REPLACE TABLE snn_bw(id INT, dt INT, page VARCHAR)")
+        con.executemany("INSERT INTO snn_bw VALUES (?, ?, ?)", rows)
+        c0, c1 = (f"page = '{rng.choice(pages)}'" for _ in range(2))
+        got = _rows(spark, (
+            "SELECT id, sequenceNextNode('backward','tail')(dt, page,"
+            f" {c0}, {c1}) AS nxt FROM snn_bw GROUP BY id"))
+        want = sorted(tuple(r) for r in con.execute(
+            f"WITH o AS (SELECT id, page, row_number() OVER ("
+            f"PARTITION BY id ORDER BY dt) AS rn,"
+            f" count(*) OVER (PARTITION BY id) AS m FROM snn_bw)"
+            f" SELECT og.id, CASE WHEN ({c0.replace('page', 'ot.page')})"
+            f" AND ({c1.replace('page', 'ot.page')})"
+            f" THEN pv.page END AS nxt"
+            f" FROM (SELECT DISTINCT id FROM snn_bw) og"
+            f" LEFT JOIN o ot ON ot.id = og.id AND ot.rn = ot.m"
+            f" LEFT JOIN o pv ON pv.id = og.id AND pv.rn = ot.m - 1"
+        ).fetchall())
+        assert got == want, f"trial {trial} c0={c0} c1={c1}"

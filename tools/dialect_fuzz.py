@@ -473,7 +473,12 @@ class Gen:
             # (NULL ts never becomes a node).  The string event
             # column round-trips CAST(v AS String) → BIGINT exactly.
             c1, d1 = self.block(depth - 1)
-            base = self.rng.choice(["head", "first_match"])
+            direction, base = self.rng.choice([
+                ("forward", "head"), ("forward", "first_match"),
+                ("forward", "last_match"), ("backward", "tail"),
+                ("backward", "first_match"), ("backward", "last_match"),
+            ])  # the six CH-valid pairs (r14 second phase)
+            d = 1 if direction == "forward" else -1
             n_ev = self.rng.randint(1, 2)
             pool = ["{x} % 2 = 0", "{x} % 3 = 1", "{x} % 3 < 2",
                     "{x} % 5 != 0", "{x} % 4 >= 1"]
@@ -481,15 +486,19 @@ class Gen:
             src, o, b, og = (self.name("sn"), self.name("sno"),
                              self.name("snb"), self.name("sng"))
             ch_conds = ", ".join(c.format(x="v") for c in cnd)
-            ch = (f"(SELECT g, CAST(sequenceNextNode('forward',"
+            ch = (f"(SELECT g, CAST(sequenceNextNode('{direction}',"
                   f" '{base}')(v, CAST(v AS String), {ch_conds})"
                   f" AS Int64) AS v FROM (SELECT DISTINCT g, v"
                   f" FROM {c1}) AS {src} GROUP BY g)")
             if base == "head":
                 b_sql = (f"SELECT g, 1 AS brn FROM {o} WHERE rn = 1"
                          f" AND ({cnd[0].format(x='v')})")
+            elif base == "tail":
+                b_sql = (f"SELECT g, rn AS brn FROM {o} WHERE rn = m"
+                         f" AND ({cnd[0].format(x='v')})")
             else:
-                b_sql = (f"SELECT g, min(rn) AS brn FROM {o}"
+                agg = "min" if base == "first_match" else "max"
+                b_sql = (f"SELECT g, {agg}(rn) AS brn FROM {o}"
                          f" WHERE ({cnd[1].format(x='v')}) AND"
                          f" ({cnd[0].format(x='v')}) GROUP BY g")
             chain = " AND ".join(
@@ -497,11 +506,12 @@ class Gen:
                 for j in range(n_ev))
             ejoins = " ".join(
                 f"LEFT JOIN {o} e{j + 1} ON e{j + 1}.g = {og}.g"
-                f" AND e{j + 1}.rn = {b}.brn + {j}"
+                f" AND e{j + 1}.rn = {b}.brn + {d * j}"
                 for j in range(n_ev))
             duck = (f"(WITH {src} AS (SELECT DISTINCT g, v FROM {d1}),"
                     f" {o} AS (SELECT g, v, row_number() OVER ("
-                    f"PARTITION BY g ORDER BY v) AS rn FROM {src}"
+                    f"PARTITION BY g ORDER BY v) AS rn,"
+                    f" count(*) OVER (PARTITION BY g) AS m FROM {src}"
                     f" WHERE v IS NOT NULL),"
                     f" {b} AS ({b_sql})"
                     f" SELECT {og}.g AS g, CAST(CASE WHEN {chain}"
@@ -509,7 +519,7 @@ class Gen:
                     f" FROM (SELECT DISTINCT g FROM {src}) {og}"
                     f" LEFT JOIN {b} ON {b}.g = {og}.g {ejoins}"
                     f" LEFT JOIN {o} nx ON nx.g = {og}.g"
-                    f" AND nx.rn = {b}.brn + {n_ev})")
+                    f" AND nx.rn = {b}.brn + {d * n_ev})")
             return ch, duck
         if kind == "asof_chain_setop":
             # chained ASOF composed with set operators / CTE heads

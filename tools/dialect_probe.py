@@ -1253,8 +1253,13 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " dt >= 2, page = 'B') AS n"
      " FROM (SELECT 1 AS dt, 'B' AS page UNION ALL SELECT 2, 'B'"
      " UNION ALL SELECT 3, 'D')", ("D",)),
-    # unsupported base modes raise by name
-    ("SELECT sequenceNextNode('backward', 'tail')(dt, p, p = 'A') AS n"
+    # backward + tail (supported since the r14 second phase): anchor
+    # the latest node, walk the chain back, answer the node before it
+    ("SELECT sequenceNextNode('backward', 'tail')(dt, p, p = 'C',"
+     " p = 'C', p = 'B') AS n FROM (SELECT 1 AS dt, 'A' AS p"
+     " UNION ALL SELECT 2, 'B' UNION ALL SELECT 3, 'C')", ("A",)),
+    # CH's own factory rejection: head walks forward only
+    ("SELECT sequenceNextNode('backward', 'head')(dt, p, p = 'A') AS n"
      " FROM (SELECT 1 AS dt, 'A' AS p)", None),
     # dotted-qualified primaries before postfix casts / tuple access
     # (advice r14): whole qualified name stays inside the operand

@@ -5142,13 +5142,15 @@ def _seq_next_node_expr(params: str, args: list[str]) -> str:
     AggregateFunctionSequenceNextNode.h; docs.clickhouse.com
     parametric-functions#sequencenextnode).
 
-    Supported modes (VERDICT r13 item 5): ``('forward', 'head')`` —
-    the chain must start at the group's FIRST node (sorted by
-    timestamp): the head satisfies base_cond, node i satisfies
-    event_i, answer = node N+1's value — and ``('forward',
-    'first_match')`` — the chain starts at the first node satisfying
-    BOTH event1 and base_cond.  The backward/tail/last_match mirrors
-    raise by name (they are order-reversals of these two).
+    ALL SIX valid (direction, base) pairs are supported (r14 second
+    phase; CH's factory rejects backward+head and forward+tail).
+    Nodes always sort ascending by time (CH ``data.sort()``); the base
+    picks the anchor — ``head`` the earliest node, ``tail`` the
+    latest, ``first_match``/``last_match`` the first/last node
+    satisfying BOTH event1 and base_cond — the direction sets the
+    chain's step sign, and the answer is the node one step PAST the
+    matched chain (``getNextNodeIndex: base ± events_size``), NULL
+    when the chain breaks or runs off either end.
 
     Determinism contract: CH sorts nodes by timestamp only, so
     duplicate timestamps within a group leave the node order — and
@@ -5171,20 +5173,31 @@ def _seq_next_node_expr(params: str, args: list[str]) -> str:
             "sequenceNextNode direction/base must be string literals")
 
     direction, base = _lit(parts[0]), _lit(parts[1])
-    if direction != "forward" or base not in ("head", "first_match"):
+    if direction not in ("forward", "backward") or base not in (
+            "head", "tail", "first_match", "last_match"):
         raise UnsupportedChSql(
-            f"sequenceNextNode('{direction}', '{base}') is not "
-            "supported — 'forward' with base 'head' or 'first_match' "
-            "is; the backward/tail/last_match forms are order-"
-            "reversals of those (mirror the sort or the conditions)")
+            f"sequenceNextNode('{direction}', '{base}') is not a "
+            "recognized (direction, base) pair")
+    # CH's own factory validation (AggregateFunctionSequenceNextNode
+    # .cpp): head only walks forward, tail only backward
+    if base == "head" and direction == "backward":
+        raise UnsupportedChSql(
+            "sequenceNextNode: CH rejects base 'head' with direction "
+            "'backward' (head anchors the earliest node — walk "
+            "'forward' from it)")
+    if base == "tail" and direction == "forward":
+        raise UnsupportedChSql(
+            "sequenceNextNode: CH rejects base 'tail' with direction "
+            "'forward' (tail anchors the latest node — walk "
+            "'backward' from it)")
     if len(args) < 3:
         raise UnsupportedChSql(
             "sequenceNextNode expects (timestamp, event_column, "
             "base_condition, event1…) arguments")
     ts, ev, bc, conds = args[0], args[1], args[2], args[3:]
-    if base == "first_match" and not conds:
+    if base in ("first_match", "last_match") and not conds:
         raise UnsupportedChSql(
-            "sequenceNextNode base 'first_match' needs at least event1")
+            f"sequenceNextNode base '{base}' needs at least event1")
     n = len(conds)
     t_expr = f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
 
@@ -5200,17 +5213,34 @@ def _seq_next_node_expr(params: str, args: list[str]) -> str:
     node = "struct(" + ", ".join(fields) + ")"
     nodes = (f"array_sort(collect_list(CASE WHEN {t_expr} IS NOT NULL"
              f" THEN {node} END))")
+    # nodes are ALWAYS sorted ascending by time (CH data.sort());
+    # direction sets the chain's STEP sign and the answer offset
+    # (getNextNodeIndex: base ± events_size)
+    d = 1 if direction == "forward" else -1
     if base == "head":
         base_e = ("IF(coalesce(try_element_at(nodes, 1).b, false),"
                   " 1, CAST(NULL AS INT))")
+    elif base == "tail":
+        base_e = ("IF(coalesce(try_element_at(nodes, size(nodes)).b,"
+                  " false), size(nodes), CAST(NULL AS INT))")
     else:
-        base_e = ("try_element_at(filter(transform(nodes, (x, i) ->"
-                  " IF(x.b AND x.m1, i + 1, CAST(NULL AS INT))),"
-                  " p -> p IS NOT NULL), 1)")
+        matches = ("filter(transform(nodes, (x, i) ->"
+                   " IF(x.b AND x.m1, i + 1, CAST(NULL AS INT))),"
+                   " p -> p IS NOT NULL)")
+        pick = "1" if base == "first_match" else "-1"
+        base_e = f"try_element_at({matches}, {pick})"
+
+    def at(off: int, field: str) -> str:
+        # bounded lookup: a below-1 index must answer NULL, not wrap
+        # from the end (Spark's negative element_at semantics)
+        idx = f"base + {d * off}" if off else "base"
+        return (f"CASE WHEN ({idx}) >= 1 THEN"
+                f" try_element_at(nodes, {idx}).{field} END")
+
     chain = " AND ".join(
-        f"coalesce(try_element_at(nodes, base + {j}).m{j + 1}, false)"
+        f"coalesce({at(j, f'm{j + 1}')}, false)"
         for j in range(n)) or "true"
-    val = f"try_element_at(nodes, base + {n}).val"
+    val = at(n, "val")
     body = (f"element_at(transform(array({base_e}), base ->"
             f" CASE WHEN base IS NOT NULL AND {chain}"
             f" THEN {val} END), 1)")

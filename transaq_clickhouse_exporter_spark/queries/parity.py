@@ -2071,7 +2071,10 @@ def _events_specs() -> list[QuerySpec]:
                      event_type = 'view') AS nxt_head,
                    sequenceNextNode('forward', 'first_match')(ts_s, event_type,
                      value > 10, event_type = 'view',
-                     event_type = 'click') AS nxt_fm
+                     event_type = 'click') AS nxt_fm,
+                   sequenceNextNode('backward', 'tail')(ts_s, event_type,
+                     event_type = 'purchase', event_type = 'purchase',
+                     event_type = 'click') AS nxt_bw
             FROM (SELECT user_id, ts_s,
                          argMin(event_type, event_id) AS event_type,
                          argMin(value, event_id) AS value
@@ -2114,9 +2117,25 @@ def _events_specs() -> list[QuerySpec]:
                        LEFT JOIN snn_o o2 ON o2.user_id = b.user_id
                                          AND o2.rn = b.brn + 1
                        LEFT JOIN snn_o o3 ON o3.user_id = b.user_id
-                                         AND o3.rn = b.brn + 2)
-            SELECT h.user_id, h.nxt_head, fm.nxt_fm
-            FROM snn_h h LEFT JOIN snn_fm fm ON fm.user_id = h.user_id
+                                         AND o3.rn = b.brn + 2),
+            snn_m AS (SELECT user_id, max(rn) AS m FROM snn_o
+                      GROUP BY user_id),
+            snn_bw AS (SELECT mm.user_id,
+                              CASE WHEN ot.event_type = 'purchase'
+                                    AND ot.event_type = 'purchase'
+                                    AND pv.event_type = 'click'
+                                   THEN p2.event_type END AS nxt_bw
+                       FROM snn_m mm
+                       LEFT JOIN snn_o ot ON ot.user_id = mm.user_id
+                                         AND ot.rn = mm.m
+                       LEFT JOIN snn_o pv ON pv.user_id = mm.user_id
+                                         AND pv.rn = mm.m - 1
+                       LEFT JOIN snn_o p2 ON p2.user_id = mm.user_id
+                                         AND p2.rn = mm.m - 2)
+            SELECT h.user_id, h.nxt_head, fm.nxt_fm, bw.nxt_bw
+            FROM snn_h h
+            LEFT JOIN snn_fm fm ON fm.user_id = h.user_id
+            LEFT JOIN snn_bw bw ON bw.user_id = h.user_id
             """,
             tags=("events", "sequence-next-node", "ch-sql"),
         )
