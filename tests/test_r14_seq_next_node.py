@@ -253,3 +253,20 @@ def test_backward_randomized_vs_duckdb_mirror(spark):
             f" LEFT JOIN o pv ON pv.id = og.id AND pv.rn = ot.m - 1"
         ).fetchall())
         assert got == want, f"trial {trial} c0={c0} c1={c1}"
+
+
+def test_all_null_timestamp_group_each_base(spark):
+    """r14 fuzz seed 5150/27: a group whose every timestamp is NULL
+    has an EMPTY node set — the tail base's size(nodes) lookup must
+    not evaluate try_element_at(nodes, 0) (INVALID_INDEX_OF_ZERO even
+    through the try_ variant)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS INT), 'A'),"
+        " (1, CAST(NULL AS INT), 'B') AS t(id, dt, page)"
+    ).createOrReplaceTempView("snn_allnull")
+    for d, b in [("forward", "head"), ("backward", "tail"),
+                 ("forward", "first_match"), ("backward", "last_match")]:
+        got = _rows(spark, (
+            f"SELECT id, sequenceNextNode('{d}','{b}')(dt, page,"
+            " page='A', page='A') AS nxt FROM snn_allnull GROUP BY id"))
+        assert got == [(1, None)], (d, b)

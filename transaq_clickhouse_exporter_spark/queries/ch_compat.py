@@ -5221,8 +5221,12 @@ def _seq_next_node_expr(params: str, args: list[str]) -> str:
         base_e = ("IF(coalesce(try_element_at(nodes, 1).b, false),"
                   " 1, CAST(NULL AS INT))")
     elif base == "tail":
-        base_e = ("IF(coalesce(try_element_at(nodes, size(nodes)).b,"
-                  " false), size(nodes), CAST(NULL AS INT))")
+        # the size(nodes) lookup needs an empty guard: index 0 raises
+        # INVALID_INDEX_OF_ZERO even through try_element_at (r14 fuzz
+        # seed 5150/27 — an all-NULL-timestamp group)
+        base_e = ("CASE WHEN size(nodes) >= 1 AND"
+                  " coalesce(try_element_at(nodes, size(nodes)).b,"
+                  " false) THEN size(nodes) ELSE CAST(NULL AS INT) END")
     else:
         matches = ("filter(transform(nodes, (x, i) ->"
                    " IF(x.b AND x.m1, i + 1, CAST(NULL AS INT))),"
