@@ -61,10 +61,12 @@ def test_translate_final_and_literals():
 
 
 def test_unsupported_raises():
-    # ('forward', 'head') is supported since r14 — the backward/tail
-    # mirrors keep the named raise
+    # all six CH-valid (direction, base) pairs translate since r14;
+    # the two pairs CH's own factory rejects keep the named raise
     with pytest.raises(UnsupportedChSql):
-        translate_ch_sql("SELECT sequenceNextNode('backward', 'tail')(ts, e, c) FROM t")
+        translate_ch_sql("SELECT sequenceNextNode('backward', 'head')(ts, e, c) FROM t")
+    with pytest.raises(UnsupportedChSql):
+        translate_ch_sql("SELECT sequenceNextNode('forward', 'tail')(ts, e, c) FROM t")
     with pytest.raises(UnsupportedChSql):  # time guards need the DP scan
         translate_ch_sql(
             "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a=1, b=2) FROM e"

@@ -83,10 +83,14 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    map-merge family (``sumMap``…) — raise ``UnsupportedChSql`` with
    the offending name rather than mistranslating — use window
    functions / explode+GROUP BY / the DataFrame operators for those.
-   ``sequenceNextNode`` is exact for ``('forward', 'head')`` and
-   ``('forward', 'first_match')`` (r14) and raises at RUNTIME on
-   groups with duplicate timestamps (CH's node order is undefined
-   there); the backward/tail/last_match mirrors raise by name.
+   ``sequenceNextNode`` is exact for all six CH-valid
+   ``(direction, base)`` pairs — ``forward``×``head``/``first_match``/
+   ``last_match`` and ``backward``×``tail``/``first_match``/
+   ``last_match`` (r14) — and raises at RUNTIME on groups with
+   duplicate timestamps (CH's node order is undefined there); only
+   the two combinations CH's own factory rejects,
+   ``('backward', 'head')`` and ``('forward', 'tail')``, raise by
+   name.
 
 Documented deviations from ClickHouse (each also noted at its shim):
 
@@ -4287,6 +4291,72 @@ _MAXINT_AGG_RX = (
     r"largestTriangleThreeBuckets|lttb|first_value|last_value|"
     r"collect_list|collect_set|min_by|max_by)\s*\(")
 
+#: Function names KNOWN to be scalar (row-wise), lowercased — the
+#: inverted sibling-aggregate guard for the maxIntersections window
+#: rewrite (ADVICE r14 high).  CH's aggregate-combinator grammar
+#: (countIf, sumDistinct, anyHeavy, maxSimpleState, …) forms an OPEN
+#: set that no blacklist can enumerate, so inside HAVING/ORDER BY —
+#: the clauses the select-item whitelist does not reach — any call to
+#: a name NOT in this set (nor a scalar shim, nor a call already used
+#: inside a GROUP BY key) declines the rewrite and keeps the fold,
+#: which is always value-correct.  False negatives here cost only the
+#: fold's perf, never correctness.
+_MAXINT_SCALAR_OK = frozenset("""
+    abs round floor ceil ceiling trunc truncate sign sqrt cbrt exp ln
+    log log2 log10 log1p pow power mod pmod modulo intdiv intdivorzero
+    plus minus multiply divide negate gcd lcm greatest least
+    lower upper lcase ucase length char_length character_length
+    lengthutf8 octet_length substring substr mid trim ltrim rtrim
+    btrim concat concat_ws replace replaceall replaceone replaceregexpall
+    replaceregexpone regexp_replace regexp_extract translate position
+    positioncaseinsensitive locate instr startswith endswith startsWith
+    endsWith reverse repeat lpad rpad leftpad rightpad format printf
+    lowerutf8 upperutf8 splitbychar splitbystring split
+    todate todatetime todatetime64 totime tostring toint8 toint16
+    toint32 toint64 toint128 toint256 touint8 touint16 touint32
+    touint64 tofloat32 tofloat64 todecimal32 todecimal64 todecimal128
+    tounixtimestamp fromunixtimestamp parsedatetime
+    parsedatetimebesteffort makedate make_date make_timestamp
+    tostartofinterval tostartofday tostartofhour tostartofminute
+    tostartoffiveminute tostartoffiveminutes tostartoffifteenminutes
+    tostartoftenminutes tostartofmonth tostartofquarter tostartofyear
+    tostartofweek tomonday tolastdayofmonth date_trunc datetrunc
+    date_add date_sub dateadd datesub datediff date_diff timestampadd
+    timestampdiff timestamp_seconds unix_timestamp to_timestamp
+    to_date from_unixtime adddays addhours addminutes addseconds
+    addmonths addquarters addweeks addyears subtractdays subtracthours
+    subtractminutes subtractseconds subtractmonths subtractquarters
+    subtractweeks subtractyears
+    toyear tomonth todayofmonth todayofweek todayofyear tohour
+    tominute tosecond toquarter toweek toyyyymm toyyyymmdd
+    toyyyymmddhhmmss year month day hour minute second quarter week
+    dayofmonth dayofweek dayofyear weekofyear monthname last_day
+    next_day weekday dayname
+    if multiif iif cast try_cast accuratecast coalesce ifnull nullif
+    isnull isnotnull isfinite isinfinite isnan nvl nvl2 assumenotnull
+    tonullable nullable
+    struct named_struct array map tuple tupleelement element_at
+    arrayelement arrayconcat arrayslice arraysort arrayreverse
+    arraydistinct arrayjoin has hasany hasall indexof arraycount
+    arraysum arraymin arraymax arrayavg size cardinality array_contains
+    arrayexists arrayfilter arraymap arrayreduce empty notempty
+    cityhash64 siphash64 siphash128 halfmd5 md5 sha1 sha224 sha256
+    sha512 xxhash32 xxhash64 xxh3 farmhash64 farmfingerprint64
+    javahash hiveHash metrohash64 hex unhex bin unbin crc32 crc32ieee
+    crc64 hash murmurhash2_32 murmurhash2_64 murmurhash3_32
+    murmurhash3_64 murmurhash3_128
+""".lower().split())
+
+_SCALAR_SHIM_NAMES: frozenset = frozenset()  # filled after _SCALAR_SHIMS
+
+
+def _known_scalar(ident: str) -> bool:
+    global _SCALAR_SHIM_NAMES
+    if not _SCALAR_SHIM_NAMES:
+        _SCALAR_SHIM_NAMES = frozenset(n.lower() for n in _SCALAR_SHIMS)
+    low = ident.lower()
+    return low in _MAXINT_SCALAR_OK or low in _SCALAR_SHIM_NAMES
+
 
 def _rewrite_maxint_block(sql: str, sh: str, depths: list[int],
                           bs: int, be: int) -> str:
@@ -4385,6 +4455,34 @@ def _rewrite_maxint_block(sql: str, sh: str, depths: list[int],
     if re.search(_MAXINT_AGG_RX, "".join(rest)):
         raise _MaxIntFallback("sibling aggregate (the explode doubles "
                               "row multiplicity)")
+    # INVERTED guard for HAVING/ORDER BY (ADVICE r14 high): the
+    # blacklist above names known aggregates, but CH's combinator
+    # grammar (countIf, sumDistinct, anyHeavy, …) is an open set and
+    # these clauses are the ones the select-item whitelist below does
+    # not reach — a countIf evaluated over the exploded rows counts
+    # every interval twice, silently.  Any call there whose name is
+    # not a known scalar (nor already vetted inside a GROUP BY key)
+    # declines the rewrite; the fold is always value-correct.
+    ho_start = min([cl[k][0] for k in ("HAVING", "ORDER BY") if k in cl],
+                   default=-1)
+    if ho_start >= 0:
+        ho_end = cl["LIMIT"][0] if "LIMIT" in cl else be
+        ho_parts, pos = [], ho_start
+        for cs, ce, _, _ in sorted(calls, key=lambda c: c[0]):
+            if cs >= ho_start and ce <= ho_end:
+                ho_parts.append(sh[pos:cs])
+                pos = ce
+        ho_parts.append(sh[pos:ho_end])
+        key_idents = {m.group(1).lower() for k in keys for m in
+                      re.finditer(r"\b([A-Za-z_]\w*)\s*\(", k)}
+        for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\(", "".join(ho_parts)):
+            ident = m.group(1)
+            if ident.lower() in key_idents or _known_scalar(ident):
+                continue
+            raise _MaxIntFallback(
+                f"call to {ident!r} in HAVING/ORDER BY is not a known "
+                "scalar (open combinator set — the explode would "
+                "evaluate an aggregate over doubled rows)")
     # every select item is a group key or one of the calls
     key_norms = {_norm_expr(k) for k in keys}
     for it in _split_args(sql[sel_start: cl["FROM"][0]]):
@@ -5105,11 +5203,18 @@ def _ema_expr(params: str, args: list[str]) -> str:
         raise UnsupportedChSql(
             "exponentialMovingAverage expects one half-decay parameter")
     try:
-        float(parts[0])
+        half = float(parts[0])
     except ValueError:
         raise UnsupportedChSql(
             "exponentialMovingAverage half-decay must be a numeric "
             "literal") from None
+    # ADVICE r14 low: h=0 divides by zero in the fold's exponent
+    # ((acc.t − x.t) / h) → silent NaN/Inf; h<0 inverts the decay.
+    # CH itself computes pow(0.5, Δt/h) — h must be a positive finite.
+    if not (half > 0) or half == float("inf"):
+        raise UnsupportedChSql(
+            "exponentialMovingAverage half-decay must be a positive "
+            f"finite number, got {parts[0]!r}")
     h = f"CAST({parts[0]} AS DOUBLE)"
     if len(args) != 2:
         raise UnsupportedChSql(
