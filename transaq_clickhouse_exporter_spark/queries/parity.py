@@ -5035,6 +5035,61 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
+    # ROUND-15 ROTATION (executes VERDICT r14 items 2+3): twenty
+    # entries move INTO the window — the four round-14 additions that
+    # never held an external driver row (ev29/ev30/ev31/ev32, all
+    # judge-verified green in the r14 128-query sweep), the whole
+    # r08-stale cohort (db18/ev13/ev15/an09/dp26/dp31) and the whole
+    # r09-stale cohort (db01/in01/an02/an07/ev01/ev16/op08/dp02/dp03/
+    # mm01 — op08 prioritized: the ASOF SQL bridge was heavily
+    # rewritten since r09; db01 is the flagship panel).  The twenty
+    # displacements below ALL hold green rows in CORRECTNESS_r14 and
+    # each leaves an in-window class representative, named per entry.
+    "db05_netto_union_sell_top10",    # UNION+re-agg+topK: db06 keeps
+                                      # HAVING+topK; db01 re-enters the
+                                      # dashboard broadcast-join class
+    "db08_volume_diff_day_shifted",   # ts-arithmetic diff: db19 keeps
+                                      # tumbling buckets; r14 row banked
+    "db13_imoex_volume_by_time",      # tumbling+IN+broadcast: db01
+                                      # re-enters the identical shape
+    "db15_count_trades_by_time_buy",  # count-by-time: db01 keeps the
+                                      # agg-by-time shape; db16 stays
+    "db17_etf_template_var",          # NOT-IN subquery anti-join: tp03
+                                      # keeps semi/anti; r14 row banked
+    "an08_gap_fill",                  # window class: an02 (cumulative) +
+                                      # an07 (trailing range) re-enter;
+                                      # an10 stays for quantiles
+    "op04_asof_join",                 # DataFrame ASOF: op08 (SQL bridge
+                                      # over the same operator) re-enters
+    "op12_asof_parallel_sql",         # ASOF bridge class kept by op08
+                                      # re-entering; op05 range join stays
+    "op13_asof_chained_sql",          # ASOF bridge class kept by op08;
+                                      # r14 row banked (its first)
+    "in03_candles_windowed",          # candle class: in06 (rollup)
+                                      # COMPOSES candles_windowed and
+                                      # stays; in01 re-enters ingest
+    "ev06_funnel",                    # funnel class: ev15 (windowFunnel
+                                      # SQL) re-enters; ev11 stays
+    "ev08_window_funnel",             # funnel class kept by ev15
+                                      # re-entering + ev11 sessions
+    "ev12_retention",                 # retention: r14 row banked; funnel
+                                      # family kept by ev15/ev11
+    "ev17_topk_grouped_sql",          # topK class: ev13 (heavy hitters)
+                                      # + ev16 (weighted SQL) re-enter
+    "ev23_per_group_topn_sql",        # per-group topN kept by ev16/ev13
+                                      # re-entering
+    "ev25_fill_interpolate_sql",      # WITH FILL: r14 row banked;
+                                      # dialect-SQL class kept by
+                                      # ev29-ev32 entering
+    "ev28_correlated_quantified_sql", # quantified subquery: r14 row
+                                      # banked; dialect class kept by
+                                      # ev29-ev32 entering
+    "dp06_simhash_near_dups",         # near-dup class: dp03 (ngram
+                                      # jaccard) re-enters; dp16/dp17 stay
+    "ann04_sq_topk",                  # ANN class keeps ann01/ann03/ann05
+                                      # in-window
+    "dp27_weighted_sample",           # sampling class: dp08 (stratified)
+                                      # stays in-window
     # ROUND-14 ROTATION (executes VERDICT r13 item 1): thirteen entries
     # move INTO the window — the two entries that never held an
     # external driver row (ev28_correlated_quantified_sql,
@@ -5126,63 +5181,6 @@ _TAIL_NAMES = (
     # ev01/tp01) move INTO the window.  The ten displacements below
     # ALL hold green rows in CORRECTNESS_r08 and each leaves an
     # in-window class representative, named per entry.
-    "db18_dst_spring_buckets",        # DST-transition buckets: keep db19
-                                      # (fall, the harder repeated-hour case)
-    "ev13_heavy_hitters",             # Space-Saving sketch topK: keep ev16
-                                      # (weighted pre-agg SQL) + ev17 entering
-    "ev15_window_funnel_sql",         # funnel class keeps ev14 (CH-exact
-                                      # builder) + ev08 (earliest-anchor)
-    "an09_twap",                      # ordered-scan integral: window class
-                                      # keeps an07/an08/an10/an11
-    # (op04/dp06 re-entered the window in the ROUND-14 rotation above)
-    "dp26_semantic_dedup",            # cell-bucketed class keeps ann03 (IVF) +
-                                      # dp33 (diversity cells) entering
-    # (dp27 re-entered the window in the ROUND-14 rotation above)
-    "dp31_chunk_search",              # retrieval class keeps dp30 (chunking) +
-                                      # dp32 (LSH-bucketed search)
-    # (ann04 re-entered the window in the ROUND-14 rotation above)
-    # ROUND-10 ROTATION (executes VERDICT r9 items 1+3): the four
-    # round-9 additions (op09/ev19/ev20/ev21) move INTO the window —
-    # restoring the invariant that every catalog entry has held an
-    # external driver row — plus six r07-stale classes re-earn per the
-    # ~3-round staleness cadence (NOTES.md standing policy): db10,
-    # in02, an05, ev04, dp21, mm02.  The ten displacements below ALL
-    # hold green rows in CORRECTNESS_r09 and each leaves an in-window
-    # class representative, named per entry.
-    "db01_volume_by_interval_buy",    # tumbling+broadcast-join+IN-literals:
-                                      # db07/db19 stay; db10 re-enters the
-                                      # identical shape plus anti-join
-    "in01_securities_filter_project", # projection/cast/validity runs inside
-                                      # every ingest entry; in02 re-enters the
-                                      # parse path; in04/in05 stay in-window
-    "an02_cumulative_volume",         # cumulative window: r09 row banked;
-                                      # window class keeps an08/an11 + an05
-                                      # (rolling channel) re-entering
-    "an07_trailing_time_stats",       # trailing range-between window: r09 row
-                                      # banked; an05 re-enters rolling windows
-    "ev01_tumbling_agg",              # tumbling agg: r09 row banked; tumbling
-                                      # stays via db07/db19 + db10 re-entering
-    "ev16_topk_weighted_sql",         # weighted topK pre-agg: r09 row banked;
-                                      # ev17 stays; ev04 re-enters exact topK
-    "op08_asof_sql_bridge",           # ASOF INNER bridge: r09 row banked;
-                                      # op09 (LEFT, strictly harder) enters;
-                                      # op05 range join stays
-    "dp02_text_profile",              # text profile: r09 row banked; ev20
-                                      # enters the text-hash class; dp14 stays
-    "dp03_ngram_jaccard",             # shingle Jaccard: r09 row banked;
-                                      # dp05/dp17/dp23 stay + dp21 re-enters
-                                      # the broadcast shingle probe
-    "mm01_feature_extract",           # multimodal features: r09 row banked
-                                      # (sha256 oracle); mm02 re-enters the
-                                      # frame-sample class
-    # ROUND-11 ROTATION (executes VERDICT r10 item 1): the two round-10
-    # additions (ev22/ev23) move INTO the window — restoring the
-    # invariant that every catalog entry has held an external driver
-    # row — plus six r07-stale classes re-earn per the ~3-round
-    # staleness cadence (an06, ev05, ev07, ev09, tp05, dp12).  The
-    # eight displacements below ALL hold green rows in CORRECTNESS_r10
-    # and each leaves an in-window class representative, named per
-    # entry.
     "ev19_with_totals_sql",           # dialect-SQL class: r10 row banked;
                                       # ev17/ev18/ev20 stay + ev22/ev23 enter
     "ev21_combinator_profile_sql",    # combinator dialect class: r10 row
@@ -5276,10 +5274,6 @@ _TAIL_NAMES = (
     # round-14 additions start in the tail; they earn rows in the r15
     # rotation (class evidence: ev14/ev15 funnel family + an06 EMA in
     # recent windows, plus the r14 value-pinned suites + fuzz kinds)
-    "ev29_sequence_next_node_sql",
-    "ev30_exponential_moving_average_sql",
-    "ev31_max_intersections_sql",
-    "ev32_lttb_downsample_sql",
 )
 
 
