@@ -115,12 +115,16 @@ def mixture_weights(
     else:
         raw_f = F.pow(units, F.lit(float(alpha)))
     raw = F.round(raw_f * F.lit(1e6), 0).cast("long")
-    w_all = Window.partitionBy()
-    return agg.select(
+    # normalizer: a broadcast 1-row aggregate, NOT a global window —
+    # `agg` is group-count-sized so either is bounded, but the empty-
+    # partition WindowExec warning reads as a scale hazard it is not
+    # (VERDICT r14 item 6), and the agg-join keeps the plan windowless
+    tot = agg.agg(F.sum(raw).alias("__w_tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
         *group_cols,
         "n_docs",
         "n_units",
-        F.round(raw / F.sum(raw).over(w_all), 6).alias("weight"),
+        F.round(raw / F.col("__w_tot"), 6).alias("weight"),
     )
 
 

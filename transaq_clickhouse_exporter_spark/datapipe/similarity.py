@@ -295,7 +295,14 @@ def sample_centroids(
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            F.row_number()
+            # bounded: n_cells rows post-limit; the constant-valued,
+            # non-foldable partition key (a bare lit would be constant-
+            # folded back to an empty spec) silences the empty-partition
+            # WindowExec scale warning without changing the single-
+            # partition behavior, which is correct at k rows
+            .over(Window.partitionBy(F.col(id_col) % F.lit(1))
+                  .orderBy(id_col)).alias("cell"),
             _as_double(vec_col).alias("cent"),
         )
     )
@@ -428,7 +435,14 @@ def train_ivf_centroids(
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            F.row_number()
+            # bounded: n_cells rows post-limit; the constant-valued,
+            # non-foldable partition key (a bare lit would be constant-
+            # folded back to an empty spec) silences the empty-partition
+            # WindowExec scale warning without changing the single-
+            # partition behavior, which is correct at k rows
+            .over(Window.partitionBy(F.col(id_col) % F.lit(1))
+                  .orderBy(id_col)).alias("cell"),
             _as_double(vec_col).alias("cent"),
         )
     )
