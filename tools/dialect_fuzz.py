@@ -40,10 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 class Gen:
     """One generated query: parallel CH / DuckDB texts."""
 
-    def __init__(self, rng: random.Random, pptu_clean: bool = False):
+    def __init__(self, rng: random.Random, pptu_clean: bool = False,
+                 focus: list[str] | None = None):
         self.rng = rng
         self.n = 0  # fresh-name counter
         self.n_asof = 0  # parallel-branch ASOFs; keep statements small
+        #: optional kind names to BIAS toward (50% of block draws);
+        #: lets a round's new composition kinds reach the >=100-
+        #: compositions-per-kind density without inflating the batch
+        self.focus = focus or []
+        self.kind_tally: dict[str, int] = {}
         #: True when the running Spark build passed the
         #: PushProjectionThroughUnion probe (ch_compat.spark_pptu_bug
         #: is False): correlated kinds may then draw union-bearing
@@ -89,17 +95,24 @@ class Gen:
         if depth <= 0 or self.rng.random() < 0.25:
             ch, duck, _ = self.leaf()
             return ch, duck
-        kind = self.rng.choice(
-            ["plain", "plain", "union", "cte", "limit_by", "totals",
-             "array_join", "quantified", "prewhere_settings",
-             "distinct_on", "scalar_with", "grouped", "scalar_wrap",
-             "windowed", "joined", "in_subquery", "arr_wrap",
-             "set_op_distinct", "asof", "qualify", "paginate",
-             "ternary_cast", "quantified_case", "quantified_setop",
-             "correlated_quant", "asof_shared_cte", "rollup",
-             "lag_lead", "seq_next_node", "asof_chain_setop",
-             "ties_setop", "quant_qualify", "array_join_asof",
-             "ema", "max_intersections"])
+        if self.focus and self.rng.random() < 0.5:
+            kind = self.rng.choice(self.focus)
+        else:
+            kind = self.rng.choice(
+                ["plain", "plain", "union", "cte", "limit_by", "totals",
+                 "array_join", "quantified", "prewhere_settings",
+                 "distinct_on", "scalar_with", "grouped", "scalar_wrap",
+                 "windowed", "joined", "in_subquery", "arr_wrap",
+                 "set_op_distinct", "asof", "qualify", "paginate",
+                 "ternary_cast", "quantified_case", "quantified_setop",
+                 "correlated_quant", "asof_shared_cte", "rollup",
+                 "lag_lead", "seq_next_node", "asof_chain_setop",
+                 "ties_setop", "quant_qualify", "array_join_asof",
+                 "ema", "max_intersections",
+                 # r15 composition kinds (VERDICT r14 item 5)
+                 "snn_over_asof", "snn_shared_cte", "maxint_setop",
+                 "maxint_having", "with_scope_shadow"])
+        self.kind_tally[kind] = self.kind_tally.get(kind, 0) + 1
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
         if kind == "asof_shared_cte" and self.n_asof > 0:
@@ -473,54 +486,116 @@ class Gen:
             # (NULL ts never becomes a node).  The string event
             # column round-trips CAST(v AS String) → BIGINT exactly.
             c1, d1 = self.block(depth - 1)
-            direction, base = self.rng.choice([
-                ("forward", "head"), ("forward", "first_match"),
-                ("forward", "last_match"), ("backward", "tail"),
-                ("backward", "first_match"), ("backward", "last_match"),
-            ])  # the six CH-valid pairs (r14 second phase)
-            d = 1 if direction == "forward" else -1
-            n_ev = self.rng.randint(1, 2)
-            pool = ["{x} % 2 = 0", "{x} % 3 = 1", "{x} % 3 < 2",
-                    "{x} % 5 != 0", "{x} % 4 >= 1"]
-            cnd = [self.rng.choice(pool) for _ in range(1 + n_ev)]
-            src, o, b, og = (self.name("sn"), self.name("sno"),
-                             self.name("snb"), self.name("sng"))
-            ch_conds = ", ".join(c.format(x="v") for c in cnd)
-            ch = (f"(SELECT g, CAST(sequenceNextNode('{direction}',"
-                  f" '{base}')(v, CAST(v AS String), {ch_conds})"
-                  f" AS Int64) AS v FROM (SELECT DISTINCT g, v"
-                  f" FROM {c1}) AS {src} GROUP BY g)")
-            if base == "head":
-                b_sql = (f"SELECT g, 1 AS brn FROM {o} WHERE rn = 1"
-                         f" AND ({cnd[0].format(x='v')})")
-            elif base == "tail":
-                b_sql = (f"SELECT g, rn AS brn FROM {o} WHERE rn = m"
-                         f" AND ({cnd[0].format(x='v')})")
-            else:
-                agg = "min" if base == "first_match" else "max"
-                b_sql = (f"SELECT g, {agg}(rn) AS brn FROM {o}"
-                         f" WHERE ({cnd[1].format(x='v')}) AND"
-                         f" ({cnd[0].format(x='v')}) GROUP BY g")
-            chain = " AND ".join(
-                f"({cnd[j + 1].format(x=f'e{j + 1}.v')})"
-                for j in range(n_ev))
-            ejoins = " ".join(
-                f"LEFT JOIN {o} e{j + 1} ON e{j + 1}.g = {og}.g"
-                f" AND e{j + 1}.rn = {b}.brn + {d * j}"
-                for j in range(n_ev))
-            duck = (f"(WITH {src} AS (SELECT DISTINCT g, v FROM {d1}),"
-                    f" {o} AS (SELECT g, v, row_number() OVER ("
-                    f"PARTITION BY g ORDER BY v) AS rn,"
-                    f" count(*) OVER (PARTITION BY g) AS m FROM {src}"
-                    f" WHERE v IS NOT NULL),"
-                    f" {b} AS ({b_sql})"
-                    f" SELECT {og}.g AS g, CAST(CASE WHEN {chain}"
-                    f" THEN nx.v END AS BIGINT) AS v"
-                    f" FROM (SELECT DISTINCT g FROM {src}) {og}"
-                    f" LEFT JOIN {b} ON {b}.g = {og}.g {ejoins}"
-                    f" LEFT JOIN {o} nx ON nx.g = {og}.g"
-                    f" AND nx.rn = {b}.brn + {d * n_ev})")
+            return self._snn_over(c1, d1)
+        if kind == "snn_over_asof":
+            # sequenceNextNode WHOSE SOURCE IS AN ASOF JOIN (r15,
+            # VERDICT r14 item 5): the ASOF bridge consumes the
+            # FROM…JOIN region BEFORE translate; the seqNextNode
+            # rewrite must then see the bridged view cleanly.  DuckDB
+            # parses the same ASOF text natively.
+            if self.n_asof >= 2:
+                c1, d1 = self.block(depth - 1)
+                return self._snn_over(c1, d1)
+            self.n_asof += 1
+            c1, d1 = self.block(0)
+            c2, d2 = self.block(0)
+            al, ar = self.name("al"), self.name("ar")
+            tpl = (f"(SELECT {al}.g AS g, {al}.v +"
+                   f" coalesce({ar}.rv, 0) AS v"
+                   f" FROM (SELECT g, coalesce(v, 0) AS v"
+                   f" FROM {{s1}}) AS {al}"
+                   f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                   f" AS rv FROM {{s2}}) AS {ar}"
+                   f" ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            return self._snn_over(tpl.format(s1=c1, s2=c2),
+                                  tpl.format(s1=d1, s2=d2))
+        if kind == "snn_shared_cte":
+            # sequenceNextNode over a statement-level CTE that is
+            # ALSO consumed by a plain aggregate branch (r15): the
+            # shared def must survive the seqNextNode rewrite's
+            # source wrap (the InlineCTE / shared-def hazard zone).
+            nm = self.name("sc")
+            c1, d1 = self.block(depth - 1)
+            snn_ch, snn_duck = self._snn_over(nm, nm)
+            ch = (f"(WITH {nm} AS (SELECT g, v FROM {c1})"
+                  f" SELECT g, v FROM {snn_ch} __sn"
+                  f" UNION ALL SELECT g, CAST(sum(v) AS BIGINT) AS v"
+                  f" FROM {nm} GROUP BY g)")
+            duck = (f"(WITH {nm} AS (SELECT g, v FROM {d1})"
+                    f" SELECT g, v FROM {snn_duck} __sn"
+                    f" UNION ALL SELECT g, CAST(sum(v) AS BIGINT) AS v"
+                    f" FROM {nm} GROUP BY g)")
             return ch, duck
+        if kind == "maxint_setop":
+            # maxIntersections window-sweep blocks under set
+            # operators (r15, VERDICT r14 item 5): each branch must
+            # rewrite independently and the set op must apply to the
+            # FINISHED aggregates, not the exploded rows.
+            c1, d1 = self.block(depth - 1)
+            c2, d2 = self.block(depth - 1)
+            setop = self.rng.choice(["UNION ALL", "INTERSECT", "EXCEPT"])
+            ch_setop = (setop if setop == "UNION ALL"
+                        else setop + " DISTINCT")
+            ch = f"({self._mi_ch(c1)} {ch_setop} {self._mi_ch(c2)})"
+            duck = f"({self._mi_duck(d1)} {setop} {self._mi_duck(d2)})"
+            return ch, duck
+        if kind == "maxint_having":
+            # maxIntersections + HAVING (r15): a combinator aggregate
+            # (countIf) in HAVING must DECLINE the sweep (this round's
+            # inverted guard — the explode doubles row multiplicity),
+            # while a scalar HAVING keeps it; BOTH must match the
+            # mirror, which computes HAVING over the base rows.
+            c1, d1 = self.block(depth - 1)
+            # the source column is RENAMED vv: aliasing the call AS v
+            # while HAVING references source v would make the alias
+            # shadow the column (CH alias-visibility), inlining an
+            # aggregate inside countIf — invalid SQL on BOTH engines
+            # (first r15 fuzz run generated exactly that)
+            if self.rng.random() < 0.5:
+                hv_ch = "countIf(vv % 2 = 0) >= 1"
+                hv_duck = ("count(*) FILTER (WHERE coalesce(v, 0)"
+                           " % 2 = 0) >= 1")
+            else:
+                hv_ch, hv_duck = "g >= 1", "g >= 1"
+            hsrc = self.name("hs")
+            ch = (f"(SELECT g, maxIntersections(vv, vv + g + 2) AS v"
+                  f" FROM (SELECT g, coalesce(v, 0) AS vv FROM {c1}"
+                  f" __hi{hsrc}) {hsrc} GROUP BY g HAVING {hv_ch})")
+            duck = (f"(SELECT a.g AS g, a.v AS v"
+                    f" FROM {self._mi_duck(d1)} a JOIN"
+                    f" (SELECT g FROM {d1} __hb GROUP BY g"
+                    f" HAVING {hv_duck}) f ON f.g = a.g)")
+            return ch, duck
+        if kind == "with_scope_shadow":
+            # nested WITH-scope shadowing (r15, VERDICT r14 item 5):
+            # an inner WITH redefines an outer name; the scalar-WITH
+            # inliner / CTE handling must bind each reference to its
+            # NEAREST enclosing definition.  Relation form ships the
+            # same text to DuckDB (native scoping); the scalar form
+            # mirrors with the constants inlined by hand.
+            c1, d1 = self.block(depth - 1)
+            if self.rng.random() < 0.5:
+                k1 = self.rng.randint(2, 5)
+                k2 = self.rng.randint(6, 9)
+                ch = (f"(WITH {k1} AS kk SELECT g, v + kk AS v FROM"
+                      f" (WITH {k2} AS kk SELECT g, coalesce(v, 0)"
+                      f" + kk AS v FROM {c1}) __sw)")
+                duck = (f"(SELECT g, v + {k1} AS v FROM"
+                        f" (SELECT g, coalesce(v, 0) + {k2} AS v"
+                        f" FROM {d1}) __sw)")
+                return ch, duck
+            nm = self.name("w")
+            c2, d2 = self.block(0)
+            tpl = (f"(WITH {nm} AS (SELECT g, coalesce(v, 0) AS v"
+                   f" FROM {{s1}})"
+                   f" SELECT o.g AS g, o.v + i.v AS v FROM"
+                   f" (WITH {nm} AS (SELECT g, coalesce(v, 0) + 1"
+                   f" AS v FROM {{s2}})"
+                   f" SELECT g, max(v) AS v FROM {nm} GROUP BY g) i"
+                   f" JOIN (SELECT g, max(v) AS v FROM {nm}"
+                   f" GROUP BY g) o ON o.g = i.g)")
+            return (tpl.format(s1=c1, s2=c2),
+                    tpl.format(s1=d1, s2=d2))
         if kind == "asof_chain_setop":
             # chained ASOF composed with set operators / CTE heads
             # (r14, VERDICT r13 item 2) — the exact hazard zone of the
@@ -835,6 +910,89 @@ class Gen:
         return (f"(SELECT g, v FROM {c1} PREWHERE v > {thr}{settings})",
                 f"(SELECT g, v FROM {d1} WHERE v > {thr})")
 
+    def _mi_ch(self, src: str) -> str:
+        """CH maxIntersections block over intervals (coalesce(v,0),
+        coalesce(v,0)+g+2) — forward, NULL-free, sweep-eligible (the
+        bare call IS the select item, so the window rewrite applies)."""
+        a = self.name("mi")
+        # source v renamed vv so the call's AS v alias cannot shadow
+        # it (CH alias-visibility would inline an aggregate into any
+        # later reference — see the maxint_having kind note)
+        return (f"(SELECT g, maxIntersections(vv, vv + g + 2) AS v"
+                f" FROM (SELECT g, coalesce(v, 0) AS vv"
+                f" FROM {src} __i{a}) {a} GROUP BY g)")
+
+    def _mi_duck(self, src: str) -> str:
+        """DuckDB mirror of :meth:`_mi_ch`: the (position, ±1) event
+        sweep with ends-before-starts tie order (the r14 test's
+        pinned spelling), max running count per group."""
+        b, pt, rn = self.name("mb"), self.name("mp"), self.name("mr")
+        return (
+            f"(WITH {b} AS (SELECT g, coalesce(v, 0) AS s,"
+            f" coalesce(v, 0) + g + 2 AS e FROM {src}),"
+            f" {pt} AS (SELECT g, u.p AS p, u.w AS w FROM {b},"
+            f" UNNEST([struct_pack(p := s::DOUBLE, w := 1),"
+            f" struct_pack(p := e::DOUBLE, w := -1)]) AS __t(u)),"
+            f" {rn} AS (SELECT g, sum(w) OVER (PARTITION BY g"
+            f" ORDER BY p, w ROWS UNBOUNDED PRECEDING) AS c FROM {pt})"
+            f" SELECT g, CAST(max(c) AS BIGINT) AS v"
+            f" FROM {rn} GROUP BY g)")
+
+    def _snn_over(self, c1: str, d1: str) -> tuple[str, str]:
+        """sequenceNextNode block over an arbitrary (g, v) source
+        relation pair — factored out so composition kinds
+        (snn_over_asof, snn_shared_cte) can feed it bridged or
+        CTE-named sources.  Contract and mirror documented at the
+        seq_next_node kind."""
+        direction, base = self.rng.choice([
+            ("forward", "head"), ("forward", "first_match"),
+            ("forward", "last_match"), ("backward", "tail"),
+            ("backward", "first_match"), ("backward", "last_match"),
+        ])  # the six CH-valid pairs (r14 second phase)
+        d = 1 if direction == "forward" else -1
+        n_ev = self.rng.randint(1, 2)
+        pool = ["{x} % 2 = 0", "{x} % 3 = 1", "{x} % 3 < 2",
+                "{x} % 5 != 0", "{x} % 4 >= 1"]
+        cnd = [self.rng.choice(pool) for _ in range(1 + n_ev)]
+        src, o, b, og = (self.name("sn"), self.name("sno"),
+                         self.name("snb"), self.name("sng"))
+        ch_conds = ", ".join(c.format(x="v") for c in cnd)
+        ch = (f"(SELECT g, CAST(sequenceNextNode('{direction}',"
+              f" '{base}')(v, CAST(v AS String), {ch_conds})"
+              f" AS Int64) AS v FROM (SELECT DISTINCT g, v"
+              f" FROM {c1}) AS {src} GROUP BY g)")
+        if base == "head":
+            b_sql = (f"SELECT g, 1 AS brn FROM {o} WHERE rn = 1"
+                     f" AND ({cnd[0].format(x='v')})")
+        elif base == "tail":
+            b_sql = (f"SELECT g, rn AS brn FROM {o} WHERE rn = m"
+                     f" AND ({cnd[0].format(x='v')})")
+        else:
+            agg = "min" if base == "first_match" else "max"
+            b_sql = (f"SELECT g, {agg}(rn) AS brn FROM {o}"
+                     f" WHERE ({cnd[1].format(x='v')}) AND"
+                     f" ({cnd[0].format(x='v')}) GROUP BY g")
+        chain = " AND ".join(
+            f"({cnd[j + 1].format(x=f'e{j + 1}.v')})"
+            for j in range(n_ev))
+        ejoins = " ".join(
+            f"LEFT JOIN {o} e{j + 1} ON e{j + 1}.g = {og}.g"
+            f" AND e{j + 1}.rn = {b}.brn + {d * j}"
+            for j in range(n_ev))
+        duck = (f"(WITH {src} AS (SELECT DISTINCT g, v FROM {d1}),"
+                f" {o} AS (SELECT g, v, row_number() OVER ("
+                f"PARTITION BY g ORDER BY v) AS rn,"
+                f" count(*) OVER (PARTITION BY g) AS m FROM {src}"
+                f" WHERE v IS NOT NULL),"
+                f" {b} AS ({b_sql})"
+                f" SELECT {og}.g AS g, CAST(CASE WHEN {chain}"
+                f" THEN nx.v END AS BIGINT) AS v"
+                f" FROM (SELECT DISTINCT g FROM {src}) {og}"
+                f" LEFT JOIN {b} ON {b}.g = {og}.g {ejoins}"
+                f" LEFT JOIN {o} nx ON nx.g = {og}.g"
+                f" AND nx.rn = {b}.brn + {d * n_ev})")
+        return ch, duck
+
     def query(self) -> tuple[str, str]:
         # mostly depth 1-3; an occasional 4 for deeper nesting strata
         depth = self.rng.choice([1, 2, 2, 3, 3, 4])
@@ -882,6 +1040,31 @@ class Gen:
                 f" OVER (ORDER BY s.v ROWS BETWEEN UNBOUNDED PRECEDING"
                 f" AND CURRENT ROW)) AS gg, s.v AS v"
                 f" FROM __s s LEFT JOIN __b b USING (v)")
+            return ch, duck
+        if self.rng.random() < (0.3 if "fill_qualify" in self.focus
+                                else 0.07):
+            self.kind_tally["fill_qualify"] = (
+                self.kind_tally.get("fill_qualify", 0) + 1)
+            # WITH FILL × QUALIFY in one statement (r15, VERDICT r14
+            # item 5): the fill spec is EXTRACTED before translate and
+            # QUALIFY is RELOCATED during it — this pins their
+            # ordering.  One row per g survives QUALIFY; filled rows
+            # carry the column-type default g=0; grid is FROM..TO-
+            # exclusive minus observed DISTINCT v (the r13 fill-kind
+            # contract).  DuckDB runs QUALIFY natively.
+            c1, d1 = self.block(depth - 1)
+            hi = self.rng.randint(4, 9)
+            qual = ("row_number() OVER (PARTITION BY g"
+                    " ORDER BY coalesce(v, 0)) = 1")
+            ch = (f"SELECT g, v FROM (SELECT g, coalesce(v, 0) AS v"
+                  f" FROM {c1} __fq QUALIFY {qual}) __fo"
+                  f" ORDER BY v WITH FILL FROM 0 TO {hi}")
+            duck = (
+                f"WITH __b AS (SELECT g, coalesce(v, 0) AS v"
+                f" FROM {d1} __fq QUALIFY {qual})"
+                f" SELECT g, v FROM __b UNION ALL"
+                f" SELECT 0 AS g, x AS v FROM range(0, {hi}) AS __r(x)"
+                f" WHERE x NOT IN (SELECT v FROM __b)")
             return ch, duck
         if self.rng.random() < 0.15:
             # grouped final: per-key aggregates over the composition
@@ -940,8 +1123,12 @@ class Gen:
                 f"SELECT {agg[1]} FROM {d}")
 
 
-def run_fuzz(n_queries: int, seed: int, spark=None) -> list[str]:
-    """Returns a list of failure descriptions (empty = all agree)."""
+def run_fuzz(n_queries: int, seed: int, spark=None,
+             focus: list[str] | None = None,
+             tally: dict[str, int] | None = None) -> list[str]:
+    """Returns a list of failure descriptions (empty = all agree).
+    ``focus`` biases half the block draws toward the named kinds;
+    ``tally`` (if given) accumulates per-kind draw counts."""
     import warnings
 
     import duckdb
@@ -959,7 +1146,11 @@ def run_fuzz(n_queries: int, seed: int, spark=None) -> list[str]:
     failures: list[str] = []
     for i in range(n_queries):
         rng = random.Random((seed << 20) | i)
-        ch, duck = Gen(rng, pptu_clean=pptu_clean).query()
+        g = Gen(rng, pptu_clean=pptu_clean, focus=focus)
+        ch, duck = g.query()
+        if tally is not None:
+            for k, c in g.kind_tally.items():
+                tally[k] = tally.get(k, 0) + c
         try:
             want = con.execute(duck).fetchall()
         except Exception as e:  # mirror invalid on duck — generator bug
@@ -982,11 +1173,19 @@ def run_fuzz(n_queries: int, seed: int, spark=None) -> list[str]:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    fails = run_fuzz(n, seed)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--focus")]
+    focus = None
+    for a in sys.argv[1:]:
+        if a.startswith("--focus="):
+            focus = a.split("=", 1)[1].split(",")
+    n = int(argv[0]) if len(argv) > 0 else 120
+    seed = int(argv[1]) if len(argv) > 1 else 12
+    tally: dict[str, int] = {}
+    fails = run_fuzz(n, seed, focus=focus, tally=tally)
     for f in fails:
         print(f)
+    if focus:
+        print("focus tally:", {k: tally.get(k, 0) for k in focus})
     print(f"fuzz: {n} queries, seed {seed}, failures {len(fails)}")
     return 1 if fails else 0
 
