@@ -31,6 +31,119 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def asof_join_multi(
+    left: DataFrame,
+    rights: Sequence[tuple[DataFrame, str, str]],
+    by: Sequence[str],
+    left_ts: str = "time",
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """Chained/parallel as-of join against MULTIPLE right sides that
+    share the equality key and align on the LEFT's own timestamp — in
+    ONE keyed window, i.e. one shuffle total where a chain of
+    :func:`asof_join` calls costs one shuffle per link (each link's
+    union destroys the previous link's partitioning — Spark's Union
+    never preserves child partitioning).
+
+    ``rights``: (right_df, right_ts, right_ts_out) triples; each
+    side's payload columns (everything except ``by`` + its ts) appear
+    on the output under their own names, its matched timestamp under
+    ``right_ts_out`` (NULL = no match — filter on it for CH's INNER
+    ``ASOF JOIN`` gating).  Payload names must be disjoint across
+    sides and from the left.
+
+    Semantics are EXACTLY k successive ``asof_join`` links sharing
+    (by, left_ts, direction, strict): each left row independently
+    picks, per side, the closest right row at-or-before (backward)
+    or at-or-after (forward) its own timestamp.  A chained CH
+    ``ASOF JOIN`` whose links all key on the same columns and compare
+    against the same left timestamp is this exact shape.
+
+    Plan: tag each side i with its own payload struct column (NULL on
+    every other source), union all k+1 sources, ONE window per key —
+    k ``last(ignorenulls)`` columns ride the same WindowExec — then
+    keep left rows.  Scale: single exchange on ``by``; skewed keys
+    behave like any keyed window (AQE/salting apply)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by)
+    rights = list(rights)
+    if not rights:
+        raise ValueError("asof_join_multi needs at least one right side")
+    if left_ts in by:
+        raise ValueError("timestamp column must not be a key column")
+    l_cols = [c for c in left.columns if c not in by + [left_ts]]
+    taken = set(left.columns)
+    payloads: list[list[str]] = []
+    for rdf, rts, out_col in rights:
+        pay = [c for c in rdf.columns if c not in by + [rts]]
+        clash = (set(pay) | {out_col}) & taken
+        if clash:
+            raise ValueError(
+                f"right payload/output columns collide: {sorted(clash)}")
+        taken |= set(pay) | {out_col}
+        payloads.append(pay)
+
+    pay_types = [
+        T.StructType(
+            [T.StructField(c, rdf.schema[c].dataType) for c in pay]
+            + [T.StructField("__rts", rdf.schema[rts].dataType)]
+        )
+        for (rdf, rts, _), pay in zip(rights, payloads)
+    ]
+    nulls = [F.lit(None).cast(t) for t in pay_types]
+
+    l_tag = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(left_ts),
+        *[F.col(c) for c in l_cols],
+        *[n.alias(f"__pay{i}") for i, n in enumerate(nulls)],
+    )
+    tagged = [l_tag]
+    for i, ((rdf, rts, _), pay) in enumerate(zip(rights, payloads)):
+        tagged.append(rdf.select(
+            *by,
+            F.col(rts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in l_cols],
+            *[(F.struct(*[F.col(c).alias(c) for c in pay],
+                        F.col(rts).alias("__rts")).alias(f"__pay{j}")
+               if j == i else nulls[j].alias(f"__pay{j}"))
+              for j in range(len(rights))],
+        ))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    side_ord = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_ord, side_ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *by,
+        "__side",
+        left_ts,
+        *l_cols,
+        *[F.last(f"__pay{i}", ignorenulls=True).over(w).alias(f"__pay{i}")
+          for i in range(len(rights))],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *by, left_ts, *l_cols,
+        *[c
+          for i, ((_, _, out_col), pay) in enumerate(zip(rights, payloads))
+          for c in ([F.col(f"__pay{i}.{p}").alias(p) for p in pay]
+                    + [F.col(f"__pay{i}.__rts").alias(out_col)])],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

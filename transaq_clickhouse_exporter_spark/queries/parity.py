@@ -4547,6 +4547,58 @@ def _operator_specs() -> list[QuerySpec]:
             tags=("operator", "asof-join", "chained", "ch-sql"),
         )
     )
+    # Round-15: the CHAIN op13 runs verbatim-SQL through per-link
+    # bridge passes (one keyed-window shuffle per link — CH's own
+    # executor builds one hash table per ASOF link, same shape); this
+    # entry is the SCALE path for shared-key chains: asof_join_multi
+    # folds BOTH links into ONE keyed window (plan-asserted single
+    # exchange, tests/test_r15_asof_multi.py), so a k-link chain costs
+    # one shuffle instead of k.  Same semantics as op13 — the oracle
+    # is the same chained DuckDB ASOF — so the two entries cross-check
+    # the bridge and the operator against one spec.
+    def _asof_multi(s: SparkSession) -> DataFrame:
+        from ..operators.asof import asof_join_multi
+
+        t = s.table("trades").select("sec_code", "time_s")
+        q = s.table("quotes_dup").select("sec_code", "time_s").distinct()
+        w = s.table("sess_windows").select("sec_code", "win_start")
+        j = asof_join_multi(
+            t, [(q, "time_s", "mq"), (w, "win_start", "mw")],
+            by=["sec_code"], left_ts="time_s",
+        )
+        return (
+            j.filter("mq IS NOT NULL AND mw IS NOT NULL")
+            .groupBy("sec_code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("mq").cast("long").alias("sum_quote_ts"),
+                F.sum("mw").cast("long").alias("sum_win_start"),
+            )
+            .orderBy("sec_code")
+        )
+
+    sp.append(
+        QuerySpec(
+            "op14_asof_multi_single_shuffle",
+            _asof_multi,
+            """
+            SELECT sec_code, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(mq) AS BIGINT) AS sum_quote_ts,
+                   CAST(sum(mw) AS BIGINT) AS sum_win_start
+            FROM (
+              SELECT t.sec_code AS sec_code, q.time_s AS mq,
+                     w.win_start AS mw
+              FROM trades t
+              ASOF JOIN (SELECT sec_code, time_s FROM quotes_dup
+                         GROUP BY sec_code, time_s) q
+                ON t.sec_code = q.sec_code AND t.time_s >= q.time_s
+              ASOF JOIN sess_windows w
+                ON t.sec_code = w.sec_code AND t.time_s >= w.win_start
+            ) j GROUP BY sec_code ORDER BY sec_code
+            """,
+            tags=("operator", "asof-join", "multi", "single-shuffle"),
+        )
+    )
     # range (interval) join: per-security trades into VARIABLE-width
     # session windows (90-630 s, not minute multiples — fixed-interval
     # bucketing cannot express this).  Spark side runs the binned
@@ -5045,6 +5097,10 @@ _TAIL_NAMES = (
     # rewritten since r09; db01 is the flagship panel).  The twenty
     # displacements below ALL hold green rows in CORRECTNESS_r14 and
     # each leaves an in-window class representative, named per entry.
+    # A twenty-first displacement happens by POSITION, not by name:
+    # the new op14_asof_multi_single_shuffle enters in catalog order
+    # (operator specs), pushing dp32_chunk_search_lsh (green r14;
+    # retrieval class kept by dp31 re-entering) to position 51.
     "db05_netto_union_sell_top10",    # UNION+re-agg+topK: db06 keeps
                                       # HAVING+topK; db01 re-enters the
                                       # dashboard broadcast-join class
