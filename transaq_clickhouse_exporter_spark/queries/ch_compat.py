@@ -2327,7 +2327,19 @@ def _array_join_clause(sql: str) -> str:
             for col, alias in items:
                 pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\b")
                 out, last = [], 0
+                depths = _depth_map(sh)
                 for am2 in pat.finditer(sh, lo, hi):
+                    # only references belonging to THIS select block:
+                    # a NESTED subquery may define the same identifier
+                    # (its own ARRAY JOIN alias, a column alias) and
+                    # cannot see this block's zip row anyway — fuzz
+                    # seed 151510/144 nested `ARRAY JOIN a AS u`
+                    # inside the zip form's source and the unscoped
+                    # rewrite clobbered the inner AS u into invalid
+                    # `AS __zr.x`
+                    if bs >= 0 and _enclosing_select(
+                            sh, depths, am2.start()) != bs:
+                        continue
                     out.append(sql[last : am2.start()])
                     out.append(f"{zrow}.{col}")
                     last = am2.end()
@@ -8196,6 +8208,284 @@ def _spark_inline_cte_bug(spark: SparkSession) -> bool:
     return buggy
 
 
+def _bridge_asof_chain_multi(
+    spark: SparkSession, sql: str, table_map: Mapping[str, str] | None
+) -> tuple[str, str] | None:
+    """Fast path for a CHAINED ``ASOF JOIN`` whose links all share the
+    equality key, compare against the ORIGINAL left's own timestamp
+    column, and use the same comparator: the whole chain folds into
+    ONE :func:`operators.asof.asof_join_multi` call — a single keyed
+    window (one shuffle) instead of one bridge pass + one shuffle per
+    link (r15; measured 1.35 s vs 1.74 s standalone at sf0.1 on the
+    two-link op13 shape, and the win grows with link count).
+
+    Returns ``(new_sql, view_name)``, or ``None`` on ANY shape doubt —
+    the per-link :func:`_bridge_asof_join` path is the semantics
+    authority and handles everything this fast path declines (USING
+    forms, CTE-named sides, mixed comparators, per-link key changes,
+    ON terms referencing an earlier link's right side, payload
+    collisions)."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join_multi
+
+    sh = _mask_literals(sql)
+    asof_rx = re.compile(r"(?is)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b")
+    if len(asof_rx.findall(sh)) < 2:
+        return None
+    depths0 = _depth_map(sh)
+    am = next(iter(asof_rx.finditer(sh)))
+
+    def _parse_side(pos: int):
+        i = pos + re.match(r"\s*", sh[pos:]).end()
+        if i < len(sh) and sh[i] == "(":
+            j = i + 1
+            while j < len(sh) and depths0[j] > depths0[i]:
+                j += 1
+            if j >= len(sh):
+                return None
+            src, i2 = sql[i: j + 1], j + 1
+        else:
+            nm = re.match(r"[A-Za-z_]\w*", sh[i:])
+            if not nm:
+                return None
+            src, i2 = nm.group(0), i + nm.end()
+        al = re.match(
+            r"(?is)\s+(?:AS\s+)?"
+            r"(?!ASOF\b|ON\b|USING\b|LEFT\b|INNER\b|JOIN\b)"
+            r"([A-Za-z_]\w*)", sh[i2:])
+        alias = None
+        if al:
+            alias, i2 = al.group(1), i2 + al.end()
+        return src, alias, i2
+
+    parsed = None
+    for fm in re.finditer(r"(?i)\bFROM\b", sh):
+        if fm.start() > am.start():
+            break
+        side = _parse_side(fm.end())
+        if side is None:
+            continue
+        src1, a1, p = side
+        if re.match(r"(?is)\s*ASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh[p:]):
+            parsed = (fm.start(), src1, a1, p)
+            break
+    if parsed is None:
+        return None
+    from_start, t1, a1, p = parsed
+    left_names = ({a1} if t1.startswith("(") else {t1, a1}) - {None}
+    if not left_names:
+        return None
+
+    stop_rx = re.compile(
+        r"(?is)\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|"
+        r"UNION|INTERSECT|EXCEPT|WINDOW)\b"
+        r"|\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b|\)")
+    part_re = re.compile(
+        r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)\s*$")
+
+    links = []  # (left_kw, src, alias, right_names, keys, lts, rts, dir, strict)
+    pos = p
+    while True:
+        jm = re.match(r"(?is)\s*ASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", sh[pos:])
+        if jm is None:
+            break
+        left_kw = (jm.group(1) or "").strip().upper() == "LEFT"
+        side = _parse_side(pos + jm.end())
+        if side is None:
+            return None
+        src, alias, p3 = side
+        om = re.match(r"(?i)\s*ON\b", sh[p3:])
+        if om is None:
+            return None  # USING or malformed — per-link path decides
+        cond_start = p3 + om.end()
+        stop = stop_rx.search(sh, cond_start)
+        cond_end = stop.start() if stop else len(sh)
+        right_names = ({alias} if src.startswith("(")
+                       else {src, alias}) - {None}
+        if not right_names or (right_names & left_names):
+            return None
+        keys, lts, rts = [], None, None
+        direction, strict = "backward", False
+        for part in re.split(r"(?i)\bAND\b", sql[cond_start:cond_end]):
+            pm = part_re.match(part)
+            if not pm:
+                return None
+            q1, c1, op, q2, c2 = pm.groups()
+            if op == "=":
+                if q1 in left_names and q2 in right_names:
+                    keys.append((c1, c2))
+                elif q1 in right_names and q2 in left_names:
+                    keys.append((c2, c1))
+                else:
+                    return None  # references an earlier link's side
+            else:
+                if lts is not None:
+                    return None
+                mirror = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+                if q1 in left_names and q2 in right_names:
+                    lts, rts = c1, c2
+                elif q1 in right_names and q2 in left_names:
+                    lts, rts, op = c2, c1, mirror[op]
+                else:
+                    return None
+                direction = "backward" if op in (">=", ">") else "forward"
+                strict = op in (">", "<")
+        if not keys or lts is None:
+            return None
+        links.append((left_kw, src, alias, right_names, keys, lts, rts,
+                      direction, strict))
+        pos = cond_end
+    if len(links) < 2:
+        return None
+    # uniform chain: same left key columns, same left ts, same comparator
+    lk0 = sorted(lk for lk, _ in links[0][4])
+    if any(sorted(lk for lk, _ in ln[4]) != lk0
+           or ln[5] != links[0][5]
+           or ln[7:9] != links[0][7:9] for ln in links[1:]):
+        return None
+    # right alias sets pairwise disjoint (qualifier strip is per-name)
+    seen_names: set = set(left_names)
+    for ln in links:
+        if ln[3] & seen_names:
+            return None
+        seen_names |= ln[3]
+    lts = links[0][5]
+    direction, strict = links[0][7], links[0][8]
+
+    # sides named by an ENCLOSING CTE stay on the per-link path (its
+    # CTE excision machinery owns that case); compute with_end to keep
+    # any WITH prefix's bodies out of the rewrites below
+    ctes: dict[str, str] = {}
+    with_end = 0
+    for wm in re.finditer(r"(?i)(?:\A|\()\s*WITH\b", sh):
+        wtok = wm.end() - 4
+        if wtok >= from_start:
+            continue
+        if wm.group(0)[0] == "(":
+            j = wm.start() + 1
+            while j < len(sh) and depths0[j] > depths0[wm.start()]:
+                j += 1
+            if not (wm.start() < from_start < j):
+                continue
+        inner, rel_end, _ = _statement_ctes(sql[wtok:])
+        if inner:
+            ctes.update(inner)
+            if wtok + rel_end <= from_start:
+                with_end = max(with_end, wtok + rel_end)
+    plain_sides = [t1] + [ln[1] for ln in links]
+    if any(not s.startswith("(") and s in ctes for s in plain_sides):
+        return None
+
+    def _no_cte_defs(df: DataFrame) -> DataFrame:
+        if ("CTERelationDef"
+                in df._jdf.queryExecution().analyzed().toString()
+                and _spark_inline_cte_bug(spark)):
+            return df.localCheckpoint(eager=False)
+        return df
+
+    tmap = dict(table_map or {})
+
+    def _side(spec: str) -> DataFrame:
+        if spec.startswith("("):
+            return _no_cte_defs(
+                run_ch_sql(spark, spec[1:-1], table_map=table_map))
+        return spark.table(tmap.get(spec, spec))
+
+    try:
+        ldf = _side(t1)
+        uid = uuid.uuid4().hex[:12]
+        rights, out_cols, naturals, rts_written = [], [], [], []
+        taken = set(ldf.columns)
+        for i, (left_kw, src, alias, rnames, keys, _, rts, _, _) in (
+                enumerate(links)):
+            rdf = _side(src)
+            rts_i = rts
+            for lk, rk in keys:
+                if rk != lk:
+                    if rts_i == rk:
+                        rts_i = lk
+                    rdf = rdf.withColumnRenamed(rk, lk)
+            pay = [c for c in rdf.columns
+                   if c not in [lk for lk, _ in keys] + [rts_i]]
+            natural = (rts_i == rts and rts not in taken
+                       and all(rts != lk for lk, _ in keys)
+                       and all(rts != o[6] for j, o in enumerate(links)
+                               if j != i))
+            out_col = rts if natural else f"__asof_rts_{uid}_{i}"
+            taken |= set(pay) | {out_col}
+            rights.append((rdf, rts_i, out_col))
+            out_cols.append(out_col)
+            naturals.append(natural)
+            rts_written.append(rts)
+        joined = asof_join_multi(
+            ldf, rights, by=lk0, left_ts=lts,
+            direction=direction, strict=strict,
+        )
+    except Exception as e:
+        # resolution/shape failures (payload collisions, missing
+        # tables, nested unsupported constructs) fall back to the
+        # per-link path, which raises its own better-worded errors on
+        # genuinely unsupported input; anything else propagates
+        if isinstance(e, (ValueError, UnsupportedChSql)) or \
+                type(e).__name__ == "AnalysisException":
+            return None
+        raise
+    for (left_kw, *_), out_col in zip(links, out_cols):
+        if not left_kw:  # bare ASOF JOIN is INNER per link
+            joined = joined.filter(F.col(out_col).isNotNull())
+
+    name = f"__ch_asof_{uid}"
+    new_sql = sql[: from_start] + f"FROM {name} " + sql[pos:]
+    sh2 = _mask_literals(new_sql)
+    frompos = new_sql.find(f"FROM {name}")
+    blk_a, blk_b = _asof_block_span(sh2, frompos)
+    # matched-timestamp references: `<right_i>.<rts_i>` → out_col_i
+    used = [False] * len(links)
+    for i, ((_, _, _, rnames, *_), out_col, natural, rw) in enumerate(
+            zip(links, out_cols, naturals, rts_written)):
+        if natural:
+            used[i] = True
+            continue
+        rw_esc = re.escape(rw)
+        rref = re.compile(
+            r"\b(?:" + "|".join(map(re.escape, sorted(rnames))) + r")\."
+            + rf"(?:{rw_esc}(?![\w`(])|`{rw_esc}`|\"{rw_esc}\")")
+        out, last = [], 0
+        for qm in rref.finditer(sh2):
+            if qm.start() < with_end or not blk_a <= qm.start() < blk_b:
+                continue
+            out.append(new_sql[last: qm.start()])
+            out.append(out_col)
+            last = qm.end()
+            used[i] = True
+        out.append(new_sql[last:])
+        new_sql = "".join(out)
+        sh2 = _mask_literals(new_sql)
+        frompos = new_sql.find(f"FROM {name}")
+        blk_a, blk_b = _asof_block_span(sh2, frompos)
+    for u, out_col in zip(used, out_cols):
+        if not u:
+            joined = joined.drop(out_col)
+    # strip now-dangling side qualifiers within the block
+    quals = sorted(seen_names, key=len, reverse=True)
+    qre = re.compile(
+        r"\b(?:" + "|".join(map(re.escape, quals)) + r")\.(?=[A-Za-z_`\"])")
+    out, last = [], 0
+    for qm in qre.finditer(sh2):
+        if qm.start() < with_end or not blk_a <= qm.start() < blk_b:
+            continue
+        out.append(new_sql[last: qm.start()])
+        last = qm.end()
+    out.append(new_sql[last:])
+    new_sql = "".join(out)
+    joined.createOrReplaceTempView(name)
+    return new_sql, name
+
+
 def _bridge_asof_join(
     spark: SparkSession, sql: str, table_map: Mapping[str, str] | None
 ) -> tuple[str, str | None]:
@@ -8229,6 +8519,12 @@ def _bridge_asof_join(
     sh = _mask_literals(sql)
     if not re.search(r"(?i)\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b", sh):
         return sql, None
+    # uniform shared-key chains fold into ONE keyed window via
+    # asof_join_multi (r15) — any shape doubt falls through to the
+    # per-link passes below, the semantics authority
+    fast = _bridge_asof_chain_multi(spark, sql, table_map)
+    if fast is not None:
+        return fast
     depths0 = _depth_map(sh)
     # several ASOF JOINs may coexist in PARALLEL branches (UNION arms,
     # independent subqueries) or in a CHAIN (left-associative, like
