@@ -1315,6 +1315,52 @@ CORPUS: list[tuple[str, tuple | None]] = [
      " CAST(number * 3 % 7 AS Float64) AS y FROM numbers(10))", (3,)),
     ("SELECT lttb(10)(x, y) AS r FROM (SELECT 2.0 AS x, 1.0 AS y"
      " UNION ALL SELECT 1.0, 5.0)", None),
+    # --- r15: maxIntersections HAVING guard (the inverted combinator
+    # check — ADVICE r14 high).  Scalar HAVING keeps the window sweep;
+    # a combinator aggregate DECLINES to the fold; both value-exact.
+    ("SELECT g, maxIntersections(s, e) AS mi FROM (SELECT 1 AS g,"
+     " 1 AS s, 5 AS e UNION ALL SELECT 1, 2, 6 UNION ALL"
+     " SELECT 2, 1, 2) t GROUP BY g HAVING g = 1", (1, 2)),
+    ("SELECT g, maxIntersections(s, e) AS mi FROM (SELECT 1 AS g,"
+     " 1 AS s, 5 AS e UNION ALL SELECT 1, 2, 6 UNION ALL"
+     " SELECT 2, 1, 2) t GROUP BY g HAVING countIf(s > 0) >= 2",
+     (1, 2)),
+    ("SELECT g, maxIntersections(s, e) AS mi FROM (SELECT 1 AS g,"
+     " 1 AS s, 5 AS e UNION ALL SELECT 1, 2, 6 UNION ALL"
+     " SELECT 2, 1, 2) t GROUP BY g ORDER BY sumIf(s, s > 0) DESC"
+     " LIMIT 1", (1, 2)),
+    # maxIntersections sweep branches under a set operator (r15 fuzz
+    # kind maxint_setop): each branch rewrites independently
+    ("SELECT g, maxIntersections(s, e) AS mi FROM (SELECT 1 AS g,"
+     " 1 AS s, 5 AS e UNION ALL SELECT 1, 2, 6) t1 GROUP BY g"
+     " INTERSECT DISTINCT SELECT g, maxIntersections(s, e) AS mi"
+     " FROM (SELECT 1 AS g, 1 AS s, 5 AS e UNION ALL"
+     " SELECT 1, 3, 7) t2 GROUP BY g", (1, 2)),
+    # exponentialMovingAverage parameter validation (ADVICE r14 low):
+    # h = 0 raised by name instead of a silent NaN/Inf fold
+    ("SELECT exponentialMovingAverage(0)(v, t) FROM"
+     " (SELECT 1.0 AS v, 1 AS t)", UnsupportedChSql),
+    # --- r15: uniform chained ASOF folds into ONE keyed window (the
+    # fast path); mixed comparators keep the per-link route — both
+    # value-pinned on tiny literal sides
+    ("SELECT a.v AS v, b.rv AS rv, c.ix AS ix FROM (SELECT 1 AS g,"
+     " 10 AS v) AS a ASOF JOIN (SELECT 1 AS g, 8 AS rv) AS b"
+     " ON a.g = b.g AND a.v >= b.rv ASOF JOIN (SELECT 1 AS g,"
+     " 9 AS ix) AS c ON a.g = c.g AND a.v >= c.ix", (10, 8, 9)),
+    ("SELECT a.v AS v, b.rv AS rv, c.ix AS ix FROM (SELECT 1 AS g,"
+     " 10 AS v) AS a ASOF JOIN (SELECT 1 AS g, 8 AS rv) AS b"
+     " ON a.g = b.g AND a.v >= b.rv ASOF JOIN (SELECT 1 AS g,"
+     " 12 AS ix) AS c ON a.g = c.g AND a.v <= c.ix", (10, 8, 12)),
+    # r15 fuzz find 151510/144: zip ARRAY JOIN must not rewrite a
+    # NESTED block's same-named alias (inner single-array AS u)
+    ("SELECT CAST(sum(u + w) AS BIGINT) AS s FROM (SELECT g,"
+     " [v, v + 1] AS a, [v + 2, v + 3] AS b FROM (SELECT g, u AS v"
+     " FROM (SELECT 1 AS g, [1, 2] AS a) ARRAY JOIN a AS u))"
+     " ARRAY JOIN a AS u, b AS w", (24,)),  # DuckDB-confirmed
+    # WITH-scope shadowing (r15 fuzz kind): the inner scalar WITH
+    # shadows the outer same-named constant inside its subquery
+    ("WITH 2 AS kk SELECT v + kk AS v FROM (WITH 7 AS kk"
+     " SELECT 10 + kk AS v FROM numbers(1)) x", (19,)),
 ]
 
 
