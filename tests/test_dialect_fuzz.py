@@ -132,3 +132,15 @@ def test_fuzz_batch_seed_8301(spark):
     max_intersections kind's two variants (bare-call -> the window
     sweep; packed arithmetic -> the fold)."""
     assert run_fuzz(60, 8301, spark) == []
+
+
+def test_fuzz_batch_seed_151510_focused(spark):
+    """r15 composition kinds hold a standing FOCUSED seed of their
+    own: sequenceNextNode over ASOF / shared-CTE sources,
+    maxIntersections under set ops and HAVING (the inverted
+    combinator guard), WITH FILL x QUALIFY, WITH-scope shadowing.
+    Seed 151510 is the one whose first run caught the zip-ARRAY-JOIN
+    nested-alias find (index 144, pinned in test_r15_fuzz_finds)."""
+    focus = ["snn_over_asof", "snn_shared_cte", "maxint_setop",
+             "maxint_having", "with_scope_shadow", "fill_qualify"]
+    assert run_fuzz(40, 151510, spark, focus=focus) == []

@@ -75,7 +75,8 @@ PICKS = {
     "ev26_interval_profile_sql": "intervalLengthSum (r12 default): the STATELESS window plan — per-row merge contribution under a keyed running-max window, plain sum above; NO collect_list anywhere",
     "ev27_quantified_sql": "quantified subqueries (r12b): the > ANY / != ALL comparison compiles to Subquery (scalar) nodes evaluated once — the fact scan never joins or shuffles for the comparison",
     "ev28_correlated_quantified_sql": "CORRELATED quantified comparison (r13): the three spliced scalar subqueries decorrelate to broadcast hash joins on sec_code — no nested loop, no cartesian",
-    "op13_asof_chained_sql": "chained ASOF (r13): link 2 bridges against link 1's view — two sequential union+window subtrees, one keyed exchange per link, zero Join nodes in the ASOF path itself",
+    "op13_asof_chained_sql": "chained ASOF (r15 fast path): uniform shared-key chain folds into ONE union+window — a single keyed exchange for BOTH links (was one per link), zero Join nodes in the ASOF path itself",
+    "op14_asof_multi_single_shuffle": "asof_join_multi (r15): k rights in one keyed window — k last(ignorenulls) columns on the same WindowExec, one exchange total",
     "ev29_sequence_next_node_sql": "sequenceNextNode (r14): the windowFunnel fold shape — one ObjectHashAggregate (collect_list of (t, val, flags) structs) with map-side partials over the argMin pre-dedup's partial→final pair; pure array logic after, no Python, no extra shuffle",
     "ev30_exponential_moving_average_sql": "exponentialMovingAverage (r14): sorted collect_list fold per sec_code — one partial→final ObjectHashAggregate pair, linear aggregate() fold, integer exponents keep pow exact cross-engine",
     "ev31_max_intersections_sql": "maxIntersections(/Position) (r14): r14 second phase: STATELESS window sweep — LATERAL VIEW event explode + running-sum window per board, max/max_by aggregates; the fold (7 s, whole-group arrays in one task) remains only for declined shapes",
