@@ -57,9 +57,12 @@ def test_fast_path_agrees_with_per_link_path(spark, monkeypatch):
         assert fast == slow == want
 
 
-def test_mixed_comparator_chain_falls_back_and_matches(spark):
-    # link 1 backward (>=), link 2 forward (<=): NOT uniform — the
-    # fast path declines; the per-link passes still bridge it
+def test_mixed_comparator_chain_single_exchange(spark):
+    # link 1 backward (>=), link 2 forward (<=): the fast path STILL
+    # folds the chain (r15 second phase) — the differing comparator
+    # adds only a Sort under the shared key partitioning, so the plan
+    # has two Window nodes but ONE keyed exchange (the per-link route
+    # would pay two: one per link's union)
     q = ("SELECT a.v AS v, b.rv AS rv, c.ix AS ix"
          " FROM (SELECT 1 AS g, 10 AS v) AS a"
          " ASOF JOIN (SELECT 1 AS g, 8 AS rv) AS b"
@@ -68,7 +71,8 @@ def test_mixed_comparator_chain_falls_back_and_matches(spark):
          " ON a.g = c.g AND a.v <= c.ix")
     df = run_ch_sql(spark, q)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") == 2  # per-link route
+    assert plan.count("Window") == 2  # one ordering per comparator
+    assert plan.count("Exchange hashpartitioning") == 1
     got = [tuple(r) for r in df.collect()]
     want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
     assert got == want == [(10, 8, 12)]

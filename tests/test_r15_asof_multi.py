@@ -108,6 +108,43 @@ def test_inner_gating_and_values(spark):
     assert [(r.g, r.t) for r in inner] == [(1, 10)]
 
 
+def test_per_right_comparators_equal_sequential(spark):
+    # r15 second phase: 5-tuple rights override the comparator PER
+    # SIDE — one backward-inclusive, one forward-strict — and still
+    # share the single keyed exchange (two Sorts, two Windows)
+    rng = random.Random(15152)
+    left = [(g, rng.randint(0, 40), g * 100 + i)
+            for g in range(3) for i in range(6)]
+    def right(col, v0):
+        seen, out = set(), []
+        for g in range(3):
+            for _ in range(6):
+                ts = rng.randint(0, 40)
+                if (g, ts) not in seen:
+                    seen.add((g, ts))
+                    out.append((g, ts, v0 + ts))
+        return out
+    ldf = _mk(spark, left, ["g", "t", "lv"])
+    r1 = _mk(spark, right("ts1", 100), ["g", "ts1", "q1"])
+    r2 = _mk(spark, right("ts2", 200), ["g", "ts2", "q2"])
+    got = asof_join_multi(
+        ldf,
+        [(r1, "ts1", "m1", "backward", False),
+         (r2, "ts2", "m2", "forward", True)],
+        by=["g"], left_ts="t",
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    s1 = asof_join(ldf, r1, by=["g"], left_ts="t", right_ts="ts1",
+                   right_ts_out="m1", direction="backward")
+    want = asof_join(s1, r2, by=["g"], left_ts="t", right_ts="ts2",
+                     right_ts_out="m2", direction="forward", strict=True)
+    key = lambda r: sorted(r.asDict().items())
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, want.collect()))
+
+
 def test_collision_raises(spark):
     ldf = _mk(spark, [(1, 10, 5)], ["g", "t", "lv"])
     r1 = _mk(spark, [(1, 8, 80)], ["g", "ts1", "q"])

@@ -46,7 +46,11 @@ def asof_join_multi(
     union destroys the previous link's partitioning — Spark's Union
     never preserves child partitioning).
 
-    ``rights``: (right_df, right_ts, right_ts_out) triples; each
+    ``rights``: (right_df, right_ts, right_ts_out) triples — or
+    5-tuples (…, direction, strict) overriding the call-level
+    comparator PER SIDE (r15: mixed-comparator chains still share the
+    one exchange; each distinct (direction, strict) ordering adds
+    only a Sort under the same partitioning, never a shuffle).  Each
     side's payload columns (everything except ``by`` + its ts) appear
     on the output under their own names, its matched timestamp under
     ``right_ts_out`` (NULL = no match — filter on it for CH's INNER
@@ -65,18 +69,21 @@ def asof_join_multi(
     k ``last(ignorenulls)`` columns ride the same WindowExec — then
     keep left rows.  Scale: single exchange on ``by``; skewed keys
     behave like any keyed window (AQE/salting apply)."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
     by = list(by)
-    rights = list(rights)
+    rights = [
+        (r + (direction, strict)) if len(r) == 3 else tuple(r)
+        for r in rights
+    ]
     if not rights:
         raise ValueError("asof_join_multi needs at least one right side")
+    if any(r[3] not in ("backward", "forward") for r in rights):
+        raise ValueError("direction must be 'backward' or 'forward'")
     if left_ts in by:
         raise ValueError("timestamp column must not be a key column")
     l_cols = [c for c in left.columns if c not in by + [left_ts]]
     taken = set(left.columns)
     payloads: list[list[str]] = []
-    for rdf, rts, out_col in rights:
+    for rdf, rts, out_col, _, _ in rights:
         pay = [c for c in rdf.columns if c not in by + [rts]]
         clash = (set(pay) | {out_col}) & taken
         if clash:
@@ -90,7 +97,7 @@ def asof_join_multi(
             [T.StructField(c, rdf.schema[c].dataType) for c in pay]
             + [T.StructField("__rts", rdf.schema[rts].dataType)]
         )
-        for (rdf, rts, _), pay in zip(rights, payloads)
+        for (rdf, rts, _, _, _), pay in zip(rights, payloads)
     ]
     nulls = [F.lit(None).cast(t) for t in pay_types]
 
@@ -103,7 +110,7 @@ def asof_join_multi(
         *[n.alias(f"__pay{i}") for i, n in enumerate(nulls)],
     )
     tagged = [l_tag]
-    for i, ((rdf, rts, _), pay) in enumerate(zip(rights, payloads)):
+    for i, ((rdf, rts, _, _, _), pay) in enumerate(zip(rights, payloads)):
         tagged.append(rdf.select(
             *by,
             F.col(rts).alias("__ts"),
@@ -119,26 +126,34 @@ def asof_join_multi(
     u = tagged[0]
     for t in tagged[1:]:
         u = u.unionByName(t)
-    ts_ord = F.col("__ts").asc() if direction == "backward" \
-        else F.col("__ts").desc()
-    side_ord = F.col("__side").desc() if strict else F.col("__side").asc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_ord, side_ord)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # one window PER SIDE: all share the key partitioning (one
+    # exchange); sides with the same (direction, strict) share the
+    # sort too, a differing comparator adds only a Sort node
+    def _w(d: str, s: bool):
+        ts_ord = F.col("__ts").asc() if d == "backward" \
+            else F.col("__ts").desc()
+        side_ord = (F.col("__side").desc() if s
+                    else F.col("__side").asc())
+        return (
+            Window.partitionBy(*by)
+            .orderBy(ts_ord, side_ord)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
     filled = u.select(
         *by,
         "__side",
         left_ts,
         *l_cols,
-        *[F.last(f"__pay{i}", ignorenulls=True).over(w).alias(f"__pay{i}")
-          for i in range(len(rights))],
+        *[F.last(f"__pay{i}", ignorenulls=True)
+          .over(_w(r[3], r[4])).alias(f"__pay{i}")
+          for i, r in enumerate(rights)],
     )
     return filled.filter(F.col("__side") == 1).select(
         *by, left_ts, *l_cols,
         *[c
-          for i, ((_, _, out_col), pay) in enumerate(zip(rights, payloads))
+          for i, ((_, _, out_col, _, _), pay)
+          in enumerate(zip(rights, payloads))
           for c in ([F.col(f"__pay{i}.{p}").alias(p) for p in pay]
                     + [F.col(f"__pay{i}.__rts").alias(out_col)])],
     )

@@ -8341,11 +8341,13 @@ def _bridge_asof_chain_multi(
         pos = cond_end
     if len(links) < 2:
         return None
-    # uniform chain: same left key columns, same left ts, same comparator
+    # uniform chain: same left key columns, same left ts column — the
+    # comparator may VARY per link (r15 second phase: a differing
+    # (direction, strict) ordering adds only a Sort under the shared
+    # key partitioning, never a shuffle)
     lk0 = sorted(lk for lk, _ in links[0][4])
     if any(sorted(lk for lk, _ in ln[4]) != lk0
-           or ln[5] != links[0][5]
-           or ln[7:9] != links[0][7:9] for ln in links[1:]):
+           or ln[5] != links[0][5] for ln in links[1:]):
         return None
     # right alias sets pairwise disjoint (qualifier strip is per-name)
     seen_names: set = set(left_names)
@@ -8354,7 +8356,6 @@ def _bridge_asof_chain_multi(
             return None
         seen_names |= ln[3]
     lts = links[0][5]
-    direction, strict = links[0][7], links[0][8]
 
     # sides named by an ENCLOSING CTE stay on the per-link path (its
     # CTE excision machinery owns that case); compute with_end to keep
@@ -8417,13 +8418,13 @@ def _bridge_asof_chain_multi(
                                if j != i))
             out_col = rts if natural else f"__asof_rts_{uid}_{i}"
             taken |= set(pay) | {out_col}
-            rights.append((rdf, rts_i, out_col))
+            rights.append((rdf, rts_i, out_col,
+                           links[i][7], links[i][8]))
             out_cols.append(out_col)
             naturals.append(natural)
             rts_written.append(rts)
         joined = asof_join_multi(
             ldf, rights, by=lk0, left_ts=lts,
-            direction=direction, strict=strict,
         )
     except Exception as e:
         # resolution/shape failures (payload collisions, missing
