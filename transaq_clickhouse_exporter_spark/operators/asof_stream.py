@@ -136,8 +136,11 @@ def asof_join_stream(
                 head = {"__ts": [carry[0]], "__rts": [carry[1]]}
                 for i, c in enumerate(payload):
                     head[c] = [carry[2 + i]]
-                rdf = pd.concat([pd.DataFrame(head), rdf],
-                                ignore_index=True)
+                hdf = pd.DataFrame(head)
+                # concat of an EMPTY all-NA frame changes dtypes under
+                # pandas' announced future behavior — branch instead
+                rdf = (pd.concat([hdf, rdf], ignore_index=True)
+                       if len(rdf) else hdf)
             if len(rdf):
                 # advance the carry to the batch's newest right row
                 last = rdf.iloc[-1]
