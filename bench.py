@@ -78,6 +78,7 @@ HEAVY_FIRST = [
     "dp32_chunk_search_lsh",
     "dp31_chunk_search", "dp05_minhash_lsh_near_dups",
     "in05_candle_builder_exact", "op04_asof_join", "op08_asof_sql_bridge",
+    "op13_asof_chained_sql", "op14_asof_multi_single_shuffle",
     "an03_minute_returns",
     "dp28_bigram_lm", "dp26_semantic_dedup", "dp25_bm25_topk",
     "dp03_ngram_jaccard", "dp02_text_profile", "ann02_lsh_topk",
