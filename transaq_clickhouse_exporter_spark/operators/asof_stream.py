@@ -14,10 +14,12 @@ Plan: the batch operator's union+window trick made stateful —
    struct, side 1 = left/trade);
 2. ``groupBy(key).applyInPandasWithState``: state carries the LATEST
    right row (payload + its timestamp) seen so far per key;
-3. each micro-batch sorts its rows by (ts, side) — right before left
-   at equal timestamps, the inclusive ``l.ts >= r.ts`` rule — and a
-   vectorized ``pd.merge_asof`` joins the batch's left rows against
-   the batch's right rows PLUS the carried state row;
+3. each micro-batch materializes ALL of the group's Arrow chunks
+   (Spark splits a group at ``arrow.maxRecordsPerBatch`` in arbitrary
+   chunk order), sorts once by (ts, side) — right before left at
+   equal timestamps, the inclusive ``l.ts >= r.ts`` rule — and a
+   single vectorized ``pd.merge_asof`` joins the batch's left rows
+   against the batch's right rows PLUS the carried state row;
 4. left rows emit with the matched payload (NULL when no right row
    has arrived yet); the newest right row replaces the state.
 
@@ -30,7 +32,10 @@ instrument.  WITHIN a micro-batch any order is fine (sorted).  A
 right row arriving in a LATER micro-batch than a left row with
 ts >= its own is matched only to subsequent lefts — the standard
 no-retraction streaming as-of contract (append output mode cannot
-revise emitted rows).
+revise emitted rows).  A right row arriving in a later micro-batch
+with ts BELOW the carried state (cross-batch right disorder) never
+crashes the query: it degrades to fewer/older matches for that batch
+and the state keeps the max-ts right.
 
 Scale shape: state is ONE row per key (the latest right), not a
 buffer; per-batch work is a sort + merge_asof over Arrow-transferred
@@ -119,56 +124,72 @@ def asof_join_stream(
 
     def fold(key, pdfs, state: GroupState):
         carry = state.get if state.exists else None  # tuple per state_schema
-        outs = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["__ts", "__side"], kind="stable")
-            rights = pdf[pdf["__side"] == 0]
-            lefts = pdf[pdf["__side"] == 1]
-            # right table for this batch: carried state row + batch rows
-            rcols = {"__ts": rights["__ts"].to_numpy(),
-                     "__rts": rights["__rts"].to_numpy()}
-            for c in payload:
-                rcols[c] = rights[c].to_numpy()
-            rdf = pd.DataFrame(rcols)
-            if carry is not None and carry[-1]:
-                head = {"__ts": [carry[0]], "__rts": [carry[1]]}
-                for i, c in enumerate(payload):
-                    head[c] = [carry[2 + i]]
-                hdf = pd.DataFrame(head)
-                # concat of an EMPTY all-NA frame changes dtypes under
-                # pandas' announced future behavior — branch instead
-                rdf = (pd.concat([hdf, rdf], ignore_index=True)
-                       if len(rdf) else hdf)
-            if len(rdf):
-                # advance the carry to the batch's newest right row
-                last = rdf.iloc[-1]
-                carry = (float(last["__ts"]), last["__rts"],
-                         *[last[c] for c in payload], True)
-            if len(lefts):
-                if len(rdf):
-                    merged = pd.merge_asof(
-                        lefts.reset_index(drop=True), rdf,
-                        on="__ts", direction="backward",
-                        allow_exact_matches=True,
-                        suffixes=("__l", ""),
-                    )
-                else:
-                    merged = lefts.reset_index(drop=True)
-                out = pd.DataFrame({
-                    **{c: [key[i]] * len(merged)
-                       for i, c in enumerate(by)},
-                    out_names[n_by]: merged["__lts_orig"],
-                    **{c: merged[c] for c in l_cols},
-                    **{c: merged[c] for c in payload},
-                    out_names[-1]: merged["__rts"],
-                })
-                outs.append(out)
+        # Materialize the WHOLE group micro-batch before sorting:
+        # applyInPandasWithState hands the group over as Arrow chunks
+        # split at spark.sql.execution.arrow.maxRecordsPerBatch in
+        # arbitrary chunk order (the union even puts all lefts before
+        # all rights), so per-chunk merge_asof would let lefts in an
+        # early chunk silently miss rights in a later chunk with
+        # smaller ts.  One concat + one sort + one merge instead.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if carry is not None:
+                state.update(tuple(carry))
+            return
+        pdf = (chunks[0] if len(chunks) == 1
+               else pd.concat(chunks, ignore_index=True))
+        pdf = pdf.sort_values(["__ts", "__side"], kind="stable")
+        rights = pdf[pdf["__side"] == 0]
+        lefts = pdf[pdf["__side"] == 1]
+        # right table for this batch: carried state row + batch rows
+        rcols = {"__ts": rights["__ts"].to_numpy(),
+                 "__rts": rights["__rts"].to_numpy()}
+        for c in payload:
+            rcols[c] = rights[c].to_numpy()
+        rdf = pd.DataFrame(rcols)
+        if carry is not None and carry[-1]:
+            head = {"__ts": [carry[0]], "__rts": [carry[1]]}
+            for i, c in enumerate(payload):
+                head[c] = [carry[2 + i]]
+            hdf = pd.DataFrame(head)
+            # concat of an EMPTY all-NA frame changes dtypes under
+            # pandas' announced future behavior — branch instead
+            rdf = (pd.concat([hdf, rdf], ignore_index=True)
+                   if len(rdf) else hdf)
+            # A right row arriving in a later micro-batch with ts
+            # BELOW the carried state (cross-batch right disorder)
+            # would leave rdf unsorted and merge_asof would raise —
+            # re-sort instead (stable: the carry row sits first, so at
+            # equal ts the batch's own row wins, and such disorder
+            # degrades to fewer/older matches rather than a crash).
+            rdf = rdf.sort_values("__ts", kind="stable",
+                                  ignore_index=True)
+        if len(rdf):
+            # advance the carry to the max-ts right row (positionally
+            # last only BECAUSE rdf is sorted — never trust raw order)
+            last = rdf.iloc[-1]
+            carry = (float(last["__ts"]), last["__rts"],
+                     *[last[c] for c in payload], True)
         if carry is not None:
             state.update(tuple(carry))
-        for out in outs:
-            yield out
+        if len(lefts):
+            if len(rdf):
+                merged = pd.merge_asof(
+                    lefts.reset_index(drop=True), rdf,
+                    on="__ts", direction="backward",
+                    allow_exact_matches=True,
+                    suffixes=("__l", ""),
+                )
+            else:
+                merged = lefts.reset_index(drop=True)
+            yield pd.DataFrame({
+                **{c: [key[i]] * len(merged)
+                   for i, c in enumerate(by)},
+                out_names[n_by]: merged["__lts_orig"],
+                **{c: merged[c] for c in l_cols},
+                **{c: merged[c] for c in payload},
+                out_names[-1]: merged["__rts"],
+            })
 
     return u.groupBy(*by).applyInPandasWithState(
         fold,

@@ -4312,7 +4312,10 @@ _MAXINT_AGG_RX = (
 #: a name NOT in this set (nor a scalar shim, nor a call already used
 #: inside a GROUP BY key) declines the rewrite and keeps the fold,
 #: which is always value-correct.  False negatives here cost only the
-#: fold's perf, never correctness.
+#: fold's perf, never correctness.  Deliberately ABSENT (ADVICE r15
+#: low): ``arrayJoin`` — CH's row-MULTIPLYING function, not a scalar —
+#: and ``arrayReduce`` — scalar per row in CH, but its first argument
+#: names an aggregate+combinator, so it declines out of caution.
 _MAXINT_SCALAR_OK = frozenset("""
     abs round floor ceil ceiling trunc truncate sign sqrt cbrt exp ln
     log log2 log10 log1p pow power mod pmod modulo intdiv intdivorzero
@@ -4349,9 +4352,9 @@ _MAXINT_SCALAR_OK = frozenset("""
     tonullable nullable
     struct named_struct array map tuple tupleelement element_at
     arrayelement arrayconcat arrayslice arraysort arrayreverse
-    arraydistinct arrayjoin has hasany hasall indexof arraycount
+    arraydistinct has hasany hasall indexof arraycount
     arraysum arraymin arraymax arrayavg size cardinality array_contains
-    arrayexists arrayfilter arraymap arrayreduce empty notempty
+    arrayexists arrayfilter arraymap empty notempty
     cityhash64 siphash64 siphash128 halfmd5 md5 sha1 sha224 sha256
     sha512 xxhash32 xxhash64 xxh3 farmhash64 farmfingerprint64
     javahash hiveHash metrohash64 hex unhex bin unbin crc32 crc32ieee
