@@ -67,10 +67,11 @@ def test_unsupported_raises():
         translate_ch_sql("SELECT sequenceNextNode('backward', 'head')(ts, e, c) FROM t")
     with pytest.raises(UnsupportedChSql):
         translate_ch_sql("SELECT sequenceNextNode('forward', 'tail')(ts, e, c) FROM t")
-    with pytest.raises(UnsupportedChSql):  # time guards need the DP scan
-        translate_ch_sql(
-            "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a=1, b=2) FROM e"
-        )
+    # time guards translate since r16 (greedy chain fold, not regex)
+    out = translate_ch_sql(
+        "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a=1, b=2) FROM e"
+    )
+    assert "aggregate(" in out and "regexp_like" not in out
 
 
 def test_substitute_quotes_hostile_values():

@@ -44,7 +44,9 @@ Two mechanisms, used together by :func:`run_ch_sql`:
    - ``retention(c1, c2…)``      → per-condition any-row flags,
      ``r[0]=flag1, r[i]=flag1·flag_i``  (CH's bitmask state)
    - ``sequenceMatch/sequenceCount('pat')(ts, c1…)`` → regex over a
-     per-group token string (`functions/seqmatch.py` contract)
+     per-group token string; time guards ``(?t op N)`` (r16) → greedy
+     chain fold over the token struct array (`functions/seqmatch.py`
+     contract, `chain_count_fold_sql`)
    - ``windowFunnel(w[, mode])(ts, c1…)`` → one-pass fold over sorted
      events, CH default-mode exact (max over all anchors, equal ts
      allowed; `functions/funnel.py window_funnel_ch` is the DataFrame
@@ -5071,14 +5073,14 @@ def _seq_expr(name: str, params: str, args: list[str]) -> str:
         # twin seqmatch._token_col): condition 10 would emit the
         # two-char token '10', which regex '1' falsely matches
         raise UnsupportedChSql(f"{name} supports at most 9 conditions")
-    from ..functions.seqmatch import translate_pattern
+    from ..functions.seqmatch import (
+        chain_count_fold_sql, parse_chain, translate_pattern,
+    )
 
     ts, conds = args[0], args[1:]
+    raw_pat = pat[1:-1].replace("''", "'")
     try:
-        regex = translate_pattern(
-            pat[1:-1].replace("''", "'"), len(conds),
-            lazy=(name == "sequenceCount"),
-        )
+        steps, seps = parse_chain(raw_pat, len(conds))
     except ValueError as e:
         raise UnsupportedChSql(str(e)) from e
     tok = (
@@ -5086,6 +5088,24 @@ def _seq_expr(name: str, params: str, args: list[str]) -> str:
         + " ".join(f"WHEN ({c}) THEN '{i + 1}'" for i, c in enumerate(conds))
         + " END"
     )
+    if any(sep["guards"] for sep in seps):
+        # time guards (r16): greedy chain fold over the kept-token
+        # struct array — same (ts, tok) deterministic order as the
+        # regex path's token string (the text form has no unique order
+        # column; same-second ties follow that documented pin)
+        arr = (
+            f"transform(array_sort(collect_list("
+            f"CASE WHEN ({tok}) IS NOT NULL THEN "
+            f"struct(CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t, "
+            f"CAST({tok} AS INT) AS tok) END)), "
+            f"(x, i) -> struct(x.t AS t, x.tok AS tok, "
+            f"CAST(i AS INT) AS i))"
+        )
+        cnt = chain_count_fold_sql(steps, seps, arr)
+        return (f"(({cnt}) >= 1)" if name == "sequenceMatch"
+                else f"CAST(({cnt}) AS BIGINT)")
+    regex = translate_pattern(raw_pat, len(conds),
+                              lazy=(name == "sequenceCount"))
     s = (
         f"array_join(transform(array_sort(collect_list("
         f"CASE WHEN ({tok}) IS NOT NULL THEN "

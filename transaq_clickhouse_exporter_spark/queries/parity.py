@@ -2328,6 +2328,78 @@ def _events_specs() -> list[QuerySpec]:
             tags=("events", "lttb", "ch-sql"),
         )
     )
+
+    # time-guarded sequenceMatch/sequenceCount (r16 — the last
+    # implementable dialect raise, VERDICT r15 item 2): CH's
+    # ``(?t op N)`` guards between chain steps need a greedy scan, not
+    # a regex (functions/seqmatch.py `chain_count_fold_sql`).  Pattern:
+    # view, then ≥1 h later a purchase (any kept events between), then
+    # a view within <100000 s of the purchase — guards sized to the
+    # events table's hour-to-days token gaps so the sf0.01 answer has
+    # unmatched users AND multi-chain users (0–6 chains), exercising
+    # both guard directions and the non-overlap reset.  The oracle is
+    # an INDEPENDENT derivation: existence via a 3-way self-join,
+    # count via a recursive-CTE greedy scan (min end index per step ≥
+    # scan_from, resume after it) — not a replay of the fold.
+    def _seq_time_sql(s: SparkSession) -> DataFrame:
+        from .ch_compat import run_ch_sql
+
+        pat = "(?1)(?t>=3600).*(?2).*(?t<100000)(?1)"
+        return run_ch_sql(
+            s,
+            f"""
+            SELECT user_id,
+                   sequenceMatch('{pat}')(ts_s, event_type='view',
+                     event_type='purchase') AS matched,
+                   sequenceCount('{pat}')(ts_s, event_type='view',
+                     event_type='purchase') AS n_chains
+            FROM ev GROUP BY user_id
+            """,
+        )
+
+    sp.append(
+        QuerySpec(
+            "ev33_sequence_time_guards_sql",
+            _seq_time_sql,
+            """
+            , tok33 AS (
+              SELECT user_id, ts_s, tok,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts_s, event_id) - 1 AS i
+              FROM (SELECT user_id, ts_s, event_id,
+                           CASE WHEN event_type = 'view' THEN 1
+                                WHEN event_type = 'purchase' THEN 2
+                           END AS tok FROM ev) t
+              WHERE tok IS NOT NULL),
+            chains33 AS (
+              WITH RECURSIVE rc(user_id, scan_from, cnt) AS (
+                SELECT user_id, 0, 0
+                FROM (SELECT DISTINCT user_id FROM tok33) u
+                UNION ALL
+                SELECT user_id, e + 1, cnt + 1 FROM (
+                  SELECT r.user_id,
+                         (SELECT min(t3.i)
+                            FROM tok33 t1, tok33 t2, tok33 t3
+                           WHERE t1.user_id = r.user_id
+                             AND t2.user_id = r.user_id
+                             AND t3.user_id = r.user_id
+                             AND t1.tok = 1 AND t2.tok = 2
+                             AND t3.tok = 1
+                             AND t1.i >= r.scan_from
+                             AND t2.i > t1.i
+                             AND (t2.ts_s - t1.ts_s) >= 3600
+                             AND t3.i > t2.i
+                             AND (t3.ts_s - t2.ts_s) < 100000
+                         ) AS e, r.cnt
+                  FROM rc r) x WHERE e IS NOT NULL)
+              SELECT user_id, max(cnt) AS nc FROM rc GROUP BY user_id)
+            SELECT user_id, nc >= 1 AS matched,
+                   CAST(nc AS BIGINT) AS n_chains
+            FROM chains33
+            """,
+            tags=("events", "sequence-match", "time-guards", "ch-sql"),
+        )
+    )
     return sp
 
 
@@ -5087,249 +5159,154 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
-    # ROUND-15 ROTATION (executes VERDICT r14 items 2+3): twenty
-    # entries move INTO the window — the four round-14 additions that
-    # never held an external driver row (ev29/ev30/ev31/ev32, all
-    # judge-verified green in the r14 128-query sweep), the whole
-    # r08-stale cohort (db18/ev13/ev15/an09/dp26/dp31) and the whole
-    # r09-stale cohort (db01/in01/an02/an07/ev01/ev16/op08/dp02/dp03/
-    # mm01 — op08 prioritized: the ASOF SQL bridge was heavily
-    # rewritten since r09; db01 is the flagship panel).  The twenty
-    # displacements below ALL hold green rows in CORRECTNESS_r14 and
-    # each leaves an in-window class representative, named per entry.
-    # A twenty-first displacement happens by POSITION, not by name:
-    # the new op14_asof_multi_single_shuffle enters in catalog order
-    # (operator specs), pushing dp32_chunk_search_lsh (green r14;
-    # retrieval class kept by dp31 re-entering) to position 51.
-    "db05_netto_union_sell_top10",    # UNION+re-agg+topK: db06 keeps
-                                      # HAVING+topK; db01 re-enters the
-                                      # dashboard broadcast-join class
-    "db08_volume_diff_day_shifted",   # ts-arithmetic diff: db19 keeps
-                                      # tumbling buckets; r14 row banked
-    "db13_imoex_volume_by_time",      # tumbling+IN+broadcast: db01
-                                      # re-enters the identical shape
-    "db15_count_trades_by_time_buy",  # count-by-time: db01 keeps the
-                                      # agg-by-time shape; db16 stays
-    "db17_etf_template_var",          # NOT-IN subquery anti-join: tp03
-                                      # keeps semi/anti; r14 row banked
-    "an08_gap_fill",                  # window class: an02 (cumulative) +
-                                      # an07 (trailing range) re-enter;
-                                      # an10 stays for quantiles
-    "op04_asof_join",                 # DataFrame ASOF: op08 (SQL bridge
-                                      # over the same operator) re-enters
-    "op12_asof_parallel_sql",         # ASOF bridge class kept by op08
-                                      # re-entering; op05 range join stays
-    "op13_asof_chained_sql",          # ASOF bridge class kept by op08;
-                                      # r14 row banked (its first)
-    "in03_candles_windowed",          # candle class: in06 (rollup)
-                                      # COMPOSES candles_windowed and
-                                      # stays; in01 re-enters ingest
-    "ev06_funnel",                    # funnel class: ev15 (windowFunnel
-                                      # SQL) re-enters; ev11 stays
-    "ev08_window_funnel",             # funnel class kept by ev15
-                                      # re-entering + ev11 sessions
-    "ev12_retention",                 # retention: r14 row banked; funnel
-                                      # family kept by ev15/ev11
-    "ev17_topk_grouped_sql",          # topK class: ev13 (heavy hitters)
-                                      # + ev16 (weighted SQL) re-enter
-    "ev23_per_group_topn_sql",        # per-group topN kept by ev16/ev13
+    # ROUND-16 ROTATION (executes VERDICT r15 item 1 — the staleness
+    # drain): ALL 34 entries whose newest external driver row dates to
+    # r10 or r11 move INTO the 50-slot window at once (the r12 batch
+    # proved a 26-entry swap lands green; every one of the 34 is green
+    # in the judge's independent 129-query r15 sweep).  In: the whole
+    # r10 cohort (db10/in02/ev04/an05/dp21/dp20/ev19/ev21) and the
+    # whole r11 cohort (db03/db04/db07/op01/an01/in05/ev03/ev05/tp05/
+    # dp01/dp04/dp12/tp01/an06/ev07/ev09/tp07/an11/dp25/dp30/ev14/
+    # ev18/dp33/op09/ev20/ev22), plus the new
+    # ev33_sequence_time_guards_sql entry (never external).  The 36 names below leave the window to
+    # make room; ALL hold green rows in CORRECTNESS_r15 (dp32: r14 +
+    # judge r15) and each leaves an in-window class representative,
+    # named per entry.  Kept in-window as cornerstones/class reps:
+    # db01 (flagship), db19 (DST), an10 (weighted quantiles), op05/
+    # op06/op07 (range join / SCD2 / agg states — no rep among the
+    # 34), op14 (r15-new ASOF multi), in04 (positions), in06 (candle
+    # rollup), ev11 (session state), ev13 (topK sketch), ann01 (ANN
+    # baseline), dp17 (MinHash incremental), dp26 (semantic dedup),
+    # mm02 (multimodal).
+    "db06_icebergs",                  # HAVING+topK: db03 (netto buy
+                                      # top10) re-enters the shape
+    "db16_distinct_sec_codes",        # DISTINCT-via-groupBy: dp01
+                                      # (exact dedup) re-enters; db01
+                                      # keeps the dashboard scan
+    "db18_dst_spring_buckets",        # DST class: db19 (fall, the
+                                      # harder ambiguous-hour case)
+                                      # stays in-window
+    "an02_cumulative_volume",         # running window: an01 (vwap) +
+                                      # an11 (max drawdown) re-enter
+    "an07_trailing_time_stats",       # trailing range window: an05
+                                      # (rolling channel) re-enters
+    "an09_twap",                      # time-weighted agg: an01 (vwap,
+                                      # same weighted class) re-enters
+    "op02_quotes_final",              # ReplacingMergeTree FINAL: op01
+                                      # (last-write-wins) re-enters
+    "op03_book_depth",                # dedup+pivot class kept by op01
                                       # re-entering
-    "ev25_fill_interpolate_sql",      # WITH FILL: r14 row banked;
-                                      # dialect-SQL class kept by
-                                      # ev29-ev32 entering
-    "ev28_correlated_quantified_sql", # quantified subquery: r14 row
-                                      # banked; dialect class kept by
-                                      # ev29-ev32 entering
-    "dp06_simhash_near_dups",         # near-dup class: dp03 (ngram
-                                      # jaccard) re-enters; dp16/dp17 stay
-    "ann04_sq_topk",                  # ANN class keeps ann01/ann03/ann05
-                                      # in-window
-    "dp27_weighted_sample",           # sampling class: dp08 (stratified)
+    "op08_asof_sql_bridge",           # ASOF bridge: op09 (LEFT bridge)
+                                      # re-enters; op14 (multi) stays
+    "in01_securities_filter_project", # ingest filter/project: in02
+                                      # (ref-timestamp parse) + in05
+                                      # (candle fold) re-enter
+    "ev01_tumbling_agg",              # tumbling buckets: db07 (tumbling
+                                      # diff) re-enters; ev03 sessions
+    "ev15_window_funnel_sql",         # funnel SQL: ev14 (CH-exact
+                                      # windowFunnel) re-enters
+    "ev16_topk_weighted_sql",         # topK: ev04 (exact per-group)
+                                      # re-enters; ev13 sketch stays
+    "ev29_sequence_next_node_sql",    # sequence family: ev33 (time-
+                                      # guarded sequenceMatch, NEW)
+                                      # enters; r15 row banked
+    "ev30_exponential_moving_average_sql",  # EMA: an06_ema re-enters;
+                                      # r15 row banked
+    "ev31_max_intersections_sql",     # dialect window sweep: ev18/
+                                      # ev19/ev20/ev21 re-enter the
+                                      # dialect-SQL class; r15 banked
+    "ev32_lttb_downsample_sql",       # dialect-SQL class as above;
+                                      # r15 row banked
+    "tp03_semi_anti_counts",          # semi/anti joins: db03 (NOT-IN
+                                      # anti) + db04 re-enter
+    "tp04_supplier_stats_by_nation",  # tpch aggs: tp01 (pricing
+                                      # summary) + tp05 (rollup)
+                                      # re-enter
+    "tp06_small_qty_revenue",         # tpch family kept by tp01/tp05
+                                      # re-entering
+    "dp02_text_profile",              # text stats: ev20 (text-hash
+                                      # profile) re-enters
+    "dp14_curation_filter",           # curation gate: dp12 (split
+                                      # assign) re-enters; r15 banked
+    "dp15_corpus_report",             # corpus stats kept by ev20
+                                      # re-entering
+    "dp03_ngram_jaccard",             # near-dup verify: dp04
+                                      # (embedding near-dups) re-enters;
+                                      # dp17 stays
+    "dp19_repetition_profile",        # text class kept by ev20
+                                      # re-entering
+    "dp16_dup_clusters",              # near-dup clusters: dp17
+                                      # (incremental) stays; dp04
+                                      # re-enters
+    "ann03_ivf_topk",                 # ANN: ann01 (brute baseline)
                                       # stays in-window
-    # ROUND-14 ROTATION (executes VERDICT r13 item 1): thirteen entries
-    # move INTO the window — the two entries that never held an
-    # external driver row (ev28_correlated_quantified_sql,
-    # op13_asof_chained_sql — both judge-verified green at sf0.01 in
-    # r13), the r06-stale pair queued since NOTES r13 (dp22/dp24), the
-    # whole r07-stale cohort (ann01/db08/db15/db17/ev06), and four of
-    # the r08 cohort (op04/dp06/ann04/dp27; the rest queue for r15).
-    # The thirteen displacements below ALL hold green rows in
-    # CORRECTNESS_r13 and each leaves an in-window class
-    # representative, named per entry.
-    "db09_imoex_diff_by_interval",    # tumbling diff: db19 keeps tumbling
-                                      # +DST; db08 (day-shifted diff)
-                                      # re-enters the ts-arithmetic class
-    "db11_imoex_volume_by_interval_sell",  # tumbling+IN+broadcast: db13
-                                      # keeps the imoex series; db19 keeps
-                                      # tumbling buckets
-    "op10_asof_forward_sql",          # ASOF bridge: op12 (parallel) stays
-                                      # + op13 (chained, harder) enters
-    "op11_asof_using_sql",            # ASOF USING bridge: op12/op13 keep
-                                      # the bridge class; op04 (DataFrame
-                                      # API asof) re-enters
-    "ev27_quantified_sql",            # quantified subquery: ev28
-                                      # (correlated, strictly harder)
-                                      # enters the class
-    "tp02_top_revenue_orders",        # top-K: db05/db06 keep
-                                      # TakeOrderedAndProject; tpch family
-                                      # keeps tp03/tp04/tp06
-    "dp05_minhash_lsh_near_dups",     # near-dup: dp17 (incremental
-                                      # MinHash) + dp16 (clusters) stay;
-                                      # dp06 (SimHash) re-enters
-    "dp18_pii_scrub",                 # curation class keeps dp14 (rule
-                                      # gate) + dp19 (repetition profile)
-    "ann02_lsh_topk",                 # ANN: ann03 (IVF) + ann05 (PQ-ADC)
-                                      # stay; ann01/ann04 re-enter
-    "dp07_hash_sample",               # sampling: dp08 (stratified) stays;
-                                      # dp27 (weighted) re-enters
-    "ev24_columns_apply_sql",         # dialect-SQL class keeps ev17/ev23/
-                                      # ev25 in-window
-    "dp23_self_passage_dedup",        # passage class: dp22 (cross-doc,
-                                      # harder) re-enters
-    "dp28_bigram_lm",                 # text-stats class keeps dp15
-                                      # (corpus report) + dp14 in-window
-    # ROUND-13 ROTATION (executes VERDICT r12 item 1): eleven entries
-    # move INTO the window — the two entries that never held an
-    # external driver row (ev27_quantified_sql, op12_asof_parallel_sql
-    # — both judge-verified green at sf0.01 in r12), the whole
-    # r05-stale cohort (dp08/tp02/tp04, 7 rounds stale), and six of
-    # the eight r06-stale entries (ann02/ann05/dp15/dp16/dp18/dp19;
-    # dp22/dp24 queue for r14 per NOTES.md).  The eleven displacements
-    # below ALL hold green rows in CORRECTNESS_r12 and each leaves an
-    # in-window class representative, named per entry.
-    "db02_volume_by_interval_sell",   # tumbling+IN+signed-volume: db09/
-                                      # db19 keep tumbling; db05/db11
-                                      # keep IN + the signed projection
-    "db12_etf_volume_by_interval_buy",  # broadcast fact⋈dim join keeps
-                                      # db09/db11/db13 in-window
-    "db14_lots_by_time_sell",         # sort+LIMIT series keeps db13/
-                                      # db19; IN-literals keeps db11
-    "an03_minute_returns",            # window-fn class keeps an08 (gap
-                                      # fill) + an10 (weighted quantiles)
-    "an04_price_percentiles",         # quantile class keeps an10
-                                      # (weighted, the harder form)
-    "ev02_json_extract",              # events scan class keeps ev08/
-                                      # ev11/ev12 in-window
-    "ev10_sequence_match",            # sequence class keeps ev08
-                                      # (funnel) + ev11 (session windows)
-    "ev26_interval_profile_sql",      # dialect-SQL class keeps ev17/
-                                      # ev23/ev24/ev25 + ev27 entering
-    "dp09_term_stats",                # text-stats class keeps dp28
-                                      # (bigram LM) + dp14 (curation)
-    "dp11_rolling_fingerprint",       # fingerprint class keeps dp23
-                                      # (self-passage dedup)
-    "dp29_shard_manifest",            # pack/manifest class keeps dp10
-                                      # (sequence pack) in-window
-    # round-7 displacements: ALL green in CORRECTNESS_r06; each class
-    # keeps an in-window representative (named) or has its evidence
-    # externally banked by the r06 row.
-    # (dp22/dp24 re-entered the window in the ROUND-14 rotation above)
-    # ROUND-8 ROTATION (executes VERDICT r7 item 2): the five round-7
-    # additions (ev14/ev15/ev16/op08/db19) move INTO the window —
-    # after this, every oracle-able catalog entry has held an external
-    # driver row.  The five displacements below ALL hold green rows in
-    # CORRECTNESS_r07 and each leaves an in-window class
-    # representative, named per entry.
-    # (ev06/db08/db15/db17/ann01 re-entered the window in the ROUND-14
-    # rotation above)
-    # ROUND-9 ROTATION (executes VERDICT r8 items 1+3): ev17/dp33/
-    # ev18/mm01 and six stale banked classes (an01/an02/dp03/dp04/
-    # ev01/tp01) move INTO the window.  The ten displacements below
-    # ALL hold green rows in CORRECTNESS_r08 and each leaves an
-    # in-window class representative, named per entry.
-    "ev19_with_totals_sql",           # dialect-SQL class: r10 row banked;
-                                      # ev17/ev18/ev20 stay + ev22/ev23 enter
-    "ev21_combinator_profile_sql",    # combinator dialect class: r10 row
-                                      # banked; ev17/ev20 stay in-window
-    "db10_imoex_volume_by_interval_buy",  # tumbling+broadcast+IN+anti-join:
-                                      # r10 row banked; db07/db19 keep the
-                                      # shape; db03 keeps the anti-join
-    "an05_rolling_channel",           # rolling window: r10 row banked;
-                                      # an08/an10/an11 keep the window class
-    "in02_parse_ref_timestamps",      # dd.MM.yyyy parse: r10 row banked;
-                                      # in04/in05 keep the ingest family
-    "ev04_topk_per_group",            # exact per-group topK: r10 row banked;
-                                      # ev17 stays + ev23 (LIMIT BY) enters
-    "dp21_decontaminate",             # broadcast shingle probe: r10 row
-                                      # banked; dp05/dp17 keep near-dup class
-    "dp20_mixture_weights",           # mixture weights: r10 row banked;
-                                      # dp33 keeps the sampling class
-    # ROUND-12 ROTATION (executes VERDICT r11 item 1): the four
-    # round-11 additions (ev24/ev25/op10/ev26) move INTO the window —
-    # restoring the invariant that every catalog entry has held an
-    # external driver row — plus the five longest-stale dashboard
-    # entries re-earn (db16 tail since r04; db02/db05/db09/db11 tail
-    # since r01, the oldest cohort in the catalog).  The nine
-    # displacements below ALL hold green rows in CORRECTNESS_r11 and
-    # each leaves an in-window class representative, named per entry.
-    "op09_asof_left_bridge",          # ASOF LEFT bridge: r11 row banked;
-                                      # op10 (forward-strict) enters the
-                                      # bridge class; op05 range join stays
-    "an06_ema",                       # recursive EMA fold: r11 row banked;
-                                      # window class keeps an08/an10/an11
-    "ev05_pivot",                     # pivot: r11 row banked; wide-agg
-                                      # shape stays via tp01/db04
-    "ev09_quantile_sketch",           # quantile sketch: r11 row banked;
-                                      # quantile class keeps an10 (weighted)
-    "tp05_rollup_grouping",           # ROLLUP grouping sets: r11 row
-                                      # banked; agg class keeps tp01/tp06
-    "dp12_split_assign",              # split assignment: r11 row banked;
-                                      # sampling class keeps dp33 + dp10
-    "ev18_scalar_with_sql",           # scalar-WITH dialect: r11 row banked;
-                                      # dialect-SQL class keeps ev17/ev22/
-                                      # ev23 + ev24/ev25/ev26 entering
-    "ev20_text_hash_profile_sql",     # text-hash dialect: r11 row banked;
-                                      # text class keeps dp28/dp14 in-window
-    "ev14_window_funnel_ch",          # CH-exact funnel: r11 row banked;
-                                      # funnel class keeps ev08 in-window
-    # ROUND-12 EXPANDED ROTATION (executes VERDICT r11 item 4): the
-    # staleness drain — the whole r05-stale cohort (minus tp02/tp04,
-    # queued r13) plus the three remaining r01-stale dashboard twins
-    # re-earn NOW instead of trickling 4-6 per round.  The seventeen
-    # displacements below ALL hold green rows in CORRECTNESS_r11 and
-    # each leaves an in-window class representative — often the very
-    # stale entry re-entering its class (op01->op02/op03,
-    # in05->in03/in06, dp33->dp07/dp08, db03-anti-join->tp03).
-    "an01_vwap",                      # window class keeps an08/an10 +
-                                      # an03 (minute returns) re-enters
-    "an11_max_drawdown",              # running-extreme window: an08/an10
-                                      # stay in-window
-    "ev03_sessionize",                # gap-lag sessionize: ev11 session
-                                      # windows stays
-    "ev07_cohort_retention",          # cohort class keeps ev12 retention
-    "tp01_pricing_summary",           # pricing agg: tp06 stays + tp03
-                                      # re-enters the tpch family
-    "tp07_hll_distinct",              # HLL class: op07 (HLL state merge)
-                                      # stays in-window
-    "dp01_exact_dedup",               # exact-dedup class: dp13
-                                      # (incremental exact) re-enters;
-                                      # dp05/dp17 stay
-    "dp04_embedding_near_dups",       # near-dup class keeps dp05/dp17
-    "dp25_bm25_topk",                 # ranked-search class keeps dp32
-    "dp30_chunk_documents",           # chunking evidence stays via dp32
-                                      # (chunk retrieval)
-    "dp33_diversity_sample",          # sampling class: dp07/dp08
-                                      # re-enter; dp10 bucketing stays
-    "in05_candle_builder_exact",      # candle class: in03 (windowed) +
-                                      # in06 (rollup) re-enter the fold
-    "op01_dedup_last_write_wins",     # ReplacingMergeTree dedup: op02
-                                      # (quotes FINAL) + op03 (book
-                                      # depth) re-enter the operator
-    "db03_netto_buy_top10",           # anti-join: tp03 re-enters;
-                                      # HAVING+topK: db06 re-enters;
-                                      # broadcast+IN: db02/db09/db11
-                                      # entered this round
-    "db04_netto_union_buy_top10",     # UNION+re-agg: db05 (sell twin)
-                                      # entered this round
-    "db07_volume_diff_by_interval",   # tumbling diff: db09 (imoex twin)
-                                      # entered; db19 keeps tumbling+DST
-    "ev22_with_fill_sql",             # WITH FILL class: ev25
-                                      # (INTERPOLATE) entered this round
-    # (ev28/op13 — the round-13 additions — entered the window in the
-    # ROUND-14 rotation above, earning their first external rows)
-    # round-14 additions start in the tail; they earn rows in the r15
-    # rotation (class evidence: ev14/ev15 funnel family + an06 EMA in
-    # recent windows, plus the r14 value-pinned suites + fuzz kinds)
+    "mm01_feature_extract",           # multimodal: mm02 (frame
+                                      # sample) stays in-window
+    "dp08_stratified_sample",         # sampling: dp33 (diversity) +
+                                      # dp12 (split) + dp20 (mixture)
+                                      # re-enter
+    "dp13_incremental_dedup",         # exact-dedup class: dp01
+                                      # re-enters
+    "dp10_sequence_pack",             # packing/chunking: dp30 (chunk
+                                      # documents) re-enters
+    "dp22_passage_dedup",             # shingle probe class: dp21
+                                      # (decontaminate) re-enters
+    "ann05_pq_adc",                   # ANN class kept by ann01
+    "dp24_model_scores",              # scoring seam: dp25 (bm25
+                                      # ranked) re-enters; r15 banked
+    "dp31_chunk_search",              # retrieval: dp25 (bm25) + dp30
+                                      # (chunking) re-enter
+    "dp32_chunk_search_lsh",          # was window-excluded by POSITION
+                                      # since r15; now explicitly tail
+                                      # (r14 row + judge r15 green);
+                                      # retrieval class as above
+    # ---- banked tail (r13-r15 external rows, classes all represented
+    # in-window; per-entry displacement rationale in git history at
+    # the r13/r14/r15 rotation blocks of this tuple) ----
+    "db05_netto_union_sell_top10",
+    "db08_volume_diff_day_shifted",
+    "db13_imoex_volume_by_time",
+    "db15_count_trades_by_time_buy",
+    "db17_etf_template_var",
+    "an08_gap_fill",
+    "op04_asof_join",
+    "op12_asof_parallel_sql",
+    "op13_asof_chained_sql",
+    "in03_candles_windowed",
+    "ev06_funnel",
+    "ev08_window_funnel",
+    "ev12_retention",
+    "ev17_topk_grouped_sql",
+    "ev23_per_group_topn_sql",
+    "ev25_fill_interpolate_sql",
+    "ev28_correlated_quantified_sql",
+    "dp06_simhash_near_dups",
+    "ann04_sq_topk",
+    "dp27_weighted_sample",
+    "db09_imoex_diff_by_interval",
+    "db11_imoex_volume_by_interval_sell",
+    "op10_asof_forward_sql",
+    "op11_asof_using_sql",
+    "ev27_quantified_sql",
+    "tp02_top_revenue_orders",
+    "dp05_minhash_lsh_near_dups",
+    "dp18_pii_scrub",
+    "ann02_lsh_topk",
+    "dp07_hash_sample",
+    "ev24_columns_apply_sql",
+    "dp23_self_passage_dedup",
+    "dp28_bigram_lm",
+    "db02_volume_by_interval_sell",
+    "db12_etf_volume_by_interval_buy",
+    "db14_lots_by_time_sell",
+    "an03_minute_returns",
+    "an04_price_percentiles",
+    "ev02_json_extract",
+    "ev10_sequence_match",
+    "ev26_interval_profile_sql",
+    "dp09_term_stats",
+    "dp11_rolling_fingerprint",
+    "dp29_shard_manifest",
 )
 
 
