@@ -42,8 +42,8 @@ def _canary_work(_arg=None):
 
 
 def _host_canary() -> dict:
-    """Fixed-work CPU canary, run untimed before the pool: measures the
-    host this bench actually ran on.  ``t1`` = seconds for a fixed
+    """Fixed-work CPU canary, run untimed before AND after the cold
+    pool (r16): measures the host this bench actually ran on.  ``t1`` = seconds for a fixed
     single-process hashlib loop; ``eff32`` = parallel efficiency of the
     same loop across 32 processes (1.0 = 32 real cores).  NOTES.md's
     noise study showed identical code spans 5-70 s cold depending on
@@ -191,6 +191,13 @@ def main() -> None:
     with ThreadPoolExecutor(CONCURRENCY) as ex:
         per_query = dict(ex.map(run, dfs))
     total = round(time.perf_counter() - t_all, 3)
+    # Re-probe the host canary AFTER the cold pass (VERDICT r15: the
+    # r15 artifact's 21.8 s cold was contention that arrived DURING
+    # the pool, invisible to the pre-pool gate — a reader had to
+    # cross-reference NOTES to learn the steady pass was flat).  With
+    # both probes in the JSON, a degraded post-probe next to a high
+    # cold/steady ratio makes the artifact self-explaining.
+    canary_post = _host_canary()
 
     # steady-state pass: same catalog again, now that codegen/plan
     # caches are hot.  This is the reference's actual operating regime —
@@ -258,6 +265,14 @@ def main() -> None:
         pass
     print(json.dumps(detail))
     head = {n: per_query[n] for n in HEAVY_FIRST[:8] if n in per_query}
+    # cold_contended: the cold number should be read as a contention
+    # artifact, not an engine property — the host degraded between the
+    # probes (post eff32 under 80% of the gate floor or halved vs pre)
+    # while the steady pass stayed in band (ratio > 1.8 of steady).
+    ratio = round(total / steady, 2) if steady else None
+    degraded = (canary_post["eff32"] >= 0
+                and (canary_post["eff32"] < 0.8 * floor
+                     or canary_post["eff32"] < 0.5 * max(canary["eff32"], 0.01)))
     print(
         json.dumps(
             {
@@ -268,7 +283,10 @@ def main() -> None:
                 "sf": sf,
                 "concurrency": CONCURRENCY,
                 "steady_state_sec": steady,
+                "cold_steady_ratio": ratio,
                 "host_canary": canary,
+                "host_canary_post": canary_post,
+                "cold_contended": bool(ratio and ratio > 1.8 and degraded),
             }
         )
     )
