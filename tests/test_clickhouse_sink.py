@@ -32,10 +32,17 @@ def test_sink_options_complete():
 
 def test_bootstrap_ddl_shape():
     """Five CREATE TABLEs (db.go:22-108 / main.go:61-65), each a
-    ReplacingMergeTree ordered by its table's dedup key."""
+    ReplacingMergeTree ordered by its table's dedup key.  The r16
+    engine-extension table (transaq_trades_enriched) lives in TABLES
+    but NOT in the reference bootstrap."""
+    from transaq_clickhouse_exporter_spark.tables import REFERENCE_TABLES
+
     ddls = bootstrap_ddl()
-    assert len(ddls) == len(TABLES) == 5
-    for ddl, (name, spec) in zip(ddls, TABLES.items()):
+    assert len(ddls) == len(REFERENCE_TABLES) == 5
+    assert len(TABLES) == 6  # + transaq_trades_enriched (extension)
+    assert "transaq_trades_enriched" not in " ".join(ddls)
+    for ddl, name in zip(ddls, REFERENCE_TABLES):
+        spec = TABLES[name]
         assert f"IF NOT EXISTS {name}" in ddl
         assert "ENGINE = ReplacingMergeTree()" in ddl
         for key in spec.dedup_keys:

@@ -112,6 +112,24 @@ def cmd_serve(args) -> int:
         spark, args.events_dir, args.checkpoint, cfg, pipelines=live,
         sink_factory=sink_factory,
     )
+    # r16: optional stream-side trades⋈quotes enrichment — the
+    # materialized twin of the dashboard's query-time ASOF join
+    # (--enrich-trades or EXPORT_ENRICH_TRADES=1, both event dirs live)
+    enrich = args.enrich_trades or (
+        not args.no_env
+        and os.environ.get("EXPORT_ENRICH_TRADES", "") in ("1", "true"))
+    if enrich:
+        if {"trades", "quotes"} <= set(live):
+            from .jobs import enriched_trades_job
+
+            queries = list(queries) + [enriched_trades_job(
+                spark, args.events_dir,
+                os.path.join(args.checkpoint, "trades_enriched"), cfg,
+                sink_factory=sink_factory,
+            )]
+        else:
+            print("--enrich-trades needs both trades/ and quotes/ "
+                  "event directories — skipped", file=sys.stderr)
     try:
         if args.timeout:
             # one SHARED deadline for the whole pipeline set (ADVICE
@@ -184,6 +202,10 @@ def main(argv=None) -> int:
     s.add_argument("--timeout", type=int, help="seconds to run (default: forever)")
     s.add_argument("--no-env", action="store_true",
                    help="ignore the EXPORT_* environment surface")
+    s.add_argument("--enrich-trades", action="store_true",
+                   help="also stream trades ASOF-enriched with the "
+                        "latest quote into transaq_trades_enriched "
+                        "(or EXPORT_ENRICH_TRADES=1)")
     s.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("query", help="run ClickHouse-dialect SQL on the stored tables")

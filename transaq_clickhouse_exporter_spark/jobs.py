@@ -16,6 +16,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import schemas, storage
 from .ingest import streaming as ing
@@ -126,6 +127,57 @@ def streaming_job(
             )
         )
     return queries
+
+
+def enriched_trades_job(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    cfg: EngineConfig,
+    sink_factory=None,
+):
+    """Optional enriched-trades pipeline (r16, VERDICT r15 item 4):
+    the reference's dashboard joins trades⋈quotes at query time
+    (etc/grafana-dashboard-trades.json panels); this job does the join
+    IN the stream — each trade row lands in
+    ``transaq_trades_enriched`` already carrying the latest quote per
+    (sec_code, board) at-or-before the trade
+    (:func:`operators.asof_stream.asof_join_stream_multi`, one state
+    row per key, one keyed exchange).  Started by
+    ``serve --enrich-trades`` when both event directories are live."""
+    from .operators.asof_stream import asof_join_stream_multi
+
+    tr = ing.shape_trades(read_replay_stream(
+        spark, os.path.join(events_dir, "trades"), schemas.RAW_TRADE))
+    qt = ing.shape_quotes(read_replay_stream(
+        spark, os.path.join(events_dir, "quotes"), schemas.RAW_QUOTE))
+    quotes = qt.select(
+        "sec_code", "board", "time",
+        F.col("price").alias("quote_price"),
+        F.col("buy").alias("quote_buy"),
+        F.col("sell").alias("quote_sell"),
+        F.col("yield").alias("quote_yield"),
+        F.col("source").alias("quote_source"),
+    )
+    enriched = asof_join_stream_multi(
+        tr, [(quotes, "time", "quote_time")],
+        by=["sec_code", "board"], left_ts="time")
+    make_sink = sink_factory or _storage_sink
+    sink = make_sink(cfg, "transaq_trades_enriched")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # non-empty guard (O-14)
+            return
+        sink(ing.stamp_ingest_seq(batch_df, batch_id), batch_id)
+
+    w = (enriched.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", checkpoint)
+         .queryName("tce_trades_enriched"))
+    if cfg.trigger_seconds:
+        w = w.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    else:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def candle_builder_job(

@@ -115,6 +115,24 @@ SECURITIES_INFO = T.StructType(
     ]
 )
 
+#: ``transaq_trades_enriched`` — engine extension (r16): every trade
+#: row plus the latest quote per (sec_code, board) at-or-before the
+#: trade, joined IN the stream (operators/asof_stream) instead of at
+#: query time the way the reference's dashboard panels join
+#: trades⋈quotes.  Quote payloads carry a ``quote_`` prefix so the
+#: trade columns stay verbatim.
+TRADES_ENRICHED = T.StructType(
+    list(TRADES.fields)
+    + [
+        T.StructField("quote_price", T.FloatType(), True),
+        T.StructField("quote_buy", T.IntegerType(), True),
+        T.StructField("quote_sell", T.IntegerType(), True),
+        T.StructField("quote_yield", T.IntegerType(), True),
+        T.StructField("quote_source", T.StringType(), True),
+        T.StructField("quote_time", T.TimestampType(), True),
+    ]
+)
+
 #: ``transaq_quotes`` — db.go:96-108; ``Sell`` normalized to ``sell``.
 QUOTES = T.StructType(
     [

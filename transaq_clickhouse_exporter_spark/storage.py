@@ -30,6 +30,7 @@ _TIME_COL = {
     "transaq_candles": "date",
     "transaq_securities": None,
     "transaq_securities_info": None,
+    "transaq_trades_enriched": "time",  # r16 extension: trade time
 }
 
 

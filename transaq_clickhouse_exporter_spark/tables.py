@@ -105,7 +105,36 @@ TABLES: dict[str, TableSpec] = {
             "sec_code, board, price, source",
         ),
     ),
+    # Engine extension (r16, not in the reference's five): trades
+    # stream-enriched with the latest quote per (sec_code, board) —
+    # the materialized form of the dashboard's query-time trades⋈
+    # quotes join (operators/asof_stream.asof_join_stream_multi;
+    # started by ``serve --enrich-trades``).  Dedup key = the trades
+    # key: one row per trade, the quote columns are derived payload.
+    "transaq_trades_enriched": TableSpec(
+        "transaq_trades_enriched",
+        schemas.TRADES_ENRICHED,
+        ("secid", "board", "sec_code", "trade_no", "time", "buy_sell"),
+        _ddl(
+            "transaq_trades_enriched",
+            "time DateTime('Europe/Moscow'), secid UInt16, "
+            "sec_code LowCardinality(FixedString(16)), trade_no Int64, "
+            "board LowCardinality(String), price Float32, quantity UInt32, "
+            "buy_sell LowCardinality(FixedString(1)), open_interest Int32, "
+            "period LowCardinality(FixedString(1)), quote_price Float32, "
+            "quote_buy Int16, quote_sell Int16, quote_yield Int8, "
+            "quote_source LowCardinality(String), quote_time DateTime('Europe/Moscow')",
+            "secid, board, sec_code, trade_no, time, buy_sell",
+        ),
+    ),
 }
+
+#: The reference's own five tables (main.go:61-65); everything else in
+#: TABLES is an engine extension.
+REFERENCE_TABLES = (
+    "transaq_candles", "transaq_securities", "transaq_trades",
+    "transaq_securities_info", "transaq_quotes",
+)
 
 
 def read_table(spark: SparkSession, path: str, name: str, final: bool = True) -> DataFrame:
@@ -121,5 +150,8 @@ def read_table(spark: SparkSession, path: str, name: str, final: bool = True) ->
 
 
 def bootstrap_ddl() -> list[str]:
-    """The five CREATE TABLE IF NOT EXISTS statements (main.go:61-65)."""
-    return [spec.ch_ddl for spec in TABLES.values()]
+    """The five CREATE TABLE IF NOT EXISTS statements (main.go:61-65).
+    Engine-extension tables (``transaq_trades_enriched``) are created
+    on demand by their own jobs, not by the reference bootstrap."""
+    return [spec.ch_ddl for name, spec in TABLES.items()
+            if name in REFERENCE_TABLES]
