@@ -144,3 +144,15 @@ def test_fuzz_batch_seed_151510_focused(spark):
     focus = ["snn_over_asof", "snn_shared_cte", "maxint_setop",
              "maxint_having", "with_scope_shadow", "fill_qualify"]
     assert run_fuzz(40, 151510, spark, focus=focus) == []
+
+
+def test_fuzz_batch_seed_91601_focused(spark):
+    """r16 kinds hold a standing FOCUSED seed: time-guarded
+    sequenceMatch/sequenceCount vs independent DuckDB mirrors (2-way
+    EXISTS join / recursive-CTE greedy scan), the guarded aggregate
+    over a shared CTE, mixed-comparator ASOF chains (asof_multi fast
+    path vs per-link fallback vs DuckDB native ASOF), and
+    maxIntersections known-scalar guard-path equivalence."""
+    focus = ["seq_time", "seq_time_match", "seq_time_cte",
+             "asof_multi_mixed", "maxint_guard_paths"]
+    assert run_fuzz(40, 91601, spark, focus=focus) == []

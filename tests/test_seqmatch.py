@@ -26,7 +26,10 @@ def test_translate_pattern():
     assert translate_pattern("(?1).*(?2)", 2, lazy=True) == "1.*?2"
     assert translate_pattern("(?1).+(?2).*(?1)", 2) == "1.+2.*1"
     with pytest.raises(ValueError):
-        translate_pattern("(?1)(?t<=3600)(?2)", 2)  # time guards unsupported
+        # time guards are outside the REGEX translator's scope — they
+        # take the chain fold via parse_chain (r16,
+        # test_r16_seqmatch_time.py)
+        translate_pattern("(?1)(?t<=3600)(?2)", 2)
     with pytest.raises(ValueError):
         translate_pattern("(?3)", 2)  # ref out of range
     with pytest.raises(ValueError):

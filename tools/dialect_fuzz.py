@@ -111,7 +111,12 @@ class Gen:
                  "ema", "max_intersections",
                  # r15 composition kinds (VERDICT r14 item 5)
                  "snn_over_asof", "snn_shared_cte", "maxint_setop",
-                 "maxint_having", "with_scope_shadow"])
+                 "maxint_having", "with_scope_shadow",
+                 # r16 kinds (VERDICT r15 item 5): time-guarded
+                 # sequence aggregates, mixed-comparator ASOF chains,
+                 # maxIntersections guard-path equivalence
+                 "seq_time", "seq_time_match", "seq_time_cte",
+                 "asof_multi_mixed", "maxint_guard_paths"])
         self.kind_tally[kind] = self.kind_tally.get(kind, 0) + 1
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
@@ -474,6 +479,99 @@ class Gen:
                 f" arg_min(r.p, r.rn) AS BIGINT) AS v"
                 f" FROM {rn2} r JOIN {mx2} x ON x.g = r.g AND"
                 f" r.c = x.m GROUP BY r.g, x.m)")
+            return ch, duck
+        if kind == "seq_time":
+            # time-guarded sequenceCount (r16): the greedy chain fold
+            # vs an INDEPENDENT DuckDB recursive-CTE greedy scan (min
+            # end index per step >= scan_from, resume after it) — the
+            # ev33 oracle technique parameterized over random
+            # separators, guard operators and conditions.
+            c1, d1 = self.block(depth - 1)
+            return self._seq_time_over(c1, d1, match_only=False)
+        if kind == "seq_time_match":
+            # guarded sequenceMatch as Int (r16): existence via a
+            # plain 2-way self-join EXISTS — a second independent
+            # mirror shape next to the recursive count.
+            c1, d1 = self.block(depth - 1)
+            return self._seq_time_over(c1, d1, match_only=True)
+        if kind == "seq_time_cte":
+            # guarded sequence aggregate over a statement-level CTE
+            # that is ALSO consumed by a plain aggregate branch (r16):
+            # the shared def must survive the fold rewrite's source
+            # wrap (same hazard zone as snn_shared_cte).
+            nm = self.name("stc")
+            c1, d1 = self.block(depth - 1)
+            st_ch, st_duck = self._seq_time_over(
+                nm, nm, match_only=self.rng.random() < 0.5)
+            ch = (f"(WITH {nm} AS (SELECT g, v FROM {c1})"
+                  f" SELECT g, v FROM {st_ch} __st"
+                  f" UNION ALL SELECT g, CAST(sum(v) AS BIGINT) AS v"
+                  f" FROM {nm} GROUP BY g)")
+            duck = (f"(WITH {nm} AS (SELECT g, v FROM {d1})"
+                    f" SELECT g, v FROM {st_duck} __st"
+                    f" UNION ALL SELECT g, CAST(sum(v) AS BIGINT) AS v"
+                    f" FROM {nm} GROUP BY g)")
+            return ch, duck
+        if kind == "asof_multi_mixed":
+            # chained ASOF with PER-LINK comparators drawn from
+            # {>=, >} (r16): a uniform draw takes the asof_multi
+            # single-window fast path, a mixed draw the per-link
+            # fallback — both must equal DuckDB's native ASOF chain,
+            # which parses the same text verbatim.
+            if self.n_asof >= 1:
+                c1, d1 = self.block(depth - 1)
+                return self._seq_time_over(c1, d1, match_only=True)
+            self.n_asof += 2
+            c1, d1 = self.block(0)
+            c2, d2 = self.block(0)
+            c3, d3 = self.block(0)
+            op1 = self.rng.choice([">=", ">"])
+            op2 = self.rng.choice([">=", ">"])
+            al, ar, ac = self.name("ml"), self.name("mr"), self.name("mc")
+            tpl = (f"(SELECT {al}.g AS g, {al}.v +"
+                   f" coalesce({ar}.rv, 0) + coalesce({ac}.ix, 0)"
+                   f" AS v FROM (SELECT g, coalesce(v, 0) AS v"
+                   f" FROM {{s1}}) AS {al}"
+                   f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 1"
+                   f" AS rv FROM {{s2}}) AS {ar}"
+                   f" ON {al}.g = {ar}.g AND {al}.v {op1} {ar}.rv"
+                   f" ASOF LEFT JOIN (SELECT g, coalesce(v, 0) + 2"
+                   f" AS ix FROM {{s3}}) AS {ac}"
+                   f" ON {al}.g = {ac}.g AND {al}.v {op2} {ac}.ix)")
+            return (tpl.format(s1=c1, s2=c2, s3=c3),
+                    tpl.format(s1=d1, s2=d2, s3=d3))
+        if kind == "maxint_guard_paths":
+            # maxIntersections with a HAVING whose scalar calls either
+            # PASS the known-scalar guard (abs/floor — window-sweep
+            # rewrite) or DECLINE it (ascii — always-correct fold):
+            # both paths must produce the sweep's values (r16, the
+            # ADVICE arrayJoin/arrayReduce guard audit generalized).
+            c1, d1 = self.block(depth - 1)
+            m1, m2 = self.rng.randint(5, 15), self.rng.randint(1, 4)
+            # always-true HAVING tail so values are unaffected; the
+            # call CHOICE flips which rewrite path runs: group-key
+            # scalars (abs/floor, known) keep the window sweep, an
+            # unknown call (ascii) declines to the fold
+            guard_pass = self.rng.random() < 0.5
+            tail = ("abs(floor(g)) >= 0"
+                    if guard_pass else "ascii('a') = 97")
+            pt, rn2 = self.name("gp"), self.name("gr")
+            ch = (f"(SELECT g, maxIntersections(coalesce(v, 0)"
+                  f" % {m1}, coalesce(v, 0) % {m1} + 1 +"
+                  f" coalesce(v, 0) % {m2}) AS v"
+                  f" FROM {c1} GROUP BY g HAVING {tail})")
+            duck = (
+                f"(WITH {pt} AS (SELECT g, u.p AS p, u.w AS w FROM"
+                f" (SELECT g, coalesce(v, 0) % {m1} AS s,"
+                f" coalesce(v, 0) % {m1} + 1 + coalesce(v, 0) %"
+                f" {m2} AS e FROM {d1}) AS __mi,"
+                f" UNNEST([struct_pack(p := s::DOUBLE, w := 1),"
+                f" struct_pack(p := e::DOUBLE, w := -1)]) AS t(u)),"
+                f" {rn2} AS (SELECT g, sum(w) OVER (PARTITION"
+                f" BY g ORDER BY p, w ROWS UNBOUNDED PRECEDING)"
+                f" AS c FROM {pt})"
+                f" SELECT g, CAST(max(c) AS BIGINT) AS v"
+                f" FROM {rn2} GROUP BY g)")
             return ch, duck
         if kind == "seq_next_node":
             # sequenceNextNode (r14, VERDICT r13 item 5): both
@@ -937,6 +1035,73 @@ class Gen:
             f" ORDER BY p, w ROWS UNBOUNDED PRECEDING) AS c FROM {pt})"
             f" SELECT g, CAST(max(c) AS BIGINT) AS v"
             f" FROM {rn} GROUP BY g)")
+
+    def _seq_time_over(self, c1: str, d1: str,
+                       match_only: bool) -> tuple[str, str]:
+        """Time-guarded sequenceMatch/sequenceCount block over an
+        arbitrary (g, v) source pair — ts := v over a DISTINCT
+        NULL-free source (unique ts per group pins the token order on
+        both engines).  Mirrors are INDEPENDENT derivations: existence
+        via a 2-way self-join EXISTS, count via a recursive-CTE greedy
+        scan (min end index with start >= scan_from, resume after it —
+        the ev33 oracle technique).  Contract documented at the
+        seq_time kind."""
+        pool = ["{x} % 2 = 0", "{x} % 3 = 1", "{x} % 3 < 2",
+                "{x} % 5 != 0", "{x} % 4 >= 1"]
+        cnd = [self.rng.choice(pool), self.rng.choice(pool)]
+        sep = self.rng.choice(["", ".*", ".+"])
+        ops = ["<", ">", "<=", ">=", "==", "!="]
+        guards = [(self.rng.choice(ops), self.rng.randint(1, 6))
+                  for _ in range(self.rng.randint(1, 2))]
+        pat = ("(?1)" + "".join(f"(?t{op}{n})" for op, n in guards)
+               + sep + "(?2)")
+        fn = "sequenceMatch" if match_only else "sequenceCount"
+        src, tk, rc, g2 = (self.name("sq"), self.name("sqt"),
+                          self.name("sqr"), self.name("sqg"))
+        ch_conds = ", ".join(c.format(x="v") for c in cnd)
+        ch = (f"(SELECT g, CAST({fn}('{pat}')(v, {ch_conds})"
+              f" AS Int64) AS v FROM (SELECT DISTINCT g, v FROM {c1}"
+              f" WHERE v IS NOT NULL) AS {src} GROUP BY g)")
+        pos = {"": "t2.i = t1.i + 1", ".*": "t2.i > t1.i",
+               ".+": "t2.i > t1.i + 1"}[sep]
+        dop = {"==": "=", "!=": "<>"}
+        tg = " AND ".join(
+            f"(t2.ts - t1.ts) {dop.get(op, op)} {n}" for op, n in guards)
+        toks = (
+            f"{src} AS (SELECT DISTINCT g, v FROM {d1}"
+            f" WHERE v IS NOT NULL),"
+            f" {tk} AS (SELECT g, v AS ts, tok, row_number() OVER"
+            f" (PARTITION BY g ORDER BY v) - 1 AS i FROM"
+            f" (SELECT g, v, CASE WHEN ({cnd[0].format(x='v')})"
+            f" THEN 1 WHEN ({cnd[1].format(x='v')}) THEN 2 END AS tok"
+            f" FROM {src}) z WHERE tok IS NOT NULL)")
+        if match_only:
+            duck = (
+                f"(WITH {toks}"
+                f" SELECT {g2}.g AS g, CAST(CASE WHEN EXISTS("
+                f"SELECT 1 FROM {tk} t1, {tk} t2"
+                f" WHERE t1.g = {g2}.g AND t2.g = {g2}.g"
+                f" AND t1.tok = 1 AND t2.tok = 2 AND {pos} AND {tg})"
+                f" THEN 1 ELSE 0 END AS BIGINT) AS v"
+                f" FROM (SELECT DISTINCT g FROM {src}) {g2})")
+            return ch, duck
+        duck = (
+            f"(WITH {toks},"
+            f" {rc} AS ("
+            f" WITH RECURSIVE r(g, sf, cnt) AS ("
+            f" SELECT g, 0, 0 FROM (SELECT DISTINCT g FROM {tk}) u"
+            f" UNION ALL"
+            f" SELECT g, e + 1, cnt + 1 FROM ("
+            f" SELECT r2.g, (SELECT min(t2.i) FROM {tk} t1, {tk} t2"
+            f" WHERE t1.g = r2.g AND t2.g = r2.g AND t1.tok = 1"
+            f" AND t2.tok = 2 AND t1.i >= r2.sf AND {pos} AND {tg}"
+            f" ) AS e, r2.cnt FROM r r2) x WHERE e IS NOT NULL)"
+            f" SELECT g, max(cnt) AS cnt FROM r GROUP BY g)"
+            f" SELECT {g2}.g AS g, CAST(coalesce({rc}.cnt, 0)"
+            f" AS BIGINT) AS v"
+            f" FROM (SELECT DISTINCT g FROM {src}) {g2}"
+            f" LEFT JOIN {rc} ON {rc}.g = {g2}.g)")
+        return ch, duck
 
     def _snn_over(self, c1: str, d1: str) -> tuple[str, str]:
         """sequenceNextNode block over an arbitrary (g, v) source
