@@ -4515,6 +4515,7 @@ def _rewrite_maxint_block(sql: str, sh: str, depths: list[int],
     cols: dict[str, int] = {}   # normalized args → index
     ev_cols: list[str] = []
     win_cols: list[str] = []
+    pair_exprs: list[tuple[str, str]] = []
     for _, _, inner, _ in calls:
         norm = _norm_expr(inner)
         if norm in cols:
@@ -4526,6 +4527,7 @@ def _rewrite_maxint_block(sql: str, sh: str, depths: list[int],
         cols[norm] = k
         s0 = f"CAST(({parts[0]}) AS DOUBLE)"
         e0 = f"CAST(({parts[1]}) AS DOUBLE)"
+        pair_exprs.append((s0, e0))
         ev = (f"CASE WHEN {s0} IS NOT NULL AND {e0} IS NOT NULL THEN"
               f" array(struct({s0} AS p, 1 AS w),"
               f" struct({e0} AS p, -1 AS w)) END")
@@ -4537,6 +4539,7 @@ def _rewrite_maxint_block(sql: str, sh: str, depths: list[int],
         win_cols.append(
             f"row_number() OVER ({part}ORDER BY __mi_ev{k}.p,"
             f" __mi_ev{k}.w) AS __mi_r{k}")
+        win_cols.append(f"__mi_ev{k}.p AS __mi_p{k}")
     if len(cols) > 1:
         # two lateral views would CROSS each other's events
         raise _MaxIntFallback("distinct (start, end) argument pairs")
@@ -4544,16 +4547,97 @@ def _rewrite_maxint_block(sql: str, sh: str, depths: list[int],
     def repl(inner: str, is_pos: bool) -> str:
         k = cols[_norm_expr(inner)]
         if is_pos:
-            return (f"max_by(__mi_ev{k}.p, IF(__mi_c{k} IS NULL, NULL,"
+            return (f"max_by(__mi_p{k}, IF(__mi_c{k} IS NULL, NULL,"
                     f" named_struct('c', __mi_c{k},"
                     f" 'r', -__mi_r{k})))")
         return f"CAST(max(__mi_c{k}) AS BIGINT)"
 
     where_text = (" " + sql[cl["WHERE"][0]: source_end].rstrip()
                   if "WHERE" in cl else "")
-    wrap = (f"FROM (SELECT *, {', '.join(win_cols)}"
-            f" FROM {rel_text} {' '.join(ev_cols)}{where_text})"
-            f" AS {alias} ")
+    # r16 (guide §2.5/§2.6): the one-window-per-group sweep serializes
+    # each group's whole event stream into a single task — at sf0.1 the
+    # 3-board trades table runs its 1.2M-event sort + running sum on 3
+    # of 32 cores (measured 3.66 s; ev31 was the pool's worst query).
+    # When every group key is a plain column the sweep instead runs as
+    # a TWO-LEVEL parallel prefix sum: events are range-bucketed on p
+    # (64 buckets from a one-scan global min/max — any deterministic
+    # monotone-in-p bucketing preserves the per-group event order, so
+    # bounds need no WHERE and stale balance cannot change values), a
+    # per-(keys, bucket) window computes LOCAL running counts/row
+    # numbers, a per-bucket aggregate reduces each bucket to one
+    # candidate row, and a window over the ≤64-row bucket summaries
+    # adds the count/row offsets of all earlier buckets.  Global
+    # running count = bucket offset + local count; the per-bucket
+    # argmax of (c, −r) commutes with adding a constant offset, so
+    # max/max_by over bucket candidates equals max/max_by over all
+    # events — values are bit-identical (proved in
+    # tools/exp_maxint_parallel.py: equal rows, 3.66 s → 1.68 s).
+    # NULL intervals land in the NULL bucket, which sorts first (ASC
+    # NULLS FIRST) exactly like NULL positions did in the flat order;
+    # NaN positions pin to the last bucket (NaN sorts last).  Non-
+    # column group keys keep the flat sweep (outer clauses re-reference
+    # the key EXPRESSIONS, which only a SELECT * pass-through serves).
+    _ident_rx = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)?$")
+    outs = [k.split(".")[-1] for k in keys]
+    parallel_ok = (
+        all(_ident_rx.match(k) for k in keys)
+        and len(set(o.lower() for o in outs)) == len(outs)
+        and not any(o.lower().startswith("__mi_") for o in outs)
+    )
+    if parallel_ok:
+        s0, e0 = pair_exprs[0]
+        nb = 64
+        key_sel = "".join(f"{k} AS {o}, " for k, o in zip(keys, outs))
+        key_ref = "".join(f"{o}, " for o in outs)
+        part_out = (f"PARTITION BY {', '.join(outs)} " if outs else "")
+        bounds = (
+            f"(SELECT named_struct("
+            f"'mn', CAST(LEAST(min({s0}), min({e0})) AS DOUBLE),"
+            f" 'mx', CAST(GREATEST(max({s0}), max({e0})) AS DOUBLE))"
+            f" FROM {rel_text}) AS __mi_b0"
+        )
+        bkt = (
+            f"CASE WHEN __mi_ev0.p IS NULL THEN CAST(NULL AS INT)"
+            f" WHEN isnan(__mi_ev0.p) THEN {nb - 1}"
+            f" WHEN __mi_b0.mx <= __mi_b0.mn THEN 0"
+            f" ELSE LEAST({nb - 1}, GREATEST(0,"
+            f" CAST(floor((__mi_ev0.p - __mi_b0.mn) * {nb}.0"
+            f" / (__mi_b0.mx - __mi_b0.mn)) AS INT))) END"
+        )
+        off_frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        wrap = (
+            f"FROM ("
+            f"SELECT {key_ref}(__mi_off0 + __mi_lpr0.c) AS __mi_c0,"
+            f" (__mi_roff0 + __mi_lpr0.r) AS __mi_r0,"
+            f" __mi_lpr0.p AS __mi_p0"
+            f" FROM (SELECT {key_ref}__mi_bkt0, __mi_lpr0,"
+            f" coalesce(sum(__mi_tot0) OVER ({part_out}ORDER BY __mi_bkt0"
+            f" {off_frame}), 0) AS __mi_off0,"
+            f" coalesce(sum(__mi_cnt0) OVER ({part_out}ORDER BY __mi_bkt0"
+            f" {off_frame}), CAST(0 AS BIGINT)) AS __mi_roff0"
+            f" FROM (SELECT {key_ref}__mi_bkt0,"
+            f" coalesce(sum(__mi_ev0.w), 0) AS __mi_tot0,"
+            f" count(*) AS __mi_cnt0,"
+            f" max_by(named_struct('p', __mi_ev0.p, 'c', __mi_lc0,"
+            f" 'r', __mi_lr0), IF(__mi_lc0 IS NULL, NULL,"
+            f" named_struct('c', __mi_lc0, 'r', -__mi_lr0))) AS __mi_lpr0"
+            f" FROM (SELECT {key_ref}__mi_bkt0, __mi_ev0,"
+            f" sum(__mi_ev0.w) OVER (PARTITION BY {key_ref}__mi_bkt0"
+            f" ORDER BY __mi_ev0.p, __mi_ev0.w ROWS UNBOUNDED PRECEDING)"
+            f" AS __mi_lc0,"
+            f" row_number() OVER (PARTITION BY {key_ref}__mi_bkt0"
+            f" ORDER BY __mi_ev0.p, __mi_ev0.w) AS __mi_lr0"
+            f" FROM (SELECT {key_ref}__mi_ev0, {bkt} AS __mi_bkt0"
+            f" FROM (SELECT {key_sel}__mi_ev0, {bounds}"
+            f" FROM {rel_text} {' '.join(ev_cols)}{where_text}) __mi_q1"
+            f") __mi_q2) __mi_q3"
+            f" GROUP BY {key_ref}__mi_bkt0) __mi_q4) __mi_q5"
+            f") AS {alias} "
+        )
+    else:
+        wrap = (f"FROM (SELECT *, {', '.join(win_cols)}"
+                f" FROM {rel_text} {' '.join(ev_cols)}{where_text})"
+                f" AS {alias} ")
 
     out, pos = [], bs
     spans = sorted(calls, key=lambda c: c[0])
