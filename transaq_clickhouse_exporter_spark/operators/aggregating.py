@@ -97,33 +97,30 @@ def merge_states(states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
         else:
             raise ValueError(f"unmergeable state column: {c}")
     if has_hll:
-        # map-merge: explode to (bucket, rho), max per bucket, re-pack
-        flat = states.select(
-            *keys, F.explode_outer("hll").alias("bucket", "m_rho")
-        )
-        regs = (
-            flat.filter(F.col("bucket").isNotNull())
-            .groupBy(*keys, "bucket")
-            .agg(F.max("m_rho").alias("m_rho"))
-            .groupBy(*keys)
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("bucket", "m_rho"))
-                ).alias("hll")
-            )
-        )
-        # LEFT join: a key whose hll map was empty on every state row
-        # (hll_col NULL throughout) has no register rows; its scalar
-        # states must survive with an empty map (ADVICE r6).
+        # r16 (guide §2.4 remove shuffles / §1.2 fewer passes): the
+        # old form referenced ``states`` TWICE — once for the scalar
+        # re-aggregation and once for an explode → per-bucket max →
+        # re-pack register pipeline, then LEFT-joined the two.  A
+        # state table is cheap, but the state SUBTREE feeding it (per-
+        # batch partial aggregations over raw data) is not, and a dual
+        # reference executes it twice (no common-subtree sharing
+        # across different aggregates in Spark).  Registers are maps,
+        # and a per-bucket max IS a map merge, so ONE grouped pass
+        # collects each key's maps and folds them with map_zip_with /
+        # greatest — same per-bucket max integers, no second subtree,
+        # no join.  Keys whose maps were all empty fold to the empty
+        # map exactly as the old coalesce did (ADVICE r6 preserved).
         empty_map = F.map_from_arrays(
             F.array().cast("array<int>"), F.array().cast("array<int>")
         )
-        return (
-            states.groupBy(*keys)
-            .agg(*aggs)
-            .join(regs, list(keys), "left")
-            .withColumn("hll", F.coalesce(F.col("hll"), empty_map))
+        merged_map = F.aggregate(
+            F.collect_list("hll"),
+            empty_map,
+            lambda acc, m: F.map_zip_with(
+                acc, m, lambda _k, v1, v2: F.greatest(v1, v2)
+            ),
         )
+        return states.groupBy(*keys).agg(*aggs, merged_map.alias("hll"))
     return states.groupBy(*keys).agg(*aggs)
 
 
@@ -140,20 +137,43 @@ def finalize(
     per-bucket max IS the merge, so the estimate is identical."""
     if "hll" not in states.columns:
         return merge_states(states, keys)
-    merged = merge_states(states.drop("hll"), keys)
-    regs = (
-        states.select(*keys, F.explode("hll").alias("bucket", "m_rho"))
-        .groupBy(*keys, "bucket")
-        .agg(F.max("m_rho").alias("m_rho"))
+    # r16 (guide §2.4/§1.2): the old read-side FINAL referenced the
+    # ``states`` subtree twice (scalar merge + register explode →
+    # estimator) and re-joined them — at sf0.1 the op07 plan showed
+    # SIX scans of trades (3 per-batch partials × 2 references) under
+    # a SortMergeJoin.  Now: merge_states' single grouped pass yields
+    # the merged register MAP alongside the scalars, and the HLL
+    # estimate is computed from that map with array/map expressions —
+    # the same exact-integer harmonic sum as
+    # hll_estimate_from_registers (s_present = Σ 2^(scale−rho) as
+    # integers, nb = map size; integer adds commute, so fold order
+    # cannot change the sum), with the SAME closed-form branch for
+    # the linear-counting regime.  A key with an all-empty map gets
+    # nb=0 → the linear-counting branch returns round(m·ln(m/m)) = 0,
+    # exactly the old LEFT-join + coalesce-0 value (ADVICE r6).
+    from ..functions.hll import _alpha
+
+    m = 1 << precision
+    r_bits = 60 - precision
+    scale = r_bits + 1
+    merged = merge_states(states, keys)
+    s_present = F.aggregate(
+        F.map_values("hll"),
+        F.lit(0).cast("long"),
+        lambda acc, rho: acc
+        + F.pow(F.lit(2.0), F.lit(scale) - rho).cast("long"),
     )
-    est = hll_estimate_from_registers(regs, tuple(keys), precision).withColumnRenamed(
-        "est", "distinct_est"
-    )
-    # LEFT join + 0: keys with no register rows (hll empty on every
-    # state row) keep their scalars; the distinct estimate of an
-    # all-NULL column is 0 (ADVICE r6).
-    return merged.join(est, list(keys), "left").withColumn(
-        "distinct_est", F.coalesce(F.col("distinct_est"), F.lit(0).cast("long"))
+    nb = F.size("hll").cast("long")
+    s_total = (s_present + (F.lit(m) - nb) * (1 << scale)).cast("double")
+    e_raw = F.lit(_alpha(m) * m * m * float(1 << scale)) / s_total
+    v = F.lit(m) - nb
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v)),
+    ).otherwise(F.round(e_raw))
+    return merged.select(
+        *[c for c in merged.columns if c != "hll"],
+        est.cast("long").alias("distinct_est"),
     )
 
 
