@@ -304,8 +304,12 @@ def doc_search_lsh(
     )
     q = q.select(query_id_col, "qv", F.explode(probes).alias("bucket"))
     sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    # r16 (guide §3.1): broadcast the (tiny, exploded-probe) query side
+    # — the planner was broadcasting the CORPUS chunk index instead
+    # (dp32 plan: BuildRight over every chunk vector), an inversion of
+    # the at-scale contract where the index streams and only probes ship.
     pooled = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .select(query_id_col, id_col, sim.alias("cos_sim"))
         .groupBy(query_id_col, id_col)
         .agg(F.max("cos_sim").alias("best_sim"))

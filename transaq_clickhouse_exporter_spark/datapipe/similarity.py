@@ -170,6 +170,13 @@ def rademacher_bucket(vec_col, dim: int, n_planes: int = 12):
         proj = q @ signs.T
         return pd.Series(((proj > 0).astype(np.int64) @ powers).astype(np.int64))
 
+    # r16 (guide §4.4): the value is a pure function of the vector, but
+    # the optimizer pushes the join's inferred isnotnull(bucket) filter
+    # below the projection and re-evaluates the UDF — the ann02 plan
+    # showed TWO ArrowEvalPython nodes over the full corpus.  Marking
+    # the UDF non-deterministic forbids the duplication (single
+    # evaluation, filter above); no caller filters need to push past it.
+    bucket = bucket.asNondeterministic()
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return bucket(v)
 
@@ -211,7 +218,9 @@ def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12):
         signs = (m @ planes.T) > 0
         return pd.Series((signs @ powers).astype(np.int64))
 
-    return bucket(vec_col)
+    # single evaluation under inferred join filters — see
+    # rademacher_bucket (guide §4.4)
+    return bucket.asNondeterministic()(vec_col)
 
 
 def lsh_topk(
@@ -267,8 +276,13 @@ def lsh_topk(
     )
     q = q.select(query_id_col, "qv", F.explode(probes).alias("bucket"))
     sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    # r16 (guide §3.1): broadcast the QUERY side explicitly — the
+    # documented contract is |queries| ≪ |corpus|, but without the hint
+    # the planner's post-explode estimate made it broadcast the CORPUS
+    # (hash relation of every vector, per run; a scale inversion — at
+    # 100 TB the corpus side must stream, never build).
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .select(query_id_col, "nn_id", sim.alias("cos_sim"))
         .dropDuplicates([query_id_col, "nn_id"])  # multi-probe overlap
     )

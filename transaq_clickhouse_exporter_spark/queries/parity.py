@@ -293,7 +293,18 @@ def _register_derived_locked(spark: SparkSession, sf_dir: str, cache: bool, mark
     # is corpus-pure, exactly the index a deployment would persist
     from ..datapipe.retrieval import build_chunk_index as _bci
 
-    _bci(docs, size=64, stride=48, dim=16).createOrReplaceTempView("chunk_index")
+    # r16: persist the LSH bucket column WITH the index (guide §6
+    # "partitioning … on write determine how well readers can skip
+    # data"; retrieval.py already documents a pre-bucketed index as
+    # the measured requirement for the bucketed path to beat the
+    # linear scan, and index_stream_sink persists it on every
+    # increment).  dp32's per-run Rademacher re-bucketing of the whole
+    # corpus disappears; the bucket values are the identical JVM
+    # expression, so dp32's output is unchanged (oracle re-derives
+    # buckets from the same sign matrix).  dp31 selects only
+    # (doc_id, embedding) and is untouched.
+    _bci(docs, size=64, stride=48, dim=16,
+         bucket_planes=6).createOrReplaceTempView("chunk_index")
     if cache:
         # NB: the cached fact views keep their source partitioning (1-6
         # parquet splits at bench scale).  Re-caching them repartitioned
