@@ -14,10 +14,19 @@ default-mode semantics — max over ALL anchors, equal timestamps
 allowed — use :func:`window_funnel_ch`, which the ``windowFunnel``
 SQL bridge in ``queries/ch_compat.py`` mirrors.)
 
-Plan shape: k−1 joins keyed on the user id, each side a per-user
-min-aggregate with map-side combine — at 100 TB this is k narrow
-passes over the (time-partition-pruned) event table, never a per-user
-sort or a window over raw events.
+Plan shape (r16): ONE hash aggregation keyed on the user id — per
+user, one array of matching timestamps per stage condition
+(``collect_list`` with map-side partial merge), then the whole
+earliest-anchor recurrence folds as array expressions
+(``array_min(filter(...))``) inside the same codegen stage.  The
+previous shape (k−1 joins of per-user min-aggregates) re-scanned the
+event table k times and — decisive at scale — joined against a
+per-user aggregate whose size GROWS with the user population, so the
+planner's broadcast became a driver/executor memory wall and the
+fallback sort-merge cost k keyed shuffles.  One exchange of the
+cond-matching event timestamps replaces all of it; per-user state is
+bounded by that user's matching events, the same envelope ClickHouse's
+own ``windowFunnel`` state holds.
 """
 
 from __future__ import annotations
@@ -36,32 +45,45 @@ def window_funnel(
     window: int = 3600,
 ) -> DataFrame:
     """Per-user funnel depth: ``(user_col, level int)`` for every user
-    that reached stage 1, ``level`` in [1, len(conds)]."""
+    that reached stage 1, ``level`` in [1, len(conds)].
+
+    Single-pass: per user one ``collect_list`` of matching timestamps
+    per stage (nulls from the unmatched ``when`` are skipped by
+    ``collect_list``, mirroring the old per-stage ``filter``), then
+    ``t_i = array_min(filter(c_i, t_{i-1} < x <= t_1 + window))`` —
+    textually the recurrence from the module docstring.  ``t_{i-1}``
+    NULL propagates through the lambda comparison, so a broken prefix
+    yields NULL for every deeper stage exactly like the old inner-join
+    chain dropping the user."""
     assert len(conds) >= 1
-    cur = events.filter(conds[0]).groupBy(user_col).agg(
-        F.min(ts_col).alias("__t"), F.min(ts_col).alias("__anchor")
-    )
-    frames = [cur]
-    for cond in conds[1:]:
-        cur = (
-            events.filter(cond)
-            .join(cur, user_col)
-            .filter(
-                (F.col(ts_col) > F.col("__t"))
-                & (F.col(ts_col) <= F.col("__anchor") + window)
-            )
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("__t"), F.min("__anchor").alias("__anchor"))
+    aggs = [
+        F.collect_list(F.when(cond, F.col(ts_col))).alias(f"__c{i}")
+        for i, cond in enumerate(conds)
+    ]
+    g = events.groupBy(user_col).agg(*aggs)
+    g = g.withColumn("__t1", F.array_min(F.col("__c0")))
+
+    def _next_stage(arr: Column, prev_t: Column, hi: Column) -> Column:
+        return F.array_min(F.filter(arr, lambda x: (x > prev_t) & (x <= hi)))
+
+    prev = "__t1"
+    for i in range(1, len(conds)):
+        g = g.withColumn(
+            f"__t{i + 1}",
+            _next_stage(
+                F.col(f"__c{i}"), F.col(prev), F.col("__t1") + F.lit(window)
+            ),
         )
-        frames.append(cur)
-    levels = reduce(
-        DataFrame.unionAll,
-        [
-            f.select(F.col(user_col), F.lit(i + 1).alias("level"))
-            for i, f in enumerate(frames)
-        ],
+        prev = f"__t{i + 1}"
+    level = reduce(
+        lambda acc, i: F.when(F.col(f"__t{i}").isNotNull(), F.lit(i)).otherwise(acc),
+        range(2, len(conds) + 1),
+        F.lit(1),
     )
-    return levels.groupBy(user_col).agg(F.max("level").cast("int").alias("level"))
+    return (
+        g.filter(F.col("__t1").isNotNull())
+        .select(F.col(user_col), level.cast("int").alias("level"))
+    )
 
 
 def window_funnel_ch(

@@ -1125,35 +1125,42 @@ def _events_specs() -> list[QuerySpec]:
     )
 
     # conversion funnel: earliest view → first click within 1 h of it →
-    # first purchase within 1 h of that.  Stage-chained conditional
-    # aggregation (each stage is a groupBy+min behind an equi-join on
-    # user_id — partial-agg collapses events before every shuffle; no
-    # window over the raw stream, no sessionization state).
+    # first purchase within 1 h of that.  Single-pass per-user fold
+    # (r16): ONE hash aggregation collects each user's view-min and
+    # click/purchase timestamp lists, then the stage recurrence
+    # (tc = min click in [tv, tv+3600], tp = min purchase in
+    # [tc, tc+3600]) evaluates as array expressions in the same codegen
+    # stage — one exchange of cond-matching events, no joins.  The
+    # previous stage-chained join shape broadcast a per-user aggregate
+    # whose size grows with the user population (a memory wall at
+    # scale) or paid one keyed shuffle per stage; NULL tv/tc propagates
+    # through the lambda exactly like the old inner joins dropping the
+    # user, and count() skips the NULLs identically.
     def _funnel(s: SparkSession) -> DataFrame:
         ev = s.table("ev")
-        v = (
-            ev.filter(F.col("event_type") == "view")
-            .groupBy("user_id").agg(F.min("ts_s").alias("tv"))
+        g = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).alias("tv"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts_s"))
+            ).alias("__cl"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts_s"))
+            ).alias("__pu"),
         )
-        c = (
-            ev.filter(F.col("event_type") == "click")
-            .join(v, "user_id")
-            .filter((F.col("ts_s") >= F.col("tv")) & (F.col("ts_s") <= F.col("tv") + 3600))
-            .groupBy("user_id").agg(F.min("ts_s").alias("tc"))
-        )
-        p = (
-            ev.filter(F.col("event_type") == "purchase")
-            .join(c, "user_id")
-            .filter((F.col("ts_s") >= F.col("tc")) & (F.col("ts_s") <= F.col("tc") + 3600))
-            .groupBy("user_id").agg(F.min("ts_s").alias("tp"))
-        )
-        return (
-            v.join(c, "user_id", "left").join(p, "user_id", "left")
-            .agg(
-                F.count("tv").alias("n_view"),
-                F.count("tc").alias("n_view_click"),
-                F.count("tp").alias("n_full_funnel"),
+        def _within(arr, lo, hi):
+            return F.array_min(
+                F.filter(arr, lambda x: (x >= lo) & (x <= hi))
             )
+
+        g = g.withColumn(
+            "tc", _within(F.col("__cl"), F.col("tv"), F.col("tv") + 3600)
+        )
+        return g.withColumn(
+            "tp", _within(F.col("__pu"), F.col("tc"), F.col("tc") + 3600)
+        ).agg(
+            F.count("tv").alias("n_view"),
+            F.count("tc").alias("n_view_click"),
+            F.count("tp").alias("n_full_funnel"),
         )
 
     sp.append(
