@@ -8113,6 +8113,55 @@ _SETOP_EXCEPT_RX = (r"(?:ALL\b|DISTINCT\b|SELECT\b|WITH\b|"
                     r"(?:\(\s*)+(?:SELECT|WITH)\b)")
 
 
+def _asof_right_sans_distinct(body: str) -> str | None:
+    """If an ASOF-join RIGHT-side subquery body is a PURE per-row
+    dedup — ``SELECT <bare cols> FROM <table> [WHERE …] GROUP BY
+    <exactly those cols>`` with no aggregates, HAVING, DISTINCT,
+    ORDER/LIMIT, joins, subqueries or WITH — return the body with the
+    GROUP BY dropped, else None.
+
+    Why this is sound (r16, guide §2.4 "remove shuffles outright"):
+    the bridge executes ASOF joins as union + one keyed window whose
+    ``last()`` picks the latest right payload at-or-before (or the
+    mirror) each left row.  Duplicates the GROUP BY would have
+    collapsed are full-row IDENTICAL tuples, and ``last()`` over
+    identical neighbours returns the same value whichever survives,
+    so the join output is bit-equal while the right side sheds a
+    whole Exchange + partial/final aggregate pair (the dedup's own
+    hash shuffle on (keys…, ts)).  Left sides NEVER take this path —
+    left multiplicities feed count()/sum() downstream.
+
+    Conservative on purpose: any parenthesis anywhere in the body
+    (function calls, subqueries, tuple IN) declines, as does any
+    qualified or aliased select item; the dedup then runs as written.
+    """
+    import re
+
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
+        r"FROM\s+(?P<tbl>[A-Za-z_]\w*)\s*"
+        r"(?P<where>WHERE\s+.*?)?\s*"
+        r"GROUP\s+BY\s+(?P<grp>[A-Za-z_0-9]\w*(?:\s*,\s*[A-Za-z_0-9]\w*)*)\s*$",
+        body,
+    )
+    if m is None or "(" in body or ")" in body:
+        return None
+    if m.group("where") and re.search(
+            r"(?i)\b(HAVING|DISTINCT|ORDER|LIMIT|JOIN|UNION|WITH|"
+            r"SETTINGS|SELECT)\b", m.group("where")):
+        return None
+    cols = [c.strip() for c in m.group("cols").split(",")]
+    grp = [g.strip() for g in m.group("grp").split(",")]
+    # positional GROUP BY 1, 2 … refers to select items in order
+    grp = [cols[int(g) - 1] if g.isdigit() and 0 < int(g) <= len(cols)
+           else g for g in grp]
+    if sorted(set(c.lower() for c in cols)) != sorted(
+            set(g.lower() for g in grp)):
+        return None
+    where = (" " + m.group("where")) if m.group("where") else ""
+    return f"SELECT {', '.join(cols)} FROM {m.group('tbl')}{where}"
+
+
 def _asof_block_span(sh: str, pos: int) -> tuple[int, int]:
     """Span of the QUERY BLOCK containing ``pos`` on the masked
     shadow: the innermost balanced paren group enclosing ``pos``
@@ -8503,6 +8552,17 @@ def _bridge_asof_chain_multi(
                 run_ch_sql(spark, spec[1:-1], table_map=table_map))
         return spark.table(tmap.get(spec, spec))
 
+    def _right_side(spec: str) -> DataFrame:
+        # pure-distinct right subqueries feed the keyed window with
+        # duplicates intact (identical rows — last() is insensitive),
+        # shedding the dedup's own Exchange (r16, guide §2.4)
+        if spec.startswith("("):
+            slim = _asof_right_sans_distinct(spec[1:-1])
+            if slim is not None:
+                return _no_cte_defs(
+                    run_ch_sql(spark, slim, table_map=table_map))
+        return _side(spec)
+
     try:
         ldf = _side(t1)
         uid = uuid.uuid4().hex[:12]
@@ -8510,7 +8570,7 @@ def _bridge_asof_chain_multi(
         taken = set(ldf.columns)
         for i, (left_kw, src, alias, rnames, keys, _, rts, _, _) in (
                 enumerate(links)):
-            rdf = _side(src)
+            rdf = _right_side(src)
             rts_i = rts
             for lk, rk in keys:
                 if rk != lk:
@@ -8850,8 +8910,22 @@ def _bridge_asof_join(
                 run_ch_sql(spark, ctes[spec], table_map=table_map))
         return spark.table(tmap.get(spec, spec))
 
+    def _right_side(spec: str) -> DataFrame:
+        # pure-distinct right subqueries (and CTE bodies) feed the
+        # keyed window with duplicates intact — identical rows, so
+        # last() picks the same value — shedding the dedup's own
+        # Exchange + aggregate pair (r16, guide §2.4)
+        body = (spec[1:-1] if spec.startswith("(")
+                else ctes.get(spec))
+        if body is not None:
+            slim = _asof_right_sans_distinct(body)
+            if slim is not None:
+                return _no_cte_defs(
+                    run_ch_sql(spark, slim, table_map=table_map))
+        return _side(spec)
+
     ldf = _side(t1)
-    rdf = _side(t2)
+    rdf = _right_side(t2)
     for lk, rk in keys:
         if rk != lk:
             if rts == rk:
