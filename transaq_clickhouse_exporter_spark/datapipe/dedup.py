@@ -688,13 +688,20 @@ def connected_components(
     Each round ``localCheckpoint``s the labels: iterative plans
     otherwise stack lineage and replan the whole history every round.
 
-    Scale shape per round: shuffle of |edges| (join on dst) +
-    |nodes ∪ edges| (the min agg).  The driver-side convergence probe
-    reads ONE number (an existence count), not data."""
+    Scale shape per round (r16, guide §2.1/§3.2): ONE job — the
+    neighbor-min join (shuffled-hash: edges are pre-partitioned on
+    ``dst`` once, so only the labels side exchanges; no per-round
+    sort) plus the min agg, whose exact total Σ comp doubles as the
+    convergence probe.  Labels are monotone non-increasing (``new =
+    min(old, neighbor mins) ≤ old``), so the sum is unchanged iff NO
+    label changed — the previous per-round labels⋈labels existence
+    probe was a second full join job per round.  The sum is computed
+    over decimal(38,0), exact for ≥10^10 nodes of any long id."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition("dst")
         .localCheckpoint()
     )
     labels = (
@@ -703,10 +710,14 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(labels.hint("shuffle_hash"),
+                       edges["dst"] == labels["node"])
             .select(F.col("src").alias("node"), F.col("comp"))
         )
         new_labels = (
@@ -715,17 +726,14 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # Partially-propagated labels would silently split one true
         # component into several cluster_ids and make the caller

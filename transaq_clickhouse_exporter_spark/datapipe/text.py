@@ -345,11 +345,18 @@ def bigram_lm_scores(
     the mean rounded to 6).  Docs with fewer than 2 tokens re-enter
     with zeros.
 
-    Scale shape: posexplode → lead() bigrams (the dp19 machinery);
-    bigram counts are a map-side-combined hash agg on (w1, w2) and the
-    score join keys on the SAME columns, so the count side arrives
-    already partitioned (no extra exchange); the vocabulary size and
-    nothing else is a 1-row broadcast.  At 100 TB the counts tables
+    Scale shape (r16, guide §2.1/§2.3): each token pairs with its
+    successor straight from the retained token array (``F.get(arr,
+    pos+1)`` beside the posexplode — no lead() window, which shuffled
+    the full token stream by doc_id to pair tokens that already sit
+    adjacent in their array); the prefix counts ``c(w1)`` fold out of
+    the bigram counts as a window sum over ``w1`` (Σ_w2 c(w1,w2) ≡
+    c(w1)), so no second full pass over all occurrences aggregates
+    the prefixes; the vocabulary size and nothing else is a 1-row
+    broadcast.  (Measured and REJECTED: pre-reducing occurrences to
+    per-doc distinct-bigram counts before the join — natural text has
+    ~1 occurrence per (doc, bigram), so the extra exchange+aggregate
+    bought nothing and cost 38%.)  At 100 TB the counts tables
     persist once (train offline, score forever) — the in-corpus form
     here keeps the whole path one SQL-reproducible expression.
 
@@ -361,27 +368,31 @@ def bigram_lm_scores(
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != F.lit("")
     )
-    toks = df.select(F.col(id_col), F.posexplode(arr).alias("__pos", "__w"))
-    win = Window.partitionBy(id_col).orderBy("__pos")
     big = (
-        toks.select(
-            F.col(id_col),
-            F.col("__w").alias("w1"),
-            F.lead("__w", 1).over(win).alias("w2"),
-        )
+        df.select(F.col(id_col), arr.alias("__a"))
+        .select(F.col(id_col), F.col("__a"),
+                F.posexplode("__a").alias("__pos", "__w"))
+        # successor token straight from the retained array (F.get is
+        # 0-based and yields NULL past the end even under ANSI) — the
+        # token stream never shuffles and no pair array materializes
+        .select(id_col, F.col("__w").alias("w1"),
+                F.get("__a", F.col("__pos") + 1).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    vc = toks.agg(F.countDistinct("__w").alias("v_size"))
+    # c(w1) = Σ_w2 c(w1, w2): a window over the |distinct bigrams|
+    # table replaces a second full aggregation of all occurrences
+    c2cu = c2.withColumn("cu", F.sum("cb").over(Window.partitionBy("w1")))
+    vc = df.select(F.explode(arr).alias("__w")).agg(
+        F.countDistinct("__w").alias("v_size")
+    )
 
     p = (F.col("cb") + F.lit(1)) / (F.col("cu") + F.col("v_size"))
     logp_micro = F.round(F.log(p) * F.lit(1e6), 0).cast("long")
     scored = (
-        big.join(c2, ["w1", "w2"])
-        # c1 is |vocab|-sized — web-corpus vocabularies reach 10^7-10^8
-        # tokens, so it shuffles (equi-join on w1), never broadcasts
-        .join(c1, "w1")
+        # c2cu is |distinct bigrams|-sized — web corpora reach 10^8+
+        # bigrams, so it shuffles (equi-join on w1, w2), never broadcasts
+        big.join(c2cu, ["w1", "w2"])
         .crossJoin(F.broadcast(vc))
         .select(F.col(id_col), logp_micro.alias("__lp"))
         .groupBy(id_col)

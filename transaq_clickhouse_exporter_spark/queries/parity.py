@@ -264,6 +264,23 @@ def _register_derived_locked(spark: SparkSession, sf_dir: str, cache: bool, mark
         ("ev", _EV_SPARK),
     ):
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    # Re-point trades_core at the (cached) trades view it seeded:
+    # every trades_core consumer (op10/op13 ASOF left sides,
+    # securities, trades_dup, raw_trades, ticks …) then reads the
+    # SAME in-memory columnar relation the dashboards scan instead of
+    # re-deriving concat/lpad/CASE per row from lineitem parquet on
+    # every reference (r16, guide §6.4 — the r16 before-plans showed
+    # op10's left side on raw parquet while op13's hit the cache).
+    # Pure column projection of identical rows; with cache=False it
+    # is just an extra Project.  Bound via the DataFrame API — an
+    # eagerly ANALYZED plan, so `trades`' lazy by-name reference to
+    # trades_core cannot cycle (its pre-re-point expansion is baked
+    # into this plan), and SQL views created above keep resolving
+    # `trades_core` by name to this new definition at query time.
+    spark.table("trades").select(
+        "time_s", "secid", "sec_code", "trade_no", "board", "price",
+        "quantity", "buy_sell", "open_interest", "period",
+    ).createOrReplaceTempView("trades_core")
     # Materialized-once curation infrastructure over `documents`: the
     # shingle arrays and MinHash band buckets are referenced by several
     # catalog entries (dp03, dp05) and by REPEATED runs of the same
