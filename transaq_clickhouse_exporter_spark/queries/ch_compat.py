@@ -1775,7 +1775,11 @@ def translate_ch_sql(
     # Applied outside string literals at ANY depth (subqueries use it).
     sql = _strip_global_hints(sql)
     # CH join multiplicity: ALL (the default, noise word) strips; ANY
-    # (one arbitrary right row per key) dedups the right side
+    # (one arbitrary right row per key) dedups the right side.  The
+    # eager-aggregation deferral runs FIRST, on the original ANY LEFT
+    # JOIN spelling (r16): aggregate the fact side, then attach the
+    # literal dim to the finished groups.
+    sql = _defer_any_left_join(sql)
     sql = _rewrite_any_join(sql)
     # tuple-IN over literal lists: Spark's struct IN demands exact
     # struct type equality; the expansion coerces per element
@@ -1949,6 +1953,187 @@ def _any_dedup_repl(jtype: str, rel: str, alias: str,
     dedup = (f"(SELECT __any_s.* FROM (SELECT any_value(struct(*)) "
              f"AS __any_s FROM {rel} GROUP BY {keys}))")
     return f"{jtype} JOIN {dedup} {alias} USING ({using_text})"
+
+
+def _defer_any_left_join(sql: str) -> str:
+    """Eager aggregation through a literal-dim ANY LEFT JOIN (r16,
+    guide §2.2 "shuffle fewer bytes" / §3.1): for
+
+        SELECT <items> FROM big ANY LEFT JOIN (<literal sub>) AS b
+        USING (k…) [WHERE <big-only>] GROUP BY <keys ⊇ k> [tail]
+
+    where the right side is referenced ONLY by ``any(b.col)`` select
+    items, aggregate FIRST and attach the dim to the finished groups:
+
+        SELECT <keys…, agg aliases…, b.col AS …>
+        FROM (SELECT <keys…, agg items> FROM big [WHERE …]
+              GROUP BY <keys>) AS big
+        ANY LEFT JOIN (<sub>) AS b USING (k…) [tail]
+
+    Sound because ANY LEFT JOIN attaches at most ONE right row per
+    USING key and k ⊆ GROUP BY keys: every row of a group carries the
+    same key, hence the same single attached right row, so
+    ``any(b.col)`` is exactly that row's value (NULL when unmatched —
+    identical post-join), and big-side aggregates see the same rows
+    either way (a LEFT join to a key-deduped side neither drops nor
+    multiplies).  Why it matters: ``any()`` lowers to ``first()``,
+    whose variable-length buffer keeps HashAggregate off the plan —
+    the ev23 before-plan SORTED the entire fact table inside the
+    partial SortAggregate; with the string pick deferred past the
+    aggregation the fact side runs as a plain hash aggregate and the
+    join input shrinks to |groups| rows.
+
+    Conservative: single top-level ANY LEFT JOIN, FROM-less literal
+    right side (its output columns are then enumerable — a bare
+    reference to a non-USING right column anywhere declines), bare
+    unaliased big table, no HAVING/WINDOW, no OVER in the select
+    list, every non-key item aliased, every GROUP BY key a plain
+    selected column, tail referencing only output names.  Anything
+    else keeps the original shape."""
+    import re
+
+    sh = _mask_literals(sql)
+    if not re.match(r"(?is)^\s*SELECT\b", sh):
+        return sql
+    depths = _depth_map(sh)
+    jm = None
+    for cand in re.finditer(
+            r"(?i)\bANY\s+LEFT\s+(?:OUTER\s+)?JOIN\s*\(", sh):
+        if depths[cand.start()] == 0:
+            if jm is not None:
+                return sql
+            jm = cand
+    if jm is None:
+        return sql
+    cl = _block_clauses(sh, depths, 0, len(sh))
+    if ("FROM" not in cl or "GROUP BY" not in cl or "HAVING" in cl
+            or "WINDOW" in cl):
+        return sql
+    if not (cl["FROM"][0] < jm.start() < cl["GROUP BY"][0]):
+        return sql
+    big_m = re.match(r"(?s)\s*([A-Za-z_]\w*)\s*$",
+                     sh[cl["FROM"][1]: jm.start()])
+    if big_m is None:
+        return sql
+    big = big_m.group(1)
+    sel_m = re.match(r"(?is)^\s*SELECT\s+", sh)
+    items_a, items_b = sel_m.end(), cl["FROM"][0]
+    if re.search(r"(?i)\bOVER\s*\(", sh[items_a: items_b]):
+        return sql
+    # right-side sub: FROM-less literal SELECT chain
+    open_p = jm.end() - 1
+    close_p = next((i for i in range(open_p + 1, len(sh))
+                    if sh[i] == ")" and depths[i] == depths[open_p]), -1)
+    if close_p < 0:
+        return sql
+    sub_sh = sh[open_p + 1: close_p]
+    if re.search(r"(?i)\b(FROM|JOIN|WITH|OVER|GROUP|ORDER|LIMIT)\b",
+                 sub_sh):
+        return sql
+    first_branch = re.split(r"(?i)\bUNION\b", sub_sh)[0]
+    rcols = {c.lower() for c in
+             re.findall(r"(?i)\bAS\s+([A-Za-z_]\w*)", first_branch)}
+    tm = re.match(
+        r"(?is)\s*(?:AS\s+)?([A-Za-z_]\w*)\s+USING\s*\(([^()]*)\)",
+        sh[close_p + 1:])
+    if tm is None:
+        return sql
+    b_alias = tm.group(1)
+    keys = [k.strip() for k in tm.group(2).split(",") if k.strip()]
+    if not keys or any(not re.match(r"^[A-Za-z_]\w*$", k) for k in keys):
+        return sql
+    keyset = {k.lower() for k in keys}
+    # clause spans
+    grp_a, grp_b = cl["GROUP BY"][1], min(
+        [cl[k][0] for k in ("ORDER BY", "LIMIT") if k in cl] + [len(sh)])
+    grp_cols = [g.strip() for g in sql[grp_a: grp_b].split(",")]
+    if any(not re.match(r"^[A-Za-z_]\w*$", g) for g in grp_cols):
+        return sql
+    grpset = {g.lower() for g in grp_cols}
+    if not keyset <= grpset:
+        return sql
+    where_span = None
+    if "WHERE" in cl:
+        if not (close_p < cl["WHERE"][0] < cl["GROUP BY"][0]):
+            return sql
+        where_span = (cl["WHERE"][1], cl["GROUP BY"][0])
+        wsh = sh[where_span[0]: where_span[1]]
+        if (re.search(rf"(?i)\b{b_alias}\s*\.", wsh)
+                or _mentions_any(wsh, rcols - keyset)):
+            return sql
+    tail_a = min([cl[k][0] for k in ("ORDER BY", "LIMIT") if k in cl]
+                 + [len(sh)])
+    tail = sql[tail_a:].rstrip()
+    # classify select items on depth-0 commas
+    outer_items, agg_inner = [], []
+    taken = set(grpset) | keyset | rcols
+    last = items_a
+    spans = []
+    for i in range(items_a, items_b):
+        if sh[i] == "," and depths[i] == 0:
+            spans.append((last, i))
+            last = i + 1
+    spans.append((last, items_b))
+    out_names = []
+    for a, b in spans:
+        item = sql[a:b].strip()
+        if not item:
+            return sql
+        expr, alias = _split_item_alias(item)
+        any_m = re.match(
+            rf"(?is)^any\(\s*{b_alias}\.([A-Za-z_]\w*)\s*\)$", expr)
+        if any_m is not None:
+            col = any_m.group(1)
+            if col.lower() not in rcols or alias is None:
+                return sql
+            outer_items.append(f"{b_alias}.{col} AS {alias}")
+            out_names.append(alias.lower())
+            continue
+        if re.match(r"^[A-Za-z_]\w*$", expr) and expr.lower() in grpset:
+            outer_items.append(item)
+            out_names.append((alias or expr).lower())
+            continue
+        esh = _mask_literals(expr)
+        if (alias is None or "(" not in esh
+                or re.search(rf"(?i)\b{b_alias}\s*\.", esh)
+                or _mentions_any(esh, rcols - keyset)
+                or alias.lower() in taken):
+            return sql
+        taken.add(alias.lower())
+        agg_inner.append(f"{expr} AS {alias}")
+        outer_items.append(alias)
+        out_names.append(alias.lower())
+    if not agg_inner:
+        return sql
+    # tail may reference only output names (plus ORDER/LIMIT syntax)
+    tail_ids = set(re.findall(r"[A-Za-z_]\w*", _mask_literals(tail)))
+    tail_kw = {"order", "by", "limit", "offset", "asc", "desc", "nulls",
+               "first", "last", "with", "ties", "all"}
+    if {t.lower() for t in tail_ids} - tail_kw - set(out_names):
+        return sql
+    where_txt = (f" WHERE {sql[where_span[0]: where_span[1]].strip()}"
+                 if where_span else "")
+    inner = (f"SELECT {', '.join(grp_cols + agg_inner)} FROM {big}"
+             f"{where_txt} GROUP BY {sql[grp_a: grp_b].strip()}")
+    sub = sql[open_p + 1: close_p]
+    out = (f"SELECT {', '.join(outer_items)} FROM ({inner}) AS {big} "
+           f"ANY LEFT JOIN ({sub}) AS {b_alias} "
+           f"USING ({tm.group(2).strip()})")
+    if tail:
+        out += f" {tail}"
+    return out
+
+
+def _mentions_any(sh: str, names: set[str]) -> bool:
+    """True if any of ``names`` occurs as a bare identifier token in
+    the masked fragment (``AS <name>`` aliases excluded)."""
+    import re
+
+    if not names:
+        return False
+    sh = re.sub(r"(?i)\bAS\s+[A-Za-z_]\w*", " ", sh)
+    return any(t.lower() in names
+               for t in re.findall(r"[A-Za-z_]\w*", sh))
 
 
 def _rewrite_any_join(sql: str) -> str:
