@@ -102,3 +102,47 @@ def test_streaming_state_matches_fold(spark, tmp_path):
         key=lambda r: r["date"],
     )
     assert got == EXPECTED
+
+
+def test_candles_windowed_agg_equals_window_distinct_form(spark):
+    """candles_windowed's grouped min_by/max_by aggregation (r16) must
+    equal the window+DISTINCT reference form it replaced — including
+    out-of-order seq arrival, several buckets and duplicate prices."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (sec_code, epoch_s, last, qty, seq) — seq deliberately not in
+        # time order inside buckets; duplicate last values; two codes
+        ("A", 60, 10.0, 1, 5), ("A", 70, 11.0, 2, 3), ("A", 110, 10.0, 1, 9),
+        ("A", 121, 9.5, 4, 12), ("A", 130, 9.5, 1, 11),
+        ("B", 65, 20.0, 2, 1), ("B", 66, 19.0, 3, 2), ("B", 180, 21.0, 1, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "sec_code string, ts_s long, last double, quantity long, seq long"
+    ).withColumn("ts", F.timestamp_seconds("ts_s").cast("timestamp_ntz"))
+
+    got = candles.candles_windowed(df, minutes=1)
+
+    step = 60
+    bucket = ((F.unix_timestamp("ts") / step).cast("long") * step).alias("bucket_s")
+    w = Window.partitionBy("sec_code", "bucket_s")
+    by_seq = w.orderBy("seq")
+    frame = by_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ref = (
+        df.select("sec_code", bucket, "last", "quantity", "seq")
+        .withColumn("open", F.first("last").over(frame))
+        .withColumn("close", F.last("last").over(frame))
+        .withColumn("high", F.max("last").over(w))
+        .withColumn("low", F.min("last").over(w))
+        .withColumn("volume", F.sum("quantity").over(w))
+        .select("sec_code", "bucket_s", "open", "close", "high", "low", "volume")
+        .distinct()
+    )
+    key = lambda r: (r["sec_code"], r["bucket_s"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in ref.collect()], key=key
+    )
+    # plan shape: no Window/Sort left — a plain partial/final aggregate
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -312,18 +312,22 @@ def candles_windowed(df: DataFrame, minutes: int = 1) -> DataFrame:
     ``ts`` (timestamp) and arrival order ``seq`` — the clean variant the
     dashboard actually needs, fully parallel and whole-stage-codegen'd.
     Standard semantics (all ticks fold; low/high over all Last values).
+
+    Plain grouped aggregation, not a per-row window + DISTINCT: with
+    ``seq`` unique, ``min_by/max_by(last, seq)`` ARE first/last in seq
+    order, so the whole candle reduces map-side — only per-group
+    partials shuffle (vs every tick, sorted, under the window form).
     """
     step = minutes * 60
     bucket = ((F.unix_timestamp("ts") / step).cast("long") * step).alias("bucket_s")
-    w = Window.partitionBy("sec_code", "bucket_s")
-    by_seq = w.orderBy("seq")
     return (
         df.select("sec_code", bucket, "last", "quantity", "seq")
-        .withColumn("open", F.first("last").over(by_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("close", F.last("last").over(by_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("high", F.max("last").over(w))
-        .withColumn("low", F.min("last").over(w))
-        .withColumn("volume", F.sum("quantity").over(w))
-        .select("sec_code", "bucket_s", "open", "close", "high", "low", "volume")
-        .distinct()
+        .groupBy("sec_code", "bucket_s")
+        .agg(
+            F.min_by("last", "seq").alias("open"),
+            F.max_by("last", "seq").alias("close"),
+            F.max("last").alias("high"),
+            F.min("last").alias("low"),
+            F.sum("quantity").alias("volume"),
+        )
     )
