@@ -34,6 +34,7 @@ Determinism rules that make exact value-hash matching possible:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -264,6 +265,40 @@ def _register_derived_locked(spark: SparkSession, sf_dir: str, cache: bool, mark
         ("ev", _EV_SPARK),
     ):
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    # r17 (guide §2.4 "bucketed tables persist a partitioning across
+    # jobs" / §2.5): the cached fact views inherited their source scan
+    # splits — 1-6 partitions at bench scale — which capped the MAP
+    # parallelism of every consumer (op07's md5 register pass ran 3
+    # tasks on 32 cores; the dp31/dp32 corpus scan ran ONE) and made
+    # the heavy operators core-count-insensitive standalone (measured
+    # 8v32 ratios 0.8-1.1, OPTIMIZATION_r17.md).  Each fact view is
+    # now HASH-repartitioned on its dominant grouping key before
+    # caching: deterministic assignment (no round-robin/rand hazards,
+    # guide §2.5), and every downstream groupBy/Window whose keys
+    # contain the partitioning key reuses the cached partitioning and
+    # plans WITHOUT its Exchange (op01's dedup agg, op07's two-level
+    # register aggs, op02/op03's quote windows, the funnels' per-user
+    # folds).  Partition count is scale-adaptive, not a local[32]
+    # constant: ~cpus/4 (env `SPARK_GRAFT_CACHE_PARTS` overrides) so a
+    # 16-way concurrent pool is not thrashed (the r16 experiment that
+    # re-cached at defaultParallelism lost for exactly that reason) —
+    # on a real cluster the same role is played by the table's bucket
+    # count.  Key cardinalities (40 sec_codes, ~uniform; unique
+    # trade_no/doc_id/user_id) spread evenly over <= cpus/4 buckets.
+    if cache:
+        _parts = int(os.environ.get("SPARK_GRAFT_CACHE_PARTS", "0")) or max(
+            2, spark.sparkContext.defaultParallelism // 4
+        )
+        for name, key in (
+            ("trades", "sec_code"),
+            ("trades_dup", "trade_no"),
+            ("quotes_dup", "sec_code"),
+            ("ev", "user_id"),
+            ("ticks", "sec_code"),
+            ("documents", "doc_id"),
+        ):
+            spark.table(name).repartition(_parts, F.col(key)) \
+                .createOrReplaceTempView(name)
     # Re-point trades_core at the (cached) trades view it seeded:
     # every trades_core consumer (op10/op13 ASOF left sides,
     # securities, trades_dup, raw_trades, ticks …) then reads the
