@@ -688,21 +688,31 @@ def connected_components(
     Each round ``localCheckpoint``s the labels: iterative plans
     otherwise stack lineage and replan the whole history every round.
 
-    Scale shape per round (r16, guide §2.1/§3.2): ONE job — the
-    neighbor-min join (shuffled-hash: edges are pre-partitioned on
-    ``dst`` once, so only the labels side exchanges; no per-round
-    sort) plus the min agg, whose exact total Σ comp doubles as the
-    convergence probe.  Labels are monotone non-increasing (``new =
+    Scale shape per round (r16/r17, guide §2.1/§3.2): ONE job — the
+    neighbor-min join (shuffled-hash: edges are repartitioned on
+    ``dst`` once and PERSISTED, so the cached partitioning satisfies
+    the join's distribution and only the labels side exchanges; no
+    per-round sort) plus the min agg, whose exact total Σ comp doubles
+    as the convergence probe.  Labels are monotone non-increasing (``new =
     min(old, neighbor mins) ≤ old``), so the sum is unchanged iff NO
     label changed — the previous per-round labels⋈labels existence
     probe was a second full join job per round.  The sum is computed
     over decimal(38,0), exact for ≥10^10 nodes of any long id."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # r17: edges are PERSISTED, not localCheckpoint-ed — a checkpoint
+    # comes back as an ExistingRDD with UnknownPartitioning, so every
+    # round's join silently re-exchanged the (large) edge table on dst
+    # (the r17 iteration plan capture showed the Exchange the r16 notes
+    # claimed was gone).  An InMemoryRelation keeps the repartition's
+    # hashpartitioning(dst), so the per-round join plans with NO edge
+    # exchange: only the (small) labels side moves.  Edge lineage is
+    # constant-size (unlike labels', which grows per round and stays
+    # checkpointed), so per-round replanning stays O(1).
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("dst")
-        .localCheckpoint()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -734,6 +744,7 @@ def connected_components(
             converged = True
             break
         prev_sum = new_sum
+    edges.unpersist()  # labels are checkpointed; the result no longer needs edges
     if not converged:
         # Partially-propagated labels would silently split one true
         # component into several cluster_ids and make the caller
