@@ -1091,10 +1091,50 @@ _SCALAR_SHIMS.update({
 _SHIMS_MARKER = "spark.tce.ch_shims"
 
 
-def register_ch_functions(spark: SparkSession) -> None:
+#: shim → shims its BODY calls (computed once): lazy registration must
+#: pull in a needed shim's whole dependency closure.
+_SHIM_DEPS: dict[str, frozenset] = {}
+
+
+def _shim_closure(names) -> set:
+    import re
+
+    if not _SHIM_DEPS:
+        low = {n.lower(): n for n in _SCALAR_SHIMS}
+        for n, b in _SCALAR_SHIMS.items():
+            _SHIM_DEPS[n] = frozenset(
+                low[m.group(1).lower()]
+                for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\(", b)
+                if m.group(1).lower() in low and low[m.group(1).lower()] != n
+            )
+    out: set = set()
+    stack = list(names)
+    while stack:
+        n = stack.pop()
+        if n in out:
+            continue
+        out.add(n)
+        stack.extend(_SHIM_DEPS[n])
+    return out
+
+
+def register_ch_functions(spark: SparkSession, needed=None) -> None:
     """Idempotently register the scalar CH shims as SQL UDFs (no-op
-    when this session already holds the current shim set, registered
-    under the current session timezone).
+    when this session already holds them, registered under the current
+    session timezone).
+
+    ``needed=None`` registers the FULL shim set (the public API tests
+    and ad-hoc sessions use).  ``needed=<iterable of names>`` registers
+    only those shims (plus their body-dependency closure) that are not
+    yet registered — ``run_ch_sql`` passes the function names that
+    actually appear in the statement it is about to run, because the
+    full set is ~150 ``CREATE TEMPORARY FUNCTION`` py4j round-trips
+    (~5 s measured on a fresh session, the r16 "first-build analyzer
+    cost"; a typical statement needs 0-3 shims).  Already-registered
+    names are tracked in the session conf next to the set+timezone
+    token, so a timezone switch still refreshes every shim it had
+    registered (the calendar shims truncate in the zone they were
+    created under).
 
     Requires ``spark.sql.ansi.enabled=true`` (Spark 4's default): the
     dialect's documented error semantics (accurateCast range errors,
@@ -1130,13 +1170,42 @@ def register_ch_functions(spark: SparkSession) -> None:
         "x",
     )
     try:
-        if spark.conf.get(_SHIMS_MARKER) == token:
-            return
+        cur = spark.conf.get(_SHIMS_MARKER)
     except Exception:
-        pass
-    for name, body in _SCALAR_SHIMS.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
-    spark.conf.set(_SHIMS_MARKER, token)
+        cur = None
+    if cur is not None and cur.split(":", 1)[0] != token:
+        cur = None  # shim set or timezone changed: nothing is current
+    have: set = (
+        set(_SCALAR_SHIMS) if cur == token
+        else set(cur.split(":", 1)[1].split(",")) - {""} if cur
+        else set()
+    )
+    if needed is None:
+        todo = [n for n in _SCALAR_SHIMS if n not in have]
+        have = set(_SCALAR_SHIMS)
+    else:
+        # Spark resolves function names case-insensitively; match the
+        # statement's spelling to the canonical shim names the same way
+        low = {n.lower(): n for n in _SCALAR_SHIMS}
+        want = _shim_closure(
+            low[str(n).lower()] for n in needed if str(n).lower() in low
+        )
+        todo = [n for n in want if n not in have]
+        have |= want
+    if not todo:
+        if cur is None:
+            spark.conf.set(_SHIMS_MARKER, token + ":")
+        return
+    for name in todo:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name} "
+            f"{_SCALAR_SHIMS[name]}"
+        )
+    spark.conf.set(
+        _SHIMS_MARKER,
+        token if have == set(_SCALAR_SHIMS)
+        else token + ":" + ",".join(sorted(have)),
+    )
 
 
 class UnsupportedChSql(ValueError):
@@ -9762,7 +9831,10 @@ def run_ch_sql(
     expansion (see :class:`TopkFallbackWarning`)."""
     if params:
         sql = substitute(sql, params)
-    register_ch_functions(spark)
+    # eager ANSI/timezone-token check only — actual shim registration
+    # is LAZY (per final statement, below): the full set is ~150 py4j
+    # round-trips, ~5 s on a fresh session (the r16 "first-build" cost)
+    register_ch_functions(spark, needed=())
     sql = _normalize_escapes(sql)  # before the bridge scans literals
     sql = _star_apply_columns(spark, sql, table_map)
     sql, fill_spec = _extract_with_fill(sql)
@@ -9783,12 +9855,23 @@ def run_ch_sql(
                 "more than 8 ASOF JOINs in one statement — split the "
                 "query")
         text = translate_ch_sql(sql, table_map, strict_scale=strict_scale)
+        # register exactly the shims this statement can call: every
+        # function Spark will resolve appears textually as `name(` in
+        # the final statement (literals masked so string contents
+        # cannot fake a call site); over-matching a non-shim name is
+        # harmless — the needed-set is intersected with the shim dict
+        import re
+
+        register_ch_functions(spark, needed={
+            m.group(1)
+            for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\(",
+                                 _mask_literals(text))
+        })
         # CH resolves an unqualified column that exists on both join
         # sides to the LEFT table; Spark raises AMBIGUOUS_REFERENCE.
         # Emulate the CH rule by qualifying the reported column with
         # the first FROM relation and retrying (the reference's panels
         # rely on this for `board` in trades⋈securities WHERE clauses).
-        import re
 
         for _ in range(5):
             try:
