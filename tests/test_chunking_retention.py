@@ -329,6 +329,19 @@ def test_prebucketed_index_identical(spark, sf_smoke):
                                          n_planes=6, n_probes=3).collect()),
                key=repr)
     assert a == b and len(a) > 0
+    # the metadata guard (ADVICE r16 medium): the stored column records
+    # planes=6, so probing with n_planes=8 must NOT trust it — the
+    # fallback re-buckets from the vectors and answers exactly like an
+    # unbucketed index at 8 planes (disjoint bucket spaces would
+    # otherwise produce silent near-zero recall)
+    assert bucketed.schema["bucket"].metadata.get("planes") == 6
+    a8 = sorted(map(tuple, doc_search_lsh(plain, q, dim=16, k=5,
+                                          n_planes=8, n_probes=3).collect()),
+                key=repr)
+    b8 = sorted(map(tuple, doc_search_lsh(bucketed, q, dim=16, k=5,
+                                          n_planes=8, n_probes=3).collect()),
+                key=repr)
+    assert a8 == b8 and len(a8) > 0
 
 
 def test_doc_search_string_ids_both_engines(spark):

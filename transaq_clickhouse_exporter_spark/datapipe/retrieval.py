@@ -121,8 +121,15 @@ def build_chunk_index(
     if bucket_planes is not None:
         from .similarity import rademacher_bucket_jvm
 
-        out = out.withColumn(
-            "bucket", rademacher_bucket_jvm(F.col("embedding"), dim + 1, bucket_planes)
+        # the plane count rides the column's METADATA (schema-only, no
+        # data change, survives cache and parquet round-trips):
+        # doc_search_lsh refuses to trust a persisted bucket column
+        # built with a DIFFERENT plane count — mismatched bucket
+        # spaces would silently produce near-zero recall (ADVICE r16).
+        out = out.select(
+            "*",
+            rademacher_bucket_jvm(F.col("embedding"), dim + 1, bucket_planes)
+            .alias("bucket", metadata={"planes": int(bucket_planes)}),
         )
     return out
 
@@ -279,8 +286,18 @@ def doc_search_lsh(
     # extraction fails — the literal-sign HOF form evaluates anywhere.
     # A pre-bucketed index (build_chunk_index(bucket_planes=…)) skips
     # the assignment entirely — the measured requirement for the
-    # bucketed path to beat the linear scan (SCALE.md).
-    if "bucket" in index.columns:
+    # bucketed path to beat the linear scan (SCALE.md).  The column is
+    # trusted ONLY when its metadata records the same plane count the
+    # queries are bucketed with (ADVICE r16 medium): a caller probing
+    # with n_planes=8 against an index built with bucket_planes=6
+    # would otherwise compare disjoint bucket spaces and silently lose
+    # recall.  Unknown or mismatched plane counts re-bucket from the
+    # vectors — correctness over the persisted fast path.
+    pre_bucketed = (
+        "bucket" in index.columns
+        and index.schema["bucket"].metadata.get("planes") == n_planes
+    )
+    if pre_bucketed:
         c = index.select(
             F.col(id_col), F.col(vec_col).alias("cv"), "bucket"
         )
@@ -308,6 +325,10 @@ def doc_search_lsh(
     # — the planner was broadcasting the CORPUS chunk index instead
     # (dp32 plan: BuildRight over every chunk vector), an inversion of
     # the at-scale contract where the index streams and only probes ship.
+    # HARD LIMIT (ADVICE r16): |queries| × n_probes embedding rows must
+    # fit a broadcast relation (8 GB / 512M-row Spark cap, plus driver
+    # + per-executor copies); larger query sets are the caller's job to
+    # slice into broadcast-sized batches (guide §8.4).
     pooled = (
         F.broadcast(q).join(c, "bucket")
         .select(query_id_col, id_col, sim.alias("cos_sim"))

@@ -281,6 +281,12 @@ def lsh_topk(
     # the planner's post-explode estimate made it broadcast the CORPUS
     # (hash relation of every vector, per run; a scale inversion — at
     # 100 TB the corpus side must stream, never build).
+    # HARD LIMIT (ADVICE r16): the broadcast side holds
+    # |queries| × n_probes vector rows on the driver and every
+    # executor, capped by Spark at 8 GB / 512M rows — a query set
+    # beyond that must be split into broadcast-sized slices (guide
+    # §8.4) rather than handed here whole; degrading to a shuffle join
+    # would re-introduce the corpus-build inversion this hint removes.
     scored = (
         F.broadcast(q).join(c, "bucket")
         .select(query_id_col, "nn_id", sim.alias("cos_sim"))

@@ -54,7 +54,14 @@ def window_funnel(
     textually the recurrence from the module docstring.  ``t_{i-1}``
     NULL propagates through the lambda comparison, so a broken prefix
     yields NULL for every deeper stage exactly like the old inner-join
-    chain dropping the user."""
+    chain dropping the user.
+
+    Skew envelope (ADVICE r16, documented tradeoff): ONE pathological
+    user with millions of stage-matching events concentrates that
+    user's whole timestamp array in a single task — the same state
+    envelope ClickHouse's ``windowFunnel`` holds per user, but worth
+    knowing when a feed has bot-grade hot users; pre-capping events to
+    ``[t1, t1 + window]`` per user upstream bounds it."""
     assert len(conds) >= 1
     aggs = [
         F.collect_list(F.when(cond, F.col(ts_col))).alias(f"__c{i}")
