@@ -4835,18 +4835,25 @@ def _operator_specs() -> list[QuerySpec]:
         from ..operators.aggregating import finalize, partial_states
 
         t = s.table("trades")
-        parts = [
-            partial_states(
-                t.filter(F.pmod(F.col("trade_no"), F.lit(3)) == i),
-                ("sec_code",),
-                sum_cols=("quantity",),
-                min_cols=("price",),
-                max_cols=("price",),
-                hll_col="trade_no",
-            )
-            for i in range(3)
-        ]
-        states = parts[0].unionAll(parts[1]).unionAll(parts[2])
+        # r17 (guide §1.2 "don't compute things you throw away"): the
+        # three per-batch filters partition rows EXACTLY (pmod(trade_no,
+        # 3) ∈ {0,1,2}), so grouping ONE scan by (sec_code, batch)
+        # produces state rows identical to three filtered scans unioned
+        # — same per-batch partial states, same merge inputs, proved
+        # value-identical in tools/exp_op07.py.  The r16 experiment
+        # rejected this fusion as slower, but that verdict inverted once
+        # the cache partitioning change removed the aggregation
+        # exchanges: the md5 register pass now dominates, and one scan
+        # hashes 600k rows where three scans hashed 1.8M (measured
+        # 1.04-1.24 s → 0.64-0.68 s interleaved medians at sf0.1).
+        states = partial_states(
+            t.withColumn("__batch", F.pmod(F.col("trade_no"), F.lit(3))),
+            ("sec_code", "__batch"),
+            sum_cols=("quantity",),
+            min_cols=("price",),
+            max_cols=("price",),
+            hll_col="trade_no",
+        ).drop("__batch")
         return finalize(states, ("sec_code",)).select(
             "sec_code",
             F.col("n").cast("long").alias("n_trades"),
