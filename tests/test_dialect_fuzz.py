@@ -156,3 +156,16 @@ def test_fuzz_batch_seed_91601_focused(spark):
     focus = ["seq_time", "seq_time_match", "seq_time_cte",
              "asof_multi_mixed", "maxint_guard_paths"]
     assert run_fuzz(40, 91601, spark, focus=focus) == []
+
+
+def test_fuzz_batch_seed_771002_focused(spark):
+    """r17 kinds hold a standing FOCUSED seed: ASOF right-side
+    pure-dedup accept/decline paths over the shared duplicate-bearing
+    fz_dup table (`_asof_right_sans_distinct`), ANY-LEFT-JOIN eager
+    aggregation accept/decline paths (`_defer_any_left_join` — bare vs
+    aliased fact, HAVING), and maxIntersections parallel-vs-flat
+    equivalence under hostile group keys (expression keys, qualified
+    keys, __mi_-prefixed output names)."""
+    focus = ["asof_right_dedup", "maxint_parallel_keys",
+             "anyjoin_defer"]
+    assert run_fuzz(40, 771002, spark, focus=focus) == []

@@ -116,7 +116,12 @@ class Gen:
                  # sequence aggregates, mixed-comparator ASOF chains,
                  # maxIntersections guard-path equivalence
                  "seq_time", "seq_time_match", "seq_time_cte",
-                 "asof_multi_mixed", "maxint_guard_paths"])
+                 "asof_multi_mixed", "maxint_guard_paths",
+                 # r17 kinds (VERDICT r16 item 7): the r16 rewrite
+                 # guards — ASOF right-side pure-dedup accept/decline
+                 # paths, maxIntersections parallel-vs-flat under
+                 # hostile group keys (anyjoin_defer lives in query())
+                 "asof_right_dedup", "maxint_parallel_keys"])
         self.kind_tally[kind] = self.kind_tally.get(kind, 0) + 1
         if kind == "asof" and self.n_asof >= 2:
             kind = "joined"  # cap parallel ASOFs per statement at two
@@ -125,6 +130,8 @@ class Gen:
         if kind == "asof_chain_setop" and self.n_asof > 0:
             kind = "joined"  # the chain spends BOTH slots
         if kind == "array_join_asof" and self.n_asof >= 2:
+            kind = "joined"
+        if kind == "asof_right_dedup" and self.n_asof >= 2:
             kind = "joined"
         if kind == "union":
             c1, d1 = self.block(depth - 1)
@@ -359,6 +366,93 @@ class Gen:
                        f" USING (g, v))")
             return (tpl.format(src1=c1, src2=c2),
                     tpl.format(src1=d1, src2=d2))
+        if kind == "asof_right_dedup":
+            # ASOF right side that is (or ALMOST is) a pure per-row
+            # dedup of the shared duplicate-bearing table fz_dup
+            # (created on both engines by run_fuzz): accept variants
+            # take the r16 `_asof_right_sans_distinct` GROUP BY drop,
+            # decline variants (aggregate item / qualified columns /
+            # HAVING) keep the dedup — DuckDB runs the same text, so
+            # every path must agree (VERDICT r16 item 7).
+            self.n_asof += 1
+            c1, d1 = self.block(depth - 1)
+            al, ar = self.name("al"), self.name("ar")
+            j = self.rng.randint(0, 2)
+            variant = self.rng.choice(
+                ["accept", "accept_where", "accept_pos",
+                 "decl_agg", "decl_qual", "decl_having"])
+            bodies = {
+                "accept": ("SELECT g, rv FROM fz_dup GROUP BY g, rv",) * 2,
+                "accept_where": ((f"SELECT g, rv FROM fz_dup WHERE"
+                                  f" rv % 3 <> {j} GROUP BY rv, g"),) * 2,
+                "accept_pos": ("SELECT g, rv FROM fz_dup"
+                               " GROUP BY 2, 1",) * 2,
+                "decl_agg": ("SELECT g, max(rv) AS rv FROM fz_dup"
+                             " GROUP BY g",) * 2,
+                "decl_qual": ("SELECT fz_dup.g, fz_dup.rv FROM fz_dup"
+                              " GROUP BY fz_dup.g, fz_dup.rv",) * 2,
+                "decl_having": (
+                    "SELECT g, rv FROM fz_dup GROUP BY g, rv"
+                    " HAVING count() >= 1",
+                    "SELECT g, rv FROM fz_dup GROUP BY g, rv"
+                    " HAVING count(*) >= 1"),
+            }
+            rb_ch, rb_duck = bodies[variant]
+            tpl = ("(SELECT {al}.g AS g, {al}.v +"
+                   " coalesce({ar}.rv, 0) AS v"
+                   " FROM (SELECT g, coalesce(v, 0) AS v"
+                   " FROM {src}) AS {al}"
+                   " ASOF LEFT JOIN ({rb}) AS {ar}"
+                   " ON {al}.g = {ar}.g AND {al}.v >= {ar}.rv)")
+            return (tpl.format(al=al, ar=ar, src=c1, rb=rb_ch),
+                    tpl.format(al=al, ar=ar, src=d1, rb=rb_duck))
+        if kind == "maxint_parallel_keys":
+            # maxIntersections under group keys HOSTILE to the r16
+            # parallel two-level prefix sum: plain/qualified keys take
+            # the parallel path, an expression key or a __mi_-prefixed
+            # output name must DECLINE to the flat one-window sweep —
+            # both must equal the DuckDB event-sweep mirror (VERDICT
+            # r16 item 7).
+            c1, d1 = self.block(depth - 1)
+            m1, m2 = self.rng.randint(5, 15), self.rng.randint(1, 4)
+            call = (f"maxIntersections(coalesce(v, 0) % {m1},"
+                    f" coalesce(v, 0) % {m1} + 1 +"
+                    f" coalesce(v, 0) % {m2})")
+            pair = (f"coalesce(v, 0) % {m1} AS s, coalesce(v, 0) %"
+                    f" {m1} + 1 + coalesce(v, 0) % {m2} AS e")
+            variant = self.rng.choice(
+                ["plain", "qualified", "expr", "mi_prefix"])
+            q = self.name("mq")
+            if variant == "plain":
+                ch = (f"(SELECT g, CAST({call} AS BIGINT) AS v"
+                      f" FROM {c1} {q} GROUP BY g)")
+                inner = f"SELECT g AS gk, {pair} FROM {d1} {q}"
+            elif variant == "qualified":
+                ch = (f"(SELECT {q}.g AS g, CAST({call} AS BIGINT) AS v"
+                      f" FROM {c1} AS {q} GROUP BY {q}.g)")
+                inner = f"SELECT {q}.g AS gk, {pair} FROM {d1} AS {q}"
+            elif variant == "expr":
+                ch = (f"(SELECT g % 2 AS g, CAST({call} AS BIGINT) AS v"
+                      f" FROM {c1} {q} GROUP BY g % 2)")
+                inner = f"SELECT g % 2 AS gk, {pair} FROM {d1} {q}"
+            else:  # mi_prefix: output name collides with the rewrite's
+                ch = (f"(SELECT __mi_g AS g, CAST({call} AS BIGINT) AS v"
+                      f" FROM (SELECT g AS __mi_g, v FROM {c1}) {q}"
+                      f" GROUP BY __mi_g)")
+                inner = (f"SELECT __mi_g AS gk, {pair} FROM"
+                         f" (SELECT g AS __mi_g, v FROM {d1}) {q}")
+            pt, rn = self.name("mp"), self.name("mr")
+            duck = (
+                f"(WITH {pt} AS (SELECT gk, u.p AS p, u.w AS w FROM"
+                f" ({inner}) AS __mi,"
+                f" UNNEST([struct_pack(p := s::DOUBLE, w := 1),"
+                f" struct_pack(p := e::DOUBLE, w := -1)]) AS t(u)),"
+                f" {rn} AS (SELECT gk, sum(w) OVER (PARTITION BY gk"
+                f" ORDER BY p, w ROWS UNBOUNDED PRECEDING) AS c"
+                f" FROM {pt})"
+                f" SELECT gk AS g, CAST(max(c) AS BIGINT) AS v"
+                f" FROM {rn} GROUP BY gk)")
+            return ch, duck
         if kind == "rollup":
             # GROUP BY … WITH ROLLUP passes through (Spark's ANSI
             # NULL subtotal keys == DuckDB's ROLLUP; CH's
@@ -1231,6 +1325,48 @@ class Gen:
                 f" SELECT 0 AS g, x AS v FROM range(0, {hi}) AS __r(x)"
                 f" WHERE x NOT IN (SELECT v FROM __b)")
             return ch, duck
+        if self.rng.random() < (0.35 if "anyjoin_defer" in self.focus
+                                else 0.06):
+            # ANY LEFT JOIN of a literal dim onto the shared fz_dup
+            # fact (r17, VERDICT r16 item 7): accept variants take the
+            # r16 `_defer_any_left_join` eager-aggregation rewrite
+            # (depth-0 statement, bare fact, FROM-less literal right,
+            # any(b.col) items); decline variants (HAVING, aliased
+            # fact) keep the original shape.  The dim's USING keys are
+            # UNIQUE, so CH's any(b.kv) is the single attached value
+            # and a plain LEFT JOIN + min(kv) is an exact DuckDB
+            # mirror (all-NULL groups min to NULL exactly like any).
+            self.kind_tally["anyjoin_defer"] = (
+                self.kind_tally.get("anyjoin_defer", 0) + 1)
+            keys = self.rng.sample([0, 1, 2, 3], self.rng.randint(1, 3))
+            dim_rows = [(k, self.rng.randint(5, 99)) for k in keys]
+            first = dim_rows[0]
+            dim = f"SELECT {first[0]} AS g, {first[1]} AS kv"
+            for k, kv in dim_rows[1:]:
+                dim += f" UNION ALL SELECT {k}, {kv}"
+            j = self.rng.randint(0, 2)
+            where = (f" WHERE rv % 3 <> {j}"
+                     if self.rng.random() < 0.5 else "")
+            variant = self.rng.choice(
+                ["accept", "accept_order", "decl_having", "decl_alias"])
+            fact_ch = fact_duck = "fz_dup"
+            tail_ch = tail_duck = ""
+            if variant == "accept_order":
+                tail_ch = tail_duck = " ORDER BY g"
+            elif variant == "decl_having":
+                tail_ch = " HAVING count() >= 1"
+                tail_duck = " HAVING count(*) >= 1"
+            elif variant == "decl_alias":
+                fact_ch = fact_duck = "fz_dup AS f"
+            ch = (f"SELECT g, CAST(sum(rv) AS BIGINT) AS s,"
+                  f" any(b.kv) AS k"
+                  f" FROM {fact_ch} ANY LEFT JOIN ({dim}) AS b"
+                  f" USING (g){where} GROUP BY g{tail_ch}")
+            duck = (f"SELECT g, CAST(sum(rv) AS BIGINT) AS s,"
+                    f" min(b.kv) AS k"
+                    f" FROM {fact_duck} LEFT JOIN ({dim}) AS b"
+                    f" USING (g){where} GROUP BY g{tail_duck}")
+            return ch, duck
         if self.rng.random() < 0.15:
             # grouped final: per-key aggregates over the composition
             # (the global finals below never exercise group-level
@@ -1308,6 +1444,24 @@ def run_fuzz(n_queries: int, seed: int, spark=None,
     # correlated kinds widen to union-bearing outer sources
     pptu_clean = not spark_pptu_bug(spark)
     con = duckdb.connect()
+    # shared duplicate-bearing table for the r17 kinds (asof_right_dedup
+    # needs a PLAIN table name for the `_asof_right_sans_distinct`
+    # accept path; anyjoin_defer needs a bare unaliased fact): identical
+    # deterministic rows on both engines, with exact-duplicate (g, rv)
+    # pairs so a dropped-vs-kept dedup is value-visible when it matters
+    spark.sql(
+        "SELECT id % 4 AS g, (id * id) % 11 AS rv FROM range(24)"
+        " UNION ALL"
+        " SELECT id % 4 AS g, (id * id) % 11 AS rv FROM range(24)"
+        " WHERE id % 2 = 0"
+    ).createOrReplaceTempView("fz_dup")
+    con.execute(
+        "CREATE OR REPLACE TABLE fz_dup AS"
+        " SELECT range % 4 AS g, (range * range) % 11 AS rv FROM range(24)"
+        " UNION ALL"
+        " SELECT range % 4 AS g, (range * range) % 11 AS rv FROM range(24)"
+        " WHERE range % 2 = 0"
+    )
     failures: list[str] = []
     for i in range(n_queries):
         rng = random.Random((seed << 20) | i)
