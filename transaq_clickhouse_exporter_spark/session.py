@@ -23,6 +23,18 @@ _BASE_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r17: the whole-stage-codegen class cache defaults to 100 entries
+    # — far below this engine's working set (131-entry catalog × ~4-6
+    # codegen units each), so any session that runs the catalog (the
+    # bench pool, a dashboard refresh, a long test session) LRU-thrashes
+    # the cache and recompiles Janino classes on every query re-run.
+    # Measured at sf0.1 (quiet host, 33-query × 4-run session):
+    # total 48.6 s → 29.7 s (1.63×) with op04 7.7×, op09 3.4×, op08
+    # 3.0×; bench steady-state pool median 16.6 s → 10.0 s.  4096
+    # bounds the cache by CLASS COUNT (plan shapes), not data size, so
+    # the value is scale-independent; memory cost is compiled-class
+    # metadata only (evicted classes unload with GC).
+    "spark.sql.codegen.cache.maxEntries": "4096",
     # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark
     # refuses by default; read as raw nanos since epoch (LongType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -48,6 +60,15 @@ def get_spark(
     b = SparkSession.builder.master(f"local[{cpus}]").appName(app)
     for k, v in _BASE_CONFS.items():
         b = b.config(k, v)
+    # Ad-hoc conf overrides for measurement experiments (guide §1):
+    # `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"` — lets A/B runs of bench.py/
+    # profilers vary STATIC confs (codegen cache size, scheduler mode)
+    # without editing code.  Empty by default; anything that wins an
+    # A/B is promoted to _BASE_CONFS with its rationale.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
     b = b.config("spark.sql.session.timeZone", tz)
     b = b.config("spark.ui.enabled", "false")
