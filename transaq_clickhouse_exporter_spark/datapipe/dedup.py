@@ -708,6 +708,15 @@ def connected_components(
     # exchange: only the (small) labels side moves.  Edge lineage is
     # constant-size (unlike labels', which grows per round and stays
     # checkpointed), so per-round replanning stays O(1).
+    # (Measured and REJECTED at r17: materializing the symmetric edge
+    # set once to COUNT it and derive an adaptive partition count —
+    # the extra persist+count pass cost more at bench scale than the
+    # smaller per-round stages saved (2.41 → 2.65 s median), and at
+    # 100 TB it is a full extra pass over the edge table.  AQE cannot
+    # re-coalesce a cached plan's output partitioning, so the cached
+    # `repartition("dst")` keeps `spark.sql.shuffle.partitions` — which
+    # IS the scale-appropriate knob: it derives from the session's
+    # parallelism, not from a constant here.)
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -730,11 +739,14 @@ def connected_components(
                        edges["dst"] == labels["node"])
             .select(F.col("src").alias("node"), F.col("comp"))
         )
+        # lazy checkpoint: the sum action below both MATERIALIZES this
+        # round's label blocks and returns the convergence probe — one
+        # job per round where eager checkpoint + separate sum were two.
         new_labels = (
             labels.unionAll(neighbor_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
