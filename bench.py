@@ -125,7 +125,7 @@ def main() -> None:
     # reference equivalent: ClickHouse's page cache before a benchmark)
     warm = ("lineitem", "trades", "securities", "etf_codes", "ev",
             "trades_dup", "quotes_dup", "ticks", "documents", "embeddings",
-            "doc_shingles", "doc_bands")
+            "doc_shingles", "doc_bands", "sess_windows")
     with ThreadPoolExecutor(8) as ex:
         list(ex.map(lambda t: spark.table(t).count(), warm))
     # spawn the Python worker pool (pandas/numpy imports) on dummy

@@ -76,7 +76,7 @@ def main() -> None:
     cat = parity.catalog()
     for t in ("trades", "documents", "embeddings", "doc_shingles", "doc_bands",
               "ticks", "quotes_dup", "trades_dup", "lineitem", "ev",
-              "chunk_index"):
+              "chunk_index", "sess_windows"):
         spark.table(t).count()
     cat["dp02_text_profile"].build(spark).toPandas()  # python worker warm
 

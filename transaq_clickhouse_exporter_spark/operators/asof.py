@@ -101,8 +101,19 @@ def asof_join_multi(
     ]
     nulls = [F.lit(None).cast(t) for t in pay_types]
 
+    # Key columns are RE-ALIASED (same name) in every leg: an Alias
+    # mints a fresh unqualified attribute, so each leg's OUTPUT attr
+    # and its alias-propagated outputPartitioning attr are the same
+    # object on both sides of UnionExec's partitioning comparison.
+    # Without it, a leg whose view qualifier differs from the cached
+    # relation's (e.g. trades_core over the cached trades) reports a
+    # partitioning attr qualified `trades` under an output qualified
+    # `trades_core`; UnionExec.comparePartitioning uses strict equals
+    # (qualifier included), silently dropping the union's partitioning
+    # and re-exchanging the whole union for the window (r17, measured:
+    # op10 1.32 → 1.10 s once propagation holds).
     l_tag = left.select(
-        *by,
+        *[F.col(k).alias(k) for k in by],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.col(left_ts),
@@ -112,7 +123,7 @@ def asof_join_multi(
     tagged = [l_tag]
     for i, ((rdf, rts, _, _, _), pay) in enumerate(zip(rights, payloads)):
         tagged.append(rdf.select(
-            *by,
+            *[F.col(k).alias(k) for k in by],
             F.col(rts).alias("__ts"),
             F.lit(0).alias("__side"),
             F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
@@ -208,8 +219,11 @@ def asof_join(
         [T.StructField(c, right.schema[c].dataType) for c in payload]
         + [T.StructField("__rts", right.schema[right_ts].dataType)]
     )
+    # keys re-aliased per leg — see asof_join_multi: keeps UnionExec's
+    # qualifier-strict partitioning comparison from dropping the
+    # co-partitioning of cached legs (one full-union Exchange saved)
     l_tag = left.select(
-        *by,
+        *[F.col(k).alias(k) for k in by],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.col(left_ts),
@@ -217,7 +231,7 @@ def asof_join(
         F.lit(None).cast(pay_type).alias("__pay"),
     )
     r_tag = right.select(
-        *by,
+        *[F.col(k).alias(k) for k in by],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),

@@ -296,6 +296,15 @@ def _register_derived_locked(spark: SparkSession, sf_dir: str, cache: bool, mark
             ("ev", "user_id"),
             ("ticks", "sec_code"),
             ("documents", "doc_id"),
+            # r17b: sess_windows was the ONE fact view the ASOF bridges
+            # union with that still came from raw parquet — its leg's
+            # UnknownPartitioning forced a full-union Exchange of
+            # trades+windows rows before the bridge Window in op10/
+            # op13/op14 (plans/r17/op1{0,3,4}_*_r17head.txt, Exchange
+            # above Union).  Co-partitioned on sec_code the union
+            # propagates the cache partitioning and only the ~|windows|
+            # rows ever shuffle.
+            ("sess_windows", "sec_code"),
         ):
             spark.table(name).repartition(_parts, F.col(key)) \
                 .createOrReplaceTempView(name)
@@ -369,7 +378,7 @@ def _register_derived_locked(spark: SparkSession, sf_dir: str, cache: bool, mark
         # executor-count × cores sizing.
         for name in ("trades", "securities", "etf_codes", "ev", "trades_dup",
                      "quotes_dup", "ticks", "documents", "doc_shingles",
-                     "doc_bands", "chunk_index"):
+                     "doc_bands", "chunk_index", "sess_windows"):
             spark.catalog.cacheTable(name)
     spark.conf.set(marker, sf_dir or "1")
 
