@@ -5245,154 +5245,112 @@ def _analytics_specs() -> list[QuerySpec]:
 #: below) ALL hold green rows in CORRECTNESS_r08 and each leaves an
 #: in-window class representative.
 _TAIL_NAMES = (
-    # ROUND-16 ROTATION (executes VERDICT r15 item 1 — the staleness
-    # drain): ALL 34 entries whose newest external driver row dates to
-    # r10 or r11 move INTO the 50-slot window at once (the r12 batch
-    # proved a 26-entry swap lands green; every one of the 34 is green
-    # in the judge's independent 129-query r15 sweep).  In: the whole
-    # r10 cohort (db10/in02/ev04/an05/dp21/dp20/ev19/ev21) and the
-    # whole r11 cohort (db03/db04/db07/op01/an01/in05/ev03/ev05/tp05/
-    # dp01/dp04/dp12/tp01/an06/ev07/ev09/tp07/an11/dp25/dp30/ev14/
-    # ev18/dp33/op09/ev20/ev22), plus the new
-    # ev33_sequence_time_guards_sql entry (never external).  The 36 names below leave the window to
-    # make room; ALL hold green rows in CORRECTNESS_r15 (dp32: r14 +
-    # judge r15) and each leaves an in-window class representative,
-    # named per entry.  Kept in-window as cornerstones/class reps:
-    # db01 (flagship), db19 (DST), an10 (weighted quantiles), op05/
-    # op06/op07 (range join / SCD2 / agg states — no rep among the
-    # 34), op14 (r15-new ASOF multi), in04 (positions), in06 (candle
-    # rollup), ev11 (session state), ev13 (topK sketch), ann01 (ANN
-    # baseline), dp17 (MinHash incremental), dp26 (semantic dedup),
-    # mm02 (multimodal).
-    "db06_icebergs",                  # HAVING+topK: db03 (netto buy
-                                      # top10) re-enters the shape
-    "db16_distinct_sec_codes",        # DISTINCT-via-groupBy: dp01
-                                      # (exact dedup) re-enters; db01
-                                      # keeps the dashboard scan
-    "db18_dst_spring_buckets",        # DST class: db19 (fall, the
-                                      # harder ambiguous-hour case)
-                                      # stays in-window
-    "an02_cumulative_volume",         # running window: an01 (vwap) +
-                                      # an11 (max drawdown) re-enter
-    "an07_trailing_time_stats",       # trailing range window: an05
-                                      # (rolling channel) re-enters
-    "an09_twap",                      # time-weighted agg: an01 (vwap,
-                                      # same weighted class) re-enters
-    "op02_quotes_final",              # ReplacingMergeTree FINAL: op01
-                                      # (last-write-wins) re-enters
-    "op03_book_depth",                # dedup+pivot class kept by op01
-                                      # re-entering
-    "op08_asof_sql_bridge",           # ASOF bridge: op09 (LEFT bridge)
-                                      # re-enters; op14 (multi) stays
-    "in01_securities_filter_project", # ingest filter/project: in02
-                                      # (ref-timestamp parse) + in05
-                                      # (candle fold) re-enter
-    "ev01_tumbling_agg",              # tumbling buckets: db07 (tumbling
-                                      # diff) re-enters; ev03 sessions
-    "ev15_window_funnel_sql",         # funnel SQL: ev14 (CH-exact
-                                      # windowFunnel) re-enters
-    "ev16_topk_weighted_sql",         # topK: ev04 (exact per-group)
-                                      # re-enters; ev13 sketch stays
-    "ev29_sequence_next_node_sql",    # sequence family: ev33 (time-
-                                      # guarded sequenceMatch, NEW)
-                                      # enters; r15 row banked
-    "ev30_exponential_moving_average_sql",  # EMA: an06_ema re-enters;
-                                      # r15 row banked
-    "ev31_max_intersections_sql",     # dialect window sweep: ev18/
-                                      # ev19/ev20/ev21 re-enter the
-                                      # dialect-SQL class; r15 banked
-    "ev32_lttb_downsample_sql",       # dialect-SQL class as above;
-                                      # r15 row banked
-    "tp03_semi_anti_counts",          # semi/anti joins: db03 (NOT-IN
-                                      # anti) + db04 re-enter
-    "tp04_supplier_stats_by_nation",  # tpch aggs: tp01 (pricing
-                                      # summary) + tp05 (rollup)
-                                      # re-enter
-    "tp06_small_qty_revenue",         # tpch family kept by tp01/tp05
-                                      # re-entering
-    "dp02_text_profile",              # text stats: ev20 (text-hash
-                                      # profile) re-enters
-    "dp14_curation_filter",           # curation gate: dp12 (split
-                                      # assign) re-enters; r15 banked
-    "dp15_corpus_report",             # corpus stats kept by ev20
-                                      # re-entering
-    "dp03_ngram_jaccard",             # near-dup verify: dp04
-                                      # (embedding near-dups) re-enters;
-                                      # dp17 stays
-    "dp19_repetition_profile",        # text class kept by ev20
-                                      # re-entering
-    "dp16_dup_clusters",              # near-dup clusters: dp17
-                                      # (incremental) stays; dp04
-                                      # re-enters
-    "ann03_ivf_topk",                 # ANN: ann01 (brute baseline)
-                                      # stays in-window
-    "mm01_feature_extract",           # multimodal: mm02 (frame
-                                      # sample) stays in-window
-    "dp08_stratified_sample",         # sampling: dp33 (diversity) +
-                                      # dp12 (split) + dp20 (mixture)
-                                      # re-enter
-    "dp13_incremental_dedup",         # exact-dedup class: dp01
-                                      # re-enters
-    "dp10_sequence_pack",             # packing/chunking: dp30 (chunk
-                                      # documents) re-enters
-    "dp22_passage_dedup",             # shingle probe class: dp21
-                                      # (decontaminate) re-enters
-    "ann05_pq_adc",                   # ANN class kept by ann01
-    "dp24_model_scores",              # scoring seam: dp25 (bm25
-                                      # ranked) re-enters; r15 banked
-    "dp31_chunk_search",              # retrieval: dp25 (bm25) + dp30
-                                      # (chunking) re-enter
-    "dp32_chunk_search_lsh",          # was window-excluded by POSITION
-                                      # since r15; now explicitly tail
-                                      # (r14 row + judge r15 green);
-                                      # retrieval class as above
-    # ---- banked tail (r13-r15 external rows, classes all represented
-    # in-window; per-entry displacement rationale in git history at
-    # the r13/r14/r15 rotation blocks of this tuple) ----
-    "db05_netto_union_sell_top10",
-    "db08_volume_diff_day_shifted",
-    "db13_imoex_volume_by_time",
-    "db15_count_trades_by_time_buy",
-    "db17_etf_template_var",
-    "an08_gap_fill",
-    "op04_asof_join",
-    "op12_asof_parallel_sql",
-    "op13_asof_chained_sql",
-    "in03_candles_windowed",
-    "ev06_funnel",
-    "ev08_window_funnel",
-    "ev12_retention",
-    "ev17_topk_grouped_sql",
-    "ev23_per_group_topn_sql",
-    "ev25_fill_interpolate_sql",
-    "ev28_correlated_quantified_sql",
-    "dp06_simhash_near_dups",
-    "ann04_sq_topk",
-    "dp27_weighted_sample",
-    "db09_imoex_diff_by_interval",
-    "db11_imoex_volume_by_interval_sell",
-    "op10_asof_forward_sql",
-    "op11_asof_using_sql",
-    "ev27_quantified_sql",
-    "tp02_top_revenue_orders",
-    "dp05_minhash_lsh_near_dups",
-    "dp18_pii_scrub",
-    "ann02_lsh_topk",
-    "dp07_hash_sample",
-    "ev24_columns_apply_sql",
-    "dp23_self_passage_dedup",
-    "dp28_bigram_lm",
-    "db02_volume_by_interval_sell",
-    "db12_etf_volume_by_interval_buy",
-    "db14_lots_by_time_sell",
-    "an03_minute_returns",
-    "an04_price_percentiles",
-    "ev02_json_extract",
-    "ev10_sequence_match",
-    "ev26_interval_profile_sql",
-    "dp09_term_stats",
-    "dp11_rolling_fingerprint",
-    "dp29_shard_manifest",
+    # ROUND-17 ROTATION (executes the r17 rotation queue recorded at
+    # NOTES.md round-16 item 2, staleness recomputed from the
+    # committed CORRECTNESS_r*.json history at r17 close): the 50-slot
+    # window takes the 45 stalest entries — the 11-entry r12 cohort
+    # (db02/db12/db14/an03/an04/ev02/ev10/ev26/dp09/dp11/dp29), the
+    # 13-entry r13 cohort (ann02/db09/db11/dp05/dp07/dp18/dp23/dp28/
+    # ev24/ev27/op10/op11/tp02) and the 21-entry r14 cohort (an08/
+    # ann04/db05/db08/db13/db15/db17/dp06/dp27/dp32/ev06/ev08/ev12/
+    # ev17/ev23/ev25/ev28/in03/op04/op12/op13) — plus five r15-row
+    # holders this optimization round touched most directly and which
+    # therefore deserve fresh external rows: ev31 (parallel prefix
+    # sum + lazy shims), dp16 (loop restructure), op08 (exchange-free
+    # bridge), dp31 (chunk-index partitioning), op02 (dedup family on
+    # the repartitioned cache).  Displaced: ALL 50 r16-row holders
+    # (fresh as of the last driver run) and the remaining 30 r15-row
+    # holders (2 rounds stale after r17 — within the ≤4-round
+    # invariant; every displaced class keeps an in-window rep: the
+    # dashboards via db02-db17, analytics via an03/an04/an08, ASOF
+    # via op04/op08/op10-13, funnels via ev06/ev08/ev12, dialect via
+    # ev02-ev28+ev31, dedup/text via dp05/dp06/dp16/dp18/dp23/dp28,
+    # retrieval via dp31/dp32/ann02/ann04, tpch via tp02).  Per-entry
+    # displacement rationale for earlier rotations: git history of
+    # this tuple (r9/r13/r14/r15/r16 blocks).  Every tail entry stays
+    # oracle-paired and locally gated by the full-catalog sweep in
+    # tests/test_parity_catalog.py; if the driver checks all entries
+    # the order is irrelevant.
+    "an01_vwap",
+    "an05_rolling_channel",
+    "an06_ema",
+    "an10_weighted_quantiles",
+    "an11_max_drawdown",
+    "ann01_brute_force_topk",
+    "db01_volume_by_interval_buy",
+    "db03_netto_buy_top10",
+    "db04_netto_union_buy_top10",
+    "db07_volume_diff_by_interval",
+    "db10_imoex_volume_by_interval_buy",
+    "db19_dst_fall_buckets",
+    "dp01_exact_dedup",
+    "dp04_embedding_near_dups",
+    "dp12_split_assign",
+    "dp17_incremental_near_dup",
+    "dp20_mixture_weights",
+    "dp21_decontaminate",
+    "dp25_bm25_topk",
+    "dp26_semantic_dedup",
+    "dp30_chunk_documents",
+    "dp33_diversity_sample",
+    "ev03_sessionize",
+    "ev04_topk_per_group",
+    "ev05_pivot",
+    "ev07_cohort_retention",
+    "ev09_quantile_sketch",
+    "ev11_session_windows",
+    "ev13_heavy_hitters",
+    "ev14_window_funnel_ch",
+    "ev18_scalar_with_sql",
+    "ev19_with_totals_sql",
+    "ev20_text_hash_profile_sql",
+    "ev21_combinator_profile_sql",
+    "ev22_with_fill_sql",
+    "ev33_sequence_time_guards_sql",
+    "in02_parse_ref_timestamps",
+    "in04_positions_merge",
+    "in05_candle_builder_exact",
+    "in06_candles_rollup",
+    "mm02_frame_sample",
+    "op01_dedup_last_write_wins",
+    "op05_range_join",
+    "op06_scd2_history",
+    "op07_aggregating_states",
+    "op09_asof_left_bridge",
+    "op14_asof_multi_single_shuffle",
+    "tp01_pricing_summary",
+    "tp05_rollup_grouping",
+    "tp07_hll_distinct",
+    "an02_cumulative_volume",
+    "an07_trailing_time_stats",
+    "an09_twap",
+    "ann03_ivf_topk",
+    "ann05_pq_adc",
+    "db06_icebergs",
+    "db16_distinct_sec_codes",
+    "db18_dst_spring_buckets",
+    "dp02_text_profile",
+    "dp03_ngram_jaccard",
+    "dp08_stratified_sample",
+    "dp10_sequence_pack",
+    "dp13_incremental_dedup",
+    "dp14_curation_filter",
+    "dp15_corpus_report",
+    "dp19_repetition_profile",
+    "dp22_passage_dedup",
+    "dp24_model_scores",
+    "ev01_tumbling_agg",
+    "ev15_window_funnel_sql",
+    "ev16_topk_weighted_sql",
+    "ev29_sequence_next_node_sql",
+    "ev30_exponential_moving_average_sql",
+    "ev32_lttb_downsample_sql",
+    "in01_securities_filter_project",
+    "mm01_feature_extract",
+    "op03_book_depth",
+    "tp03_semi_anti_counts",
+    "tp04_supplier_stats_by_nation",
+    "tp06_small_qty_revenue",
 )
 
 
